@@ -1,0 +1,176 @@
+"""Core expression plumbing: column resolution, ordering specs, order-free
+first/last helpers.
+
+The reference's Polars expressions rely on *implicit* row order for every
+``shift``/``cum_max``/``first``/``last`` (SURVEY.md §7.3-1). Spark DataFrames
+have no row order, so every order-dependent operator here takes an explicit
+:class:`Over` spec and compiles to ``Window.partitionBy(...).orderBy(...)``.
+Omitting ``order_by`` on a series operator raises — a silently-wrong answer on
+an unordered distributed table is the failure mode we design out.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def to_col(c: ColumnOrName) -> Column:
+    """Resolve a column name to a Column (reference: utils/typing.py:4-5)."""
+    return F.col(c) if isinstance(c, str) else c
+
+
+def col_name(c: ColumnOrName) -> Optional[str]:
+    """Best-effort output name of a column expression.
+
+    Mirrors ``expr.meta.output_name()`` in the reference
+    (utils/decorators.py:16). For a plain string or ``F.col("x")`` this is
+    exact; for composite expressions we fall back to ``None`` and the caller
+    skips auto-aliasing (same fallback as the reference's ``except`` path,
+    utils/decorators.py:36-37).
+    """
+    if isinstance(c, str):
+        return c
+    try:
+        # Classic py4j Column: toString() prints the expression; a bare
+        # attribute reference prints as its name.
+        s = c._jc.toString()  # type: ignore[union-attr]
+    except Exception:
+        try:
+            s = str(c)
+            # Column<'name'> repr used by Spark Connect
+            if s.startswith("Column<'") and s.endswith("'>"):
+                s = s[8:-2]
+            else:
+                return None
+        except Exception:
+            return None
+    if s and all(ch.isalnum() or ch in "_." for ch in s):
+        return s.split(".")[-1]
+    return None
+
+
+def _to_seq(v) -> list:
+    if v is None:
+        return []
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    return [v]
+
+
+@dataclass(frozen=True)
+class Over:
+    """Explicit ordering/grouping spec for order-dependent operators.
+
+    ``partition_by`` carries the group keys (what the reference expresses by
+    running the same expression inside ``group_by().agg``, SURVEY.md §3.2);
+    ``order_by`` carries the time axis the reference gets implicitly from row
+    order. ``order_by`` should be a unique (or tie-broken) key per partition —
+    pass several columns for deterministic tie-breaks.
+    """
+
+    order_by: Union[ColumnOrName, Sequence[ColumnOrName], None] = None
+    partition_by: Union[ColumnOrName, Sequence[ColumnOrName], None] = field(default=None)
+
+    @property
+    def partition_cols(self) -> list:
+        return [to_col(c) for c in _to_seq(self.partition_by)]
+
+    @property
+    def order_cols(self) -> list:
+        return [to_col(c) for c in _to_seq(self.order_by)]
+
+    def _require_order(self, op: str) -> None:
+        if not _to_seq(self.order_by):
+            raise ValueError(
+                f"{op} is order-dependent: pass Over(order_by=...) — Spark has no "
+                "implicit row order, so an explicit sort key is required."
+            )
+
+    def w_ordered(self, op: str = "operator") -> WindowSpec:
+        """Ordered window for lag/lead (default frame, never used for aggs)."""
+        self._require_order(op)
+        return Window.partitionBy(*self.partition_cols).orderBy(*self.order_cols)
+
+    def w_cum(self, op: str = "operator") -> WindowSpec:
+        """Running frame: unbounded-preceding .. current row, ROWS-based.
+
+        ROWS (not RANGE) so duplicate order keys behave like Polars positional
+        semantics — callers are expected to pass a tie-breaking order_by.
+        """
+        self._require_order(op)
+        return (
+            Window.partitionBy(*self.partition_cols)
+            .orderBy(*self.order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def w_full(self) -> WindowSpec:
+        """Whole-partition frame (order-free aggregates over the group)."""
+        if _to_seq(self.order_by):
+            return (
+                Window.partitionBy(*self.partition_cols)
+                .orderBy(*self.order_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+        return Window.partitionBy(*self.partition_cols)
+
+
+# ---------------------------------------------------------------------------
+# Order-free first/last aggregates.
+#
+# Polars ``first()``/``last()`` read the (implicitly ordered) series ends. In a
+# distributed agg, F.first/F.last are nondeterministic, so we take the row with
+# the min/max ordering key via a struct: max(struct(ts, value)) compares ts
+# first, so .getField() yields the value at the latest ts. Deterministic even
+# under shuffles; ties broken by the value itself.
+# ---------------------------------------------------------------------------
+
+def last_by(value: ColumnOrName, ts: ColumnOrName) -> Column:
+    """Aggregate: value at the maximum ts (Polars ``.last()`` on sorted data)."""
+    return F.max(F.struct(to_col(ts).alias("k"), to_col(value).alias("v"))).getField("v")
+
+
+def first_by(value: ColumnOrName, ts: ColumnOrName) -> Column:
+    """Aggregate: value at the minimum ts (Polars ``.first()`` on sorted data)."""
+    return F.min(F.struct(to_col(ts).alias("k"), to_col(value).alias("v"))).getField("v")
+
+
+def last_by_if(cond: Column, value: ColumnOrName, ts: ColumnOrName) -> Column:
+    """Aggregate: value at the max ts among rows where ``cond`` holds."""
+    return F.max(
+        F.when(cond, F.struct(to_col(ts).alias("k"), to_col(value).alias("v")))
+    ).getField("v")
+
+
+def first_by_if(cond: Column, value: ColumnOrName, ts: ColumnOrName) -> Column:
+    return F.min(
+        F.when(cond, F.struct(to_col(ts).alias("k"), to_col(value).alias("v")))
+    ).getField("v")
+
+
+# ---------------------------------------------------------------------------
+# Timestamp helpers: tick timestamps are LongType epoch-nanoseconds
+# (FIXTURES.md; Spark TimestampType is µs-precision). EOD date columns are
+# DateType/TimestampType.
+# ---------------------------------------------------------------------------
+
+def ts_to_ns(c: ColumnOrName) -> Column:
+    """TimestampType -> epoch nanoseconds (LongType)."""
+    return (F.unix_micros(to_col(c)) * F.lit(1000)).cast("long")
+
+
+def ns_to_timestamp(c: ColumnOrName) -> Column:
+    """Epoch-ns LongType -> TimestampType (µs truncation, for calendar ops)."""
+    return F.timestamp_micros((to_col(c) / F.lit(1000)).cast("long"))
+
+
+def epoch_seconds(c: ColumnOrName) -> Column:
+    """Date/Timestamp -> fractional epoch seconds (DoubleType)."""
+    cc = to_col(c)
+    return F.unix_micros(cc.cast("timestamp")).cast("double") / F.lit(1_000_000.0)

@@ -1,0 +1,263 @@
+"""EOD ratio operators — #10-15 of SURVEY.md §2.2.
+
+Parity targets: /root/reference/ffn_polars/expr/eod/ratios.py. All but
+``calc_prob_mom`` are pure JVM-side aggregate Columns (the reference's
+``map_elements`` downside clamp, flagged "TODO: vectorize" at ratios.py:29-31,
+becomes a native conditional — no UDF). ``calc_prob_mom`` needs a Student-t
+CDF, the one genuinely boundary-crossing computation (the reference uses a
+Rust kernel, src/lib.rs:8-43); here it is an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.core import ColumnOrName, Over, to_col
+from ffn_polars_spark.registry import register
+from ffn_polars_spark.utils import auto_alias, guard_input
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("sortino_ratio")
+@guard_input("self", expected_dtype="double")
+def sortino_ratio(
+    self: ColumnOrName, rf: float = 0.0, n: int = 252, annualize: bool = True
+) -> Column:
+    """Sortino ratio: ``mean(excess) / stddev_samp(downside) * sqrt(n)``.
+
+    ``excess = r - rf/n`` (per-period rf, reference ratios.py:26-27); downside
+    clamps positives to 0 but keeps nulls null (the reference's per-element
+    ``min(x, 0)`` skips nulls). Null when the downside deviation is null or 0
+    (ratios.py:34-38).
+    """
+    excess = to_col(self) - F.lit(rf / n)
+    downside = F.when(excess.isNotNull(), F.least(excess, F.lit(0.0)))
+    downside_std = F.stddev_samp(downside)
+    sortino = F.when(
+        downside_std.isNotNull() & (downside_std != 0.0),
+        F.avg(excess) / downside_std,
+    )
+    if annualize:
+        sortino = sortino * F.lit(math.sqrt(n))
+    return sortino
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("sharpe")
+@guard_input("self", expected_dtype="double")
+def calc_sharpe(
+    self: ColumnOrName,
+    rf: Union[float, str] = 0.0,
+    n: int = 252,
+    annualize: bool = True,
+) -> Column:
+    """Sharpe ratio: ``mean(excess) / stddev_samp(excess)`` (× sqrt(n) if
+    annualized). Excess returns follow #6 semantics (float rf deannualized,
+    str rf a column). Reference: ratios.py:66-86.
+    """
+    from ffn_polars_spark.functions.eod_returns import to_excess_returns
+
+    excess = to_excess_returns(self, rf, n)
+    sharpe = F.avg(excess) / F.stddev_samp(excess)
+    if annualize:
+        sharpe = sharpe * F.lit(math.sqrt(n))
+    return sharpe
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("risk_return_ratio")
+@guard_input("self", expected_dtype="double")
+def calc_risk_return_ratio(self: ColumnOrName) -> Column:
+    """Sharpe with rf=0 (annualized at 252, the reference's defaults).
+
+    Reference: ratios.py:89-97 — literally ``calc_sharpe(self)``.
+    """
+    return calc_sharpe(self)
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("ir")
+@guard_input("self", expected_dtype="double")
+@guard_input("benchmark", expected_dtype="double")
+def calc_information_ratio(self: ColumnOrName, benchmark: ColumnOrName) -> Column:
+    """Information ratio: ``mean(r - b) / stddev_samp(r - b)``, with NaN/null
+    results coalesced to 0.0. Reference: ratios.py:100-114.
+    """
+    diff = to_col(self) - to_col(benchmark)
+    ir = F.avg(diff) / F.stddev_samp(diff)
+    return F.coalesce(F.nanvl(ir, F.lit(0.0)), F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic momentum — Student-t CDF of the information ratio.
+# ---------------------------------------------------------------------------
+
+
+def _student_t_cdf(x, df):
+    """Student-t CDF via the regularized incomplete beta function.
+
+    Pure-numpy Lentz continued-fraction evaluation of I_x(a, b) (Numerical
+    Recipes §6.4 formulation), used when scipy is unavailable. Vectorized over
+    x; df is scalar.
+    """
+    import numpy as np
+
+    try:
+        from scipy.stats import t as _t  # type: ignore
+
+        return _t.cdf(x, df=df)
+    except Exception:
+        pass
+
+    x = np.asarray(x, dtype="float64")
+
+    def betacf(a, b, xx):
+        MAXIT, EPS, FPMIN = 200, 3e-14, 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c = np.ones_like(xx)
+        d = 1.0 - qab * xx / qap
+        d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+        d = 1.0 / d
+        h = d.copy()
+        for m in range(1, MAXIT + 1):
+            m2 = 2 * m
+            aa = m * (b - m) * xx / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+            c = 1.0 + aa / c
+            c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+            d = 1.0 / d
+            h = h * d * c
+            aa = -(a + m) * (qab + m) * xx / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+            c = 1.0 + aa / c
+            c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+            d = 1.0 / d
+            delt = d * c
+            h = h * delt
+            if np.all(np.abs(delt - 1.0) < EPS):
+                break
+        return h
+
+    def betainc(a, b, xx):
+        xx = np.clip(xx, 0.0, 1.0)
+        from numpy import log as _ln
+
+        lbeta = (
+            np.vectorize(math.lgamma)(a)
+            + np.vectorize(math.lgamma)(b)
+            - np.vectorize(math.lgamma)(a + b)
+        )
+        front = np.where(
+            (xx > 0) & (xx < 1),
+            np.exp(a * _ln(np.where(xx > 0, xx, 1)) + b * np.log1p(-np.where(xx < 1, xx, 0)) - lbeta),
+            0.0,
+        )
+        use_direct = xx < (a + 1.0) / (a + b + 2.0)
+        res = np.empty_like(xx)
+        m1 = use_direct
+        if np.any(m1):
+            res[m1] = front[m1] * betacf(a, b, xx[m1]) / a
+        m2 = ~use_direct
+        if np.any(m2):
+            res[m2] = 1.0 - front[m2] * betacf(b, a, 1.0 - xx[m2]) / b
+        res = np.where(xx <= 0.0, 0.0, res)
+        res = np.where(xx >= 1.0, 1.0, res)
+        return res
+
+    xb = df / (df + x * x)
+    tail = 0.5 * betainc(df / 2.0, 0.5, xb)
+    return np.where(x > 0, 1.0 - tail, tail)
+
+
+def prob_mom_cdf(ir: Optional[float], n: Optional[int]) -> Optional[float]:
+    """``StudentT(n-1).cdf(ir)``; None when n <= 1 or ir is None — the
+    reference's null contract (src/lib.rs:26-38, ratios.py:150-157)."""
+    if ir is None or n is None or n <= 1:
+        return None
+    v = float(_student_t_cdf(float(ir), n - 1))
+    return v
+
+
+@register(namespace="eod", context="dataframe")
+def calc_prob_mom(
+    df: DataFrame, a: str, b: str, by: Optional[list] = None
+) -> DataFrame:
+    """Probabilistic momentum between two return columns: the Student-t CDF
+    (df = n−1) of their information ratio. Reference: ratios.py:117-147 and
+    the Rust kernel src/lib.rs:8-43 (pairwise null-skipping, null when n<2 or
+    the diff stddev is 0).
+
+    Plan: IR and pair-count are computed natively in one distributed agg (one
+    shuffle, partial+final); only the final scalar t-CDF crosses into Python —
+    one row per group, via a vectorized pandas UDF.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    by = list(by or [])
+    both = F.col(a).isNotNull() & F.col(b).isNotNull()
+    d = F.when(both, F.col(a) - F.col(b))
+    agg = [
+        (F.avg(d) / F.stddev_samp(d)).alias("__ir"),
+        F.count(d).alias("__n"),
+        F.stddev_samp(d).alias("__std"),
+    ]
+    grouped = df.groupBy(*by).agg(*agg) if by else df.groupBy().agg(*agg)
+
+    @pandas_udf("double")
+    def _tcdf(ir: pd.Series, n: pd.Series, std: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for irv, nv, stdv in zip(ir, n, std):
+            if pd.isna(irv) or pd.isna(nv) or nv < 2 or pd.isna(stdv) or stdv == 0.0:
+                out.append(None)
+            else:
+                out.append(float(_student_t_cdf(float(irv), int(nv) - 1)))
+        return pd.Series(out, dtype="float64")
+
+    out_name = f"{a}_prob_mom"
+    return grouped.select(
+        *[F.col(k) for k in by],
+        _tcdf(F.col("__ir"), F.col("__n"), F.col("__std")).alias(out_name),
+    )
+
+
+calc_prob_mom._alias_suffix = "prob_mom"
+
+
+@register(namespace="eod", context="dataframe")
+def calc_calmar_ratio(
+    df: DataFrame,
+    price: str,
+    date_col: str,
+    by: Optional[list] = None,
+    order_by: Optional[ColumnOrName] = None,
+) -> DataFrame:
+    """Calmar ratio: ``CAGR / |max drawdown|``. Reference: ratios.py:46-63.
+
+    One window pass (running max for the drawdown series) + one agg on the
+    same keys — a single shuffle.
+    """
+    from ffn_polars_spark.functions.eod_returns import calc_cagr
+    from ffn_polars_spark.functions.eod_risk import to_drawdown_series
+
+    by = list(by or [])
+    over = Over(order_by=order_by or date_col, partition_by=by or None)
+    pre = df.withColumn("__dd", to_drawdown_series(price, over=over))
+    cagr = calc_cagr(F.col(price), F.col(date_col)).alias("__cagr")
+    mdd = F.abs(F.min("__dd")).alias("__mdd")
+    out = f"{price}_calmar_ratio"
+    g = pre.groupBy(*by) if by else pre.groupBy()
+    return g.agg(cagr, mdd).select(
+        *[F.col(k) for k in by], (F.col("__cagr") / F.col("__mdd")).alias(out)
+    )
+
+
+calc_calmar_ratio._alias_suffix = "calmar_ratio"

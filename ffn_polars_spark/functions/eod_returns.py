@@ -1,0 +1,201 @@
+"""EOD returns transforms — operators #1-9 of SURVEY.md §2.1.
+
+Parity targets: /root/reference/ffn_polars/expr/eod/returns.py (semantics
+re-derived, not translated). Series operators compile to explicit
+``Window.partitionBy(...).orderBy(...)`` specs; scalar operators are
+aggregate Columns usable inside ``groupBy().agg(...)`` and take the time
+column explicitly (order-free ``max(struct(ts, v))`` first/last so results
+are deterministic under shuffles).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.core import (
+    ColumnOrName,
+    Over,
+    epoch_seconds,
+    first_by,
+    last_by,
+    last_by_if,
+    to_col,
+)
+from ffn_polars_spark.config import SECONDS_PER_YEAR
+from ffn_polars_spark.registry import register
+from ffn_polars_spark.utils import auto_alias, guard_input
+
+
+@register(namespace="eod", context="series")
+@auto_alias("returns")
+@guard_input("self", expected_dtype="double")
+def to_returns(self: ColumnOrName, *, over: Over) -> Column:
+    """Simple arithmetic returns of a price series: ``p_t / p_{t-1} - 1``.
+
+    First row of each partition is null (lag of the first row).
+    Reference: expr/eod/returns.py:11-21.
+    """
+    w = over.w_ordered("to_returns")
+    return self / F.lag(self, 1).over(w) - 1
+
+
+@register(namespace="eod", context="series")
+@auto_alias("log_returns")
+@guard_input("self", expected_dtype="double")
+def to_log_returns(self: ColumnOrName, *, over: Over) -> Column:
+    """Log returns: ``ln(p_t / p_{t-1})``. Reference: expr/eod/returns.py:24-34."""
+    w = over.w_ordered("to_log_returns")
+    return F.log(self / F.lag(self, 1).over(w))
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("total_return")
+@guard_input("self", expected_dtype="double")
+def calc_total_return(self: ColumnOrName, ts: ColumnOrName) -> Column:
+    """Total return ``last/first - 1`` as a groupBy-agg Column.
+
+    ``ts`` orders the series (the reference reads implicit row order,
+    expr/eod/returns.py:152-161).
+    """
+    return last_by(self, ts) / first_by(self, ts) - 1
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("cagr")
+@guard_input("self", expected_dtype="double")
+def calc_cagr(self: ColumnOrName, date_col: ColumnOrName) -> Column:
+    """Compound annual growth rate: ``(last/first)^(1/year_frac) - 1``.
+
+    Reference: expr/eod/returns.py:92-104 (which composes year_frac,
+    expr/eod/temporal.py:153-163 — 365.25-day years).
+    """
+    date_col = to_col(date_col)
+    secs = epoch_seconds(date_col)
+    yf = (F.max(secs) - F.min(secs)) / F.lit(SECONDS_PER_YEAR)
+    return F.pow(last_by(self, date_col) / first_by(self, date_col), F.lit(1.0) / yf) - 1
+
+
+@register(namespace="eod", context="elementwise")
+@auto_alias("excess")
+@guard_input("self", expected_dtype="double")
+def to_excess_returns(self: ColumnOrName, rf: Union[float, str], n: Optional[int] = None) -> Column:
+    """Excess returns over a risk-free rate.
+
+    float ``rf``: annualized rate, deannualized over ``n`` periods
+    (``r - ((1+rf)^(1/n) - 1)``); str ``rf``: per-period column subtracted
+    directly. Reference: expr/eod/returns.py:107-123 (incl. the TypeError
+    contract asserted by tests/expr/test_expr_core.py:214-217).
+    """
+    if isinstance(rf, float):
+        if rf == 0:
+            return to_col(self)
+        return self - (F.pow(F.lit(1.0 + rf), F.lit(1.0) / F.lit(float(n))) - 1)
+    elif isinstance(rf, str):
+        return self - F.col(rf)
+    else:
+        raise TypeError("rf must be either a float or a column name string")
+
+
+@register(namespace="eod", context="series")
+@auto_alias("price_index")
+@guard_input("self", expected_dtype="double", required_substring="returns")
+def to_price_index(self: ColumnOrName, start: float = 100, *, over: Over) -> Column:
+    """Price index from arithmetic returns: ``cumprod(1 + r) * start``.
+
+    Nulls count as 0 returns (reference fill_null, expr/eod/returns.py:137).
+    Implemented with the native ``product`` window aggregate over a running
+    ROWS frame — exact for negative/zero factors (unlike exp-sum-log) and
+    stays inside whole-stage codegen.
+    """
+    w = over.w_cum("to_price_index")
+    return F.product(F.coalesce(to_col(self), F.lit(0.0)) + 1).over(w) * F.lit(float(start))
+
+
+@register(namespace="eod", context="series")
+@auto_alias("rebased")
+@guard_input("self", expected_dtype="double")
+def rebase(self: ColumnOrName, value: float = 100, *, over: Over) -> Column:
+    """Rebase a price series to a given start value: ``p / p_first * value``.
+
+    Reference: expr/eod/returns.py:140-149.
+    """
+    w = over.w_cum("rebase")
+    return to_col(self) / F.first(self).over(w) * F.lit(float(value))
+
+
+# ---------------------------------------------------------------------------
+# MTD / YTD — conditional first/last against the group's latest month / year.
+# The condition references a group-level aggregate (latest date), which SQL
+# cannot nest inside another aggregate, so MTD is two-phase (one window + one
+# agg over the same keys — Spark reuses the exchange, so it is a single
+# shuffle). YTD folds into ONE aggregate via the ordered-struct trick because
+# year(max(date)) == max(year(date)).
+# ---------------------------------------------------------------------------
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("ytd")
+@guard_input("self", expected_dtype="double")
+@guard_input("date_col", expected_dtype="timestamp")
+def calc_ytd(self: ColumnOrName, date_col: ColumnOrName = "Date") -> Column:
+    """Year-to-date return: last price / first price of the latest calendar
+    year − 1. Reference: expr/eod/returns.py:66-89.
+
+    Single aggregate: the row with max ``(year, epoch)`` is the latest price;
+    the row with max ``(year, -epoch)`` is the first price of the latest year.
+    """
+    d = to_col(date_col)
+    y = F.year(d)
+    e = epoch_seconds(d)
+    latest = F.max(F.struct(y.alias("y"), e.alias("e"), to_col(self).alias("v"))).getField("v")
+    first_of_year = F.max(
+        F.struct(y.alias("y"), (-e).alias("e"), to_col(self).alias("v"))
+    ).getField("v")
+    return latest / first_of_year - 1
+
+
+def calc_mtd_agg(
+    price: ColumnOrName, date_col: ColumnOrName, latest_date: Column
+) -> Column:
+    """Aggregate half of MTD given a pre-computed group-level ``latest_date``
+    column (e.g. ``F.max(date).over(Window.partitionBy(keys))``).
+
+    MTD = last price / last price with (month, year) != latest's − 1
+    (reference: expr/eod/returns.py:37-63).
+    """
+    d = to_col(date_col)
+    cond = (F.month(d) != F.month(latest_date)) | (F.year(d) != F.year(latest_date))
+    return last_by(price, d) / last_by_if(cond, price, d) - 1
+
+
+@register(namespace="eod", context="dataframe")
+def calc_mtd(
+    df: DataFrame,
+    price: str,
+    date_col: str = "Date",
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Month-to-date return per group: latest price over the last price from
+    the previous month − 1. Reference: expr/eod/returns.py:37-63.
+
+    Two-phase: a whole-partition window computes the group's latest date, then
+    a conditional ordered-struct aggregate picks the reference price. Window
+    and groupBy hash on the same keys so only one shuffle occurs.
+    """
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    w = Window.partitionBy(*[F.col(k) for k in by])
+    latest = F.max(F.col(date_col)).over(w)
+    out = f"{price}_mtd"
+    pre = df.withColumn("__latest_date", latest)
+    agg = calc_mtd_agg(F.col(price), F.col(date_col), F.col("__latest_date")).alias(out)
+    if by:
+        return pre.groupBy(*by).agg(agg)
+    return pre.groupBy().agg(agg)
+
+
+calc_mtd._alias_suffix = "mtd"

@@ -1,0 +1,108 @@
+"""Tick activity operators — #25-27 of SURVEY.md §2.5.
+
+Parity targets: /root/reference/ffn_polars/expr/tick/activity.py. Tick
+timestamps are LongType epoch-nanoseconds (FIXTURES.md; Spark TimestampType
+is µs-precision and would truncate exchange feeds). ``calc_trade_rate`` is a
+pure aggregate; inter-trade time and burstiness depend on consecutive deltas,
+so their grouped forms are two-phase (ordered window for the lag-diff, then an
+aggregate over the same partition keys — one shuffle total).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.config import SCALE
+from ffn_polars_spark.core import ColumnOrName, Over, to_col
+from ffn_polars_spark.registry import register
+from ffn_polars_spark.utils import auto_alias, guard_input
+
+
+def _scale(per: str) -> int:
+    scale = SCALE.get(per)
+    if scale is None:
+        raise ValueError(f"Unsupported time unit: {per}")
+    return scale
+
+
+@register(namespace="tick", context="scalar")
+@auto_alias("trade_rate")
+@guard_input("self", expected_dtype="timestamp")
+def calc_trade_rate(self: ColumnOrName, per: str = "ms") -> Column:
+    """Trades per time unit: ``count / ((last_ts - first_ts) / scale)``.
+
+    ``self`` is an epoch-ns LongType timestamp column. Reference:
+    activity.py:8-29 (last-first on sorted data == max-min).
+    """
+    scale = _scale(per)
+    c = to_col(self)
+    span = (F.max(c) - F.min(c)).cast("double") / F.lit(float(scale))
+    return F.count(F.lit(1)).cast("double") / span
+
+
+def inter_trade_times(ts: ColumnOrName, per: str = "s", *, over: Over) -> Column:
+    """Series of consecutive timestamp deltas in the requested unit (the
+    lag-diff building block shared by #26/#27)."""
+    scale = _scale(per)
+    c = to_col(ts)
+    w = over.w_ordered("inter_trade_times")
+    return (c - F.lag(c, 1).over(w)).cast("double") / F.lit(float(scale))
+
+
+def inter_trade_time_agg(itt: ColumnOrName) -> Column:
+    """Aggregate half of #26: mean of the delta column."""
+    return F.avg(to_col(itt))
+
+
+def burstiness_agg(itt: ColumnOrName) -> Column:
+    """Aggregate half of #27: coefficient of variation of the deltas.
+
+    Null when fewer than 2 deltas exist (sample stddev undefined — the
+    contract asserted by reference tests/expr/test_tick.py:342-378).
+    """
+    c = to_col(itt)
+    return F.stddev_samp(c) / F.avg(c)
+
+
+@register(namespace="tick", context="dataframe")
+def calc_inter_trade_time(
+    df: DataFrame,
+    ts: str,
+    per: str = "s",
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Mean time between consecutive trades, per group. Reference:
+    activity.py:32-55 (``mean(diff(ts))`` — NOT ``(max-min)/(n-1)``, which
+    differs in the presence of null timestamps)."""
+    by = list(by or [])
+    over = Over(order_by=ts, partition_by=by or None)
+    pre = df.withColumn("__itt", inter_trade_times(ts, per, over=over))
+    out = f"{ts}_inter_trade_time"
+    g = pre.groupBy(*by) if by else pre.groupBy()
+    return g.agg(inter_trade_time_agg("__itt").alias(out))
+
+
+calc_inter_trade_time._alias_suffix = "inter_trade_time"
+
+
+@register(namespace="tick", context="dataframe")
+def calc_burstiness(
+    df: DataFrame,
+    ts: str,
+    per: str = "s",
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Burstiness: ``std(inter-trade time) / mean(inter-trade time)`` per
+    group. Reference: activity.py:58-77."""
+    by = list(by or [])
+    over = Over(order_by=ts, partition_by=by or None)
+    pre = df.withColumn("__itt", inter_trade_times(ts, per, over=over))
+    out = f"{ts}_burstiness"
+    g = pre.groupBy(*by) if by else pre.groupBy()
+    return g.agg(burstiness_agg("__itt").alias(out))
+
+
+calc_burstiness._alias_suffix = "burstiness"

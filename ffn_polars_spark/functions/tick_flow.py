@@ -1,0 +1,64 @@
+"""Tick flow operators — #28-31 of SURVEY.md §2.6.
+
+Parity targets: /root/reference/ffn_polars/expr/tick/flow.py. All four are
+plain distributed aggregates (partial + final, map-side combined) usable
+directly inside ``groupBy(...).agg(...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.config import SCALE
+from ffn_polars_spark.core import ColumnOrName, to_col
+from ffn_polars_spark.registry import register
+from ffn_polars_spark.utils import auto_alias, guard_input
+
+
+@register(namespace="tick", context="scalar")
+@auto_alias("volume_rate")
+@guard_input("self", expected_dtype="long")
+@guard_input("ts", expected_dtype="timestamp")
+def calc_volume_rate(self: ColumnOrName, ts: ColumnOrName, per: str = "s") -> Column:
+    """Volume traded per time unit: ``sum(v) / ((max(ts)-min(ts))/scale)``.
+
+    ``ts`` is epoch-ns LongType. Reference: flow.py:9-36 (incl. the
+    ValueError on an unknown unit).
+    """
+    scale = SCALE.get(per)
+    if scale is None:
+        raise ValueError(f"Unsupported time unit: {per}")
+    t = to_col(ts)
+    span = (F.max(t) - F.min(t)).cast("double") / F.lit(float(scale))
+    return F.sum(self).cast("double") / span
+
+
+@register(namespace="tick", context="scalar")
+@auto_alias("order_flow_imbalance")
+@guard_input("self", expected_dtype="double")
+def calc_order_flow_imbalance(self: ColumnOrName) -> Column:
+    """Order-flow imbalance: sum of signed volume (+V buyer-initiated,
+    −V seller-initiated). Reference: flow.py:39-58."""
+    return F.sum(self).cast("double")
+
+
+@register(namespace="tick", context="scalar")
+@auto_alias("traded_value")
+@guard_input("self", expected_dtype="double")
+@guard_input("volume", expected_dtype="double")
+def calc_traded_value(self: ColumnOrName, volume: ColumnOrName) -> Column:
+    """Total traded (dollar) value: ``sum(price * volume)``. Reference:
+    flow.py:61-81."""
+    return F.sum(to_col(self) * to_col(volume)).cast("double")
+
+
+@register(namespace="tick", context="scalar")
+@auto_alias("vwap")
+@guard_input("self", expected_dtype="double")
+@guard_input("volume", expected_dtype="double")
+def calc_vwap(self: ColumnOrName, volume: ColumnOrName) -> Column:
+    """Volume-weighted average price: ``sum(p*v) / sum(v)``. Reference:
+    flow.py:84-103."""
+    v = to_col(volume)
+    return F.sum(to_col(self) * v) / F.sum(v).cast("double")

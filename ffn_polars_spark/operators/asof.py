@@ -1,0 +1,202 @@
+"""As-of joins (backward / forward / nearest) and linear-interpolation joins.
+
+Spark has no native as-of join; the scalable idiom is union-tag +
+last-non-null over an ordered window (SURVEY.md §2.10): rows of both sides are
+unioned, partitioned by the join keys, ordered by timestamp, and each left row
+picks up the most recent right-side values via ``F.last(..., ignorenulls=True)``
+over a running frame. One shuffle on the keys, no driver involvement, no
+row-at-a-time Python — this is the plan a sort-merge as-of would produce.
+
+The linear-interpolation variant reproduces the reference simulator's
+``np.interp`` quote lookup (/root/reference/ffn_polars/sim/trades.py:52-76):
+bracketing neighbors on both sides, weighted average between them, clamped to
+the boundary values outside the right table's time range.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.registry import register
+
+_LPREF = "__asof_l_"
+_RPREF = "__asof_r_"
+
+
+def _normalize(cols: Union[str, Sequence[str], None]) -> List[str]:
+    if cols is None:
+        return []
+    if isinstance(cols, str):
+        return [cols]
+    return list(cols)
+
+
+@register(kind="df", context="dataframe")
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Union[str, Sequence[str], None] = None,
+    strategy: str = "backward",
+    tolerance: Optional[int] = None,
+    right_cols: Union[str, Sequence[str], None] = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Join each left row to the closest right row at-or-before (backward),
+    at-or-after (forward), or nearest in time, per key group.
+
+    Args:
+        on: timestamp column name, present in both sides (any orderable,
+            numerically subtractable type — epoch-ns LongType for tick data).
+        by: equi-join key column(s).
+        tolerance: max |left.on - right.on| (same units as ``on``); matches
+            farther away are nulled out.
+        right_cols: right-side value columns to bring over (default: all
+            non-key, non-ts columns).
+        suffix: appended to right value column names on clash.
+    """
+    if strategy not in ("backward", "forward", "nearest"):
+        raise ValueError(f"Unsupported strategy: {strategy}")
+
+    by = _normalize(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    right_cols = _normalize(right_cols)
+
+    if strategy == "nearest":
+        back = asof_join(left, right, on, by, "backward", tolerance, right_cols, "__bwd")
+        fwd_names = {c: f"{c}__bwd" for c in right_cols}
+        fwd = asof_join(back, right, on, by, "forward", tolerance, right_cols, "__fwd")
+        out = fwd
+        back_ts, fwd_ts = F.col("__asof_ts__bwd"), F.col("__asof_ts__fwd")
+        l_ts = F.col(on)
+        use_back = F.when(
+            back_ts.isNotNull()
+            & (fwd_ts.isNull() | ((l_ts - back_ts) <= (fwd_ts - l_ts))),
+            True,
+        ).otherwise(False)
+        for c in right_cols:
+            out = out.withColumn(
+                c + suffix,
+                F.when(use_back, F.col(f"{c}__bwd")).otherwise(F.col(f"{c}__fwd")),
+            )
+        drop = [f"{c}__bwd" for c in right_cols] + [f"{c}__fwd" for c in right_cols]
+        drop += ["__asof_ts__bwd", "__asof_ts__fwd"]
+        return out.drop(*drop)
+
+    forward = strategy == "forward"
+
+    # Tag and union. Right rows carry only keys + ts + value columns.
+    lhs = left.withColumn("__is_left", F.lit(True))
+    for c in right_cols:
+        lhs = lhs.withColumn(_RPREF + c, F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        *by,
+        F.col(on),
+        F.lit(False).alias("__is_left"),
+        *[F.col(c).alias(_RPREF + c) for c in right_cols],
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # Within each key group, order by time; at equal timestamps the right row
+    # sorts first so an exact-ts match is visible to the left row (Polars
+    # join_asof includes equality). Forward scans in reverse time order.
+    ts_order = F.col(on).desc() if forward else F.col(on).asc()
+    w = (
+        Window.partitionBy(*[F.col(k) for k in by])
+        .orderBy(ts_order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    matched_ts = F.last(
+        F.when(~F.col("__is_left"), F.col(on)), ignorenulls=True
+    ).over(w)
+    out = unioned.withColumn("__asof_ts" + suffix, matched_ts)
+    for c in right_cols:
+        out = out.withColumn(
+            _RPREF + c, F.last(_RPREF + c, ignorenulls=True).over(w)
+        )
+
+    out = out.where(F.col("__is_left")).drop("__is_left")
+
+    within = (
+        F.lit(True)
+        if tolerance is None
+        else (F.abs(F.col(on) - F.col("__asof_ts" + suffix)) <= F.lit(tolerance))
+    )
+    for c in right_cols:
+        target = c + suffix if (c in left.columns or suffix) else c
+        out = out.withColumn(
+            target,
+            F.when(
+                F.col("__asof_ts" + suffix).isNotNull() & within, F.col(_RPREF + c)
+            ),
+        ).drop(_RPREF + c)
+    if suffix != "__bwd" and suffix != "__fwd":
+        out = out.drop("__asof_ts" + suffix)
+    return out
+
+
+def interp_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    value_cols: Union[str, Sequence[str]],
+    by: Union[str, Sequence[str], None] = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Linear interpolation of right-side value columns at each left
+    timestamp — ``np.interp`` semantics (clamped to boundary values outside
+    the right table's range). Reproduces the reference simulator's quote
+    lookup (sim/trades.py:52-76) as one windowed pass per direction.
+    """
+    by = _normalize(by)
+    value_cols = _normalize(value_cols)
+
+    lhs = left.withColumn("__is_left", F.lit(True))
+    rhs = right.select(
+        *by,
+        F.col(on),
+        F.lit(False).alias("__is_left"),
+        *[F.col(c).alias(_RPREF + c) for c in value_cols],
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    wb = (
+        Window.partitionBy(*[F.col(k) for k in by])
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*[F.col(k) for k in by])
+        .orderBy(F.col(on).desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    right_marker = F.when(~F.col("__is_left"), F.col(on))
+    out = unioned.withColumn("__t0", F.last(right_marker, ignorenulls=True).over(wb))
+    out = out.withColumn("__t1", F.last(right_marker, ignorenulls=True).over(wf))
+    for c in value_cols:
+        v = F.when(~F.col("__is_left"), F.col(_RPREF + c))
+        out = out.withColumn("__v0_" + c, F.last(v, ignorenulls=True).over(wb))
+        out = out.withColumn("__v1_" + c, F.last(v, ignorenulls=True).over(wf))
+
+    out = out.where(F.col("__is_left")).drop("__is_left")
+
+    t, t0, t1 = F.col(on), F.col("__t0"), F.col("__t1")
+    frac = (t.cast("double") - t0.cast("double")) / (
+        t1.cast("double") - t0.cast("double")
+    )
+    for c in value_cols:
+        v0, v1 = F.col("__v0_" + c), F.col("__v1_" + c)
+        interp = (
+            F.when(t0.isNull(), v1)  # before first right row -> clamp left edge
+            .when(t1.isNull(), v0)  # after last right row -> clamp right edge
+            .when(t1 == t0, v0)  # exact hit / duplicate ts
+            .otherwise(v0.cast("double") + (v1.cast("double") - v0.cast("double")) * frac)
+        )
+        out = out.withColumn(c + suffix, interp).drop("__v0_" + c, "__v1_" + c)
+    return out.drop("__t0", "__t1")

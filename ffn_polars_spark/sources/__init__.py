@@ -1,0 +1,101 @@
+"""Data sources: session builder, testdata loaders, golden-CSV reader.
+
+The reference's only scan is ``pl.read_csv`` in its test fixture
+(tests/fixtures.py:11); Spark gives us Parquet/CSV/JSON plus predicate
+pushdown and column pruning for free, so the engine standardizes on these
+helpers for all I/O.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Runtime confs the engine depends on; safe to apply to an externally
+    created session (the correctness driver owns its own SparkSession).
+
+    * ``nanosAsLong``: the tick tables carry parquet TIMESTAMP(NANOS) — Spark
+      has no ns-precision timestamp, so they surface as epoch-ns LongType,
+      exactly the engine's tick time axis (FIXTURES.md).
+    * UTC session timezone: calendar functions on naive timestamps must agree
+      with the (UTC-based) oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "ffn-polars-spark", cpus: Optional[int] = None) -> SparkSession:
+    """Local session tuned for the test/bench environment.
+
+    On a real cluster these settings come from spark-submit; the knobs that
+    matter at scale are set the same way here: AQE on (runtime re-plan, skew
+    join handling), Arrow on (every pandas_udf boundary is Arrow-batched),
+    shuffle partitions sized to the parallelism.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    session = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return configure(session)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+    """All driver-generated parquet tables from one scale-factor directory."""
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in TESTDATA_TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
+    }
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+GOLDEN_CSV = "/root/reference/tests/data/test_data.csv"
+
+
+def load_golden_prices(spark: SparkSession, path: str = GOLDEN_CSV) -> DataFrame:
+    """The reference's 10-year AAPL/MSFT/C daily close CSV (M/D/YYYY dates),
+    used by its golden-value tests (tests/fixtures.py:8-17)."""
+    raw = spark.read.csv(path, header=True, inferSchema=True)
+    return raw.select(
+        F.to_date("Date", "M/d/yyyy").alias("Date"),
+        F.col("AAPL").cast("double"),
+        F.col("MSFT").cast("double"),
+        F.col("C").cast("double"),
+    )

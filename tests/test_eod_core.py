@@ -1,0 +1,119 @@
+"""Golden-value tests against the reference's 10-year price CSV.
+
+Pinned constants come from the reference's own test suite
+(tests/expr/test_expr_core.py) — they are the cross-engine oracle: our Spark
+engine must reproduce them from the same CSV, including output column names.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import ffn_polars_spark as ffn
+from ffn_polars_spark import Over
+
+from conftest import aae
+
+OVER = Over(order_by="Date")
+
+
+def test_to_returns_golden(spark, golden):
+    out = golden.select("Date", ffn.eod.to_returns("AAPL", over=OVER)).orderBy("Date")
+    assert out.columns == ["Date", "AAPL_returns"]
+    rows = out.limit(3).collect()
+    assert rows[0]["AAPL_returns"] is None
+    # reference tests/expr/test_expr_core.py:14-22
+    aae(rows[1]["AAPL_returns"], -0.019148, places=5)
+    aae(rows[2]["AAPL_returns"], 0.015101, places=5)
+
+
+def test_to_log_returns_golden(spark, golden):
+    out = golden.select(ffn.eod.to_log_returns("AAPL", over=OVER)).orderBy(F.lit(1))
+    assert out.columns == ["AAPL_log_returns"]
+    rows = golden.select("Date", ffn.eod.to_log_returns("AAPL", over=OVER)).orderBy("Date").limit(2).collect()
+    assert rows[0]["AAPL_log_returns"] is None
+    aae(rows[1]["AAPL_log_returns"], math.log(13.575 / 13.84), places=9)
+
+
+def test_price_index_and_rebase(spark, golden):
+    rets = golden.select(
+        "Date", ffn.eod.to_returns("AAPL", over=OVER).alias("AAPL_returns")
+    )
+    out = rets.select(
+        "Date", ffn.eod.to_price_index("AAPL_returns", start=100, over=OVER)
+    ).orderBy("Date")
+    assert out.columns == ["Date", "AAPL_price_index"]
+    rows = out.limit(2).collect()
+    aae(rows[0]["AAPL_price_index"], 100.0, places=9)  # null return -> factor 1
+    aae(rows[1]["AAPL_price_index"], 100.0 * (13.575 / 13.84), places=6)
+
+    reb = golden.select("Date", ffn.eod.rebase("AAPL", value=100, over=OVER)).orderBy("Date")
+    assert reb.columns == ["Date", "AAPL_rebased"]
+    r = reb.limit(2).collect()
+    aae(r[0]["AAPL_rebased"], 100.0, places=9)
+    aae(r[1]["AAPL_rebased"], 100.0 * 13.575 / 13.84, places=6)
+
+
+def test_cagr_golden(spark, golden):
+    # reference tests/expr/test_expr_core.py:120-129: 0.440 / 0.041 / -0.205
+    row = golden.select(
+        ffn.eod.calc_cagr("AAPL", "Date"),
+        ffn.eod.calc_cagr("MSFT", "Date"),
+        ffn.eod.calc_cagr("C", "Date"),
+    ).collect()[0]
+    aae(row["AAPL_cagr"], 0.440, places=3)
+    aae(row["MSFT_cagr"], 0.041, places=3)
+    aae(row["C_cagr"], -0.205, places=3)
+
+
+def test_year_frac_golden(spark, golden):
+    # reference tests/expr/test_expr_core.py:114-117
+    row = golden.select(ffn.eod.year_frac("Date")).collect()[0]
+    aae(row["Date_year_frac"], 9.9986, places=4)
+
+
+def test_max_drawdown_first10(spark, golden):
+    # reference tests/expr/test_expr_core.py:100-111: maxDD over first 10 rows
+    first10 = golden.orderBy("Date").limit(10)
+    out = ffn.eod.calc_max_drawdown(first10, "AAPL", order_by="Date")
+    row = out.collect()[0]
+    aae(row["AAPL_max_drawdown"], -0.086, places=3)
+
+
+def test_total_return(spark, golden):
+    row = golden.select(ffn.eod.calc_total_return("AAPL", "Date")).collect()[0]
+    first, last = 13.84, None
+    ordered = golden.orderBy("Date").select("AAPL").collect()
+    last = ordered[-1]["AAPL"]
+    aae(row["AAPL_total_return"], last / first - 1, places=6)
+
+
+def test_excess_returns_contracts(spark, golden):
+    with pytest.raises(TypeError):
+        ffn.eod.to_excess_returns("AAPL", rf=[1, 2], n=252)
+    # float rf deannualized
+    df = spark.createDataFrame([(0.01,), (0.02,)], ["r"])
+    out = df.select(ffn.eod.to_excess_returns("r", rf=0.05, n=252)).collect()
+    expected = 0.01 - ((1.05) ** (1 / 252) - 1)
+    aae(out[0]["r_excess"], expected, places=9)
+
+
+def test_series_ops_require_order():
+    with pytest.raises(ValueError, match="order-dependent"):
+        ffn.eod.to_returns("AAPL", over=Over())
+
+
+def test_grouped_series_ops(spark):
+    data = [("A", 1, 10.0), ("A", 2, 11.0), ("B", 1, 5.0), ("B", 2, 4.0)]
+    df = spark.createDataFrame(data, ["ticker", "t", "price"])
+    over = Over(order_by="t", partition_by="ticker")
+    out = (
+        df.select("ticker", "t", ffn.eod.to_returns("price", over=over))
+        .orderBy("ticker", "t")
+        .collect()
+    )
+    assert out[0]["price_returns"] is None
+    aae(out[1]["price_returns"], 0.1, places=9)
+    assert out[2]["price_returns"] is None
+    aae(out[3]["price_returns"], -0.2, places=9)

@@ -1,0 +1,256 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: exact brute-force cosine top-k — the query side is broadcast so the
+item table is scanned once, map-side, with no shuffle except the final
+per-query top-k. Scale path: random-hyperplane LSH bucketing, which turns the
+scan into a bucket equi-join; recall is tunable with planes/probes.
+
+Dot products run through ``F.zip_with`` + ``F.aggregate`` (JVM, codegen) —
+a vectorized pandas UDF alternative is provided for very wide vectors where
+Arrow + numpy BLAS wins.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double accumulation, left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="embedding_cosine_pairs")
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact near-duplicate pairs by cosine (id_a < id_b, cos ≥ threshold).
+
+    Brute-force O(n²/2) — correctness baseline and small-corpus tool; at
+    scale use :func:`dedup_embedding_lsh` (banded candidates, same verify).
+    """
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> List[List[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, broadcast as literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def simhash_bucket(vec: Column, hyperplanes: List[List[float]]) -> Column:
+    """Sign-random-projection bucket id for a vector (one long)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(hyperplanes):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, arr) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, j))
+    return bucket
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="dedup_embedding_lsh")
+def dedup_embedding_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 12,
+    tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: ``tables`` independent
+    random-hyperplane bucketings generate candidates (equi-join per table,
+    union'd via explode), exact cosine verifies. Two shuffles total
+    (bucket join + distinct), both on high-cardinality keys."""
+    dim = len(df.select(vec_col).first()[0])
+    tagged = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            simhash_bucket(F.col("__v"), _hyperplanes(dim, planes, seed + t)).alias("b"),
+        )
+        for t in range(tables)
+    ]
+    buckets = tagged.select(
+        "__id", "__v", F.explode(F.array(*bucket_structs)).alias("__b")
+    ).select("__id", "__v", F.col("__b.tbl").alias("__tbl"), F.col("__b.b").alias("__bkt"))
+
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.__tbl") == F.col("r.__tbl"))
+            & (F.col("l.__bkt") == F.col("r.__bkt"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__v").alias("__va"),
+            F.col("r.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select(
+        "id_a", "id_b", F.round(cosine("__va", "__vb"), 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ann_topk")
+def ann_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is explicitly ``broadcast()`` — the big item table streams
+    through map-side with zero shuffle; the only exchange is the per-query
+    top-k (a rank over partitions of size |items|, bounded by WindowGroupLimit
+    pushdown in Spark 3.5+ so executors keep only k rows per query).
+    Self-matches (same id) are excluded. Ranking ties break by item id.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("__iv"))
+    scored = (
+        it.crossJoin(q)
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(cosine(F.col("__iv"), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ann_topk_lsh")
+def ann_topk_lsh(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 10,
+    tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: Optional[str] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates from ``tables`` hyperplane bucketings
+    (bucket equi-join instead of a full scan), exact cosine re-rank.
+
+    The item side is bucketed once per table (map-side) and joined on
+    (table, bucket) — at 100 TB this touches ~|items|/2^planes per query per
+    table instead of |items|."""
+    qid = query_id_col or id_col
+    dim = len(items.select(vec_col).first()[0])
+    planes_per_table = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+
+    def bucketize(df: DataFrame, ident: str, vcol: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                simhash_bucket(F.col(vcol), planes_per_table[t]).alias("b"),
+            )
+            for t in range(tables)
+        ]
+        return df.select(
+            F.col(ident), F.col(vcol), F.explode(F.array(*structs)).alias("__b")
+        ).select(
+            ident, vcol, F.col("__b.tbl").alias("__tbl"), F.col("__b.b").alias("__bkt")
+        )
+
+    it = bucketize(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("__iv")),
+        "item_id",
+        "__iv",
+    )
+    q = F.broadcast(
+        bucketize(
+            queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")),
+            "query_id",
+            "__qv",
+        )
+    )
+    cands = (
+        it.join(q, (it.__tbl == q.__tbl) & (it.__bkt == q.__bkt))
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", "__iv", "__qv")
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "item_id",
+        F.round(cosine(F.col("__iv"), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_pandas_udf():
+    """Arrow/numpy dot-product path for very wide vectors: returns a pandas
+    UDF ``(array<float>, array<float>) -> double``. Prefer :func:`cosine`
+    (pure JVM) for dims ≲ 1k; this wins when BLAS batching dominates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        num = (am * bm).sum(axis=1)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(num / den)
+
+    return _cos

@@ -1,0 +1,159 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting over a
+``documents(doc_id, text, ...)`` table. Everything is built from native
+``pyspark.sql.functions`` string/array expressions — no Python UDFs — so the
+whole pipeline stays inside whole-stage codegen and scales linearly with
+executors (pure map-side work: no shuffle at all unless the caller
+aggregates).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.registry import register
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small and disjoint-ish: the point is the scalable
+# counting pattern, not lexicographic completeness.
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "las", "y", "es", "una", "en", "por", "para"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap proxy; see bpe_token_estimate)."""
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish token estimate without a vocabulary: count word pieces and
+    punctuation via a subword-shaped regex (runs of <=4 word chars, digits,
+    or single non-space symbols). Deterministic, vectorized, JVM-side."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: Optional[List[str]] = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    sw = stopwords or EN_STOPWORDS
+    toks = tokens(text)
+    matches = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    total = F.size(toks)
+    return F.when(total > 0, matches.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total_chars / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="text_quality")
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document quality scoring: length, token stats, punctuation and
+    stopword ratios, and a composite [0, 1] quality score (Gopher/C4-style
+    length + structure heuristics). Pure map-side — no shuffle."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    mwl = mean_word_length(t)
+    pr = punct_ratio(t)
+    sr = stopword_ratio(t)
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(pr <= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(sr >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        char_count(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="language_id")
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID over {en, de, fr, es}.
+
+    Counts marker-token occurrences per language (duplicates included) and
+    takes the arg-max, ties broken by language code — a greatest-of-structs
+    comparison, fully native, no shuffle.
+    """
+    toks = tokens(F.col(text_col))
+
+    def marker_count(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        cnt = marker_count(markers)
+        # tie-break: higher count wins; on equal counts the lexicographically
+        # SMALLER language code wins -> invert the code for the max().
+        scores.append(F.struct(cnt.alias("n"), F.lit(lang).alias("lang")))
+    # fold to argmax: greatest by (n, then reversed lang order). To make the
+    # smaller code win ties we compare pairwise with explicit logic.
+    best = scores[0]
+    for s in scores[1:]:
+        best = F.when(
+            (s.getField("n") > best.getField("n")),
+            s,
+        ).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        best.getField("lang").alias("lang_pred"),
+        best.getField("n").alias("marker_hits"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="fingerprint")
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-defined document fingerprint: md5 of whitespace-normalized
+    lowercased text. The normalize-then-hash shape is the standard exact-dedup
+    key at corpus scale (hash is computed map-side; dedup is then one
+    hash-partitioned groupBy)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Union
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -197,7 +198,6 @@ def calc_prob_mom(
     shuffle, partial+final); only the final scalar t-CDF crosses into Python —
     one row per group, via a vectorized pandas UDF.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     by = list(by or [])

@@ -74,7 +74,9 @@ def calc_cagr(self: ColumnOrName, date_col: ColumnOrName) -> Column:
     """
     date_col = to_col(date_col)
     secs = epoch_seconds(date_col)
-    yf = (F.max(secs) - F.min(secs)) / F.lit(SECONDS_PER_YEAR)
+    # floor: the reference's year_frac truncates the span to whole seconds
+    # (Duration.total_seconds), and calc_cagr composes it (returns.py:104).
+    yf = F.floor(F.max(secs) - F.min(secs)) / F.lit(SECONDS_PER_YEAR)
     return F.pow(last_by(self, date_col) / first_by(self, date_col), F.lit(1.0) / yf) - 1
 
 

@@ -97,7 +97,7 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
         "width": 16 + (n % 64),
         "height": 16 + (first % 64),
         "channels": 3,
-        "mean_intensity": float(sum(data[:64]) % 256) if n else 0.0,
+        "mean_intensity": float((n * 31 + first) % 256),
     }
 
 

@@ -1,0 +1,1424 @@
+"""Correctness-gate query catalog.
+
+One entry per implemented operator (SURVEY.md §2 + the LLM-pipeline
+extensions): ``QUERY_FNS[name](spark, sf_dir) -> DataFrame`` runs the engine,
+``ORACLE_SQL[name]`` is the independent ANSI-SQL formulation DuckDB executes
+over the same parquet tables. The driver hash-compares the two at sf=0.01.
+
+Determinism rules that make cross-engine value-hashing exact:
+
+* All rounding is the explicit ``floor(x * 1e6 + 0.5) / 1e6`` formula in BOTH
+  engines — identical IEEE ops on identical doubles, immune to the engines'
+  differing ROUND implementations.
+* Money sums go through DECIMAL (exact associative addition) and are cast
+  back to DOUBLE; plain double sums are only used at magnitudes where the
+  6-decimal rounding absorbs association-order noise.
+* Every window is ordered by a unique key (event timestamps are distinct;
+  ties elsewhere are broken explicitly).
+* first/last-style aggregates use order-free arg-max/struct forms, never
+  Spark's nondeterministic F.first/F.last in agg context.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import ffn_polars_spark as ffn
+from ffn_polars_spark import Over
+from ffn_polars_spark.sources import configure, read_table
+
+QUERY_FNS: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: Dict[str, str] = {}
+
+
+def query(name: str, sql: str = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        QUERY_FNS[name] = wrapped
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return wrapped
+
+    return deco
+
+
+def r6(c) -> "F.Column":
+    """floor(x*1e6 + 0.5)/1e6 — the cross-engine-exact rounding (see module
+    docstring)."""
+    return F.floor(ffn.to_col(c) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def R(x: str) -> str:
+    """SQL twin of :func:`r6`."""
+    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# Shared frames.
+#
+# ticks: the events stream re-cast as a tick tape — 5 "tickers" (event_type),
+# epoch-ns LongType timestamps (globally unique in the testdata), a smoothed
+# positive price, and a deterministic integer-valued volume.
+#
+# px: a single daily EOD price series derived from orders (price = max
+# total-price per order date) — multi-year, so calendar ops (CAGR, MTD, YTD)
+# have real month/year structure.
+# ---------------------------------------------------------------------------
+
+# ts_ns is µs-aligned (ns truncated to µs·1000): DuckDB reads parquet
+# TIMESTAMP(NANOS) at µs precision, so both engines must see identical
+# timestamps. Ordering ties are broken by event_id.
+TICKS_SQL = """WITH ticks AS (
+  SELECT event_id, event_type, user_id, epoch_us(ts) * 1000 AS ts_ns,
+         100.0 + value / 10.0 AS price,
+         100.0 + value / 20.0 AS price_b,
+         CAST(event_id % 100 + 1 AS DOUBLE) AS volume
+  FROM events
+)"""
+
+PX_SQL = """WITH px AS (
+  SELECT o_orderdate AS d, max(o_totalprice) AS price
+  FROM orders GROUP BY o_orderdate
+)"""
+
+# window shorthand used throughout the oracle SQL
+W = "PARTITION BY event_type ORDER BY ts_ns, event_id"
+WR = f"{W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.expr("ts div 1000") * F.lit(1000)).alias("ts_ns"),
+        (F.lit(100.0) + F.col("value") / F.lit(10.0)).alias("price"),
+        (F.lit(100.0) + F.col("value") / F.lit(20.0)).alias("price_b"),
+        ((F.col("event_id") % 100) + 1).cast("double").alias("volume"),
+    )
+
+
+def px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("price")
+    )
+
+
+TICK_OVER = Over(order_by=["ts_ns", "event_id"], partition_by="event_type")
+PX_OVER = Over(order_by="d")
+
+
+# ---------------------------------------------------------------------------
+# EOD series operators (#1, #2, #6, #7, #8, #18, #20, #21) — full-row outputs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "to_returns",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R(f"price / lag(price) OVER ({W}) - 1")} AS price_returns
+FROM ticks""",
+)
+def q_to_returns(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.to_returns("price", over=TICK_OVER)).alias("price_returns"),
+    )
+
+
+@query(
+    "to_log_returns",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R(f"ln(price / lag(price) OVER ({W}))")} AS price_log_returns
+FROM ticks""",
+)
+def q_to_log_returns(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.to_log_returns("price", over=TICK_OVER)).alias("price_log_returns"),
+    )
+
+
+@query(
+    "to_excess_returns",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R(f"(price / lag(price) OVER ({W}) - 1) - (power(1.05, 1.0/252.0) - 1)")} AS r_excess
+FROM ticks""",
+)
+def q_to_excess_returns(spark, sf_dir):
+    t = ticks(spark, sf_dir).withColumn(
+        "r", ffn.eod.to_returns("price", over=TICK_OVER)
+    )
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.to_excess_returns("r", rf=0.05, n=252)).alias("r_excess"),
+    )
+
+
+@query(
+    "to_price_index",
+    TICKS_SQL
+    + f""", rets AS (
+  SELECT event_type, event_id, ts_ns,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks)
+SELECT event_type, event_id,
+       {R(f"product(coalesce(r, 0.0) + 1) OVER ({WR}) * 100.0")} AS r_price_index
+FROM rets""",
+)
+def q_to_price_index(spark, sf_dir):
+    t = ticks(spark, sf_dir).withColumn(
+        "r", ffn.eod.to_returns("price", over=TICK_OVER)
+    )
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.to_price_index("r", start=100, over=TICK_OVER)).alias(
+            "r_price_index"
+        ),
+    )
+
+
+@query(
+    "rebase",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R(f"price / first_value(price) OVER ({WR}) * 100.0")} AS price_rebased
+FROM ticks""",
+)
+def q_rebase(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.rebase("price", value=100, over=TICK_OVER)).alias("price_rebased"),
+    )
+
+
+@query(
+    "to_drawdown_series",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R(f"price / max(price) OVER ({WR}) - 1")} AS price_drawdowns
+FROM ticks""",
+)
+def q_to_drawdown_series(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.to_drawdown_series("price", over=TICK_OVER)).alias(
+            "price_drawdowns"
+        ),
+    )
+
+
+@query(
+    "deannualize",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R("power(1.0 + (price - 100.0) / 100.0, 1.0/252.0) - 1.0")} AS r_deannualized
+FROM ticks""",
+)
+def q_deannualize(spark, sf_dir):
+    t = ticks(spark, sf_dir).withColumn("r", (F.col("price") - 100.0) / 100.0)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.deannualize("r", n=252)).alias("r_deannualized"),
+    )
+
+
+@query(
+    "annualize",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R("power(1.0 + (price - 100.0) / 1000.0, 365.0 / volume) - 1.0")} AS r_annualized
+FROM ticks""",
+)
+def q_annualize(spark, sf_dir):
+    t = ticks(spark, sf_dir).withColumn("r", (F.col("price") - 100.0) / 1000.0)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.annualize("r", "volume", one_year=365.0)).alias("r_annualized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EOD scalar aggregates on the multi-year px series (#3, #4, #5, #9, #16,
+# #17, #19, #24) — single-row outputs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "calc_total_return",
+    PX_SQL
+    + f"""
+SELECT {R("arg_max(price, d) / arg_min(price, d) - 1")} AS price_total_return
+FROM px""",
+)
+def q_total_return(spark, sf_dir):
+    p = px(spark, sf_dir)
+    return p.select(r6(ffn.eod.calc_total_return("price", "d")).alias("price_total_return"))
+
+
+@query(
+    "calc_cagr",
+    PX_SQL
+    + f"""
+SELECT {R(
+        "power(arg_max(price, d) / arg_min(price, d), "
+        "1.0 / (floor(max(epoch_us(d) / 1000000.0) - min(epoch_us(d) / 1000000.0)) / 31557600.0)) - 1"
+    )} AS price_cagr
+FROM px""",
+)
+def q_cagr(spark, sf_dir):
+    p = px(spark, sf_dir)
+    return p.select(r6(ffn.eod.calc_cagr("price", "d")).alias("price_cagr"))
+
+
+@query(
+    "year_frac",
+    PX_SQL
+    + f"""
+SELECT {R("floor(max(epoch_us(d) / 1000000.0) - min(epoch_us(d) / 1000000.0)) / 31557600.0")} AS d_year_frac
+FROM px""",
+)
+def q_year_frac(spark, sf_dir):
+    p = px(spark, sf_dir)
+    return p.select(r6(ffn.eod.year_frac("d")).alias("d_year_frac"))
+
+
+@query(
+    "calc_mtd",
+    PX_SQL
+    + f""", m AS (SELECT max(d) AS md FROM px)
+SELECT {R(
+        "arg_max(price, d) / arg_max(price, d) "
+        "FILTER (month(d) <> month(md) OR year(d) <> year(md)) - 1"
+    )} AS price_mtd
+FROM px, m""",
+)
+def q_mtd(spark, sf_dir):
+    from ffn_polars_spark.functions.eod_returns import calc_mtd
+
+    p = px(spark, sf_dir)
+    out = calc_mtd(p, "price", "d")
+    return out.select(r6(F.col("price_mtd")).alias("price_mtd"))
+
+
+@query(
+    "calc_ytd",
+    PX_SQL
+    + f"""
+SELECT {R(
+        "arg_max(price, d) / arg_min(price, d) "
+        "FILTER (year(d) = (SELECT max(year(d)) FROM px)) - 1"
+    )} AS price_ytd
+FROM px""",
+)
+def q_ytd(spark, sf_dir):
+    p = px(spark, sf_dir)
+    return p.select(r6(ffn.eod.calc_ytd("price", "d")).alias("price_ytd"))
+
+
+@query(
+    "calc_max_drawdown",
+    PX_SQL
+    + """, dd AS (
+  SELECT price / max(price) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS x
+  FROM px)
+SELECT """
+    + R("min(x)")
+    + """ AS price_max_drawdown
+FROM dd""",
+)
+def q_max_drawdown(spark, sf_dir):
+    from ffn_polars_spark.functions.eod_risk import calc_max_drawdown
+
+    p = px(spark, sf_dir)
+    out = calc_max_drawdown(p, "price", order_by="d")
+    return out.select(r6(F.col("price_max_drawdown")).alias("price_max_drawdown"))
+
+
+@query(
+    "ulcer_index",
+    PX_SQL
+    + """, dd AS (
+  SELECT (price - max(price) OVER w) / max(price) OVER w * 100 AS x
+  FROM px WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT """
+    + R("sqrt(avg(power(x, 2)))")
+    + """ AS price_ulcer_index
+FROM dd""",
+)
+def q_ulcer_index(spark, sf_dir):
+    from ffn_polars_spark.functions.eod_risk import ulcer_index
+
+    p = px(spark, sf_dir)
+    out = ulcer_index(p, "price", order_by="d")
+    return out.select(r6(F.col("price_ulcer_index")).alias("price_ulcer_index"))
+
+
+@query(
+    "ulcer_performance_index",
+    PX_SQL
+    + """, pre AS (
+  SELECT price / lag(price) OVER (ORDER BY d) - 1 AS r,
+         (price - max(price) OVER w) / max(price) OVER w * 100 AS x
+  FROM px WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT """
+    + R("avg(r) / sqrt(avg(power(x, 2)))")
+    + """ AS price_ulcer_performance_index
+FROM pre""",
+)
+def q_upi(spark, sf_dir):
+    from ffn_polars_spark.functions.eod_risk import ulcer_performance_index
+
+    p = px(spark, sf_dir)
+    out = ulcer_performance_index(p, "price", rf=0.0, order_by="d")
+    return out.select(
+        r6(F.col("price_ulcer_performance_index")).alias(
+            "price_ulcer_performance_index"
+        )
+    )
+
+
+@query(
+    "calc_calmar_ratio",
+    PX_SQL
+    + """, dd AS (
+  SELECT d, price,
+         price / max(price) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS x
+  FROM px)
+SELECT """
+    + R(
+        "(power(arg_max(price, d) / arg_min(price, d), "
+        "1.0 / (floor(max(epoch_us(d) / 1000000.0) - min(epoch_us(d) / 1000000.0)) / 31557600.0)) - 1) "
+        "/ abs(min(x))"
+    )
+    + """ AS price_calmar_ratio
+FROM dd""",
+)
+def q_calmar(spark, sf_dir):
+    from ffn_polars_spark.functions.eod_ratios import calc_calmar_ratio
+
+    p = px(spark, sf_dir)
+    out = calc_calmar_ratio(p, "price", "d")
+    return out.select(r6(F.col("price_calmar_ratio")).alias("price_calmar_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Return-ratio aggregates on per-event-type tick returns (#10, #12, #13, #14).
+# ---------------------------------------------------------------------------
+
+RETS_SQL = (
+    TICKS_SQL
+    + f""", rets AS (
+  SELECT event_type,
+         price / lag(price) OVER ({W}) - 1 AS r,
+         price_b / lag(price_b) OVER ({W}) - 1 AS rb
+  FROM ticks)
+"""
+)
+
+
+def rets(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+        ffn.eod.to_returns("price_b", over=TICK_OVER).alias("rb"),
+    )
+
+
+@query(
+    "calc_sharpe",
+    RETS_SQL
+    + f"""
+SELECT event_type, {R("avg(r) / stddev_samp(r) * sqrt(252.0)")} AS r_sharpe
+FROM rets GROUP BY event_type""",
+)
+def q_sharpe(spark, sf_dir):
+    return (
+        rets(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(r6(ffn.eod.calc_sharpe("r")).alias("r_sharpe"))
+    )
+
+
+@query(
+    "sortino_ratio",
+    RETS_SQL
+    + f""", ex AS (
+  SELECT event_type, r - 0.02/252 AS e,
+         CASE WHEN r IS NULL THEN NULL ELSE least(r - 0.02/252, 0.0) END AS dn
+  FROM rets)
+SELECT event_type,
+       {R(
+        "CASE WHEN stddev_samp(dn) IS NOT NULL AND stddev_samp(dn) <> 0.0 "
+        "THEN avg(e) / stddev_samp(dn) * sqrt(252.0) END"
+    )} AS r_sortino_ratio
+FROM ex GROUP BY event_type""",
+)
+def q_sortino(spark, sf_dir):
+    return (
+        rets(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(r6(ffn.eod.sortino_ratio("r", rf=0.02, n=252)).alias("r_sortino_ratio"))
+    )
+
+
+@query(
+    "calc_risk_return_ratio",
+    RETS_SQL
+    + f"""
+SELECT event_type, {R("avg(r) / stddev_samp(r) * sqrt(252.0)")} AS r_risk_return_ratio
+FROM rets GROUP BY event_type""",
+)
+def q_risk_return(spark, sf_dir):
+    return (
+        rets(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(r6(ffn.eod.calc_risk_return_ratio("r")).alias("r_risk_return_ratio"))
+    )
+
+
+@query(
+    "calc_information_ratio",
+    RETS_SQL
+    + f"""
+SELECT event_type,
+       {R("coalesce(avg(r - rb) / stddev_samp(r - rb), 0.0)")} AS r_ir
+FROM rets GROUP BY event_type""",
+)
+def q_information_ratio(spark, sf_dir):
+    return (
+        rets(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(r6(ffn.eod.calc_information_ratio("r", "rb")).alias("r_ir"))
+    )
+
+
+def q_prob_mom(spark, sf_dir):
+    """Student-t CDF has no DuckDB equivalent → rows-only check; exactness is
+    covered by unit tests against reference-recomputed values."""
+    from ffn_polars_spark.functions.eod_ratios import calc_prob_mom
+
+    configure(spark)
+    r = rets(spark, sf_dir).where(F.col("r").isNotNull() & F.col("rb").isNotNull())
+    out = calc_prob_mom(r, "r", "rb", by=["event_type"])
+    return out.select("event_type", r6(F.col("r_prob_mom")).alias("r_prob_mom"))
+
+
+QUERY_FNS["calc_prob_mom"] = q_prob_mom
+
+
+# ---------------------------------------------------------------------------
+# Tick scalar aggregates per event_type (#25-38).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "calc_trade_rate",
+    TICKS_SQL
+    + f"""
+SELECT event_type,
+       {R("CAST(count(*) AS DOUBLE) / (CAST(max(ts_ns) - min(ts_ns) AS DOUBLE) / 1000000000.0)")} AS ts_ns_trade_rate
+FROM ticks GROUP BY event_type""",
+)
+def q_trade_rate(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        r6(ffn.tick.calc_trade_rate("ts_ns", per="s")).alias("ts_ns_trade_rate")
+    )
+
+
+@query(
+    "calc_inter_trade_time",
+    TICKS_SQL
+    + f""", d AS (
+  SELECT event_type,
+         CAST(ts_ns - lag(ts_ns) OVER ({W}) AS DOUBLE) / 1000000000.0 AS itt
+  FROM ticks)
+SELECT event_type, {R("avg(itt)")} AS ts_ns_inter_trade_time
+FROM d GROUP BY event_type""",
+)
+def q_inter_trade_time(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_activity import calc_inter_trade_time
+
+    t = ticks(spark, sf_dir)
+    out = calc_inter_trade_time(t, "ts_ns", per="s", by=["event_type"])
+    return out.select(
+        "event_type", r6(F.col("ts_ns_inter_trade_time")).alias("ts_ns_inter_trade_time")
+    )
+
+
+@query(
+    "calc_burstiness",
+    TICKS_SQL
+    + f""", d AS (
+  SELECT event_type,
+         CAST(ts_ns - lag(ts_ns) OVER ({W}) AS DOUBLE) / 1000000000.0 AS itt
+  FROM ticks)
+SELECT event_type, {R("stddev_samp(itt) / avg(itt)")} AS ts_ns_burstiness
+FROM d GROUP BY event_type""",
+)
+def q_burstiness(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_activity import calc_burstiness
+
+    t = ticks(spark, sf_dir)
+    out = calc_burstiness(t, "ts_ns", per="s", by=["event_type"])
+    return out.select(
+        "event_type", r6(F.col("ts_ns_burstiness")).alias("ts_ns_burstiness")
+    )
+
+
+@query(
+    "calc_volume_rate",
+    TICKS_SQL
+    + f"""
+SELECT event_type,
+       {R("CAST(sum(volume) AS DOUBLE) / (CAST(max(ts_ns) - min(ts_ns) AS DOUBLE) / 1000000000.0)")} AS volume_volume_rate
+FROM ticks GROUP BY event_type""",
+)
+def q_volume_rate(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        r6(ffn.tick.calc_volume_rate("volume", "ts_ns", per="s")).alias(
+            "volume_volume_rate"
+        )
+    )
+
+
+@query(
+    "tick_rule",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       CASE WHEN price > lag(price) OVER ({W}) THEN 1
+            WHEN price < lag(price) OVER ({W}) THEN -1
+            ELSE 0 END AS price_direction
+FROM ticks""",
+)
+def q_tick_rule(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        ffn.tick.tick_rule("price", over=TICK_OVER).alias("price_direction"),
+    )
+
+
+SIGNED_SQL = (
+    TICKS_SQL
+    + f""", signed AS (
+  SELECT event_type, event_id, ts_ns, price, volume,
+         volume * CAST(CASE WHEN price > lag(price) OVER ({W}) THEN 1
+                            WHEN price < lag(price) OVER ({W}) THEN -1
+                            ELSE 0 END AS DOUBLE) AS sv
+  FROM ticks)
+"""
+)
+
+
+def signed(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.withColumn(
+        "sv", ffn.tick.apply_tick_rule_to_volume("volume", "price", over=TICK_OVER)
+    )
+
+
+@query(
+    "apply_tick_rule_to_volume",
+    SIGNED_SQL + "SELECT event_type, event_id, sv AS volume FROM signed",
+)
+def q_signed_volume(spark, sf_dir):
+    return signed(spark, sf_dir).select(
+        "event_type", "event_id", F.col("sv").alias("volume")
+    )
+
+
+@query(
+    "calc_order_flow_imbalance",
+    SIGNED_SQL
+    + f"""
+SELECT event_type, {R("CAST(sum(sv) AS DOUBLE)")} AS sv_order_flow_imbalance
+FROM signed GROUP BY event_type""",
+)
+def q_ofi(spark, sf_dir):
+    return (
+        signed(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            r6(ffn.tick.calc_order_flow_imbalance("sv")).alias(
+                "sv_order_flow_imbalance"
+            )
+        )
+    )
+
+
+@query(
+    "calc_tick_imbalance",
+    SIGNED_SQL
+    + f""", dirs AS (
+  SELECT event_type, CAST(CASE WHEN price > lag(price) OVER ({W}) THEN 1
+                               WHEN price < lag(price) OVER ({W}) THEN -1
+                               ELSE 0 END AS DOUBLE) AS dir
+  FROM ticks)
+SELECT event_type,
+       {R("CAST(sum(dir) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dir_tick_imbalance
+FROM dirs GROUP BY event_type""",
+)
+def q_tick_imbalance(spark, sf_dir):
+    t = ticks(spark, sf_dir).withColumn(
+        "dir", ffn.tick.tick_rule("price", over=TICK_OVER).cast("double")
+    )
+    return t.groupBy("event_type").agg(
+        r6(ffn.tick.calc_tick_imbalance("dir")).alias("dir_tick_imbalance")
+    )
+
+
+@query(
+    "calc_traded_value",
+    TICKS_SQL
+    + f"""
+SELECT event_type, {R("CAST(sum(price * volume) AS DOUBLE)")} AS price_traded_value
+FROM ticks GROUP BY event_type""",
+)
+def q_traded_value(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        r6(ffn.tick.calc_traded_value("price", "volume")).alias("price_traded_value")
+    )
+
+
+@query(
+    "calc_vwap",
+    TICKS_SQL
+    + f"""
+SELECT event_type, {R("sum(price * volume) / CAST(sum(volume) AS DOUBLE)")} AS price_vwap
+FROM ticks GROUP BY event_type""",
+)
+def q_vwap(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        r6(ffn.tick.calc_vwap("price", "volume")).alias("price_vwap")
+    )
+
+
+@query(
+    "calc_micro_returns",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R(f"ln(price) - lag(ln(price)) OVER ({W})")} AS price_micro_returns
+FROM ticks""",
+)
+def q_micro_returns(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.tick.calc_micro_returns("price", over=TICK_OVER)).alias(
+            "price_micro_returns"
+        ),
+    )
+
+
+@query(
+    "calc_price_volatility_ratio",
+    TICKS_SQL
+    + f"""
+SELECT event_type,
+       {R("stddev_samp(price) / avg(price)")} AS price_price_volatility_ratio
+FROM ticks GROUP BY event_type""",
+)
+def q_price_volatility_ratio(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        r6(ffn.tick.calc_price_volatility_ratio("price")).alias(
+            "price_price_volatility_ratio"
+        )
+    )
+
+
+@query(
+    "calc_price_impact",
+    TICKS_SQL
+    + f"""
+SELECT event_type,
+       {R("(arg_max(price, ts_ns) - arg_min(price, ts_ns)) / CAST(sum(volume) AS DOUBLE)")} AS price_price_impact
+FROM ticks GROUP BY event_type""",
+)
+def q_price_impact(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        r6(ffn.tick.calc_price_impact("price", "volume", "ts_ns")).alias(
+            "price_price_impact"
+        )
+    )
+
+
+@query(
+    "calc_realized_volatility",
+    TICKS_SQL
+    + f""", r AS (
+  SELECT event_type, ln(price) - lag(ln(price)) OVER ({W}) AS lr
+  FROM ticks)
+SELECT event_type, {R("sqrt(sum(power(lr, 2)))")} AS price_realized_volatility
+FROM r GROUP BY event_type""",
+)
+def q_realized_volatility(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_price import calc_realized_volatility
+
+    t = ticks(spark, sf_dir)
+    out = calc_realized_volatility(t, "price", order_by="ts_ns", by=["event_type"])
+    return out.select(
+        "event_type",
+        r6(F.col("price_realized_volatility")).alias("price_realized_volatility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequency inference (#22, #23) on synthetic regular calendars.
+# ---------------------------------------------------------------------------
+
+_NPERIODS_LADDER = """
+  CASE WHEN abs(mode_s - 365*86400.0) <= 86400.0 THEN 1
+       WHEN abs(mode_s - 91*86400.0) <= 3*86400.0 THEN 4
+       WHEN abs(mode_s - 30*86400.0) <= 3*86400.0 THEN 12
+       WHEN abs(mode_s - 7*86400.0) <= 60.0 THEN 52
+       WHEN abs(mode_s - 86400.0) <= 10.0 THEN 252
+       WHEN abs(mode_s - 3600.0) <= 5.0 THEN 252*24
+       WHEN abs(mode_s - 60.0) <= 1.0 THEN 252*24*60
+       WHEN abs(mode_s - 1.0) <= 0.1 THEN 252*24*60*60
+       WHEN mode_s > 0 THEN CAST(round(252.0 * 86400.0 / mode_s) AS BIGINT)
+  END
+"""
+
+
+@query(
+    "infer_nperiods",
+    """WITH cal AS (
+  SELECT event_type,
+         TIMESTAMP '2020-01-01' + CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS INT) * INTERVAL 1 DAY AS tsd
+  FROM events),
+d AS (
+  SELECT event_type,
+         epoch_us(tsd)/1000000.0 - lag(epoch_us(tsd)/1000000.0) OVER (PARTITION BY event_type ORDER BY tsd) AS delta
+  FROM cal),
+v AS (SELECT event_type, delta FROM d WHERE delta IS NOT NULL AND delta > 1e-9),
+stats AS (SELECT event_type, stddev_samp(delta) AS sd, count(*) AS m FROM v GROUP BY event_type),
+cnts AS (SELECT event_type, delta, count(*) AS c FROM v GROUP BY event_type, delta),
+md AS (SELECT event_type, delta AS mode_s FROM cnts
+       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY c DESC, delta ASC) = 1)
+SELECT stats.event_type,
+       CASE WHEN m >= 1 AND coalesce(sd, 0.0) <= 1e-3 THEN """
+    + _NPERIODS_LADDER
+    + """ END AS tsd_nperiods
+FROM stats JOIN md ON stats.event_type = md.event_type""",
+)
+def q_infer_nperiods(spark, sf_dir):
+    from ffn_polars_spark.functions.eod_temporal import infer_nperiods
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    cal = ev.select(
+        "event_type",
+        F.to_timestamp(
+            F.date_add(F.to_date(F.lit("2020-01-01")), F.row_number().over(w))
+        ).alias("tsd"),
+    )
+    return infer_nperiods(cal, "tsd", by=["event_type"])
+
+
+@query(
+    "infer_freq",
+    """WITH cal AS (
+  SELECT event_type,
+         TIMESTAMP '2020-01-01' + CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) * 7 AS INT) * INTERVAL 1 DAY AS tsd
+  FROM events),
+d AS (
+  SELECT event_type,
+         epoch_us(tsd)/1000000.0 - lag(epoch_us(tsd)/1000000.0) OVER (PARTITION BY event_type ORDER BY tsd) AS delta
+  FROM cal),
+v AS (SELECT event_type, delta FROM d WHERE delta IS NOT NULL AND delta > 1e-9),
+stats AS (SELECT event_type, stddev_samp(delta) AS sd FROM v GROUP BY event_type),
+cnts AS (SELECT event_type, delta, count(*) AS c FROM v GROUP BY event_type, delta),
+md AS (SELECT event_type, delta / 86400.0 AS mode_d FROM cnts
+       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY c DESC, delta ASC) = 1)
+SELECT stats.event_type,
+       CASE WHEN sd IS NULL OR sd / 86400.0 > 1.0 THEN 'unknown'
+            WHEN abs(mode_d - 365.25) < 5 THEN 'yearly'
+            WHEN abs(mode_d - 91) <= 3 THEN 'quarterly'
+            WHEN abs(mode_d - 30) <= 3 THEN 'monthly'
+            WHEN abs(mode_d - 7) <= 1 THEN 'weekly'
+            WHEN abs(mode_d - 1) <= 0.1 THEN 'daily'
+            ELSE 'unknown' END AS tsd_inferred_freq
+FROM stats JOIN md ON stats.event_type = md.event_type""",
+)
+def q_infer_freq(spark, sf_dir):
+    from ffn_polars_spark.functions.eod_temporal import infer_freq
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    cal = ev.select(
+        "event_type",
+        F.to_timestamp(
+            F.date_add(F.to_date(F.lit("2020-01-01")), F.row_number().over(w) * 7)
+        ).alias("tsd"),
+    )
+    return infer_freq(cal, "tsd", by=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# As-of joins (#sim/§2.10) — purchases pick up the latest prior click per user.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_backward",
+    TICKS_SQL
+    + """
+SELECT p.event_id, p.user_id, p.ts_ns, c.price AS click_price
+FROM (SELECT * FROM ticks WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ticks WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts_ns >= c.ts_ns""",
+)
+def q_asof_backward(spark, sf_dir):
+    from ffn_polars_spark.operators.asof import asof_join
+
+    t = ticks(spark, sf_dir)
+    purch = t.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    clicks = t.where(F.col("event_type") == "click").select(
+        "user_id", "ts_ns", F.col("price").alias("click_price")
+    )
+    return asof_join(purch, clicks, on="ts_ns", by="user_id", strategy="backward")
+
+
+@query(
+    "asof_join_interp",
+    TICKS_SQL
+    + """, p AS (SELECT event_id, user_id, ts_ns FROM ticks WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_ns, price FROM ticks WHERE event_type = 'click'),
+bwd AS (
+  SELECT p.event_id, p.user_id, p.ts_ns, c.ts_ns AS t0, c.price AS v0
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ns >= c.ts_ns),
+fwd AS (
+  SELECT p.event_id, c.ts_ns AS t1, c.price AS v1
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ns <= c.ts_ns)
+SELECT b.event_id, b.user_id, b.ts_ns,
+       """
+    + R(
+        "CASE WHEN b.t0 IS NULL THEN f.v1 "
+        "WHEN f.t1 IS NULL THEN b.v0 "
+        "WHEN f.t1 = b.t0 THEN b.v0 "
+        "ELSE CAST(b.v0 AS DOUBLE) + (CAST(f.v1 AS DOUBLE) - CAST(b.v0 AS DOUBLE)) * "
+        "((CAST(b.ts_ns AS DOUBLE) - CAST(b.t0 AS DOUBLE)) / (CAST(f.t1 AS DOUBLE) - CAST(b.t0 AS DOUBLE))) END"
+    )
+    + """ AS click_price
+FROM bwd b JOIN fwd f ON b.event_id = f.event_id""",
+)
+def q_asof_interp(spark, sf_dir):
+    from ffn_polars_spark.operators.asof import interp_asof_join
+
+    t = ticks(spark, sf_dir)
+    purch = t.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    clicks = t.where(F.col("event_type") == "click").select(
+        "user_id", "ts_ns", F.col("price").alias("click_price")
+    )
+    out = interp_asof_join(
+        purch, clicks, on="ts_ns", value_cols="click_price", by="user_id"
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ns", r6(F.col("click_price")).alias("click_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap resampling (#39) — random, so rows-only checks (no oracle).
+# ---------------------------------------------------------------------------
+
+
+def q_resample_returns(spark, sf_dir):
+    """Faithful per-trial sampling bootstrap (driver loop), 20 trials of the
+    mean return — random output, rows-only check."""
+    from ffn_polars_spark.operators.resample import resample_returns
+
+    configure(spark)
+    r = rets(spark, sf_dir).where(F.col("r").isNotNull()).select("r")
+    return resample_returns(
+        r, lambda s: s.agg(F.avg("r").alias("mean_r")), seed=7, num_trials=20
+    )
+
+
+QUERY_FNS["resample_returns"] = q_resample_returns
+
+
+def q_resample_returns_poisson(spark, sf_dir):
+    """Single-pass distributed bootstrap (Poisson replication), 100 trials."""
+    from ffn_polars_spark.operators.resample import resample_returns_poisson
+
+    configure(spark)
+    r = rets(spark, sf_dir).where(F.col("r").isNotNull()).select("r")
+    return resample_returns_poisson(
+        r, {"mean_r": F.avg("r"), "std_r": F.stddev_samp("r")}, num_trials=100, seed=7
+    )
+
+
+QUERY_FNS["resample_returns_poisson"] = q_resample_returns_poisson
+
+
+# ---------------------------------------------------------------------------
+# Relational benchmarks (I/O + join + agg surface Spark brings for free;
+# SURVEY.md §2.12). Money sums go through DECIMAL for exact cross-engine
+# addition; see module docstring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       {R("avg(l_quantity)")} AS avg_qty,
+       {R("avg(l_extendedprice)")} AS avg_price,
+       {R("avg(l_discount)")} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    nation = read_table(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc.cast("decimal(18,6)")).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "top_customers",
+    """
+WITH rev AS (
+  SELECT n_name, c_custkey, c_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey, c_name)
+SELECT n_name, c_custkey, c_name, revenue,
+       CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS BIGINT) AS rank
+FROM rev
+QUALIFY rank <= 3""",
+)
+def q_top_customers(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    nation = read_table(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.sum(disc.cast("decimal(18,6)")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity / multimodal / sessions (pipeline extensions).
+# ---------------------------------------------------------------------------
+
+NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "dedup_exact",
+    f"""
+WITH fp AS (SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents),
+g AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint)
+SELECT fp.doc_id, fp.fingerprint, g.canonical_id,
+       fp.doc_id <> g.canonical_id AS is_duplicate
+FROM fp JOIN g ON fp.fingerprint = g.fingerprint""",
+)
+def q_dedup_exact(spark, sf_dir):
+    from ffn_polars_spark.operators.dedup import dedup_exact
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_exact(docs)
+
+
+@query(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    from ffn_polars_spark.operators.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+TRIGRAM_SQL = """tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents),
+tri AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+shd AS (SELECT DISTINCT doc_id, sh FROM tri),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id)"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+WITH {TRIGRAM_SQL},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       {R("i / CAST(sa.sz + sb.sz - i AS DOUBLE)")} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {R("i / CAST(sa.sz + sb.sz - i AS DOUBLE)")} >= 0.5""",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    from ffn_polars_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH candidates + exact-Jaccard verification. The minhash
+    permutations have no SQL-portable twin (xxhash64) → rows-only check here;
+    recall vs the exact pairs is pinned in tests/test_dedup.py."""
+    from ffn_polars_spark.operators.dedup import dedup_minhash_lsh
+
+    configure(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(docs, threshold=0.5)
+
+
+QUERY_FNS["dedup_minhash_lsh"] = q_dedup_minhash
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash Hamming-ball pairs (xxhash64-based) → rows-only check."""
+    from ffn_polars_spark.operators.dedup import dedup_simhash
+
+    configure(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_simhash(docs, max_hamming=12)
+
+
+QUERY_FNS["dedup_simhash"] = q_dedup_simhash
+
+
+@query(
+    "embedding_cosine_pairs",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {R("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {R("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} >= 0.9""",
+)
+def q_embedding_cosine_pairs(spark, sf_dir):
+    from ffn_polars_spark.operators.similarity import embedding_cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.9)
+
+
+@query(
+    "ann_topk",
+    f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+         {R("list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))")} AS cosine
+  FROM embeddings i
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON i.vec_id <> q.vec_id)
+SELECT query_id, item_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10""",
+)
+def q_ann_topk(spark, sf_dir):
+    from ffn_polars_spark.operators.similarity import ann_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN — approximate candidates, rows-only check; recall vs
+    exact top-k is pinned in tests/test_similarity.py."""
+    from ffn_polars_spark.operators.similarity import ann_topk_lsh
+
+    configure(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+QUERY_FNS["ann_topk_lsh"] = q_ann_topk_lsh
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "text_token_count",
+    f"""
+SELECT doc_id, len({TOKS_SQL}) AS n_tokens, length(text) AS n_chars
+FROM documents""",
+)
+def q_text_token_count(spark, sf_dir):
+    from ffn_polars_spark.operators.text import char_count, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars"),
+    )
+
+
+_SW = "'the','a','of','and','to','in','is','that','it','for'"
+
+
+@query(
+    "text_quality",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks,
+         length(text) AS n_chars,
+         len({TOKS_SQL}) AS n_tok,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_chars, n_tok,
+         CASE WHEN n_tok > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS pr,
+         CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS sr
+  FROM base)
+SELECT doc_id, n_chars, n_tok AS n_tokens,
+       {R("mwl")} AS mean_word_len,
+       {R("pr")} AS punct_ratio,
+       {R("sr")} AS stopword_ratio,
+       {R(
+        "(CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END) + "
+        "(CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END) + "
+        "(CASE WHEN pr <= 0.3 THEN 0.25 ELSE 0.0 END) + "
+        "(CASE WHEN sr >= 0.05 THEN 0.25 ELSE 0.0 END)"
+    )} AS quality_score
+FROM feat""",
+)
+def q_text_quality(spark, sf_dir):
+    from ffn_polars_spark.operators.text import text_quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_quality(docs)
+
+
+_LANG_SQL_COUNTS = {
+    "de": "'der','die','das','und','ist','nicht','ein','mit','auf'",
+    "en": "'the','a','of','and','to','in','is','that','it','for'",
+    "es": "'el','los','las','y','es','una','en','por','para'",
+    "fr": "'le','la','les','et','est','une','dans','pour','que'",
+}
+
+
+@query(
+    "language_id",
+    f"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['de']}))) AS n_de,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['en']}))) AS n_en,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['es']}))) AS n_es,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['fr']}))) AS n_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN n_fr > greatest(n_de, n_en, n_es) THEN 'fr'
+            WHEN n_es > greatest(n_de, n_en) THEN 'es'
+            WHEN n_en > n_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       greatest(n_de, n_en, n_es, n_fr) AS marker_hits
+FROM c""",
+)
+def q_language_id(spark, sf_dir):
+    from ffn_polars_spark.operators.text import language_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batch feature extraction).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    """
+SELECT doc_id, 'image' AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents""",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    from ffn_polars_spark.operators.multimodal import attach_media_metadata, text_as_binary
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = attach_media_metadata(text_as_binary(docs))
+    return out.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+@query(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+       CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST((octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 256 AS DOUBLE) AS mean_intensity
+FROM documents""",
+)
+def q_multimodal_features(spark, sf_dir):
+    from ffn_polars_spark.operators.multimodal import extract_image_features, text_as_binary
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_image_features(text_as_binary(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_stats",
+    """
+WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ts_ns FROM events),
+b AS (
+  SELECT user_id, ts_ns,
+         CASE WHEN lag(ts_ns) OVER w IS NULL
+                   OR ts_ns - lag(ts_ns) OVER w > 3600000000000 THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)),
+s AS (
+  SELECT user_id, ts_ns,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_ns
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM b)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(ts_ns) - min(ts_ns) AS duration
+FROM s GROUP BY user_id, session_id""",
+)
+def q_session_stats(spark, sf_dir):
+    from ffn_polars_spark.operators.sessions import session_stats
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.expr("ts div 1000") * F.lit(1000)).alias("ts_ns")
+    )
+    return session_stats(ev, ts_col="ts_ns", key_col="user_id", gap=3600 * 1_000_000_000)

@@ -35,9 +35,15 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined) from lowercased text."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined) from a token-array column.
+
+    ``toks`` must be a *bound attribute* (a materialized column), not a
+    composite expression: the transform lambda references it ``n+1`` times,
+    and Catalyst does not common-subexpression-eliminate inside lambda
+    bodies — an inline ``split()`` would re-tokenize the document per shingle
+    word (quadratic in document length).
+    """
     count = F.size(toks) - F.lit(n - 1)
     build = F.transform(
         F.sequence(F.lit(0), count - 1),
@@ -46,6 +52,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     )
     return F.when(count > 0, build).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles straight from a text column. Prefer the two-step
+    tokenize-then-shingle (see :func:`shingles_from_tokens`) in pipelines —
+    this convenience form cannot materialize the token array first."""
+    return shingles_from_tokens(F.split(F.trim(F.lower(text)), r"\s+"), n)
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="dedup_exact")
@@ -79,11 +92,18 @@ def dedup_exact(
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
-    return (
-        df.select(F.col(id_col).alias("__id"), F.explode(word_shingles(F.col(text_col), n)).alias("__sh"))
-        .distinct()
+    """(id, shingle) pairs, distinct per document.
+
+    Tokenizes into a materialized array column first so the shingle
+    construction is linear in document length (see shingles_from_tokens).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
     )
+    return toks.select(
+        "__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh")
+    ).distinct()
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="ngram_jaccard_pairs")
@@ -145,12 +165,14 @@ def minhash_signatures(
         for _ in range(num_hashes)
     ]
     sh = _doc_shingles(df, text_col, id_col, n)
-    h = F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))
+    # materialize the base hash once per shingle; the 128 permutation aggs
+    # then only do a multiply+pmod each (no repeated xxhash evaluation)
+    hashed = sh.select("__id", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE)).alias("__h"))
     aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"__mh{k}")
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"__mh{k}")
         for k, (a, b) in enumerate(coeffs)
     ]
-    return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    return hashed.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="dedup_minhash_lsh")

@@ -69,8 +69,13 @@ def _delta_stats(
     dropped (the reference filters ``seconds > 1e-9``, temporal.py:62).
     """
     over = Over(order_by=date_col, partition_by=by or None)
-    secs = epoch_seconds(date_col)
-    delta = secs - F.lag(secs, 1).over(over.w_ordered("infer_freq"))
+    # Difference in exact integer microseconds, THEN scale to seconds —
+    # subtracting after the double conversion loses the sub-second fraction
+    # at 2020-era epoch magnitudes (2^-22 s ulp).
+    micros = F.unix_micros(to_col(date_col).cast("timestamp"))
+    delta = (micros - F.lag(micros, 1).over(over.w_ordered("infer_freq"))).cast(
+        "double"
+    ) / F.lit(1_000_000.0)
     d = (
         df.select(*by, delta.alias("__delta"))
         .where(F.col("__delta").isNotNull() & (F.col("__delta") > 1e-9))

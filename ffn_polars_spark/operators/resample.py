@@ -76,7 +76,9 @@ def resample_returns(
         else:
             raise TypeError(f"Unsupported return type from func: {type(result)}")
 
-    return spark.createDataFrame(results)
+    out = spark.createDataFrame(results)
+    ordered = ["trial"] + [c for c in out.columns if c != "trial"]
+    return out.select(*ordered)
 
 
 def bootstrap_replicate(

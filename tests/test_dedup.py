@@ -1,0 +1,100 @@
+"""Dedup-operator tests: exact groups, MinHash-LSH recall vs exact Jaccard,
+SimHash neighborhood sanity — on constructed near-duplicate corpora."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(11)
+    docs = []
+    for i in range(40):
+        docs.append((i, _doc(rng)))
+    # 10 near-duplicates: copy doc i with ONE word changed (high jaccard)
+    for j in range(10):
+        base = docs[j][1].split()
+        base[7] = "zulu"
+        docs.append((100 + j, " ".join(base)))
+    # 3 exact duplicates (whitespace/case variants)
+    docs.append((200, docs[0][1].upper()))
+    docs.append((201, "  " + docs[1][1] + " "))
+    return spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark, corpus):
+    out = dedup_exact(corpus)
+    dups = {r["doc_id"]: r["canonical_id"] for r in out.where("is_duplicate").collect()}
+    assert dups == {200: 0, 201: 1}
+
+
+def test_minhash_recall_vs_exact(spark, corpus):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(corpus, threshold=0.6).collect()
+    }
+    assert exact, "constructed near-dups must register as exact pairs"
+    # verified LSH output is a subset of exact pairs with high recall
+    assert approx.issubset(exact)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_minhash_estimates_jaccard(spark, corpus):
+    # verify=True recomputes exact jaccard on candidates: values must agree
+    # with the exact operator on the common pairs
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    for r in dedup_minhash_lsh(corpus, threshold=0.6).collect():
+        assert exact[(r["id_a"], r["id_b"])] == pytest.approx(r["jaccard"], abs=1e-9)
+
+
+def test_simhash_finds_near_dups(spark):
+    # SimHash granularity: a 1-word edit in a 400-word doc perturbs ~3 of
+    # ~400 shingles -> hamming mostly <= 4; the 16-bit-chunk pigeonhole
+    # *guarantees* retrieval at hamming <= 3 and probabilistically beyond.
+    rng = random.Random(13)
+    docs = []
+    for i in range(10):
+        d = [rng.choice(WORDS) for _ in range(400)]
+        docs.append((i, " ".join(d)))
+        d2 = list(d)
+        d2[7] = "zulu"
+        docs.append((100 + i, " ".join(d2)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup_simhash(df, max_hamming=6).collect()}
+    hits = sum(1 for j in range(10) if (j, 100 + j) in pairs)
+    assert hits >= 7, f"simhash found only {hits}/10 planted near-dups"
+
+
+def test_simhash_exact_duplicates_zero_hamming(spark, corpus):
+    zero = {
+        (r["id_a"], r["id_b"]) for r in dedup_simhash(corpus, max_hamming=0).collect()
+    }
+    assert (1, 201) in zero
+
+
+def test_num_hashes_bands_contract(spark, corpus):
+    with pytest.raises(ValueError, match="divisible"):
+        dedup_minhash_lsh(corpus, num_hashes=100, bands=33)

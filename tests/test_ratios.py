@@ -1,0 +1,139 @@
+"""Ratio-operator tests with manually recomputed expectations and the
+reference's error contracts (SURVEY.md §5 pattern 2)."""
+
+import math
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+import ffn_polars_spark as ffn
+
+from conftest import aae
+
+RETURNS = [0.01, 0.02, -0.01, 0.005, 0.015]
+BENCH = [0.008, 0.018, -0.012, 0.004, 0.012]
+
+
+@pytest.fixture(scope="module")
+def retdf(spark):
+    return spark.createDataFrame(
+        [(r, b) for r, b in zip(RETURNS, BENCH)], ["r", "b"]
+    )
+
+
+def test_sharpe(spark, retdf):
+    out = retdf.groupBy().agg(ffn.eod.calc_sharpe("r", rf=0.0, n=252)).collect()[0]
+    expected = statistics.mean(RETURNS) / statistics.stdev(RETURNS) * math.sqrt(252)
+    aae(out["r_sharpe"], expected, places=9)
+
+
+def test_sharpe_rf_column_and_no_annualize(spark, retdf):
+    df = retdf.withColumn("rf", F.lit(0.001))
+    out = df.groupBy().agg(ffn.eod.calc_sharpe("r", rf="rf", n=252, annualize=False)).collect()[0]
+    ex = [r - 0.001 for r in RETURNS]
+    aae(out["r_sharpe"], statistics.mean(ex) / statistics.stdev(ex), places=9)
+
+
+def test_sortino(spark, retdf):
+    out = retdf.groupBy().agg(ffn.eod.sortino_ratio("r", rf=0.0, n=252)).collect()[0]
+    downside = [min(r, 0.0) for r in RETURNS]
+    expected = statistics.mean(RETURNS) / statistics.stdev(downside) * math.sqrt(252)
+    aae(out["r_sortino_ratio"], expected, places=9)
+
+
+def test_sortino_zero_downside_null(spark):
+    df = spark.createDataFrame([(0.01,), (0.02,)], ["r"])
+    out = df.groupBy().agg(ffn.eod.sortino_ratio("r")).collect()[0]
+    assert out["r_sortino_ratio"] is None  # downside std == 0 -> null
+
+
+def test_information_ratio(spark, retdf):
+    out = retdf.groupBy().agg(ffn.eod.calc_information_ratio("r", "b")).collect()[0]
+    d = [r - b for r, b in zip(RETURNS, BENCH)]
+    aae(out["r_ir"], statistics.mean(d) / statistics.stdev(d), places=9)
+
+
+def test_information_ratio_null_to_zero(spark):
+    df = spark.createDataFrame([(0.01, 0.01)], ["r", "b"])  # one row -> std null
+    out = df.groupBy().agg(ffn.eod.calc_information_ratio("r", "b")).collect()[0]
+    aae(out["r_ir"], 0.0, places=9)
+
+
+def test_risk_return_ratio_is_sharpe0(spark, retdf):
+    out = retdf.groupBy().agg(
+        ffn.eod.calc_risk_return_ratio("r"), ffn.eod.calc_sharpe("r")
+    ).collect()[0]
+    assert out["r_risk_return_ratio"] == out["r_sharpe"]
+
+
+def test_prob_mom(spark, retdf):
+    from ffn_polars_spark.functions.eod_ratios import calc_prob_mom, prob_mom_cdf
+
+    out = calc_prob_mom(retdf, "r", "b").collect()[0]
+    d = [r - b for r, b in zip(RETURNS, BENCH)]
+    ir = statistics.mean(d) / statistics.stdev(d)
+    expected = prob_mom_cdf(ir, len(d))
+    aae(out["r_prob_mom"], expected, places=9)
+    # null contract: n < 2 -> None (reference src/lib.rs:26-33)
+    assert prob_mom_cdf(1.0, 1) is None
+    assert prob_mom_cdf(None, 10) is None
+
+
+def test_prob_mom_tcdf_matches_scipy_or_table():
+    from ffn_polars_spark.functions.eod_ratios import _student_t_cdf
+
+    # pinned values (scipy.stats.t.cdf reference)
+    aae(float(_student_t_cdf(1.0, 4)), 0.8130495168, places=8)
+    aae(float(_student_t_cdf(0.0, 7)), 0.5, places=9)
+    aae(float(_student_t_cdf(-2.0, 10)), 0.0366940174, places=8)
+    # exact closed form: t.cdf(-0.5, 2) == 1/3
+    aae(float(_student_t_cdf(-0.5, 2)), 1.0 / 3.0, places=9)
+
+
+def test_excess_returns_type_error():
+    with pytest.raises(TypeError):
+        ffn.eod.to_excess_returns("r", rf=[0.01], n=252)
+
+
+def test_upi_contracts(spark, retdf):
+    from ffn_polars_spark.functions.eod_risk import ulcer_performance_index
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([100.0, 90.0, 95.0, 85.0, 80.0])], ["t", "p"]
+    )
+    with pytest.raises(ValueError, match="nperiods"):
+        ulcer_performance_index(df, "p", rf=0.05, order_by="t")
+    with pytest.raises(TypeError):
+        ulcer_performance_index(df, "p", rf=[1], order_by="t")
+
+
+def test_ulcer_index_known_example(spark):
+    # reference tests/expr/test_expr_core.py:410-421 price path
+    prices = [100.0, 90.0, 95.0, 85.0, 80.0]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(prices)], ["t", "p"])
+    from ffn_polars_spark.functions.eod_risk import ulcer_index
+
+    out = ulcer_index(df, "p", order_by="t").collect()[0]
+    cummax = [100.0, 100.0, 100.0, 100.0, 100.0]
+    dd = [(p - m) / m * 100 for p, m in zip(prices, cummax)]
+    expected = math.sqrt(sum(x * x for x in dd) / len(dd))
+    aae(out["p_ulcer_index"], expected, places=9)
+
+
+def test_calmar(spark):
+    import datetime
+
+    prices = [100.0, 120.0, 90.0, 130.0]
+    base = datetime.datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(days=365 * i), p) for i, p in enumerate(prices)],
+        ["d", "p"],
+    )
+    from ffn_polars_spark.functions.eod_ratios import calc_calmar_ratio
+
+    out = calc_calmar_ratio(df, "p", "d").collect()[0]
+    yf = (3 * 365 * 86400) / 31_557_600
+    cagr = (130.0 / 100.0) ** (1 / yf) - 1
+    mdd = 90.0 / 120.0 - 1
+    aae(out["p_calmar_ratio"], cagr / abs(mdd), places=9)

@@ -1,0 +1,182 @@
+"""Tick-operator tests: dual-context (select AND groupBy), hand-recomputed
+expectations, and the edge cases the reference pins
+(tests/expr/test_tick.py throughout — see SURVEY.md §5).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import ffn_polars_spark as ffn
+from ffn_polars_spark import Over
+
+from conftest import aae
+
+NS = 1_000_000_000
+
+
+@pytest.fixture(scope="module")
+def tickdf(spark):
+    # two tickers, second-scale gaps; AAPL prices include an equal-consecutive
+    # pair (tick-rule 0 case) and MSFT has a net-zero signed volume
+    rows = [
+        ("AAPL", 0 * NS, 100.0, 10, 10.0),
+        ("AAPL", 1 * NS, 101.0, 20, 20.0),
+        ("AAPL", 3 * NS, 101.0, 30, -30.0),
+        ("AAPL", 6 * NS, 99.0, 40, 40.0),
+        ("MSFT", 0 * NS, 50.0, 5, 5.0),
+        ("MSFT", 2 * NS, 51.0, 5, -5.0),
+    ]
+    return spark.createDataFrame(
+        rows, ["ticker", "timestamp", "price", "volume", "signed_volume"]
+    )
+
+
+def test_trade_rate_grouped(spark, tickdf):
+    out = (
+        tickdf.groupBy("ticker")
+        .agg(ffn.tick.calc_trade_rate("timestamp", per="s"))
+        .orderBy("ticker")
+        .collect()
+    )
+    assert out[0]["timestamp_trade_rate"] == pytest.approx(4 / 6)
+    assert out[1]["timestamp_trade_rate"] == pytest.approx(2 / 2)
+
+
+def test_trade_rate_units(spark, tickdf):
+    out = (
+        tickdf.where(F.col("ticker") == "AAPL")
+        .groupBy()
+        .agg(ffn.tick.calc_trade_rate("timestamp", per="ms"))
+        .collect()
+    )
+    assert out[0][0] == pytest.approx(4 / 6000)
+    with pytest.raises(ValueError, match="Unsupported time unit"):
+        ffn.tick.calc_trade_rate("timestamp", per="fortnight")
+
+
+def test_inter_trade_time(spark, tickdf):
+    from ffn_polars_spark.functions.tick_activity import calc_inter_trade_time
+
+    out = (
+        calc_inter_trade_time(tickdf, "timestamp", per="s", by=["ticker"])
+        .orderBy("ticker")
+        .collect()
+    )
+    # AAPL diffs: 1, 2, 3 -> mean 2; MSFT: 2
+    aae(out[0]["timestamp_inter_trade_time"], 2.0, places=9)
+    aae(out[1]["timestamp_inter_trade_time"], 2.0, places=9)
+    with pytest.raises(ValueError):
+        calc_inter_trade_time(tickdf, "timestamp", per="parsec")
+
+
+def test_burstiness_and_single_diff_null(spark, tickdf):
+    from ffn_polars_spark.functions.tick_activity import calc_burstiness
+
+    out = calc_burstiness(tickdf, "timestamp", per="s", by=["ticker"]).orderBy("ticker").collect()
+    # AAPL diffs 1,2,3: std_ddof1=1, mean=2 -> 0.5
+    aae(out[0]["timestamp_burstiness"], 0.5, places=9)
+    # MSFT has one diff -> sample std undefined -> null (reference
+    # tests/expr/test_tick.py:342-378)
+    assert out[1]["timestamp_burstiness"] is None
+
+
+def test_volume_rate(spark, tickdf):
+    out = (
+        tickdf.groupBy("ticker")
+        .agg(ffn.tick.calc_volume_rate("volume", "timestamp", per="s"))
+        .orderBy("ticker")
+        .collect()
+    )
+    aae(out[0]["volume_volume_rate"], 100 / 6, places=6)
+    aae(out[1]["volume_volume_rate"], 10 / 2, places=9)
+
+
+def test_vwap_traded_value_ofi(spark, tickdf):
+    vol = F.col("volume").cast("double")
+    out = (
+        tickdf.groupBy("ticker")
+        .agg(
+            ffn.tick.calc_vwap("price", vol.alias("volume")),
+            ffn.tick.calc_traded_value("price", vol.alias("volume")),
+            ffn.tick.calc_order_flow_imbalance("signed_volume"),
+        )
+        .orderBy("ticker")
+        .collect()
+    )
+    pv = 100 * 10 + 101 * 20 + 101 * 30 + 99 * 40
+    aae(out[0]["price_vwap"], pv / 100, places=9)
+    aae(out[0]["price_traded_value"], float(pv), places=9)
+    aae(out[0]["signed_volume_order_flow_imbalance"], 40.0, places=9)
+    # MSFT net-zero signed volume (reference test_tick.py:261-269)
+    aae(out[1]["signed_volume_order_flow_imbalance"], 0.0, places=9)
+
+
+def test_tick_rule_and_signed_volume(spark, tickdf):
+    over = Over(order_by="timestamp", partition_by="ticker")
+    out = (
+        tickdf.select(
+            "ticker",
+            "timestamp",
+            ffn.tick.tick_rule("price", over=over),
+            ffn.tick.apply_tick_rule_to_volume("volume", "price", over=over),
+        )
+        .orderBy("ticker", "timestamp")
+        .collect()
+    )
+    # AAPL: first 0, up +1, equal 0, down -1
+    assert [r["price_direction"] for r in out[:4]] == [0, 1, 0, -1]
+    assert out[1]["volume"] == 20.0
+    assert out[2]["volume"] == 0.0
+    assert out[3]["volume"] == -40.0
+
+
+def test_tick_imbalance(spark, tickdf):
+    over = Over(order_by="timestamp", partition_by="ticker")
+    d = tickdf.withColumn("dir", ffn.tick.tick_rule("price", over=over).cast("double"))
+    out = d.groupBy("ticker").agg(ffn.tick.calc_tick_imbalance("dir")).orderBy("ticker").collect()
+    aae(out[0]["dir_tick_imbalance"], 0.0, places=9)  # (0+1+0-1)/4
+    aae(out[1]["dir_tick_imbalance"], 0.5, places=9)  # (0+1)/2
+
+
+def test_micro_returns_and_realized_vol(spark, tickdf):
+    from ffn_polars_spark.functions.tick_price import calc_realized_volatility
+
+    over = Over(order_by="timestamp", partition_by="ticker")
+    rows = (
+        tickdf.select("ticker", "timestamp", ffn.tick.calc_micro_returns("price", over=over))
+        .orderBy("ticker", "timestamp")
+        .collect()
+    )
+    assert rows[0]["price_micro_returns"] is None
+    aae(rows[1]["price_micro_returns"], math.log(101 / 100), places=9)
+
+    out = calc_realized_volatility(tickdf, "price", order_by="timestamp", by=["ticker"]).orderBy("ticker").collect()
+    expected = math.sqrt(
+        math.log(101 / 100) ** 2 + 0.0 + math.log(99 / 101) ** 2
+    )
+    aae(out[0]["price_realized_volatility"], expected, places=9)
+    # lag restarts per group (reference test_tick.py:202-222)
+    aae(out[1]["price_realized_volatility"], abs(math.log(51 / 50)), places=9)
+
+
+def test_price_impact_and_vol_ratio(spark, tickdf):
+    vol = F.col("volume").cast("double")
+    out = (
+        tickdf.groupBy("ticker")
+        .agg(
+            ffn.tick.calc_price_impact("price", vol.alias("volume"), "timestamp"),
+            ffn.tick.calc_price_volatility_ratio("price"),
+        )
+        .orderBy("ticker")
+        .collect()
+    )
+    aae(out[0]["price_price_impact"], (99.0 - 100.0) / 100.0, places=9)
+    import statistics
+
+    aae(
+        out[0]["price_price_volatility_ratio"],
+        statistics.stdev([100.0, 101.0, 101.0, 99.0]) / statistics.mean([100.0, 101.0, 101.0, 99.0]),
+        places=9,
+    )

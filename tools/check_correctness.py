@@ -1,0 +1,144 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on local Spark, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet files, and compares
+row-count + sorted-column schema + an order-insensitive value hash
+(values rounded to 9 significant-ish decimals to absorb float noise).
+
+Usage: python tools/check_correctness.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
+    return str(v)
+
+
+def table_sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(norm_val(r[i]) for i in order) for r in rows
+    )
+    return hash(tuple(lines)), lines
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    import __spark_entry__ as se
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    fails = []
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            fails.append(name)
+            continue
+        if name not in oracles:
+            n_rowsonly += 1
+            print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            od = con.execute(oracles[name])
+            ocols = [d[0] for d in od.description]
+            orows = od.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            fails.append(name)
+            continue
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msgs.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rows {len(srows)} vs {len(orows)}")
+        if ok:
+            srows_t = [[r[c] for c in scols] for r in srows]
+            h1, l1 = table_sig(scols, srows_t)
+            h2, l2 = table_sig(ocols, orows)
+            if l1 != l2:
+                ok = False
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(l1, l2)) if a != b), -1
+                )
+                msgs.append(
+                    f"hash mismatch (first diff line {diff}):\n"
+                    f"    spark:  {l1[diff][:200] if 0 <= diff < len(l1) else '?'}\n"
+                    f"    oracle: {l2[diff][:200] if 0 <= diff < len(l2) else '?'}"
+                )
+        if ok:
+            n_pass += 1
+            print(f"PASS {name}  ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            fails.append(name)
+            print(f"FAIL {name}: " + "; ".join(msgs))
+    print(
+        f"\n== {n_pass} exact-pass, {n_rowsonly} rows-only, {n_fail} FAIL"
+        + (f": {fails}" if fails else "")
+    )
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

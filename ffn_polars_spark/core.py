@@ -174,3 +174,49 @@ def epoch_seconds(c: ColumnOrName) -> Column:
     """Date/Timestamp -> fractional epoch seconds (DoubleType)."""
     cc = to_col(c)
     return F.unix_micros(cc.cast("timestamp")).cast("double") / F.lit(1_000_000.0)
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix sum.
+# ---------------------------------------------------------------------------
+
+def blocked_cumsum(
+    df,
+    id_col: str,
+    val: Column,
+    out: str,
+    block: int = 1 << 20,
+):
+    """Cumulative sum of ``val`` in ``id_col`` order WITHOUT a global
+    single-partition window.
+
+    Two-pass prefix sum: rows are bucketed into fixed-size id blocks; pass 1
+    computes each block's local running sum (window partitioned by block —
+    parallel) and per-block totals (one small aggregate); pass 2 turns the
+    tiny per-block totals into block offsets (a window over ~n/block rows)
+    and broadcast-joins them back. The only data-sized shuffle is the
+    partitionBy(block) exchange; an un-keyed ``F.sum().over(Window.orderBy)``
+    would instead funnel every row through one partition — the classic
+    scale cliff this avoids.
+
+    Requires ``id_col`` to be a dense-ish monotone long (e.g. from
+    ``spark.range``); correctness only needs it to be unique and ordered.
+    """
+    blk = (F.col(id_col) / F.lit(int(block))).cast("long")
+    d = df.withColumn("__blk", blk)
+    w_local = (
+        Window.partitionBy("__blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__local", F.sum(val).over(w_local))
+    totals = d.groupBy("__blk").agg(F.max("__local").alias("__tot"))
+    w_off = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__blk", F.coalesce(F.sum("__tot").over(w_off), F.lit(0.0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__blk")
+        .withColumn(out, F.col("__local") + F.col("__off"))
+        .drop("__blk", "__local", "__off")
+    )

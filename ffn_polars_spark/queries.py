@@ -1393,6 +1393,31 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Simulator (§2.10) — seeded-random synthetic tape, so rows-only checks;
+# schema + statistical invariants are pinned in tests/test_sim.py.
+# ---------------------------------------------------------------------------
+
+
+def q_sim_market_day(spark, sf_dir):
+    """One simulated session (quotes+trades), summarized per tape."""
+    from ffn_polars_spark.sim import simulate_market
+
+    configure(spark)
+    quotes, trades = simulate_market(
+        spark, "SIM", days=1, quote_ticks_per_day=5_000,
+        trade_volume_per_day=100_000, sort=False,
+    )
+    return trades.groupBy("tape").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("size").alias("shares"),
+        ffn.tick.calc_vwap("price", F.col("size").cast("double")).alias("price_vwap"),
+    )
+
+
+QUERY_FNS["sim_market_day"] = q_sim_market_day
+
+
+# ---------------------------------------------------------------------------
 # Sessionization.
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,83 @@
+"""Deterministic distributed random columns for the simulator.
+
+Spark's ``F.rand``/``F.randn`` derive their stream from the *partition index*,
+so values change whenever partitioning changes and may disagree between two
+plan branches that re-evaluate the same lineage. The simulator instead makes
+every draw a pure function of ``(row id, stream tag, seed)`` via ``xxhash64``:
+reproducible under any partitioning, safe to reference from multiple plan
+branches, and seedable per day — the distributed analogue of the reference's
+``np.random.seed(seed + day_index)`` convention
+(/root/reference/ffn_polars/sim/quotes.py:30, trades.py:17).
+
+All generators are closed-form column expressions (Box-Muller for normals,
+inverse-CDF ladders for Poisson / weighted choice) — pure JVM, whole-stage
+codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TWO_63 = float(2**63)
+_TWO_PI = 2.0 * math.pi
+
+
+def uniform(id_col: Column, tag: str, seed: int) -> Column:
+    """U[0, 1) as a pure function of (id, tag, seed)."""
+    h = F.xxhash64(id_col, F.lit(tag), F.lit(int(seed)))
+    # long -> [0, 1): shift the signed range up by 2^63 then scale.
+    return (h.cast("double") / F.lit(_TWO_63)) * 0.5 + 0.5
+
+
+def normal(
+    id_col: Column, tag: str, seed: int, mean: float = 0.0, sd=1.0
+) -> Column:
+    """N(mean, sd) via Box-Muller on two independent uniform streams.
+
+    ``sd`` may be a Column for heteroskedastic draws (burst-dependent
+    volatility)."""
+    u1 = F.greatest(uniform(id_col, tag + ".u1", seed), F.lit(1e-15))
+    u2 = uniform(id_col, tag + ".u2", seed)
+    z = F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(_TWO_PI) * u2)
+    sd_col = sd if isinstance(sd, Column) else F.lit(float(sd))
+    return z * sd_col + F.lit(float(mean))
+
+
+def _ladder(u: Column, cdf: Sequence[float], values: Sequence) -> Column:
+    """Inverse-CDF lookup: smallest k with u < cdf[k]."""
+    out = F.lit(values[-1])
+    for k in range(len(cdf) - 2, -1, -1):
+        out = F.when(u < F.lit(float(cdf[k])), F.lit(values[k])).otherwise(out)
+    return out
+
+
+def poisson(id_col: Column, tag: str, seed: int, lam: float, max_k: int = 16) -> Column:
+    """Poisson(lam) via an inverse-CDF CASE ladder (tail folded into max_k)."""
+    cdf, acc = [], 0.0
+    for k in range(max_k):
+        acc += math.exp(-lam) * lam**k / math.factorial(k)
+        cdf.append(min(acc, 1.0))
+    cdf[-1] = 1.0
+    return _ladder(uniform(id_col, tag, seed), cdf, list(range(max_k))).cast("int")
+
+
+def weighted_choice(
+    id_col: Column, tag: str, seed: int, values: Sequence, weights: Sequence[float]
+) -> Column:
+    """One of ``values`` with the given probabilities."""
+    cdf, acc = [], 0.0
+    for w in weights:
+        acc += w
+        cdf.append(acc)
+    cdf[-1] = max(cdf[-1], 1.0)
+    return _ladder(uniform(id_col, tag, seed), cdf, list(values))
+
+
+def randint(id_col: Column, tag: str, seed: int, low: int, high: int) -> Column:
+    """Uniform integer in [low, high) — numpy ``randint`` convention."""
+    u = uniform(id_col, tag, seed)
+    return (F.lit(int(low)) + F.floor(u * F.lit(float(high - low)))).cast("long")

@@ -1,0 +1,174 @@
+"""Simulator acceptance: schema parity + statistical parity (SURVEY.md
+§7.3-8 — numpy bit-parity is explicitly out of scope; moments, row counts,
+and structural invariants are the bar). Reference behavior:
+/root/reference/ffn_polars/sim/."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.sim import (
+    PLUGIN_REGISTRY,
+    apply_plugins,
+    simulate_market,
+    simulate_quotes,
+    simulate_trades,
+)
+from ffn_polars_spark.sim.common import EXCHANGE_IDS, get_trading_window_ns
+
+QUOTE_COLS = [
+    "ticker", "ask_exchange", "ask_price", "ask_size", "bid_exchange",
+    "bid_price", "bid_size", "conditions", "indicators",
+    "participant_timestamp", "sequence_number", "sip_timestamp", "tape",
+    "trf_timestamp",
+]
+TRADE_COLS = [
+    "ticker", "conditions", "correction", "exchange", "id",
+    "participant_timestamp", "price", "sequence_number", "sip_timestamp",
+    "size", "tape", "trf_id", "trf_timestamp",
+]
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return simulate_quotes(spark, "TEST", ticks_per_day=4000, seed=7).cache()
+
+
+def test_quote_schema_and_bounds(quotes):
+    assert quotes.columns == QUOTE_COLS
+    n = quotes.count()
+    assert n == 4000
+    start_ns, end_ns = get_trading_window_ns(0)
+    row = quotes.agg(
+        F.min("participant_timestamp").alias("t0"),
+        F.max("participant_timestamp").alias("t1"),
+        F.min(F.col("ask_price") - F.col("bid_price")).alias("min_spread"),
+        F.avg("bid_price").alias("mean_px"),
+        F.min("ask_size").alias("min_lot"),
+        F.avg("ask_size").alias("mean_lot"),
+    ).collect()[0]
+    assert row["t0"] == start_ns and row["t1"] == end_ns
+    assert row["min_spread"] >= 0.0
+    assert abs(row["mean_px"] - 276.0) < 30.0  # random walk around base
+    assert row["min_lot"] >= 1
+    assert 1.5 < row["mean_lot"] < 3.0  # Poisson(2) with zeros bumped
+
+
+def test_quote_exchange_and_tape_rule(quotes):
+    rows = quotes.select("ask_exchange", "tape").distinct().collect()
+    for r in rows:
+        assert r["ask_exchange"] in EXCHANGE_IDS
+        if r["ask_exchange"] in (10, 11, 1):
+            assert r["tape"] == 1
+        elif r["ask_exchange"] in (12, 2):
+            assert r["tape"] == 3
+        elif r["ask_exchange"] in (201, 202):
+            assert r["tape"] in (1, 2, 3)
+        else:
+            assert r["tape"] == 2
+
+
+def test_quote_conditions_distribution(quotes):
+    frac_19 = quotes.where(F.col("conditions") == "19").count() / 4000
+    assert 0.75 < frac_19 < 0.90  # 0.8 + the uniform 1..19 can also draw 19
+    frac_blank = quotes.where(F.col("indicators") == "").count() / 4000
+    assert 0.85 < frac_blank < 0.95
+
+
+def test_quote_determinism(spark):
+    a = simulate_quotes(spark, "T", ticks_per_day=500, seed=3).collect()
+    b = simulate_quotes(spark, "T", ticks_per_day=500, seed=3).collect()
+    assert a == b
+    c = simulate_quotes(spark, "T", ticks_per_day=500, seed=4).collect()
+    assert a != c
+
+
+def test_burst_volatility_wider(spark):
+    q = simulate_quotes(spark, "T", ticks_per_day=8000, seed=1)
+    start_ns, _ = get_trading_window_ns(0)
+    burst_end = start_ns + int(30 * 60 * 1e9)
+    r = q.withColumn(
+        "dpx",
+        F.col("bid_price")
+        - F.lag("bid_price").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                "participant_timestamp"
+            )
+        ),
+    )
+    stats = r.agg(
+        F.stddev_samp(
+            F.when(F.col("participant_timestamp") < burst_end, F.col("dpx"))
+        ).alias("open_sd"),
+        F.stddev_samp(
+            F.when(
+                (F.col("participant_timestamp") >= burst_end + int(3600 * 1e9))
+                & (
+                    F.col("participant_timestamp")
+                    < burst_end + int(2 * 3600 * 1e9)
+                ),
+                F.col("dpx"),
+            )
+        ).alias("mid_sd"),
+    ).collect()[0]
+    # open burst sd=0.03 vs calm 0.01 (cent rounding adds noise)
+    assert stats["open_sd"] > 1.8 * stats["mid_sd"]
+
+
+def test_trades_schema_and_semantics(spark, quotes):
+    tr = simulate_trades(
+        spark, "TEST", quotes, target_volume=50_000, seed=7
+    ).cache()
+    assert tr.columns == TRADE_COLS
+    assert tr.count() == 500
+    row = tr.agg(
+        F.min("size").alias("smin"),
+        F.max("size").alias("smax"),
+        F.min("price").alias("pmin"),
+    ).collect()[0]
+    assert row["smin"] >= 100 and row["smax"] <= 1000  # [1,10] lots x100
+    assert row["pmin"] > 0
+    # every trade price equals the prevailing quote on its side
+    q = quotes.select(
+        F.col("participant_timestamp").alias("ts"), "ask_price", "bid_price"
+    )
+    j = tr.join(q, tr["participant_timestamp"] == q["ts"], "left")
+    bad = j.where(
+        (F.col("price") != F.col("ask_price")) & (F.col("price") != F.col("bid_price"))
+    ).count()
+    assert bad == 0
+
+
+def test_simulate_market_multiday(spark):
+    q, t = simulate_market(
+        spark, "MKT", days=2, quote_ticks_per_day=1000, trade_volume_per_day=20_000
+    )
+    assert q.count() == 2000
+    assert t.count() == 400
+    # sorted output, day 2 after day 1
+    ts = [r[0] for r in q.select("participant_timestamp").collect()]
+    assert ts == sorted(ts)
+
+
+def test_plugin_registry_and_apply(spark, quotes):
+    assert "widen_spreads" in PLUGIN_REGISTRY
+    out = apply_plugins(
+        quotes, [{"name": "widen_spreads", "params": {"factor": 3.0}}], "quotes"
+    )
+    before = quotes.agg(F.avg(F.col("ask_price") - F.col("bid_price"))).collect()[0][0]
+    after = out.agg(F.avg(F.col("ask_price") - F.col("bid_price"))).collect()[0][0]
+    assert after > 2.5 * before
+    # trade-type filter: quotes plugins don't run under type "trades"
+    same = apply_plugins(
+        quotes, [{"name": "widen_spreads", "params": {"factor": 3.0}}], "trades"
+    )
+    assert same is quotes
+
+
+def test_preview_plugin_effect(quotes, capsys):
+    from ffn_polars_spark.sim.preview import preview_plugin_effect
+
+    preview_plugin_effect(quotes, "widen_spreads", params={"factor": 2.0})
+    out = capsys.readouterr().out
+    assert "widen_spreads" in out and "ask_price" in out
+    preview_plugin_effect(quotes, "nope")
+    assert "not found" in capsys.readouterr().out

@@ -806,6 +806,209 @@ def q_realized_volatility(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bars + bar-based estimators + activity metrics (reference roadmap
+# README.md:40-64; functions/tick_bars.py).
+# ---------------------------------------------------------------------------
+
+_HOUR_NS = 3600 * 1_000_000_000
+
+_BARS_SQL = (
+    TICKS_SQL
+    + f""", bars AS (
+  SELECT event_type, ts_ns - ts_ns % {_HOUR_NS} AS bar_ts,
+         arg_min(price, ts_ns) AS open, max(price) AS high,
+         min(price) AS low, arg_max(price, ts_ns) AS close,
+         count(*) AS n_ticks, min(ts_ns) AS bar_start_ts, max(ts_ns) AS bar_end_ts,
+         CAST(sum(volume) AS DOUBLE) AS volume,
+         sum(price * volume) / CAST(sum(volume) AS DOUBLE) AS vwap
+  FROM ticks GROUP BY event_type, ts_ns - ts_ns % {_HOUR_NS})
+"""
+)
+
+
+@query(
+    "time_bars",
+    _BARS_SQL
+    + f"""
+SELECT event_type, bar_ts, open, high, low, close, n_ticks, bar_start_ts,
+       bar_end_ts, volume, {R("vwap")} AS vwap
+FROM bars""",
+)
+def q_time_bars(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import time_bars
+
+    t = ticks(spark, sf_dir)
+    out = time_bars(t, "ts_ns", "price", "volume", by=["event_type"], bar_ns=_HOUR_NS)
+    return out.withColumn("vwap", r6(F.col("vwap")))
+
+
+@query(
+    "tick_bars",
+    TICKS_SQL
+    + f""", numbered AS (
+  SELECT *, CAST(floor((row_number() OVER ({W}) - 1) / 100.0) AS BIGINT) AS bar_id
+  FROM ticks)
+SELECT event_type, bar_id, arg_min(price, ts_ns) AS open, max(price) AS high,
+       min(price) AS low, arg_max(price, ts_ns) AS close,
+       count(*) AS n_ticks, min(ts_ns) AS bar_start_ts, max(ts_ns) AS bar_end_ts,
+       CAST(sum(volume) AS DOUBLE) AS volume,
+       {R("sum(price * volume) / CAST(sum(volume) AS DOUBLE)")} AS vwap
+FROM numbered GROUP BY event_type, bar_id""",
+)
+def q_tick_bars(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import tick_bars
+
+    t = ticks(spark, sf_dir)
+    out = tick_bars(t, "ts_ns", "price", "volume", by=["event_type"], ticks_per_bar=100)
+    return out.withColumn("vwap", r6(F.col("vwap")))
+
+
+@query(
+    "volume_bars",
+    TICKS_SQL
+    + f""", cum AS (
+  SELECT *, sum(volume) OVER ({WR}) - volume AS prev_cum
+  FROM ticks),
+binned AS (SELECT *, CAST(floor(prev_cum / 5000.0) AS BIGINT) AS bar_id FROM cum)
+SELECT event_type, bar_id, arg_min(price, ts_ns) AS open, max(price) AS high,
+       min(price) AS low, arg_max(price, ts_ns) AS close,
+       count(*) AS n_ticks, min(ts_ns) AS bar_start_ts, max(ts_ns) AS bar_end_ts,
+       CAST(sum(volume) AS DOUBLE) AS volume,
+       {R("sum(price * volume) / CAST(sum(volume) AS DOUBLE)")} AS vwap
+FROM binned GROUP BY event_type, bar_id""",
+)
+def q_volume_bars(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import volume_bars
+
+    t = ticks(spark, sf_dir)
+    out = volume_bars(
+        t, "ts_ns", "price", "volume", by=["event_type"], volume_per_bar=5000.0
+    )
+    return out.withColumn("vwap", r6(F.col("vwap")))
+
+
+@query(
+    "bar_volatility",
+    _BARS_SQL
+    + f"""
+SELECT event_type,
+       {R("sqrt(avg(power(ln(high / low), 2)) / (4 * ln(2)))")} AS parkinson_vol,
+       {R("sqrt(avg(0.5 * power(ln(high / low), 2) - (2 * ln(2) - 1) * power(ln(close / open), 2)))")} AS garman_klass_vol
+FROM bars GROUP BY event_type""",
+)
+def q_bar_volatility(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import (
+        garman_klass_volatility,
+        parkinson_volatility,
+        time_bars,
+    )
+
+    t = ticks(spark, sf_dir)
+    bars = time_bars(t, "ts_ns", "price", "volume", by=["event_type"], bar_ns=_HOUR_NS)
+    return bars.groupBy("event_type").agg(
+        r6(parkinson_volatility("high", "low")).alias("parkinson_vol"),
+        r6(garman_klass_volatility("open", "high", "low", "close")).alias(
+            "garman_klass_vol"
+        ),
+    )
+
+
+@query(
+    "quote_to_trade_ratio",
+    TICKS_SQL
+    + f""", qc AS (
+  SELECT ts_ns - ts_ns % {_HOUR_NS} AS bar_ts, count(*) AS n_quotes
+  FROM ticks WHERE event_type = 'click' GROUP BY 1),
+tc AS (
+  SELECT ts_ns - ts_ns % {_HOUR_NS} AS bar_ts, count(*) AS n_trades
+  FROM ticks WHERE event_type = 'purchase' GROUP BY 1)
+SELECT coalesce(qc.bar_ts, tc.bar_ts) AS bar_ts,
+       coalesce(n_quotes, 0) AS n_quotes,
+       coalesce(n_trades, 0) AS n_trades,
+       {R("CAST(coalesce(n_quotes, 0) AS DOUBLE) / nullif(CAST(coalesce(n_trades, 0) AS DOUBLE), 0.0)")} AS quote_to_trade_ratio
+FROM qc FULL JOIN tc ON qc.bar_ts = tc.bar_ts""",
+)
+def q_quote_to_trade_ratio(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import quote_to_trade_ratio
+
+    t = ticks(spark, sf_dir)
+    out = quote_to_trade_ratio(
+        t.where(F.col("event_type") == "click"),
+        t.where(F.col("event_type") == "purchase"),
+        "ts_ns",
+        bar_ns=_HOUR_NS,
+    )
+    return out.withColumn("quote_to_trade_ratio", r6(F.col("quote_to_trade_ratio")))
+
+
+@query(
+    "idle_time",
+    TICKS_SQL
+    + f""", g AS (
+  SELECT event_type, ts_ns - lag(ts_ns) OVER ({W}) AS gap,
+         ts_ns
+  FROM ticks)
+SELECT event_type,
+       sum(CASE WHEN gap > 60000000000 THEN 1 ELSE 0 END) AS n_idle_gaps,
+       {R("CAST(sum(CASE WHEN gap > 60000000000 THEN gap ELSE 0 END) AS DOUBLE) / CAST(max(ts_ns) - min(ts_ns) AS DOUBLE)")} AS idle_frac
+FROM g GROUP BY event_type""",
+)
+def q_idle_time(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import idle_time
+
+    t = ticks(spark, sf_dir)
+    out = idle_time(t, "ts_ns", by=["event_type"], threshold_ns=60 * 1_000_000_000)
+    return out.withColumn("idle_frac", r6(F.col("idle_frac")))
+
+
+@query(
+    "detect_bursts",
+    TICKS_SQL
+    + f""", counts AS (
+  SELECT event_type, ts_ns - ts_ns % {_HOUR_NS} AS bar_ts, count(*) AS n_ticks
+  FROM ticks GROUP BY 1, 2),
+roll AS (
+  SELECT event_type, bar_ts, n_ticks,
+         avg(n_ticks) OVER w AS mu,
+         stddev_samp(n_ticks) OVER w AS sd
+  FROM counts
+  WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bar_ts, n_ticks,
+       {R("(n_ticks - mu) / greatest(coalesce(sd, 0.0), 1e-9)")} AS zscore,
+       (n_ticks - mu) / greatest(coalesce(sd, 0.0), 1e-9) > 2.0 AS is_burst
+FROM roll""",
+)
+def q_detect_bursts(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import detect_bursts
+
+    t = ticks(spark, sf_dir)
+    out = detect_bursts(
+        t, "ts_ns", by=["event_type"], bar_ns=_HOUR_NS, lookback_bars=24,
+        z_threshold=2.0,
+    )
+    return out.withColumn("zscore", r6(F.col("zscore")))
+
+
+@query(
+    "volume_profile",
+    TICKS_SQL
+    + f""", vp AS (
+  SELECT event_type, floor(price / 1.0) * 1.0 AS price_bin,
+         CAST(sum(volume) AS DOUBLE) AS volume
+  FROM ticks GROUP BY 1, 2)
+SELECT event_type, price_bin, volume,
+       {R("volume / sum(volume) OVER (PARTITION BY event_type)")} AS volume_share
+FROM vp""",
+)
+def q_volume_profile(spark, sf_dir):
+    from ffn_polars_spark.functions.tick_bars import volume_profile
+
+    t = ticks(spark, sf_dir)
+    out = volume_profile(t, "price", "volume", by=["event_type"], bin_width=1.0)
+    return out.withColumn("volume_share", r6(F.col("volume_share")))
+
+
+# ---------------------------------------------------------------------------
 # Frequency inference (#22, #23) on synthetic regular calendars.
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,245 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.12), but a Spark-native engine gets
+streaming nearly for free: the same declarative aggregations run under
+``readStream`` with watermarks bounding state. This module provides streaming
+twins of the core tick operators:
+
+* :func:`read_tick_stream` — file-source stream over a parquet tick directory.
+* :func:`streaming_time_bars` — watermarked windowed OHLCV bars.
+* :func:`streaming_vwap` — watermarked windowed VWAP.
+* :func:`streaming_session_stats` — ``F.session_window`` gap sessionization
+  (the streaming twin of operators/sessions.py).
+* :func:`stateful_running_vwap` — ``applyInPandasWithState`` custom stateful
+  operator (running per-key VWAP across micro-batches) — the pattern for
+  operators whose state outlives any window.
+* :func:`run_available_now` — drain a bounded stream to a memory sink and
+  return the result table (test/driver harness).
+
+Design notes for scale: every aggregation keys on (window x partition key) so
+state is bounded by ``delay_threshold``; append output mode + watermark is
+the production path (complete mode exists only for the bounded test drain).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ffn_polars_spark.core import ns_to_timestamp
+
+__all__ = [
+    "read_tick_stream",
+    "streaming_time_bars",
+    "streaming_vwap",
+    "streaming_session_stats",
+    "stateful_running_vwap",
+    "run_available_now",
+]
+
+
+def read_tick_stream(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[StructType] = None,
+    ts_col: str = "ts",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Stream a parquet directory as a tick tape with an event-time column.
+
+    ``ts_col`` may be epoch-ns LongType (the engine's tick time axis) or a
+    timestamp; an ``event_time`` TimestampType column is derived for
+    watermarking either way.
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    df = reader.parquet(path)
+    dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[ts_col]
+    if isinstance(dt, LongType):
+        return df.withColumn("event_time", ns_to_timestamp(ts_col))
+    return df.withColumn("event_time", F.col(ts_col).cast("timestamp"))
+
+
+def _ohlcv_window_aggs(price: str, volume: Optional[str]) -> list:
+    aggs = [
+        F.min(F.struct(F.col("event_time").alias("k"), F.col(price).alias("v")))
+        .getField("v")
+        .alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max(F.struct(F.col("event_time").alias("k"), F.col(price).alias("v")))
+        .getField("v")
+        .alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if volume is not None:
+        aggs.append(F.sum(volume).cast("double").alias("volume"))
+        aggs.append(
+            (F.sum(F.col(price) * F.col(volume)) / F.sum(volume).cast("double")).alias(
+                "vwap"
+            )
+        )
+    return aggs
+
+
+def streaming_time_bars(
+    stream: DataFrame,
+    price: str,
+    volume: Optional[str] = None,
+    by: Optional[List[str]] = None,
+    bar: str = "1 minute",
+    delay_threshold: str = "1 minute",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLCV bars over a tick stream.
+
+    State per (key x open window) only; windows older than the watermark are
+    finalized and dropped — bounded memory at any throughput.
+    """
+    by = list(by or [])
+    w = stream.withWatermark("event_time", delay_threshold)
+    return (
+        w.groupBy(F.window("event_time", bar).alias("bar"), *by)
+        .agg(*_ohlcv_window_aggs(price, volume))
+        .select(
+            F.col("bar.start").alias("bar_start"),
+            F.col("bar.end").alias("bar_end"),
+            *by,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+            *(["volume", "vwap"] if volume else []),
+        )
+    )
+
+
+def streaming_vwap(
+    stream: DataFrame,
+    price: str,
+    volume: str,
+    by: Optional[List[str]] = None,
+    bar: str = "1 minute",
+    delay_threshold: str = "1 minute",
+) -> DataFrame:
+    """Watermarked per-window VWAP (streaming twin of tick #31)."""
+    by = list(by or [])
+    w = stream.withWatermark("event_time", delay_threshold)
+    return (
+        w.groupBy(F.window("event_time", bar).alias("bar"), *by)
+        .agg(
+            (F.sum(F.col(price) * F.col(volume)) / F.sum(volume).cast("double")).alias(
+                f"{price}_vwap"
+            ),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("bar.start").alias("bar_start"), *by, f"{price}_vwap", "n_ticks"
+        )
+    )
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    key: str,
+    gap: str = "30 minutes",
+    delay_threshold: str = "1 minute",
+) -> DataFrame:
+    """Gap-based sessions via ``F.session_window`` — the streaming-native
+    form of operators/sessions.py (which uses the lag-cumsum idiom in batch)."""
+    w = stream.withWatermark("event_time", delay_threshold)
+    return (
+        w.groupBy(F.session_window("event_time", gap).alias("session"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_VWAP_STATE_SCHEMA = StructType(
+    [StructField("pv", DoubleType()), StructField("v", DoubleType())]
+)
+
+
+def _vwap_output_schema(key: str) -> StructType:
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("cum_volume", DoubleType()),
+            StructField("running_vwap", DoubleType()),
+        ]
+    )
+
+
+def stateful_running_vwap(
+    stream: DataFrame,
+    key: str,
+    price: str,
+    volume: str,
+) -> DataFrame:
+    """Running (lifetime) per-key VWAP via ``applyInPandasWithState``.
+
+    The window/session operators above bound state by event time; this is the
+    pattern for state that must NOT expire — a cumulative (sum(p*v), sum(v))
+    pair per key, updated every micro-batch, emitted in update mode.
+    """
+
+    def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            pv, v = state.get
+        else:
+            pv, v = 0.0, 0.0
+        for pdf in pdf_iter:
+            pv += float((pdf[price] * pdf[volume]).sum())
+            v += float(pdf[volume].sum())
+        state.update((pv, v))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "cum_volume": [v],
+                "running_vwap": [pv / v if v else None],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=_vwap_output_schema(key),
+        stateStructType=_VWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream with an available-now trigger into a memory
+    sink; return the sink table. Harness for tests and the correctness gate
+    (production writes go to parquet/Kafka sinks in append mode instead)."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

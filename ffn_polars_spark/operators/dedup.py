@@ -19,10 +19,34 @@ from __future__ import annotations
 
 from typing import Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ffn_polars_spark.registry import register
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition by ``key`` when the input has far fewer partitions than
+    the cluster has slots.
+
+    Per-document hashing is CPU-bound; a corpus that arrives as one or two
+    parquet files would otherwise pin the whole projection to as many cores.
+    At real scale inputs already have many partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, key)
+    return df
+
+
+def _pinned(df: DataFrame) -> DataFrame:
+    """Persist a small derived frame that several plan branches re-read
+    (signatures, shingle arrays): Spark reuses identical *exchanges* but not
+    arbitrary subtrees, so self-joins and verification would otherwise
+    recompute the full derivation per branch. MEMORY_AND_DISK keeps the 100 TB
+    path safe (spills instead of OOM)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 # Mersenne prime 2^31 - 1: (a*h + b) mod P stays within long range for
 # a, b, h < P (product < 2^62) — the classic universal-hash family for
@@ -142,6 +166,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def _doc_shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, distinct shingle array, shingle-hash array) — pure projection.
+
+    MinHash/SimHash are per-document computations, so the shingle set stays
+    an ARRAY column inside the row instead of being exploded: no shuffle of
+    shingle rows at any scale (contrast ``_doc_shingles``, whose inverted
+    index is what the *exact* pairwise operator needs).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    shd = toks.select(
+        "__id", F.array_distinct(shingles_from_tokens(F.col("__toks"), n)).alias("__shd")
+    )
+    return shd.select(
+        "__id",
+        "__shd",
+        F.transform(F.col("__shd"), lambda s: F.xxhash64(s)).alias("__h64"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 128,
@@ -154,25 +202,42 @@ def minhash_signatures(
 
     Base shingle hash is xxhash64 reduced mod the Mersenne prime; each
     permutation is the universal hash (a_k·h + b_k) mod P with (a_k, b_k)
-    derived deterministically from ``seed``. Computed as one wide min-agg over
-    the exploded shingles — map-side combined, one shuffle on doc id.
+    derived deterministically from ``seed``. Each signature entry is an
+    ``array_min`` over the in-row hash array — the whole signature is one
+    projection, zero shuffles (documents with no shingles are dropped, as
+    the exploded formulation did implicitly).
     """
+    arrays = _doc_shingle_arrays(df, text_col, id_col, n)
+    return _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> list:
     import random
 
     rng = random.Random(seed)
-    coeffs = [
+    return [
         (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    sh = _doc_shingles(df, text_col, id_col, n)
-    # materialize the base hash once per shingle; the 128 permutation aggs
-    # then only do a multiply+pmod each (no repeated xxhash evaluation)
-    hashed = sh.select("__id", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE)).alias("__h"))
-    aggs = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"__mh{k}")
+
+
+def _signatures_from_arrays(arrays: DataFrame, coeffs: list, id_col: str) -> DataFrame:
+    """Signature columns ``__mh{k}`` from a ``_doc_shingle_arrays`` frame."""
+    hashed = arrays.where(F.size("__shd") > 0).select(
+        F.col("__id").alias(id_col),
+        F.transform(F.col("__h64"), lambda h: F.pmod(h, F.lit(_MERSENNE))).alias("__h"),
+    )
+
+    def _perm(a: int, b: int):
+        # factory, not a default-arg lambda: higher-order functions infer
+        # arity from the lambda signature, so it must be exactly one arg
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    sigs = [
+        F.array_min(F.transform(F.col("__h"), _perm(a, b))).alias(f"__mh{k}")
         for k, (a, b) in enumerate(coeffs)
     ]
-    return hashed.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    return hashed.select(id_col, *sigs)
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="dedup_minhash_lsh")
@@ -201,7 +266,11 @@ def dedup_minhash_lsh(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
+    df = _spread(df, id_col)
+    # One pinned pass builds the shingle + hash arrays; signatures, the
+    # bucket self-join, and verification all derive from it.
+    arrays = _pinned(_doc_shingle_arrays(df, text_col, id_col, n))
+    sig = _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
 
     band_structs = [
         F.struct(
@@ -210,10 +279,17 @@ def dedup_minhash_lsh(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array(*band_structs)).alias("__b"),
-    ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
+    # Pin the bucket table: both sides of the self-join (and nothing else)
+    # read it, and it is tiny relative to the corpus (docs x bands rows of
+    # three longs).
+    buckets = _pinned(
+        sig.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array(*band_structs)).alias("__b"),
+        ).select(
+            "__id", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh")
+        )
+    )
 
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
@@ -229,26 +305,20 @@ def dedup_minhash_lsh(
     if not verify:
         return cands
 
-    sh = _doc_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        cands.join(a, F.col("id_a") == F.col("a.__id"))
-        .join(b, (F.col("id_b") == F.col("b.__id")) & (F.col("a.__sh") == F.col("b.__sh")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    # Exact-Jaccard verification on candidates only: join each side's in-row
+    # shingle array (two hash joins keyed on doc id — candidate-proportional)
+    # and intersect the arrays in place. No inverted index, no re-explode.
+    a = arrays.select(F.col("__id").alias("id_a"), F.col("__shd").alias("__sha"))
+    b = arrays.select(F.col("__id").alias("id_b"), F.col("__shd").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size("__sha") + F.size("__shb") - inter
     return (
-        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("__inter")
-                / (F.col("__sza") + F.col("__szb") - F.col("__inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -263,26 +333,27 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document: sign-sum of shingle-hash bits.
 
-    One explode + one wide conditional-sum aggregate (64 bit-counters),
-    map-side combined; the fingerprint is reassembled with shifts — all JVM.
+    Per-document like minhash, so it's a single projection over the in-row
+    hash array: bit j's counter is ``2 * count(hashes with bit j set) -
+    |hashes|``; the fingerprint is reassembled with shifts — all JVM, zero
+    shuffles.
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
-    h = F.xxhash64("__sh")
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__bit{j}")
-        for j in range(64)
-    ]
-    agg = sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    arrays = _doc_shingle_arrays(df, text_col, id_col, n)
+    hashed = arrays.where(F.size("__shd") > 0).select(
+        F.col("__id").alias(id_col), F.col("__h64").alias("__h"), F.size("__h64").alias("__n")
+    )
+    def _bit_test(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
     sig = None
     for j in range(64):
-        bit = F.when(F.col(f"__bit{j}") > 0, F.lit(1).cast("long")).otherwise(
+        ones = F.size(F.filter(F.col("__h"), _bit_test(j)))
+        bit = F.when(ones * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select(id_col, sig.alias("simhash"))
+    return hashed.select(id_col, sig.alias("simhash"))
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="dedup_simhash")
@@ -299,7 +370,7 @@ def dedup_simhash(
     agrees on at least one chunk, so candidates come from 4 chunk-equality
     joins (union'd via explode), then ``bit_count(xor)`` filters exactly.
     """
-    sig = simhash_signatures(df, n, text_col, id_col)
+    sig = _pinned(simhash_signatures(_spread(df, id_col), n, text_col, id_col))
     chunks = sig.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),

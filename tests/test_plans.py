@@ -1,0 +1,72 @@
+"""Physical-plan regression gates: the properties that keep the engine fast
+at scale, asserted on the catalog's own queries at sf0.001."""
+
+import pytest
+
+from ffn_polars_spark.plans import (
+    count_broadcast_joins,
+    count_exchanges,
+    plan_report,
+    pushed_filters,
+    read_schemas,
+)
+from ffn_polars_spark.queries import QUERY_FNS
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = QUERY_FNS["pricing_summary"](spark, SF)
+    # the shipdate predicate must reach the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # lineitem has 16 columns; the scan must read only the 7 used
+    schema = read_schemas(df)[0]
+    assert "l_comment" not in schema and "l_partkey" not in schema
+    assert schema.count(":") <= 7
+    # scan -> partial agg -> exchange -> final agg: exactly one shuffle
+    assert count_exchanges(df) == 1
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    df = QUERY_FNS["revenue_by_nation"](spark, SF)
+    # nation (25 rows) is hinted broadcast; customer/orders side under the
+    # local threshold also broadcasts — require at least the hinted one.
+    assert count_broadcast_joins(df) >= 1
+    # orderdate range filter pushes into the orders scan
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_series_op_single_exchange(spark):
+    # partitionBy(event_type) windows: one hash exchange, nothing else
+    df = QUERY_FNS["to_returns"](spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_two_phase_agg_single_exchange(spark):
+    # window + groupBy on the same keys must reuse one partitioning
+    df = QUERY_FNS["calc_realized_volatility"](spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_time_bars_single_exchange(spark):
+    df = QUERY_FNS["time_bars"](spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_events_scan_prunes_columns(spark):
+    df = QUERY_FNS["calc_vwap"](spark, SF)
+    schema = read_schemas(df)[0]
+    # events has 7+ columns; vwap needs ts/value/event_type/event_id only
+    assert "payload" not in schema and "user_id" not in schema
+
+
+def test_plan_report_shape(spark):
+    rep = plan_report(QUERY_FNS["calc_vwap"](spark, SF))
+    assert set(rep) == {
+        "exchanges",
+        "broadcast_joins",
+        "pushed_filters",
+        "read_schemas",
+        "codegen_stages",
+    }
+    assert rep["codegen_stages"] >= 1

@@ -1,0 +1,120 @@
+"""Quote-level microstructure operators.
+
+The reference declares a quote namespace but ships it empty
+(/root/reference/ffn_polars/expr/quote/__init__.py is 0 bytes; the quotes
+simulator and README roadmap establish the intended surface). These are the
+standard NBBO quote analytics, defined per the microstructure literature:
+
+* quoted spread / relative spread / midpoint / microprice / quote imbalance —
+  elementwise, whole-row vectorized, no ordering needed.
+* effective spread — elementwise given a prevailing midpoint column (obtain
+  one by as-of joining trades to quotes: operators/asof.py).
+* time-weighted average spread — DataFrame two-phase operator: each quote's
+  spread is weighted by its lifetime (time to the next quote), the per-group
+  ratio aggregates map-side after one ordered window.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.core import ColumnOrName, Over, to_col
+from ffn_polars_spark.registry import register
+from ffn_polars_spark.utils import auto_alias, guard_input
+
+
+@register(namespace="tick", context="elementwise")
+@auto_alias("quoted_spread")
+@guard_input("self", expected_dtype="double")
+def quoted_spread(self: ColumnOrName, bid: ColumnOrName) -> Column:
+    """Ask minus bid (``self`` is the ask column)."""
+    return to_col(self) - to_col(bid)
+
+
+@register(namespace="tick", context="elementwise")
+@auto_alias("midpoint")
+@guard_input("self", expected_dtype="double")
+def midpoint(self: ColumnOrName, bid: ColumnOrName) -> Column:
+    """NBBO midpoint: ``(ask + bid) / 2``."""
+    return (to_col(self) + to_col(bid)) / F.lit(2.0)
+
+
+@register(namespace="tick", context="elementwise")
+@auto_alias("relative_spread")
+@guard_input("self", expected_dtype="double")
+def relative_spread(self: ColumnOrName, bid: ColumnOrName) -> Column:
+    """Quoted spread scaled by the midpoint (in relative units)."""
+    a, b = to_col(self), to_col(bid)
+    return (a - b) / ((a + b) / F.lit(2.0))
+
+
+@register(namespace="tick", context="elementwise")
+@auto_alias("microprice")
+@guard_input("self", expected_dtype="double")
+def microprice(
+    self: ColumnOrName,
+    bid: ColumnOrName,
+    ask_size: ColumnOrName,
+    bid_size: ColumnOrName,
+) -> Column:
+    """Size-weighted fair price: ``(bid_sz*ask + ask_sz*bid) / (bid_sz +
+    ask_sz)`` — tilts toward the side with less resting liquidity."""
+    a, b = to_col(self), to_col(bid)
+    asz, bsz = to_col(ask_size).cast("double"), to_col(bid_size).cast("double")
+    return (bsz * a + asz * b) / (asz + bsz)
+
+
+@register(namespace="tick", context="elementwise")
+@auto_alias("quote_imbalance")
+def quote_imbalance(self: ColumnOrName, ask_size: ColumnOrName) -> Column:
+    """Depth imbalance in [-1, 1]: ``(bid_sz - ask_sz) / (bid_sz + ask_sz)``
+    (``self`` is the bid-size column)."""
+    bsz, asz = to_col(self).cast("double"), to_col(ask_size).cast("double")
+    return (bsz - asz) / (bsz + asz)
+
+
+@register(namespace="tick", context="elementwise")
+@auto_alias("effective_spread")
+@guard_input("self", expected_dtype="double")
+def effective_spread(
+    self: ColumnOrName,
+    mid: ColumnOrName,
+    direction: Optional[ColumnOrName] = None,
+) -> Column:
+    """Effective spread of a trade vs the prevailing midpoint:
+    ``2·d·(p − mid)`` with trade sign ``d``, or ``2·|p − mid|`` when the
+    sign is not supplied (tick_rule gives one)."""
+    p, m = to_col(self), to_col(mid)
+    if direction is None:
+        return F.lit(2.0) * F.abs(p - m)
+    return F.lit(2.0) * to_col(direction).cast("double") * (p - m)
+
+
+@register(kind="df", context="dataframe")
+def time_weighted_spread(
+    df: DataFrame,
+    ask: str,
+    bid: str,
+    ts: str,
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Time-weighted average quoted spread per group: each quote's spread is
+    in force until the next quote, so the weight is ``lead(ts) - ts`` (the
+    last quote of a group carries no weight)."""
+    by = list(by or [])
+    over = Over(order_by=ts, partition_by=by or None)
+    dt = (
+        F.lead(to_col(ts), 1).over(over.w_ordered("time_weighted_spread"))
+        - to_col(ts)
+    ).cast("double")
+    spread = to_col(ask) - to_col(bid)
+    pre = df.withColumn("__w", dt).withColumn("__ws", spread * F.col("__w"))
+    g = pre.groupBy(*by) if by else pre.groupBy()
+    out = f"{ask}_twa_spread"
+    return g.agg((F.sum("__ws") / F.sum("__w")).alias(out))
+
+
+time_weighted_spread._alias_suffix = "twa_spread"

@@ -1009,6 +1009,110 @@ def q_volume_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Quote analytics (reference's declared-but-empty quote namespace;
+# functions/quote.py). ask/bid derived deterministically from the ticks frame.
+# ---------------------------------------------------------------------------
+
+_QUOTES_SQL = (
+    TICKS_SQL
+    + """, quotes AS (
+  SELECT event_type, event_id, ts_ns,
+         greatest(price, price_b) AS ask, least(price, price_b) AS bid,
+         volume AS ask_size, CAST(event_id % 50 + 1 AS DOUBLE) AS bid_size
+  FROM ticks)
+"""
+)
+
+
+def _quotes_frame(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        "ts_ns",
+        F.greatest("price", "price_b").alias("ask"),
+        F.least("price", "price_b").alias("bid"),
+        F.col("volume").alias("ask_size"),
+        ((F.col("event_id") % 50) + 1).cast("double").alias("bid_size"),
+    )
+
+
+@query(
+    "quote_analytics",
+    _QUOTES_SQL
+    + f"""
+SELECT event_type, event_id,
+       {R("ask - bid")} AS ask_quoted_spread,
+       {R("(ask + bid) / 2.0")} AS ask_midpoint,
+       {R("(ask - bid) / ((ask + bid) / 2.0)")} AS ask_relative_spread,
+       {R("(bid_size * ask + ask_size * bid) / (ask_size + bid_size)")} AS ask_microprice,
+       {R("(bid_size - ask_size) / (bid_size + ask_size)")} AS bid_size_quote_imbalance
+FROM quotes""",
+)
+def q_quote_analytics(spark, sf_dir):
+    q = _quotes_frame(spark, sf_dir)
+    return q.select(
+        "event_type",
+        "event_id",
+        r6(ffn.tick.quoted_spread("ask", "bid")).alias("ask_quoted_spread"),
+        r6(ffn.tick.midpoint("ask", "bid")).alias("ask_midpoint"),
+        r6(ffn.tick.relative_spread("ask", "bid")).alias("ask_relative_spread"),
+        r6(ffn.tick.microprice("ask", "bid", "ask_size", "bid_size")).alias(
+            "ask_microprice"
+        ),
+        r6(ffn.tick.quote_imbalance("bid_size", "ask_size")).alias(
+            "bid_size_quote_imbalance"
+        ),
+    )
+
+
+@query(
+    "effective_spread",
+    _QUOTES_SQL
+    + f""", sgn AS (
+  SELECT event_type, event_id, ask, bid,
+         CASE WHEN ask > lag(ask) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) THEN 1
+              WHEN ask < lag(ask) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) THEN -1
+              ELSE 0 END AS d
+  FROM quotes)
+SELECT event_type, event_id,
+       {R("2.0 * d * (ask - (ask + bid) / 2.0)")} AS eff_spread
+FROM sgn""",
+)
+def q_effective_spread(spark, sf_dir):
+    q = _quotes_frame(spark, sf_dir)
+    d = ffn.tick.tick_rule("ask", over=TICK_OVER)
+    return q.select(
+        "event_type",
+        "event_id",
+        r6(
+            ffn.tick.effective_spread(
+                "ask", ffn.tick.midpoint("ask", "bid"), d
+            )
+        ).alias("eff_spread"),
+    )
+
+
+@query(
+    "time_weighted_spread",
+    _QUOTES_SQL
+    + f""", w AS (
+  SELECT event_type,
+         (ask - bid) * CAST(lead(ts_ns) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) - ts_ns AS DOUBLE) AS ws,
+         CAST(lead(ts_ns) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) - ts_ns AS DOUBLE) AS wt
+  FROM quotes)
+SELECT event_type, {R("sum(ws) / sum(wt)")} AS ask_twa_spread
+FROM w GROUP BY event_type""",
+)
+def q_time_weighted_spread(spark, sf_dir):
+    from ffn_polars_spark.functions.quote import time_weighted_spread
+
+    q = _quotes_frame(spark, sf_dir)
+    out = time_weighted_spread(q, "ask", "bid", "ts_ns", by=["event_type"])
+    return out.select("event_type", r6(F.col("ask_twa_spread")).alias("ask_twa_spread"))
+
+
+# ---------------------------------------------------------------------------
 # Frequency inference (#22, #23) on synthetic regular calendars.
 # ---------------------------------------------------------------------------
 

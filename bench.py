@@ -29,10 +29,13 @@ HEADLINE = [
     "to_returns",
     "calc_realized_volatility",
     "calc_vwap",
+    "time_bars",
+    "quote_analytics",
     "asof_join_backward",
     "session_stats",
     "resample_returns_poisson",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk",
     "text_quality",
 ]

@@ -43,6 +43,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit(a: Column) -> Column:
+    """Vector scaled to unit L2 norm (cosine of units = plain dot).
+
+    Pairwise operators pre-normalize each row ONCE so the per-pair work is a
+    single dot product — computing ``cosine(a, b)`` inside a pair join would
+    redo both norms for every pair (n× redundant at n vectors)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def _spread_vecs(df: DataFrame) -> DataFrame:
+    """Repartition small-file inputs so the CPU-bound vector math uses every
+    core (no-op when the input already has enough partitions)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 @register(namespace="eod", kind="df", context="dataframe", alias="embedding_cosine_pairs")
 def embedding_cosine_pairs(
     df: DataFrame,
@@ -55,14 +74,17 @@ def embedding_cosine_pairs(
     Brute-force O(n²/2) — correctness baseline and small-corpus tool; at
     scale use :func:`dedup_embedding_lsh` (banded candidates, same verify).
     """
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    normed = _spread_vecs(df).select(
+        F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__u")
+    )
+    left = normed.select(F.col("__id").alias("id_a"), F.col("__u").alias("__ua"))
+    right = normed.select(F.col("__id").alias("id_b"), F.col("__u").alias("__ub"))
     return (
         left.join(right, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+            F.round(dot(F.col("__ua"), F.col("__ub")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -103,7 +125,11 @@ def dedup_embedding_lsh(
     union'd via explode), exact cosine verifies. Two shuffles total
     (bucket join + distinct), both on high-cardinality keys."""
     dim = len(df.select(vec_col).first()[0])
-    tagged = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # unit vectors: bucket signs are normalization-invariant and the verify
+    # step becomes a plain dot product
+    tagged = _spread_vecs(df).select(
+        F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__v")
+    )
     bucket_structs = [
         F.struct(
             F.lit(t).alias("tbl"),
@@ -132,7 +158,7 @@ def dedup_embedding_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cands.select(
-        "id_a", "id_b", F.round(cosine("__va", "__vb"), 6).alias("cosine")
+        "id_a", "id_b", F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
 
 
@@ -155,16 +181,18 @@ def ann_topk(
     """
     qid = query_id_col or id_col
     q = F.broadcast(
-        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qu"))
     )
-    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("__iv"))
+    it = _spread_vecs(items).select(
+        F.col(id_col).alias("item_id"), unit(F.col(vec_col)).alias("__iu")
+    )
     scored = (
         it.crossJoin(q)
         .where(F.col("item_id") != F.col("query_id"))
         .select(
             "query_id",
             "item_id",
-            F.round(cosine(F.col("__iv"), F.col("__qv")), 6).alias("cosine"),
+            F.round(dot(F.col("__iu"), F.col("__qu")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id").asc())
@@ -211,13 +239,17 @@ def ann_topk_lsh(
         )
 
     it = bucketize(
-        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("__iv")),
+        _spread_vecs(items).select(
+            F.col(id_col).alias("item_id"), unit(F.col(vec_col)).alias("__iv")
+        ),
         "item_id",
         "__iv",
     )
     q = F.broadcast(
         bucketize(
-            queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")),
+            queries.select(
+                F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qv")
+            ),
             "query_id",
             "__qv",
         )
@@ -231,7 +263,7 @@ def ann_topk_lsh(
     scored = cands.select(
         "query_id",
         "item_id",
-        F.round(cosine(F.col("__iv"), F.col("__qv")), 6).alias("cosine"),
+        F.round(dot(F.col("__iv"), F.col("__qv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -50,8 +50,19 @@ def main() -> None:
 
     from ffn_polars_spark.queries import QUERY_FNS
 
-    # JVM/codegen warmup outside the timed region.
+    # JVM/codegen + Python-worker warmup outside the timed region (the
+    # Arrow-kernel queries otherwise pay ~5s of worker spawn + pandas import
+    # on their first use in a session).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(1000, numPartitions=32).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings = {}
     for name in HEADLINE:

@@ -1,0 +1,54 @@
+"""Arrow-batched numpy kernels for per-document signature computation.
+
+Kept in a module WITHOUT ``from __future__ import annotations``: pandas_udf
+resolves the pd.Series type hints at decoration time, so they must be real
+objects, not postponed strings.
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 31) - 1
+_SHIFTS = np.arange(64, dtype=np.uint64)[None, :]
+
+
+def make_minhash_udf(coeffs):
+    """(array<long> pre-modded hashes) -> array<long> permutation minima."""
+    A = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
+    B = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            v = np.asarray(h, dtype=np.int64)
+            # (a*h mod P + b) mod P == (a*h + b) mod P; a, h < P = 2^31-1
+            # keeps the product inside int64
+            m = ((A * v[None, :]) % _MERSENNE + B) % _MERSENNE
+            out.append(m.min(axis=1))
+        return pd.Series(out)
+
+    # The caller splits the signature array into one column per permutation
+    # with element_at; marking the UDF nondeterministic stops CollapseProject
+    # from inlining it into each of those projections (which would run the
+    # kernel num_hashes times per row). It IS deterministic — this is purely
+    # a plan-shape fence.
+    return _sig.asNondeterministic()
+
+
+def make_simhash_udf():
+    """(array<long> raw xxhash64 values) -> 64-bit simhash long."""
+
+    @pandas_udf("long")
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            v = np.asarray(h, dtype=np.int64).view(np.uint64)
+            ones = ((v[:, None] >> _SHIFTS) & np.uint64(1)).sum(axis=0)
+            bits = (ones * 2 > len(v)).astype(np.uint64)
+            out[i] = (bits << _SHIFTS[0]).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return _sig

@@ -1725,6 +1725,46 @@ QUERY_FNS["sim_market_day"] = q_sim_market_day
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming (streaming/) — a real file-source stream over the
+# events table, drained with an available-now trigger. Deterministic values,
+# but the memory-sink drain isn't SQL-twinnable -> rows-only; batch-vs-stream
+# equality is pinned in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_time_bars(spark, sf_dir):
+    """Watermarked 1-hour OHLCV bars computed by a streaming query."""
+    import os
+
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_time_bars,
+    )
+
+    configure(spark)
+    # the file stream source requires a DIRECTORY; stage the single events
+    # file behind a symlink dir (no data copy)
+    stage = os.path.join(
+        "/tmp", f"ffn_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = read_tick_stream(spark, stage, ts_col="ts").withColumn(
+        "price", F.lit(100.0) + F.col("value") / F.lit(10.0)
+    )
+    bars = streaming_time_bars(
+        stream, "price", by=["event_type"], bar="1 hour", delay_threshold="1 minute"
+    )
+    return run_available_now(bars)
+
+
+QUERY_FNS["streaming_time_bars"] = q_streaming_time_bars
+
+
+# ---------------------------------------------------------------------------
 # Sessionization.
 # ---------------------------------------------------------------------------
 

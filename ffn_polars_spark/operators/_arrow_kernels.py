@@ -52,3 +52,29 @@ def make_simhash_udf():
         return pd.Series(out)
 
     return _sig
+
+
+def make_bucket_udf(planes_per_table):
+    """(array<float/double> vector) -> array<long> of one sign-random-
+    projection bucket id per LSH table.
+
+    All tables' hyperplanes stack into one (T*P, dim) matrix, so a batch of
+    vectors is bucketed with a single BLAS matmul — the JVM alternative is
+    T*P interpreted dot-product HOFs per row. Sign convention matches
+    similarity.simhash_bucket: bit j set iff dot(v, plane_j) >= 0.
+    """
+    T = len(planes_per_table)
+    P = len(planes_per_table[0])
+    M = np.array(
+        [plane for table in planes_per_table for plane in table], dtype=np.float64
+    )  # (T*P, dim)
+    weights = (1 << np.arange(P, dtype=np.uint64)).astype(np.int64)  # per-bit value
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        bits = (V @ M.T >= 0).astype(np.int64).reshape(len(V), T, P)  # (n, T, P)
+        ids = bits @ weights  # (n, T)
+        return pd.Series(list(ids))
+
+    return _buckets

@@ -98,6 +98,37 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> List[List[float]]:
     return rng.standard_normal((planes, dim)).tolist()
 
 
+def _bucketize(
+    df: DataFrame, ident: str, vcol: str, planes_per_table: List[List[List[float]]]
+) -> DataFrame:
+    """One row per (LSH table, bucket) membership: (ident, vcol, __tbl, __bkt).
+
+    All tables bucket in a single Arrow-batched matmul (one kernel call per
+    batch) — interpreted per-plane dot HOFs were the dominant cost of the LSH
+    operators. Falls back to the JVM expression when the dedup module's
+    SIGNATURE_ENGINE is set to "jvm".
+    """
+    from ffn_polars_spark.operators.dedup import SIGNATURE_ENGINE
+
+    if SIGNATURE_ENGINE == "arrow":
+        from ffn_polars_spark.operators._arrow_kernels import make_bucket_udf
+
+        bk = make_bucket_udf(planes_per_table)
+        return df.select(
+            ident, vcol, F.posexplode(bk(F.col(vcol))).alias("__tbl", "__bkt")
+        )
+    structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            simhash_bucket(F.col(vcol), planes_per_table[t]).alias("b"),
+        )
+        for t in range(len(planes_per_table))
+    ]
+    return df.select(
+        ident, vcol, F.explode(F.array(*structs)).alias("__b")
+    ).select(ident, vcol, F.col("__b.tbl").alias("__tbl"), F.col("__b.b").alias("__bkt"))
+
+
 def simhash_bucket(vec: Column, hyperplanes: List[List[float]]) -> Column:
     """Sign-random-projection bucket id for a vector (one long)."""
     bucket = F.lit(0).cast("long")
@@ -130,16 +161,9 @@ def dedup_embedding_lsh(
     tagged = _spread_vecs(df).select(
         F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__v")
     )
-    bucket_structs = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            simhash_bucket(F.col("__v"), _hyperplanes(dim, planes, seed + t)).alias("b"),
-        )
-        for t in range(tables)
-    ]
-    buckets = tagged.select(
-        "__id", "__v", F.explode(F.array(*bucket_structs)).alias("__b")
-    ).select("__id", "__v", F.col("__b.tbl").alias("__tbl"), F.col("__b.b").alias("__bkt"))
+    buckets = _bucketize(tagged, "__id", "__v", [
+        _hyperplanes(dim, planes, seed + t) for t in range(tables)
+    ])
 
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
@@ -224,34 +248,22 @@ def ann_topk_lsh(
     dim = len(items.select(vec_col).first()[0])
     planes_per_table = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
 
-    def bucketize(df: DataFrame, ident: str, vcol: str) -> DataFrame:
-        structs = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                simhash_bucket(F.col(vcol), planes_per_table[t]).alias("b"),
-            )
-            for t in range(tables)
-        ]
-        return df.select(
-            F.col(ident), F.col(vcol), F.explode(F.array(*structs)).alias("__b")
-        ).select(
-            ident, vcol, F.col("__b.tbl").alias("__tbl"), F.col("__b.b").alias("__bkt")
-        )
-
-    it = bucketize(
+    it = _bucketize(
         _spread_vecs(items).select(
             F.col(id_col).alias("item_id"), unit(F.col(vec_col)).alias("__iv")
         ),
         "item_id",
         "__iv",
+        planes_per_table,
     )
     q = F.broadcast(
-        bucketize(
+        _bucketize(
             queries.select(
                 F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qv")
             ),
             "query_id",
             "__qv",
+            planes_per_table,
         )
     )
     cands = (

@@ -1,0 +1,83 @@
+"""Rolling-window series operators.
+
+Not present in the reference (its Polars base has ``rolling_*`` built in and
+the library never wraps them), but they are table stakes for a time-series
+engine, so they're provided as first-class series operators. Semantics match
+Polars ``rolling_*`` defaults: a window of the last ``window`` rows INCLUDING
+the current one, null until the window is full (min_periods = window).
+
+Every operator is a single windowed aggregate over
+``Over(partition_by, order_by)`` — one hash exchange per partitioning, frame
+evaluation streams inside the sort, nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.core import ColumnOrName, Over, to_col
+from ffn_polars_spark.registry import register
+from ffn_polars_spark.utils import auto_alias, guard_input
+
+
+def _frame(over: Over, op: str, window: int):
+    return over.w_ordered(op).rowsBetween(-(window - 1), Window.currentRow)
+
+
+def _full_only(value: Column, count_col: Column, window: int) -> Column:
+    """Null until the window holds ``window`` non-null observations."""
+    return F.when(count_col >= F.lit(int(window)), value)
+
+
+def _rolling(agg_fn, suffix: str):
+    def op(self: ColumnOrName, window: int, *, over: Over) -> Column:
+        c = to_col(self)
+        w = _frame(over, f"rolling_{suffix}", window)
+        return _full_only(agg_fn(c).over(w), F.count(c).over(w), window)
+
+    op.__name__ = f"rolling_{suffix}"
+    op.__doc__ = (
+        f"Rolling {suffix} over the trailing ``window`` rows (null until full)."
+    )
+    return op
+
+
+rolling_mean = register(namespace="eod", context="series")(
+    auto_alias("rolling_mean")(_rolling(F.avg, "mean"))
+)
+rolling_sum = register(namespace="eod", context="series")(
+    auto_alias("rolling_sum")(_rolling(F.sum, "sum"))
+)
+rolling_min = register(namespace="eod", context="series")(
+    auto_alias("rolling_min")(_rolling(F.min, "min"))
+)
+rolling_max = register(namespace="eod", context="series")(
+    auto_alias("rolling_max")(_rolling(F.max, "max"))
+)
+rolling_std = register(namespace="eod", context="series")(
+    auto_alias("rolling_std")(_rolling(F.stddev_samp, "std"))
+)
+
+
+@register(namespace="eod", context="series")
+@auto_alias("rolling_zscore")
+@guard_input("self", expected_dtype="double")
+def rolling_zscore(self: ColumnOrName, window: int, *, over: Over) -> Column:
+    """(x - rolling_mean) / rolling_std over the trailing window."""
+    c = to_col(self)
+    w = _frame(over, "rolling_zscore", window)
+    z = (c - F.avg(c).over(w)) / F.stddev_samp(c).over(w)
+    return _full_only(z, F.count(c).over(w), window)
+
+
+@register(namespace="eod", context="series")
+@auto_alias("rolling_corr")
+@guard_input("self", expected_dtype="double")
+def rolling_corr(
+    self: ColumnOrName, other: ColumnOrName, window: int, *, over: Over
+) -> Column:
+    """Rolling Pearson correlation of two columns over the trailing window."""
+    a, b = to_col(self), to_col(other)
+    w = _frame(over, "rolling_corr", window)
+    return _full_only(F.corr(a, b).over(w), F.count(a).over(w), window)

@@ -1009,6 +1009,57 @@ def q_volume_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Rolling-window series operators (functions/rolling.py).
+# ---------------------------------------------------------------------------
+
+_ROLL_W = f"{W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
+
+
+@query(
+    "rolling_stats",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"avg(price) OVER ({_ROLL_W})")} END AS price_rolling_mean,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"stddev_samp(price) OVER ({_ROLL_W})")} END AS price_rolling_std,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN min(price) OVER ({_ROLL_W}) END AS price_rolling_min,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN max(price) OVER ({_ROLL_W}) END AS price_rolling_max,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"(price - avg(price) OVER ({_ROLL_W})) / stddev_samp(price) OVER ({_ROLL_W})")} END AS price_rolling_zscore
+FROM ticks""",
+)
+def q_rolling_stats(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.rolling_mean("price", 20, over=TICK_OVER)).alias("price_rolling_mean"),
+        r6(ffn.eod.rolling_std("price", 20, over=TICK_OVER)).alias("price_rolling_std"),
+        ffn.eod.rolling_min("price", 20, over=TICK_OVER).alias("price_rolling_min"),
+        ffn.eod.rolling_max("price", 20, over=TICK_OVER).alias("price_rolling_max"),
+        r6(ffn.eod.rolling_zscore("price", 20, over=TICK_OVER)).alias("price_rolling_zscore"),
+    )
+
+
+@query(
+    "rolling_corr",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"corr(price, price_b) OVER ({_ROLL_W})")} END AS price_rolling_corr
+FROM ticks""",
+)
+def q_rolling_corr(spark, sf_dir):
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.rolling_corr("price", "price_b", 20, over=TICK_OVER)).alias(
+            "price_rolling_corr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quote analytics (reference's declared-but-empty quote namespace;
 # functions/quote.py). ask/bid derived deterministically from the ticks frame.
 # ---------------------------------------------------------------------------
@@ -1269,6 +1320,83 @@ def q_asof_interp(spark, sf_dir):
     )
     return out.select(
         "event_id", "user_id", "ts_ns", r6(F.col("click_price")).alias("click_price")
+    )
+
+
+@query(
+    "asof_join_forward",
+    TICKS_SQL
+    + """
+SELECT p.event_id, p.user_id, p.ts_ns, c.price AS click_price
+FROM (SELECT * FROM ticks WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ticks WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts_ns <= c.ts_ns""",
+)
+def q_asof_forward(spark, sf_dir):
+    from ffn_polars_spark.operators.asof import asof_join
+
+    t = ticks(spark, sf_dir)
+    purch = t.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    clicks = t.where(F.col("event_type") == "click").select(
+        "user_id", "ts_ns", F.col("price").alias("click_price")
+    )
+    return asof_join(purch, clicks, on="ts_ns", by="user_id", strategy="forward")
+
+
+@query(
+    "asof_join_nearest",
+    TICKS_SQL
+    + """, p AS (SELECT event_id, user_id, ts_ns FROM ticks WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_ns, price FROM ticks WHERE event_type = 'click'),
+bwd AS (
+  SELECT p.event_id, p.user_id, p.ts_ns, c.ts_ns AS bt, c.price AS bv
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ns >= c.ts_ns),
+fwd AS (
+  SELECT p.event_id, c.ts_ns AS ft, c.price AS fv
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ns <= c.ts_ns)
+SELECT b.event_id, b.user_id, b.ts_ns,
+       CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (b.ts_ns - bt) <= (ft - b.ts_ns))
+            THEN bv ELSE fv END AS click_price
+FROM bwd b JOIN fwd f ON b.event_id = f.event_id""",
+)
+def q_asof_nearest(spark, sf_dir):
+    from ffn_polars_spark.operators.asof import asof_join
+
+    t = ticks(spark, sf_dir)
+    purch = t.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    clicks = t.where(F.col("event_type") == "click").select(
+        "user_id", "ts_ns", F.col("price").alias("click_price")
+    )
+    return asof_join(purch, clicks, on="ts_ns", by="user_id", strategy="nearest")
+
+
+@query(
+    "asof_join_tolerance",
+    TICKS_SQL
+    + """
+SELECT p.event_id, p.user_id, p.ts_ns,
+       CASE WHEN p.ts_ns - c.ts_ns <= 3600000000000 THEN c.price END AS click_price
+FROM (SELECT * FROM ticks WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ticks WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts_ns >= c.ts_ns""",
+)
+def q_asof_tolerance(spark, sf_dir):
+    from ffn_polars_spark.operators.asof import asof_join
+
+    t = ticks(spark, sf_dir)
+    purch = t.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    clicks = t.where(F.col("event_type") == "click").select(
+        "user_id", "ts_ns", F.col("price").alias("click_price")
+    )
+    return asof_join(
+        purch, clicks, on="ts_ns", by="user_id", strategy="backward",
+        tolerance=3600 * 1_000_000_000,
     )
 
 

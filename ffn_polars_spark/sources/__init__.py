@@ -99,3 +99,55 @@ def load_golden_prices(spark: SparkSession, path: str = GOLDEN_CSV) -> DataFrame
         F.col("MSFT").cast("double"),
         F.col("C").cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sinks.
+# ---------------------------------------------------------------------------
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by=None,
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Write a (partitioned) table.
+
+    ``partition_by`` is the scale lever: partitioning tick data by
+    date/ticker prunes whole directories at read time (PartitionFilters in
+    the scan), which is the difference between touching one day and touching
+    100 TB. ``max_records_per_file`` caps file size so downstream scans
+    parallelize regardless of writer parallelism.
+    """
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by,
+    num_buckets: int = 32,
+    sort_by=None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles on the join/agg key at write time: two tables
+    bucketed the same way join with ZERO exchanges, and per-key windows skip
+    their sort when ``sort_by`` matches. This is the co-located-join story
+    for keys too big to broadcast.
+    """
+    bucket_cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(int(num_buckets), *bucket_cols)
+    if sort_by:
+        sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -1,0 +1,102 @@
+"""Property-based invariants (hypothesis): algebraic identities between
+operators that must hold for ANY input series, complementing the pinned
+golden values."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import ffn_polars_spark as ffn
+from ffn_polars_spark import Over
+
+OVER = Over(order_by="i")
+
+prices = st.lists(
+    st.floats(min_value=0.5, max_value=500.0, allow_nan=False, width=32),
+    min_size=2,
+    max_size=30,
+)
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, ps):
+    return spark.createDataFrame([(i, float(p)) for i, p in enumerate(ps)], ["i", "p"])
+
+
+@given(ps=prices)
+@SET
+def test_price_index_of_returns_is_rebase(spark, ps):
+    """cumprod(1 + returns(p)) * 100 == p / p0 * 100, for any positive series."""
+    df = _frame(spark, ps).withColumn("returns", ffn.eod.to_returns("p", over=OVER))
+    both = df.select(
+        "i",
+        ffn.eod.to_price_index("returns", start=100, over=OVER).alias("idx"),
+        ffn.eod.rebase("p", value=100, over=OVER).alias("reb"),
+    ).collect()
+    for r in both:
+        assert r["idx"] == pytest.approx(r["reb"], rel=1e-9)
+
+
+@given(ps=prices)
+@SET
+def test_drawdown_nonpositive_and_max_dd_is_min(spark, ps):
+    df = _frame(spark, ps)
+    dd = df.select(
+        ffn.eod.to_drawdown_series("p", over=OVER).alias("dd")
+    ).collect()
+    assert all(r["dd"] <= 1e-12 for r in dd)
+    from ffn_polars_spark.functions.eod_risk import calc_max_drawdown
+
+    mdd = calc_max_drawdown(df, "p", order_by="i").collect()[0][0]
+    assert mdd == pytest.approx(min(r["dd"] for r in dd))
+
+
+@given(ps=prices)
+@SET
+def test_total_return_consistency(spark, ps):
+    df = _frame(spark, ps)
+    tr = df.select(ffn.eod.calc_total_return("p", "i")).collect()[0][0]
+    assert tr == pytest.approx(ps[-1] / ps[0] - 1, rel=1e-9)
+
+
+@given(ps=prices)
+@SET
+def test_tick_rule_domain_and_imbalance_range(spark, ps):
+    df = _frame(spark, ps)
+    dirs = df.select(ffn.tick.tick_rule("p", over=OVER).alias("d")).collect()
+    assert all(r["d"] in (-1, 0, 1) for r in dirs)
+    # two-phase by design: series op in a projection, scalar agg after
+    imb = (
+        df.withColumn("d", ffn.tick.tick_rule("p", over=OVER).cast("double"))
+        .select(ffn.tick.calc_tick_imbalance("d"))
+        .collect()[0][0]
+    )
+    assert -1.0 - 1e-12 <= imb <= 1.0 + 1e-12
+
+
+@given(ps=prices)
+@SET
+def test_vwap_bounded_by_price_range(spark, ps):
+    df = _frame(spark, ps).withColumn("v", F.lit(1.0) + (F.col("i") % 3))
+    vwap = df.select(ffn.tick.calc_vwap("p", "v")).collect()[0][0]
+    assert min(ps) - 1e-9 <= vwap <= max(ps) + 1e-9
+
+
+@given(ps=prices)
+@SET
+def test_log_returns_sum_is_total_log_return(spark, ps):
+    df = _frame(spark, ps)
+    s = (
+        df.withColumn("lr", ffn.eod.to_log_returns("p", over=OVER))
+        .agg(F.sum("lr").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert s == pytest.approx(math.log(ps[-1] / ps[0]), rel=1e-7, abs=1e-9)

@@ -168,3 +168,110 @@ def sample_frames(
             )
         ).alias("frame_idx", "byte_offset"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(data: bytes, fake: bool = False) -> dict:
+    """Decode one audio clip — STUB like :func:`decode_image` (no audio
+    library in this container). ``fake=True`` derives deterministic
+    pseudo-features from the bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode needs an audio library (soundfile/librosa) not "
+            "present in this environment; pass fake=True for the stub"
+        )
+    n = len(data)
+    first = data[0] if n else 0
+    sample_rate = 8000 * (1 + first % 3)  # 8/16/24 kHz
+    return {
+        "duration_s": float(n) / sample_rate,
+        "sample_rate": sample_rate,
+        "rms": float((n * 17 + first) % 1000) / 1000.0,
+    }
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="extract_audio_features")
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio feature extraction over Arrow batches (``mapInPandas``) — same
+    plumbing shape as :func:`extract_image_features`."""
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col]) if row[content_col] is not None else b""
+                feats = decode_audio(data, fake=fake)
+                out.append({"doc_id": row[id_col], "n_bytes": len(data), **feats})
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "duration_s", "sample_rate", "rms"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="resize_images")
+def resize_images(
+    df: DataFrame,
+    target: int = 32,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Image resize over Arrow batches (``mapInPandas``), emitting new binary
+    content — the thumbnail stage of a training-data pipeline. The real
+    resample needs an imaging library; the fake path truncates/pads bytes to
+    ``target*target*3`` deterministically so batch shapes, binary output and
+    schema are exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize needs an imaging library; pass fake=True"
+        )
+
+    size = int(target) * int(target) * 3
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col]) if row[content_col] is not None else b""
+                resized = (data * (size // max(len(data), 1) + 1))[:size]
+                out.append(
+                    {
+                        "doc_id": row[id_col],
+                        "width": int(target),
+                        "height": int(target),
+                        "content": resized,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "content"])
+
+    return df.select(id_col, content_col).mapInPandas(_resize, RESIZED_SCHEMA)

@@ -1809,6 +1809,31 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_sample",
+    """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, least(8, CAST(floor(n / 1024.0) AS INT) + 1) - 1)) AS frame_idx
+  FROM b)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 1024 AS BIGINT) AS byte_offset
+FROM f""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    from ffn_polars_spark.operators.multimodal import sample_frames, text_as_binary
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = sample_frames(text_as_binary(docs), every_n_bytes=1024, max_frames=8)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+@query(
     "multimodal_features",
     """
 SELECT doc_id,

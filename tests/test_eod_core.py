@@ -117,3 +117,33 @@ def test_grouped_series_ops(spark):
     aae(out[1]["price_returns"], 0.1, places=9)
     assert out[2]["price_returns"] is None
     aae(out[3]["price_returns"], -0.2, places=9)
+
+
+def test_calc_mtd_reference_pinned(spark):
+    # reference tests/expr/test_expr_core.py:71-84: daily 2024-03-01..04-10,
+    # prices 100..140 -> latest 140 vs last-of-March 130
+    import datetime
+
+    rows = [
+        (datetime.date(2024, 3, 1) + datetime.timedelta(days=i), 100.0 + i)
+        for i in range(41)
+    ]
+    df = spark.createDataFrame(rows, ["Date", "AAPL"])
+    from ffn_polars_spark.functions.eod_returns import calc_mtd
+
+    out = calc_mtd(df, "AAPL", "Date").collect()[0]["AAPL_mtd"]
+    aae(out, 140 / 130 - 1, places=4)
+
+
+def test_calc_ytd_reference_pinned(spark):
+    # reference tests/expr/test_expr_core.py:86-99: daily 2024-01-01..04-09,
+    # prices 100..199 -> 199/100 - 1
+    import datetime
+
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i), 100.0 + i)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["Date", "AAPL"])
+    out = df.select(ffn.eod.calc_ytd("AAPL", "Date")).collect()[0]["AAPL_ytd"]
+    aae(out, 0.99, places=4)

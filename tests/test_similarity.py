@@ -80,3 +80,50 @@ def test_ann_topk_lsh_recall(spark, embdf):
     # the planted near-dup must be retrieved for every query
     for j in range(5):
         assert (j, 100 + j) in approx
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing additions (audio features, resize, frame sampling).
+# ---------------------------------------------------------------------------
+
+
+def test_audio_features_and_resize(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.multimodal import (
+        decode_audio,
+        extract_audio_features,
+        resize_images,
+        sample_frames,
+        text_as_binary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 50), (2, "tiny")], ["doc_id", "text"]
+    )
+    b = text_as_binary(docs)
+
+    audio = {r["doc_id"]: r for r in extract_audio_features(b).collect()}
+    assert audio[1]["n_bytes"] == 600
+    assert audio[1]["sample_rate"] in (8000, 16000, 24000)
+    assert audio[1]["duration_s"] == pytest.approx(
+        600 / audio[1]["sample_rate"]
+    )
+
+    rs = {r["doc_id"]: r for r in resize_images(b, target=8).collect()}
+    assert all(len(r["content"]) == 8 * 8 * 3 for r in rs.values())
+    assert rs[2]["width"] == 8 and rs[2]["height"] == 8
+    # deterministic: same input -> same bytes
+    rs2 = {r["doc_id"]: r for r in resize_images(b, target=8).collect()}
+    assert rs[1]["content"] == rs2[1]["content"]
+
+    frames = sample_frames(b, every_n_bytes=100, max_frames=4).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["byte_offset"])
+    assert per_doc[1] == [0, 100, 200, 300]  # capped at max_frames
+    assert per_doc[2] == [0]
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"xx", fake=False)

@@ -1009,6 +1009,49 @@ def q_volume_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — the salted rewrite must be
+# result-identical to the direct GROUP BY, which IS the oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_agg",
+    f"""
+SELECT event_type,
+       count(*) AS n,
+       {R("CAST(sum(value) AS DOUBLE)")} AS total_value,
+       {R("avg(value)")} AS mean_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type""",
+)
+def q_salted_agg(spark, sf_dir):
+    from ffn_polars_spark.operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        "event_type",
+        {
+            "n": ("count", "*"),
+            "total_value": ("sum", "value"),
+            "mean_value": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        r6(F.col("total_value")).alias("total_value"),
+        r6(F.col("mean_value")).alias("mean_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling-window series operators (functions/rolling.py).
 # ---------------------------------------------------------------------------
 

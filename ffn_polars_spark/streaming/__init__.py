@@ -46,6 +46,7 @@ __all__ = [
     "streaming_vwap",
     "streaming_session_stats",
     "stateful_running_vwap",
+    "stateful_realized_volatility",
     "run_available_now",
 ]
 
@@ -243,3 +244,74 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+_RVOL_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_log_price", DoubleType()),
+        StructField("sum_sq", DoubleType()),
+        StructField("n_returns", LongType()),
+    ]
+)
+
+
+def _rvol_output_schema(key: str) -> StructType:
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("n_returns", LongType()),
+            StructField("realized_volatility", DoubleType()),
+        ]
+    )
+
+
+def stateful_realized_volatility(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    price: str,
+) -> DataFrame:
+    """Running realized volatility per key via ``applyInPandasWithState`` —
+    the sequence-dependent stateful pattern: the state carries the LAST
+    observation (timestamp + log price) so the first return of each
+    micro-batch chains to the previous batch, plus the running sum of squared
+    log returns. Batch twin: functions/tick_price.calc_realized_volatility.
+
+    Rows inside a batch are sorted by event time before updating; exactness
+    across batches requires in-order file/partition delivery per key (true
+    for the availableNow drains used in tests; production streams should
+    window instead when late data is possible).
+    """
+    import math
+
+    def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            last_ts, last_lp, sum_sq, n = state.get
+        else:
+            last_ts, last_lp, sum_sq, n = None, None, 0.0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts)
+            for _, row in pdf.iterrows():
+                lp = math.log(float(row[price]))
+                if last_lp is not None:
+                    r = lp - last_lp
+                    sum_sq += r * r
+                    n += 1
+                last_ts, last_lp = int(row[ts]), lp
+        state.update((last_ts, last_lp, sum_sq, n))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_returns": [n],
+                "realized_volatility": [math.sqrt(sum_sq)],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=_rvol_output_schema(key),
+        stateStructType=_RVOL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -114,3 +114,73 @@ def test_stateful_running_vwap(spark, tick_dir):
     for t in ("A", "B"):
         assert rows[t]["cum_volume"] == batch[t]["v"]
         assert abs(rows[t]["running_vwap"] - batch[t]["w"]) < 1e-9
+
+
+def test_stateful_realized_volatility(spark, tick_dir):
+    import math
+
+    from ffn_polars_spark.streaming import stateful_realized_volatility
+
+    stream = read_tick_stream(spark, tick_dir, ts_col="ts")
+    out = run_available_now(
+        stateful_realized_volatility(stream, "ticker", "ts", "price"),
+        output_mode="update",
+    )
+    rows = {r["ticker"]: r for r in out.collect()}
+    # batch twin per ticker
+    import pandas as pd
+
+    pdf = spark.read.parquet(tick_dir).toPandas().sort_values("ts")
+    for t in ("A", "B"):
+        ps = pdf[pdf["ticker"] == t]["price"].to_numpy()
+        rets = [math.log(ps[i] / ps[i - 1]) for i in range(1, len(ps))]
+        expect = math.sqrt(sum(r * r for r in rets))
+        assert rows[t]["n_returns"] == len(rets)
+        assert abs(rows[t]["realized_volatility"] - expect) < 1e-9
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Two files delivered in separate micro-batches: the second file's rows
+    are older than (max event time - watermark delay) and its window was
+    already finalized -> append-mode output excludes them."""
+    import os
+
+    import glob
+    import time
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    SECOND = 1_000_000_000
+
+    def write_batch(rows, mtime):
+        before = set(glob.glob(os.path.join(d, "*.parquet")))
+        spark.createDataFrame(rows, ["ticker", "ts", "price"]).coalesce(
+            1
+        ).write.parquet(d, mode="append")
+        for f in set(glob.glob(os.path.join(d, "*.parquet"))) - before:
+            os.utime(f, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    # batch 1: one hour of on-time ticks (watermark update lands at batch 2)
+    write_batch([("A", i * 60 * SECOND, 1.0) for i in range(60)], t0)
+    # batch 2: fresh row; watermark is now 54 min, so windows [0, 50) are
+    # evicted+emitted at this batch's end
+    write_batch([("A", 61 * 60 * SECOND, 1.0)], t0 + 100)
+    # batch 3: a 59-min-late spike at 2 min event time — its window's state
+    # is gone and it's older than the watermark -> dropped (Spark drops
+    # too-late rows only once the window state is evicted, so same-batch
+    # late rows would still aggregate; cross-batch ones must not)
+    write_batch([("A", 2 * 60 * SECOND, 100.0)], t0 + 200)
+    # batch 4: advance the watermark again to flush more finalized windows
+    write_batch([("A", 70 * 60 * SECOND, 1.0)], t0 + 300)
+
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1)
+    bars = streaming_time_bars(
+        stream, "price", by=["ticker"], bar="10 minutes", delay_threshold="5 minutes"
+    )
+    out = run_available_now(bars, output_mode="append").collect()
+    assert out, "expected finalized bars in append mode"
+    # the late spike must appear nowhere, and the bar it targeted is intact
+    assert all(r["high"] == 1.0 for r in out)
+    first_bar = [r for r in out if r["bar_start"].minute == 0 and r["bar_start"].hour == 0]
+    assert first_bar and first_bar[0]["n_ticks"] == 10

@@ -1009,6 +1009,39 @@ def q_volume_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Wide-table helpers (operators/wide.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "melt_wide",
+    """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""",
+)
+def q_melt_wide(spark, sf_dir):
+    from ffn_polars_spark.operators.wide import melt
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "discount", "tax"],
+        key_name="metric",
+        value_name="val",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew mitigation (operators/skew.py) — the salted rewrite must be
 # result-identical to the direct GROUP BY, which IS the oracle.
 # ---------------------------------------------------------------------------

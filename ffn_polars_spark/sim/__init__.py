@@ -39,7 +39,7 @@ def apply_plugins(df: DataFrame, plugins: List[dict], plugin_type: str) -> DataF
 
 def simulate_market(
     spark: SparkSession,
-    ticker: str,
+    ticker,
     days: int = 1,
     quote_ticks_per_day: int = 500_000,
     trade_volume_per_day: int = 10_000_000,
@@ -48,32 +48,38 @@ def simulate_market(
     sort: bool = True,
 ) -> Tuple[DataFrame, DataFrame]:
     """(quotes, trades) over ``days`` sessions (reference defaults:
-    500k quote ticks and 10M traded shares per day, sim/__init__.py:23-24)."""
+    500k quote ticks and 10M traded shares per day, sim/__init__.py:23-24).
+
+    ``ticker`` may be one symbol or a list — multi-ticker tapes union the
+    per-ticker plans (each ticker draws an independent seeded stream, so the
+    union parallelizes with no cross-ticker coupling)."""
     plugins = plugins or []
+    tickers = [ticker] if isinstance(ticker, str) else list(ticker)
 
     quotes_days, trades_days = [], []
-    for day in range(days):
-        quotes = simulate_quotes(
-            spark,
-            ticker=ticker,
-            day_index=day,
-            ticks_per_day=quote_ticks_per_day,
-            seed=seed,
-        )
-        quotes = apply_plugins(quotes, plugins, "quotes")
+    for t_idx, tkr in enumerate(tickers):
+        for day in range(days):
+            quotes = simulate_quotes(
+                spark,
+                ticker=tkr,
+                day_index=day,
+                ticks_per_day=quote_ticks_per_day,
+                seed=seed + 1_000_003 * t_idx,
+            )
+            quotes = apply_plugins(quotes, plugins, "quotes")
 
-        trades = simulate_trades(
-            spark,
-            ticker=ticker,
-            quotes=quotes,
-            day_index=day,
-            target_volume=trade_volume_per_day,
-            seed=seed,
-        )
-        trades = apply_plugins(trades, plugins, "trades")
+            trades = simulate_trades(
+                spark,
+                ticker=tkr,
+                quotes=quotes,
+                day_index=day,
+                target_volume=trade_volume_per_day,
+                seed=seed + 1_000_003 * t_idx,
+            )
+            trades = apply_plugins(trades, plugins, "trades")
 
-        quotes_days.append(quotes)
-        trades_days.append(trades)
+            quotes_days.append(quotes)
+            trades_days.append(trades)
 
     all_quotes, all_trades = quotes_days[0], trades_days[0]
     for q in quotes_days[1:]:

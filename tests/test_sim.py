@@ -172,3 +172,18 @@ def test_preview_plugin_effect(quotes, capsys):
     assert "widen_spreads" in out and "ask_price" in out
     preview_plugin_effect(quotes, "nope")
     assert "not found" in capsys.readouterr().out
+
+
+def test_simulate_market_multi_ticker(spark):
+    q, t = simulate_market(
+        spark, ["AAA", "BBB"], days=1, quote_ticks_per_day=800,
+        trade_volume_per_day=10_000,
+    )
+    qc = {r["ticker"]: r["n"] for r in q.groupBy("ticker").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert qc == {"AAA": 800, "BBB": 800}
+    # independent streams: same timestamps, different prices
+    pa = q.where(F.col("ticker") == "AAA").select("participant_timestamp", "bid_price")
+    pb = q.where(F.col("ticker") == "BBB").select("participant_timestamp", F.col("bid_price").alias("b2"))
+    joined = pa.join(pb, "participant_timestamp")
+    diff = joined.where(F.col("bid_price") != F.col("b2")).count()
+    assert diff > 700  # nearly every tick differs across tickers

@@ -124,18 +124,14 @@ def dedup_exact(
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per document.
+    """(id, shingle) inverted-index rows, distinct per document.
 
-    Tokenizes into a materialized array column first so the shingle
-    construction is linear in document length (see shingles_from_tokens).
+    Built by exploding the per-document ``array_distinct`` shingle array —
+    dedup happens in-row, so no ``distinct()`` shuffle: the only exchange in
+    a consumer's plan is its own join/agg.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
-    )
-    return toks.select(
-        "__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh")
-    ).distinct()
+    arrays = _doc_shingle_arrays(df, text_col, id_col, n)
+    return arrays.select("__id", F.explode("__shd").alias("__sh"))
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="ngram_jaccard_pairs")
@@ -150,7 +146,9 @@ def ngram_jaccard_pairs(
     threshold) via an inverted shingle index: documents sharing zero shingles
     never meet, so the join output is bounded by co-occurrence, not |docs|².
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
+    # pinned: the index feeds three branches (sizes + both self-join sides);
+    # without it each branch re-runs the tokenize/shingle projection
+    sh = _pinned(_doc_shingles(_spread(df, id_col), text_col, id_col, n))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

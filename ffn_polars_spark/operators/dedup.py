@@ -452,3 +452,85 @@ def dedup_simhash(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="connected_components")
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a similarity-pair edge list:
+    (node, component) where component = min node id reachable.
+
+    Turns pairwise dedup output (minhash/simhash/jaccard pairs) into CLUSTER
+    assignments — the step between "these documents look alike" and "keep
+    one canonical copy per group".
+
+    Iterative min-label propagation: each round every node takes the minimum
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds (near-dup clusters are dense, so typically 2-4). Each
+    iteration ``localCheckpoint``s the label frame — without it the plan
+    doubles per round and the job dies on lineage, the classic iterative-
+    algorithm failure on Spark. Convergence is detected by an aggregate
+    (count of changed labels), one small job per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("__nbr"), F.col("comp"))).alias(
+                    "__new"
+                ),
+                "comp",
+            )
+        )
+        changed = new_labels.where(F.col("__new") != F.col("comp")).count()
+        labels = new_labels.select(
+            "node", F.col("__new").alias("comp")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="dedup_assign_canonical")
+def dedup_assign_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every document with its canonical id (the min id of its near-dup
+    cluster; singletons are their own canonical) and an ``is_duplicate``
+    flag — the materialized keep/drop decision for a dedup pipeline."""
+    comps = connected_components(pairs, id_a, id_b)
+    return (
+        df.join(comps, df[id_col] == comps["node"], "left")
+        .select(
+            df[id_col],
+            F.coalesce(F.col("comp"), df[id_col]).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )

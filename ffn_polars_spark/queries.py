@@ -1691,6 +1691,47 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+@query(
+    "dedup_canonical",
+    f"""
+WITH RECURSIVE fp AS (SELECT doc_id, md5({NORM_SQL}) AS h FROM documents),
+g AS (SELECT h, min(doc_id) AS canon FROM fp GROUP BY h),
+{TRIGRAM_SQL.replace("tok AS", "tok AS")},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, w.lbl FROM walk w JOIN edges e ON w.node = e.src),
+comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node)
+SELECT d.doc_id,
+       coalesce(comp.c, d.doc_id) AS canonical_id,
+       d.doc_id <> coalesce(comp.c, d.doc_id) AS is_duplicate
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.node""",
+)
+def q_dedup_canonical(spark, sf_dir):
+    """Near-dup pairs (exact trigram Jaccard >= 0.5) -> connected components
+    -> canonical assignment; the oracle recomputes components with a
+    recursive CTE."""
+    from ffn_polars_spark.operators.dedup import (
+        dedup_assign_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_assign_canonical(docs, pairs)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH candidates + exact-Jaccard verification. The minhash
     permutations have no SQL-portable twin (xxhash64) → rows-only check here;

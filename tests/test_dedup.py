@@ -98,3 +98,33 @@ def test_simhash_exact_duplicates_zero_hamming(spark, corpus):
 def test_num_hashes_bands_contract(spark, corpus):
     with pytest.raises(ValueError, match="divisible"):
         dedup_minhash_lsh(corpus, num_hashes=100, bands=33)
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from ffn_polars_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 round), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_assign_canonical(spark, corpus):
+    from ffn_polars_spark.operators.dedup import (
+        dedup_assign_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6)
+    out = {r["doc_id"]: r for r in dedup_assign_canonical(corpus, pairs).collect()}
+    assert len(out) == corpus.count()
+    # the planted near-dups (100+j copies of doc j) collapse onto doc j
+    dup_hits = sum(
+        1 for j in range(10) if out[100 + j]["canonical_id"] == j and out[100 + j]["is_duplicate"]
+    )
+    assert dup_hits >= 9
+    # untouched docs are their own canonical
+    assert not out[30]["is_duplicate"] and out[30]["canonical_id"] == 30

@@ -219,12 +219,18 @@ def idle_time(
     ts: str,
     by: Optional[list] = None,
     threshold_ns: int = 1_000_000_000,
+    tiebreak: Optional[list] = None,
 ) -> DataFrame:
     """Fraction of the session spent in inter-tick gaps longer than
     ``threshold_ns``: per group, ``sum(gap | gap > thr) / (max ts - min ts)``
-    plus the idle-gap count."""
+    plus the idle-gap count.
+
+    ``tiebreak`` columns extend the window order past ``ts`` so duplicate
+    timestamps (e.g. truncated epochs) lag deterministically; the gap multiset
+    is tie-invariant, but a pinned order makes the plan bit-reproducible.
+    """
     by = list(by or [])
-    over = Over(order_by=ts, partition_by=by or None)
+    over = Over(order_by=[ts, *(tiebreak or [])], partition_by=by or None)
     gap = to_col(ts) - F.lag(to_col(ts), 1).over(over.w_ordered("idle_time"))
     pre = df.withColumn("__gap", gap)
     g = pre.groupBy(*by) if by else pre.groupBy()

@@ -957,7 +957,13 @@ def q_idle_time(spark, sf_dir):
     from ffn_polars_spark.functions.tick_bars import idle_time
 
     t = ticks(spark, sf_dir)
-    out = idle_time(t, "ts_ns", by=["event_type"], threshold_ns=60 * 1_000_000_000)
+    out = idle_time(
+        t,
+        "ts_ns",
+        by=["event_type"],
+        threshold_ns=60 * 1_000_000_000,
+        tiebreak=["event_id"],
+    )
     return out.withColumn("idle_frac", r6(F.col("idle_frac")))
 
 
@@ -2064,3 +2070,69 @@ def q_session_stats(spark, sf_dir):
         "user_id", (F.expr("ts div 1000") * F.lit(1000)).alias("ts_ns")
     )
     return session_stats(ev, ts_col="ts_ns", key_col="user_id", gap=3600 * 1_000_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Catalog ordering.
+#
+# The correctness driver checks a bounded prefix of the catalog per round
+# (~50 of 81 entries in round 1), so registration order IS verification
+# coverage.  Rebuild both dicts risk-first: entries without a driver-green
+# round-1 row (as-of joins, dedup, relational, text, multimodal, sessions,
+# infer_*, resamples, sim, streaming) plus the two round-1 non-green rows
+# (idle_time hash-fail, prob_mom no-oracle) come first; the 48 already-proven
+# scalar operators follow.  Names absent from _PRIORITY keep their original
+# relative order at the back, and names in _PRIORITY but not registered are
+# ignored, so the list can't silently drop catalog entries.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = [
+    # round-1 non-green rows, re-verify first
+    "idle_time",
+    "calc_prob_mom",
+    # never checked by the driver in round 1
+    "time_weighted_spread",
+    "infer_nperiods",
+    "infer_freq",
+    "asof_join_backward",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "asof_join_interp",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "dedup_exact",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "dedup_canonical",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_pairs",
+    "ann_topk",
+    "ann_topk_lsh",
+    "text_token_count",
+    "text_quality",
+    "language_id",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "session_stats",
+    "resample_returns",
+    "resample_returns_poisson",
+    "sim_market_day",
+    "streaming_time_bars",
+]
+
+
+def _reorder_catalog() -> None:
+    pri = [n for n in _PRIORITY if n in QUERY_FNS]
+    rest = [n for n in QUERY_FNS if n not in set(pri)]
+    order = pri + rest
+    for d in (QUERY_FNS, ORACLE_SQL):
+        reordered = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(reordered)
+
+
+_reorder_catalog()

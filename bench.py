@@ -3,12 +3,21 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": ...,
+   "queries_min": {...}, "runs": N}
 
 Each query is materialized through the noop sink (full execution, no driver
 collect). The set spans the engine's plan shapes: scan+agg, multi-join,
 window top-k, partitioned window series, window+agg two-phase, as-of join,
 MinHash dedup, ANN top-k, sessionization, distributed bootstrap.
+
+Methodology (variance robustness): each query runs SPARK_GRAFT_BENCH_RUNS
+times (default 3); ``queries``/``value`` report the per-query MEDIAN, and
+``queries_min`` the per-query min. The median absorbs both first-run
+scan/codegen warmup bleed and this box's 2-6x environmental variance
+(back-to-back identical runs have measured 21s and 63s totals); the min is
+the best-case floor. A scan + pandas_udf warmup runs untimed first so the
+Python-worker spawn (~5s) never lands in any timed region.
 """
 
 from __future__ import annotations
@@ -64,21 +73,37 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings = {}
-    for name in HEADLINE:
-        fn = QUERY_FNS[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples = {name: [] for name in HEADLINE}
+    # Interleave runs (full pass 1, full pass 2, ...) rather than timing each
+    # query back-to-back-to-back: environmental slowdowns on this box arrive
+    # in multi-second episodes, so interleaving decorrelates a query's three
+    # samples and the median sees at least one clean pass.
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = QUERY_FNS[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    med = {name: round(median(v), 3) for name, v in samples.items()}
+    mins = {name: round(min(v), 3) for name, v in samples.items()}
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(med.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": med,
                 "sf": sf,
+                "queries_min": mins,
+                "runs": n_runs,
             }
         )
     )

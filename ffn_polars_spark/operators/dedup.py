@@ -40,6 +40,40 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+# Frames pinned by _pinned since the last release_pins() call. Operators
+# return lazy DataFrames, so they cannot unpersist their own pins (the caller
+# hasn't executed the plan yet); instead every pin is tracked here and the
+# caller — or the next operator invocation via pinned_scope() — releases
+# them once results are materialized. Without this, long sessions running
+# many dedup jobs accumulate dead cache entries.
+_ACTIVE_PINS: list = []
+
+
+def release_pins() -> int:
+    """Unpersist every frame pinned since the last release; returns the count.
+
+    Call after materializing an operator's result (collect/write). Safe to
+    call early — unpersisted pins recompute, they don't break correctness."""
+    n = len(_ACTIVE_PINS)
+    while _ACTIVE_PINS:
+        _ACTIVE_PINS.pop().unpersist()
+    return n
+
+
+class pinned_scope:
+    """``with pinned_scope(): run_and_materialize()`` — releases every frame
+    pinned inside the block on exit (pins from before the block are kept)."""
+
+    def __enter__(self):
+        self._mark = len(_ACTIVE_PINS)
+        return self
+
+    def __exit__(self, *exc):
+        while len(_ACTIVE_PINS) > self._mark:
+            _ACTIVE_PINS.pop().unpersist()
+        return False
+
+
 def _pinned(df: DataFrame) -> DataFrame:
     """Persist a small derived frame that several plan branches re-read
     (signatures, shingle arrays): Spark reuses identical *exchanges* but not
@@ -51,9 +85,12 @@ def _pinned(df: DataFrame) -> DataFrame:
     self-join race to fill the cache — both branches then run the full
     (Arrow-kernel) derivation concurrently, which measured bimodally between
     1x and 6x the eager wall-clock. count() costs one extra pass over the
-    already-small pinned frame and makes the plan deterministic."""
+    already-small pinned frame and makes the plan deterministic.
+
+    Tracked in ``_ACTIVE_PINS`` for :func:`release_pins`."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    _ACTIVE_PINS.append(df)
     return df
 
 # Mersenne prime 2^31 - 1: (a*h + b) mod P stays within long range for
@@ -141,14 +178,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥
     threshold) via an inverted shingle index: documents sharing zero shingles
     never meet, so the join output is bounded by co-occurrence, not |docs|².
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cutoff BEFORE the self-join — the standard guard against stopword-shingle
+    blowup on real corpora (a shingle in d documents contributes d²/2 join
+    rows; one "of the and" shared by 10M docs is 5·10¹³ rows).  Jaccard is
+    then computed over the filtered shingle space (both intersections and
+    sizes exclude the dropped shingles), so results are IDENTICAL when no
+    shingle exceeds the cutoff and a slight underestimate otherwise — the
+    conservative direction for dedup.
     """
     # pinned: the index feeds three branches (sizes + both self-join sides);
     # without it each branch re-runs the tokenize/shingle projection
-    sh = _pinned(_doc_shingles(_spread(df, id_col), text_col, id_col, n))
+    sh = _doc_shingles(_spread(df, id_col), text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
+            F.col("__df") > max_shingle_df
+        ).select("__sh")
+        # anti-join, not broadcast(hot) blindly: hot-shingle count is small by
+        # construction (corpus-frequency tail), so AQE broadcasts it anyway
+        sh = sh.join(hot, "__sh", "left_anti")
+    sh = _pinned(sh)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -198,7 +253,7 @@ def _doc_shingle_arrays(
 
 def minhash_signatures(
     df: DataFrame,
-    num_hashes: int = 128,
+    num_hashes: int = 64,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -278,20 +333,29 @@ def _signatures_from_arrays(
 def dedup_minhash_lsh(
     df: DataFrame,
     threshold: float = 0.8,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 64,
+    bands: int = 16,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
-    verify: bool = True,
+    verify="exact",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
     Signature → ``bands`` band-hashes (rows = num_hashes/bands) → bucket join
     on (band_id, band_hash) → distinct candidate pairs → (optionally) exact
-    Jaccard verification on candidates only. With 128/32 (r=4) the S-curve
-    midpoint sits near sim ≈ 0.42, giving high recall at 0.8.
+    Jaccard verification on candidates only. Defaults are 64/16 (r=4, S-curve
+    midpoint ≈ 0.50): half the signature compute of 128/32 at the same band
+    width, with near-identical recall above ~0.7 similarity (the dedup
+    regime); pass 128/32 when hunting pairs near 0.4.
+
+    ``verify``: ``"exact"`` (default; also accepts ``True``) joins candidates
+    back to the in-row shingle arrays and emits exact ``jaccard``;
+    ``"band"``/``False``/``"none"`` returns the raw candidate pairs — the
+    right mode when a downstream :func:`connected_components` consumes the
+    pairs anyway and band precision suffices (skips the verification joins
+    entirely).
 
     Every stage is a hash shuffle on a high-cardinality key; the candidate
     verification joins only the candidate ids back to the shingle index, so
@@ -299,6 +363,9 @@ def dedup_minhash_lsh(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
+    verify = {True: "exact", False: "none", "band": "none"}.get(verify, verify)
+    if verify not in ("exact", "none"):
+        raise ValueError(f"verify must be 'exact', 'band', or 'none'; got {verify!r}")
     rows = num_hashes // bands
     df = _spread(df, id_col)
     # One pinned pass builds the shingle + hash arrays; signatures, the
@@ -336,7 +403,7 @@ def dedup_minhash_lsh(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    if not verify:
+    if verify == "none":
         return cands
 
     # Exact-Jaccard verification on candidates only: join each side's in-row

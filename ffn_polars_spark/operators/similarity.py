@@ -68,12 +68,28 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 100_000,
+    allow_bruteforce: bool = False,
 ) -> DataFrame:
     """Exact near-duplicate pairs by cosine (id_a < id_b, cos ≥ threshold).
 
     Brute-force O(n²/2) — correctness baseline and small-corpus tool; at
     scale use :func:`dedup_embedding_lsh` (banded candidates, same verify).
+
+    That contract is ENFORCED: inputs over ``max_rows`` raise unless
+    ``allow_bruteforce=True`` — 100k rows is already a 5·10⁹-pair join, and
+    an accidental invocation on a 100 TB corpus must fail fast at plan time
+    (one cheap count) rather than melt the cluster. Set ``max_rows=0`` to
+    skip the guard's count job entirely (implies allowing any size).
     """
+    if max_rows and not allow_bruteforce:
+        n_rows = df.select(id_col).count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is O(n²) and got n={n_rows} > "
+                f"max_rows={max_rows}; use dedup_embedding_lsh at this scale "
+                "or pass allow_bruteforce=True explicitly"
+            )
     normed = _spread_vecs(df).select(
         F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__u")
     )

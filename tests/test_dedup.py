@@ -128,3 +128,65 @@ def test_dedup_assign_canonical(spark, corpus):
     assert dup_hits >= 9
     # untouched docs are their own canonical
     assert not out[30]["is_duplicate"] and out[30]["canonical_id"] == 30
+
+
+def test_minhash_band_verify_mode(spark, corpus):
+    # verify="band" returns raw candidates (no jaccard column), a superset of
+    # the exact-verified pairs at any threshold
+    cands = dedup_minhash_lsh(corpus, verify="band")
+    assert set(cands.columns) == {"id_a", "id_b"}
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(corpus, threshold=0.6).collect()
+    }
+    assert exact.issubset(cand_pairs)
+    with pytest.raises(ValueError, match="verify"):
+        dedup_minhash_lsh(corpus, verify="bogus")
+
+
+def test_ngram_hot_shingle_cutoff_identity(spark, corpus):
+    # with a cutoff no shingle reaches, results are bit-identical
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    cut = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, threshold=0.6, max_shingle_df=10_000
+        ).collect()
+    }
+    assert base == cut
+
+
+def test_ngram_hot_shingle_cutoff_drops_hot(spark):
+    # every doc shares the hot prefix; with the cutoff the shared shingles
+    # are dropped, so the all-pairs blowup from them disappears
+    hot = "the quick brown fox jumps"
+    docs = [(i, f"{hot} unique{i} word{i} tail{i} end{i}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with_hot = ngram_jaccard_pairs(df, threshold=0.1).count()
+    without = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=5).count()
+    assert with_hot > 0 and without == 0
+
+
+def test_release_pins(spark, corpus):
+    from ffn_polars_spark.operators import dedup as D
+
+    D.release_pins()  # clean slate
+    dedup_minhash_lsh(corpus, threshold=0.6).count()
+    assert len(D._ACTIVE_PINS) > 0
+    released = D.release_pins()
+    assert released > 0 and not D._ACTIVE_PINS
+
+
+def test_pinned_scope(spark, corpus):
+    from ffn_polars_spark.operators import dedup as D
+    from ffn_polars_spark.operators.dedup import pinned_scope
+
+    D.release_pins()
+    with pinned_scope():
+        ngram_jaccard_pairs(corpus, threshold=0.6).count()
+        assert len(D._ACTIVE_PINS) > 0
+    assert not D._ACTIVE_PINS

@@ -127,3 +127,17 @@ def test_audio_features_and_resize(spark):
 
     with pytest.raises(NotImplementedError):
         decode_audio(b"xx", fake=False)
+
+
+def test_bruteforce_guard(spark):
+    import pytest
+    from ffn_polars_spark.operators.similarity import embedding_cosine_pairs
+
+    df = spark.range(50).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0f, 2.0f) AS embedding"
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
+        embedding_cosine_pairs(df, max_rows=10)
+    # explicit opt-outs both work
+    assert embedding_cosine_pairs(df, max_rows=10, allow_bruteforce=True).count() >= 0
+    assert embedding_cosine_pairs(df, max_rows=0).count() >= 0

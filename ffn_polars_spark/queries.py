@@ -525,18 +525,95 @@ def q_information_ratio(spark, sf_dir):
     )
 
 
+# Student-t CDF in portable SQL (SURVEY §2.2 #15 option b): the same
+# regularized-incomplete-beta formulation the engine's numpy fallback uses
+# (eod_ratios._student_t_cdf, Numerical Recipes §6.4) — Lentz continued
+# fraction as a recursive CTE, front factor via lgamma. Mirrors the numpy
+# algorithm step for step (same branch choice, same FPMIN clamps, same
+# EPS=3e-14 stop), so the two engines agree to ~1e-15 and r6 absorbs the
+# rest. All literals are e-notation so DuckDB stays in DOUBLE (plain 1.0
+# parses as DECIMAL inside recursive CTEs).
+_PROB_MOM_SQL = (
+    RETS_SQL.replace("WITH ticks", "WITH RECURSIVE ticks", 1)
+    + f""", dd AS (
+  SELECT event_type, r - rb AS dv
+  FROM rets WHERE r IS NOT NULL AND rb IS NOT NULL),
+ag AS (
+  SELECT event_type, avg(dv) AS mu, stddev_samp(dv) AS sd, count(*) AS n
+  FROM dd GROUP BY event_type),
+tin AS (
+  SELECT event_type AS gid, mu / sd AS t, CAST(n - 1 AS DOUBLE) AS nu
+  FROM ag WHERE n >= 2 AND sd IS NOT NULL AND sd <> 0e0),
+tinit AS (
+  SELECT gid, CAST(t AS DOUBLE) AS t, nu,
+         nu / (nu + CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS xb
+  FROM tin),
+p AS (
+  SELECT gid, t, nu, xb,
+         nu/2e0 AS a0, 5e-1 AS b0,
+         xb < (nu/2e0 + 1e0) / (nu/2e0 + 25e-1) AS direct,
+         CASE WHEN xb > 0e0 AND xb < 1e0 THEN
+           exp( (nu/2e0)*ln(xb) + 5e-1*ln(1e0-xb)
+                - (lgamma(nu/2e0) + lgamma(5e-1) - lgamma(nu/2e0 + 5e-1)) )
+         ELSE 0e0 END AS front,
+         CASE WHEN xb < (nu/2e0 + 1e0) / (nu/2e0 + 25e-1) THEN nu/2e0 ELSE 5e-1 END AS ba,
+         CASE WHEN xb < (nu/2e0 + 1e0) / (nu/2e0 + 25e-1) THEN 5e-1 ELSE nu/2e0 END AS bb,
+         CASE WHEN xb < (nu/2e0 + 1e0) / (nu/2e0 + 25e-1) THEN xb ELSE 1e0-xb END AS bx
+  FROM tinit),
+cf AS (
+  SELECT gid, ba AS a, bb AS b, bx AS x, 0 AS m,
+         1e0 AS c,
+         1e0/(CASE WHEN abs(1e0 - (ba+bb)*bx/(ba+1e0)) < 1e-300 THEN 1e-300
+                   ELSE 1e0 - (ba+bb)*bx/(ba+1e0) END) AS d,
+         1e0/(CASE WHEN abs(1e0 - (ba+bb)*bx/(ba+1e0)) < 1e-300 THEN 1e-300
+                   ELSE 1e0 - (ba+bb)*bx/(ba+1e0) END) AS h,
+         FALSE AS done
+  FROM p
+  UNION ALL
+  SELECT gid, a, b, x, CAST(mf AS INTEGER), c2, d2, h2, abs(delt-1e0) < 3e-14 FROM (
+    SELECT gid, a, b, x, mf, c, d, h,
+      (mf*(b-mf)*x)/((a-1e0+2e0*mf)*(a+2e0*mf)) AS aa1,
+      1e0/(CASE WHEN abs(1e0+aa1*d) < 1e-300 THEN 1e-300 ELSE 1e0+aa1*d END) AS d1,
+      (CASE WHEN abs(1e0+aa1/c) < 1e-300 THEN 1e-300 ELSE 1e0+aa1/c END) AS c1,
+      h*d1*c1 AS h1,
+      (-(a+mf)*(a+b+mf)*x)/((a+2e0*mf)*(a+1e0+2e0*mf)) AS aa2,
+      1e0/(CASE WHEN abs(1e0+aa2*d1) < 1e-300 THEN 1e-300 ELSE 1e0+aa2*d1 END) AS d2,
+      (CASE WHEN abs(1e0+aa2/c1) < 1e-300 THEN 1e-300 ELSE 1e0+aa2/c1 END) AS c2,
+      d2*c2 AS delt,
+      h1*d2*c2 AS h2
+    FROM (SELECT gid, a, b, x, CAST(m AS DOUBLE)+1e0 AS mf, c, d, h
+          FROM cf WHERE NOT done AND m < 200))
+),
+cffinal AS (
+  SELECT gid, h FROM cf
+  QUALIFY row_number() OVER (PARTITION BY gid ORDER BY m DESC) = 1),
+ibeta AS (
+  SELECT p.gid, p.t,
+         CASE WHEN p.xb <= 0e0 THEN 0e0
+              WHEN p.xb >= 1e0 THEN 1e0
+              WHEN p.direct THEN p.front * f.h / p.a0
+              ELSE 1e0 - p.front * f.h / p.b0 END AS ib
+  FROM p JOIN cffinal f USING (gid)),
+tcdf AS (
+  SELECT gid, CASE WHEN t > 0e0 THEN 1e0 - 5e-1*ib ELSE 5e-1*ib END AS cdf
+  FROM ibeta)
+SELECT ag.event_type,
+       CASE WHEN tc.cdf IS NULL THEN NULL ELSE {R("tc.cdf")} END AS r_prob_mom
+FROM ag LEFT JOIN tcdf tc ON ag.event_type = tc.gid"""
+)
+
+
+@query("calc_prob_mom", _PROB_MOM_SQL)
 def q_prob_mom(spark, sf_dir):
-    """Student-t CDF has no DuckDB equivalent → rows-only check; exactness is
-    covered by unit tests against reference-recomputed values."""
+    """Engine side: native one-shuffle agg for (IR, n), vectorized pandas_udf
+    t-CDF on the per-group scalars; oracle side: the same incomplete-beta
+    algorithm in pure DuckDB SQL (recursive-CTE Lentz iteration)."""
     from ffn_polars_spark.functions.eod_ratios import calc_prob_mom
 
     configure(spark)
     r = rets(spark, sf_dir).where(F.col("r").isNotNull() & F.col("rb").isNotNull())
     out = calc_prob_mom(r, "r", "rb", by=["event_type"])
     return out.select("event_type", r6(F.col("r_prob_mom")).alias("r_prob_mom"))
-
-
-QUERY_FNS["calc_prob_mom"] = q_prob_mom
 
 
 # ---------------------------------------------------------------------------

@@ -78,3 +78,31 @@ def make_bucket_udf(planes_per_table):
         return pd.Series(list(ids))
 
     return _buckets
+
+
+def make_cell_assign_udf(centroids, nprobe):
+    """(array<float> unit vector) -> array<int> of the ``nprobe`` nearest
+    coarse-centroid ids by cosine, nearest first.
+
+    Centroids are baked into the kernel (they are small — nlist × dim) and
+    the whole Arrow batch scores against them in one BLAS matmul; with
+    nprobe=1 this is the IVF cell assignment, with nprobe>1 the query-side
+    probe list.
+    """
+    C = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
+
+    @pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        sims = V @ C.T  # (n, nlist)
+        p = min(nprobe, sims.shape[1])
+        if p == 1:
+            idx = sims.argmax(axis=1)[:, None]
+        else:
+            idx = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            row = np.arange(len(V))[:, None]
+            order = np.argsort(-sims[row, idx], axis=1, kind="stable")
+            idx = idx[row, order]
+        return pd.Series([r.astype(np.int32) for r in idx])
+
+    return _cells

@@ -314,3 +314,111 @@ def cosine_pandas_udf():
         return pd.Series(num / den)
 
     return _cos
+
+
+def _train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int,
+    seed: int,
+    sample_rows: int = 65_536,
+    iters: int = 15,
+):
+    """Unit-norm coarse centroids from a bounded, deterministic sample.
+
+    The FAISS-IVF training shape: Lloyd k-means runs driver-side in numpy on
+    at most ``sample_rows`` vectors — the sample is the top-N rows by
+    ``xxhash64(id, seed)`` (a TakeOrdered, so no full sort materializes and
+    the same rows are chosen at any scale/partitioning), which is the only
+    data that ever reaches the driver. Assignment of the full corpus stays
+    distributed (one broadcast-matmul pass). Spherical k-means: centroids are
+    re-unit-normalized each round so argmax-dot is the nearest-cell rule;
+    empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(vec_col).alias("__v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_rows)
+        .select("__v")
+        .collect()
+    )
+    X = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    nlist = min(nlist, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(nlist):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C.tolist()
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ann_topk_ivf")
+def ann_topk_ivf(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: Optional[str] = None,
+    seed: int = 42,
+    sample_rows: int = 65_536,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means cells instead of
+    hyperplane buckets.
+
+    Train on a bounded sample (:func:`_train_ivf_centroids`), assign every
+    item to its nearest cell in one broadcast-matmul map pass, probe the
+    ``nprobe`` nearest cells per query, exact-cosine re-rank inside the
+    probed cells. At 100 TB each query touches ~|items|·nprobe/nlist instead
+    of |items|; the only shuffles are the cell equi-join and the per-query
+    top-k. Data-adaptive cells beat data-oblivious hyperplanes on clustered
+    corpora (recall at equal candidate budget); `ann_topk_lsh` remains the
+    choice when training passes are unwanted.
+    """
+    from ffn_polars_spark.operators._arrow_kernels import make_cell_assign_udf
+
+    qid = query_id_col or id_col
+    centroids = _train_ivf_centroids(
+        items, vec_col, id_col, nlist, seed, sample_rows=sample_rows
+    )
+    assign_item = make_cell_assign_udf(centroids, 1)
+    assign_query = make_cell_assign_udf(centroids, nprobe)
+
+    it = _spread_vecs(items).select(
+        F.col(id_col).alias("item_id"), unit(F.col(vec_col)).alias("__iv")
+    )
+    it = it.select(
+        "item_id", "__iv", F.element_at(assign_item(F.col("__iv")), 1).alias("__cell")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qv")
+        ).select(
+            "query_id", "__qv", F.explode(assign_query(F.col("__qv"))).alias("__cell")
+        )
+    )
+    cands = (
+        it.join(q, "__cell")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", "__iv", "__qv")
+    )
+    scored = cands.select(
+        "query_id",
+        "item_id",
+        F.round(dot(F.col("__iv"), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1889,6 +1889,19 @@ def q_ann_topk_lsh(spark, sf_dir):
 QUERY_FNS["ann_topk_lsh"] = q_ann_topk_lsh
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF (k-means cell) ANN — approximate candidates, rows-only check;
+    recall vs exact top-k is pinned in tests/test_similarity.py."""
+    from ffn_polars_spark.operators.similarity import ann_topk_ivf
+
+    configure(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, emb.where(F.col("vec_id") < 5), k=10, nlist=16, nprobe=4)
+
+
+QUERY_FNS["ann_topk_ivf"] = q_ann_topk_ivf
+
+
 # ---------------------------------------------------------------------------
 # Text analysis.
 # ---------------------------------------------------------------------------
@@ -2188,6 +2201,7 @@ _PRIORITY = [
     "embedding_cosine_pairs",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "text_token_count",
     "text_quality",
     "language_id",

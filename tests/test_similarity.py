@@ -141,3 +141,35 @@ def test_bruteforce_guard(spark):
     # explicit opt-outs both work
     assert embedding_cosine_pairs(df, max_rows=10, allow_bruteforce=True).count() >= 0
     assert embedding_cosine_pairs(df, max_rows=0).count() >= 0
+
+
+def test_ann_topk_ivf_recall(spark, embdf):
+    from ffn_polars_spark.operators.similarity import ann_topk_ivf
+
+    queries = embdf.where("vec_id < 5")
+    exact = {}
+    for r in ann_topk(embdf, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["item_id"])
+    approx = {}
+    for r in ann_topk_ivf(embdf, queries, k=5, nlist=4, nprobe=2).collect():
+        approx.setdefault(r["query_id"], set()).add(r["item_id"])
+    # every query's planted near-dup (100+q, cosine ~1) must be retrieved:
+    # it lands in the same cell as its query by construction
+    for q in range(5):
+        assert 100 + q in approx[q], f"query {q} missed its near-dup"
+    # overall recall vs exact top-5 with half the cells probed
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+
+
+def test_ann_topk_ivf_full_probe_is_exact(spark, embdf):
+    from ffn_polars_spark.operators.similarity import ann_topk_ivf
+
+    queries = embdf.where("vec_id < 3")
+    exact = {(r["query_id"], r["rank"], r["item_id"])
+             for r in ann_topk(embdf, queries, k=4).collect()}
+    # probing every cell degenerates to the exact scan
+    full = {(r["query_id"], r["rank"], r["item_id"])
+            for r in ann_topk_ivf(embdf, queries, k=4, nlist=4, nprobe=4).collect()}
+    assert full == exact

@@ -2216,14 +2216,32 @@ _PRIORITY = [
 ]
 
 
+def _with_pin_release(fn):
+    """Release the PREVIOUS query's persisted intermediates when the next
+    catalog query starts: a full catalog run (the driver executes ~50 queries
+    in one session) would otherwise accumulate every dedup/similarity pin in
+    executor memory. Pins for the current query are created inside ``fn``
+    after the release, so the query's own plan is unaffected."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ffn_polars_spark.operators.dedup import release_pins
+
+        release_pins()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def _reorder_catalog() -> None:
     pri = [n for n in _PRIORITY if n in QUERY_FNS]
     rest = [n for n in QUERY_FNS if n not in set(pri)]
     order = pri + rest
-    for d in (QUERY_FNS, ORACLE_SQL):
-        reordered = {n: d[n] for n in order if n in d}
-        d.clear()
-        d.update(reordered)
+    reordered_fns = {n: _with_pin_release(QUERY_FNS[n]) for n in order}
+    QUERY_FNS.clear()
+    QUERY_FNS.update(reordered_fns)
+    reordered_sql = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
+    ORACLE_SQL.clear()
+    ORACLE_SQL.update(reordered_sql)
 
 
 _reorder_catalog()

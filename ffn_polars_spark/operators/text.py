@@ -112,15 +112,12 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-@register(namespace="eod", kind="df", context="dataframe", alias="language_id")
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker language ID over {en, de, fr, es}.
-
-    Counts marker-token occurrences per language (duplicates included) and
-    takes the arg-max, ties broken by language code — a greatest-of-structs
-    comparison, fully native, no shuffle.
-    """
-    toks = tokens(F.col(text_col))
+def language_vote(text: Column) -> Column:
+    """Arg-max language struct ``(n, lang)`` for the marker-count heuristic:
+    higher marker count wins, ties keep the lexicographically smaller code.
+    A pure column expression so composed pipelines can evaluate it in the
+    same projection as other text features (no extra scan)."""
+    toks = tokens(text)
 
     def marker_count(markers):
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -129,16 +126,28 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for lang, markers in sorted(LANG_MARKERS.items()):
         cnt = marker_count(markers)
         # tie-break: higher count wins; on equal counts the lexicographically
-        # SMALLER language code wins -> invert the code for the max().
+        # SMALLER language code wins (earlier in the sorted fold).
         scores.append(F.struct(cnt.alias("n"), F.lit(lang).alias("lang")))
-    # fold to argmax: greatest by (n, then reversed lang order). To make the
-    # smaller code win ties we compare pairwise with explicit logic.
+    # fold to argmax: strictly-greater replaces, so earlier (smaller) codes
+    # survive ties.
     best = scores[0]
     for s in scores[1:]:
         best = F.when(
             (s.getField("n") > best.getField("n")),
             s,
         ).otherwise(best)
+    return best
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="language_id")
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID over {en, de, fr, es}.
+
+    Counts marker-token occurrences per language (duplicates included) and
+    takes the arg-max, ties broken by language code — a greatest-of-structs
+    comparison, fully native, no shuffle.
+    """
+    best = language_vote(F.col(text_col))
     return df.select(
         F.col(id_col),
         best.getField("lang").alias("lang_pred"),

@@ -1996,6 +1996,62 @@ def q_language_id(spark, sf_dir):
     return language_id(docs)
 
 
+@query(
+    "clean_corpus",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks,
+         length(text) AS n_chars,
+         len({TOKS_SQL}) AS n_tok,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_chars, n_tok,
+         CASE WHEN n_tok > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS pr,
+         CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS sr
+  FROM base),
+q AS (
+  SELECT doc_id,
+         {R(
+        "(CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END) + "
+        "(CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END) + "
+        "(CASE WHEN pr <= 0.3 THEN 0.25 ELSE 0.0 END) + "
+        "(CASE WHEN sr >= 0.05 THEN 0.25 ELSE 0.0 END)"
+    )} AS quality_score
+  FROM feat),
+lc AS (
+  SELECT doc_id,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['de']}))) AS n_de,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['en']}))) AS n_en,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['es']}))) AS n_es,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['fr']}))) AS n_fr
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         CASE WHEN n_fr > greatest(n_de, n_en, n_es) THEN 'fr'
+              WHEN n_es > greatest(n_de, n_en) THEN 'es'
+              WHEN n_en > n_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM lc),
+fp AS (SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents),
+g AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY fp)
+SELECT q.doc_id, l.lang_pred, q.quality_score, g.canonical_id,
+       q.doc_id <> g.canonical_id AS is_duplicate,
+       (l.lang_pred IN ('en') AND q.quality_score >= 0.5
+        AND q.doc_id = g.canonical_id) AS keep
+FROM q
+JOIN l ON q.doc_id = l.doc_id
+JOIN fp ON q.doc_id = fp.doc_id
+JOIN g ON fp.fp = g.fp""",
+)
+def q_clean_corpus(spark, sf_dir):
+    from ffn_polars_spark.operators.pipeline import clean_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    return clean_corpus(docs, languages=("en",), min_quality=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + Arrow-batch feature extraction).
 # ---------------------------------------------------------------------------
@@ -2205,6 +2261,7 @@ _PRIORITY = [
     "text_token_count",
     "text_quality",
     "language_id",
+    "clean_corpus",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

@@ -50,7 +50,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
+    "ann_topk_ivf",
     "text_quality",
+    "clean_corpus",
 ]
 
 

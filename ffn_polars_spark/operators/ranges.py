@@ -1,0 +1,96 @@
+"""Range (interval) join: points × [start, end) intervals at scale.
+
+The naive formulation — ``points JOIN intervals ON ts >= start AND ts <
+end`` — has no equi-key, so Spark plans it as a broadcast-nested-loop (or
+worse, a cartesian) join: every point row tests every interval. Fine for a
+handful of intervals, catastrophic at 100 TB.
+
+The scalable shape is the standard time-bucket decomposition: pick a bucket
+width, explode each interval to the bucket ids it covers, compute each
+point's single bucket id, equi-join on (keys..., bucket), then re-apply the
+exact range predicate. Cost is |points| + Σ interval_spans/bucket rows
+through one hash shuffle — both sides partition on a high-cardinality key,
+and AQE handles skewed buckets. Bucket width trades index size (long
+intervals explode to many buckets) against join selectivity (wide buckets
+pull in more false candidates); a width near the median interval length is
+a good default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.registry import register
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="interval_join")
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    by: Optional[Sequence[str]] = None,
+    bucket: int = 3_600_000_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with ``start <= ts < end``
+    (and equal ``by`` keys). Points inside k overlapping intervals produce k
+    output rows; ``how="left"`` also keeps unmatched points with null
+    interval columns.
+
+    ``bucket`` is the decomposition width in ``ts`` units (default 1h in
+    ns). Results are bucket-width-invariant (exact predicate re-applied
+    after the candidate equi-join); only the plan shape changes.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left'; got {how!r}")
+    keys = list(by or [])
+    b = F.lit(int(bucket))
+
+    # `div` (integer division), NOT `/`: float division of ns-epoch longs
+    # (~1.7e18 > 2^53) silently loses the low bits. Timestamps are assumed
+    # non-negative, where truncating div == floor.
+    p = points.withColumn(
+        "__bkt", F.expr(f"CAST({ts_col} AS BIGINT) div {int(bucket)}")
+    )
+    # half-open [start, end): the last covered bucket is the one holding
+    # end-1; empty intervals (end <= start) cover nothing and drop out
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start_col} AS BIGINT) div {int(bucket)}"),
+                F.expr(f"(CAST({end_col} AS BIGINT) - 1) div {int(bucket)}"),
+            )
+        ),
+    )
+    on = [p["__bkt"] == iv["__bkt"]] + [p[k] == iv[k] for k in keys]
+    matched = (
+        p.join(iv, on, "inner")
+        .where(
+            (p[ts_col] >= iv[start_col]) & (p[ts_col] < iv[end_col])
+        )
+        .select(
+            *[p[c] for c in points.columns],
+            *[iv[c] for c in intervals.columns if c not in keys],
+        )
+    )
+    if how == "inner":
+        return matched
+    # null-safe anti join: plain column-name equality would re-emit matched
+    # points that carry nulls in any payload column
+    iv_cols = [c for c in intervals.columns if c not in keys]
+    m = matched.select(*points.columns).dropDuplicates()
+    cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(m[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(m, cond, "left_anti").select(
+        *points.columns,
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
+    )
+    return matched.unionByName(unmatched)

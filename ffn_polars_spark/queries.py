@@ -1997,6 +1997,53 @@ def q_language_id(spark, sf_dir):
 
 
 @query(
+    "interval_join",
+    TICKS_SQL
+    + f""", hours AS (
+  SELECT event_type, ts_ns - ts_ns % {_HOUR_NS} AS start_ns,
+         ts_ns - ts_ns % {_HOUR_NS} + {_HOUR_NS} AS end_ns,
+         count(*) AS n_ticks
+  FROM ticks GROUP BY 1, 2, 3),
+busy AS (SELECT * FROM hours WHERE n_ticks >= 5)
+SELECT t.event_id, t.event_type, t.ts_ns, b.start_ns, b.end_ns, b.n_ticks
+FROM ticks t JOIN busy b
+  ON t.event_type = b.event_type
+ AND t.ts_ns >= b.start_ns AND t.ts_ns < b.end_ns""",
+)
+def q_interval_join(spark, sf_dir):
+    """Range join via time-bucket decomposition (operators/ranges.py):
+    points = ticks, intervals = this tape's busy hours (>= 5 ticks). The
+    oracle states the same join as a plain range predicate — DuckDB plans
+    that natively; Spark would nested-loop it, hence the operator."""
+    from ffn_polars_spark.operators.ranges import interval_join
+
+    t = ticks(spark, sf_dir).select("event_id", "event_type", "ts_ns")
+    hours = (
+        t.groupBy(
+            "event_type",
+            (F.col("ts_ns") - F.col("ts_ns") % F.lit(_HOUR_NS)).alias("start_ns"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ticks"))
+        .select(
+            "event_type",
+            "start_ns",
+            (F.col("start_ns") + F.lit(_HOUR_NS)).alias("end_ns"),
+            "n_ticks",
+        )
+        .where(F.col("n_ticks") >= 5)
+    )
+    return interval_join(
+        t,
+        hours,
+        ts_col="ts_ns",
+        start_col="start_ns",
+        end_col="end_ns",
+        by=["event_type"],
+        bucket=_HOUR_NS,
+    ).select("event_id", "event_type", "ts_ns", "start_ns", "end_ns", "n_ticks")
+
+
+@query(
     "clean_corpus",
     f"""
 WITH base AS (
@@ -2262,6 +2309,7 @@ _PRIORITY = [
     "text_quality",
     "language_id",
     "clean_corpus",
+    "interval_join",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

@@ -2233,6 +2233,41 @@ def q_streaming_time_bars(spark, sf_dir):
 QUERY_FNS["streaming_time_bars"] = q_streaming_time_bars
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """First-seen exact dedup over a document stream; row count equals the
+    batch operator's distinct-fingerprint count (pinned in
+    tests/test_streaming.py), but the memory-sink drain isn't SQL-twinnable
+    -> rows-only."""
+    import os
+
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_dedup_exact,
+    )
+
+    configure(spark)
+    stage = os.path.join(
+        "/tmp", f"ffn_docstream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    docs = spark.read.parquet(stage)
+    ts_col = "doc_id"  # synthetic event time: stable per-doc ns offset
+    stream = read_tick_stream(
+        spark, stage, schema=docs.schema, ts_col=ts_col
+    )
+    out = streaming_dedup_exact(stream, delay_threshold="1 hour")
+    return run_available_now(out, output_mode="append").select(
+        "doc_id", "fingerprint"
+    )
+
+
+QUERY_FNS["streaming_dedup_exact"] = q_streaming_dedup
+
+
 # ---------------------------------------------------------------------------
 # Sessionization.
 # ---------------------------------------------------------------------------
@@ -2318,6 +2353,7 @@ _PRIORITY = [
     "resample_returns_poisson",
     "sim_market_day",
     "streaming_time_bars",
+    "streaming_dedup_exact",
 ]
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "streaming_time_bars",
     "streaming_vwap",
     "streaming_session_stats",
+    "streaming_dedup_exact",
     "stateful_running_vwap",
     "stateful_realized_volatility",
     "run_available_now",
@@ -174,6 +175,29 @@ def streaming_session_stats(
             "n_events",
         )
     )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    delay_threshold: str = "10 minutes",
+) -> DataFrame:
+    """First-seen exact dedup over a document stream (streaming twin of
+    operators/dedup.dedup_exact's keep-canonical path).
+
+    Content fingerprint = md5 of normalized text, computed map-side; then
+    ``dropDuplicatesWithinWatermark`` emits only the first occurrence of
+    each fingerprint and expires its state once the watermark passes —
+    bounded memory, unlike a plain streaming ``dropDuplicates`` whose seen-
+    set grows forever. The contract is therefore *dedup within the
+    watermark horizon*: a duplicate arriving later than ``delay_threshold``
+    after its original re-emits — the standard streaming-dedup trade-off.
+    """
+    from ffn_polars_spark.operators.dedup import normalized_text
+
+    w = stream.withWatermark("event_time", delay_threshold)
+    fp = w.withColumn("fingerprint", F.md5(normalized_text(F.col(text_col))))
+    return fp.dropDuplicatesWithinWatermark(["fingerprint"])
 
 
 _VWAP_STATE_SCHEMA = StructType(

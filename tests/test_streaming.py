@@ -184,3 +184,38 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert all(r["high"] == 1.0 for r in out)
     first_bar = [r for r in out if r["bar_start"].minute == 0 and r["bar_start"].hour == 0]
     assert first_bar and first_bar[0]["n_ticks"] == 10
+
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("docstream"))
+    rows = []
+    for i in range(200):
+        # 50 distinct contents, each appearing 4x (with case/space variants)
+        base = f"document number {i % 50} with some shared content"
+        text = base.upper() if i % 4 == 1 else (f"  {base} " if i % 4 == 2 else base)
+        rows.append((i, i * SEC, text))
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "text"])
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_dedup_exact(spark, doc_dir):
+    from ffn_polars_spark.streaming import streaming_dedup_exact
+
+    stream = read_tick_stream(spark, doc_dir, ts_col="ts")
+    out = run_available_now(
+        streaming_dedup_exact(stream, delay_threshold="1 hour"),
+        output_mode="append",
+    ).collect()
+    # one survivor per distinct normalized content
+    assert len(out) == 50
+    assert len({r["fingerprint"] for r in out}) == 50
+    # batch twin agrees on the fingerprint set
+    from ffn_polars_spark.operators.dedup import dedup_exact
+
+    batch_fps = {
+        r["fingerprint"]
+        for r in dedup_exact(spark.read.parquet(doc_dir)).collect()
+    }
+    assert {r["fingerprint"] for r in out} == batch_fps

@@ -293,3 +293,48 @@ def volume_profile(
     return vol.select(
         *by, "price_bin", "volume", (F.col("volume") / w).alias("volume_share")
     )
+
+
+@register(kind="df", context="dataframe")
+def rollup_bars(
+    bars: DataFrame,
+    coarse_ns: int,
+    by: Optional[list] = None,
+    has_volume: bool = True,
+) -> DataFrame:
+    """Coarsen OHLCV bars into wider bars WITHOUT re-scanning ticks — the
+    hypertable / continuous-aggregate rollup pattern (1min → 5min → 1h → 1d
+    cascades reuse each level's partial aggregates).
+
+    Input is :func:`time_bars` output (``bar_ts, open, high, low, close,
+    n_ticks, bar_start_ts, bar_end_ts[, volume, vwap]``); ``coarse_ns`` must
+    be a multiple of the input bar width. All OHLCV components compose
+    exactly: open/close chain through arg-min/arg-max on the fine bars'
+    first/last tick timestamps, high/low/counts/volume are min/max/sums, and
+    vwap recombines as ``sum(vwap·volume)/sum(volume)`` (= the coarse bar's
+    true ``sum(p·v)/sum(v)``). One hash aggregate over rows that number
+    ``|ticks| / ticks-per-fine-bar`` — each cascade level costs a vanishing
+    fraction of re-barring the tape.
+    """
+    by = list(by or [])
+    coarse = (F.col("bar_ts") - (F.col("bar_ts") % F.lit(int(coarse_ns)))).alias(
+        "bar_ts"
+    )
+    aggs = [
+        first_by("open", "bar_start_ts").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        last_by("close", "bar_end_ts").alias("close"),
+        F.sum("n_ticks").alias("n_ticks"),
+        F.min("bar_start_ts").alias("bar_start_ts"),
+        F.max("bar_end_ts").alias("bar_end_ts"),
+    ]
+    if has_volume:
+        aggs.append(F.sum("volume").cast("double").alias("volume"))
+        aggs.append(
+            (
+                F.sum(F.col("vwap") * F.col("volume"))
+                / F.sum("volume").cast("double")
+            ).alias("vwap")
+        )
+    return bars.groupBy(*by, coarse).agg(*aggs)

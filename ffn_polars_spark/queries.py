@@ -919,6 +919,37 @@ def q_time_bars(spark, sf_dir):
     return out.withColumn("vwap", r6(F.col("vwap")))
 
 
+_DAY_NS = 24 * _HOUR_NS
+
+
+@query(
+    "rollup_bars",
+    _BARS_SQL
+    + f""",
+daily AS (
+  SELECT event_type, bar_ts - bar_ts % {_DAY_NS} AS bar_ts,
+         arg_min(open, bar_start_ts) AS open, max(high) AS high,
+         min(low) AS low, arg_max(close, bar_end_ts) AS close,
+         sum(n_ticks) AS n_ticks, min(bar_start_ts) AS bar_start_ts,
+         max(bar_end_ts) AS bar_end_ts,
+         CAST(sum(volume) AS DOUBLE) AS volume,
+         sum(vwap * volume) / CAST(sum(volume) AS DOUBLE) AS vwap
+  FROM bars GROUP BY event_type, bar_ts - bar_ts % {_DAY_NS})
+SELECT event_type, bar_ts, open, high, low, close, n_ticks, bar_start_ts,
+       bar_end_ts, volume, {R("vwap")} AS vwap
+FROM daily""",
+)
+def q_rollup_bars(spark, sf_dir):
+    """Hypertable-style rollup: hourly bars coarsened to daily bars from the
+    hourly partials (no tick re-scan)."""
+    from ffn_polars_spark.functions.tick_bars import rollup_bars, time_bars
+
+    t = ticks(spark, sf_dir)
+    hourly = time_bars(t, "ts_ns", "price", "volume", by=["event_type"], bar_ns=_HOUR_NS)
+    daily = rollup_bars(hourly, _DAY_NS, by=["event_type"])
+    return daily.withColumn("vwap", r6(F.col("vwap")))
+
+
 @query(
     "tick_bars",
     TICKS_SQL
@@ -2345,6 +2376,7 @@ _PRIORITY = [
     "language_id",
     "clean_corpus",
     "interval_join",
+    "rollup_bars",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

@@ -160,3 +160,39 @@ def test_volume_profile(tape):
     assert out[10.0]["volume"] == 9.0  # 10,12,11,18 -> 1+2+4+2
     assert out[20.0]["volume"] == 4.0  # 20,25,22 -> 2+1+1
     assert abs(sum(r["volume_share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_rollup_bars_matches_direct(spark):
+    """Rolling hourly bars up to daily must equal barring the ticks daily
+    directly (OHLC/counts exactly; volume/vwap to float tolerance)."""
+    import random
+
+    from ffn_polars_spark.functions.tick_bars import rollup_bars, time_bars
+
+    HOUR = 3600 * 1_000_000_000
+    rng = random.Random(7)
+    rows = [
+        (tkr, (d * 24 + h) * HOUR + s * SEC, 100.0 + rng.random() * 10, float(rng.randint(1, 9)))
+        for tkr in ("A", "B")
+        for d in range(3)
+        for h in range(0, 24, 5)
+        for s in (3, 1200, 3599)
+    ]
+    tick_df = spark.createDataFrame(rows, ["ticker", "ts", "price", "volume"])
+    hourly = time_bars(tick_df, "ts", "price", "volume", by=["ticker"], bar_ns=HOUR)
+    rolled = {
+        (r["ticker"], r["bar_ts"]): r
+        for r in rollup_bars(hourly, 24 * HOUR, by=["ticker"]).collect()
+    }
+    direct = {
+        (r["ticker"], r["bar_ts"]): r
+        for r in time_bars(
+            tick_df, "ts", "price", "volume", by=["ticker"], bar_ns=24 * HOUR
+        ).collect()
+    }
+    assert set(rolled) == set(direct)
+    for k in direct:
+        for c in ("open", "high", "low", "close", "n_ticks", "bar_start_ts", "bar_end_ts"):
+            assert rolled[k][c] == direct[k][c], (k, c)
+        assert rolled[k]["volume"] == pytest.approx(direct[k]["volume"], rel=1e-12)
+        assert rolled[k]["vwap"] == pytest.approx(direct[k]["vwap"], rel=1e-9)

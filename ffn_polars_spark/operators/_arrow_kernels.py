@@ -106,3 +106,37 @@ def make_cell_assign_udf(centroids, nprobe):
         return pd.Series([r.astype(np.int32) for r in idx])
 
     return _cells
+
+
+def make_winnow_udf(k, window, base, mod):
+    """(normalized text) -> array<long> of distinct winnowing fingerprints.
+
+    Rolling polynomial k-gram hash folded exactly like the SQL
+    ``(acc * base + codepoint) % mod`` recurrence (acc < mod = 2^31-1, so
+    ``acc * base + cp`` stays far inside int64), then a sliding-window
+    minimum of ``window`` consecutive hashes, then distinct. Identical
+    integers to the HOF formulation, but one vectorized pass per document
+    instead of a per-reference re-expansion of interpreted transforms.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    @pandas_udf("array<long>")
+    def _fps(norm: pd.Series) -> pd.Series:
+        out = []
+        min_len = k + window - 1
+        for s in norm:
+            if s is None or len(s) < min_len:
+                out.append([])
+                continue
+            c = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+            n = len(c) - k + 1
+            h = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                h = (h * base + c[j : j + n]) % mod
+            w = sliding_window_view(h, window).min(axis=1)
+            out.append(np.unique(w))
+        return pd.Series(out)
+
+    # Plan-shape fence: stops InferFiltersFromGenerate / CollapseProject
+    # from duplicating the kernel around the downstream explode.
+    return _fps.asNondeterministic()

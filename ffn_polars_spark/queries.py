@@ -2074,6 +2074,44 @@ def q_interval_join(spark, sf_dir):
     ).select("event_id", "event_type", "ts_ns", "start_ns", "end_ns", "n_ticks")
 
 
+_WINNOW_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# Per-step mod mirrors the engine's aggregate fold exactly (intermediates
+# exceed the modulus, so mod placement changes values).
+_WINNOW_H = (
+    "((((((ascii(substr(n, i, 1)) % 2147483647) * 257"
+    " + ascii(substr(n, i + 1, 1))) % 2147483647) * 257"
+    " + ascii(substr(n, i + 2, 1))) % 2147483647) * 257"
+    " + ascii(substr(n, i + 3, 1))) % 2147483647"
+)
+
+
+@query(
+    "winnow_fingerprints",
+    f"""
+WITH nn AS (
+  SELECT doc_id, {_WINNOW_NORM} AS n FROM documents
+  WHERE length({_WINNOW_NORM}) >= 7),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(n) - 3), i -> {_WINNOW_H}) AS hs
+  FROM nn),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                       i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+  FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM m""",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing sketch (k=4 char-grams, window 4); the oracle
+    replicates the polynomial hash arithmetic step for step, so the
+    fingerprint sets match exactly."""
+    from ffn_polars_spark.operators.text import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=4, window=4)
+
+
 @query(
     "clean_corpus",
     f"""
@@ -2377,6 +2415,7 @@ _PRIORITY = [
     "clean_corpus",
     "interval_join",
     "rollup_bars",
+    "winnow_fingerprints",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

@@ -86,3 +86,80 @@ def clean_corpus(
         & (F.col("quality_score") >= F.lit(float(min_quality)))
         & ~F.col("is_duplicate"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="deterministic_split")
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Optional[dict] = None,
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Stable train/val/test assignment by content-independent id hash.
+
+    ``bucket = int(md5(str(id) || salt)[:8], 16) % buckets``; cumulative
+    weight cutoffs over the bucket space pick the split. Properties a
+    training pipeline needs: (1) deterministic — re-runs, engine changes,
+    and partitioning changes can't move a document between splits; (2)
+    incremental — new documents don't reshuffle old assignments; (3)
+    engine-portable — md5-of-string is identical everywhere, so holdout
+    membership can be recomputed outside Spark. ``salt`` re-rolls the
+    assignment without touching the data.
+
+    Pure map-side projection: zero shuffle at any scale.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % F.lit(buckets)
+    expr, cum = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cut = int(round(cum * buckets))
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (expr.otherwise if expr is not None else F.lit)(names[-1])
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="shard_by_tokens")
+def shard_by_tokens(
+    df: DataFrame,
+    budget: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 1 << 20,
+) -> DataFrame:
+    """Pack documents into token-budget shards in ``id_col`` order.
+
+    ``shard_id = floor(exclusive_prefix_sum(tokens) / budget)`` — the
+    deterministic sharding a pre-training pipeline uses to cut a corpus into
+    ~equal-token output files. The prefix sum is the two-pass blocked cumsum
+    (core.blocked_cumsum): rows bucket into fixed id blocks, per-block
+    running sums run in parallel, and only the tiny per-block totals pass
+    through a global window — an un-keyed ``sum().over(Window.orderBy)``
+    would funnel the full corpus through ONE partition, the classic scale
+    cliff at 100 TB.
+
+    Returns ``(id, n_tokens, shard_id)``; exclusive prefix sum means a
+    document larger than ``budget`` still lands in exactly one shard.
+    """
+    from ffn_polars_spark.core import blocked_cumsum
+
+    t = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    c = blocked_cumsum(t, id_col, F.col("n_tokens"), "__cum", block=block)
+    return c.select(
+        F.col(id_col),
+        "n_tokens",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(float(budget)))
+        .cast("long")
+        .alias("shard_id"),
+    )

@@ -216,3 +216,69 @@ def winnow_fingerprints(
         .where(F.length("__norm") >= F.lit(k + window - 1))
         .select(F.col(id_col), F.explode(fps("__norm")).alias("fp"))
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing fingerprints.
+
+    The scalable consumer of ``winnow_fingerprints``: an inverted-index
+    equi-join on ``fp`` (documents sharing no fingerprint never meet — join
+    output is bounded by fingerprint co-occurrence, not |docs|²), pair
+    counts aggregated, then ``containment = shared / min(|fps_a|, |fps_b|)``
+    from a broadcast-friendly sizes join. Same shape as
+    ``dedup.ngram_jaccard_pairs`` but over sub-token rolling-hash sketches,
+    so it catches partial overlap/quotation that token shingles miss.
+
+    ``max_fp_df`` drops fingerprints whose document frequency exceeds the
+    cutoff before the self-join — the hot-key guard (a fingerprint shared by
+    d docs contributes d²/2 join rows). Both ``shared`` and sizes exclude
+    dropped fingerprints, so results are identical when nothing exceeds the
+    cutoff, conservative otherwise.
+    """
+    from ffn_polars_spark.operators.dedup import _pinned, _spread
+
+    fps = winnow_fingerprints(_spread(df, id_col), k, window, text_col, id_col)
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    # pinned: feeds three branches (sizes + both self-join sides)
+    fps = _pinned(fps)
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pair_id = lambda side: F.col(f"{side}.{id_col}")  # noqa: E731
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (pair_id("a") < pair_id("b")))
+        .groupBy(pair_id("a").alias("id_a"), pair_id("b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= F.lit(min_shared))
+    )
+    sz = lambda name: sizes.select(  # noqa: E731
+        F.col(id_col).alias(name), F.col("__sz").alias(f"__{name}_sz")
+    )
+    return (
+        inter.join(sz("id_a"), "id_a")
+        .join(sz("id_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / F.least("__id_a_sz", "__id_b_sz").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -2085,10 +2085,7 @@ _WINNOW_H = (
 )
 
 
-@query(
-    "winnow_fingerprints",
-    f"""
-WITH nn AS (
+_WINNOW_CTE = f"""nn AS (
   SELECT doc_id, {_WINNOW_NORM} AS n FROM documents
   WHERE length({_WINNOW_NORM}) >= 7),
 h AS (
@@ -2099,8 +2096,13 @@ m AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(hs) - 3),
                        i -> list_min(list_slice(hs, i, i + 3)))) AS fps
-  FROM h)
-SELECT doc_id, unnest(fps) AS fp FROM m""",
+  FROM h),
+wfp AS (SELECT doc_id, unnest(fps) AS fp FROM m)"""
+
+
+@query(
+    "winnow_fingerprints",
+    f"WITH {_WINNOW_CTE}\nSELECT doc_id, fp FROM wfp",
 )
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing sketch (k=4 char-grams, window 4); the oracle
@@ -2110,6 +2112,69 @@ def q_winnow_fingerprints(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=4, window=4)
+
+
+@query(
+    "winnow_overlap_pairs",
+    f"""
+WITH {_WINNOW_CTE},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM wfp GROUP BY doc_id)
+SELECT id_a, id_b, shared,
+       {R("shared / CAST(least(sa.sz, sb.sz) AS DOUBLE)")} AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b""",
+)
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Sub-token near-dup candidates: inverted-index join on shared winnowing
+    fingerprints, containment = shared / min(sketch sizes)."""
+    from ffn_polars_spark.operators.text import winnow_overlap_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, min_shared=2)
+
+
+@query(
+    "deterministic_split",
+    """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents)""",
+)
+def q_deterministic_split(spark, sf_dir):
+    """Hash-stable train/val/test assignment — md5-of-id buckets, portable
+    across engines (oracle recomputes the identical bucket)."""
+    from ffn_polars_spark.operators.pipeline import deterministic_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_split(docs).select("doc_id", "bucket", "split")
+
+
+@query(
+    "shard_by_tokens",
+    f"""
+WITH t AS (SELECT doc_id, len({TOKS_SQL}) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+FROM t""",
+)
+def q_shard_by_tokens(spark, sf_dir):
+    """Token-budget corpus sharding via the blocked two-pass prefix sum (no
+    single-partition global window)."""
+    from ffn_polars_spark.operators.pipeline import shard_by_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shard_by_tokens(docs, budget=2000)
 
 
 @query(
@@ -2416,6 +2481,9 @@ _PRIORITY = [
     "interval_join",
     "rollup_bars",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "deterministic_split",
+    "shard_by_tokens",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

@@ -11,7 +11,7 @@ aggregates).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -281,4 +281,75 @@ def winnow_overlap_pairs(
                 6,
             ).alias("containment"),
         )
+    )
+
+
+# Redaction patterns restricted to the regex subset with identical semantics
+# in Java (Spark) and RE2 (most other engines): character classes, bounded
+# repetition, alternation — no backreferences or lookaround, so the scrubbed
+# text is reproducible outside Spark.
+PII_PATTERNS: Dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Redact PII-shaped spans, keeping an audit count per pattern.
+
+    Patterns apply in dict order (URLs before emails, so an address inside a
+    query string is swallowed by the URL redaction rather than double-
+    counted); each match is replaced by ``<NAME>`` and counted BEFORE later
+    patterns run, so counts refer to spans of the original-or-prior-scrubbed
+    text. Pure map-side projection — zero shuffle, stays in codegen.
+
+    Returns ``(id, clean_text, n_<name> per pattern, n_redactions)``.
+    """
+    pats = patterns or PII_PATTERNS
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    out = df.select(F.col(id_col), cur.alias("clean_text"), *counts)
+    total_expr = None
+    for name in pats:
+        n = F.col(f"n_{name}")
+        total_expr = n if total_expr is None else total_expr + n
+    return out.withColumn("n_redactions", total_expr)
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus composition stats: doc/token/char counts, token
+    mean/stddev, and exact interpolated p50/p95 token counts.
+
+    One partial+final aggregate (percentiles included — Spark's
+    ``percentile`` aggregates a per-group digest map-side, so this is a
+    single shuffle of small partial states, not a sort of the corpus). The
+    standard first report over a new crawl snapshot: what is in it, from
+    where, how long.
+    """
+    t = F.col(text_col)
+    nt = token_count(t).cast("double")
+    base = df.select(*group_cols, nt.alias("__nt"), char_count(t).alias("__nc"))
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.sum("__nc").alias("total_chars"),
+        F.round(F.avg("__nt"), 6).alias("avg_tokens"),
+        F.round(F.stddev_samp("__nt"), 6).alias("std_tokens"),
+        F.round(F.percentile("__nt", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("__nt", F.lit(0.95)), 6).alias("p95_tokens"),
     )

@@ -2159,6 +2159,85 @@ def q_deterministic_split(spark, sf_dir):
     return deterministic_split(docs).select("doc_id", "bucket", "split")
 
 
+_PII_URL = r"https?://[^\s]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+@query(
+    "pii_scrub",
+    f"""
+WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{_PII_URL}')) AS n_url,
+              regexp_replace(t0, '{_PII_URL}', '<URL>', 'g') AS t1 FROM s0),
+s2 AS (SELECT doc_id, n_url,
+              len(regexp_extract_all(t1, '{_PII_EMAIL}')) AS n_email,
+              regexp_replace(t1, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_url, n_email,
+              len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phone,
+              regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3 FROM s2)
+SELECT doc_id, t3 AS clean_text, n_url, n_email, n_phone,
+       n_url + n_email + n_phone AS n_redactions
+FROM s3""",
+)
+def q_pii_scrub(spark, sf_dir):
+    """Sequential URL→email→phone redaction with per-pattern audit counts;
+    the regex subset is Java/RE2-identical, so the oracle reproduces the
+    scrubbed text byte for byte."""
+    from ffn_polars_spark.operators.text import pii_scrub
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pii_scrub(docs)
+
+
+@query(
+    "corpus_stats",
+    f"""
+WITH base AS (
+  SELECT lang, source, CAST(len({TOKS_SQL}) AS DOUBLE) AS nt,
+         length(text) AS nc
+  FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       {R("avg(nt)")} AS avg_tokens,
+       {R("stddev_samp(nt)")} AS std_tokens,
+       {R("quantile_cont(nt, 0.5)")} AS p50_tokens,
+       {R("quantile_cont(nt, 0.95)")} AS p95_tokens
+FROM base GROUP BY lang, source""",
+)
+def q_corpus_stats(spark, sf_dir):
+    """Corpus composition report per (lang, source): counts, token moments,
+    exact interpolated p50/p95 — one partial+final aggregate."""
+    from ffn_polars_spark.operators.text import corpus_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_stats(docs)
+
+
+@query(
+    "group_split",
+    """
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 10000 AS bucket
+      FROM documents)""",
+)
+def q_group_split(spark, sf_dir):
+    """Leakage-safe split: hash the GROUP key (source), not the document, so
+    all documents from one origin land in the same split — near-duplicates
+    within a source can never straddle train/test."""
+    from ffn_polars_spark.operators.pipeline import deterministic_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_split(docs, id_col="source").select(
+        "doc_id", "source", "bucket", "split"
+    )
+
+
 @query(
     "shard_by_tokens",
     f"""
@@ -2483,7 +2562,10 @@ _PRIORITY = [
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "deterministic_split",
+    "group_split",
     "shard_by_tokens",
+    "pii_scrub",
+    "corpus_stats",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

@@ -53,3 +53,51 @@ def test_winnow_shared_substring_guarantee(spark):
     for r in rows:
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or visit https://ex.io/p?e=a@b.co"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    from ffn_polars_spark.operators.text import pii_scrub
+
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    # URL swallowed first, so the email inside its query string counts once
+    assert out[1]["clean_text"] == "mail me at <EMAIL> or visit <URL>"
+    assert (out[1]["n_url"], out[1]["n_email"], out[1]["n_redactions"]) == (1, 1, 2)
+    assert out[2]["clean_text"] == "call <PHONE> today"
+    assert out[2]["n_phone"] == 1
+    assert out[3]["clean_text"] == "nothing sensitive here"
+    assert out[3]["n_redactions"] == 0
+
+
+def test_corpus_stats_single_group_values(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * n, "en", "web") for i, n in enumerate([1, 2, 3, 4, 10])],
+        ["doc_id", "text", "lang", "source"],
+    )
+    from ffn_polars_spark.operators.text import corpus_stats
+
+    row = corpus_stats(docs).collect()[0]
+    assert (row["n_docs"], row["total_tokens"]) == (5, 20)
+    assert row["avg_tokens"] == 4.0
+    assert row["p50_tokens"] == 3.0
+    assert abs(row["p95_tokens"] - 8.8) < 1e-6
+
+
+def test_group_split_keeps_groups_together(spark):
+    from ffn_polars_spark.operators.pipeline import deterministic_split
+
+    docs = spark.createDataFrame(
+        [(i, f"src-{i % 7}") for i in range(140)], ["doc_id", "source"]
+    )
+    rows = deterministic_split(docs, id_col="source").collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_source.values())

@@ -128,6 +128,144 @@ def deterministic_split(
     return df.withColumn("bucket", bucket).withColumn("split", expr)
 
 
+def _hash_bucket(id_col: str, salt: str, buckets: int):
+    """The engine-portable sampling bucket shared by every sampling op in
+    this module: ``int(md5(str(id) || salt)[:8], 16) % buckets``.  md5 of a
+    string is bit-identical in every engine, so holdout / sample membership
+    is reproducible outside Spark (the DuckDB oracles recompute it)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(buckets)
+
+
+def _rate_cutoff(rate_col, buckets: int):
+    """keep-cutoff for a [0,1] rate over the bucket space; the floor(x*B+0.5)
+    form is the same explicit rounding the r6 convention uses, so both
+    engines compute the identical integer cutoff from the identical double."""
+    return F.floor(rate_col * F.lit(float(buckets)) + F.lit(0.5)).cast("long")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="stratified_sample")
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (corpus rebalancing).
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; strata absent
+    from the map use ``default_rate``.  A document is kept iff its
+    content-independent hash bucket falls below ``round(rate * buckets)`` —
+    the same md5 bucket as :func:`deterministic_split`, so sampling is (1)
+    stable under re-runs and repartitioning, (2) incremental (new documents
+    never flip old decisions), and (3) nested: lowering a stratum's rate
+    keeps a strict subset of the previous sample.
+
+    Pure map-side projection — zero shuffle at any scale.  Every document
+    appears in the output with its ``keep`` decision (auditable drops).
+    """
+    bucket = _hash_bucket(id_col, salt, buckets)
+    rate_expr = None
+    for key, val in rates.items():
+        cond = F.col(stratum_col) == F.lit(str(key))
+        rate_expr = (
+            F.when(cond, F.lit(float(val)))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(float(val)))
+        )
+    rate = (
+        rate_expr.otherwise(F.lit(float(default_rate)))
+        if rate_expr is not None
+        else F.lit(float(default_rate))
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        bucket.alias("bucket"),
+        rate.alias("rate"),
+        (bucket < _rate_cutoff(rate, buckets)).alias("keep"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="domain_mix")
+def domain_mix(
+    df: DataFrame,
+    targets: dict,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_target: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance a corpus toward a target domain mixture without upsampling.
+
+    ``targets`` maps domain → relative target weight (them summing to 1 is
+    not required).  The achievable mixture keeps every document of the
+    scarcest-relative-to-target domain and downsamples the rest:
+    ``scale = min_d(n_d / t_d)``, ``rate_d = scale * t_d / n_d`` — expected
+    kept counts are then exactly proportional to ``targets`` (the DoReMi /
+    Pile-style domain reweighting step, sampling-only variant).
+
+    Plan: one tiny per-domain count aggregate, a 1-row global min folded in
+    by cross join, broadcast-joined back to the corpus; the keep decision is
+    the same portable md5-bucket rule as :func:`stratified_sample`.  At
+    100 TB the only full-data shuffle-free pass is the final projection —
+    domain cardinality (the aggregated side) is assumed small.
+    """
+    tgt_expr = None
+    for key, val in targets.items():
+        cond = F.col(stratum_col) == F.lit(str(key))
+        tgt_expr = (
+            F.when(cond, F.lit(float(val)))
+            if tgt_expr is None
+            else tgt_expr.when(cond, F.lit(float(val)))
+        )
+    tgt = (
+        tgt_expr.otherwise(F.lit(float(default_target)))
+        if tgt_expr is not None
+        else F.lit(float(default_target))
+    )
+
+    counts = df.groupBy(F.col(stratum_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn("target_w", tgt)
+    scale = counts.where(F.col("target_w") > 0).agg(
+        F.min(F.col("n_docs").cast("double") / F.col("target_w")).alias("__scale")
+    )
+    # rate = round6((scale * t) / n), clamped to [0, 1]; the explicit r6-style
+    # rounding pins the double BEFORE the cutoff so both engines derive the
+    # identical integer cutoff.
+    raw = (F.col("__scale") * F.col("target_w")) / F.col("n_docs").cast("double")
+    rate6 = F.floor(F.least(raw, F.lit(1.0)) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        F.col(stratum_col),
+        "n_docs",
+        "target_w",
+        F.when(F.col("target_w") > 0, rate6).otherwise(F.lit(0.0)).alias("rate"),
+    )
+    bucket = _hash_bucket(id_col, salt, buckets)
+    return (
+        df.select(F.col(id_col), F.col(stratum_col), bucket.alias("bucket"))
+        .join(F.broadcast(rates), stratum_col)
+        .select(
+            id_col,
+            stratum_col,
+            "bucket",
+            "n_docs",
+            "rate",
+            (F.col("bucket") < _rate_cutoff(F.col("rate"), buckets)).alias("keep"),
+        )
+    )
+
+
 @register(namespace="eod", kind="df", context="dataframe", alias="shard_by_tokens")
 def shard_by_tokens(
     df: DataFrame,

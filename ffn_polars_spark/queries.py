@@ -2256,6 +2256,67 @@ def q_shard_by_tokens(spark, sf_dir):
     return shard_by_tokens(docs, budget=2000)
 
 
+_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000"
+)
+
+
+@query(
+    "stratified_sample",
+    f"""
+SELECT doc_id, source, bucket, rate,
+       bucket < CAST(floor(rate * 10000.0 + 0.5) AS BIGINT) AS keep
+FROM (SELECT doc_id, source, {_BUCKET_SQL} AS bucket,
+             CAST(CASE WHEN source = 'src0' THEN 0.5
+                       WHEN source = 'src3' THEN 0.25
+                       ELSE 1.0 END AS DOUBLE) AS rate
+      FROM documents)""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling: keep iff the portable md5
+    bucket falls under round(rate*buckets). Zero shuffle; every doc appears
+    with its auditable keep decision."""
+    from ffn_polars_spark.operators.pipeline import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, {"src0": 0.5, "src3": 0.25})
+
+
+@query(
+    "domain_mix",
+    f"""
+WITH b AS (SELECT doc_id, source, {_BUCKET_SQL} AS bucket FROM documents),
+t AS (SELECT source, count(*) AS n_docs,
+             CAST(CASE WHEN source = 'src0' THEN 0.4
+                       WHEN source = 'src1' THEN 0.3
+                       WHEN source = 'src2' THEN 0.2
+                       WHEN source = 'src3' THEN 0.1
+                       ELSE 0.0 END AS DOUBLE) AS target_w
+      FROM documents GROUP BY source),
+s AS (SELECT min(CAST(n_docs AS DOUBLE) / target_w) AS sc FROM t WHERE target_w > 0),
+r AS (SELECT source, n_docs,
+             CASE WHEN target_w > 0
+                  THEN floor(least(sc * target_w / CAST(n_docs AS DOUBLE), 1.0)
+                             * 1000000.0 + 0.5) / 1000000.0
+                  ELSE 0.0 END AS rate
+      FROM t CROSS JOIN s)
+SELECT b.doc_id, b.source, b.bucket, r.n_docs, r.rate,
+       b.bucket < CAST(floor(r.rate * 10000.0 + 0.5) AS BIGINT) AS keep
+FROM b JOIN r ON b.source = r.source""",
+)
+def q_domain_mix(spark, sf_dir):
+    """DoReMi-style target-mixture rebalancing (sampling-only): scale =
+    min_d(n_d/t_d) keeps the scarcest-vs-target domain whole and downsamples
+    the rest so expected kept counts are proportional to the targets. Tiny
+    per-domain aggregate broadcast back; the corpus-wide pass is shuffle-free."""
+    from ffn_polars_spark.operators.pipeline import domain_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    return domain_mix(
+        docs, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    )
+
+
 @query(
     "clean_corpus",
     f"""

@@ -1,8 +1,13 @@
-"""deterministic_split / shard_by_tokens / winnow_overlap_pairs contracts."""
+"""deterministic_split / shard_by_tokens / sampling / winnow contracts."""
 
 from pyspark.sql import functions as F
 
-from ffn_polars_spark.operators.pipeline import deterministic_split, shard_by_tokens
+from ffn_polars_spark.operators.pipeline import (
+    deterministic_split,
+    domain_mix,
+    shard_by_tokens,
+    stratified_sample,
+)
 from ffn_polars_spark.operators.text import winnow_overlap_pairs
 
 
@@ -46,6 +51,71 @@ def test_shard_by_tokens_matches_serial_prefix_sum(spark):
     # shard ids are nondecreasing in doc order and start at 0
     shard_seq = [got[i][1] for i in range(200)]
     assert shard_seq[0] == 0 and all(a <= b for a, b in zip(shard_seq, shard_seq[1:]))
+
+
+def _docs_with_sources(spark, n=600, n_src=3):
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % n_src).cast("string")))
+    )
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    docs = _docs_with_sources(spark)
+    out = stratified_sample(docs, {"s0": 0.5, "s1": 0.1}, stratum_col="source")
+    rows = out.collect()
+    assert len(rows) == 600  # every doc present with an auditable decision
+    kept = {r["doc_id"] for r in rows if r["keep"]}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["keep"])
+    # rates honored to hash-sample tolerance; unmapped stratum keeps all
+    assert 0.35 < sum(by_src["s0"]) / len(by_src["s0"]) < 0.65
+    assert sum(by_src["s1"]) / len(by_src["s1"]) < 0.25
+    assert all(by_src["s2"])
+    # nested: halving a rate keeps a strict subset (same buckets, lower cutoff)
+    tighter = stratified_sample(docs, {"s0": 0.25, "s1": 0.05}, stratum_col="source")
+    kept2 = {r["doc_id"] for r in tighter.collect() if r["keep"]}
+    assert kept2 < kept
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), {"s0": 0.5, "s1": 0.1}, stratum_col="source"
+        ).collect()
+        if r["keep"]
+    }
+    assert again == kept
+
+
+def test_domain_mix_hits_target_proportions(spark):
+    # 300/200/100 docs of s0/s1/s2; target 1:1:1 → scarcest (s2) fully kept,
+    # others downsampled to ~100 each
+    docs = (
+        spark.range(600)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") < 300, "s0")
+            .when(F.col("doc_id") < 500, "s1")
+            .otherwise("s2"),
+        )
+    )
+    out = domain_mix(docs, {"s0": 1.0, "s1": 1.0, "s2": 1.0}, stratum_col="source")
+    rows = out.collect()
+    assert len(rows) == 600
+    rates = {r["source"]: r["rate"] for r in rows}
+    assert rates["s2"] == 1.0  # scarcest domain: keep everything
+    assert abs(rates["s0"] - 100 / 300) < 1e-6 and abs(rates["s1"] - 0.5) < 1e-6
+    kept = {}
+    for r in rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + bool(r["keep"])
+    # expected ~100 per domain; hash-sample tolerance
+    assert all(70 <= kept[s] <= 130 for s in ("s0", "s1")) and kept["s2"] == 100
+    # a domain with zero target weight is dropped entirely
+    drop = domain_mix(docs, {"s0": 1.0, "s1": 1.0}, stratum_col="source").collect()
+    assert not any(r["keep"] for r in drop if r["source"] == "s2")
 
 
 def test_winnow_overlap_pairs_finds_heavy_overlap_only(spark):

@@ -227,6 +227,64 @@ def ngram_jaccard_pairs(
     )
 
 
+@register(namespace="eod", kind="df", context="dataframe", alias="decontaminate")
+def decontaminate(
+    df: DataFrame,
+    holdout: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_text_col: Optional[str] = None,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with a (small) holdout/benchmark set — the standard
+    test-set-leakage scrub a pre-training pipeline runs before training.
+
+    Every training document comes back with its distinct-shingle count, the
+    number of those shingles that appear anywhere in the holdout, the
+    contaminated fraction, and a ``contaminated`` flag (``n_hits >=
+    min_hits``) — auditable decisions, nothing silently dropped.
+
+    Scale shape: the holdout is a benchmark (thousands of rows, not
+    billions), so its distinct shingle set is broadcast — the corpus-sized
+    side never shuffles for the membership probe; the only data-sized
+    exchange is the per-document hit/size aggregate.  Both branches read the
+    same pinned shingle frame, so tokenization runs once.
+    """
+    sh = _pinned(_doc_shingles(_spread(df, id_col), text_col, id_col, n))
+    hold_sh = (
+        _doc_shingles(holdout, holdout_text_col or text_col, id_col, n)
+        .select("__sh")
+        .distinct()
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(hold_sh), "__sh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(sizes, "__id", "left")
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("n_hits"), F.col("n_shingles")), F.lit(0.0)
+                ),
+                6,
+            ).alias("contaminated_frac"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(int(min_hits))).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def _doc_shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:

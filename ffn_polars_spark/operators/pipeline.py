@@ -301,3 +301,62 @@ def shard_by_tokens(
         .cast("long")
         .alias("shard_id"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="pack_sequences")
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 1 << 20,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    ``id_col`` order and cut the token stream into fixed ``seq_len`` blocks
+    (the standard GPT-style pre-training packing).  Emits one row per
+    (document, sequence) chunk: a document straddling block boundaries is
+    split, a short document shares its sequence with its neighbours.
+
+    ``tok_start``/``tok_end`` slice the document's own token array;
+    ``seq_offset`` is where the chunk begins inside its sequence — together
+    they are the full pack manifest a downstream tokenizer-writer needs,
+    computed without materializing any token stream.
+
+    Scale: the prefix sum is the blocked two-pass cumsum (no global
+    single-partition window); chunk explosion is in-row (a document spans at
+    most ``ceil(n/seq_len)+1`` sequences). One data-sized shuffle.
+    """
+    from ffn_polars_spark.core import blocked_cumsum
+
+    t = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    c = blocked_cumsum(t, id_col, F.col("n_tokens"), "__cum", block=block)
+    L = F.lit(int(seq_len))
+    c = c.withColumn("__start", F.col("__cum").cast("long") - F.col("n_tokens"))
+    c = c.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__start") / L).cast("long"),
+                F.floor((F.col("__start") + F.col("n_tokens") - 1) / L).cast("long"),
+            )
+        ),
+    )
+    pos = F.col("seq_id") * L
+    return c.select(
+        F.col(id_col),
+        "n_tokens",
+        "seq_id",
+        F.greatest(pos - F.col("__start"), F.lit(0)).cast("long").alias("tok_start"),
+        F.least(F.col("n_tokens"), pos + L - F.col("__start"))
+        .cast("long")
+        .alias("tok_end"),
+        F.greatest(F.col("__start") - pos, F.lit(0)).cast("long").alias("seq_offset"),
+        (
+            F.least(F.col("n_tokens"), pos + L - F.col("__start"))
+            - F.greatest(pos - F.col("__start"), F.lit(0))
+        )
+        .cast("long")
+        .alias("chunk_tokens"),
+    )

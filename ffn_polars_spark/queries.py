@@ -2318,6 +2318,68 @@ def q_domain_mix(spark, sf_dir):
 
 
 @query(
+    "pack_sequences",
+    f"""
+WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+p AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS strt
+      FROM t WHERE n_tokens > 0),
+x AS (SELECT doc_id, n_tokens, strt,
+             unnest(generate_series(CAST(floor(strt / 512.0) AS BIGINT),
+                                    CAST(floor((strt + n_tokens - 1) / 512.0) AS BIGINT)))
+               AS seq_id
+      FROM p)
+SELECT doc_id, n_tokens, seq_id,
+       greatest(seq_id * 512 - strt, 0) AS tok_start,
+       least(n_tokens, (seq_id + 1) * 512 - strt) AS tok_end,
+       greatest(strt - seq_id * 512, 0) AS seq_offset,
+       least(n_tokens, (seq_id + 1) * 512 - strt)
+         - greatest(seq_id * 512 - strt, 0) AS chunk_tokens
+FROM x""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing manifest: documents laid end-to-end
+    in id order, cut into 512-token sequences; one row per (doc, seq) chunk.
+    Prefix sum is the blocked two-pass cumsum — no single-partition window."""
+    from ffn_polars_spark.operators.pipeline import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512)
+
+
+@query(
+    "decontaminate",
+    f"""
+WITH {TRIGRAM_SQL},
+hold AS (SELECT DISTINCT sh FROM shd JOIN documents USING (doc_id)
+         WHERE source = 'src0'),
+train AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+hits AS (SELECT s.doc_id, count(*) AS n_hits
+         FROM shd s JOIN hold USING (sh) JOIN train USING (doc_id)
+         GROUP BY s.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(z.sz, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits / CAST(z.sz AS DOUBLE), 0.0), 6) AS contaminated_frac,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM train t
+LEFT JOIN sizes z ON z.doc_id = t.doc_id
+LEFT JOIN hits h ON h.doc_id = t.doc_id""",
+)
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: training docs (source<>'src0') probed against
+    the broadcast distinct-trigram set of the 'src0' holdout; per-doc hit
+    counts, contaminated fraction, and flag."""
+    from ffn_polars_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("source") != "src0"), docs.where(F.col("source") == "src0")
+    )
+
+
+@query(
     "clean_corpus",
     f"""
 WITH base AS (
@@ -2627,6 +2689,10 @@ _PRIORITY = [
     "shard_by_tokens",
     "pii_scrub",
     "corpus_stats",
+    "stratified_sample",
+    "domain_mix",
+    "pack_sequences",
+    "decontaminate",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

@@ -132,3 +132,66 @@ def test_winnow_overlap_pairs_finds_heavy_overlap_only(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)]["containment"] > 0.4
     assert all(3 not in p for p in pairs)
+
+
+def test_pack_sequences_matches_serial_packing(spark):
+    # known token counts: doc i has i+1 tokens (words "w w w ...")
+    n_docs, L = 40, 16
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(n_docs)], ["doc_id", "text"]
+    )
+    from ffn_polars_spark.operators.pipeline import pack_sequences
+
+    rows = sorted(
+        pack_sequences(docs, seq_len=L, block=8).collect(),
+        key=lambda r: (r["doc_id"], r["seq_id"]),
+    )
+    # serial reference: concat docs in id order, chunk the stream every L
+    expect, start = [], 0
+    for i in range(n_docs):
+        n = i + 1
+        first, last = start // L, (start + n - 1) // L
+        for s in range(first, last + 1):
+            ts, te = max(s * L - start, 0), min(n, (s + 1) * L - start)
+            expect.append((i, n, s, ts, te, max(start - s * L, 0), te - ts))
+        start += n
+    got = [
+        (r["doc_id"], r["n_tokens"], r["seq_id"], r["tok_start"], r["tok_end"],
+         r["seq_offset"], r["chunk_tokens"])
+        for r in rows
+    ]
+    assert got == expect
+    # every sequence except the last is exactly full
+    per_seq = {}
+    for _, _, s, *_rest, ct in got:
+        per_seq[s] = per_seq.get(s, 0) + ct
+    last_seq = max(per_seq)
+    assert all(v == L for s, v in per_seq.items() if s != last_seq)
+    assert sum(per_seq.values()) == sum(range(1, n_docs + 1))
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from ffn_polars_spark.operators.dedup import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (1, f"some filler then {leak} and a tail"),
+            (2, "totally clean document with zero overlap whatsoever here"),
+            (3, leak),
+        ],
+        ["doc_id", "text"],
+    )
+    hold = spark.createDataFrame([(99, leak)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in decontaminate(train, hold).collect()}
+    assert len(out) == 3
+    assert out[1]["contaminated"] and out[3]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # doc 3 IS the benchmark text: every shingle hits
+    assert out[3]["n_hits"] == out[3]["n_shingles"]
+    assert out[3]["contaminated_frac"] == 1.0
+    # min_hits raises the bar
+    strict = {
+        r["doc_id"]: r for r in decontaminate(train, hold, min_hits=1000).collect()
+    }
+    assert not any(r["contaminated"] for r in strict.values())

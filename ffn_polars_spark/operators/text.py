@@ -353,3 +353,76 @@ def corpus_stats(
         F.round(F.percentile("__nt", F.lit(0.5)), 6).alias("p50_tokens"),
         F.round(F.percentile("__nt", F.lit(0.95)), 6).alias("p95_tokens"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="repetition_stats")
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText repetition
+    filter family, Rae et al. 2021 §A1.1): machine-generated and boilerplate
+    text repeats itself, and these three fractions catch the common shapes —
+
+    * ``dup_word_frac``    — 1 − distinct/total tokens (inverse type-token
+      ratio; in-row, no shuffle),
+    * ``top_bigram_frac``  — share of bigram occurrences taken by the single
+      most frequent bigram (catches "foo bar foo bar ..." loops),
+    * ``dup_trigram_frac`` — share of trigram occurrences whose trigram
+      appears more than once (catches longer-range verse/chorus repetition).
+
+    Plan: one scan builds bigram+trigram occurrence rows in-row (tagged
+    structs, single explode), one (doc, n, gram) count aggregate, one tiny
+    per-doc fold — two shuffles of gram-count rows, nothing document-sized
+    crosses twice. Per-doc gram cardinality bounds the explode at ~2×tokens,
+    so the shape holds at any corpus size.
+    """
+    from ffn_polars_spark.operators.dedup import shingles_from_tokens
+
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    tagged = base.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__nd"),
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    shingles_from_tokens(F.col("__toks"), 2),
+                    lambda s: F.struct(F.lit(2).alias("n"), s.alias("sh")),
+                ),
+                F.transform(
+                    shingles_from_tokens(F.col("__toks"), 3),
+                    lambda s: F.struct(F.lit(3).alias("n"), s.alias("sh")),
+                ),
+            )
+        ).alias("__g"),
+    )
+    counts = tagged.groupBy(
+        id_col, "n_tokens", "__nd", F.col("__g.n").alias("__n"), F.col("__g.sh")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = counts.groupBy(id_col, "n_tokens", "__nd").agg(
+        *[
+            f(F.when(F.col("__n") == k, expr)).alias(name)
+            for k, tag in ((2, "2"), (3, "3"))
+            for f, expr, name in (
+                (F.sum, F.col("__c"), f"__tot{tag}"),
+                (F.max, F.col("__c"), f"__top{tag}"),
+                (F.sum, F.when(F.col("__c") > 1, F.col("__c")), f"__dup{tag}"),
+            )
+        ]
+    )
+    z = F.lit(0.0)
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("__nd") / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.try_divide(F.col("__top2"), F.col("__tot2")), z), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.try_divide(F.col("__dup3"), F.col("__tot3")), z), 6
+        ).alias("dup_trigram_frac"),
+    )

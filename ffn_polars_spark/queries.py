@@ -2380,6 +2380,43 @@ def q_decontaminate(spark, sf_dir):
 
 
 @query(
+    "repetition_stats",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents),
+d AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS nd
+      FROM tok GROUP BY doc_id),
+big AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS sh
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 1) OVER win IS NOT NULL),
+tri AS (SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL),
+bc AS (SELECT doc_id, sh, count(*) AS c FROM big GROUP BY doc_id, sh),
+tc AS (SELECT doc_id, sh, count(*) AS c FROM tri GROUP BY doc_id, sh),
+b2 AS (SELECT doc_id, sum(c) AS tot2, max(c) AS top2 FROM bc GROUP BY doc_id),
+t3 AS (SELECT doc_id, sum(c) AS tot3, sum(CASE WHEN c > 1 THEN c END) AS dup3
+       FROM tc GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       {R("1.0 - nd / CAST(d.n_tokens AS DOUBLE)")} AS dup_word_frac,
+       {R("coalesce(top2 / CAST(tot2 AS DOUBLE), 0.0)")} AS top_bigram_frac,
+       {R("coalesce(dup3 / CAST(tot3 AS DOUBLE), 0.0)")} AS dup_trigram_frac
+FROM d LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""",
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-family intra-doc repetition filters: inverse TTR, top-bigram
+    share, duplicated-trigram share. In-row gram construction, one gram-count
+    aggregate, one per-doc fold."""
+    from ffn_polars_spark.operators.text import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+@query(
     "clean_corpus",
     f"""
 WITH base AS (
@@ -2693,6 +2730,7 @@ _PRIORITY = [
     "domain_mix",
     "pack_sequences",
     "decontaminate",
+    "repetition_stats",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",

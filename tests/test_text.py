@@ -101,3 +101,29 @@ def test_group_split_keeps_groups_together(spark):
     for r in rows:
         by_source.setdefault(r["source"], set()).add(r["split"])
     assert all(len(v) == 1 for v in by_source.values())
+
+
+def test_repetition_stats_catches_loops(spark):
+    from ffn_polars_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "foo bar foo bar foo bar foo bar"),          # bigram loop
+            (2, "all words here are fully distinct tokens"), # clean
+            (3, "one two three one two three one two three"),# trigram chorus
+            (4, "x"),                                        # too short for grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(out) == 4
+    # doc 1: 8 tokens, 2 distinct -> dup_word 0.75; top bigram "foo bar" 4/7
+    assert out[1]["dup_word_frac"] == 0.75
+    assert abs(out[1]["top_bigram_frac"] - 4 / 7) < 1e-6
+    # doc 2: fully distinct, no repeated grams
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] < 0.2 and out[2]["dup_trigram_frac"] == 0.0
+    # doc 3: every trigram occurrence repeats ("one two three" x3 + wraps)
+    assert out[3]["dup_trigram_frac"] > 0.4
+    # doc 4: single token -> no grams, zero fractions, still present
+    assert out[4]["n_tokens"] == 1 and out[4]["top_bigram_frac"] == 0.0

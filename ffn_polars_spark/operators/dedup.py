@@ -294,8 +294,17 @@ def _doc_shingle_arrays(
     an ARRAY column inside the row instead of being exploded: no shuffle of
     shingle rows at any scale (contrast ``_doc_shingles``, whose inverted
     index is what the *exact* pairwise operator needs).
+
+    Documents with fewer than ``n`` tokens (empty shingle set) are dropped
+    HERE, by a cheap token-count predicate on the raw text. Consumers must
+    NOT re-filter on ``size(__shd) > 0``: Catalyst substitutes ``__shd``'s
+    defining expression into the predicate and pushes the whole interpreted
+    shingle-build below the spread exchange, serializing it on the (often
+    single-file) input side — measured 10s vs 0.5s at sf0.1.
     """
-    toks = df.select(
+    toks = df.where(
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= F.lit(n)
+    ).select(
         F.col(id_col).alias("__id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
     )
@@ -360,7 +369,7 @@ def _signatures_from_arrays(
 ) -> DataFrame:
     """Signature columns ``__mh{k}`` from a ``_doc_shingle_arrays`` frame."""
     engine = engine or SIGNATURE_ENGINE
-    hashed = arrays.where(F.size("__shd") > 0).select(
+    hashed = arrays.select(
         F.col("__id").alias(id_col),
         F.transform(F.col("__h64"), lambda h: F.pmod(h, F.lit(_MERSENNE))).alias("__h"),
     )
@@ -499,7 +508,7 @@ def simhash_signatures(
     fallback; identical bits).
     """
     arrays = _doc_shingle_arrays(df, text_col, id_col, n)
-    hashed = arrays.where(F.size("__shd") > 0).select(
+    hashed = arrays.select(
         F.col("__id").alias(id_col), F.col("__h64").alias("__h"), F.size("__h64").alias("__n")
     )
 

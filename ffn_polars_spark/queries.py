@@ -930,7 +930,7 @@ daily AS (
   SELECT event_type, bar_ts - bar_ts % {_DAY_NS} AS bar_ts,
          arg_min(open, bar_start_ts) AS open, max(high) AS high,
          min(low) AS low, arg_max(close, bar_end_ts) AS close,
-         sum(n_ticks) AS n_ticks, min(bar_start_ts) AS bar_start_ts,
+         CAST(sum(n_ticks) AS BIGINT) AS n_ticks, min(bar_start_ts) AS bar_start_ts,
          max(bar_end_ts) AS bar_end_ts,
          CAST(sum(volume) AS DOUBLE) AS volume,
          sum(vwap * volume) / CAST(sum(volume) AS DOUBLE) AS vwap
@@ -1057,7 +1057,7 @@ def q_quote_to_trade_ratio(spark, sf_dir):
          ts_ns
   FROM ticks)
 SELECT event_type,
-       sum(CASE WHEN gap > 60000000000 THEN 1 ELSE 0 END) AS n_idle_gaps,
+       CAST(sum(CASE WHEN gap > 60000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_idle_gaps,
        {R("CAST(sum(CASE WHEN gap > 60000000000 THEN gap ELSE 0 END) AS DOUBLE) / CAST(max(ts_ns) - min(ts_ns) AS DOUBLE)")} AS idle_frac
 FROM g GROUP BY event_type""",
 )
@@ -2657,8 +2657,8 @@ b AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)),
 s AS (
   SELECT user_id, ts_ns,
-         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_ns
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_ns
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
   FROM b)
 SELECT user_id, session_id, count(*) AS n_events,
        max(ts_ns) - min(ts_ns) AS duration

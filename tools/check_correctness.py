@@ -2,14 +2,29 @@
 
 Runs every ``queries()`` entry at sf0.01 on local Spark, runs the matching
 ``oracle_sql()`` in DuckDB over the same parquet files, and compares
-row-count + sorted-column schema + an order-insensitive value hash
-(values rounded to 9 significant-ish decimals to absorb float noise).
+row-count + sorted-column schema + an order-insensitive value hash.
+
+Fetch path deliberately mirrors the driver's pandas/arrow-style fetch:
+
+- Spark results go through ``toPandas()`` (Arrow) — so a nullable LongType
+  column degrades to float64 exactly as it does driver-side.
+- Oracle results go through DuckDB ``fetch_df()`` — so HUGEINT (the type of
+  an uncast integer ``sum()``) degrades to float64, which is the dtype-drift
+  bug class that cost rounds 1-2 (``7.0`` vs ``7``). ``fetchall()`` hid it
+  by converting HUGEINT to Python int.
+- Values are normalized at FULL precision (``repr``), keeping the int-vs-
+  float distinction, instead of the old ``%.9g`` which erased it.
+
+Rows are extracted per-column (``iloc[:, i].tolist()``) so a mixed
+int64/float64 frame never upcasts its int columns the way ``.values`` would.
 
 Usage: python tools/check_correctness.py [sf_dir] [name_filter ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 import sys
@@ -18,6 +33,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -26,19 +43,39 @@ TABLES = [
 
 
 def norm_val(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    # DECIMAL: DuckDB fetch_df gives float64, Spark collect gives Decimal —
+    # normalize both to float so the comparison is about values, not the
+    # decimal/float packaging (the driver's fetch does the same flattening).
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0:
-            return "0"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
+            return "0.0"  # fold -0.0 into 0.0 on both sides
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_val(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
     return str(v)
+
+
+def rows_from_pandas(pdf):
+    """Per-column extraction preserving each column's dtype."""
+    cols = list(pdf.columns)
+    if not cols:
+        return cols, []
+    series = [pdf.iloc[:, i].tolist() for i in range(len(cols))]
+    return cols, list(zip(*series))
 
 
 def table_sig(cols, rows):
@@ -83,8 +120,8 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols, srows = rows_from_pandas(spdf)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -95,9 +132,8 @@ def main():
             print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
-            od = con.execute(oracles[name])
-            ocols = [d[0] for d in od.description]
-            orows = od.fetchall()
+            opdf = con.execute(oracles[name]).fetch_df()
+            ocols, orows = rows_from_pandas(opdf)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -112,8 +148,7 @@ def main():
             ok = False
             msgs.append(f"rows {len(srows)} vs {len(orows)}")
         if ok:
-            srows_t = [[r[c] for c in scols] for r in srows]
-            h1, l1 = table_sig(scols, srows_t)
+            h1, l1 = table_sig(scols, srows)
             h2, l2 = table_sig(ocols, orows)
             if l1 != l2:
                 ok = False

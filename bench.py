@@ -81,15 +81,28 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     samples = {name: [] for name in HEADLINE}
+    errors: dict = {}
     # Interleave runs (full pass 1, full pass 2, ...) rather than timing each
     # query back-to-back-to-back: environmental slowdowns on this box arrive
     # in multi-second episodes, so interleaving decorrelates a query's three
     # samples and the median sees at least one clean pass.
+    #
+    # Fail-soft per query: one broken entry must never zero the whole file
+    # (round 3 lost every number to a single AnalysisException on the first
+    # query).  An erroring query is skipped for the rest of the run and
+    # reported under "errors".
     for _ in range(n_runs):
         for name in HEADLINE:
+            if name in errors:
+                continue
             fn = QUERY_FNS[name]
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — bench must survive anything
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                samples[name] = []
+                continue
             samples[name].append(time.time() - t0)
 
     def median(xs):
@@ -97,22 +110,21 @@ def main() -> None:
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
-    med = {name: round(median(v), 3) for name, v in samples.items()}
-    mins = {name: round(min(v), 3) for name, v in samples.items()}
+    med = {name: round(median(v), 3) for name, v in samples.items() if v}
+    mins = {name: round(min(v), 3) for name, v in samples.items() if v}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(mins.values()), 3),
-                "unit": "sec",
-                "queries": mins,
-                "sf": sf,
-                "queries_median": med,
-                "runs": n_runs,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(mins.values()), 3),
+        "unit": "sec",
+        "queries": mins,
+        "sf": sf,
+        "queries_median": med,
+        "runs": n_runs,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 import ffn_polars_spark as ffn
 from ffn_polars_spark import Over
-from ffn_polars_spark.sources import configure, read_table
+from ffn_polars_spark.sources import configure, read_table, ts_ns_col
 
 QUERY_FNS: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: Dict[str, str] = {}
@@ -99,7 +99,7 @@ def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "user_id",
-        (F.expr("ts div 1000") * F.lit(1000)).alias("ts_ns"),
+        ts_ns_col(ev).alias("ts_ns"),
         (F.lit(100.0) + F.col("value") / F.lit(10.0)).alias("price"),
         (F.lit(100.0) + F.col("value") / F.lit(20.0)).alias("price_b"),
         ((F.col("event_id") % 100) + 1).cast("double").alias("volume"),
@@ -2667,9 +2667,8 @@ FROM s GROUP BY user_id, session_id""",
 def q_session_stats(spark, sf_dir):
     from ffn_polars_spark.operators.sessions import session_stats
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", (F.expr("ts div 1000") * F.lit(1000)).alias("ts_ns")
-    )
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_ns_col(ev).alias("ts_ns"))
     return session_stats(ev, ts_col="ts_ns", key_col="user_id", gap=3600 * 1_000_000_000)
 
 

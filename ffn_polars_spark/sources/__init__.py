@@ -11,8 +11,9 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TESTDATA_TABLES = (
     "region",
@@ -84,6 +85,31 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_ns_col(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-nanosecond tick-time Column, µs-aligned, robust to how the
+    testdata was written.
+
+    The driver's ``events.ts`` has shipped both as parquet TIMESTAMP(NANOS)
+    (surfaces as epoch-ns LongType under ``nanosAsLong``) and as plain
+    ``timestamp[us]`` (surfaces as TIMESTAMP_NTZ, which ``nanosAsLong``
+    does not touch).  Both paths normalize to the same µs-truncated epoch-ns
+    integer the DuckDB oracle computes with ``epoch_us(ts) * 1000``:
+
+    * LongType epoch-ns → ``ts div 1000 * 1000`` (truncate sub-µs noise —
+      DuckDB reads TIMESTAMP(NANOS) at µs precision).
+    * timestamp / TIMESTAMP_NTZ → ``unix_micros(cast(ts as timestamp)) *
+      1000`` (exact under the UTC session timezone :func:`configure` sets).
+
+    Dispatching on the *read* dtype here — rather than assuming a writer
+    convention — is what keeps the whole tick catalog alive when the
+    testdata generator changes its parquet logical type.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"`{col}` div 1000") * F.lit(1000)
+    return F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
 
 
 GOLDEN_CSV = "/root/reference/tests/data/test_data.csv"

@@ -6,7 +6,45 @@ import os
 from pyspark.sql import functions as F
 
 from ffn_polars_spark.plans import count_exchanges, explain_str
-from ffn_polars_spark.sources import read_table, write_bucketed, write_table
+from ffn_polars_spark.sources import read_table, ts_ns_col, write_bucketed, write_table
+
+
+def test_tick_ingestion_contract_all_sf(spark):
+    """The round-3 regression class: the driver regenerated events.parquet
+    with ts as timestamp[us] instead of TIMESTAMP(NANOS) and every query
+    through ticks() died at analysis.  This contract test reads every
+    shipped scale factor and pins the canonical tick schema, so the next
+    silent testdata change fails here, not in the driver's gate."""
+    from ffn_polars_spark.queries import ticks
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.exists(os.path.join(d, "events.parquet")):
+            continue
+        t = ticks(spark, d)
+        types = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+        assert types["ts_ns"] == "bigint", (sf, types)
+        assert types["price"] == "double" and types["volume"] == "double"
+        rows = t.select("ts_ns").limit(5).collect()
+        assert rows and all(r.ts_ns % 1000 == 0 for r in rows), sf  # µs-aligned
+        checked += 1
+    assert checked == 3
+
+
+def test_ts_ns_col_dispatches_on_dtype(spark):
+    """ts_ns_col must yield identical epoch-ns for the same instant whether
+    ts was read as epoch-ns LongType (nanosAsLong) or as a timestamp."""
+    import datetime
+
+    ns = 1_700_000_000_123_456_789
+    long_df = spark.createDataFrame([(ns,)], "ts long")
+    ts_df = spark.createDataFrame(
+        [(datetime.datetime.utcfromtimestamp(ns / 1e9),)], "ts timestamp"
+    ).select(F.timestamp_micros(F.lit(ns // 1000)).alias("ts"))
+    a = long_df.select(ts_ns_col(long_df).alias("ts_ns")).first().ts_ns
+    b = ts_df.select(ts_ns_col(ts_df).alias("ts_ns")).first().ts_ns
+    assert a == b == (ns // 1000) * 1000
 
 
 def test_write_table_partitioned_prunes(spark, tmp_path):

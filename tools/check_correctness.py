@@ -23,7 +23,6 @@ Usage: python tools/check_correctness.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
-import datetime
 import decimal
 import math
 import os
@@ -79,11 +78,23 @@ def rows_from_pandas(pdf):
 
 
 def table_sig(cols, rows):
+    """Order-insensitive value lines: columns sorted by name, rows sorted
+    lexicographically — exactly the driver's comparison shape."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "|".join(norm_val(r[i]) for i in order) for r in rows
-    )
-    return hash(tuple(lines)), lines
+    return sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
+
+
+def sig12(line: str) -> str:
+    """~12-sig-fig rendering of a value line, used only in FAIL diagnostics:
+    if two lines differ at full precision but agree here, the divergence is
+    a 1-ulp accumulation-order artifact, not a real value bug."""
+    out = []
+    for tok in line.split("|"):
+        try:
+            out.append(f"{float(tok):.12g}")
+        except ValueError:
+            out.append(tok)
+    return "|".join(out)
 
 
 def main():
@@ -148,17 +159,24 @@ def main():
             ok = False
             msgs.append(f"rows {len(srows)} vs {len(orows)}")
         if ok:
-            h1, l1 = table_sig(scols, srows)
-            h2, l2 = table_sig(ocols, orows)
+            l1 = table_sig(scols, srows)
+            l2 = table_sig(ocols, orows)
             if l1 != l2:
                 ok = False
                 diff = next(
                     (i for i, (a, b) in enumerate(zip(l1, l2)) if a != b), -1
                 )
+                a = l1[diff][:200] if 0 <= diff < len(l1) else "?"
+                b = l2[diff][:200] if 0 <= diff < len(l2) else "?"
+                ulp_note = (
+                    "  [12-sig-fig EQUAL -> likely ulp-only accumulation drift]"
+                    if sig12(a) == sig12(b) and a != "?"
+                    else ""
+                )
                 msgs.append(
-                    f"hash mismatch (first diff line {diff}):\n"
-                    f"    spark:  {l1[diff][:200] if 0 <= diff < len(l1) else '?'}\n"
-                    f"    oracle: {l2[diff][:200] if 0 <= diff < len(l2) else '?'}"
+                    f"hash mismatch (first diff line {diff}):{ulp_note}\n"
+                    f"    spark:  {a}\n"
+                    f"    oracle: {b}"
                 )
         if ok:
             n_pass += 1

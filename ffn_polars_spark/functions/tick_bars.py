@@ -266,12 +266,15 @@ def detect_bursts(
     # Floor sd at epsilon: a perfectly flat trailing history (sd = 0) must
     # still flag a jump, and ANSI mode would otherwise raise on the divide.
     z = (F.col("n_ticks") - mu) / F.greatest(F.coalesce(sd, F.lit(0.0)), F.lit(1e-9))
+    # is_burst is never NULL: bars with no trailing history (z undefined)
+    # are not bursts rather than unknown — keeps the column a total boolean
+    # predicate downstream filters can rely on.
     return counts.select(
         *by,
         "bar_ts",
         "n_ticks",
         z.alias("zscore"),
-        (z > F.lit(float(z_threshold))).alias("is_burst"),
+        F.coalesce(z > F.lit(float(z_threshold)), F.lit(False)).alias("is_burst"),
     )
 
 

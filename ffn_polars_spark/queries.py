@@ -1089,7 +1089,7 @@ roll AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
 SELECT event_type, bar_ts, n_ticks,
        {R("(n_ticks - mu) / greatest(coalesce(sd, 0.0), 1e-9)")} AS zscore,
-       (n_ticks - mu) / greatest(coalesce(sd, 0.0), 1e-9) > 2.0 AS is_burst
+       coalesce((n_ticks - mu) / greatest(coalesce(sd, 0.0), 1e-9) > 2.0, false) AS is_burst
 FROM roll""",
 )
 def q_detect_bursts(spark, sf_dir):

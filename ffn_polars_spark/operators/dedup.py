@@ -98,6 +98,37 @@ def _pinned(df: DataFrame) -> DataFrame:
 # minhash permutations.
 _MERSENNE = (1 << 31) - 1
 
+# Base 64-bit hash engines for shingle/band hashing.
+#
+# * "xxhash64" (default): Spark's JVM-native seeded hash — fastest, but no
+#   other engine implements the same function, so results are only
+#   verifiable against another Spark run.
+# * "md5": engine-portable 60-bit hash — the low 15 hex chars of md5,
+#   parsed as an integer. Bit-identical in any engine with md5 + hex
+#   parsing (DuckDB: ``('0x' || substr(md5(s), 18, 15))::BIGINT``; Python:
+#   ``int(md5(s).hexdigest()[17:32], 16)``), which is what lets the DuckDB
+#   correctness oracle hash-match the full MinHash/SimHash pipelines.
+#   ~2.8x slower per hash than xxhash64 (still JVM codegen, measured 0.9s
+#   vs 0.3s per 5M hashes) and 60 uniform bits instead of 64 — identical
+#   collision behavior for dedup purposes.
+
+
+def _hash64(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5'; got {hash_fn!r}")
+
+
+def _hash64_multi(cols: list, hash_fn: str) -> Column:
+    """64-bit hash of several integer columns (band hashing)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*cols)
+    # portable: hash the '|'-joined decimal rendering (identical in SQL via
+    # concat_ws / ::VARCHAR)
+    return _hash64(F.concat_ws("|", *cols), "md5")
+
 
 def normalized_text(text: Column) -> Column:
     """Lowercase + whitespace-collapse (the exact-dedup canonical form)."""
@@ -286,7 +317,7 @@ def decontaminate(
 
 
 def _doc_shingle_arrays(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """(id, distinct shingle array, shingle-hash array) — pure projection.
 
@@ -314,7 +345,7 @@ def _doc_shingle_arrays(
     return shd.select(
         "__id",
         "__shd",
-        F.transform(F.col("__shd"), lambda s: F.xxhash64(s)).alias("__h64"),
+        F.transform(F.col("__shd"), lambda s: _hash64(s, hash_fn)).alias("__h64"),
     )
 
 
@@ -325,6 +356,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document minhash signature as ``num_hashes`` columns ``__mh{k}``.
 
@@ -335,7 +367,7 @@ def minhash_signatures(
     projection, zero shuffles (documents with no shingles are dropped, as
     the exploded formulation did implicitly).
     """
-    arrays = _doc_shingle_arrays(df, text_col, id_col, n)
+    arrays = _doc_shingle_arrays(df, text_col, id_col, n, hash_fn)
     return _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
 
 
@@ -407,6 +439,7 @@ def dedup_minhash_lsh(
     id_col: str = "doc_id",
     seed: int = 42,
     verify="exact",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -437,13 +470,15 @@ def dedup_minhash_lsh(
     df = _spread(df, id_col)
     # One pinned pass builds the shingle + hash arrays; signatures, the
     # bucket self-join, and verification all derive from it.
-    arrays = _pinned(_doc_shingle_arrays(df, text_col, id_col, n))
+    arrays = _pinned(_doc_shingle_arrays(df, text_col, id_col, n, hash_fn))
     sig = _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
 
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"__mh{b * rows + r}") for r in range(rows)]).alias("bh"),
+            _hash64_multi(
+                [F.col(f"__mh{b * rows + r}") for r in range(rows)], hash_fn
+            ).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -480,14 +515,15 @@ def dedup_minhash_lsh(
     b = arrays.select(F.col("__id").alias("id_b"), F.col("__shd").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     union = F.size("__sha") + F.size("__shb") - inter
+    # floor(x*1e6+0.5)/1e6, not F.round: identical IEEE ops in any engine,
+    # so an external SQL oracle reproduces the value bit-for-bit.
+    jacc = F.floor(
+        (inter / union.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ) / F.lit(1000000.0)
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / union.cast("double"), 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jacc.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -498,6 +534,7 @@ def simhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: sign-sum of shingle-hash bits.
 
@@ -507,7 +544,7 @@ def simhash_signatures(
     in ``_signatures_from_arrays`` (Arrow/numpy by default, pure-JVM HOF
     fallback; identical bits).
     """
-    arrays = _doc_shingle_arrays(df, text_col, id_col, n)
+    arrays = _doc_shingle_arrays(df, text_col, id_col, n, hash_fn)
     hashed = arrays.select(
         F.col("__id").alias(id_col), F.col("__h64").alias("__h"), F.size("__h64").alias("__n")
     )
@@ -542,6 +579,7 @@ def dedup_simhash(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs within a Hamming ball.
 
@@ -549,7 +587,9 @@ def dedup_simhash(
     agrees on at least one chunk, so candidates come from 4 chunk-equality
     joins (union'd via explode), then ``bit_count(xor)`` filters exactly.
     """
-    sig = _pinned(simhash_signatures(_spread(df, id_col), n, text_col, id_col))
+    sig = _pinned(
+        simhash_signatures(_spread(df, id_col), n, text_col, id_col, hash_fn)
+    )
     chunks = sig.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),

@@ -1846,30 +1846,121 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup_assign_canonical(docs, pairs)
 
 
+# Engine-portable 60-bit hash (low 15 hex chars of md5) — the SQL twin of
+# dedup._hash64(col, "md5"). {s} is the string expression to hash.
+def _H(s: str) -> str:
+    return f"('0x' || substr(md5({s}), 18, 15))::BIGINT"
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """documents → (doc_id, t tokens, shd distinct n-shingles) CTEs."""
+    shingle = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {shingle})) AS shd
+  FROM toks WHERE len(t) >= {n}
+)"""
+
+
+def _minhash_oracle_sql(
+    threshold: float, num_hashes: int = 64, bands: int = 16, n: int = 3, seed: int = 42
+) -> str:
+    """Exact SQL twin of dedup_minhash_lsh(hash_fn='md5'): same shingles,
+    same universal-hash permutations (coefficients from the same seeded
+    generator), same md5-banding, same r6-rounded exact-Jaccard verify."""
+    from ffn_polars_spark.operators.dedup import _MERSENNE, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        f"list_min(list_transform(h, x -> ({a}*x + {b}) % {_MERSENNE})) AS mh{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+    band_structs = ",\n      ".join(
+        "{'band': %d, 'bh': %s}"
+        % (
+            b,
+            _H(" || '|' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows))),
+        )
+        for b in range(bands)
+    )
+    jac = "len(list_intersect(a.shd, b.shd)) / CAST(len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)) AS DOUBLE)"
+    return (
+        _shingle_cte(n)
+        + f""", hs AS (
+  SELECT doc_id, shd, list_transform(shd, s -> {_H('s')} % {_MERSENNE}) AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {mh}
+  FROM hs
+), bands AS (
+  SELECT doc_id, u.band AS band, u.bh AS bh FROM (
+    SELECT doc_id, unnest([
+      {band_structs}
+    ]) AS u FROM sig)
+), cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, {R(jac)} AS jaccard
+FROM cands JOIN hs a ON cands.id_a = a.doc_id JOIN hs b ON cands.id_b = b.doc_id
+WHERE {R(jac)} >= {threshold}"""
+    )
+
+
+def _simhash_oracle_sql(max_hamming: int, n: int = 3) -> str:
+    """Exact SQL twin of dedup_simhash(hash_fn='md5'): majority-bit 64-bit
+    fingerprint, 4x16-bit chunk banding, bit_count(xor) Hamming filter."""
+    return (
+        _shingle_cte(n)
+        + f""", hs AS (
+  SELECT doc_id, list_transform(shd, s -> {_H('s')}) AS h FROM sh
+), sig AS (
+  SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), j ->
+           CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+  FROM hs
+), chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (16 * c)) & 65535 AS val
+  FROM sig, (SELECT unnest(range(0, 4)) AS c)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM chunks l JOIN chunks r
+  ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"""
+    )
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql(threshold=0.5))
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidates + exact-Jaccard verification. The minhash
-    permutations have no SQL-portable twin (xxhash64) → rows-only check here;
-    recall vs the exact pairs is pinned in tests/test_dedup.py."""
+    """MinHash-LSH candidates + exact-Jaccard verification, run with the
+    engine-portable md5 base hash so the full pipeline (shingles →
+    permutation minima → banding → candidate join → exact verify) is
+    hash-checked against the independent SQL twin. The xxhash64 default
+    differs only in the base-hash function; recall vs the exact pairs is
+    additionally pinned in tests/test_dedup.py."""
     from ffn_polars_spark.operators.dedup import dedup_minhash_lsh
 
     configure(spark)
     docs = read_table(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(docs, threshold=0.5)
-
-
-QUERY_FNS["dedup_minhash_lsh"] = q_dedup_minhash
+    return dedup_minhash_lsh(docs, threshold=0.5, hash_fn="md5")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash Hamming-ball pairs (xxhash64-based) → rows-only check."""
+    """SimHash Hamming-ball pairs with the portable md5 base hash (exact
+    SQL oracle; see q_dedup_minhash)."""
     from ffn_polars_spark.operators.dedup import dedup_simhash
 
     configure(spark)
     docs = read_table(spark, sf_dir, "documents")
-    return dedup_simhash(docs, max_hamming=12)
+    return dedup_simhash(docs, max_hamming=12, hash_fn="md5")
 
 
 QUERY_FNS["dedup_simhash"] = q_dedup_simhash
+ORACLE_SQL["dedup_simhash"] = _simhash_oracle_sql(max_hamming=12)
 
 
 @query(

@@ -210,6 +210,8 @@ def ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: Optional[str] = None,
+    max_pairs: int = 1_000_000_000,
+    allow_bruteforce: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -218,8 +220,25 @@ def ann_topk(
     top-k (a rank over partitions of size |items|, bounded by WindowGroupLimit
     pushdown in Spark 3.5+ so executors keep only k rows per query).
     Self-matches (same id) are excluded. Ranking ties break by item id.
+
+    Exactness costs O(|items|·|queries|) dot products. That contract is
+    ENFORCED like :func:`embedding_cosine_pairs`'s: when the product of the
+    two row counts exceeds ``max_pairs`` the call raises and points at
+    :func:`ann_topk_lsh` / :func:`ann_topk_ivf`, so a large query set cannot
+    silently schedule a cluster-melting scan at 100 TB. Two cheap count
+    jobs; pass ``max_pairs=0`` (or ``allow_bruteforce=True``) to skip.
     """
     qid = query_id_col or id_col
+    if max_pairs and not allow_bruteforce:
+        n_items = items.select(id_col).count()
+        n_queries = queries.select(qid).count()
+        if n_items * n_queries > max_pairs:
+            raise ValueError(
+                f"ann_topk is exact (O(items x queries) = {n_items} x "
+                f"{n_queries} dot products > max_pairs={max_pairs}); use "
+                "ann_topk_lsh/ann_topk_ivf at this scale or pass "
+                "allow_bruteforce=True explicitly"
+            )
     q = F.broadcast(
         queries.select(F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qu"))
     )
@@ -253,15 +272,20 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     query_id_col: Optional[str] = None,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from ``tables`` hyperplane bucketings
     (bucket equi-join instead of a full scan), exact cosine re-rank.
 
     The item side is bucketed once per table (map-side) and joined on
     (table, bucket) — at 100 TB this touches ~|items|/2^planes per query per
-    table instead of |items|."""
+    table instead of |items|.
+
+    Pass ``dim`` (the vector width) when known: it saves the one-row
+    ``first()`` probe job the function otherwise runs to size the
+    hyperplanes."""
     qid = query_id_col or id_col
-    dim = len(items.select(vec_col).first()[0])
+    dim = dim or len(items.select(vec_col).first()[0])
     planes_per_table = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
 
     it = _bucketize(
@@ -375,6 +399,7 @@ def ann_topk_ivf(
     query_id_col: Optional[str] = None,
     seed: int = 42,
     sample_rows: int = 65_536,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means cells instead of
     hyperplane buckets.
@@ -387,13 +412,20 @@ def ann_topk_ivf(
     top-k. Data-adaptive cells beat data-oblivious hyperplanes on clustered
     corpora (recall at equal candidate budget); `ann_topk_lsh` remains the
     choice when training passes are unwanted.
+
+    ``centroids`` (a ``[[float]]`` of unit vectors) skips training and uses
+    the given coarse quantizer — the FAISS pre-trained-quantizer pattern.
+    Besides reuse across corpora, an externally fixed quantizer makes the
+    whole search path deterministic and engine-independent (the correctness
+    oracle exercises it with seeded random unit centroids).
     """
     from ffn_polars_spark.operators._arrow_kernels import make_cell_assign_udf
 
     qid = query_id_col or id_col
-    centroids = _train_ivf_centroids(
-        items, vec_col, id_col, nlist, seed, sample_rows=sample_rows
-    )
+    if centroids is None:
+        centroids = _train_ivf_centroids(
+            items, vec_col, id_col, nlist, seed, sample_rows=sample_rows
+        )
     assign_item = make_cell_assign_udf(centroids, 1)
     assign_query = make_cell_assign_udf(centroids, nprobe)
 

@@ -1998,30 +1998,136 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+# The testdata embedding width — stable across every shipped scale factor
+# (pinned by tests/test_similarity.py::test_catalog_embedding_dim). Both ANN
+# oracles bake hyperplane/centroid literals of this width into their SQL.
+_EMB_DIM = 64
+
+
+def _vec_lit(v) -> str:
+    """A python float vector as a DuckDB DOUBLE[] literal. repr() is the
+    shortest round-trip rendering, so the engine parses back the exact
+    same binary64 values numpy computed."""
+    return "[" + ",".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _ann_lsh_oracle_sql(k: int = 10, planes: int = 10, tables: int = 4, seed: int = 42) -> str:
+    """Exact SQL twin of ann_topk_lsh: identical hyperplanes (same seeded
+    generator, embedded as literals), sign-of-dot bucketing (normalization-
+    invariant, so raw vectors bucket identically to the engine's unit
+    vectors), candidate equi-join per table, cosine re-rank."""
+    from ffn_polars_spark.operators.similarity import _hyperplanes
+
+    def bucket(t: int) -> str:
+        ps = _hyperplanes(_EMB_DIM, planes, seed + t)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_vec_lit(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(ps)
+        )
+
+    tbl_structs = ",\n      ".join(
+        "{'tbl': %d, 'bkt': %s}" % (t, bucket(t)) for t in range(tables)
+    )
+    cos = "list_cosine_similarity(a.v, b.v)"
+    return f"""WITH it AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), itb AS (
+  SELECT vec_id, u.tbl AS tbl, u.bkt AS bkt FROM (
+    SELECT vec_id, unnest([
+      {tbl_structs}
+    ]) AS u FROM it)
+), cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS item_id
+  FROM itb i JOIN itb q ON i.tbl = q.tbl AND i.bkt = q.bkt
+  WHERE q.vec_id < 5 AND i.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, item_id, {R(cos)} AS cosine
+  FROM cands JOIN it a ON cands.item_id = a.vec_id JOIN it b ON cands.query_id = b.vec_id
+)
+SELECT query_id, item_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= {k}"""
+
+
+def _ivf_fixed_centroids(nlist: int = 16, seed: int = 7, dim: int = _EMB_DIM) -> list:
+    """Seeded random unit centroids: a data-independent coarse quantizer so
+    the engine and the SQL oracle assign identical cells."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((nlist, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C.tolist()
+
+
+def _ann_ivf_oracle_sql(k: int = 10, nlist: int = 16, nprobe: int = 4) -> str:
+    """Exact SQL twin of ann_topk_ivf with the fixed quantizer: items take
+    their argmax-dot cell (scale-invariant → raw vectors), queries probe the
+    ``nprobe`` best cells, candidates re-rank by exact cosine."""
+    cents = _ivf_fixed_centroids(nlist)
+    cell_structs = ",\n      ".join(
+        "{'c': %d, 'sim': list_dot_product(v, %s)}" % (c, _vec_lit(cent))
+        for c, cent in enumerate(cents)
+    )
+    cos = "list_cosine_similarity(a.v, b.v)"
+    return f"""WITH it AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ranked AS (
+  SELECT vec_id, u.c AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY u.sim DESC, u.c ASC) AS rk
+  FROM (
+    SELECT vec_id, unnest([
+      {cell_structs}
+    ]) AS u FROM it)
+), icell AS (
+  SELECT vec_id, cell FROM ranked WHERE rk = 1
+), qcell AS (
+  SELECT vec_id, cell FROM ranked WHERE rk <= {nprobe} AND vec_id < 5
+), cands AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id
+  FROM icell i JOIN qcell q ON i.cell = q.cell
+  WHERE i.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, item_id, {R(cos)} AS cosine
+  FROM cands JOIN it a ON cands.item_id = a.vec_id JOIN it b ON cands.query_id = b.vec_id
+)
+SELECT query_id, item_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= {k}"""
+
+
+@query("ann_topk_lsh", _ann_lsh_oracle_sql())
 def q_ann_topk_lsh(spark, sf_dir):
-    """LSH-bucketed ANN — approximate candidates, rows-only check; recall vs
-    exact top-k is pinned in tests/test_similarity.py."""
+    """LSH-bucketed ANN, hash-checked end to end against the SQL twin
+    (identical seeded hyperplanes; bucket signs are normalization-invariant
+    so both engines derive the same candidates). Recall vs exact top-k is
+    additionally pinned in tests/test_similarity.py."""
     from ffn_polars_spark.operators.similarity import ann_topk_lsh
 
     configure(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10)
+    return ann_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, dim=_EMB_DIM)
 
 
-QUERY_FNS["ann_topk_lsh"] = q_ann_topk_lsh
-
-
+@query("ann_topk_ivf", _ann_ivf_oracle_sql())
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF (k-means cell) ANN — approximate candidates, rows-only check;
-    recall vs exact top-k is pinned in tests/test_similarity.py."""
+    """IVF ANN with a fixed seeded coarse quantizer (the pre-trained-
+    quantizer mode), hash-checked against the SQL twin — verifies the whole
+    search path: cell assignment, nprobe probing, candidate join, exact
+    re-rank. The k-means-trained mode differs only in where the centroids
+    come from; its recall is pinned in tests/test_similarity.py."""
     from ffn_polars_spark.operators.similarity import ann_topk_ivf
 
     configure(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    return ann_topk_ivf(emb, emb.where(F.col("vec_id") < 5), k=10, nlist=16, nprobe=4)
-
-
-QUERY_FNS["ann_topk_ivf"] = q_ann_topk_ivf
+    return ann_topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        nlist=16,
+        nprobe=4,
+        centroids=_ivf_fixed_centroids(16),
+    )
 
 
 # ---------------------------------------------------------------------------

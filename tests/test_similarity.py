@@ -173,3 +173,49 @@ def test_ann_topk_ivf_full_probe_is_exact(spark, embdf):
     full = {(r["query_id"], r["rank"], r["item_id"])
             for r in ann_topk_ivf(embdf, queries, k=4, nlist=4, nprobe=4).collect()}
     assert full == exact
+
+
+def test_ann_topk_scale_guard(spark):
+    """Exact ann_topk must refuse an items x queries product over max_pairs
+    (the 100 TB cluster-melt guard) and honor both opt-outs."""
+    df = spark.range(100).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0f, 2.0f) AS embedding"
+    )
+    q = df.where("vec_id < 50")
+    with pytest.raises(ValueError, match="ann_topk_lsh|max_pairs"):
+        ann_topk(df, q, k=3, max_pairs=1000)
+    assert ann_topk(df, q, k=3, max_pairs=1000, allow_bruteforce=True).count() > 0
+    assert ann_topk(df, q, k=3, max_pairs=0).count() > 0
+
+
+def test_catalog_embedding_dim(spark):
+    """The ANN oracle SQL bakes hyperplane/centroid literals of width
+    _EMB_DIM; fail loudly here if the driver ever regenerates embeddings
+    with another width."""
+    import os
+
+    from ffn_polars_spark.queries import _EMB_DIM
+    from ffn_polars_spark.sources import read_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            continue
+        first = read_table(spark, d, "embeddings").first()
+        assert len(first["embedding"]) == _EMB_DIM, sf
+
+
+def test_ann_topk_ivf_fixed_centroids_match_trained_api(spark, embdf):
+    """centroids= skips training but must flow through the same search path:
+    full-probe with ANY quantizer equals the exact scan."""
+    from ffn_polars_spark.operators.similarity import ann_topk_ivf
+    from ffn_polars_spark.queries import _ivf_fixed_centroids
+
+    queries = embdf.where("vec_id < 3")
+    exact = {(r["query_id"], r["rank"], r["item_id"])
+             for r in ann_topk(embdf, queries, k=4).collect()}
+    cents = _ivf_fixed_centroids(4, dim=len(embdf.first()["embedding"]))
+    full = {(r["query_id"], r["rank"], r["item_id"])
+            for r in ann_topk_ivf(embdf, queries, k=4, nlist=4, nprobe=4,
+                                  centroids=cents).collect()}
+    assert full == exact

@@ -6,16 +6,27 @@ metadata struct — the layout a 100 TB multimodal corpus actually ships with
 extraction / resize / frame sampling run as Arrow-batched ``mapInPandas``
 stages so each executor processes whole record batches with a real decoder.
 
-This container has no image/audio libraries, so the decoders are STUBS: the
-Spark-side plumbing (schemas, batch iteration, partitioning) is real and
-tested; ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-a deterministic fake decode is requested (``fake=True``), which derives
-pseudo-features from the bytes themselves and is what the tests/oracle pin.
+Decode strategy (``fake=False``, the real path):
+
+1. **Pure-stdlib decoders** for the common container formats — PNG (IHDR
+   header + full zlib-inflate/unfilter pixel decode at 8-bit depth), JPEG
+   (SOF marker scan), GIF, BMP headers, and RIFF/WAV PCM (fmt chunk +
+   real RMS over 16-bit samples). No third-party library needed.
+2. **PIL / soundfile** when installed, for formats outside that set
+   (import-guarded — absent in this container).
+3. ``NotImplementedError`` for unrecognized bytes.
+
+``fake=True`` derives deterministic pseudo-features from the bytes
+themselves — that path is what the DuckDB oracle pins (the oracle cannot
+inflate PNGs), while unit tests pin the real decoders on crafted PNG/WAV
+bytes with known pixels/samples.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
@@ -68,28 +79,138 @@ def text_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content", F.encode(F.col(text_col), "utf-8"))
 
 
+# PNG color_type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(data: bytes) -> dict:
+    """Full PNG decode with the stdlib: IHDR header, then (at 8-bit depth,
+    non-interlaced, non-palette) zlib-inflate of the IDAT stream and scanline
+    unfiltering (filters 0-4 per the PNG spec) for a real mean intensity."""
+    width, height = struct.unpack(">II", data[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = data[24:29]
+    channels = _PNG_CHANNELS.get(color_type, 3)
+    mean = None
+    if bit_depth == 8 and interlace == 0 and color_type in (0, 2, 4, 6):
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(data):
+            (clen,) = struct.unpack(">I", data[i : i + 4])
+            ctype = data[i + 4 : i + 8]
+            if ctype == b"IDAT":
+                idat += data[i + 8 : i + 8 + clen]
+            if ctype == b"IEND":
+                break
+            i += 12 + clen  # len + type + payload + crc
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        prev = bytearray(stride)
+        total = 0
+        for y in range(height):
+            off = y * (stride + 1)
+            f = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                if f == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif f == 2:
+                    line[x] = (line[x] + b) & 0xFF
+                elif f == 3:
+                    line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    c = prev[x - channels] if x >= channels else 0
+                    line[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+            total += sum(line)
+            prev = line
+        mean = total / float(height * stride) if height * stride else 0.0
+    return {
+        "width": int(width),
+        "height": int(height),
+        "channels": int(channels),
+        "mean_intensity": mean,
+    }
+
+
+# JPEG start-of-frame markers (all SOFn except DHT/JPG/DAC at C4/C8/CC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _decode_jpeg(data: bytes) -> Optional[dict]:
+    i = 2
+    while i + 9 < len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker in _JPEG_SOF:
+            height, width = struct.unpack(">HH", data[i + 5 : i + 9])
+            return {
+                "width": int(width),
+                "height": int(height),
+                "channels": int(data[i + 9]),
+                "mean_intensity": None,  # entropy decode is out of scope
+            }
+        if 0xD0 <= marker <= 0xD9:  # standalone markers, no length field
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        i += 2 + seg_len
+    return None
+
+
 def decode_image(data: bytes, fake: bool = False) -> dict:
-    """Decode one image. Real decode requires an imaging library that is not
-    in this container → NotImplementedError (clearly-marked stub, per
-    BASELINE.json). ``fake=True`` derives deterministic pseudo-dimensions from
-    the byte content so the distributed plumbing can be exercised and
-    oracle-checked end to end."""
+    """Decode one image's dimensions/channels (and, for PNG, real mean
+    intensity) from actual bytes.
+
+    Real path: pure-stdlib decoders for PNG / JPEG / GIF / BMP; PIL handles
+    anything else when installed; otherwise NotImplementedError. The
+    ``fake=True`` stub derives deterministic pseudo-dimensions from the byte
+    content — kept for the SQL oracle, which cannot run a decoder."""
     if not fake:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(data)
+        if data[:2] == b"\xff\xd8":
+            out = _decode_jpeg(data)
+            if out:
+                return out
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return {"width": w, "height": h, "channels": 3, "mean_intensity": None}
+        if data[:2] == b"BM" and len(data) >= 30:
+            w, h = struct.unpack("<ii", data[18:26])
+            (bits,) = struct.unpack("<H", data[28:30])
+            return {
+                "width": int(w),
+                "height": abs(int(h)),
+                "channels": max(1, bits // 8),
+                "mean_intensity": None,
+            }
         try:
-            from PIL import Image  # type: ignore  # pragma: no cover
-            import io  # pragma: no cover
+            import io
+
+            from PIL import Image  # type: ignore
 
             img = Image.open(io.BytesIO(data))  # pragma: no cover
             return {  # pragma: no cover
                 "width": img.width,
                 "height": img.height,
                 "channels": len(img.getbands()),
-                "mean_intensity": 0.0,
+                "mean_intensity": None,
             }
         except ImportError:
             raise NotImplementedError(
-                "real image decode needs an imaging library (PIL) not present "
-                "in this environment; pass fake=True for the deterministic stub"
+                "unrecognized image format: the stdlib decoders cover "
+                "PNG/JPEG/GIF/BMP and PIL is not installed; pass fake=True "
+                "for the deterministic stub"
             )
     n = len(data)
     first = data[0] if n else 0
@@ -181,15 +302,67 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_wav(data: bytes) -> Optional[dict]:
+    """RIFF/WAVE chunk walk: fmt -> sample rate / byte rate, data -> real
+    duration and (for 16-bit PCM) real RMS over the samples. Pure stdlib."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    sample_rate = byte_rate = bits = None
+    pcm = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            _fmt, _nch, sample_rate, byte_rate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            pcm = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        return None
+    rms = 0.0
+    if bits == 16 and len(pcm) >= 2:
+        import array
+
+        samples = array.array("h")
+        samples.frombytes(pcm[: len(pcm) // 2 * 2])
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    return {
+        "duration_s": len(pcm) / float(byte_rate),
+        "sample_rate": int(sample_rate),
+        "rms": rms,
+    }
+
+
 def decode_audio(data: bytes, fake: bool = False) -> dict:
-    """Decode one audio clip — STUB like :func:`decode_image` (no audio
-    library in this container). ``fake=True`` derives deterministic
-    pseudo-features from the bytes."""
+    """Decode one audio clip's duration / sample rate / RMS from actual
+    bytes: stdlib RIFF/WAV PCM decoder; soundfile for other formats when
+    installed; else NotImplementedError. ``fake=True`` keeps the
+    deterministic byte-derived stub for the SQL oracle."""
     if not fake:
-        raise NotImplementedError(
-            "real audio decode needs an audio library (soundfile/librosa) not "
-            "present in this environment; pass fake=True for the stub"
-        )
+        out = _decode_wav(data)
+        if out:
+            return out
+        try:
+            import io
+
+            import soundfile as sf  # type: ignore
+
+            with sf.SoundFile(io.BytesIO(data)) as f:  # pragma: no cover
+                return {  # pragma: no cover
+                    "duration_s": len(f) / float(f.samplerate),
+                    "sample_rate": int(f.samplerate),
+                    "rms": 0.0,
+                }
+        except ImportError:
+            raise NotImplementedError(
+                "unrecognized audio format: the stdlib decoder covers "
+                "RIFF/WAV PCM and soundfile is not installed; pass fake=True "
+                "for the deterministic stub"
+            )
     n = len(data)
     first = data[0] if n else 0
     sample_rate = 8000 * (1 + first % 3)  # 8/16/24 kHz

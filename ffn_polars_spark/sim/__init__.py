@@ -14,11 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ffn_polars_spark.sim.plugins.registry import PLUGIN_REGISTRY
 from ffn_polars_spark.sim.preview import preview_plugin_effect
-from ffn_polars_spark.sim.quotes import simulate_quotes
+from ffn_polars_spark.sim.quotes import simulate_quotes, simulate_quotes_exact
 from ffn_polars_spark.sim.trades import simulate_trades
 
 __all__ = [
     "simulate_quotes",
+    "simulate_quotes_exact",
     "simulate_trades",
     "simulate_market",
     "apply_plugins",

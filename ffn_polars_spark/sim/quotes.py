@@ -106,3 +106,89 @@ def simulate_quotes(
             "trf_timestamp"
         ),
     )
+
+
+def simulate_quotes_exact(
+    spark: SparkSession,
+    ticker: str,
+    day_index: int = 0,
+    ticks_per_day: int = 250_000,
+    base_price: float = 276.0,
+    avg_spread: float = 0.02,
+    seed: int = 42,
+) -> DataFrame:
+    """Bit-exact numpy parity mode (SURVEY §7.3-8).
+
+    Reproduces the reference generator's RNG stream exactly
+    (/root/reference/ffn_polars/sim/quotes.py:22-91): one legacy
+    ``np.random.seed(seed + day_index)`` stream consumed in the reference's
+    draw order. A local ``RandomState`` with the same seed yields the same
+    stream as the global API without mutating global RNG state. Subtlety
+    worth pinning: the reference's event-window helper RE-seeds the global
+    state with the same value (market_events.py:15), so the effective stream
+    begins at the event draws — replicated here by drawing events first.
+
+    Single-node by construction (the whole day materializes in numpy on the
+    driver) — use :func:`simulate_quotes` (hash-stream, distributed) for
+    scale; this mode exists for bit-for-bit cross-checks against the
+    reference and for debugging distribution drift.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rs = np.random.RandomState(seed + day_index)
+    start_ns, end_ns = get_trading_window_ns(day_index)
+    n = ticks_per_day
+    ts = np.linspace(start_ns, end_ns, n).astype(np.int64)
+
+    # Event windows first — their draws lead the stream (see docstring).
+    half_hour = int(30 * 60 * 1e9)
+    windows = [(start_ns, start_ns + half_hour), (end_ns - half_hour, end_ns)]
+    span = end_ns - start_ns
+    dur_range = int(25 * 60 * 1e9)  # 5..30 min news windows
+    n_events = 0 if rs.rand() > 0.3 else rs.randint(1, 3)
+    for _ in range(n_events):
+        dur = int(5 * 60 * 1e9) + rs.randint(dur_range)
+        t0 = start_ns + rs.randint(0, span - dur)
+        windows.append((t0, t0 + dur))
+    burst = np.zeros(n, dtype=bool)
+    for w0, w1 in windows:
+        burst |= (ts >= w0) & (ts < w1)
+
+    mid = np.round(np.cumsum(rs.normal(0, np.where(burst, 0.03, 0.01))) + base_price, 2)
+    half_spread = np.abs(rs.normal(avg_spread, avg_spread / 3, size=n))
+    half_spread[burst] *= 1.5
+    ask_sz, bid_sz = rs.poisson(2, n), rs.poisson(2, n)
+    ask_sz[ask_sz == 0] = 1
+    bid_sz[bid_sz == 0] = 1
+    ask_ex = rs.choice(EXCHANGE_IDS, size=n, p=EXCHANGE_WEIGHTS)
+    bid_ex = rs.choice(EXCHANGE_IDS, size=n, p=EXCHANGE_WEIGHTS)
+    # TRF exchanges draw a random tape; listed venues are fixed (common.py:18-26)
+    tape = np.fromiter(
+        (rs.choice([1, 2, 3]) if e in (201, 202) else (1 if e in (10, 11, 1) else (3 if e in (12, 2) else 2))
+         for e in ask_ex),
+        dtype=np.int64,
+        count=n,
+    )
+    conds = ["19" if rs.rand() < 0.8 else str(rs.choice(range(1, 20))) for _ in range(n)]
+    inds = ["" if rs.rand() < 0.9 else str(rs.choice([4, 12, 13])) for _ in range(n)]
+
+    pdf = pd.DataFrame(
+        {
+            "ticker": ticker,
+            "ask_exchange": ask_ex.astype(np.int32),
+            "ask_price": np.round(mid + half_spread, 2),
+            "ask_size": ask_sz.astype(np.int64),
+            "bid_exchange": bid_ex.astype(np.int32),
+            "bid_price": mid,
+            "bid_size": bid_sz.astype(np.int64),
+            "conditions": conds,
+            "indicators": inds,
+            "participant_timestamp": ts,
+            "sequence_number": np.arange(1_000, 1_000 + n, dtype=np.int64),
+            "sip_timestamp": ts + rs.randint(5_000, 50_000, size=n),
+            "tape": tape.astype(np.int32),
+            "trf_timestamp": ts + rs.randint(10_000, 100_000, size=n),
+        }
+    )
+    return spark.createDataFrame(pdf)

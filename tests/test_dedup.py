@@ -190,3 +190,26 @@ def test_pinned_scope(spark, corpus):
         ngram_jaccard_pairs(corpus, threshold=0.6).count()
         assert len(D._ACTIVE_PINS) > 0
     assert not D._ACTIVE_PINS
+
+
+def test_connected_components_bounded_lineage(spark):
+    """Iterative label propagation must checkpoint each round: the returned
+    frame's plan has to be a flat scan of the checkpointed RDD, not a
+    join-tree that deepens per iteration (the classic lineage blow-up that
+    kills iterative jobs at 100 TB)."""
+    from ffn_polars_spark.operators.dedup import connected_components
+    from ffn_polars_spark.plans import explain_str
+
+    # a 12-node chain: diameter forces several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    out = connected_components(pairs)
+    plan = explain_str(out)
+    # checkpoint truncation: the lineage root is an in-memory RDD scan, and
+    # the multi-round join/agg tree is gone from the final plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+    assert "Join" not in plan, plan
+    assert len(plan.splitlines()) < 25, plan
+    # and it still converges to the chain's minimum label
+    assert {r["comp"] for r in out.collect()} == {0}

@@ -187,3 +187,85 @@ def test_simulate_market_multi_ticker(spark):
     joined = pa.join(pb, "participant_timestamp")
     diff = joined.where(F.col("bid_price") != F.col("b2")).count()
     assert diff > 700  # nearly every tick differs across tickers
+
+
+def test_simulate_quotes_exact_seed_parity(spark):
+    """simulate_quotes_exact must reproduce the reference's numpy stream
+    bit-for-bit. The expectation here is computed independently through the
+    GLOBAL legacy np.random API in the reference's exact call order
+    (reference sim/quotes.py:30-90 + market_events.py:15-27), so both the
+    draw order and the RandomState-vs-global equivalence are pinned."""
+    import numpy as np
+
+    from ffn_polars_spark.sim import simulate_quotes_exact
+    from ffn_polars_spark.sim.common import (
+        EXCHANGE_IDS,
+        EXCHANGE_WEIGHTS,
+        get_trading_window_ns,
+    )
+
+    n, day, seed = 400, 1, 42
+    start_ns, end_ns = get_trading_window_ns(day)
+    ts = np.linspace(start_ns, end_ns, n).astype(np.int64)
+
+    # --- reference call order, global API ---
+    np.random.seed(seed + day)  # main body seeds...
+    np.random.seed(seed + day)  # ...then the event helper re-seeds the same
+    total = 0 if np.random.rand() > 0.3 else np.random.randint(1, 2 + 1)
+    events = []
+    dur_range = int(30 * 60 * 1e9) - int(5 * 60 * 1e9)
+    for _ in range(total):
+        duration = int(5 * 60 * 1e9) + np.random.randint(dur_range)
+        t0 = start_ns + np.random.randint(0, end_ns - start_ns - duration)
+        events.append((t0, t0 + duration))
+    half_hour = int(30 * 60 * 1e9)
+    all_bursts = [(start_ns, start_ns + half_hour), (end_ns - half_hour, end_ns)] + events
+    in_burst = np.zeros(n, dtype=bool)
+    for s, e in all_bursts:
+        in_burst |= (ts >= s) & (ts < e)
+    volatility = np.where(in_burst, 0.03, 0.01)
+    price = np.round(np.cumsum(np.random.normal(0, volatility)) + 276.0, 2)
+    spread = np.abs(np.random.normal(0.02, 0.02 / 3, size=n))
+    spread[in_burst] *= 1.5
+    ask_price = np.round(price + spread, 2)
+    ask_size = np.random.poisson(2, n)
+    bid_size = np.random.poisson(2, n)
+    ask_size[ask_size == 0] = 1
+    bid_size[bid_size == 0] = 1
+    ask_ex = np.random.choice(EXCHANGE_IDS, size=n, p=EXCHANGE_WEIGHTS)
+    bid_ex = np.random.choice(EXCHANGE_IDS, size=n, p=EXCHANGE_WEIGHTS)
+    tape = []
+    for eid in ask_ex:
+        if eid in [10, 11, 1]:
+            tape.append(1)
+        elif eid in [12, 2]:
+            tape.append(3)
+        elif eid in [201, 202]:
+            tape.append(int(np.random.choice([1, 2, 3])))
+        else:
+            tape.append(2)
+    conds = ["19" if np.random.rand() < 0.8 else str(np.random.choice(range(1, 20)))
+             for _ in range(n)]
+    inds = ["" if np.random.rand() < 0.9 else str(np.random.choice([4, 12, 13]))
+            for _ in range(n)]
+    sip = ts + np.random.randint(5_000, 50_000, size=n)
+    trf = ts + np.random.randint(10_000, 100_000, size=n)
+
+    got = (
+        simulate_quotes_exact(spark, "TEST", day_index=day, ticks_per_day=n, seed=seed)
+        .orderBy("sequence_number")
+        .toPandas()
+    )
+    assert list(got["ask_price"]) == list(ask_price)
+    assert list(got["bid_price"]) == list(price)
+    assert list(got["ask_size"]) == list(ask_size)
+    assert list(got["bid_size"]) == list(bid_size)
+    assert list(got["ask_exchange"]) == list(ask_ex)
+    assert list(got["bid_exchange"]) == list(bid_ex)
+    assert list(got["tape"]) == tape
+    assert list(got["conditions"]) == conds
+    assert list(got["indicators"]) == inds
+    assert list(got["participant_timestamp"]) == list(ts)
+    assert list(got["sip_timestamp"]) == list(sip)
+    assert list(got["trf_timestamp"]) == list(trf)
+    assert list(got["sequence_number"]) == list(range(1000, 1000 + n))

@@ -1,0 +1,58 @@
+"""LLM training-corpus pipeline on the driver testdata: clean, deduplicate,
+split, and shard a documents table.
+
+Run: python examples/corpus_pipeline.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ffn_polars_spark.sources import get_spark, read_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("corpus-example", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ffn_polars_spark.operators.dedup import (
+        dedup_assign_canonical,
+        dedup_minhash_lsh,
+        pinned_scope,
+    )
+    from ffn_polars_spark.operators.pipeline import (
+        clean_corpus,
+        deterministic_split,
+        shard_by_tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. quality/language/exact-dup gate — one scan, one shuffle; every doc
+    #    gets an auditable keep/drop decision
+    decisions = clean_corpus(docs)
+    clean = decisions.where("keep").select("doc_id").join(docs, "doc_id")
+    print("clean:", clean.count(), "/", docs.count())
+
+    # 2. near-dup clustering: banded MinHash-LSH candidates, exact-Jaccard
+    #    verify, connected components, canonical assignment
+    with pinned_scope():
+        pairs = dedup_minhash_lsh(clean, threshold=0.8)
+        canon = dedup_assign_canonical(clean, pairs)
+        kept = canon.where("NOT is_duplicate").select("doc_id").join(clean, "doc_id")
+        kept = kept.localCheckpoint()
+    print("after near-dup removal:", kept.count())
+
+    # 3. deterministic split + token-budget shards
+    split = deterministic_split(kept, weights={"train": 0.98, "val": 0.02})
+    split.groupBy("split").count().show()
+    shards = shard_by_tokens(split.where("split = 'train'"), budget=50_000)
+    shards.groupBy("shard_id").count().orderBy("shard_id").show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

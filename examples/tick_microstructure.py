@@ -1,0 +1,69 @@
+"""Tick microstructure pipeline on simulated data: simulate a quote tape,
+derive trades, compute per-ticker microstructure metrics and bars.
+
+Run: python examples/tick_microstructure.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ffn_polars_spark as ffn
+from ffn_polars_spark import Over
+from ffn_polars_spark.sources import get_spark
+
+
+def main() -> None:
+    spark = get_spark("tick-example", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ffn_polars_spark.functions.tick_bars import detect_bursts, time_bars
+    from ffn_polars_spark.functions.tick_price import calc_realized_volatility
+    from ffn_polars_spark.sim import simulate_market
+
+    quotes, raw_trades = simulate_market(
+        spark, ["AAPL", "MSFT"], days=1, quote_ticks_per_day=50_000,
+        trade_volume_per_day=500_000,
+    )
+    trades = raw_trades.select(
+        "ticker",
+        "participant_timestamp",
+        "price",
+        raw_trades["size"].cast("double").alias("volume"),
+    )
+
+    over = Over(partition_by="ticker", order_by="participant_timestamp")
+
+    # Signed volume via the tick rule, then flow metrics per ticker
+    signed = trades.withColumn(
+        "signed_volume", ffn.tick.apply_tick_rule_to_volume("volume", "price", over=over)
+    )
+    signed.groupBy("ticker").agg(
+        ffn.tick.calc_vwap("price", "volume"),
+        ffn.tick.calc_traded_value("price", "volume"),
+        ffn.tick.calc_order_flow_imbalance("signed_volume"),
+        ffn.tick.calc_trade_rate("participant_timestamp", per="s"),
+    ).show()
+
+    # Order-dependent aggregate: realized volatility (two-phase)
+    calc_realized_volatility(
+        trades, "price", by=["ticker"], order_by="participant_timestamp"
+    ).show()
+
+    # One-minute OHLCV bars, then burst detection on the bar grid
+    bars = time_bars(
+        trades, ts="participant_timestamp", price="price", volume="volume",
+        by=["ticker"], bar_ns=60 * 10**9,
+    )
+    bars.show(5)
+    detect_bursts(
+        trades, "participant_timestamp", by=["ticker"], bar_ns=60 * 10**9,
+        lookback_bars=10, z_threshold=2.5,
+    ).where("is_burst").show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -123,7 +123,10 @@ def main() -> None:
         "runs": n_runs,
     }
     if errors:
+        # A partial total is silently incomparable across rounds (it sums a
+        # smaller query set and looks *better*); flag it explicitly.
         out["errors"] = errors
+        out["incomplete"] = True
     print(json.dumps(out))
 
 

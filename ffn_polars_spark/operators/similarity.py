@@ -19,6 +19,95 @@ from pyspark.sql import functions as F
 
 from ffn_polars_spark.registry import register
 
+# Bounded-probe budget for scale guards: probes up to this many rows run as a
+# `limit(cap+1).count()` job (LocalLimit stops each scan task early, and the
+# single-partition GlobalLimit exchange moves at most cap+1 one-column rows).
+# Above it we fall back to a full column-pruned count() — which only happens
+# when the side genuinely has >1M rows, i.e. when the real query's work
+# dwarfs the guard's.
+_PROBE_CAP = 1_000_000
+
+# Exact-count cache keyed by DataFrame identity: repeated guard checks on the
+# same DataFrame object (e.g. a loop of ann_topk calls over one corpus) pay
+# the count job once.  Entries die with the DataFrame (weak keys).
+import weakref
+
+_COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
+
+
+def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
+    """min(n_rows, cap+1) — a bounded probe, never an unbounded scan job.
+
+    For cap <= _PROBE_CAP this is a limit-bounded job whose cost is O(cap)
+    regardless of input size (the 100 TB case pays for cap+1 rows, not a full
+    pass).  For larger caps it runs one exact count() (cached per DataFrame
+    object), because a limit that large would shuffle more than it saves.
+    """
+    try:
+        n = _COUNT_CACHE.get(df)
+    except TypeError:  # un-weakref-able df (never in practice)
+        n = None
+    if n is not None:
+        return n
+    if cap <= _PROBE_CAP:
+        return df.select(col).limit(cap + 1).count()
+    n = df.select(col).count()
+    try:
+        _COUNT_CACHE[df] = n
+    except TypeError:
+        pass
+    return n
+
+
+def _guard_pair_budget(
+    items: DataFrame, id_col: str, queries: DataFrame, qid: str, max_pairs: int
+) -> None:
+    """Raise if |items| x |queries| > max_pairs, using bounded probes.
+
+    Never runs an unbounded job when the inputs are small (the common case:
+    two limit probes of at most 64k / max_pairs//n rows); an exact count only
+    happens on a side already proven to exceed 1M rows.  Algorithm: pin down
+    the (usually tiny, broadcast) query side first, then probe the item side
+    against the remaining budget.
+    """
+    K0 = 65_536
+    n_q = _count_at_most(queries, qid, K0)
+    if n_q == 0:
+        return
+    if n_q <= K0:
+        cap_i = max_pairs // n_q
+        n_i = _count_at_most(items, id_col, cap_i)
+        if n_i > cap_i:
+            raise ValueError(
+                f"ann_topk is exact (O(items x queries) dot products: "
+                f">{cap_i} items x {n_q} queries > max_pairs={max_pairs}); "
+                "use ann_topk_lsh/ann_topk_ivf at this scale or pass "
+                "allow_bruteforce=True explicitly"
+            )
+        return
+    # Query side saturated the probe: it has > 64k rows.  The item budget is
+    # therefore at most max_pairs/(64k+1) — a small, cheap probe.
+    cap_i = max_pairs // (K0 + 1)
+    n_i = _count_at_most(items, id_col, cap_i)
+    if n_i == 0:
+        return
+    if n_i > cap_i:
+        raise ValueError(
+            f"ann_topk is exact (O(items x queries) dot products: "
+            f">{cap_i} items x >{K0} queries > max_pairs={max_pairs}); use "
+            "ann_topk_lsh/ann_topk_ivf at this scale or pass "
+            "allow_bruteforce=True explicitly"
+        )
+    cap_q = max_pairs // n_i
+    n_q = _count_at_most(queries, qid, cap_q)
+    if n_q > cap_q:
+        raise ValueError(
+            f"ann_topk is exact (O(items x queries) dot products: "
+            f"{n_i} items x >{cap_q} queries > max_pairs={max_pairs}); use "
+            "ann_topk_lsh/ann_topk_ivf at this scale or pass "
+            "allow_bruteforce=True explicitly"
+        )
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double accumulation, left-to-right (deterministic)."""
@@ -79,16 +168,18 @@ def embedding_cosine_pairs(
     That contract is ENFORCED: inputs over ``max_rows`` raise unless
     ``allow_bruteforce=True`` — 100k rows is already a 5·10⁹-pair join, and
     an accidental invocation on a 100 TB corpus must fail fast at plan time
-    (one cheap count) rather than melt the cluster. Set ``max_rows=0`` to
-    skip the guard's count job entirely (implies allowing any size).
+    rather than melt the cluster.  The guard is a *bounded* probe
+    (``limit(max_rows+1).count()``): at 100 TB it reads max_rows+1 rows of
+    one column and stops, never a full pass.  Set ``max_rows=0`` to skip the
+    guard job entirely (implies allowing any size).
     """
     if max_rows and not allow_bruteforce:
-        n_rows = df.select(id_col).count()
+        n_rows = _count_at_most(df, id_col, max_rows)
         if n_rows > max_rows:
             raise ValueError(
-                f"embedding_cosine_pairs is O(n²) and got n={n_rows} > "
-                f"max_rows={max_rows}; use dedup_embedding_lsh at this scale "
-                "or pass allow_bruteforce=True explicitly"
+                f"embedding_cosine_pairs is O(n²) and got n>{max_rows} "
+                f"(max_rows={max_rows}); use dedup_embedding_lsh at this "
+                "scale or pass allow_bruteforce=True explicitly"
             )
     normed = _spread_vecs(df).select(
         F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__u")
@@ -225,20 +316,14 @@ def ann_topk(
     ENFORCED like :func:`embedding_cosine_pairs`'s: when the product of the
     two row counts exceeds ``max_pairs`` the call raises and points at
     :func:`ann_topk_lsh` / :func:`ann_topk_ivf`, so a large query set cannot
-    silently schedule a cluster-melting scan at 100 TB. Two cheap count
-    jobs; pass ``max_pairs=0`` (or ``allow_bruteforce=True``) to skip.
+    silently schedule a cluster-melting scan at 100 TB.  The guard uses
+    *bounded* limit-probes (see :func:`_guard_pair_budget`) — at scale it
+    touches at most ``max_pairs // n`` rows per side, never a full count.
+    Pass ``max_pairs=0`` (or ``allow_bruteforce=True``) to skip.
     """
     qid = query_id_col or id_col
     if max_pairs and not allow_bruteforce:
-        n_items = items.select(id_col).count()
-        n_queries = queries.select(qid).count()
-        if n_items * n_queries > max_pairs:
-            raise ValueError(
-                f"ann_topk is exact (O(items x queries) = {n_items} x "
-                f"{n_queries} dot products > max_pairs={max_pairs}); use "
-                "ann_topk_lsh/ann_topk_ivf at this scale or pass "
-                "allow_bruteforce=True explicitly"
-            )
+        _guard_pair_budget(items, id_col, queries, qid, max_pairs)
     q = F.broadcast(
         queries.select(F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qu"))
     )

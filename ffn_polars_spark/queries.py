@@ -2873,21 +2873,76 @@ def q_session_stats(spark, sf_dir):
 # Catalog ordering.
 #
 # The correctness driver checks a bounded prefix of the catalog per round
-# (~50 of 81 entries in round 1), so registration order IS verification
-# coverage.  Rebuild both dicts risk-first: entries without a driver-green
-# round-1 row (as-of joins, dedup, relational, text, multimodal, sessions,
-# infer_*, resamples, sim, streaming) plus the two round-1 non-green rows
-# (idle_time hash-fail, prob_mom no-oracle) come first; the 48 already-proven
-# scalar operators follow.  Names absent from _PRIORITY keep their original
-# relative order at the back, and names in _PRIORITY but not registered are
-# ignored, so the list can't silently drop catalog entries.
+# (~50 entries), so registration order IS verification coverage.  Rounds 1-4
+# ran risk-first (dedup/text/multimodal/asof/sessions up front), which left
+# the 48 core SURVEY §2 operators verified only by their round-1 rows — and
+# those predate the round-4 `ts_ns_col` ingestion rewrite
+# (sources/__init__.py:90) that now feeds them.  Round 5 rotates the window:
+# the 48 core operators come first so the driver re-verifies them under the
+# new ingestion, followed by three canaries from the round-4-green families
+# (idle_time, dedup_minhash_lsh, session_stats) to detect any regression in
+# the previously-checked block.  Names absent from _PRIORITY keep their
+# original relative order at the back, and names in _PRIORITY but not
+# registered are ignored, so the list can't silently drop catalog entries.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # round-1 non-green rows, re-verify first
+    # --- the 48 core SURVEY §2 operators: last driver-green row was round 1,
+    # before the ts_ns_col ingestion rewrite — re-verify them all this round.
+    "to_returns",
+    "to_log_returns",
+    "to_excess_returns",
+    "to_price_index",
+    "rebase",
+    "to_drawdown_series",
+    "deannualize",
+    "annualize",
+    "calc_total_return",
+    "calc_cagr",
+    "year_frac",
+    "calc_mtd",
+    "calc_ytd",
+    "calc_max_drawdown",
+    "ulcer_index",
+    "ulcer_performance_index",
+    "calc_calmar_ratio",
+    "calc_sharpe",
+    "sortino_ratio",
+    "calc_risk_return_ratio",
+    "calc_information_ratio",
+    "calc_trade_rate",
+    "calc_inter_trade_time",
+    "calc_burstiness",
+    "calc_volume_rate",
+    "tick_rule",
+    "apply_tick_rule_to_volume",
+    "calc_order_flow_imbalance",
+    "calc_tick_imbalance",
+    "calc_traded_value",
+    "calc_vwap",
+    "calc_micro_returns",
+    "calc_price_volatility_ratio",
+    "calc_price_impact",
+    "calc_realized_volatility",
+    "time_bars",
+    "tick_bars",
+    "volume_bars",
+    "bar_volatility",
+    "quote_to_trade_ratio",
+    "detect_bursts",
+    "volume_profile",
+    "melt_wide",
+    "salted_agg",
+    "rolling_stats",
+    "rolling_corr",
+    "quote_analytics",
+    "effective_spread",
+    # --- canaries from the round-4-green block (one per family)
     "idle_time",
+    "dedup_minhash_lsh",
+    "session_stats",
+    # --- the rest of the round-4-green block, newest-verified first
     "calc_prob_mom",
-    # never checked by the driver in round 1
     "time_weighted_spread",
     "infer_nperiods",
     "infer_freq",
@@ -2903,7 +2958,6 @@ _PRIORITY = [
     "doc_fingerprint",
     "ngram_jaccard_pairs",
     "dedup_canonical",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_cosine_pairs",
     "ann_topk",
@@ -2930,7 +2984,6 @@ _PRIORITY = [
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_features",
-    "session_stats",
     "resample_returns",
     "resample_returns_poisson",
     "sim_market_day",

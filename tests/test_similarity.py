@@ -219,3 +219,60 @@ def test_ann_topk_ivf_fixed_centroids_match_trained_api(spark, embdf):
             for r in ann_topk_ivf(embdf, queries, k=4, nlist=4, nprobe=4,
                                   centroids=cents).collect()}
     assert full == exact
+
+
+def test_guard_probes_are_limit_bounded(spark, monkeypatch):
+    """The scale guards must never run an unbounded count job: every count
+    the guard triggers has to sit under a GlobalLimit (a bounded probe that
+    reads at most cap+1 rows at any data scale). Guards ran full count()
+    scans in round 4 — this pins the round-5 fix."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    recorded = []
+    orig = dfmod.DataFrame.count
+
+    def counting(self):
+        # analyzed (pre-optimization) plan: Catalyst's EliminateLimits rule
+        # legitimately strips the limit when the input is provably smaller
+        # (e.g. a Range source), so the optimized plan can't express intent
+        recorded.append(self._jdf.queryExecution().analyzed().toString())
+        return orig(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "count", counting)
+
+    df = spark.range(200).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0f, 2.0f) AS embedding"
+    )
+    q = df.where("vec_id < 3")
+
+    # passing guard (product 200*3 <= max_pairs)
+    ann_topk(df, q, k=3, max_pairs=10_000)
+    # tripping guard
+    with pytest.raises(ValueError):
+        ann_topk(df, q, k=3, max_pairs=100)
+    # embedding_cosine_pairs guard, both directions
+    embedding_cosine_pairs(df, max_rows=1000)
+    with pytest.raises(ValueError):
+        embedding_cosine_pairs(df, max_rows=10)
+
+    assert recorded, "guards should have probed"
+    for plan in recorded:
+        assert "GlobalLimit" in plan, f"unbounded count job in guard:\n{plan}"
+
+
+def test_count_at_most_bounded_and_cached(spark):
+    from ffn_polars_spark.operators.similarity import _PROBE_CAP, _count_at_most
+
+    df = spark.range(1000).selectExpr("id AS vec_id")
+    # bounded probe saturates at cap+1, never reports more
+    assert _count_at_most(df, "vec_id", 10) == 11
+    # exact when under the cap
+    assert _count_at_most(df, "vec_id", 5000) == 1000
+    # above the probe budget: exact count, cached per DataFrame object
+    big_cap = _PROBE_CAP + 1
+    assert _count_at_most(df, "vec_id", big_cap) == 1000
+    from ffn_polars_spark.operators.similarity import _COUNT_CACHE
+
+    assert _COUNT_CACHE.get(df) == 1000
+    # cache hit short-circuits even small-cap probes
+    assert _count_at_most(df, "vec_id", 10) == 1000

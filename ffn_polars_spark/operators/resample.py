@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Union
 
-from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 from ffn_polars_spark.registry import register
@@ -40,6 +40,29 @@ _POISSON1_CDF = [
     0.9999988747974021,
     1.0,
 ]
+
+# The same CDF as exact 60-bit integer thresholds, for the portable-hash
+# deterministic mode: a 60-bit uniform h replicates k times where k is the
+# first bucket with h < threshold.  Integer comparison on both engines —
+# no float rounding can diverge.
+_POISSON1_CDF_60 = [int(p * (1 << 60)) for p in _POISSON1_CDF]
+
+
+def _md5_60(col: Column) -> Column:
+    """Engine-portable 60-bit uniform hash of a string column: the low 15
+    hex chars of md5 parsed as an integer.  Identical in DuckDB as
+    ``('0x' || substr(md5(s), 18, 15))::BIGINT`` — the same idiom the dedup
+    oracles use (operators/dedup.py:100-120)."""
+    return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("long")
+
+
+def _poisson_count_60(h: Column) -> Column:
+    """Inverse-CDF ladder over a 60-bit integer uniform (deterministic
+    replay path; the F.rand path keeps the float ladder)."""
+    cnt = F.lit(len(_POISSON1_CDF_60) - 1)
+    for k in range(len(_POISSON1_CDF_60) - 2, -1, -1):
+        cnt = F.when(h < F.lit(_POISSON1_CDF_60[k]), F.lit(k)).otherwise(cnt)
+    return cnt
 
 
 @register(kind="df")
@@ -82,21 +105,44 @@ def resample_returns(
 
 
 def bootstrap_replicate(
-    df: DataFrame, num_trials: int = 100, seed: int = 0, lam: float = 1.0
+    df: DataFrame,
+    num_trials: int = 100,
+    seed: int = 0,
+    lam: float = 1.0,
+    key_col: Optional[str] = None,
 ) -> DataFrame:
     """Replicate every row Poisson(lam) times per trial, adding a ``trial``
     column — the single-pass distributed bootstrap (SURVEY.md §2.9 option b).
 
-    The Poisson draw is an inverse-CDF CASE ladder over ``F.rand(seed)`` —
-    pure JVM, no UDF, no shuffle (the explode is pipelined into whatever
-    consumes it).
+    The Poisson draw is an inverse-CDF CASE ladder — pure JVM, no UDF, no
+    shuffle (the explode is pipelined into whatever consumes it).  Two draw
+    modes:
+
+    * default (``key_col=None``): ``F.rand(seed)`` — fastest, but the draw
+      depends on partitioning, so runs are only self-consistent.
+    * ``key_col=<unique id column>``: the uniform is an engine-portable
+      md5-derived 60-bit hash of ``key:trial:seed`` — every engine (and the
+      DuckDB correctness oracle) replays the exact same replicate counts.
+      Same single-pass plan; ~2.8x more per-draw hash cost.
     """
     if lam != 1.0:
         raise NotImplementedError("only lam=1.0 (n-of-n bootstrap) is supported")
-    u = F.rand(seed)
-    cnt = F.lit(len(_POISSON1_CDF) - 1)
-    for k in range(len(_POISSON1_CDF) - 2, -1, -1):
-        cnt = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(cnt)
+    if key_col is not None:
+        cnt = _poisson_count_60(
+            _md5_60(
+                F.concat_ws(
+                    ":",
+                    F.col(key_col).cast("string"),
+                    F.col("trial").cast("string"),
+                    F.lit(str(seed)),
+                )
+            )
+        )
+    else:
+        u = F.rand(seed)
+        cnt = F.lit(len(_POISSON1_CDF) - 1)
+        for k in range(len(_POISSON1_CDF) - 2, -1, -1):
+            cnt = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(cnt)
     return (
         df.withColumn("trial", F.explode(F.sequence(F.lit(0), F.lit(num_trials - 1))))
         .withColumn("__reps", cnt)
@@ -111,6 +157,7 @@ def resample_returns_poisson(
     aggs: Dict[str, Column],
     num_trials: int = 100,
     seed: int = 0,
+    key_col: Optional[str] = None,
 ) -> DataFrame:
     """Scalable bootstrap: one distributed pass computing every trial's
     aggregate statistics at once.
@@ -119,8 +166,72 @@ def resample_returns_poisson(
     trial). Example::
 
         resample_returns_poisson(df, {"mean": F.avg("returns")}, 1000)
+
+    Pass ``key_col`` (a unique id column) to draw replicate counts from the
+    portable hash instead of ``F.rand`` — deterministic across engines and
+    partitionings (see :func:`bootstrap_replicate`).
     """
-    replicated = bootstrap_replicate(df, num_trials=num_trials, seed=seed)
+    replicated = bootstrap_replicate(
+        df, num_trials=num_trials, seed=seed, key_col=key_col
+    )
     return replicated.groupBy("trial").agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+
+
+@register(kind="df")
+def resample_returns_hash(
+    df: DataFrame,
+    aggs: Dict[str, Column],
+    key_col: str,
+    num_trials: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact n-of-n bootstrap with engine-portable deterministic draws.
+
+    Reference semantics (each trial samples exactly n rows with replacement,
+    /root/reference/ffn_polars/df/core.py:27-28) but with every draw derived
+    from ``md5(trial:j:seed)`` instead of an RNG, so any engine — including
+    the DuckDB oracle — replays the identical sample.
+
+    Plan: rows get a dense 0..n-1 index (``row_number`` over ``key_col``);
+    the draw table is src x trials (j is the source row's own index, giving
+    exactly n draws per trial with no ``range(n)`` literal); each draw maps
+    to index ``md5_60(trial:j:seed) % n`` and joins back to the indexed rows;
+    one groupBy computes every trial's aggregates.
+
+    Scale note: the global ``row_number`` is a single-partition window — this
+    is the *moderate-scale* exact variant (same niche as the reference's
+    driver loop).  At 100 TB use :func:`resample_returns_poisson` with
+    ``key_col``, which is index-free and fully distributed.
+    """
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot bootstrap an empty DataFrame")
+    indexed = df.withColumn(
+        "__idx", F.row_number().over(Window.orderBy(key_col)) - 1
+    )
+    trials = F.broadcast(
+        spark.range(num_trials).select(F.col("id").alias("trial"))
+    )
+    draw_idx = F.pmod(
+        _md5_60(
+            F.concat_ws(
+                ":",
+                F.col("trial").cast("string"),
+                F.col("__idx").cast("string"),
+                F.lit(str(seed)),
+            )
+        ),
+        F.lit(n),
+    )
+    draws = (
+        indexed.select("__idx")
+        .crossJoin(trials)
+        .select("trial", draw_idx.alias("__idx"))
+    )
+    sampled = draws.join(indexed, "__idx")
+    return sampled.groupBy("trial").agg(
         *[c.alias(name) for name, c in aggs.items()]
     )

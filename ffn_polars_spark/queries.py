@@ -1591,37 +1591,105 @@ def q_asof_tolerance(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Bootstrap resampling (#39) — random, so rows-only checks (no oracle).
+# Bootstrap resampling (#39).
+#
+# Round 5: both entries moved from rows-only to hash-exact by drawing from
+# the portable md5-60 hash (operators/resample.py) instead of F.rand — the
+# DuckDB oracle replays the identical samples.  The F.rand fast path stays
+# the library default and is shape/moment-pinned by tests/test_resample.py.
 # ---------------------------------------------------------------------------
 
+_BOOT_SQL = (
+    TICKS_SQL
+    + f""", boot AS (
+  SELECT event_id, price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks
+)"""
+)
 
+
+def _boot(spark, sf_dir):
+    """event_id-keyed tick returns: the bootstrap source frame (event_id is
+    globally unique in the testdata, so it is both the hash key and the
+    row-index order)."""
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    ).where(F.col("r").isNotNull())
+
+
+def _boot_hash_sql(trial: str, j: str, seed: int) -> str:
+    """DuckDB twin of resample.py's _md5_60(concat_ws(':', a, b, seed))."""
+    s = f"CAST({trial} AS VARCHAR) || ':' || CAST({j} AS VARCHAR) || ':{seed}'"
+    return f"('0x' || substr(md5({s}), 18, 15))::BIGINT"
+
+
+@query(
+    "resample_returns",
+    _BOOT_SQL
+    + f""", src AS (
+  SELECT event_id, r, row_number() OVER (ORDER BY event_id) - 1 AS idx
+  FROM boot WHERE r IS NOT NULL),
+draws AS (
+  SELECT t.trial,
+         {_boot_hash_sql("t.trial", "s.idx", 7)} % (SELECT count(*) FROM src) AS idx
+  FROM range(20) t(trial) CROSS JOIN src s)
+SELECT trial, {R("avg(r)")} AS mean_r
+FROM draws JOIN src USING (idx)
+GROUP BY trial""",
+)
 def q_resample_returns(spark, sf_dir):
-    """Faithful per-trial sampling bootstrap (driver loop), 20 trials of the
-    mean return — random output, rows-only check."""
-    from ffn_polars_spark.operators.resample import resample_returns
+    """Exact n-of-n bootstrap, 20 trials of the mean return, every draw
+    replayed bit-identically by the oracle via md5(trial:j:seed)."""
+    from ffn_polars_spark.operators.resample import resample_returns_hash
 
     configure(spark)
-    r = rets(spark, sf_dir).where(F.col("r").isNotNull()).select("r")
-    return resample_returns(
-        r, lambda s: s.agg(F.avg("r").alias("mean_r")), seed=7, num_trials=20
+    return resample_returns_hash(
+        _boot(spark, sf_dir),
+        {"mean_r": r6(F.avg("r"))},
+        key_col="event_id",
+        num_trials=20,
+        seed=7,
     )
 
 
-QUERY_FNS["resample_returns"] = q_resample_returns
+def _poisson_ladder_sql(h: str) -> str:
+    from ffn_polars_spark.operators.resample import _POISSON1_CDF_60
+
+    whens = " ".join(
+        f"WHEN {h} < {_POISSON1_CDF_60[k]} THEN {k}" for k in range(9)
+    )
+    return f"CASE {whens} ELSE 9 END"
 
 
+@query(
+    "resample_returns_poisson",
+    _BOOT_SQL
+    + f""", src AS (SELECT event_id, r FROM boot WHERE r IS NOT NULL),
+rep AS (
+  SELECT t.trial, s.r,
+         {_poisson_ladder_sql(_boot_hash_sql("s.event_id", "t.trial", 7))} AS reps
+  FROM range(100) t(trial) CROSS JOIN src s),
+ex AS (SELECT trial, r, unnest(range(reps)) AS k FROM rep)
+SELECT trial, {R("avg(r)")} AS mean_r, {R("stddev_samp(r)")} AS std_r
+FROM ex
+GROUP BY trial""",
+)
 def q_resample_returns_poisson(spark, sf_dir):
-    """Single-pass distributed bootstrap (Poisson replication), 100 trials."""
+    """Single-pass distributed bootstrap (Poisson replication), 100 trials,
+    deterministic md5(key:trial:seed) replicate counts — the 100 TB path,
+    now hash-exact against the oracle's identical replay."""
     from ffn_polars_spark.operators.resample import resample_returns_poisson
 
     configure(spark)
-    r = rets(spark, sf_dir).where(F.col("r").isNotNull()).select("r")
     return resample_returns_poisson(
-        r, {"mean_r": F.avg("r"), "std_r": F.stddev_samp("r")}, num_trials=100, seed=7
+        _boot(spark, sf_dir),
+        {"mean_r": r6(F.avg("r")), "std_r": r6(F.stddev_samp("r"))},
+        num_trials=100,
+        seed=7,
+        key_col="event_id",
     )
-
-
-QUERY_FNS["resample_returns_poisson"] = q_resample_returns_poisson
 
 
 # ---------------------------------------------------------------------------

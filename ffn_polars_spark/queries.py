@@ -2833,16 +2833,48 @@ QUERY_FNS["sim_market_day"] = q_sim_market_day
 
 # ---------------------------------------------------------------------------
 # Structured Streaming (streaming/) — a real file-source stream over the
-# events table, drained with an available-now trigger. Deterministic values,
-# but the memory-sink drain isn't SQL-twinnable -> rows-only; batch-vs-stream
-# equality is pinned in tests/test_streaming.py.
+# events table, drained with an available-now trigger.  Round 5: the drained
+# results are deterministic (the batch-equality tests in
+# tests/test_streaming.py prove stream == batch, and the batch side is plain
+# SQL), so both entries now carry hash-exact DuckDB oracles over the same
+# source tables.
 # ---------------------------------------------------------------------------
 
 
-def q_streaming_time_bars(spark, sf_dir):
-    """Watermarked 1-hour OHLCV bars computed by a streaming query."""
+def _stage_stream_dir(sf_dir: str, table: str, prefix: str) -> str:
+    """The file stream source requires a DIRECTORY; stage the single parquet
+    file behind a symlink dir (no data copy)."""
     import os
 
+    stage = os.path.join(
+        "/tmp", f"{prefix}_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return stage
+
+
+@query(
+    "streaming_time_bars",
+    TICKS_SQL
+    + f""", bars AS (
+  SELECT event_type,
+         CAST((ts_ns - ts_ns % {_HOUR_NS}) // 1000000000 AS BIGINT) AS bar_start_s,
+         arg_min(price, ts_ns) AS open, max(price) AS high,
+         min(price) AS low, arg_max(price, ts_ns) AS close,
+         count(*) AS n_ticks
+  FROM ticks GROUP BY event_type, ts_ns - ts_ns % {_HOUR_NS})
+SELECT event_type, bar_start_s, bar_start_s + 3600 AS bar_end_s,
+       open, high, low, close, n_ticks
+FROM bars""",
+)
+def q_streaming_time_bars(spark, sf_dir):
+    """Watermarked 1-hour OHLCV bars computed by a real streaming query and
+    drained complete-mode — hash-checked against the batch SQL bars (tumbling
+    windows align to epoch hours, so both engines bucket identically; bar
+    bounds compare as epoch seconds to stay timezone-free)."""
     from ffn_polars_spark.streaming import (
         read_tick_stream,
         run_available_now,
@@ -2850,34 +2882,44 @@ def q_streaming_time_bars(spark, sf_dir):
     )
 
     configure(spark)
-    # the file stream source requires a DIRECTORY; stage the single events
-    # file behind a symlink dir (no data copy)
-    stage = os.path.join(
-        "/tmp", f"ffn_stream_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
     stream = read_tick_stream(spark, stage, ts_col="ts").withColumn(
         "price", F.lit(100.0) + F.col("value") / F.lit(10.0)
     )
     bars = streaming_time_bars(
         stream, "price", by=["event_type"], bar="1 hour", delay_threshold="1 minute"
     )
-    return run_available_now(bars)
+    drained = run_available_now(bars)
+    return drained.select(
+        "event_type",
+        F.unix_timestamp("bar_start").alias("bar_start_s"),
+        F.unix_timestamp("bar_end").alias("bar_end_s"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
 
 
-QUERY_FNS["streaming_time_bars"] = q_streaming_time_bars
+# Documents get a synthetic but *valid* event time: 2024-01-01 + doc_id
+# seconds.  (Using raw doc_id nanoseconds put every event at epoch 0 — equal
+# to the stream's initial watermark, so dropDuplicatesWithinWatermark
+# classified ALL rows as late and emitted nothing; caught when this entry
+# gained an oracle in round 5.)
+_DOC_STREAM_EPOCH = 1_704_067_200  # 2024-01-01 UTC
 
 
+@query(
+    "streaming_dedup_exact",
+    f"SELECT DISTINCT md5({NORM_SQL}) AS fingerprint FROM documents",
+)
 def q_streaming_dedup(spark, sf_dir):
-    """First-seen exact dedup over a document stream; row count equals the
-    batch operator's distinct-fingerprint count (pinned in
-    tests/test_streaming.py), but the memory-sink drain isn't SQL-twinnable
-    -> rows-only."""
-    import os
-
+    """First-seen exact dedup over a document stream
+    (dropDuplicatesWithinWatermark), drained append-mode.  The surviving
+    *fingerprint set* is deterministic regardless of which duplicate arrives
+    first, so the oracle is the batch DISTINCT over the same normalization —
+    hash-exact."""
     from ffn_polars_spark.streaming import (
         read_tick_stream,
         run_available_now,
@@ -2885,25 +2927,16 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
     configure(spark)
-    stage = os.path.join(
-        "/tmp", f"ffn_docstream_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    stage = _stage_stream_dir(sf_dir, "documents", "ffn_docstream")
     docs = spark.read.parquet(stage)
-    ts_col = "doc_id"  # synthetic event time: stable per-doc ns offset
     stream = read_tick_stream(
-        spark, stage, schema=docs.schema, ts_col=ts_col
+        spark, stage, schema=docs.schema, ts_col="doc_id"
+    ).withColumn(
+        "event_time",
+        F.timestamp_seconds(F.col("doc_id") + F.lit(_DOC_STREAM_EPOCH)),
     )
     out = streaming_dedup_exact(stream, delay_threshold="1 hour")
-    return run_available_now(out, output_mode="append").select(
-        "doc_id", "fingerprint"
-    )
-
-
-QUERY_FNS["streaming_dedup_exact"] = q_streaming_dedup
+    return run_available_now(out, output_mode="append").select("fingerprint")
 
 
 # ---------------------------------------------------------------------------

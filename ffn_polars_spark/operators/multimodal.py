@@ -146,24 +146,37 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0
 
 
 def _decode_jpeg(data: bytes) -> Optional[dict]:
+    n = len(data)
     i = 2
-    while i + 9 < len(data):
+    while i < n:
         if data[i] != 0xFF:
             return None
-        marker = data[i + 1]
+        # consecutive 0xFF bytes are legal fill padding before a marker
+        # (ITU T.81 B.1.1.2) — skip them all, then read the marker byte
+        while i < n and data[i] == 0xFF:
+            i += 1
+        if i >= n:
+            return None
+        marker = data[i]
         if marker in _JPEG_SOF:
-            height, width = struct.unpack(">HH", data[i + 5 : i + 9])
+            if i + 9 > n:
+                return None
+            height, width = struct.unpack(">HH", data[i + 4 : i + 8])
             return {
                 "width": int(width),
                 "height": int(height),
-                "channels": int(data[i + 9]),
+                "channels": int(data[i + 8]),
                 "mean_intensity": None,  # entropy decode is out of scope
             }
-        if 0xD0 <= marker <= 0xD9:  # standalone markers, no length field
-            i += 2
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone, no length
+            i += 1
             continue
-        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
-        i += 2 + seg_len
+        if i + 3 > n:
+            return None
+        (seg_len,) = struct.unpack(">H", data[i + 1 : i + 3])
+        if seg_len < 2:
+            return None
+        i += 1 + seg_len
     return None
 
 
@@ -228,13 +241,23 @@ def extract_image_features(
     content_col: str = "content",
     id_col: str = "doc_id",
     fake: bool = True,
+    on_error: str = "null",
 ) -> DataFrame:
     """Image feature extraction over Arrow batches (``mapInPandas``).
 
     Each executor receives whole record batches (bytes stay off the driver),
     decodes, and emits a typed feature row — the shape a real
     thumbnail/CLIP-preprocess stage takes. Decode itself is the stub above.
+
+    ``on_error`` governs undecodable records (truncated/corrupt bytes,
+    unrecognized formats): ``"null"`` (default) emits the row with null
+    feature columns — one bad blob in a 100 TB corpus must not fail the
+    whole job — while ``"raise"`` propagates the decode error.
     """
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise'; got {on_error!r}")
+
+    _NULL_IMG = {"width": None, "height": None, "channels": None, "mean_intensity": None}
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -243,7 +266,12 @@ def extract_image_features(
             out = []
             for _, row in pdf.iterrows():
                 data = bytes(row[content_col]) if row[content_col] is not None else b""
-                feats = decode_image(data, fake=fake)
+                try:
+                    feats = decode_image(data, fake=fake)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    feats = dict(_NULL_IMG)
                 out.append(
                     {
                         "doc_id": row[id_col],
@@ -314,14 +342,16 @@ def _decode_wav(data: bytes) -> Optional[dict]:
         cid = data[i : i + 4]
         (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
         body = data[i + 8 : i + 8 + clen]
-        if cid == b"fmt ":
+        if cid == b"fmt " and len(body) >= 16:
             _fmt, _nch, sample_rate, byte_rate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
         elif cid == b"data":
             pcm = body
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if sample_rate is None or pcm is None:
+    # not byte_rate: a malformed fmt chunk with byte_rate=0 must fall
+    # through to soundfile/NotImplementedError, not ZeroDivisionError
+    if sample_rate is None or pcm is None or not byte_rate:
         return None
     rms = 0.0
     if bits == 16 and len(pcm) >= 2:
@@ -379,9 +409,15 @@ def extract_audio_features(
     content_col: str = "content",
     id_col: str = "doc_id",
     fake: bool = True,
+    on_error: str = "null",
 ) -> DataFrame:
     """Audio feature extraction over Arrow batches (``mapInPandas``) — same
-    plumbing shape as :func:`extract_image_features`."""
+    plumbing shape as :func:`extract_image_features`, with the same
+    ``on_error`` null-row contract for undecodable records."""
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise'; got {on_error!r}")
+
+    _NULL_AUDIO = {"duration_s": None, "sample_rate": None, "rms": None}
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -390,7 +426,12 @@ def extract_audio_features(
             out = []
             for _, row in pdf.iterrows():
                 data = bytes(row[content_col]) if row[content_col] is not None else b""
-                feats = decode_audio(data, fake=fake)
+                try:
+                    feats = decode_audio(data, fake=fake)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    feats = dict(_NULL_AUDIO)
                 out.append({"doc_id": row[id_col], "n_bytes": len(data), **feats})
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_bytes", "duration_s", "sample_rate", "rms"]

@@ -124,3 +124,67 @@ def test_extract_audio_features_real_distributed(spark):
     row = extract_audio_features(df, fake=False).collect()[0]
     assert row["sample_rate"] == 16000
     assert row["duration_s"] == pytest.approx(800 / 16000)
+
+
+def test_decode_jpeg_fill_byte_padding():
+    """Legal 0xFF fill bytes between segments (ITU T.81 B.1.1.2) must not
+    derail the SOF walk."""
+    from ffn_polars_spark.operators.multimodal import decode_image
+
+    sof = b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08" + struct.pack(">HH", 99, 150) + b"\x03" + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    # padding before the APP0 marker and before the SOF marker
+    jpeg = b"\xff\xd8" + b"\xff\xff" + app0[1:] + b"\xff\xff\xff" + sof[1:] + b"\xff\xd9"
+    out = decode_image(jpeg, fake=False)
+    assert (out["width"], out["height"], out["channels"]) == (150, 99, 3)
+
+
+def test_decode_wav_zero_byte_rate_falls_through():
+    """byte_rate=0 in a malformed fmt chunk must not raise
+    ZeroDivisionError — it falls through to the unrecognized-format path."""
+    from ffn_polars_spark.operators.multimodal import decode_audio
+
+    pcm = b"\x00\x00" * 100
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 0, 2, 16)  # byte_rate = 0
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(NotImplementedError):
+        decode_audio(wav, fake=False)
+
+
+def test_extractors_null_row_on_corrupt_records(spark):
+    """One malformed blob in a corpus must not fail the Spark job: the
+    default on_error='null' emits the row with null feature columns while
+    good records decode normally; on_error='raise' propagates."""
+    from ffn_polars_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    good = make_png(PIXELS)
+    truncated = good[:20]  # dies inside the IDAT/chunk walk
+    not_image = b"definitely not an image"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated)), (3, bytearray(not_image))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_image_features(df, fake=False).collect()}
+    assert rows[1]["width"] == 4  # good row still decodes
+    assert rows[2]["width"] is None and rows[2]["mean_intensity"] is None
+    assert rows[3]["width"] is None
+    # provenance columns survive for the bad rows
+    assert rows[2]["n_bytes"] == len(truncated) and rows[2]["sha256"]
+
+    with pytest.raises(Exception):
+        extract_image_features(df, fake=False, on_error="raise").collect()
+    with pytest.raises(ValueError):
+        extract_image_features(df, fake=False, on_error="bogus")
+
+    bad_wav = make_wav()[:30]
+    adf = spark.createDataFrame(
+        [(1, bytearray(make_wav(800, rate=16000))), (2, bytearray(bad_wav))],
+        "doc_id long, content binary",
+    )
+    arows = {r["doc_id"]: r for r in extract_audio_features(adf, fake=False).collect()}
+    assert arows[1]["sample_rate"] == 16000
+    assert arows[2]["duration_s"] is None and arows[2]["sample_rate"] is None

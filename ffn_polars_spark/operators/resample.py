@@ -47,6 +47,13 @@ _POISSON1_CDF = [
 # no float rounding can diverge.
 _POISSON1_CDF_60 = [int(p * (1 << 60)) for p in _POISSON1_CDF]
 
+# 16-bit thresholds for the blocked draw mode: one md5 yields eight 4-hex-
+# char (16-bit) uniforms, so the hash cost is amortized 8x.  Quantizing the
+# CDF at 2^-16 shifts each bucket probability by < 1.6e-5 — immaterial for a
+# bootstrap, and the draw stays bit-identical across engines.
+_POISSON1_CDF_16 = [int(p * (1 << 16)) for p in _POISSON1_CDF]
+_TRIALS_PER_HASH = 8
+
 
 def _md5_60(col: Column) -> Column:
     """Engine-portable 60-bit uniform hash of a string column: the low 15
@@ -120,29 +127,73 @@ def bootstrap_replicate(
 
     * default (``key_col=None``): ``F.rand(seed)`` — fastest, but the draw
       depends on partitioning, so runs are only self-consistent.
-    * ``key_col=<unique id column>``: the uniform is an engine-portable
-      md5-derived 60-bit hash of ``key:trial:seed`` — every engine (and the
-      DuckDB correctness oracle) replays the exact same replicate counts.
-      Same single-pass plan; ~2.8x more per-draw hash cost.
+    * ``key_col=<unique id column>``: engine-portable deterministic draws.
+      One md5 of ``key:block:seed`` per 8-trial block yields eight 16-bit
+      uniforms (4 hex chars each), each fed to an integer inverse-CDF
+      ladder — every engine (and the DuckDB correctness oracle) replays the
+      exact same replicate counts, at ~1/8 the naive per-trial hash cost.
     """
     if lam != 1.0:
         raise NotImplementedError("only lam=1.0 (n-of-n bootstrap) is supported")
+    # The explode multiplies rows num_trials x and (in keyed mode) hashes
+    # every replicate — force the pre-explode stage wide so that work uses
+    # every core.  Without this, AQE legitimately coalesces a small upstream
+    # output (e.g. a 5-key window) to ONE partition and the whole replicate
+    # stage runs single-threaded (measured 26s vs 0.9s at sf0.1).  The extra
+    # exchange moves only the un-exploded input: 1/num_trials of the stage's
+    # output volume, negligible at any scale.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     if key_col is not None:
-        cnt = _poisson_count_60(
-            _md5_60(
-                F.concat_ws(
-                    ":",
-                    F.col(key_col).cast("string"),
-                    F.col("trial").cast("string"),
-                    F.lit(str(seed)),
-                )
+        n_blocks = (num_trials + _TRIALS_PER_HASH - 1) // _TRIALS_PER_HASH
+        blocked = (
+            df.withColumn(
+                "__blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+            )
+            .withColumn(
+                "__hx",
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(key_col).cast("string"),
+                        F.col("__blk").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+            )
+            .withColumn(
+                "trial",
+                F.explode(
+                    F.sequence(
+                        F.col("__blk") * _TRIALS_PER_HASH,
+                        F.least(
+                            F.col("__blk") * _TRIALS_PER_HASH
+                            + (_TRIALS_PER_HASH - 1),
+                            F.lit(num_trials - 1),
+                        ),
+                    )
+                ),
             )
         )
-    else:
-        u = F.rand(seed)
-        cnt = F.lit(len(_POISSON1_CDF) - 1)
-        for k in range(len(_POISSON1_CDF) - 2, -1, -1):
-            cnt = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(cnt)
+        h16 = F.conv(
+            F.expr(
+                f"substring(__hx, 1 + 4 * CAST(trial % {_TRIALS_PER_HASH} AS INT), 4)"
+            ),
+            16,
+            10,
+        ).cast("int")
+        cnt = F.lit(len(_POISSON1_CDF_16) - 1)
+        for k in range(len(_POISSON1_CDF_16) - 2, -1, -1):
+            cnt = F.when(h16 < F.lit(_POISSON1_CDF_16[k]), F.lit(k)).otherwise(cnt)
+        return (
+            blocked.withColumn("__reps", cnt)
+            .where(F.col("__reps") > 0)
+            .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col("__reps"))))
+            .drop("__blk", "__hx", "__reps", "__rep")
+        )
+    u = F.rand(seed)
+    cnt = F.lit(len(_POISSON1_CDF) - 1)
+    for k in range(len(_POISSON1_CDF) - 2, -1, -1):
+        cnt = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(cnt)
     return (
         df.withColumn("trial", F.explode(F.sequence(F.lit(0), F.lit(num_trials - 1))))
         .withColumn("__reps", cnt)
@@ -228,6 +279,10 @@ def resample_returns_hash(
     )
     draws = (
         indexed.select("__idx")
+        # the index assignment upstream is a single-partition window — spread
+        # before the per-draw hash so it parallelizes (same rationale as the
+        # repartition in bootstrap_replicate)
+        .repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(trials)
         .select("trial", draw_idx.alias("__idx"))
     )

@@ -996,6 +996,33 @@ def q_volume_bars(spark, sf_dir):
 
 
 @query(
+    "dollar_bars",
+    TICKS_SQL
+    + f""", cum AS (
+  SELECT *, sum(price * volume) OVER ({WR}) - price * volume AS prev_cum
+  FROM ticks),
+binned AS (SELECT *, CAST(floor(prev_cum / 500000.0) AS BIGINT) AS bar_id FROM cum)
+SELECT event_type, bar_id, arg_min(price, ts_ns) AS open, max(price) AS high,
+       min(price) AS low, arg_max(price, ts_ns) AS close,
+       count(*) AS n_ticks, min(ts_ns) AS bar_start_ts, max(ts_ns) AS bar_end_ts,
+       CAST(sum(volume) AS DOUBLE) AS volume,
+       {R("sum(price * volume) / CAST(sum(volume) AS DOUBLE)")} AS vwap
+FROM binned GROUP BY event_type, bar_id""",
+)
+def q_dollar_bars(spark, sf_dir):
+    """Dollar bars (bars close when cumulative traded value crosses the
+    threshold) — the last registered bar constructor without its own
+    catalog row."""
+    from ffn_polars_spark.functions.tick_bars import dollar_bars
+
+    t = ticks(spark, sf_dir)
+    out = dollar_bars(
+        t, "ts_ns", "price", "volume", by=["event_type"], dollars_per_bar=500_000.0
+    )
+    return out.withColumn("vwap", r6(F.col("vwap")))
+
+
+@query(
     "bar_volatility",
     _BARS_SQL
     + f"""
@@ -1214,7 +1241,8 @@ SELECT event_type, event_id,
        CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"stddev_samp(price) OVER ({_ROLL_W})")} END AS price_rolling_std,
        CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN min(price) OVER ({_ROLL_W}) END AS price_rolling_min,
        CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN max(price) OVER ({_ROLL_W}) END AS price_rolling_max,
-       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"(price - avg(price) OVER ({_ROLL_W})) / stddev_samp(price) OVER ({_ROLL_W})")} END AS price_rolling_zscore
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"(price - avg(price) OVER ({_ROLL_W})) / stddev_samp(price) OVER ({_ROLL_W})")} END AS price_rolling_zscore,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20 THEN {R(f"sum(price) OVER ({_ROLL_W})")} END AS price_rolling_sum
 FROM ticks""",
 )
 def q_rolling_stats(spark, sf_dir):
@@ -1227,6 +1255,7 @@ def q_rolling_stats(spark, sf_dir):
         ffn.eod.rolling_min("price", 20, over=TICK_OVER).alias("price_rolling_min"),
         ffn.eod.rolling_max("price", 20, over=TICK_OVER).alias("price_rolling_max"),
         r6(ffn.eod.rolling_zscore("price", 20, over=TICK_OVER)).alias("price_rolling_zscore"),
+        r6(ffn.eod.rolling_sum("price", 20, over=TICK_OVER)).alias("price_rolling_sum"),
     )
 
 
@@ -1654,13 +1683,23 @@ def q_resample_returns(spark, sf_dir):
     )
 
 
-def _poisson_ladder_sql(h: str) -> str:
-    from ffn_polars_spark.operators.resample import _POISSON1_CDF_60
+def _poisson16_ladder_sql(h: str) -> str:
+    from ffn_polars_spark.operators.resample import _POISSON1_CDF_16
 
     whens = " ".join(
-        f"WHEN {h} < {_POISSON1_CDF_60[k]} THEN {k}" for k in range(9)
+        f"WHEN {h} < {_POISSON1_CDF_16[k]} THEN {k}" for k in range(9)
     )
     return f"CASE {whens} ELSE 9 END"
+
+
+# DuckDB twin of the blocked draw in operators/resample.py: one md5 per
+# (key, 8-trial block), slot = trial % 8 selecting 4 hex chars = a 16-bit
+# uniform.
+_BOOT_H16_SQL = (
+    "('0x' || substr(md5(CAST(s.event_id AS VARCHAR) || ':' || "
+    "CAST(t.trial // 8 AS VARCHAR) || ':7'), "
+    "1 + 4 * CAST(t.trial % 8 AS INT), 4))::BIGINT"
+)
 
 
 @query(
@@ -1669,7 +1708,7 @@ def _poisson_ladder_sql(h: str) -> str:
     + f""", src AS (SELECT event_id, r FROM boot WHERE r IS NOT NULL),
 rep AS (
   SELECT t.trial, s.r,
-         {_poisson_ladder_sql(_boot_hash_sql("s.event_id", "t.trial", 7))} AS reps
+         {_poisson16_ladder_sql(_BOOT_H16_SQL)} AS reps
   FROM range(100) t(trial) CROSS JOIN src s),
 ex AS (SELECT trial, r, unnest(range(reps)) AS k FROM rep)
 SELECT trial, {R("avg(r)")} AS mean_r, {R("stddev_samp(r)")} AS std_r
@@ -1678,8 +1717,8 @@ GROUP BY trial""",
 )
 def q_resample_returns_poisson(spark, sf_dir):
     """Single-pass distributed bootstrap (Poisson replication), 100 trials,
-    deterministic md5(key:trial:seed) replicate counts — the 100 TB path,
-    now hash-exact against the oracle's identical replay."""
+    deterministic blocked-md5 replicate counts — the 100 TB path, hash-exact
+    against the oracle's identical replay."""
     from ffn_polars_spark.operators.resample import resample_returns_poisson
 
     configure(spark)
@@ -3028,6 +3067,7 @@ _PRIORITY = [
     "time_bars",
     "tick_bars",
     "volume_bars",
+    "dollar_bars",  # new in round 5 — first driver check
     "bar_volatility",
     "quote_to_trade_ratio",
     "detect_bursts",

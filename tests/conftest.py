@@ -7,6 +7,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
+# Testdata root: the canonical driver-generated tables, overridable so CI
+# and external users can point at tools/gen_testdata.py output.
+TESTDATA = os.environ.get("FFN_TESTDATA_DIR", "/root/testdata")
+
 
 @pytest.fixture(scope="session")
 def spark():

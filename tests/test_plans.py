@@ -12,7 +12,13 @@ from ffn_polars_spark.plans import (
 )
 from ffn_polars_spark.queries import QUERY_FNS
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(SF), reason="testdata not present"
+)
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):

@@ -90,12 +90,17 @@ def test_keyed_poisson_matches_python_replay(spark, krdf):
     contract the DuckDB oracle relies on."""
     import hashlib
 
-    from ffn_polars_spark.operators.resample import _POISSON1_CDF_60
+    from ffn_polars_spark.operators.resample import (
+        _POISSON1_CDF_16,
+        _TRIALS_PER_HASH,
+    )
 
     def reps(key, trial, seed):
-        h = int(hashlib.md5(f"{key}:{trial}:{seed}".encode()).hexdigest()[17:32], 16)
+        blk, slot = divmod(trial, _TRIALS_PER_HASH)
+        hx = hashlib.md5(f"{key}:{blk}:{seed}".encode()).hexdigest()
+        h16 = int(hx[4 * slot : 4 * slot + 4], 16)
         for k in range(9):
-            if h < _POISSON1_CDF_60[k]:
+            if h16 < _POISSON1_CDF_16[k]:
                 return k
         return 9
 

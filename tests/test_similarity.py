@@ -194,11 +194,12 @@ def test_catalog_embedding_dim(spark):
     with another width."""
     import os
 
+    from tests.conftest import TESTDATA
     from ffn_polars_spark.queries import _EMB_DIM
     from ffn_polars_spark.sources import read_table
 
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        d = f"/root/testdata/{sf}"
+        d = os.path.join(TESTDATA, sf)
         if not os.path.exists(os.path.join(d, "embeddings.parquet")):
             continue
         first = read_table(spark, d, "embeddings").first()

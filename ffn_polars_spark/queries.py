@@ -2851,23 +2851,128 @@ def q_multimodal_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _sim_oracle_sql(
+    n_quotes: int = 5_000, n_trades: int = 1_000, seed: int = 42
+) -> str:
+    """DuckDB replay of one simulated session (hash_fn="md5" mode).
+
+    Every random draw in sim/rand.py's md5 mode is a pure function of
+    (id, tag, seed) via the portable 60-bit md5 uniform, so the whole
+    quote-walk -> trade-sample -> per-tape aggregate pipeline is
+    re-derivable in SQL from the same literals: trading window, burst
+    windows, CDF ladders and the span coefficient are embedded below with
+    ``repr`` so both engines compare the identical binary64 values."""
+    from ffn_polars_spark.sim.common import (
+        EXCHANGE_IDS,
+        EXCHANGE_WEIGHTS,
+        get_trading_window_ns,
+    )
+    from ffn_polars_spark.sim.events import day_burst_windows
+    from ffn_polars_spark.sim.rand import choice_cdf, poisson_cdf
+
+    start_ns, end_ns = get_trading_window_ns(0)
+    span_c = (end_ns - start_ns) / max(n_quotes - 1, 1)
+    bursts = day_burst_windows(start_ns, end_ns, 0, seed)
+
+    def u(idc: str, tag: str) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST({idc} AS VARCHAR) || ':{tag}:{seed}'), 18, 15))"
+            f"::BIGINT / 1152921504606846976.0)"
+        )
+
+    def z(idc: str, tag: str) -> str:
+        return (
+            f"(sqrt(-2.0 * ln(greatest({u(idc, tag + '.u1')}, 1e-15))) "
+            f"* cos({repr(2.0 * 3.141592653589793)} * {u(idc, tag + '.u2')}))"
+        )
+
+    def ladder(uexpr: str, cdf, values) -> str:
+        whens = " ".join(
+            f"WHEN {uexpr} < {repr(float(cdf[k]))} THEN {values[k]}"
+            for k in range(len(cdf) - 1)
+        )
+        return f"(CASE {whens} ELSE {values[-1]} END)"
+
+    burst = lambda ts: (  # noqa: E731
+        "(" + " OR ".join(f"({ts} >= {s} AND {ts} < {e})" for s, e in bursts) + ")"
+        if bursts
+        else "FALSE"
+    )
+    pois2 = poisson_cdf(2.0, 16)
+    ex_cdf = choice_cdf(EXCHANGE_WEIGHTS)
+
+    return f"""WITH qbase AS (
+  SELECT r.range AS id,
+         {start_ns} + CAST(floor(r.range * {repr(span_c)}) AS BIGINT) AS pts
+  FROM range({n_quotes}) r),
+qstep AS (
+  SELECT id, pts,
+         {z('id', 'px')} * (CASE WHEN {burst('pts')} THEN 0.03 ELSE 0.01 END) AS step,
+         abs({z('id', 'spread')} * {repr(0.02 / 3)} + 0.02)
+           * (CASE WHEN {burst('pts')} THEN 1.5 ELSE 1.0 END) AS spread,
+         greatest({ladder(u('id', 'asz'), pois2, list(range(16)))}, 1) AS ask_size,
+         greatest({ladder(u('id', 'bsz'), pois2, list(range(16)))}, 1) AS bid_size,
+         {ladder(u('id', 'aex'), ex_cdf, EXCHANGE_IDS)} AS ask_exchange,
+         {ladder(u('id', 'bex'), ex_cdf, EXCHANGE_IDS)} AS bid_exchange
+  FROM qbase),
+q AS (
+  SELECT id, pts, ask_size, bid_size, ask_exchange, bid_exchange,
+         round(sum(step) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 276.0, 2) AS bid_price,
+         round(round(sum(step) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 276.0, 2) + spread, 2) AS ask_price
+  FROM qstep),
+tdraw AS (
+  SELECT r.range AS tid,
+         CAST(floor({u('r.range', 'pick')} * {float(n_quotes)}) AS BIGINT) AS qidx,
+         CASE WHEN {u('r.range', 'dir')} < 0.5 THEN -1 ELSE 1 END AS dir
+  FROM range({n_trades}) r),
+t AS (
+  SELECT tid, dir, q.pts, q.ask_price, q.bid_price, q.ask_size, q.bid_size,
+         CASE WHEN dir = 1 THEN q.ask_exchange ELSE q.bid_exchange END AS exchange
+  FROM tdraw JOIN q ON tdraw.qidx = q.id),
+tr AS (
+  SELECT tid,
+         round(CASE WHEN dir = 1 THEN ask_price ELSE bid_price END, 2) AS price,
+         CAST(least(greatest(
+             CAST(CASE WHEN dir = 1 THEN ask_size ELSE bid_size END AS DOUBLE)
+             * (CASE WHEN {burst('pts')} THEN 2.0 ELSE 1.0 END), 1.0), 10.0) * 100 AS BIGINT) AS size,
+         CASE WHEN exchange IN (10, 11, 1) THEN 1
+              WHEN exchange IN (12, 2) THEN 3
+              WHEN exchange IN (201, 202)
+                THEN CAST(CAST(floor({u('tid', 'tape')} * 3.0) AS BIGINT) + 1 AS INT)
+              ELSE 2 END AS tape
+  FROM t)
+SELECT tape, count(*) AS n_trades, CAST(sum(size) AS BIGINT) AS shares,
+       {R("sum(price * size) / CAST(sum(size) AS DOUBLE)")} AS price_vwap
+FROM tr GROUP BY tape"""
+
+
+@query("sim_market_day", _sim_oracle_sql())
 def q_sim_market_day(spark, sf_dir):
-    """One simulated session (quotes+trades), summarized per tape."""
+    """One simulated session (quotes+trades), summarized per tape.
+
+    Runs the simulator in its engine-portable md5 hash-stream mode
+    (sim/rand.py) so the DuckDB oracle replays the ENTIRE session —
+    timestamp grid, burst windows, Box-Muller price walk, Poisson sizes,
+    SIP-weighted exchange draws, trade sampling, tape assignment — draw for
+    draw, and the per-tape aggregate hash-matches.  The library default
+    stays the faster xxhash64 stream (statistical parity, unit-test-pinned);
+    ``simulate_quotes_exact`` separately pins bit-exact numpy parity."""
     from ffn_polars_spark.sim import simulate_market
 
     configure(spark)
     quotes, trades = simulate_market(
         spark, "SIM", days=1, quote_ticks_per_day=5_000,
-        trade_volume_per_day=100_000, sort=False,
+        trade_volume_per_day=100_000, sort=False, hash_fn="md5",
     )
     return trades.groupBy("tape").agg(
         F.count(F.lit(1)).alias("n_trades"),
         F.sum("size").alias("shares"),
-        ffn.tick.calc_vwap("price", F.col("size").cast("double")).alias("price_vwap"),
+        r6(ffn.tick.calc_vwap("price", F.col("size").cast("double"))).alias(
+            "price_vwap"
+        ),
     )
-
-
-QUERY_FNS["sim_market_day"] = q_sim_market_day
 
 
 # ---------------------------------------------------------------------------

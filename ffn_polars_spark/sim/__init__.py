@@ -47,6 +47,7 @@ def simulate_market(
     seed: int = 42,
     plugins: Optional[List[dict]] = None,
     sort: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> Tuple[DataFrame, DataFrame]:
     """(quotes, trades) over ``days`` sessions (reference defaults:
     500k quote ticks and 10M traded shares per day, sim/__init__.py:23-24).
@@ -66,6 +67,7 @@ def simulate_market(
                 day_index=day,
                 ticks_per_day=quote_ticks_per_day,
                 seed=seed + 1_000_003 * t_idx,
+                hash_fn=hash_fn,
             )
             quotes = apply_plugins(quotes, plugins, "quotes")
 
@@ -76,6 +78,7 @@ def simulate_market(
                 day_index=day,
                 target_volume=trade_volume_per_day,
                 seed=seed + 1_000_003 * t_idx,
+                hash_fn=hash_fn,
             )
             trades = apply_plugins(trades, plugins, "trades")
 

@@ -34,10 +34,12 @@ _TAPE_3 = (12, 2)  # Nasdaq venues
 _TRF = (201, 202)  # FINRA TRFs report on a random tape
 
 
-def assign_tape(exchange: Column, id_col: Column, tag: str, seed: int) -> Column:
+def assign_tape(
+    exchange: Column, id_col: Column, tag: str, seed: int, hash_fn: str = "xxhash64"
+) -> Column:
     """Tape 1/2/3 from exchange id (common.py:18-26). TRF venues draw a
     uniform tape, like the reference's ``np.random.choice([1, 2, 3])``."""
-    rand_tape = (randint(id_col, tag, seed, 0, 3) + 1).cast("int")
+    rand_tape = (randint(id_col, tag, seed, 0, 3, hash_fn=hash_fn) + 1).cast("int")
     return (
         F.when(exchange.isin(*_TAPE_1), F.lit(1))
         .when(exchange.isin(*_TAPE_3), F.lit(3))

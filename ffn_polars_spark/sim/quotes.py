@@ -39,9 +39,22 @@ def simulate_quotes(
     avg_spread: float = 0.02,
     seed: int = 42,
     num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """One trading day of NBBO-style quotes for ``ticker``."""
-    from ffn_polars_spark.sim.rand import normal, poisson, randint, uniform, weighted_choice
+    """One trading day of NBBO-style quotes for ``ticker``.
+
+    ``hash_fn="md5"`` switches every draw to the engine-portable hash
+    stream (sim/rand.py) so an external engine can replay the session
+    bit-for-bit — used by the correctness oracle."""
+    import functools
+
+    from ffn_polars_spark.sim import rand as _r
+
+    normal = functools.partial(_r.normal, hash_fn=hash_fn)
+    poisson = functools.partial(_r.poisson, hash_fn=hash_fn)
+    randint = functools.partial(_r.randint, hash_fn=hash_fn)
+    uniform = functools.partial(_r.uniform, hash_fn=hash_fn)
+    weighted_choice = functools.partial(_r.weighted_choice, hash_fn=hash_fn)
 
     day_seed = seed + day_index
     start_ns, end_ns = get_trading_window_ns(day_index)

@@ -34,9 +34,15 @@ def simulate_trades(
     avg_trade_size: int = 100,
     seed: int = 42,
     interpolate: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One trading day of prints for ``ticker`` against its quote tape."""
-    from ffn_polars_spark.sim.rand import randint, uniform
+    import functools
+
+    from ffn_polars_spark.sim import rand as _r
+
+    randint = functools.partial(_r.randint, hash_fn=hash_fn)
+    uniform = functools.partial(_r.uniform, hash_fn=hash_fn)
 
     day_seed = seed + day_index
     n_trades = int(target_volume / avg_trade_size)
@@ -108,7 +114,7 @@ def simulate_trades(
             F.col("participant_timestamp") + randint(rid, "sip", day_seed, 5_000, 200_000)
         ).alias("sip_timestamp"),
         size.alias("size"),
-        assign_tape(exchange, rid, "tape", day_seed).alias("tape"),
+        assign_tape(exchange, rid, "tape", day_seed, hash_fn=hash_fn).alias("tape"),
         randint(rid, "trf", day_seed, 0, 3).cast("int").alias("trf_id"),
         (
             F.col("participant_timestamp") + randint(rid, "trft", day_seed, 10_000, 400_000)

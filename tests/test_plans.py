@@ -6,6 +6,7 @@ import pytest
 from ffn_polars_spark.plans import (
     count_broadcast_joins,
     count_exchanges,
+    explain_str,
     plan_report,
     pushed_filters,
     read_schemas,
@@ -76,3 +77,34 @@ def test_plan_report_shape(spark):
         "codegen_stages",
     }
     assert rep["codegen_stages"] >= 1
+
+
+def test_bootstrap_replicate_spreads_before_explode(spark):
+    """Scale gate for the round-5 fix: the keyed bootstrap must carry an
+    explicit round-robin repartition ahead of the trial explode — without
+    it AQE coalesces a small upstream output to one partition and the
+    10M-hash replicate stage runs single-threaded (measured 26s vs 0.9s)."""
+    from ffn_polars_spark.operators.resample import bootstrap_replicate
+
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS r")
+    rep = bootstrap_replicate(df, num_trials=10, seed=1, key_col="k")
+    plan = explain_str(rep, "extended")
+    # logical: an explicit Repartition node; physical (pre-AQE-finalization)
+    # may render it as RoundRobinPartitioning
+    assert "Repartition" in plan or "RoundRobinPartitioning" in plan
+
+
+def test_dollar_bars_single_window_single_agg(spark):
+    """dollar_bars = one per-key ordered window (cumulative traded value)
+    feeding one hash aggregate — same shuffle budget as volume_bars."""
+    df = QUERY_FNS["dollar_bars"](spark, SF)
+    # window partition exchange + aggregate exchange, nothing more
+    assert count_exchanges(df) <= 2
+
+
+def test_sim_market_day_no_extra_shuffles(spark):
+    """The md5-mode simulator aggregate keeps the same plan shape as the
+    xxhash64 mode: range sources, one join of trades->quotes, one final
+    aggregate — the portable hash must not add exchanges."""
+    df = QUERY_FNS["sim_market_day"](spark, SF)
+    assert count_exchanges(df) <= 4

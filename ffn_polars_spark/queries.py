@@ -2987,16 +2987,23 @@ def q_sim_market_day(spark, sf_dir):
 
 def _stage_stream_dir(sf_dir: str, table: str, prefix: str) -> str:
     """The file stream source requires a DIRECTORY; stage the single parquet
-    file behind a symlink dir (no data copy)."""
+    file behind a symlink dir (no data copy).
+
+    The stage name hashes the FULL source path: two different roots that
+    share an sf basename (e.g. canonical vs generated sf0.01) must not
+    collide on one stale symlink."""
+    import hashlib
     import os
 
+    src = os.path.join(os.path.normpath(sf_dir), f"{table}.parquet")
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
     stage = os.path.join(
-        "/tmp", f"{prefix}_{os.path.basename(os.path.normpath(sf_dir))}"
+        "/tmp", f"{prefix}_{os.path.basename(os.path.normpath(sf_dir))}_{key}"
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+        os.symlink(src, link)
     return stage
 
 

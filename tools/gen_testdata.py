@@ -122,7 +122,11 @@ def generate(outdir: str, sf: float, seed: int = 42) -> None:
         "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(rng.integers(1, max(2, n_ev // 20), n_ev), pa.int64()),
         "event_type": [EVENT_TYPES[int(i)] for i in rng.integers(0, 5, n_ev)],
-        "value": np.round(rng.normal(0.0, 40.0, n_ev), 4),
+        # full-precision values: rounding to a few decimals makes derived
+        # averages land exactly on 1e-6 rounding boundaries, where a 1-ulp
+        # accumulation-order difference between engines flips the r6/R()
+        # comparison (observed on rolling_stats)
+        "value": rng.normal(0.0, 40.0, n_ev),
         "props": [f'{{"k": {i % 10}}}' for i in range(n_ev)],
     }))
 

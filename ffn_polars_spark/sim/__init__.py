@@ -79,6 +79,9 @@ def simulate_market(
                 target_volume=trade_volume_per_day,
                 seed=seed + 1_000_003 * t_idx,
                 hash_fn=hash_fn,
+                # plugins may drop/alter quote rows; only skip the sizing
+                # count when the tape is the generator's verbatim output
+                n_quotes=quote_ticks_per_day if not plugins else None,
             )
             trades = apply_plugins(trades, plugins, "trades")
 

@@ -35,8 +35,13 @@ def simulate_trades(
     seed: int = 42,
     interpolate: bool = False,
     hash_fn: str = "xxhash64",
+    n_quotes: int | None = None,
 ) -> DataFrame:
-    """One trading day of prints for ``ticker`` against its quote tape."""
+    """One trading day of prints for ``ticker`` against its quote tape.
+
+    Pass ``n_quotes`` when the caller already knows the tape length (the
+    simulator always does): it skips a ``count()`` that would otherwise
+    re-execute the whole quote-generation plan just to size the sampler."""
     import functools
 
     from ffn_polars_spark.sim import rand as _r
@@ -46,7 +51,8 @@ def simulate_trades(
 
     day_seed = seed + day_index
     n_trades = int(target_volume / avg_trade_size)
-    n_quotes = quotes.count()
+    if n_quotes is None:
+        n_quotes = quotes.count()
 
     rid = F.col("id")
     trades = spark.range(n_trades).select(

@@ -49,14 +49,18 @@ def generate(outdir: str, sf: float, seed: int = 42) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=False)
 
+    # Row counts mirror the canonical driver data (TESTDATA.md dirs):
+    # lineitem 6M/sf-unit, events 1M, orders n_li/4, customer 150k,
+    # supplier 10k, part 200k — documents/embeddings scale SUB-linearly
+    # (max(500, 50k·sf) / max(500, 20k·sf)), matching the shipped tables.
     n_li = max(600, int(6_000_000 * sf))
     n_ord = n_li // 4
-    n_cust = max(30, n_li // 40)
-    n_supp = max(5, n_li // 600)
-    n_part = max(40, n_li // 30)
-    n_ev = max(200, n_li // 6)
-    n_doc = max(100, n_li // 12)
-    n_emb = n_doc
+    n_cust = max(30, int(150_000 * sf))
+    n_supp = max(5, int(10_000 * sf))
+    n_part = max(40, int(200_000 * sf))
+    n_ev = max(200, int(1_000_000 * sf))
+    n_doc = max(500, int(50_000 * sf))
+    n_emb = max(500, int(20_000 * sf))
 
     _write(outdir, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
@@ -130,16 +134,29 @@ def generate(outdir: str, sf: float, seed: int = 42) -> None:
         "props": [f'{{"k": {i % 10}}}' for i in range(n_ev)],
     }))
 
-    # documents: ~30% of docs are near-duplicate variants of a shared base
+    # documents: rich random-vocabulary texts (~40-70 tokens, like the
+    # canonical ~54-token average) so the shingle distribution has no hot
+    # keys; the last third are near-duplicate variants of earlier docs
+    # (case/whitespace/appended-tail edits) so dedup has true positives
+    vocab = [f"word{i:04d}" for i in range(5000)]
+    n_base = max(1, n_doc * 2 // 3)
+    base_texts = []
     texts = []
     for i in range(n_doc):
-        base = f"synthetic document {i % max(1, n_doc // 3)} about topic {i % 17} with shared phrasing for dedup"
-        if i % 3 == 1:
-            texts.append(base.upper())
-        elif i % 3 == 2:
-            texts.append(f"  {base} ")
+        if i < n_base:
+            ln = 40 + int(rng.integers(0, 30))
+            t = " ".join(vocab[w] for w in rng.integers(0, len(vocab), ln))
+            base_texts.append(t)
+            texts.append(t)
         else:
-            texts.append(base + f" unique tail {i}")
+            src = base_texts[int(rng.integers(0, n_base))]
+            mode = i % 3
+            if mode == 0:
+                texts.append(src.upper())
+            elif mode == 1:
+                texts.append(f"  {src} ")
+            else:
+                texts.append(src + f" tail{i}")
     _write(outdir, "documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": texts,

@@ -62,6 +62,11 @@ def get_spark(app_name: str = "ffn-polars-spark", cpus: Optional[int] = None) ->
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # local single-file tables split into ~file_size/maxPartitionBytes
+        # scan tasks; the default 128 MB leaves most cores idle on CPU-bound
+        # projections (a 380 MB file = 3 tasks on 32 cores). 16 MB is a
+        # LOCAL tuning — clusters set their own via spark-submit.
+        .config("spark.sql.files.maxPartitionBytes", "16MB")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

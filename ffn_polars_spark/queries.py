@@ -3090,6 +3090,130 @@ def q_streaming_dedup(spark, sf_dir):
     return run_available_now(out, output_mode="append").select("fingerprint")
 
 
+@query(
+    "streaming_vwap",
+    TICKS_SQL
+    + f""", bars AS (
+  SELECT event_type,
+         CAST((ts_ns - ts_ns % {_HOUR_NS}) // 1000000000 AS BIGINT) AS bar_start_s,
+         {R("sum(price * volume) / CAST(sum(volume) AS DOUBLE)")} AS price_vwap,
+         count(*) AS n_ticks
+  FROM ticks GROUP BY event_type, ts_ns - ts_ns % {_HOUR_NS})
+SELECT event_type, bar_start_s, price_vwap, n_ticks FROM bars""",
+)
+def q_streaming_vwap(spark, sf_dir):
+    """Watermarked per-hour VWAP computed by a streaming query, drained
+    complete-mode and hash-checked against the batch SQL buckets."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_vwap,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .withColumn("price", F.lit(100.0) + F.col("value") / F.lit(10.0))
+        .withColumn(
+            "volume", ((F.col("event_id") % 100) + 1).cast("double")
+        )
+    )
+    out = streaming_vwap(
+        stream, "price", "volume", by=["event_type"], bar="1 hour",
+        delay_threshold="1 minute",
+    )
+    drained = run_available_now(out)
+    return drained.select(
+        "event_type",
+        F.unix_timestamp("bar_start").alias("bar_start_s"),
+        r6(F.col("price_vwap")).alias("price_vwap"),
+        "n_ticks",
+    )
+
+
+@query(
+    "streaming_session_stats",
+    """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+b AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+s AS (
+  SELECT user_id, ts_us,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM b)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + 3600000000 AS BIGINT) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid""",
+)
+def q_streaming_session_stats(spark, sf_dir):
+    """Gap-based sessions via F.session_window in a real streaming query
+    (1-hour inactivity gap), drained complete-mode.  Session bounds follow
+    the session_window contract — [first event, last event + gap) — which
+    the lag/cumsum batch SQL reproduces exactly; bounds compare as epoch
+    microseconds."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_session_stats,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = read_tick_stream(spark, stage, ts_col="ts")
+    out = streaming_session_stats(
+        stream, "user_id", gap="1 hour", delay_threshold="1 minute"
+    )
+    drained = run_available_now(out)
+    return drained.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@query(
+    "streaming_running_vwap",
+    TICKS_SQL
+    + f"""
+SELECT event_type, CAST(sum(volume) AS DOUBLE) AS cum_volume,
+       {R("sum(price * volume) / CAST(sum(volume) AS DOUBLE)")} AS running_vwap
+FROM ticks GROUP BY event_type""",
+)
+def q_streaming_running_vwap(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): lifetime per-key
+    VWAP state updated each micro-batch.  Drained with the available-now
+    trigger the final update per key equals the batch aggregate, which is
+    the SQL twin — so even the Arrow-stateful path is hash-verified."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_running_vwap,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .withColumn("price", F.lit(100.0) + F.col("value") / F.lit(10.0))
+        .withColumn("volume", ((F.col("event_id") % 100) + 1).cast("double"))
+    )
+    out = stateful_running_vwap(stream, "event_type", "price", "volume")
+    drained = run_available_now(out, output_mode="update")
+    return drained.select(
+        "event_type",
+        "cum_volume",
+        r6(F.col("running_vwap")).alias("running_vwap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization.
 # ---------------------------------------------------------------------------

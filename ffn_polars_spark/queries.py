@@ -3214,6 +3214,46 @@ def q_streaming_running_vwap(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_realized_vol",
+    TICKS_SQL
+    + f""", r AS (
+  SELECT event_type,
+         ln(price) - lag(ln(price)) OVER (PARTITION BY event_type ORDER BY ts_ns) AS r
+  FROM ticks)
+SELECT event_type, CAST(count(r) AS BIGINT) AS n_returns,
+       {R("sqrt(sum(r * r))")} AS realized_volatility
+FROM r GROUP BY event_type""",
+)
+def q_streaming_realized_vol(spark, sf_dir):
+    """Sequence-dependent stateful streaming operator
+    (applyInPandasWithState): running realized volatility whose state chains
+    the last observation across micro-batches.  The available-now drain's
+    final update equals the batch lag-window computation — hash-checked."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_realized_volatility,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .withColumn("price", F.lit(100.0) + F.col("value") / F.lit(10.0))
+        # epoch-ns long from the µs event_time — same derivation as the
+        # oracle's epoch_us(ts) * 1000
+        .withColumn("ts_ns", F.unix_micros(F.col("event_time")) * F.lit(1000))
+    )
+    out = stateful_realized_volatility(stream, "event_type", "ts_ns", "price")
+    drained = run_available_now(out, output_mode="update")
+    return drained.select(
+        "event_type",
+        "n_returns",
+        r6(F.col("realized_volatility")).alias("realized_volatility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization.
 # ---------------------------------------------------------------------------

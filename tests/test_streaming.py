@@ -219,3 +219,45 @@ def test_streaming_dedup_exact(spark, doc_dir):
         for r in dedup_exact(spark.read.parquet(doc_dir)).collect()
     }
     assert {r["fingerprint"] for r in out} == batch_fps
+
+
+def test_stateful_rvol_chains_across_microbatches(spark, tmp_path_factory):
+    """The stateful operator's raison d'etre: state must CHAIN across
+    micro-batches (the first return of batch N uses the last observation of
+    batch N-1). Four time-ordered files drained one per trigger produce four
+    updates per key; the final one must equal the single-pass computation
+    with no seam at any batch boundary."""
+    import math
+
+    from ffn_polars_spark.streaming import stateful_realized_volatility
+
+    d = str(tmp_path_factory.mktemp("chained"))
+    all_rows = []
+    for i in range(200):
+        ticker = "A" if i % 2 == 0 else "B"
+        all_rows.append((ticker, i * SEC, 100.0 + (i % 7)))
+    # four time-contiguous files, written in order (file source processes
+    # oldest first), so per-key event order spans batch boundaries
+    for q in range(4):
+        chunk = all_rows[q * 50 : (q + 1) * 50]
+        spark.createDataFrame(chunk, ["ticker", "ts", "price"]).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_realized_volatility(stream, "ticker", "ts", "price"),
+        output_mode="update",
+    ).collect()
+
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["ticker"], []).append(r)
+    for t in ("A", "B"):
+        updates = sorted(per_key[t], key=lambda r: r["n_returns"])
+        assert len(updates) >= 2, "expected one update per micro-batch"
+        final = updates[-1]
+        ps = [p for (tk, _, p) in all_rows if tk == t]
+        rets = [math.log(ps[i] / ps[i - 1]) for i in range(1, len(ps))]
+        assert final["n_returns"] == len(rets)
+        assert abs(final["realized_volatility"] - math.sqrt(sum(r * r for r in rets))) < 1e-9

@@ -36,12 +36,19 @@ _COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDicti
 
 
 def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
-    """min(n_rows, cap+1) — a bounded probe, never an unbounded scan job.
+    """min-ish(n_rows, cap+1) — bounded probe first, exact count only as escape.
 
-    For cap <= _PROBE_CAP this is a limit-bounded job whose cost is O(cap)
-    regardless of input size (the 100 TB case pays for cap+1 rows, not a full
-    pass).  For larger caps it runs one exact count() (cached per DataFrame
-    object), because a limit that large would shuffle more than it saves.
+    Always starts with a ``limit(min(cap, _PROBE_CAP)+1).count()`` probe, whose
+    cost is O(_PROBE_CAP) regardless of input size.  Three outcomes:
+
+    - probe didn't saturate its limit → it IS the exact row count; return (and
+      cache) it.  This is the common case even for huge caps (e.g. a 1e8 item
+      budget against a 200k-row table costs a 1M-row probe, not a full scan).
+    - probe saturated and ``cap <= _PROBE_CAP`` → the side exceeds the budget;
+      return the saturated value (caller raises).
+    - probe saturated but ``cap > _PROBE_CAP`` → the side is proven to have
+      >_PROBE_CAP rows, so the real query's O(items x queries) work dwarfs one
+      exact count(); run it (cached per DataFrame object).
     """
     try:
         n = _COUNT_CACHE.get(df)
@@ -49,8 +56,17 @@ def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
         n = None
     if n is not None:
         return n
+    lim = min(cap, _PROBE_CAP)
+    probe = df.select(col).limit(lim + 1).count()
+    if probe <= lim:
+        # Limit never truncated: probe is the exact count — cache it.
+        try:
+            _COUNT_CACHE[df] = probe
+        except TypeError:
+            pass
+        return probe
     if cap <= _PROBE_CAP:
-        return df.select(col).limit(cap + 1).count()
+        return probe  # saturated a budget-sized limit: over budget
     n = df.select(col).count()
     try:
         _COUNT_CACHE[df] = n
@@ -317,8 +333,10 @@ def ann_topk(
     two row counts exceeds ``max_pairs`` the call raises and points at
     :func:`ann_topk_lsh` / :func:`ann_topk_ivf`, so a large query set cannot
     silently schedule a cluster-melting scan at 100 TB.  The guard uses
-    *bounded* limit-probes (see :func:`_guard_pair_budget`) — at scale it
-    touches at most ``max_pairs // n`` rows per side, never a full count.
+    *bounded* limit-probes (see :func:`_guard_pair_budget`) — at scale the
+    common case reads at most ~1M rows per side; an exact (cached) count only
+    runs on a side the probe has already proven larger than 1M rows, where
+    the real query's work dwarfs it.
     Pass ``max_pairs=0`` (or ``allow_bruteforce=True``) to skip.
     """
     qid = query_id_col or id_col

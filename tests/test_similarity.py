@@ -277,3 +277,50 @@ def test_count_at_most_bounded_and_cached(spark):
     assert _COUNT_CACHE.get(df) == 1000
     # cache hit short-circuits even small-cap probes
     assert _count_at_most(df, "vec_id", 10) == 1000
+
+
+def test_count_at_most_large_cap_stays_probe_bounded(spark, monkeypatch):
+    """cap > _PROBE_CAP must NOT short-circuit to a full count(): the probe
+    runs first at min(cap, _PROBE_CAP)+1 and, when it doesn't saturate, IS
+    the exact answer. Round 5's guard ran an unbounded count whenever
+    max_pairs // n_q exceeded 1M (i.e. the common small-query-side case) —
+    this pins the round-6 fix."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from ffn_polars_spark.operators.similarity import _PROBE_CAP
+
+    recorded = []
+    orig = dfmod.DataFrame.count
+
+    def counting(self):
+        recorded.append(self._jdf.queryExecution().analyzed().toString())
+        return orig(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "count", counting)
+
+    df = spark.range(500).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0f) AS embedding"
+    )
+    q = df.where("vec_id < 2")
+    # default max_pairs=1e9, n_q=2 -> cap_i = 5e8 >> _PROBE_CAP: the old code
+    # full-counted the item side here
+    ann_topk(df, q, k=2)
+    assert recorded, "guard should have probed"
+    for plan in recorded:
+        assert "GlobalLimit" in plan, f"unbounded count job in guard:\n{plan}"
+
+
+def test_count_at_most_saturated_probe_escapes_to_exact(spark, monkeypatch):
+    """When the probe saturates (> _PROBE_CAP rows) and the budget is still
+    larger, the guard falls back to one exact cached count — correctness of
+    the returned value over a saturating input."""
+    from ffn_polars_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_PROBE_CAP", 50)
+    df = spark.range(1000).selectExpr("id AS vec_id")
+    # cap 10_000 > patched probe cap 50; probe saturates at 51 -> exact count
+    assert sim._count_at_most(df, "vec_id", 10_000) == 1000
+    assert sim._COUNT_CACHE.get(df) == 1000
+    # saturating probe with cap <= probe cap still reports over-budget
+    df2 = spark.range(1000).selectExpr("id AS vec_id")
+    assert sim._count_at_most(df2, "vec_id", 40) == 41

@@ -2861,7 +2861,16 @@ def _sim_oracle_sql(
     quote-walk -> trade-sample -> per-tape aggregate pipeline is
     re-derivable in SQL from the same literals: trading window, burst
     windows, CDF ladders and the span coefficient are embedded below with
-    ``repr`` so both engines compare the identical binary64 values."""
+    ``repr`` so both engines compare the identical binary64 values.
+
+    Platform assumption: the md5 uniforms are bit-exact by construction, but
+    the *derived* quantities route through ``log``/``cos``/``sqrt``, which
+    are only ~1-ulp-accurate (not correctly rounded) in both the JVM and
+    DuckDB's libm, and ``blocked_cumsum``'s float association must match the
+    oracle's sequential window sum.  The final ``round(x, 2)`` absorbs ulp
+    noise *except* exactly at a rounding boundary, so hash-exactness holds on
+    this host's JVM/libm pairing but could flip a cent on another platform —
+    a tolerance-aware comparison would be the portable alternative."""
     from ffn_polars_spark.sim.common import (
         EXCHANGE_IDS,
         EXCHANGE_WEIGHTS,
@@ -3139,7 +3148,7 @@ WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 b AS (
   SELECT user_id, ts_us,
          CASE WHEN lag(ts_us) OVER w IS NULL
-                   OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS boundary
+                   OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS boundary
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
 s AS (
   SELECT user_id, ts_us,
@@ -3155,9 +3164,10 @@ FROM s GROUP BY user_id, sid""",
 def q_streaming_session_stats(spark, sf_dir):
     """Gap-based sessions via F.session_window in a real streaming query
     (1-hour inactivity gap), drained complete-mode.  Session bounds follow
-    the session_window contract — [first event, last event + gap) — which
-    the lag/cumsum batch SQL reproduces exactly; bounds compare as epoch
-    microseconds."""
+    the session_window contract — [first event, last event + gap), an
+    EXCLUSIVE end, so an event landing exactly `gap` after the previous one
+    opens a new session — which the lag/cumsum batch SQL reproduces with a
+    `>= gap` boundary test; bounds compare as epoch microseconds."""
     from ffn_polars_spark.streaming import (
         read_tick_stream,
         run_available_now,
@@ -3286,126 +3296,102 @@ def q_session_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Catalog ordering.
+# Catalog ordering — the rotation schedule.
 #
 # The correctness driver checks a bounded prefix of the catalog per round
-# (~50 entries), so registration order IS verification coverage.  Rounds 1-4
-# ran risk-first (dedup/text/multimodal/asof/sessions up front), which left
-# the 48 core SURVEY §2 operators verified only by their round-1 rows — and
-# those predate the round-4 `ts_ns_col` ingestion rewrite
-# (sources/__init__.py:90) that now feeds them.  Round 5 rotates the window:
-# the 48 core operators come first so the driver re-verifies them under the
-# new ingestion, followed by three canaries from the round-4-green families
-# (idle_time, dedup_minhash_lsh, session_stats) to detect any regression in
-# the previously-checked block.  Names absent from _PRIORITY keep their
-# original relative order at the back, and names in _PRIORITY but not
-# registered are ignored, so the list can't silently drop catalog entries.
+# (~50 entries), so registration order IS verification coverage.  To keep
+# every entry's driver verdict at most ~2 rounds old, the window rotates on a
+# documented schedule rather than ad hoc:
+#
+#   round | window front (prefix)                         | rationale
+#   ------+-----------------------------------------------+------------------
+#   r5    | 48 core SURVEY §2 ops + 3 canaries            | re-verify core
+#         |                                               | after the r4
+#         |                                               | ts_ns_col rewrite
+#   r6    | 9 never-driver-green oracles (resample x2,    | only entries with
+#         | sim_market_day, streaming x6) + 4 r5 canaries | no current driver
+#         | + the 44 r04-stale entries, risk-first        | evidence
+#   r7+   | alternate halves: odd rounds front-load the   | no verdict older
+#         | core-§2 half (r5's front), even rounds the    | than 2 rounds
+#         | pipeline/dedup/ann/streaming half (r6's),     |
+#         | always prepending any entry whose code        |
+#         | changed since its last green row              |
+#
+# Invariants: names absent from _PRIORITY keep their original relative order
+# at the back; names in _PRIORITY but not registered are ignored — the list
+# can't silently drop catalog entries.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- the 48 core SURVEY §2 operators: last driver-green row was round 1,
-    # before the ts_ns_col ingestion rewrite — re-verify them all this round.
-    "to_returns",
-    "to_log_returns",
-    "to_excess_returns",
-    "to_price_index",
-    "rebase",
-    "to_drawdown_series",
-    "deannualize",
-    "annualize",
-    "calc_total_return",
-    "calc_cagr",
-    "year_frac",
-    "calc_mtd",
-    "calc_ytd",
-    "calc_max_drawdown",
-    "ulcer_index",
-    "ulcer_performance_index",
-    "calc_calmar_ratio",
-    "calc_sharpe",
-    "sortino_ratio",
-    "calc_risk_return_ratio",
-    "calc_information_ratio",
-    "calc_trade_rate",
-    "calc_inter_trade_time",
-    "calc_burstiness",
-    "calc_volume_rate",
-    "tick_rule",
-    "apply_tick_rule_to_volume",
-    "calc_order_flow_imbalance",
-    "calc_tick_imbalance",
-    "calc_traded_value",
-    "calc_vwap",
-    "calc_micro_returns",
-    "calc_price_volatility_ratio",
-    "calc_price_impact",
-    "calc_realized_volatility",
-    "time_bars",
-    "tick_bars",
-    "volume_bars",
-    "dollar_bars",  # new in round 5 — first driver check
-    "bar_volatility",
-    "quote_to_trade_ratio",
-    "detect_bursts",
-    "volume_profile",
-    "melt_wide",
-    "salted_agg",
-    "rolling_stats",
-    "rolling_corr",
-    "quote_analytics",
-    "effective_spread",
-    # --- canaries from the round-4-green block (one per family)
-    "idle_time",
-    "dedup_minhash_lsh",
-    "session_stats",
-    # --- the rest of the round-4-green block, newest-verified first
-    "calc_prob_mom",
-    "time_weighted_spread",
-    "infer_nperiods",
-    "infer_freq",
-    "asof_join_backward",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "asof_join_tolerance",
-    "asof_join_interp",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "dedup_exact",
-    "doc_fingerprint",
-    "ngram_jaccard_pairs",
-    "dedup_canonical",
-    "dedup_simhash",
-    "embedding_cosine_pairs",
-    "ann_topk",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "text_token_count",
-    "text_quality",
-    "language_id",
-    "clean_corpus",
-    "interval_join",
-    "rollup_bars",
-    "winnow_fingerprints",
-    "winnow_overlap_pairs",
-    "deterministic_split",
-    "group_split",
-    "shard_by_tokens",
-    "pii_scrub",
-    "corpus_stats",
-    "stratified_sample",
-    "domain_mix",
-    "pack_sequences",
-    "decontaminate",
-    "repetition_stats",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "multimodal_features",
+    # --- the 9 entries with no driver-green row ever: their hash-exact
+    # oracles landed after round 4's window rotation (local + judge re-runs
+    # attest them; this puts driver evidence on record).
     "resample_returns",
     "resample_returns_poisson",
     "sim_market_day",
     "streaming_time_bars",
     "streaming_dedup_exact",
+    "streaming_vwap",
+    "streaming_session_stats",
+    "streaming_running_vwap",
+    "streaming_realized_vol",
+    # --- canaries from the round-5-green core block (regression tripwire)
+    "to_returns",
+    "calc_realized_volatility",
+    "time_bars",
+    "idle_time",
+    # --- the r04-stale block (last driver verdict round 4), risk-first:
+    # code touched in round 6 (pair-budget guard rewrite) ...
+    "ann_topk",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_cosine_pairs",
+    # ... code touched in round 5 (single-pass tokenization, pin release) ...
+    "text_quality",
+    "clean_corpus",
+    # ... heavy pair-generating / join operators ...
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_canonical",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "decontaminate",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "interval_join",
+    "asof_join_backward",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "asof_join_interp",
+    "session_stats",
+    # ... pipeline / text / multimodal ...
+    "deterministic_split",
+    "group_split",
+    "stratified_sample",
+    "domain_mix",
+    "shard_by_tokens",
+    "pack_sequences",
+    "text_token_count",
+    "language_id",
+    "pii_scrub",
+    "corpus_stats",
+    "repetition_stats",
+    "doc_fingerprint",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    # ... TPC-H-ish and analytics tail (untouched since r4, lowest risk:
+    # these are the entries that may fall outside a ~50 window; r7 fronts
+    # them per the schedule above) ...
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "rollup_bars",
+    "calc_prob_mom",
+    "time_weighted_spread",
+    "infer_nperiods",
+    "infer_freq",
 ]
 
 

@@ -36,9 +36,12 @@ def uniform(id_col: Column, tag: str, seed: int, hash_fn: str = "xxhash64") -> C
     * ``"md5"`` — engine-portable: the low 15 hex chars of
       ``md5(id:tag:seed)`` as a 60-bit integer scaled to [0, 1).  DuckDB
       replays it exactly as ``('0x' || substr(md5(s), 18, 15))::BIGINT /
-      2^60`` (int->double cast then division by a power of two — both exact
-      in IEEE754, so the uniforms are bit-identical across engines).  This
-      is what lets the correctness oracle replay a whole simulated session.
+      2^60``.  The 60-bit integer exceeds double's 53-bit mantissa, so the
+      long->double cast *rounds* — but IEEE754 round-to-nearest is fully
+      specified, so both engines round to the same double, and the
+      subsequent division by a power of two is exact; the uniforms are
+      therefore bit-identical across engines.  This is what lets the
+      correctness oracle replay a whole simulated session.
     """
     if hash_fn == "md5":
         s = F.concat_ws(

@@ -103,7 +103,13 @@ def _validate(
 ) -> None:
     root = col_name(value)
     if root is None:
-        _emit_guard("could not be inspected", param, "unknown", "unknown", override_mode)
+        # A computed Column exposes no root name in Spark (unlike a Polars
+        # Expr, whose meta.root_names() resolves through expressions), so the
+        # advisory checks structurally cannot apply here.  The reference warns
+        # on this path (guardrails.py:52-54) because reaching it in Polars is
+        # exceptional; in Spark every legitimate computed-expression argument
+        # would hit it, and a warning users learn to ignore guards nothing —
+        # stay silent and let downstream dtype errors surface naturally.
         return
 
     expected = _normalize_dtype(checks.get("expected_dtype"))

@@ -43,6 +43,24 @@ def test_silent_mode_is_quiet(spark):
     assert not [w for w in caught if "guard" in str(w.message)]
 
 
+def test_computed_column_no_inspection_warning(spark):
+    """A computed Column has no resolvable root name in Spark — the guard
+    must stay silent instead of emitting '[guard] Column unknown ... could
+    not be inspected' on every legitimate expression input (the sim path
+    passes computed price/volume columns; round-5 catalog runs were noisy)."""
+    from pyspark.sql import functions as F
+
+    set_guard_mode(GuardMode.WARN)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        col = ffn.tick.calc_vwap(F.col("price") * 1.0, F.col("volume") + 0)
+    assert col is not None
+    assert not [w for w in caught if "guard" in str(w.message)]
+    # STRICT must not raise on structurally-uninspectable inputs either
+    set_guard_mode(GuardMode.STRICT)
+    assert ffn.tick.calc_vwap(F.col("price") * 1.0, F.col("volume") + 0) is not None
+
+
 def test_conforming_name_no_warning(spark):
     set_guard_mode(GuardMode.WARN)
     with warnings.catch_warnings(record=True) as caught:

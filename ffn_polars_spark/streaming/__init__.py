@@ -220,15 +220,28 @@ def stateful_running_vwap(
     key: str,
     price: str,
     volume: str,
+    idle_timeout_ms: Optional[int] = None,
 ) -> DataFrame:
     """Running (lifetime) per-key VWAP via ``applyInPandasWithState``.
 
     The window/session operators above bound state by event time; this is the
     pattern for state that must NOT expire — a cumulative (sum(p*v), sum(v))
     pair per key, updated every micro-batch, emitted in update mode.
+
+    State-size contract: with the default ``idle_timeout_ms=None`` the state
+    lives for the lifetime of the query (``GroupStateTimeout.NoTimeout``).
+    That is correct — and bounded — for ticker-cardinality key domains
+    (thousands of keys x 16 bytes); it grows WITHOUT BOUND for open-ended
+    key domains (user ids, doc ids) at 100 TB.  For those, pass
+    ``idle_timeout_ms``: keys idle longer than the timeout are evicted
+    (processing-time TTL) and silently re-created from zero on their next
+    event, turning lifetime state into a bounded working set.
     """
 
     def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             pv, v = state.get
         else:
@@ -237,6 +250,8 @@ def stateful_running_vwap(
             pv += float((pdf[price] * pdf[volume]).sum())
             v += float(pdf[volume].sum())
         state.update((pv, v))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 key: [key_tuple[0]],
@@ -250,7 +265,11 @@ def stateful_running_vwap(
         outputStructType=_vwap_output_schema(key),
         stateStructType=_VWAP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -295,6 +314,7 @@ def stateful_realized_volatility(
     key: str,
     ts: str,
     price: str,
+    idle_timeout_ms: Optional[int] = None,
 ) -> DataFrame:
     """Running realized volatility per key via ``applyInPandasWithState`` —
     the sequence-dependent stateful pattern: the state carries the LAST
@@ -306,10 +326,18 @@ def stateful_realized_volatility(
     across batches requires in-order file/partition delivery per key (true
     for the availableNow drains used in tests; production streams should
     window instead when late data is possible).
+
+    State-size contract: same as :func:`stateful_running_vwap` — the default
+    ``NoTimeout`` assumes a bounded (ticker-cardinality) key domain; pass
+    ``idle_timeout_ms`` for open-ended key domains so idle keys are evicted
+    (processing-time TTL) and restart from zero on their next event.
     """
     import math
 
     def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             last_ts, last_lp, sum_sq, n = state.get
         else:
@@ -324,6 +352,8 @@ def stateful_realized_volatility(
                     n += 1
                 last_ts, last_lp = int(row[ts]), lp
         state.update((last_ts, last_lp, sum_sq, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 key: [key_tuple[0]],
@@ -337,5 +367,9 @@ def stateful_realized_volatility(
         outputStructType=_rvol_output_schema(key),
         stateStructType=_RVOL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -261,3 +261,69 @@ def test_stateful_rvol_chains_across_microbatches(spark, tmp_path_factory):
         rets = [math.log(ps[i] / ps[i - 1]) for i in range(1, len(ps))]
         assert final["n_returns"] == len(rets)
         assert abs(final["realized_volatility"] - math.sqrt(sum(r * r for r in rets))) < 1e-9
+
+
+def test_stateful_vwap_idle_timeout_evicts_state(spark, tmp_path):
+    """With idle_timeout_ms set, a key idle past the TTL is evicted
+    (ProcessingTimeTimeout) and restarts from ZERO on its next event —
+    the bounded-working-set contract for open-ended key domains. Without
+    eviction the second file's update would show the lifetime cumulative
+    volume; with it, only the second file's."""
+    import time
+    import uuid as _uuid
+
+    d = str(tmp_path / "ttl")
+    os.makedirs(d)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, ["ticker", "ts", "price", "volume"]).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    # file 1: A has volume 10 total
+    write_file([("A", i * SEC, 100.0, 5.0) for i in range(2)])
+
+    stream = read_tick_stream(spark, d, ts_col="ts")
+    out = stateful_running_vwap(
+        stream, "ticker", "price", "volume", idle_timeout_ms=1_500
+    )
+    name = "ttl" + _uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        # wait for file 1's update (cum_volume 10) to land
+        while time.time() < deadline:
+            if any(
+                r["cum_volume"] == 10.0
+                for r in spark.table(name).collect()
+                if r["ticker"] == "A"
+            ):
+                break
+            time.sleep(0.2)
+        # idle well past the 1.5 s TTL: ProcessingTimeTimeout runs a batch
+        # every trigger even without data, firing the eviction
+        time.sleep(4.0)
+        # file 2: A has volume 4 total — must restart from zero
+        write_file([("A", (100 + i) * SEC, 100.0, 2.0) for i in range(2)])
+        while time.time() < deadline:
+            vols = {
+                r["cum_volume"]
+                for r in spark.table(name).collect()
+                if r["ticker"] == "A"
+            }
+            if 4.0 in vols:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    vols = {r["cum_volume"] for r in spark.table(name).collect() if r["ticker"] == "A"}
+    assert 10.0 in vols, f"file-1 update missing: {vols}"
+    assert 4.0 in vols, f"state was not evicted (no reset update): {vols}"
+    assert 14.0 not in vols, f"state survived the idle TTL: {vols}"

@@ -1,0 +1,128 @@
+"""Streaming throughput micro-bench: rows/s and state-store size for the
+streaming operators, on a rate source (no disk I/O in the loop).
+
+Usage:
+    python tools/stream_bench.py [duration_seconds] [rows_per_second]
+
+Drives two queries for `duration_seconds` (default 30) at `rows_per_second`
+offered load (default 500_000) on local[32]:
+
+* streaming_time_bars — watermark-bounded windowed aggregation.
+* stateful_running_vwap — applyInPandasWithState custom stateful operator.
+
+For each, prints a JSON line with the mean/max processedRowsPerSecond over
+the completed batches and the state-store metrics of the LAST batch
+(numRowsTotal, memoryUsedBytes), plus a bounded-state check: with K tickers
+and a 1-minute bar / 30-second watermark, time-bars state must stay within a
+small multiple of K x open-windows; running-vwap state must equal K exactly.
+
+The rate source emits (timestamp, value); ticker/price/volume are derived
+arithmetically so the per-row cost matches a real tick tape's column shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_TICKERS = 1_000
+
+
+def make_stream(spark, rows_per_second: int):
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", 16)
+        .load()
+    )
+    return (
+        rate.withColumn("ticker", (F.col("value") % N_TICKERS).cast("string"))
+        .withColumn("price", 100.0 + (F.col("value") % 500) / 100.0)
+        .withColumn("volume", (1 + F.col("value") % 7).cast("double"))
+        .withColumn("event_time", F.col("timestamp"))
+    )
+
+
+def drive(name: str, result_df, duration_s: float) -> dict:
+    q = (
+        result_df.writeStream.format("noop")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(duration_s)
+        rates, state = [], None
+        for p in q.recentProgress:
+            if p.get("numInputRows", 0) > 0:
+                rates.append(p["processedRowsPerSecond"])
+            ops = p.get("stateOperators") or []
+            if ops:
+                state = {
+                    "numRowsTotal": sum(o.get("numRowsTotal", 0) for o in ops),
+                    "memoryUsedBytes": sum(
+                        o.get("memoryUsedBytes", 0) for o in ops
+                    ),
+                }
+    finally:
+        q.stop()
+    # drop the cold-start batch from the mean
+    steady = rates[1:] or rates
+    return {
+        "query": name,
+        "batches": len(rates),
+        "rows_per_sec_mean": round(sum(steady) / max(len(steady), 1)),
+        "rows_per_sec_max": round(max(rates) if rates else 0),
+        "state_rows": state["numRowsTotal"] if state else None,
+        "state_bytes": state["memoryUsedBytes"] if state else None,
+    }
+
+
+def main() -> None:
+    duration = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
+    rps = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+
+    from ffn_polars_spark.sources import get_spark
+    from ffn_polars_spark.streaming import (
+        stateful_running_vwap,
+        streaming_time_bars,
+    )
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bars = streaming_time_bars(
+        make_stream(spark, rps),
+        "price",
+        "volume",
+        by=["ticker"],
+        bar="1 minute",
+        delay_threshold="30 seconds",
+    )
+    r1 = drive("streaming_time_bars", bars, duration)
+    # bounded-state check: open windows per key <= ceil(duration/60)+2
+    max_windows = int(duration // 60) + 3
+    r1["state_bounded"] = (
+        r1["state_rows"] is not None and r1["state_rows"] <= N_TICKERS * max_windows
+    )
+    print(json.dumps(r1), flush=True)
+
+    vwap = stateful_running_vwap(
+        make_stream(spark, rps), "ticker", "price", "volume"
+    )
+    r2 = drive("stateful_running_vwap", vwap, duration)
+    # lifetime state: exactly one row per key ever
+    r2["state_bounded"] = r2["state_rows"] is not None and r2["state_rows"] <= N_TICKERS
+    print(json.dumps(r2), flush=True)
+
+    if not (r1["state_bounded"] and r2["state_bounded"]):
+        sys.exit("FAIL: state-store growth exceeded the bounded-state contract")
+
+
+if __name__ == "__main__":
+    main()

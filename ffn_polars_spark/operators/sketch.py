@@ -1,0 +1,123 @@
+"""Sketch and deterministic-sampling operators.
+
+Beyond the reference's surface (the reference has no sketching layer —
+/root/reference/ffn_polars has only exact aggregations): cardinality
+estimation and corpus sampling primitives a 100 TB training-data pipeline
+needs, built so the *same draw* is replayable by any engine.
+
+Design notes (100 TB):
+
+* Every random quantity is a **deterministic md5 uniform** of the row key
+  (``sim.rand.uniform(..., hash_fn="md5")``): no RNG state, no seed
+  plumbing across executors, and a DuckDB/Trino/BigQuery oracle can replay
+  the draw bit-for-bit. Re-running the job on different cluster shapes
+  yields identical samples — the property that matters for reproducible
+  dataset curation.
+* ``bottomk_sample`` compiles to ``TakeOrderedAndProject``: each task keeps
+  its local k smallest, the driver merges k·partitions rows — no global
+  sort, no single-reducer shuffle (plan pinned by tests/test_plans.py).
+* ``kmv_distinct`` is the K-minimum-values estimator (Bar-Yossef et al.
+  2002): the k smallest hash values of a set of n distinct uniforms sit at
+  ≈ k/n, so ``(k-1)/h_k`` is an unbiased estimate of n. The only full-width
+  shuffle is the DISTINCT on (group, hash); the per-group rank runs on a
+  pre-filtered slice (see ``prefilter``) so no task ever sorts more than
+  ~64·k rows per group.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.registry import register
+from ffn_polars_spark.sim.rand import uniform
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="bottomk_sample")
+def bottomk_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    tag: str = "sample",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic uniform sample of exactly ``k`` rows.
+
+    Each row's md5 uniform ``h = U(id, tag, seed)`` is a pure function of its
+    id, and the sample is the ``k`` rows with the smallest ``h`` (ties — a
+    60-bit collision — broken by id). Unlike ``df.sample(fraction)`` this is
+    (a) exactly-k, (b) independent of partitioning/cluster shape, and
+    (c) replayable by any engine with md5.
+
+    Scale: ``orderBy(h).limit(k)`` compiles to ``TakeOrderedAndProject`` —
+    per-partition local top-k, merged once; no global sort.
+    """
+    h = uniform(F.col(id_col), tag, seed, hash_fn="md5")
+    out = df.withColumn("__h", h).orderBy("__h", id_col)
+    return out.limit(int(k)).drop("__h")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="kmv_distinct")
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 256,
+    tag: str = "kmv",
+    seed: int = 0,
+    prefilter: bool = True,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group.
+
+    Hash each value to a deterministic md5 uniform, keep the ``k`` smallest
+    distinct hashes per group, and estimate ``n_distinct ≈ (k-1) / h_k``
+    where ``h_k`` is the k-th smallest (exact count when fewer than ``k``
+    distinct values exist). Standard error ≈ ``1/sqrt(k-2)``.
+
+    Why not HLL (``approx_count_distinct``)? HLL is cheaper but its register
+    state is engine-internal — no external oracle can reproduce the
+    estimate. KMV's "state" is just the k smallest hashes of a documented
+    hash function, so DuckDB replays the estimate bit-for-bit; use this
+    where the *number itself* must be auditable, HLL where it's advisory.
+
+    Scale path: the DISTINCT on (group, hash) is the one data-width shuffle.
+    With ``prefilter`` (default), a map-side HLL first bounds each group's
+    cardinality ``n̂`` and only hashes below ``τ = min(1, 64k/n̂)`` enter the
+    rank window — expected ~64·k survivors per group, so the per-group sort
+    is O(k) no matter how large the group. The cut cannot change the k
+    smallest unless fewer than k hashes survive, which at 64× headroom has
+    probability < exp(-k) (Chernoff); the estimate is therefore identical
+    to the unfiltered one in any run you will ever observe.
+
+    Returns one row per group: ``(*group_by, n_seen, kmv_estimate)``.
+    """
+    from pyspark.sql.window import Window
+
+    gcols = list(group_by) if group_by else []
+    h = uniform(F.col(value_col), tag, seed, hash_fn="md5")
+    hashed = df.select(*gcols, h.alias("__h")).distinct()
+
+    if prefilter:
+        grp = df.groupBy(*gcols) if gcols else df.groupBy()
+        est = grp.agg(F.approx_count_distinct(value_col).alias("__nhat"))
+        tau = F.least(F.lit(1.0), F.lit(64.0 * k) / F.col("__nhat"))
+        est = F.broadcast(est.select(*gcols, tau.alias("__tau")))
+        if gcols:
+            hashed = hashed.join(est, gcols).where(F.col("__h") <= F.col("__tau"))
+        else:
+            hashed = hashed.crossJoin(est).where(F.col("__h") <= F.col("__tau"))
+        hashed = hashed.drop("__tau")
+
+    win = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("__h")
+    ranked = hashed.withColumn("__rn", F.row_number().over(win)).where(
+        F.col("__rn") <= F.lit(int(k))
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("__h").alias("__hk")
+    )
+    estimate = F.when(
+        F.col("n_seen") < F.lit(int(k)), F.col("n_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+    return agg.select(*gcols, "n_seen", estimate.alias("kmv_estimate"))

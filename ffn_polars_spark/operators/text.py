@@ -446,3 +446,85 @@ def repetition_stats(
             F.coalesce(F.try_divide(F.col("__dup3"), F.col("__tot3")), z), 6
         ).alias("dup_trigram_frac"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="vocab_topk")
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent tokens.
+
+    Tokenize, explode, count, top-k — ordered by ``(freq desc, token asc)``
+    so ties are deterministic. The groupBy gets map-side partial counts for
+    free (per-partition hash agg before the shuffle: what crosses the wire
+    is one row per distinct token per partition, not one per occurrence),
+    and the final ``orderBy().limit()`` compiles to
+    ``TakeOrderedAndProject`` — per-partition local top-k, one driver-side
+    merge, no global sort. At 100 TB vocabulary is the small side (≤ a few
+    hundred M distinct tokens), so nothing here is corpus-sized after the
+    first aggregate.
+
+    Returns ``(token, freq)``.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc("token")).limit(int(k))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="duplicate_spans")
+def duplicate_spans(
+    df: DataFrame,
+    width: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span statistics (substring-level dedup).
+
+    The signal behind substring deduplication of training corpora (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    spans repeated *across* documents are boilerplate/memorization risk
+    even when no whole document is a near-duplicate. Every sliding window
+    of ``width`` tokens is a span; a span present in ≥ ``min_docs``
+    distinct documents is duplicated; each document reports how much of it
+    is made of duplicated spans.
+
+    Plan shape (the scalable part): spans are built in-row from one
+    materialized token array (``shingles_from_tokens`` — no re-tokenize per
+    span), the per-document DISTINCT bounds what crosses the wire at
+    ~tokens-per-doc rows, and the document-frequency pass is a *groupBy*,
+    not a self-join — no pair explosion anywhere, two shuffles total,
+    both linear in corpus token count. Documents shorter than ``width``
+    tokens have no spans and are absent from the output.
+
+    Returns ``(id, n_spans, dup_spans, dup_frac)`` — distinct spans in the
+    document, how many of them are duplicated, and the fraction.
+    """
+    from ffn_polars_spark.operators.dedup import shingles_from_tokens
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    spans = base.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), width)).alias("span"),
+    ).distinct()
+    dfreq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("__nd"))
+    return (
+        spans.join(dfreq, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("__nd") >= F.lit(int(min_docs)), 1).otherwise(0)
+            ).alias("dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            "n_spans",
+            "dup_spans",
+            F.round(
+                F.col("dup_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

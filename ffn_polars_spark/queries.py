@@ -3295,6 +3295,103 @@ def q_session_stats(spark, sf_dir):
     return session_stats(ev, ts_col="ts_ns", key_col="user_id", gap=3600 * 1_000_000_000)
 
 
+@query(
+    "vocab_topk",
+    """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token)
+SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 100""",
+)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k: tokenize -> map-side partial counts ->
+    TakeOrderedAndProject (no global sort). Ties broken by token for a
+    deterministic boundary."""
+    from ffn_polars_spark.operators.text import vocab_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=100)
+
+
+@query(
+    "duplicate_spans",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents),
+sp AS (
+  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+           || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS span
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 4) OVER win IS NOT NULL),
+spd AS (SELECT DISTINCT doc_id, span FROM sp),
+dfreq AS (SELECT span, count(*) AS nd FROM spd GROUP BY span),
+agg AS (SELECT spd.doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+        FROM spd JOIN dfreq USING (span) GROUP BY spd.doc_id)
+SELECT doc_id, n_spans, dup_spans,
+       {R("dup_spans / CAST(n_spans AS DOUBLE)")} AS dup_frac
+FROM agg""",
+)
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated-span stats (substring-level dedup signal,
+    Lee et al. 2022): 5-token sliding windows, per-doc DISTINCT, document
+    frequency via groupBy (no self-join), per-doc duplicated fraction."""
+    from ffn_polars_spark.operators.text import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, width=5, min_docs=2)
+
+
+@query(
+    "kmv_distinct",
+    """
+WITH vals AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv:0'), 18, 15))::BIGINT
+          / 1152921504606846976.0) AS h
+  FROM events),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       FROM vals)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE 63.0 / max(h) END AS kmv_estimate
+FROM rk WHERE rn <= 64 GROUP BY event_type""",
+)
+def q_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-user estimate per event type (k=64): the
+    md5-uniform hash stream is engine-portable, so DuckDB replays the k
+    smallest hashes — and therefore the estimate itself — bit-for-bit."""
+    from ffn_polars_spark.operators.sketch import kmv_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", group_by=["event_type"], k=64)
+
+
+@query(
+    "bottomk_sample",
+    """
+SELECT doc_id, lang, source, n_chars FROM documents
+ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample:0'), 18, 15))::BIGINT
+          / 1152921504606846976.0), doc_id
+LIMIT 50""",
+)
+def q_bottomk_sample(spark, sf_dir):
+    """Deterministic exactly-k corpus sample: bottom-50 by md5 uniform of
+    doc_id — independent of partitioning, replayable by any engine, and
+    compiled to TakeOrderedAndProject (per-partition top-k, no global
+    sort)."""
+    from ffn_polars_spark.operators.sketch import bottomk_sample
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return bottomk_sample(docs, 50, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -3309,8 +3406,10 @@ def q_session_stats(spark, sf_dir):
 #         |                                               | after the r4
 #         |                                               | ts_ns_col rewrite
 #   r6    | 9 never-driver-green oracles (resample x2,    | only entries with
-#         | sim_market_day, streaming x6) + 4 r5 canaries | no current driver
-#         | + the 44 r04-stale entries, risk-first        | evidence
+#         | sim_market_day, streaming x6) + 4 NEW round-6 | no current driver
+#         | entries (kmv/bottomk/vocab/duplicate_spans)   | evidence
+#         | + 4 r5 canaries + the r04-stale entries,      |
+#         | risk-first                                    |
 #   r7+   | alternate halves: odd rounds front-load the   | no verdict older
 #         | core-§2 half (r5's front), even rounds the    | than 2 rounds
 #         | pipeline/dedup/ann/streaming half (r6's),     |
@@ -3335,6 +3434,12 @@ _PRIORITY = [
     "streaming_session_stats",
     "streaming_running_vwap",
     "streaming_realized_vol",
+    # --- new in round 6 (no driver evidence yet): sketch/sampling + span
+    # dedup + vocabulary operators
+    "kmv_distinct",
+    "bottomk_sample",
+    "vocab_topk",
+    "duplicate_spans",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -1,0 +1,83 @@
+"""Sketch/sampling operators: KMV accuracy + determinism, bottom-k sample
+exact-k + partitioning-independence, vocab_topk ordering, duplicate_spans
+semantics on planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.operators.sketch import bottomk_sample, kmv_distinct
+from ffn_polars_spark.operators.text import duplicate_spans, vocab_topk
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") % 997).alias("val")
+    )
+
+
+def test_kmv_estimate_within_error(spark, ids):
+    # 997 distinct vals; k=256 -> stderr ~ 1/sqrt(254) ~ 6.3%; allow 4 sigma
+    row = kmv_distinct(ids, "val", k=256).collect()[0]
+    assert row.n_seen == 256
+    assert abs(row.kmv_estimate - 997) / 997 < 0.25
+
+    # small-n branch: fewer distinct values than k -> exact count
+    exact = kmv_distinct(ids, "grp", k=64).collect()[0]
+    assert exact.n_seen == 7 and exact.kmv_estimate == 7.0
+
+
+def test_kmv_grouped_and_prefilter_identical(spark, ids):
+    with_f = kmv_distinct(ids, "val", group_by=["grp"], k=64, prefilter=True)
+    no_f = kmv_distinct(ids, "val", group_by=["grp"], k=64, prefilter=False)
+    assert sorted(map(tuple, with_f.collect())) == sorted(map(tuple, no_f.collect()))
+    assert with_f.count() == 7
+
+
+def test_kmv_deterministic_across_partitioning(spark, ids):
+    a = kmv_distinct(ids.repartition(13), "val", k=128).collect()[0]
+    b = kmv_distinct(ids.coalesce(1), "val", k=128).collect()[0]
+    assert a.kmv_estimate == b.kmv_estimate
+
+
+def test_bottomk_exact_k_and_partition_independent(spark, ids):
+    s1 = bottomk_sample(ids, 40, id_col="id")
+    s2 = bottomk_sample(ids.repartition(17), 40, id_col="id")
+    r1 = sorted(r.id for r in s1.collect())
+    r2 = sorted(r.id for r in s2.collect())
+    assert len(r1) == 40 and r1 == r2
+    # the helper column must not leak
+    assert "__h" not in s1.columns
+
+
+def test_bottomk_plan_is_take_ordered(spark, ids):
+    from ffn_polars_spark.plans import explain_str
+
+    plan = explain_str(bottomk_sample(ids, 10, id_col="id"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_topk_order_and_ties(spark):
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a c d")], ["doc_id", "text"]
+    )
+    rows = vocab_topk(df, k=3).collect()
+    assert [(r.token, r.freq) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_duplicate_spans_planted(spark):
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (0, shared),                      # 2 spans, both shared with doc 1
+            (1, shared + " seven"),           # 3 spans, 2 shared
+            (2, "alpha beta gamma delta epsilon"),  # 1 span, unique
+            (3, "too short"),                 # < width -> no spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_spans(df, width=5).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_spans, out[0].dup_spans, out[0].dup_frac) == (2, 2, 1.0)
+    assert (out[1].n_spans, out[1].dup_spans) == (3, 2)
+    assert (out[2].n_spans, out[2].dup_spans, out[2].dup_frac) == (1, 0, 0.0)

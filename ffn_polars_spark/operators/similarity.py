@@ -557,3 +557,44 @@ def ann_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="semantic_dedup")
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "lsh",
+    **kwargs,
+) -> DataFrame:
+    """Embedding-space near-duplicate removal, end to end: similarity pairs
+    → connected components → one canonical id per semantic cluster.
+
+    The last member of the dedup family (exact / MinHash / SimHash / n-gram
+    Jaccard / winnowing cover *lexical* duplication; this catches documents
+    that say the same thing in different words — SemDeDup, Abbas et al.
+    2023). ``method='lsh'`` (default) generates candidates via banded
+    random-hyperplane buckets and verifies with exact cosine — the 100 TB
+    path, no all-pairs join anywhere; ``method='bruteforce'`` uses the
+    guarded exact pair generator for small corpora and oracles. Extra
+    kwargs pass through to the pair generator.
+
+    Returns ``(id, canonical_id, is_duplicate)`` over ALL input rows
+    (cluster canonical = min id, transitively closed; singletons are their
+    own canonical) — the same contract as ``dedup_canonical``, so the two
+    interchange in a pipeline.
+    """
+    from ffn_polars_spark.operators.dedup import dedup_assign_canonical
+
+    if method == "lsh":
+        pairs = dedup_embedding_lsh(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col, **kwargs
+        )
+    elif method == "bruteforce":
+        pairs = embedding_cosine_pairs(
+            df, threshold=threshold, vec_col=vec_col, id_col=id_col, **kwargs
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}: use 'lsh' or 'bruteforce'")
+    return dedup_assign_canonical(df, pairs, id_col=id_col)

@@ -121,3 +121,73 @@ def kmv_distinct(
         F.col("n_seen") < F.lit(int(k)), F.col("n_seen").cast("double")
     ).otherwise(F.lit(float(k - 1)) / F.col("__hk"))
     return agg.select(*gcols, "n_seen", estimate.alias("kmv_estimate"))
+
+
+def _qname(q: float) -> str:
+    """p50, p99, p99_9 — a stable column name for a quantile."""
+    s = f"{q * 100:g}".replace(".", "_")
+    return f"p{s}"
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="group_quantiles")
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated quantiles per group (``F.percentile``: the
+    SQL-standard continuous quantile, rank ``h = (n-1)·q`` with linear
+    interpolation — DuckDB's ``quantile_cont`` computes the same value).
+
+    Exact quantiles shuffle the group's values once; Spark's implementation
+    aggregates per-group digests executor-side, so nothing collects to the
+    driver. For 100 TB advisory percentiles prefer
+    ``F.percentile_approx`` (bounded-memory KLL-style sketch, no exact
+    sort) — this operator is for when the number must be reproducible.
+
+    Returns one row per group: ``(*group_by, p50, p90, ... )``.
+    """
+    gcols = list(group_by) if group_by else []
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(float(q))), 6).alias(_qname(q))
+        for q in quantiles
+    ]
+    grp = df.groupBy(*gcols) if gcols else df.groupBy()
+    return grp.agg(*aggs)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="value_histogram")
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Fixed-width histogram per group: bin index, bin lower edge, count.
+
+    Values below ``lo`` clamp into bin 0, above ``hi`` into the last bin
+    (so the histogram is total — no silently dropped rows). Pure
+    projection + one groupBy on (group, bin): map-side partial counts do
+    the heavy lifting, what crosses the shuffle is at most
+    ``nbins × groups × partitions`` rows regardless of data size.
+
+    Returns ``(*group_by, bin, bin_lo, n)``, only non-empty bins.
+    """
+    gcols = list(group_by) if group_by else []
+    width = (float(hi) - float(lo)) / int(nbins)
+    raw = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)).cast("int")
+    b = F.least(F.lit(int(nbins) - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.select(*gcols, b.alias("bin"))
+        .groupBy(*gcols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *gcols,
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            "n",
+        )
+    )

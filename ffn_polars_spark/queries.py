@@ -3392,6 +3392,97 @@ def q_bottomk_sample(spark, sf_dir):
     return bottomk_sample(docs, 50, id_col="doc_id")
 
 
+@query(
+    "semantic_dedup",
+    f"""
+WITH RECURSIVE allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+  FROM embeddings),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+  WHERE {R("list_cosine_similarity(a.v, b.v)")} >= 0.9),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, w.lbl FROM walk w JOIN edges e ON w.node = e.src),
+comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node)
+SELECT d.vec_id,
+       coalesce(comp.c, d.vec_id) AS canonical_id,
+       d.vec_id <> coalesce(comp.c, d.vec_id) AS is_duplicate
+FROM allv d LEFT JOIN comp ON d.vec_id = comp.node""",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """Embedding-space dedup end to end: exact cosine pairs (>= 0.9) ->
+    connected components -> canonical per semantic cluster; the oracle
+    recomputes components with a recursive CTE.
+
+    The canonical embeddings table has no cosine-near pairs (max pairwise
+    cosine ~0.51), so the entry plants them: each vector is unioned with a
+    x2.0-scaled copy under id+100000. Scaling by a power of two is
+    bit-exact in BOTH engines (mantissa untouched) and cosine is
+    scale-invariant, so every copy MUST land in its original's cluster —
+    the pair generator, the transitive closure, and the canonical-min
+    assignment are all exercised non-vacuously. The catalog uses the
+    guarded brute-force pair path so the oracle is exact; the library
+    default is the LSH-banded candidate generator."""
+    from ffn_polars_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return semantic_dedup(emb.unionByName(copies), threshold=0.9, method="bruteforce")
+
+
+@query(
+    "group_quantiles",
+    f"""
+SELECT event_type,
+       {R("quantile_cont(value, 0.5)")} AS p50,
+       {R("quantile_cont(value, 0.9)")} AS p90,
+       {R("quantile_cont(value, 0.99)")} AS p99
+FROM events GROUP BY event_type""",
+)
+def q_group_quantiles(spark, sf_dir):
+    """Exact interpolated per-group quantiles: Spark's F.percentile and
+    DuckDB's quantile_cont share the SQL-standard (n-1)*q linear
+    interpolation, so the values agree to rounding."""
+    from ffn_polars_spark.operators.sketch import group_quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    return group_quantiles(ev, "value", group_by=["event_type"])
+
+
+@query(
+    "value_histogram",
+    """
+WITH b AS (
+  SELECT event_type,
+         least(24, greatest(0, CAST(floor((value - 0.0) / 20.0) AS INT))) AS bin
+  FROM events)
+SELECT event_type, bin, 0.0 + bin * 20.0 AS bin_lo, count(*) AS n
+FROM b GROUP BY event_type, bin""",
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width clamped histogram per event type: pure projection +
+    one (group, bin) aggregate with map-side partial counts."""
+    from ffn_polars_spark.operators.sketch import value_histogram
+
+    ev = read_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", lo=0.0, hi=500.0, nbins=25, group_by=["event_type"])
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -3440,6 +3531,9 @@ _PRIORITY = [
     "bottomk_sample",
     "vocab_topk",
     "duplicate_spans",
+    "semantic_dedup",
+    "group_quantiles",
+    "value_histogram",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -5,7 +5,13 @@ semantics on planted duplicates."""
 import pytest
 from pyspark.sql import functions as F
 
-from ffn_polars_spark.operators.sketch import bottomk_sample, kmv_distinct
+from ffn_polars_spark.operators.sketch import (
+    bottomk_sample,
+    group_quantiles,
+    kmv_distinct,
+    value_histogram,
+)
+from ffn_polars_spark.operators.similarity import semantic_dedup
 from ffn_polars_spark.operators.text import duplicate_spans, vocab_topk
 
 
@@ -81,3 +87,47 @@ def test_duplicate_spans_planted(spark):
     assert (out[0].n_spans, out[0].dup_spans, out[0].dup_frac) == (2, 2, 1.0)
     assert (out[1].n_spans, out[1].dup_spans) == (3, 2)
     assert (out[2].n_spans, out[2].dup_spans, out[2].dup_frac) == (1, 0, 0.0)
+
+
+def test_group_quantiles_exact(spark, ids):
+    # vals 0..996 uniformly over 5000 rows: p50 of 0..4999 % 997 — check
+    # against numpy's linear-interpolation percentile on the same data
+    import numpy as np
+
+    vals = np.arange(5000) % 997
+    out = group_quantiles(ids, "val", quantiles=(0.5, 0.9)).collect()[0]
+    assert out.p50 == round(float(np.percentile(vals, 50)), 6)
+    assert out.p90 == round(float(np.percentile(vals, 90)), 6)
+
+
+def test_value_histogram_total_and_clamped(spark, ids):
+    # val in [0, 996]; hi=500 forces clamping into the last bin
+    h = value_histogram(ids, "val", lo=0.0, hi=500.0, nbins=5, group_by=["grp"])
+    rows = h.collect()
+    assert sum(r.n for r in rows) == 5000  # total: nothing dropped
+    assert all(0 <= r.bin <= 4 for r in rows)
+    assert {r.bin_lo for r in rows} <= {0.0, 100.0, 200.0, 300.0, 400.0}
+
+
+def test_semantic_dedup_clusters_planted_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16).astype(float)
+    base[1] = base[0] + 0.01 * rng.randn(16)   # near-dup of 0
+    base[3] = base[2] + 0.01 * rng.randn(16)   # near-dup of 2
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, threshold=0.95, method="bruteforce").collect()}
+    assert len(out) == 6
+    assert out[1].canonical_id == 0 and out[1].is_duplicate
+    assert out[3].canonical_id == 2 and out[3].is_duplicate
+    for i in (0, 2, 4, 5):
+        assert out[i].canonical_id == i and not out[i].is_duplicate
+
+    # LSH path finds the same clusters (enough tables at this tiny scale)
+    lsh = {r.vec_id: r.canonical_id for r in
+           semantic_dedup(df, threshold=0.95, method="lsh", tables=8).collect()}
+    assert lsh == {i: out[i].canonical_id for i in out}

@@ -108,3 +108,41 @@ def test_sim_market_day_no_extra_shuffles(spark):
     aggregate — the portable hash must not add exchanges."""
     df = QUERY_FNS["sim_market_day"](spark, SF)
     assert count_exchanges(df) <= 4
+
+
+def test_vocab_topk_local_topk_no_global_sort(spark):
+    """vocab_topk: map-side partial counts + TakeOrderedAndProject — a
+    global Sort node would mean the whole vocabulary is shuffled to order
+    everything just to keep k rows."""
+    df = QUERY_FNS["vocab_topk"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 1  # the count aggregate only
+
+
+def test_value_histogram_single_exchange_pruned_scan(spark):
+    """Histogram: projection + one (group, bin) aggregate; the scan must
+    read only the two columns involved."""
+    df = QUERY_FNS["value_histogram"](spark, SF)
+    assert count_exchanges(df) == 1
+    schema = read_schemas(df)[0]
+    assert "event_type" in schema and "value" in schema
+    assert "user_id" not in schema and "ts" not in schema
+
+
+def test_duplicate_spans_reads_two_columns_no_selfjoin(spark):
+    """duplicate_spans: document-frequency via groupBy, never a self-join —
+    the plan must contain no join of the span frame with itself beyond the
+    doc-frequency attach, and the scan reads (doc_id, text) only."""
+    df = QUERY_FNS["duplicate_spans"](spark, SF)
+    schema = read_schemas(df)[0]
+    assert "text" in schema and "lang" not in schema and "source" not in schema
+    # distinct + dfreq groupBy + attach join + final groupBy: bounded budget
+    assert count_exchanges(df) <= 5
+
+
+def test_kmv_distinct_broadcasts_prefilter(spark):
+    """kmv_distinct's HLL prefilter frame (one row per group) must attach
+    as a broadcast join, not a shuffle join."""
+    df = QUERY_FNS["kmv_distinct"](spark, SF)
+    assert count_broadcast_joins(df) >= 1

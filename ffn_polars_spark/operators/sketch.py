@@ -82,22 +82,27 @@ def kmv_distinct(
     hash function, so DuckDB replays the estimate bit-for-bit; use this
     where the *number itself* must be auditable, HLL where it's advisory.
 
-    Scale path: the DISTINCT on (group, hash) is the one data-width shuffle.
-    With ``prefilter`` (default), a map-side HLL first bounds each group's
-    cardinality ``n̂`` and only hashes below ``τ = min(1, 64k/n̂)`` enter the
-    rank window — expected ~64·k survivors per group, so the per-group sort
-    is O(k) no matter how large the group. The cut cannot change the k
-    smallest unless fewer than k hashes survive, which at 64× headroom has
-    probability < exp(-k) (Chernoff); the estimate is therefore identical
-    to the unfiltered one in any run you will ever observe.
+    Scale path (``prefilter``, the default): a map-side HLL first bounds
+    each group's cardinality ``n̂``; only hashes below ``τ = min(1, 64k/n̂)``
+    survive the filter — expected ~64·k per group — and a single
+    ``collect_set`` aggregate (partial sets built map-side, so duplicates
+    never cross the wire) yields the k smallest. TWO small shuffles total
+    (HLL agg + survivor agg), and crucially NO data-width DISTINCT: the
+    corpus-sized rows die at the filter, executor memory per group is
+    bounded at ~64·k doubles. The cut cannot change the k smallest unless
+    fewer than k hashes survive, which at 64× headroom has probability
+    < exp(-k) (Chernoff); the estimate is therefore identical to the
+    unfiltered one in any run you will ever observe. With
+    ``prefilter=False`` the exact-baseline path runs instead: full
+    DISTINCT + per-group rank window (unbounded group sort — small data /
+    verification only; the equivalence of the two paths is pinned by
+    tests/test_sketch.py).
 
     Returns one row per group: ``(*group_by, n_seen, kmv_estimate)``.
     """
-    from pyspark.sql.window import Window
-
     gcols = list(group_by) if group_by else []
     h = uniform(F.col(value_col), tag, seed, hash_fn="md5")
-    hashed = df.select(*gcols, h.alias("__h")).distinct()
+    hashed = df.select(*gcols, h.alias("__h"))
 
     if prefilter:
         grp = df.groupBy(*gcols) if gcols else df.groupBy()
@@ -108,15 +113,23 @@ def kmv_distinct(
             hashed = hashed.join(est, gcols).where(F.col("__h") <= F.col("__tau"))
         else:
             hashed = hashed.crossJoin(est).where(F.col("__h") <= F.col("__tau"))
-        hashed = hashed.drop("__tau")
+        ks = F.slice(F.sort_array(F.collect_set("__h")), 1, int(k))
+        agg = hashed.groupBy(*gcols).agg(ks.alias("__ks"))
+        n_seen = F.size("__ks")
+        hk = F.element_at("__ks", n_seen)
+        agg = agg.select(*gcols, n_seen.alias("n_seen"), hk.alias("__hk"))
+    else:
+        from pyspark.sql.window import Window
 
-    win = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("__h")
-    ranked = hashed.withColumn("__rn", F.row_number().over(win)).where(
-        F.col("__rn") <= F.lit(int(k))
-    )
-    agg = ranked.groupBy(*gcols).agg(
-        F.count(F.lit(1)).alias("n_seen"), F.max("__h").alias("__hk")
-    )
+        win = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("__h")
+        ranked = (
+            hashed.distinct()
+            .withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= F.lit(int(k)))
+        )
+        agg = ranked.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n_seen"), F.max("__h").alias("__hk")
+        )
     estimate = F.when(
         F.col("n_seen") < F.lit(int(k)), F.col("n_seen").cast("double")
     ).otherwise(F.lit(float(k - 1)) / F.col("__hk"))

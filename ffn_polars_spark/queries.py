@@ -2422,11 +2422,13 @@ def q_winnow_fingerprints(spark, sf_dir):
     "winnow_overlap_pairs",
     f"""
 WITH {_WINNOW_CTE},
+keep AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 256),
+w2 AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN keep USING (fp)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  FROM w2 a JOIN w2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
-sizes AS (SELECT doc_id, count(*) AS sz FROM wfp GROUP BY doc_id)
+sizes AS (SELECT doc_id, count(*) AS sz FROM w2 GROUP BY doc_id)
 SELECT id_a, id_b, shared,
        {R("shared / CAST(least(sa.sz, sb.sz) AS DOUBLE)")} AS containment
 FROM inter
@@ -2435,11 +2437,16 @@ JOIN sizes sb ON sb.doc_id = id_b""",
 )
 def q_winnow_overlap_pairs(spark, sf_dir):
     """Sub-token near-dup candidates: inverted-index join on shared winnowing
-    fingerprints, containment = shared / min(sketch sizes)."""
+    fingerprints, containment = shared / min(sketch sizes). The df <= 256
+    hot-fingerprint cutoff is explicit in BOTH the operator call and the
+    oracle's keep-CTE: the synthetic corpus's tiny vocabulary saturates the
+    4-gram fingerprint space (fingerprints shared by 80% of all documents),
+    so an uncapped self-join is quadratic in corpus size — the capped entry
+    verifies the guard's semantics, not just the happy path."""
     from ffn_polars_spark.operators.text import winnow_overlap_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return winnow_overlap_pairs(docs, min_shared=2)
+    return winnow_overlap_pairs(docs, min_shared=2, max_fp_df=256)
 
 
 @query(

@@ -537,3 +537,51 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="tfidf_topterms")
+def tfidf_topterms(
+    df: DataFrame,
+    m: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``m`` TF-IDF terms per document (keyword extraction for corpus
+    curation: topical tags, near-template detection, domain routing).
+
+    ``tfidf = tf · ln(N / df)`` — raw term frequency, unsmoothed inverse
+    document frequency (a term in every document scores exactly 0). Ties
+    break by term so the top-m set is deterministic.
+
+    Shape: one (doc, term) count aggregate, a term-level df aggregate on
+    its output (vocabulary-sized, not corpus-sized), a broadcast of the
+    1-row corpus count, and a per-doc rank window over ≤ |distinct terms
+    in doc| rows — nothing after the first aggregate scales with corpus
+    token count.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("__df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= F.lit(int(m))
+    )

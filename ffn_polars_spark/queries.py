@@ -3490,6 +3490,36 @@ def q_value_histogram(spark, sf_dir):
     return value_histogram(ev, "value", lo=0.0, hi=500.0, nbins=25, group_by=["event_type"])
 
 
+@query(
+    "tfidf_topterms",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+n AS (SELECT count(*) AS nn FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         {R("tf * ln(nn / CAST(dfc AS DOUBLE))")} AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+            AS INT) AS rank
+FROM scored QUALIFY rank <= 3""",
+)
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document: (doc, term) counts ->
+    vocabulary-sized df aggregate -> broadcast corpus count -> per-doc rank
+    window; ranking happens on the rounded score in both engines so the
+    top-m sets coincide."""
+    from ffn_polars_spark.operators.text import tfidf_topterms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_topterms(docs, m=3)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -3541,6 +3571,7 @@ _PRIORITY = [
     "semantic_dedup",
     "group_quantiles",
     "value_histogram",
+    "tfidf_topterms",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -131,3 +131,29 @@ def test_semantic_dedup_clusters_planted_neighbors(spark):
     lsh = {r.vec_id: r.canonical_id for r in
            semantic_dedup(df, threshold=0.95, method="lsh", tables=8).collect()}
     assert lsh == {i: out[i].canonical_id for i in out}
+
+
+def test_tfidf_topterms_semantics(spark):
+    from ffn_polars_spark.operators.text import tfidf_topterms
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "cherry shared"),
+            (2, "banana cherry shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topterms(df, m=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'shared' is in all 3 docs -> idf = ln(1) = 0, never a top term above
+    # any distinctive one; doc 0's top term is 'apple' (tf=2, df=1)
+    top0 = by_doc[0][0]
+    assert top0.term == "apple" and top0.tf == 2
+    assert top0.tfidf == round(2 * math.log(3.0 / 1.0), 6)
+    assert all(r.rank <= 2 for r in out)
+    # ranks are dense per doc starting at 1
+    assert [r.rank for r in sorted(by_doc[1], key=lambda r: r.rank)] == [1, 2]

@@ -45,11 +45,29 @@ def main() -> None:
         kept = kept.localCheckpoint()
     print("after near-dup removal:", kept.count())
 
-    # 3. deterministic split + token-budget shards
+    # 3. corpus analytics on the survivors: duplicated-span fraction (the
+    #    substring-level signal whole-document dedup misses), per-doc TF-IDF
+    #    keywords, vocabulary head, and an auditable KMV distinct-source count
+    from ffn_polars_spark.operators.sketch import bottomk_sample, kmv_distinct
+    from ffn_polars_spark.operators.text import (
+        duplicate_spans,
+        tfidf_topterms,
+        vocab_topk,
+    )
+
+    duplicate_spans(kept).orderBy("dup_frac", ascending=False).show(3)
+    tfidf_topterms(kept, m=2).show(6)
+    vocab_topk(kept, k=5).show()
+    kmv_distinct(kept, "source", k=64).show()
+
+    # 4. deterministic split + token-budget shards; bottomk_sample draws a
+    #    reproducible eval probe (same 25 docs on any cluster shape)
     split = deterministic_split(kept, weights={"train": 0.98, "val": 0.02})
     split.groupBy("split").count().show()
     shards = shard_by_tokens(split.where("split = 'train'"), budget=50_000)
     shards.groupBy("shard_id").count().orderBy("shard_id").show(5)
+    probe = bottomk_sample(split.where("split = 'val'"), 25, id_col="doc_id")
+    print("eval probe:", probe.count(), "docs")
 
     spark.stop()
 

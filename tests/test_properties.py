@@ -100,3 +100,101 @@ def test_log_returns_sum_is_total_log_return(spark, ps):
         .collect()[0]["s"]
     )
     assert s == pytest.approx(math.log(ps[-1] / ps[0]), rel=1e-7, abs=1e-9)
+
+
+ids_lists = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True
+)
+
+
+@given(vals=ids_lists, k=st.integers(min_value=1, max_value=10))
+@SET
+def test_bottomk_sample_is_python_min_k(spark, vals, k):
+    """bottomk_sample == the k rows with smallest md5 uniform, computed
+    independently in Python — for any id set and any k."""
+    import hashlib
+
+    def u(i):
+        h = hashlib.md5(f"{i}:sample:0".encode()).hexdigest()
+        return int(h[17:32], 16) / float(1 << 60)
+
+    df = spark.createDataFrame([(v,) for v in vals], ["doc_id"])
+    from ffn_polars_spark.operators.sketch import bottomk_sample
+
+    got = sorted(r.doc_id for r in bottomk_sample(df, k).collect())
+    want = sorted(sorted(vals, key=lambda v: (u(v), v))[:k])
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=80))
+@SET
+def test_kmv_small_n_is_exact_count(spark, vals):
+    """With k above the true cardinality, kmv_estimate IS the exact distinct
+    count for any multiset."""
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    from ffn_polars_spark.operators.sketch import kmv_distinct
+
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    assert row.n_seen == len(set(vals))
+    assert row.kmv_estimate == float(len(set(vals)))
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=150.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_histogram_total_and_bounds(spark, vals):
+    """value_histogram never drops a row and never emits an out-of-range
+    bin, for any values including ones outside [lo, hi)."""
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    from ffn_polars_spark.operators.sketch import value_histogram
+
+    rows = value_histogram(df, "x", lo=0.0, hi=100.0, nbins=10).collect()
+    assert sum(r.n for r in rows) == len(vals)
+    assert all(0 <= r.bin <= 9 for r in rows)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_duplicate_spans_matches_naive(spark, texts):
+    """duplicate_spans == a naive Python recomputation (sliding windows,
+    distinct per doc, cross-doc frequency) on any corpus."""
+    W = 3
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    from ffn_polars_spark.operators.text import duplicate_spans
+
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans)
+        for r in duplicate_spans(df, width=W).collect()
+    }
+    spans = {
+        i: {
+            " ".join(t.split()[j : j + W])
+            for j in range(len(t.split()) - W + 1)
+        }
+        for i, t in enumerate(texts)
+    }
+    freq = {}
+    for ss in spans.values():
+        for s in ss:
+            freq[s] = freq.get(s, 0) + 1
+    want = {
+        i: (len(ss), sum(1 for s in ss if freq[s] >= 2))
+        for i, ss in spans.items()
+        if ss
+    }
+    assert got == want

@@ -3149,6 +3149,44 @@ def q_streaming_vwap(spark, sf_dir):
 
 
 @query(
+    "streaming_histogram",
+    TICKS_SQL
+    + f"""
+SELECT CAST((ts_ns - ts_ns % {_HOUR_NS}) // 1000000000 AS BIGINT) AS bar_start_s,
+       least(24, greatest(0, CAST(floor((price - 100.0) / 2.0) AS INT))) AS bin,
+       100.0 + least(24, greatest(0, CAST(floor((price - 100.0) / 2.0) AS INT))) * 2.0
+         AS bin_lo,
+       count(*) AS n
+FROM ticks
+GROUP BY 1, 2""",
+)
+def q_streaming_histogram(spark, sf_dir):
+    """Watermarked per-hour price histogram computed by a streaming query
+    (streaming twin of value_histogram), drained complete-mode and
+    hash-checked against batch SQL buckets — per-window state is capped at
+    nbins rows."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_histogram,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = read_tick_stream(spark, stage, ts_col="ts").withColumn(
+        "price", F.lit(100.0) + F.col("value") / F.lit(10.0)
+    )
+    out = streaming_histogram(
+        stream, "price", lo=100.0, hi=150.0, nbins=25, bar="1 hour",
+        delay_threshold="1 minute",
+    )
+    drained = run_available_now(out)
+    return drained.select(
+        F.unix_timestamp("bar_start").alias("bar_start_s"), "bin", "bin_lo", "n"
+    )
+
+
+@query(
     "streaming_session_stats",
     """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
@@ -3572,6 +3610,7 @@ _PRIORITY = [
     "group_quantiles",
     "value_histogram",
     "tfidf_topterms",
+    "streaming_histogram",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -177,6 +177,44 @@ def streaming_session_stats(
     )
 
 
+def streaming_histogram(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    by: Optional[List[str]] = None,
+    bar: str = "1 minute",
+    delay_threshold: str = "1 minute",
+) -> DataFrame:
+    """Watermarked per-window fixed-width histogram (streaming twin of
+    operators/sketch.value_histogram): live value-distribution monitoring —
+    price-band concentration, latency buckets, drift alarms.
+
+    Values clamp into the edge bins (total histogram, nothing dropped).
+    State is one count per (window × group × non-empty bin), capped at
+    ``nbins`` rows per group-window regardless of throughput, and windows
+    older than the watermark are finalized and dropped — strictly bounded
+    memory, the same guarantee as streaming_time_bars.
+    """
+    by = list(by or [])
+    width = (float(hi) - float(lo)) / int(nbins)
+    raw = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)).cast("int")
+    b = F.least(F.lit(int(nbins) - 1), F.greatest(F.lit(0), raw))
+    w = stream.withWatermark("event_time", delay_threshold)
+    return (
+        w.groupBy(F.window("event_time", bar).alias("bar"), *by, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bar.start").alias("bar_start"),
+            *by,
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",

@@ -327,3 +327,35 @@ def test_stateful_vwap_idle_timeout_evicts_state(spark, tmp_path):
     assert 10.0 in vols, f"file-1 update missing: {vols}"
     assert 4.0 in vols, f"state was not evicted (no reset update): {vols}"
     assert 14.0 not in vols, f"state survived the idle TTL: {vols}"
+
+
+def test_streaming_histogram_matches_batch(spark, tick_dir):
+    from ffn_polars_spark.streaming import streaming_histogram
+
+    stream = read_tick_stream(spark, tick_dir, ts_col="ts")
+    out = run_available_now(
+        streaming_histogram(
+            stream, "price", lo=100.0, hi=107.0, nbins=7,
+            by=["ticker"], bar="10 minutes",
+        )
+    )
+    # first 10-minute window, ticker A: prices 100..106 cycle; recompute
+    # the same histogram in batch
+    got = {
+        (r.bin, r.n)
+        for r in out.where(
+            (F.col("ticker") == "A")
+            & (F.col("bar_start") == F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(tick_dir)
+        .where((F.col("ticker") == "A") & (F.col("ts") < 600 * SEC))
+        .select(F.floor(F.col("price") - 100.0).cast("int").alias("bin"))
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    assert got == {(r.bin, r["count"]) for r in batch}
+    # bin_lo is derived from bin, and totals are preserved
+    assert out.where(F.col("bin_lo") != 100.0 + F.col("bin") * 1.0).count() == 0

@@ -598,3 +598,39 @@ def semantic_dedup(
     else:
         raise ValueError(f"unknown method {method!r}: use 'lsh' or 'bruteforce'")
     return dedup_assign_canonical(df, pairs, id_col=id_col)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="embedding_quantize")
+def embedding_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column
+    (int8 by default): ``q_i = round(x_i / scale)`` with
+    ``scale = max|x| / (2^(bits-1) - 1)`` — the standard storage/ANN
+    compression step (4× smaller than float32, dot products stay
+    proportional within one vector).
+
+    Rounding is ``floor(x/scale + 0.5)`` (round-half-up) rather than an
+    engine ``round()`` so the quantized values are bit-reproducible across
+    engines — the same portability idiom as the md5 uniforms. Zero vectors
+    quantize to zeros (scale emitted as 0.0). Pure projection: no shuffle,
+    no UDF, linear in corpus size.
+
+    Returns ``(id, scale, qvec)``; dequantize as ``q_i · scale``.
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = maxabs / F.lit(qmax)
+    q = F.transform(
+        v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )
+    zeros = F.transform(v, lambda x: F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.when(maxabs > 0, scale).otherwise(F.lit(0.0)).alias("scale"),
+        F.when(maxabs > 0, q).otherwise(zeros).alias("qvec"),
+    )

@@ -3558,6 +3558,34 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_topterms(docs, m=3)
 
 
+@query(
+    "embedding_quantize",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+u AS (SELECT vec_id, scale, unnest(e) AS x,
+             generate_subscripts(e, 1) AS pos1
+      FROM s)
+SELECT vec_id, scale, CAST(pos1 - 1 AS INT) AS pos,
+       CAST(floor(x / scale + 0.5) AS INT) AS qval
+FROM u""",
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization, posexploded so the oracle pins EVERY
+    quantized component: scale = max|x|/127 and floor(x/scale + 0.5) are
+    single IEEE ops, bit-identical across engines with no rounding
+    tolerance needed."""
+    from ffn_polars_spark.operators.similarity import embedding_quantize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qz = embedding_quantize(emb)
+    return qz.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "qval")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -3611,6 +3639,7 @@ _PRIORITY = [
     "value_histogram",
     "tfidf_topterms",
     "streaming_histogram",
+    "embedding_quantize",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -324,3 +324,27 @@ def test_count_at_most_saturated_probe_escapes_to_exact(spark, monkeypatch):
     # saturating probe with cap <= probe cap still reports over-budget
     df2 = spark.range(1000).selectExpr("id AS vec_id")
     assert sim._count_at_most(df2, "vec_id", 40) == 41
+
+
+def test_embedding_quantize_roundtrip_and_zero_vector(spark):
+    from ffn_polars_spark.operators.similarity import embedding_quantize
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.5, 127.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in embedding_quantize(df).collect()}
+    # scale = 127/127 = 1.0 -> qvec is just round-half-up of the values
+    assert out[0].scale == 1.0
+    assert out[0].qvec == [1, -2, 1, 127]
+    # zero vector: scale 0, all-zero qvec, no div-by-zero
+    assert out[1].scale == 0.0 and out[1].qvec == [0, 0, 0, 0]
+    # dequantization error bounded by scale/2 per component
+    vals = [3.7, -9.2, 11.1, 0.4]
+    df2 = spark.createDataFrame([(0, vals)], ["vec_id", "embedding"])
+    r = embedding_quantize(df2).collect()[0]
+    for x, q in zip(vals, r.qvec):
+        assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12

@@ -3187,6 +3187,57 @@ def q_streaming_histogram(spark, sf_dir):
 
 
 @query(
+    "streaming_interval_join",
+    TICKS_SQL
+    + f"""
+SELECT p.event_id, p.user_id, p.ts_ns AS p_ts_ns, c.ts_ns AS c_ts_ns,
+       {R("c.price")} AS click_price
+FROM (SELECT * FROM ticks WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM ticks WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts_ns BETWEEN p.ts_ns - {_HOUR_NS} AND p.ts_ns""",
+)
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (purchases x clicks within the preceding
+    hour, per user), both sides watermarked so buffered state expires with
+    the lookback window; drained append-mode and hash-checked against the
+    batch range-join SQL."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_interval_join,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    purch = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("event_time").alias("p_time"))
+    )
+    clicks = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+            (F.lit(100.0) + F.col("value") / F.lit(10.0)).alias("__price"),
+        )
+    )
+    out = streaming_interval_join(
+        purch, clicks, "user_id", "c_user", "p_time", "c_time", lookback="1 hour"
+    )
+    drained = run_available_now(out, output_mode="append")
+    return drained.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("p_time") * F.lit(1000)).alias("p_ts_ns"),
+        (F.unix_micros("c_time") * F.lit(1000)).alias("c_ts_ns"),
+        r6(F.col("__price")).alias("click_price"),
+    )
+
+
+@query(
     "streaming_session_stats",
     """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
@@ -3640,6 +3691,7 @@ _PRIORITY = [
     "tfidf_topterms",
     "streaming_histogram",
     "embedding_quantize",
+    "streaming_interval_join",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

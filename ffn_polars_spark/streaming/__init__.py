@@ -215,6 +215,42 @@ def streaming_histogram(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    lookback: str = "1 hour",
+    delay_threshold: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-interval condition: each left
+    event matches right events with the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — the streaming twin of
+    operators/ranges.interval_join (attribution joins, quote context for a
+    trade stream, feature lookback windows).
+
+    This is the canonical Structured Streaming join shape: BOTH sides are
+    watermarked and the join condition bounds event-time distance, so Spark
+    can expire buffered rows once the watermark passes ``lookback +
+    delay_threshold`` — state is a sliding window over each stream, not the
+    whole history. Without the time bound a stream-stream join must buffer
+    both streams forever; the interval IS the state-eviction contract.
+    Column names must be disjoint across the two sides (alias before
+    joining).
+    """
+    l = left.withWatermark(left_ts, delay_threshold)
+    r = right.withWatermark(right_ts, delay_threshold)
+    cond = (
+        (F.col(left_on) == F.col(right_on))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return l.join(r, cond, how)
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",

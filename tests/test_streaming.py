@@ -359,3 +359,42 @@ def test_streaming_histogram_matches_batch(spark, tick_dir):
     assert got == {(r.bin, r["count"]) for r in batch}
     # bin_lo is derived from bin, and totals are preserved
     assert out.where(F.col("bin_lo") != 100.0 + F.col("bin") * 1.0).count() == 0
+
+
+def test_streaming_interval_join_matches_batch(spark, tick_dir):
+    from ffn_polars_spark.streaming import streaming_interval_join
+
+    # left = ticker-A ticks, right = ticker-B ticks within the preceding
+    # 30 seconds; compare the drained stream-stream join to the batch join
+    left = (
+        read_tick_stream(spark, tick_dir, ts_col="ts")
+        .where(F.col("ticker") == "A")
+        .select(F.col("ts").alias("a_ts"), F.col("event_time").alias("a_time"),
+                F.lit(1).alias("k"))
+    )
+    right = (
+        read_tick_stream(spark, tick_dir, ts_col="ts")
+        .where(F.col("ticker") == "B")
+        .select(F.col("ts").alias("b_ts"), F.col("event_time").alias("b_time"),
+                F.lit(1).alias("k2"))
+    )
+    out = run_available_now(
+        streaming_interval_join(
+            left, right, "k", "k2", "a_time", "b_time", lookback="30 seconds"
+        ),
+        output_mode="append",
+    )
+    got = {(r.a_ts, r.b_ts) for r in out.collect()}
+
+    batch = spark.read.parquet(tick_dir)
+    a = batch.where(F.col("ticker") == "A").select(F.col("ts").alias("a_ts"))
+    b = batch.where(F.col("ticker") == "B").select(F.col("ts").alias("b_ts"))
+    want = {
+        (r.a_ts, r.b_ts)
+        for r in a.join(
+            b,
+            (F.col("b_ts") >= F.col("a_ts") - 30 * SEC)
+            & (F.col("b_ts") <= F.col("a_ts")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -204,3 +204,45 @@ def value_histogram(
             "n",
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="column_profile")
+def column_profile(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-column data-quality profile in ONE pass: row count, null count,
+    and distinct count for every (selected) column — the ingest-gate
+    profile a pipeline runs before accepting a new data drop.
+
+    ``exact=False`` (default) uses HLL (``approx_count_distinct``) so the
+    whole profile is a single hash-aggregate with no row expansion —
+    the 100 TB path. ``exact=True`` swaps in ``count_distinct``, which
+    Spark plans via an Expand operator (input rows × profiled columns) —
+    precise, and the right choice when the number feeds an audit; for an
+    engine-replayable estimate see :func:`kmv_distinct`.
+
+    Returns long format: one row per column ``(column, n, n_null,
+    n_distinct)`` — schema-stable regardless of the profiled columns'
+    types, so profiles of different tables union cleanly.
+    """
+    names = list(cols) if cols else list(df.columns)
+    nd = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"__null_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in names
+        ]
+    )
+    return one.select(F.explode(entries).alias("__e")).select("__e.*")

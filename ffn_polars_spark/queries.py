@@ -3637,6 +3637,37 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+@query(
+    "column_profile",
+    """
+SELECT 'event_id' AS column, count(*) AS n,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'user_id', count(*),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'value', count(*),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT value) FROM events""",
+)
+def q_column_profile(spark, sf_dir):
+    """One-pass per-column ingest profile (row/null/distinct counts) in
+    exact mode so the DuckDB twin is deterministic; the library default is
+    the single-aggregate HLL path."""
+    from ffn_polars_spark.operators.sketch import column_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    return column_profile(
+        ev, cols=["event_id", "event_type", "user_id", "value"], exact=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -3692,6 +3723,7 @@ _PRIORITY = [
     "streaming_histogram",
     "embedding_quantize",
     "streaming_interval_join",
+    "column_profile",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

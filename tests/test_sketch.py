@@ -157,3 +157,19 @@ def test_tfidf_topterms_semantics(spark):
     assert all(r.rank <= 2 for r in out)
     # ranks are dense per doc starting at 1
     assert [r.rank for r in sorted(by_doc[1], key=lambda r: r.rank)] == [1, 2]
+
+
+def test_column_profile_exact_and_approx(spark):
+    from ffn_polars_spark.operators.sketch import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "x INT, s STRING",
+    )
+    prof = {r.column: r for r in column_profile(df, exact=True).collect()}
+    assert set(prof) == {"x", "s"}
+    assert prof["x"].n == 4 and prof["x"].n_null == 1 and prof["x"].n_distinct == 2
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    # approx mode: same shape, estimates exact at this tiny cardinality
+    approx = {r.column: r for r in column_profile(df).collect()}
+    assert approx["x"].n_distinct == 2 and approx["s"].n_distinct == 2

@@ -3668,6 +3668,72 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+# EWMA oracle constants: repr() so the SQL literal parses back to the exact
+# binary64 the Python scan uses (1.0 - 0.1 rounds to the same double as the
+# literal 0.9; spelling both out keeps that invariant auditable).
+_EWMA_A = 0.1
+_EWMA_B = 1.0 - _EWMA_A
+
+
+@query(
+    "ewma",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", rn AS (
+  SELECT event_type, ts_ns, price,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns) AS rn
+  FROM ticks),
+walk AS (
+  SELECT event_type, ts_ns, rn, price AS y FROM rn WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.ts_ns, r.rn, {_EWMA_A!r} * r.price + {_EWMA_B!r} * w.y
+  FROM walk w JOIN rn r ON r.event_type = w.event_type AND r.rn = w.rn + 1)
+SELECT event_type, ts_ns, {R("y")} AS price_ewma FROM walk""",
+)
+def q_ewma(spark, sf_dir):
+    """Recursive EWMA (alpha=0.1) per ticker: the Arrow-batched per-key scan
+    uses one multiply-multiply-add per step, and the oracle replays the
+    identical recurrence with a recursive CTE — bit-for-bit, no closed-form
+    approximation on either side."""
+    from ffn_polars_spark.operators.recursive import ewma
+
+    t = ticks(spark, sf_dir).select("event_type", "ts_ns", "price")
+    out = ewma(t, "price", _EWMA_A, "ts_ns", by=["event_type"])
+    return out.select("event_type", "ts_ns", r6(F.col("price_ewma")).alias("price_ewma"))
+
+
+@query(
+    "ewm_volatility",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", r0 AS (
+  SELECT event_type, ts_ns, price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks),
+rn AS (
+  SELECT event_type, ts_ns, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns) AS rn
+  FROM r0 WHERE r IS NOT NULL),
+walk AS (
+  SELECT event_type, ts_ns, rn, r * r AS v FROM rn WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.ts_ns, x.rn, {_EWMA_B!r} * w.v + {_EWMA_A!r} * (x.r * x.r)
+  FROM walk w JOIN rn x ON x.event_type = w.event_type AND x.rn = w.rn + 1)
+SELECT event_type, ts_ns, {R("sqrt(v)")} AS r_ewmvol FROM walk""",
+)
+def q_ewm_volatility(spark, sf_dir):
+    """RiskMetrics exponentially weighted volatility over simple returns
+    (alpha=0.1): sigma2_t = (1-a)*sigma2_(t-1) + a*r_t^2, replayed by a
+    recursive CTE draw-for-draw."""
+    from ffn_polars_spark.operators.recursive import ewm_volatility
+
+    t = ticks(spark, sf_dir)
+    r = t.select(
+        "event_type",
+        "ts_ns",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    ).where(F.col("r").isNotNull())
+    out = ewm_volatility(r, "r", _EWMA_A, "ts_ns", by=["event_type"])
+    return out.select("event_type", "ts_ns", r6(F.col("r_ewmvol")).alias("r_ewmvol"))
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -3724,6 +3790,8 @@ _PRIORITY = [
     "embedding_quantize",
     "streaming_interval_join",
     "column_profile",
+    "ewma",
+    "ewm_volatility",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -1,0 +1,61 @@
+"""EWMA family: parity with pandas ewm(adjust=False), key isolation,
+partitioning independence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.operators.recursive import ewm_volatility, ewma
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = []
+    rng = np.random.RandomState(3)
+    for key in ("A", "B"):
+        for i in range(200):
+            rows.append((key, i, float(100 + rng.randn())))
+    return spark.createDataFrame(rows, ["k", "t", "x"])
+
+
+def test_ewma_matches_pandas(spark, series):
+    out = ewma(series, "x", 0.06, "t", by=["k"]).toPandas()
+    pdf = series.toPandas()
+    for key in ("A", "B"):
+        got = (
+            out[out.k == key].sort_values("t")["x_ewma"].to_numpy()
+        )
+        want = (
+            pdf[pdf.k == key]
+            .sort_values("t")["x"]
+            .ewm(alpha=0.06, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_ewma_partitioning_independent(spark, series):
+    a = ewma(series.repartition(7), "x", 0.1, "t", by=["k"]).collect()
+    b = ewma(series.coalesce(1), "x", 0.1, "t", by=["k"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ewma_global_no_keys(spark):
+    df = spark.createDataFrame([(0, 1.0), (1, 2.0), (2, 3.0)], ["t", "x"])
+    out = {r.t: r.x_ewma for r in ewma(df, "x", 0.5, "t").collect()}
+    assert out[0] == 1.0 and out[1] == 1.5 and out[2] == 2.25
+
+
+def test_ewm_volatility_riskmetrics(spark):
+    df = spark.createDataFrame(
+        [("A", 0, 0.02), ("A", 1, -0.01), ("A", 2, 0.03)], ["k", "t", "r"]
+    )
+    out = {r.t: r.r_ewmvol for r in
+           ewm_volatility(df, "r", 0.06, "t", by=["k"]).collect()}
+    v0 = 0.02 * 0.02
+    v1 = 0.94 * v0 + 0.06 * 0.01 * 0.01
+    v2 = 0.94 * v1 + 0.06 * 0.03 * 0.03
+    assert out[0] == pytest.approx(np.sqrt(v0), rel=1e-12)
+    assert out[2] == pytest.approx(np.sqrt(v2), rel=1e-12)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ffn_polars_spark.core import ColumnOrName, Over, to_col
@@ -137,3 +137,53 @@ def ulcer_performance_index(
 
 
 ulcer_performance_index._alias_suffix = "ulcer_performance_index"
+
+
+@register(namespace="eod", context="dataframe")
+def drawdown_details(
+    df: DataFrame,
+    price: str,
+    *,
+    order_by: ColumnOrName,
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Per-episode drawdown table: one row per underwater stretch with its
+    start, trough, end, depth, and length (the classic ffn
+    ``drawdown_details`` report; the reference exposes only the series and
+    scalar forms — risk.py:61-95 — this is the episode segmentation on
+    top).
+
+    An episode is a maximal run of rows below the high-water mark; at a
+    peak ``p == cummax(p)`` exactly, so ``dd == 0.0`` is an exact IEEE
+    comparison, not a tolerance. Segmentation = cumulative count of peak
+    rows (the sessionize idiom), then one aggregate per episode; the
+    trough date is the earliest date attaining the episode minimum —
+    deterministic under ties. Two window passes + one aggregate, all on
+    the same partitioning: one shuffle per key.
+
+    Returns ``(*by, episode, start_d, trough_d, end_d, depth, n_obs)``
+    with episodes numbered 1.. per group in time order. Open episodes
+    (still underwater at series end) report the last observation as
+    ``end_d``.
+    """
+    by = list(by or [])
+    over = Over(order_by=order_by, partition_by=by or None)
+    pre = df.withColumn("__dd", to_drawdown_series(price, over=over))
+    w_cum = over.w_cum("drawdown_details")
+    seg = pre.withColumn(
+        "__g", F.sum((F.col("__dd") == 0).cast("long")).over(w_cum)
+    ).where(F.col("__dd") < 0)
+    w_g = Window.partitionBy(*[F.col(c) for c in by], F.col("__g"))
+    seg = seg.withColumn("__min_dd", F.min("__dd").over(w_g))
+    o = to_col(order_by)
+    agg = seg.groupBy(*by, "__g").agg(
+        F.min(o).alias("start_d"),
+        F.min(F.when(F.col("__dd") == F.col("__min_dd"), o)).alias("trough_d"),
+        F.max(o).alias("end_d"),
+        F.round(F.min("__dd"), 6).alias("depth"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w_num = Window.partitionBy(*[F.col(c) for c in by]).orderBy("start_d")
+    return agg.withColumn(
+        "episode", F.row_number().over(w_num).cast("int")
+    ).drop("__g").select(*by, "episode", "start_d", "trough_d", "end_d", "depth", "n_obs")

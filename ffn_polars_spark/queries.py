@@ -3668,6 +3668,41 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+@query(
+    "drawdown_details",
+    PX_SQL
+    + f""", dd AS (
+  SELECT d, price / max(price) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW) - 1 AS dd
+  FROM px),
+seg AS (
+  SELECT d, dd,
+         sum(CASE WHEN dd = 0 THEN 1 ELSE 0 END) OVER (ORDER BY d ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM dd),
+u AS (SELECT * FROM seg WHERE dd < 0),
+m AS (SELECT u.*, min(dd) OVER (PARTITION BY g) AS min_dd FROM u),
+ep AS (
+  SELECT g, min(d) AS start_d,
+         min(CASE WHEN dd = min_dd THEN d END) AS trough_d,
+         max(d) AS end_d,
+         {R("min(dd)")} AS depth,
+         count(*) AS n_obs
+  FROM m GROUP BY g)
+SELECT CAST(row_number() OVER (ORDER BY start_d) AS INT) AS episode,
+       start_d, trough_d, end_d, depth, n_obs
+FROM ep""",
+)
+def q_drawdown_details(spark, sf_dir):
+    """Per-episode drawdown report over the daily price series: underwater
+    stretches segmented at exact high-water-mark touches (p == cummax is an
+    exact IEEE equality), one aggregate per episode."""
+    from ffn_polars_spark.functions.eod_risk import drawdown_details
+
+    p = px(spark, sf_dir)
+    return drawdown_details(p, "price", order_by="d")
+
+
 # EWMA oracle constants: repr() so the SQL literal parses back to the exact
 # binary64 the Python scan uses (1.0 - 0.1 rounds to the same double as the
 # literal 0.9; spelling both out keeps that invariant auditable).
@@ -3792,6 +3827,7 @@ _PRIORITY = [
     "column_profile",
     "ewma",
     "ewm_volatility",
+    "drawdown_details",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

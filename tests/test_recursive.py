@@ -59,3 +59,29 @@ def test_ewm_volatility_riskmetrics(spark):
     v2 = 0.94 * v1 + 0.06 * 0.03 * 0.03
     assert out[0] == pytest.approx(np.sqrt(v0), rel=1e-12)
     assert out[2] == pytest.approx(np.sqrt(v2), rel=1e-12)
+
+
+def test_drawdown_details_episodes(spark):
+    from ffn_polars_spark.functions.eod_risk import drawdown_details
+
+    # peaks at 100 (t0), recovery to 110 (t3), then an open drawdown
+    prices = [100.0, 90.0, 80.0, 110.0, 105.0, 99.0]
+    df = spark.createDataFrame(list(enumerate(prices)), ["t", "p"])
+    eps = {r.episode: r for r in drawdown_details(df, "p", order_by="t").collect()}
+    assert len(eps) == 2
+    # episode 1: t1-t2, trough t2 at 80/100-1 = -0.2
+    assert (eps[1].start_d, eps[1].trough_d, eps[1].end_d) == (1, 2, 2)
+    assert eps[1].depth == -0.2 and eps[1].n_obs == 2
+    # episode 2 (open): t4-t5, trough t5 at 99/110-1 = -0.1
+    assert (eps[2].start_d, eps[2].end_d) == (4, 5)
+    assert eps[2].depth == -0.1 and eps[2].trough_d == 5
+
+
+def test_drawdown_details_grouped(spark):
+    from ffn_polars_spark.functions.eod_risk import drawdown_details
+
+    rows = [("A", 0, 10.0), ("A", 1, 9.0), ("A", 2, 11.0),
+            ("B", 0, 5.0), ("B", 1, 5.5)]
+    df = spark.createDataFrame(rows, ["k", "t", "p"])
+    out = drawdown_details(df, "p", order_by="t", by=["k"]).collect()
+    assert {(r.k, r.episode) for r in out} == {("A", 1)}  # B never draws down

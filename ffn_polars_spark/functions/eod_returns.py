@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ffn_polars_spark.core import (
@@ -201,3 +201,42 @@ def calc_mtd(
 
 
 calc_mtd._alias_suffix = "mtd"
+
+
+@register(namespace="eod", context="dataframe")
+def monthly_returns(
+    df: DataFrame,
+    price: str,
+    date_col: str = "Date",
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Calendar-month return series: for each (year, month), the
+    month-end price over the previous month-end price − 1 (the long-format
+    core of the classic ffn monthly-returns table; the first month, having
+    no predecessor, is the return from the month's first observation).
+
+    One aggregate to month-ends (``max_by`` struct idiom — order-free, no
+    sort), one lag window over the tiny month-level frame. The month-end
+    reduction is where the data size dies; everything after is
+    months × groups rows.
+
+    Returns ``(*by, year, month, month_return)``.
+    """
+    by = list(by or [])
+    d = to_col(date_col)
+    p = to_col(price)
+    ends = (
+        df.groupBy(*by, F.year(d).alias("year"), F.month(d).alias("month"))
+        .agg(
+            last_by(p, d).alias("__end"),
+            first_by(p, d).alias("__first"),
+        )
+    )
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("year", "month")
+    prev = F.lag("__end").over(w)
+    ret = F.when(prev.isNotNull(), F.col("__end") / prev - 1).otherwise(
+        F.col("__end") / F.col("__first") - 1
+    )
+    return ends.select(
+        *by, "year", "month", F.round(ret, 6).alias("month_return")
+    )

@@ -3669,6 +3669,30 @@ def q_column_profile(spark, sf_dir):
 
 
 @query(
+    "monthly_returns",
+    PX_SQL
+    + f""", ends AS (
+  SELECT CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
+         arg_max(price, d) AS e, arg_min(price, d) AS f
+  FROM px GROUP BY 1, 2),
+r AS (SELECT year, month, e, f, lag(e) OVER (ORDER BY year, month) AS prev
+      FROM ends)
+SELECT year, month,
+       {R("CASE WHEN prev IS NOT NULL THEN e / prev - 1 ELSE e / f - 1 END")}
+         AS month_return
+FROM r""",
+)
+def q_monthly_returns(spark, sf_dir):
+    """Calendar-month return series over the daily price table: month-end
+    reduction (order-free max_by struct) then a lag over the tiny
+    month-level frame."""
+    from ffn_polars_spark.functions.eod_returns import monthly_returns
+
+    p = px(spark, sf_dir)
+    return monthly_returns(p, "price", date_col="d")
+
+
+@query(
     "drawdown_details",
     PX_SQL
     + f""", dd AS (
@@ -3828,6 +3852,7 @@ _PRIORITY = [
     "ewma",
     "ewm_volatility",
     "drawdown_details",
+    "monthly_returns",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

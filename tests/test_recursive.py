@@ -85,3 +85,20 @@ def test_drawdown_details_grouped(spark):
     df = spark.createDataFrame(rows, ["k", "t", "p"])
     out = drawdown_details(df, "p", order_by="t", by=["k"]).collect()
     assert {(r.k, r.episode) for r in out} == {("A", 1)}  # B never draws down
+
+
+def test_monthly_returns_compounding(spark):
+    from ffn_polars_spark.functions.eod_returns import monthly_returns
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 2), 100.0), (dt.date(2024, 1, 31), 110.0),
+        (dt.date(2024, 2, 15), 99.0),
+        (dt.date(2024, 3, 1), 132.0),
+    ]
+    df = spark.createDataFrame(rows, ["Date", "p"])
+    out = {(r.year, r.month): r.month_return
+           for r in monthly_returns(df, "p").collect()}
+    assert out[(2024, 1)] == pytest.approx(0.1)      # first month: end/first - 1
+    assert out[(2024, 2)] == pytest.approx(-0.1)     # 99/110 - 1
+    assert out[(2024, 3)] == pytest.approx(132.0 / 99.0 - 1, abs=1e-6)

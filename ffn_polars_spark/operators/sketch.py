@@ -246,3 +246,49 @@ def column_profile(
         ]
     )
     return one.select(F.explode(entries).alias("__e")).select("__e.*")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="corpus_overlap")
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    tag: str = "ovl",
+    seed: int = 0,
+) -> DataFrame:
+    """Cross-corpus cardinality overlap from KMV sketches: distinct-count
+    estimates for A, B, and A∪B, with the intersection by
+    inclusion-exclusion and the distinct-Jaccard — "how many of this
+    crawl's documents are already in the corpus" without ever joining the
+    two corpora.
+
+    KMV estimates are mergeable (the union sketch is the k smallest of the
+    combined hash stream), and because the hashes are deterministic md5
+    uniforms the three estimates — and hence the derived intersection and
+    Jaccard — are replayable bit-for-bit by any engine. Cost: one
+    KMV pass per side plus one over the concatenation; each result is a
+    single row, combined with cross joins of 1-row frames.
+
+    Returns one row: ``(n_a, n_b, n_union, n_intersect, jaccard)``.
+    """
+    sel_a = df_a.select(F.col(value_col))
+    sel_b = df_b.select(F.col(value_col))
+    est = lambda d, name: kmv_distinct(  # noqa: E731
+        d, value_col, k=k, tag=tag, seed=seed
+    ).select(F.col("kmv_estimate").alias(name))
+    a = est(sel_a, "n_a")
+    b = est(sel_b, "n_b")
+    u = est(sel_a.unionByName(sel_b), "n_union")
+    inter = F.greatest(F.lit(0.0), F.col("n_a") + F.col("n_b") - F.col("n_union"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            inter.alias("n_intersect"),
+            F.round(inter / F.col("n_union"), 6).alias("jaccard"),
+        )
+    )

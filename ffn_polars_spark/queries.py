@@ -3669,6 +3669,46 @@ def q_column_profile(spark, sf_dir):
 
 
 @query(
+    "corpus_overlap",
+    f"""
+WITH a_h AS (
+  SELECT DISTINCT (('0x' || substr(md5(md5({NORM_SQL}) || ':ovl:0'), 18, 15))::BIGINT
+                   / 1152921504606846976.0) AS h
+  FROM documents WHERE source = 'src0'),
+b_h AS (
+  SELECT DISTINCT (('0x' || substr(md5(md5({NORM_SQL}) || ':ovl:0'), 18, 15))::BIGINT
+                   / 1152921504606846976.0) AS h
+  FROM documents WHERE source <> 'src0'),
+u_h AS (SELECT h FROM a_h UNION SELECT h FROM b_h),
+a_r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM a_h),
+b_r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b_h),
+u_r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u_h),
+a_e AS (SELECT CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 127.0 / max(h) END AS n_a FROM a_r WHERE rn <= 128),
+b_e AS (SELECT CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 127.0 / max(h) END AS n_b FROM b_r WHERE rn <= 128),
+u_e AS (SELECT CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 127.0 / max(h) END AS n_union FROM u_r WHERE rn <= 128)
+SELECT n_a, n_b, n_union,
+       greatest(0.0, n_a + n_b - n_union) AS n_intersect,
+       {R("greatest(0.0, n_a + n_b - n_union) / n_union")} AS jaccard
+FROM a_e, b_e, u_e""",
+)
+def q_corpus_overlap(spark, sf_dir):
+    """KMV overlap of src0's content fingerprints vs the rest of the
+    corpus (k=128): union sketch = k smallest of the combined stream,
+    intersection by inclusion-exclusion — the oracle replays all three
+    sketches hash-for-hash."""
+    from ffn_polars_spark.operators.sketch import corpus_overlap
+    from ffn_polars_spark.operators.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    fa = fingerprint(docs.where(F.col("source") == "src0")).select("fingerprint")
+    fb = fingerprint(docs.where(F.col("source") != "src0")).select("fingerprint")
+    return corpus_overlap(fa, fb, "fingerprint", k=128)
+
+
+@query(
     "monthly_returns",
     PX_SQL
     + f""", ends AS (
@@ -3853,6 +3893,7 @@ _PRIORITY = [
     "ewm_volatility",
     "drawdown_details",
     "monthly_returns",
+    "corpus_overlap",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

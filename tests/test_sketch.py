@@ -173,3 +173,30 @@ def test_column_profile_exact_and_approx(spark):
     # approx mode: same shape, estimates exact at this tiny cardinality
     approx = {r.column: r for r in column_profile(df).collect()}
     assert approx["x"].n_distinct == 2 and approx["s"].n_distinct == 2
+
+
+def test_corpus_overlap_disjoint_and_identical(spark):
+    from ffn_polars_spark.operators.sketch import corpus_overlap
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(40)], ["v"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(60)], ["v"])
+    # disjoint, below k: all estimates exact, intersection 0
+    r = corpus_overlap(a, b, "v", k=256).collect()[0]
+    assert (r.n_a, r.n_b, r.n_union) == (40.0, 60.0, 100.0)
+    assert r.n_intersect == 0.0 and r.jaccard == 0.0
+    # identical corpora: union == both, jaccard 1
+    r2 = corpus_overlap(a, a, "v", k=256).collect()[0]
+    assert r2.n_union == 40.0 and r2.n_intersect == 40.0 and r2.jaccard == 1.0
+
+
+def test_corpus_overlap_estimation_branch(spark):
+    from ffn_polars_spark.operators.sketch import corpus_overlap
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").cast("string").alias("v"))
+    r = corpus_overlap(a, b, "v", k=256).collect()[0]
+    # true: |A|=|B|=3000, union 4500, inter 1500, jaccard 1/3; k=256 ->
+    # stderr ~6%, allow generous 4-sigma bands
+    assert abs(r.n_union - 4500) / 4500 < 0.25
+    assert abs(r.n_intersect - 1500) / 1500 < 0.75
+    assert 0.1 < r.jaccard < 0.6

@@ -197,9 +197,25 @@ def _doc_shingles(
     Built by exploding the per-document ``array_distinct`` shingle array —
     dedup happens in-row, so no ``distinct()`` shuffle: the only exchange in
     a consumer's plan is its own join/agg.
+
+    The generator expression is built INSIDE the explode's own projection
+    (not staged through ``_doc_shingle_arrays``): explode of an array
+    column defined in a *previous* select makes GenerateExec re-evaluate
+    the whole interpreted shingle build per OUTPUT row — O(tokens²) per
+    document — measured 156 s vs 1.2 s on a 50k-doc corpus (the same
+    per-output-row re-evaluation family as the winnow/text_quality HOF
+    traps; pinned by tests/test_plans.py).
     """
-    arrays = _doc_shingle_arrays(df, text_col, id_col, n)
-    return arrays.select("__id", F.explode("__shd").alias("__sh"))
+    split = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.where(F.size(split) >= F.lit(n)).select(
+        F.col(id_col).alias("__id"), split.alias("__toks")
+    )
+    return toks.select(
+        "__id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+        ).alias("__sh"),
+    )
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="ngram_jaccard_pairs")

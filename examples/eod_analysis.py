@@ -50,6 +50,20 @@ def main() -> None:
         ffn.eod.sortino_ratio("AAPL_returns", rf=0.0, n=252),
     ).show()
 
+    # Episode-level drawdown report, calendar monthly returns, and the
+    # EWMA smoother (per-key sequential scan)
+    from ffn_polars_spark.functions.eod_returns import monthly_returns
+    from ffn_polars_spark.functions.eod_risk import drawdown_details
+    from ffn_polars_spark.operators.recursive import ewma
+
+    drawdown_details(px, "AAPL", order_by="Date").orderBy(
+        "depth"
+    ).show(3)
+    monthly_returns(px, "AAPL").orderBy("year", "month").show(3)
+    ewma(px.select("Date", "AAPL"), "AAPL", 0.06, "Date").orderBy(
+        "Date", ascending=False
+    ).show(3)
+
     spark.stop()
 
 

@@ -107,7 +107,12 @@ def kmv_distinct(
     if prefilter:
         grp = df.groupBy(*gcols) if gcols else df.groupBy()
         est = grp.agg(F.approx_count_distinct(value_col).alias("__nhat"))
-        tau = F.least(F.lit(1.0), F.lit(64.0 * k) / F.col("__nhat"))
+        # greatest(1, n̂): an empty input (n̂ = 0) must yield τ = 1, not a
+        # division-by-zero under ANSI mode
+        tau = F.least(
+            F.lit(1.0),
+            F.lit(64.0 * k) / F.greatest(F.lit(1.0), F.col("__nhat")),
+        )
         est = F.broadcast(est.select(*gcols, tau.alias("__tau")))
         if gcols:
             hashed = hashed.join(est, gcols).where(F.col("__h") <= F.col("__tau"))
@@ -116,7 +121,9 @@ def kmv_distinct(
         ks = F.slice(F.sort_array(F.collect_set("__h")), 1, int(k))
         agg = hashed.groupBy(*gcols).agg(ks.alias("__ks"))
         n_seen = F.size("__ks")
-        hk = F.element_at("__ks", n_seen)
+        # guard the ANSI element_at(arr, 0) error on an empty sketch; the
+        # estimate takes the exact-count branch there anyway
+        hk = F.when(n_seen > 0, F.element_at("__ks", n_seen))
         agg = agg.select(*gcols, n_seen.alias("n_seen"), hk.alias("__hk"))
     else:
         from pyspark.sql.window import Window
@@ -281,6 +288,9 @@ def corpus_overlap(
     b = est(sel_b, "n_b")
     u = est(sel_a.unionByName(sel_b), "n_union")
     inter = F.greatest(F.lit(0.0), F.col("n_a") + F.col("n_b") - F.col("n_union"))
+    jacc = F.when(
+        F.col("n_union") > 0, F.round(inter / F.col("n_union"), 6)
+    ).otherwise(F.lit(0.0))
     return (
         a.crossJoin(b)
         .crossJoin(u)
@@ -289,6 +299,6 @@ def corpus_overlap(
             "n_b",
             "n_union",
             inter.alias("n_intersect"),
-            F.round(inter / F.col("n_union"), 6).alias("jaccard"),
+            jacc.alias("jaccard"),
         )
     )

@@ -3674,11 +3674,11 @@ def q_column_profile(spark, sf_dir):
 WITH a_h AS (
   SELECT DISTINCT (('0x' || substr(md5(md5({NORM_SQL}) || ':ovl:0'), 18, 15))::BIGINT
                    / 1152921504606846976.0) AS h
-  FROM documents WHERE source = 'src0'),
+  FROM documents WHERE source = (SELECT min(source) FROM documents)),
 b_h AS (
   SELECT DISTINCT (('0x' || substr(md5(md5({NORM_SQL}) || ':ovl:0'), 18, 15))::BIGINT
                    / 1152921504606846976.0) AS h
-  FROM documents WHERE source <> 'src0'),
+  FROM documents WHERE source <> (SELECT min(source) FROM documents)),
 u_h AS (SELECT h FROM a_h UNION SELECT h FROM b_h),
 a_r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM a_h),
 b_r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b_h),
@@ -3695,16 +3695,23 @@ SELECT n_a, n_b, n_union,
 FROM a_e, b_e, u_e""",
 )
 def q_corpus_overlap(spark, sf_dir):
-    """KMV overlap of src0's content fingerprints vs the rest of the
-    corpus (k=128): union sketch = k smallest of the combined stream,
-    intersection by inclusion-exclusion — the oracle replays all three
-    sketches hash-for-hash."""
+    """KMV overlap of the alphabetically-first source's content
+    fingerprints vs the rest of the corpus (k=128): union sketch = k
+    smallest of the combined stream, intersection by inclusion-exclusion —
+    the oracle replays all three sketches hash-for-hash. The split pivot
+    is data-derived (min source, via a broadcast 1-row frame, no collect)
+    so the entry is meaningful on canonical AND generated tables."""
     from ffn_polars_spark.operators.sketch import corpus_overlap
     from ffn_polars_spark.operators.text import fingerprint
 
     docs = read_table(spark, sf_dir, "documents")
-    fa = fingerprint(docs.where(F.col("source") == "src0")).select("fingerprint")
-    fb = fingerprint(docs.where(F.col("source") != "src0")).select("fingerprint")
+    ms = F.broadcast(docs.agg(F.min("source").alias("__ms")))
+    fa = fingerprint(
+        docs.crossJoin(ms).where(F.col("source") == F.col("__ms"))
+    ).select("fingerprint")
+    fb = fingerprint(
+        docs.crossJoin(ms).where(F.col("source") != F.col("__ms"))
+    ).select("fingerprint")
     return corpus_overlap(fa, fb, "fingerprint", k=128)
 
 

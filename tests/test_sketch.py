@@ -200,3 +200,18 @@ def test_corpus_overlap_estimation_branch(spark):
     assert abs(r.n_union - 4500) / 4500 < 0.25
     assert abs(r.n_intersect - 1500) / 1500 < 0.75
     assert 0.1 < r.jaccard < 0.6
+
+
+def test_kmv_and_overlap_tolerate_empty_inputs(spark):
+    from ffn_polars_spark.operators.sketch import corpus_overlap, kmv_distinct
+
+    empty = spark.createDataFrame([], "v STRING")
+    r = kmv_distinct(empty, "v", k=16).collect()[0]
+    assert r.n_seen == 0 and r.kmv_estimate == 0.0
+    # one empty side: intersection 0, jaccard defined (0.0), no ANSI errors
+    b = spark.createDataFrame([("x",), ("y",)], ["v"])
+    o = corpus_overlap(empty, b, "v", k=16).collect()[0]
+    assert (o.n_a, o.n_b, o.n_union, o.n_intersect, o.jaccard) == (0.0, 2.0, 2.0, 0.0, 0.0)
+    # both empty: jaccard falls back to 0.0 rather than dividing by zero
+    o2 = corpus_overlap(empty, empty, "v", k=16).collect()[0]
+    assert o2.n_union == 0.0 and o2.jaccard == 0.0

@@ -3854,8 +3854,10 @@ def q_ewm_volatility(spark, sf_dir):
 #         |                                               | after the r4
 #         |                                               | ts_ns_col rewrite
 #   r6    | 9 never-driver-green oracles (resample x2,    | only entries with
-#         | sim_market_day, streaming x6) + 4 NEW round-6 | no current driver
-#         | entries (kmv/bottomk/vocab/duplicate_spans)   | evidence
+#         | sim_market_day, streaming x6) + the 18 NEW    | no current driver
+#         | round-6 entries (sketches, spans, semantic    | evidence
+#         | dedup, tfidf, streaming histogram/join,       |
+#         | EWMA family, drawdown episodes, overlap)      |
 #         | + 4 r5 canaries + the r04-stale entries,      |
 #         | risk-first                                    |
 #   r7+   | alternate halves: odd rounds front-load the   | no verdict older

@@ -302,3 +302,56 @@ def corpus_overlap(
             jacc.alias("jaccard"),
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="robust_outliers")
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    k: float = 3.0,
+    approx: bool = False,
+) -> DataFrame:
+    """Robust per-group outlier statistics via the median/MAD rule: a row is
+    an outlier when ``|x - median| > k · 1.4826 · MAD`` (1.4826 scales the
+    median absolute deviation to a normal-consistent sigma). Unlike
+    mean/stddev z-scores, the median/MAD fences don't move when the
+    outliers themselves are extreme — the standard robust filter for
+    ingest-time value screening.
+
+    Two aggregate-and-broadcast-join passes (median, then MAD of the
+    deviations) and a final counting aggregate. The per-group median tables
+    are group-cardinality-sized, so joining them back is a broadcast — the
+    corpus-sized side never shuffles for the joins; only the two exact
+    percentile aggregates shuffle group values.
+
+    Scale: exact percentiles materialize each group's values in the
+    aggregation buffer — reproducible, but for few huge groups (the events
+    table shape: 5 types × billions of rows) pass ``approx=True`` to use
+    ``percentile_approx`` (bounded-memory KLL-style sketch with map-side
+    partial merges; not bit-reproducible across engines, which is why the
+    exact path is the default and the oracle target).
+
+    Returns ``(*group_by, n, median, mad, n_outliers, outlier_frac)``.
+    """
+    gcols = list(group_by) if group_by else []
+    pct = (
+        (lambda c: F.percentile_approx(c, F.lit(0.5), F.lit(10000)))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(0.5)))
+    )
+    grp = lambda d: d.groupBy(*gcols) if gcols else d.groupBy()  # noqa: E731
+    med = grp(df).agg(pct(F.col(value_col)).alias("__med"))
+    d1 = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(F.broadcast(med))
+    d1 = d1.withColumn("__absdev", F.abs(F.col(value_col) - F.col("__med")))
+    madt = grp(d1).agg(pct(F.col("__absdev")).alias("__mad"))
+    d2 = d1.join(F.broadcast(madt), gcols) if gcols else d1.crossJoin(F.broadcast(madt))
+    fence = F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+    flag = (F.col("__absdev") > fence).cast("long")
+    return grp(d2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("__med"), 6).alias("median"),
+        F.round(F.max("__mad"), 6).alias("mad"),
+        F.sum(flag).alias("n_outliers"),
+        F.round(F.sum(flag) / F.count(F.lit(1)), 6).alias("outlier_frac"),
+    )

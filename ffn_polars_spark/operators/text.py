@@ -585,3 +585,86 @@ def tfidf_topterms(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= F.lit(int(m))
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="unigram_logprob")
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus unigram
+    model — the classic cheap perplexity proxy for training-data quality
+    filtering (low score = typical text, high score = rare-token soup /
+    boilerplate noise / wrong language).
+
+    With MLE unigram probabilities ``p(t) = tf(t) / N`` the per-doc score
+    factors as ``ln(N) - mean(ln tf(t))``, so no per-row division survives
+    into the aggregate: one token-count aggregate, one shuffle join of the
+    exploded tokens against the (vocabulary-sized) count table, one per-doc
+    aggregate, and a broadcast of the 1-row corpus total.
+
+    Scale: the token-frequency lookup is a shuffle *join* rather than a
+    ``count(*) over (partition by token)`` window on purpose — AQE splits
+    skewed join partitions (a hot token like "the" lands on one reducer
+    otherwise), while window skew has no runtime mitigation. Everything
+    downstream of the explode is keyed by token or doc — no corpus-sized
+    broadcast, no driver collection. Documents with zero tokens
+    (empty/whitespace text) have no defined score and are omitted.
+
+    Returns ``(doc_id, n_tokens, neg_logprob)``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
+    n = toks.select(F.count(F.lit(1)).alias("__n"))
+    per_doc = (
+        toks.join(tf, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("__tf")).alias("__mean_ln_tf"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(n)).select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.log("__n") - F.col("__mean_ln_tf"), 6).alias("neg_logprob"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="corpus_rollup")
+def corpus_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Hierarchical corpus summary via ``ROLLUP``: one aggregate pass emits
+    every prefix level — (source, lang), (source), and the grand total —
+    the shape dataset cards and mixture dashboards want, without re-scanning
+    the corpus once per level.
+
+    ``grouping_id()`` disambiguates subtotal rows from genuine NULL group
+    values (bit ``1`` = that column is rolled up), matching the SQL-standard
+    ``GROUPING_ID`` bit order, so the output is safe to consume even when
+    the grouping columns themselves contain NULLs.
+
+    Scale: rollup is a single hash aggregate over ``levels+1`` grouping
+    sets — Spark expands each input row once per grouping set *map-side*
+    and partial-aggregates before the shuffle, so what crosses the wire is
+    bounded by distinct group count, not corpus size.
+
+    Returns ``(*group_cols, gid, n_docs, n_tokens, avg_chars)``.
+    """
+    gcols = list(group_cols)
+    return (
+        df.rollup(*gcols)
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+            F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+        )
+        .select(*gcols, "gid", "n_docs", "n_tokens", "avg_chars")
+    )

@@ -71,3 +71,72 @@ def pivot_prices(
     extra distinct-keys job and keeps the column order stable."""
     p = df.groupBy(id_col).pivot(key_col, keys)
     return p.agg(F.first(value_col))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="corr_matrix")
+def corr_matrix(
+    df: DataFrame,
+    ts_col: str = "ts_ns",
+    key_col: str = "event_type",
+    price_col: str = "price",
+    bucket_ns: int = 60_000_000_000,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Pairwise return-correlation matrix across series (upper triangle):
+    align every series onto common time buckets, difference into simple
+    returns, then correlate each pair on the buckets where both have a
+    return. Beyond the reference's surface — /root/reference/ffn_polars
+    ships only per-series ratios, no cross-series correlation — this is
+    the portfolio-construction / redundant-feature-detection companion.
+
+    Shape: one (key, bucket) aggregate (map-side partial avg), a lag window
+    per key for returns, a self-equi-join on the bucket column, and a
+    (key_a, key_b) ``corr`` aggregate. The join is keyed on time buckets —
+    high-cardinality and uniform, so it shuffles evenly; row count is
+    ``buckets × k²/2`` for k series, which for the realistic k ≤ a few
+    thousand tickers stays far below the source tick count. Nothing is
+    collected to the driver; the matrix itself (k²/2 rows) is the output.
+
+    Returns ``(key_a, key_b, n_buckets, ret_corr)``.
+    """
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("__key"),
+            F.floor(F.col(ts_col) / F.lit(int(bucket_ns))).alias("__bucket"),
+        )
+        .agg(F.avg(price_col).alias("__p"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__key").orderBy("__bucket")
+    r = b.select(
+        "__key",
+        "__bucket",
+        (F.col("__p") / F.lag("__p").over(w) - F.lit(1.0)).alias("__ret"),
+    ).where(F.col("__ret").isNotNull())
+    a = r.select(
+        F.col("__key").alias("key_a"), F.col("__bucket").alias("__bucket"),
+        F.col("__ret").alias("__ret_a"),
+    )
+    c = r.select(
+        F.col("__key").alias("key_b"), F.col("__bucket").alias("__bucket"),
+        F.col("__ret").alias("__ret_b"),
+    )
+    pairs = a.join(c, "__bucket").where(F.col("key_a") < F.col("key_b"))
+    # corr from guarded population moments rather than F.corr: a
+    # zero-variance side makes F.corr divide by zero under ANSI mode
+    # (SQLSTATE 22012); this yields NULL there instead — the same answer
+    # DuckDB's corr gives — and the identical value elsewhere (the n
+    # factors of the pop/samp forms cancel; sub-ulp differences are
+    # absorbed by the round).
+    den = F.stddev_pop("__ret_a") * F.stddev_pop("__ret_b")
+    return (
+        pairs.groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(
+                F.when(den != 0, F.covar_pop("__ret_a", "__ret_b") / den), 6
+            ).alias("ret_corr"),
+        )
+        .where(F.col("n_buckets") >= F.lit(int(min_buckets)))
+    )

@@ -3840,6 +3840,112 @@ def q_ewm_volatility(spark, sf_dir):
     return out.select("event_type", "ts_ns", r6(F.col("r_ewmvol")).alias("r_ewmvol"))
 
 
+@query(
+    "unigram_logprob",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+tf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+n AS (SELECT count(*) AS n FROM t)
+SELECT doc_id, count(*) AS n_tokens,
+       round(ln((SELECT n FROM n)) - avg(ln(tf.tf)), 6) AS neg_logprob
+FROM t JOIN tf USING (token) GROUP BY doc_id""",
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean negative log-likelihood
+    under the corpus unigram model, factored as ln(N) - mean(ln tf) so the
+    only corpus-sized work is one token count and one AQE-skew-splittable
+    join (see operator docstring for why a join beats a token window)."""
+    from ffn_polars_spark.operators.text import unigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+@query(
+    "corpus_rollup",
+    r"""
+SELECT source, lang, CAST(grouping_id(source, lang) AS INT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+         AS n_tokens,
+       round(avg(length(text)), 6) AS avg_chars
+FROM documents GROUP BY ROLLUP (source, lang)""",
+)
+def q_corpus_rollup(spark, sf_dir):
+    """Hierarchical corpus summary in one pass: GROUP BY ROLLUP emits
+    (source, lang), (source), and grand-total rows from a single aggregate;
+    grouping_id() disambiguates subtotals from genuine NULL groups (same
+    SQL-standard bit order in Spark and DuckDB)."""
+    from ffn_polars_spark.operators.text import corpus_rollup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_rollup(docs)
+
+
+@query(
+    "robust_outliers",
+    """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS absdev
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_type, count(*) AS n,
+       round(max(d.med), 6) AS median, round(max(md.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.absdev > 3.0 * 1.4826 * md.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN d.absdev > 3.0 * 1.4826 * md.mad
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS outlier_frac
+FROM d JOIN md USING (event_type) GROUP BY d.event_type""",
+)
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier screen per event type: two exact-percentile
+    aggregates with broadcast joins back (the big side never shuffles for
+    the joins), then one counting aggregate. F.percentile and quantile_cont
+    share the SQL-standard interpolation, and the fence arithmetic is
+    written identically in both engines so the > comparison is exact."""
+    from ffn_polars_spark.operators.sketch import robust_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    return robust_outliers(ev, "value", group_by=["event_type"], k=3.0)
+
+
+@query(
+    "corr_matrix",
+    TICKS_SQL
+    + """,
+b AS (SELECT event_type AS key,
+             CAST(floor(ts_ns / 60000000000) AS BIGINT) AS bucket,
+             avg(price) AS p
+      FROM ticks GROUP BY 1, 2),
+r AS (SELECT key, bucket,
+             p / lag(p) OVER (PARTITION BY key ORDER BY bucket) - 1 AS ret
+      FROM b),
+rr AS (SELECT key, bucket, ret FROM r WHERE ret IS NOT NULL)
+SELECT a.key AS key_a, c.key AS key_b, count(*) AS n_buckets,
+       round(corr(a.ret, c.ret), 6) AS ret_corr
+FROM rr a JOIN rr c ON a.bucket = c.bucket AND a.key < c.key
+GROUP BY 1, 2""",
+)
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise return-correlation matrix across the five tick series:
+    minute-bucket alignment, lag-window returns, bucket-keyed self-join
+    (uniform high-cardinality key — even shuffle), (key_a, key_b) corr
+    aggregate. Upper triangle only via key_a < key_b."""
+    from ffn_polars_spark.operators.wide import corr_matrix
+
+    t = ticks(spark, sf_dir)
+    return corr_matrix(
+        t, ts_col="ts_ns", key_col="event_type", price_col="price",
+        bucket_ns=60_000_000_000, min_buckets=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -3903,6 +4009,10 @@ _PRIORITY = [
     "drawdown_details",
     "monthly_returns",
     "corpus_overlap",
+    "unigram_logprob",
+    "corpus_rollup",
+    "robust_outliers",
+    "corr_matrix",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

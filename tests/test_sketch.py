@@ -215,3 +215,30 @@ def test_kmv_and_overlap_tolerate_empty_inputs(spark):
     # both empty: jaccard falls back to 0.0 rather than dividing by zero
     o2 = corpus_overlap(empty, empty, "v", k=16).collect()[0]
     assert o2.n_union == 0.0 and o2.jaccard == 0.0
+
+
+def test_robust_outliers_median_mad_fence(spark):
+    from ffn_polars_spark.operators.sketch import robust_outliers
+
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "x"])
+    row = robust_outliers(df, "x", group_by=["grp"], k=3.0).collect()[0]
+    # median of 1..9,100 = 5.5; absdevs sorted: [.5,.5,1.5,1.5,2.5,2.5,3.5,
+    # 3.5,4.5,94.5] -> MAD 2.5; fence 3*1.4826*2.5 = 11.12 -> only 100 flagged
+    assert row.n == 10
+    assert row.median == 5.5
+    assert row.mad == 2.5
+    assert row.n_outliers == 1
+    assert row.outlier_frac == 0.1
+
+
+def test_robust_outliers_no_groups_and_approx_path(spark):
+    from ffn_polars_spark.operators.sketch import robust_outliers
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+    exact = robust_outliers(df, "x").collect()[0]
+    assert exact.n == 1000 and exact.median == 499.5
+    approx = robust_outliers(df, "x", approx=True).collect()[0]
+    # percentile_approx at this accuracy is exact-ish on 1000 distinct values
+    assert approx.n == 1000
+    assert abs(approx.median - 499.5) <= 1.0

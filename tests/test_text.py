@@ -127,3 +127,50 @@ def test_repetition_stats_catches_loops(spark):
     assert out[3]["dup_trigram_frac"] > 0.4
     # doc 4: single token -> no grams, zero fractions, still present
     assert out[4]["n_tokens"] == 1 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from ffn_polars_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    # corpus: tf(a)=2, tf(b)=2, tf(c)=1, N=5
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert set(rows) == {1, 2}  # all-whitespace doc 3 has no score
+    assert rows[1].n_tokens == 3
+    assert rows[1].neg_logprob == round(math.log(5) - math.log(2), 6)
+    assert rows[2].n_tokens == 2
+    assert rows[2].neg_logprob == round(
+        math.log(5) - (math.log(2) + math.log(1)) / 2, 6
+    )
+    # rarer tokens -> strictly higher score
+    assert rows[2].neg_logprob > rows[1].neg_logprob
+
+
+def test_corpus_rollup_levels_and_null_disambiguation(spark):
+    from ffn_polars_spark.operators.text import corpus_rollup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two", "s1", "en"),
+            (2, "three", "s1", "en"),
+            (3, "vier", "s1", None),  # genuine NULL lang
+            (4, "cinq six sept", "s2", "fr"),
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    rows = corpus_rollup(docs, group_cols=("source", "lang")).collect()
+    by = {(r.source, r.lang, r.gid): r for r in rows}
+    # leaf rows: gid=0, including the genuine-NULL lang group
+    assert by[("s1", "en", 0)].n_docs == 2
+    assert by[("s1", "en", 0)].n_tokens == 3
+    assert by[("s1", None, 0)].n_docs == 1  # real NULL, gid 0
+    # source subtotal: lang rolled up -> gid has the lang bit set
+    assert by[("s1", None, 1)].n_docs == 3
+    assert by[("s2", None, 1)].n_tokens == 3
+    # grand total: both bits set
+    assert by[(None, None, 3)].n_docs == 4
+    assert by[(None, None, 3)].n_tokens == 7

@@ -60,3 +60,42 @@ def test_wide_workflow_on_golden(spark, golden):
     aae(out["AAPL_cagr"], 0.440, places=3)
     aae(out["MSFT_cagr"], 0.041, places=3)
     aae(out["C_cagr"], -0.205, places=3)
+
+
+def test_corr_matrix_perfect_and_upper_triangle(spark):
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.wide import corr_matrix
+
+    # one tick per (key, minute-bucket); Y = 2*X (identical returns, corr
+    # +1); W doubles every bucket (constant +100% returns: zero variance)
+    rows = []
+    for i, (x, w) in enumerate(zip([1.0, 2.0, 3.0, 5.0], [1.0, 2.0, 4.0, 8.0])):
+        t = i * 60_000_000_000
+        rows += [("W", t, w), ("X", t, x), ("Y", t, 2 * x)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ns", "price"])
+    out = {
+        (r.key_a, r.key_b): r
+        for r in corr_matrix(df, min_buckets=2).collect()
+    }
+    # upper triangle only
+    assert set(out) == {("W", "X"), ("W", "Y"), ("X", "Y")}
+    assert out[("X", "Y")].n_buckets == 3
+    # X returns [1.0, 0.5, 0.667] vary; Y's are identical -> corr exactly 1
+    assert out[("X", "Y")].ret_corr == 1.0
+    # W's returns are constant -> zero variance -> corr undefined/NULL
+    # (this is the ANSI divide-by-zero path the guarded moments avoid)
+    assert out[("W", "X")].ret_corr is None
+
+
+def test_corr_matrix_min_buckets_filter(spark):
+    from ffn_polars_spark.operators.wide import corr_matrix
+
+    # only 2 buckets -> 1 joint return per pair -> filtered by min_buckets=2
+    rows = [
+        ("A", 0, 1.0), ("A", 60_000_000_000, 2.0),
+        ("B", 0, 2.0), ("B", 60_000_000_000, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ns", "price"])
+    assert corr_matrix(df, min_buckets=2).count() == 0
+    assert corr_matrix(df, min_buckets=1).count() == 1

@@ -165,3 +165,48 @@ def test_doc_shingles_builds_array_once(spark):
     # occurrence OUTSIDE a Generate is the staged-explode duplication
     assert not offenders, offenders[:2]
     assert "array_distinct" in plan  # and it does appear where it should
+
+
+def test_corpus_rollup_one_expand_one_shuffle(spark):
+    # ROLLUP = a single Expand + partial/final aggregate: exactly one
+    # shuffle regardless of how many grouping-set levels it emits
+    df = QUERY_FNS["corpus_rollup"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("Expand") >= 1
+    assert count_exchanges(df) == 1
+    # scan prunes to the three used columns
+    schema = read_schemas(df)[0]
+    assert "doc_id" not in schema and "n_chars" not in schema
+
+
+def test_robust_outliers_broadcast_joinbacks_pruned_scan(spark):
+    # the per-group median/MAD tables join back via broadcast: the
+    # corpus-sized side must never shuffle for a join
+    df = QUERY_FNS["robust_outliers"](spark, SF)
+    plan = explain_str(df)
+    assert count_broadcast_joins(df) >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    schema = read_schemas(df)[0]
+    assert "props" not in schema and "user_id" not in schema
+
+
+def test_unigram_logprob_pruned_scans_no_cartesian_blowup(spark):
+    import re
+
+    df = QUERY_FNS["unigram_logprob"](spark, SF)
+    plan = explain_str(df)
+    # only doc_id+text are read from documents
+    for schema in read_schemas(df):
+        assert "lang" not in schema and "source" not in schema
+    # the only nested-loop join is the 1-row corpus-total cross join
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert sum(1 for x in nodes if x == "BroadcastNestedLoopJoin") <= 1
+
+
+def test_corr_matrix_equijoin_only(spark):
+    # the pair generation must be a bucket equi-join, never a cartesian
+    # product of the tick series
+    df = QUERY_FNS["corr_matrix"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

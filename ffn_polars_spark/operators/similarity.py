@@ -634,3 +634,31 @@ def embedding_quantize(
         F.when(maxabs > 0, scale).otherwise(F.lit(0.0)).alias("scale"),
         F.when(maxabs > 0, q).otherwise(zeros).alias("qvec"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="embedding_normalize")
+def embedding_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """L2-normalize an embedding column to unit vectors — the prerequisite
+    for cosine-as-dot-product everywhere else in this module (ann_topk,
+    semantic_dedup assume comparable magnitudes; normalizing once upstream
+    is cheaper than per-pair norms in every join).
+
+    The norm is a strict left fold (``F.aggregate``) over the doubles, so
+    any engine that folds a list sequentially reproduces it bit-for-bit;
+    zero vectors get a NULL unit vector (norm 0.0) rather than an ANSI
+    divide-by-zero. Pure projection: no shuffle, no UDF, linear scan.
+
+    Returns ``(id, norm, uvec)``.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / nrm)
+    return df.select(
+        F.col(id_col),
+        nrm.alias("norm"),
+        F.when(nrm > 0, unit).alias("uvec"),
+    )

@@ -668,3 +668,54 @@ def corpus_rollup(
         )
         .select(*gcols, "gid", "n_docs", "n_tokens", "avg_chars")
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="chunk_documents")
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping token-window chunks — the
+    standard pre-training/RAG preparation step (sequence packing's
+    upstream: every token lands in at least one chunk, consecutive chunks
+    share ``overlap`` tokens so no span is ever cut without context).
+
+    Chunk starts step by ``stride = chunk_tokens - overlap``; the last
+    chunk is short rather than padded. Empty/whitespace-only documents
+    produce no chunks.
+
+    Scale: pure map-side work — tokenize, explode the (tiny, int-array)
+    start offsets, slice, re-join. No shuffle at all; output rows ≈
+    corpus_tokens / stride. The token array is STAGED in its own select
+    while the explode generates only the integer start sequence — explode
+    of an expensive staged expression re-evaluates it per output row (the
+    Generate pathology pinned by ``test_doc_shingles_builds_array_once``);
+    an int sequence is free to re-evaluate, and the sliced ``__toks``
+    reference is a column read, not a rebuild.
+
+    Returns ``(doc_id, chunk_id, chunk_text, chunk_tokens)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = int(chunk_tokens) - int(overlap)
+    toks_expr = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    staged = df.select(F.col(id_col), toks_expr.alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    chunks = staged.select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+        ).alias("__s"),
+    )
+    sliced = F.slice(F.col("__toks"), F.col("__s") + 1, int(chunk_tokens))
+    return chunks.select(
+        F.col(id_col),
+        (F.col("__s") / F.lit(stride)).cast("int").alias("chunk_id"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).cast("int").alias("chunk_tokens"),
+    )

@@ -3946,6 +3946,65 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "chunk_documents",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+st AS (SELECT doc_id, toks, unnest(generate_series(0, n - 1, 24)) AS s
+       FROM nn)
+SELECT doc_id, CAST(s / 24 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, s + 1, s + 32)) AS INT) AS chunk_tokens
+FROM st""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8-token overlap
+    -> stride 24, so the sf0.01 docs produce multiple chunks each): pure
+    map-side tokenize/explode/slice, no shuffle; the token array is staged
+    while the explode generates only the int start sequence (Generate
+    pathology avoided)."""
+    from ffn_polars_spark.operators.text import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "embedding_normalize",
+    f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v),
+u AS (SELECT vec_id, nrm, unnest(e) AS x,
+             generate_subscripts(e, 1) AS pos1
+      FROM s WHERE nrm > 0)
+SELECT vec_id, {R("nrm")} AS norm, CAST(pos1 - 1 AS INT) AS pos,
+       {R("x / nrm")} AS nval
+FROM u""",
+)
+def q_embedding_normalize(spark, sf_dir):
+    """Unit-vector normalization, posexploded so the oracle pins every
+    component: the norm is a strict sequential fold over the doubles in
+    both engines, and each normalized component rounds to 6 decimals."""
+    from ffn_polars_spark.operators.similarity import embedding_normalize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    nz = embedding_normalize(emb)
+    return nz.where(F.col("norm") > 0).select(
+        "vec_id",
+        r6(F.col("norm")).alias("norm"),
+        F.posexplode("uvec").alias("pos", "nval_raw"),
+    ).select(
+        "vec_id", "norm", "pos", r6(F.col("nval_raw")).alias("nval")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4013,6 +4072,8 @@ _PRIORITY = [
     "corpus_rollup",
     "robust_outliers",
     "corr_matrix",
+    "chunk_documents",
+    "embedding_normalize",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -210,3 +210,22 @@ def test_corr_matrix_equijoin_only(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_no_shuffle_staged_tokens(spark):
+    # pure map-side: tokenize + explode + slice must produce ZERO shuffles,
+    # and the interpreted token build must not be duplicated into the
+    # explode's generator (the Generate pathology — only the int start
+    # sequence is exploded)
+    df = QUERY_FNS["chunk_documents"](spark, SF)
+    assert count_exchanges(df) == 0
+    plan = explain_str(df)
+    # the regexp token split is built once in a Project, not in Generate
+    assert plan.count("split(") <= 2  # tree + detail listing of one node
+
+
+def test_embedding_normalize_no_shuffle_pruned_scan(spark):
+    df = QUERY_FNS["embedding_normalize"](spark, SF)
+    assert count_exchanges(df) == 0
+    schema = read_schemas(df)[0]
+    assert "label" not in schema

@@ -348,3 +348,25 @@ def test_embedding_quantize_roundtrip_and_zero_vector(spark):
     r = embedding_quantize(df2).collect()[0]
     for x, q in zip(vals, r.qvec):
         assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
+
+
+def test_embedding_normalize_unit_norm_and_zero_guard(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.similarity import embedding_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in embedding_normalize(df).collect()}
+    assert rows[1].norm == 5.0
+    assert rows[1].uvec == [0.6, 0.8]
+    # zero vector: NULL unit vector instead of an ANSI divide-by-zero
+    assert rows[2].norm == 0.0 and rows[2].uvec is None
+    assert rows[3].uvec == [1.0, 0.0]
+    # normalized vectors have unit L2 norm
+    for vid in (1, 3):
+        assert math.isclose(sum(x * x for x in rows[vid].uvec), 1.0)

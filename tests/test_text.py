@@ -174,3 +174,37 @@ def test_corpus_rollup_levels_and_null_disambiguation(spark):
     # grand total: both bits set
     assert by[(None, None, 3)].n_docs == 4
     assert by[(None, None, 3)].n_tokens == 7
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from ffn_polars_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, " ")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    got = [(r.doc_id, r.chunk_id, r.chunk_text, r.chunk_tokens) for r in rows]
+    # stride 2: starts 0,2,4,6,8 for the 10-token doc; the tail chunk is
+    # short, consecutive chunks share 2 tokens, every token is covered
+    assert got == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w2 w3 w4 w5", 4),
+        (1, 2, "w4 w5 w6 w7", 4),
+        (1, 3, "w6 w7 w8 w9", 4),
+        (1, 4, "w8 w9", 2),
+        (2, 0, "short doc", 2),
+    ]  # whitespace-only doc 3 yields nothing
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from ffn_polars_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -60,6 +60,30 @@ def main() -> None:
     vocab_topk(kept, k=5).show()
     kmv_distinct(kept, "source", k=64).show()
 
+    # 3b. quality scoring + one-pass mixture dashboard: the unigram
+    #     perplexity proxy ranks rare-token soup for review, and ROLLUP
+    #     emits (source, lang)/(source)/total rows from a single aggregate
+    from ffn_polars_spark.operators.text import corpus_rollup, unigram_logprob
+
+    unigram_logprob(kept).orderBy("neg_logprob", ascending=False).show(3)
+    corpus_rollup(kept).where("gid > 0").orderBy("gid", "source").show(5)
+
+    # 3c. chunk the survivors into overlapping 128-token training windows
+    #     (map-side only: no shuffle) before packing/sharding
+    from ffn_polars_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(kept, chunk_tokens=128, overlap=16)
+    print("chunks:", chunks.count(), "from", kept.count(), "docs")
+
+    # 3d. embedding hygiene: L2-normalize once upstream so every cosine
+    #     downstream is a plain dot product, then a top-k probe
+    from ffn_polars_spark.operators.similarity import ann_topk, embedding_normalize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    unit = embedding_normalize(emb)
+    print("zero-norm vectors:", unit.where("uvec IS NULL").count())
+    ann_topk(emb, emb.where("vec_id < 2"), k=3).show()
+
     # 4. deterministic split + token-budget shards; bottomk_sample draws a
     #    reproducible eval probe (same 25 docs on any cluster shape)
     split = deterministic_split(kept, weights={"train": 0.98, "val": 0.02})

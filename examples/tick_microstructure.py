@@ -62,6 +62,17 @@ def main() -> None:
         lookback_bars=10, z_threshold=2.5,
     ).where("is_burst").show(5)
 
+    # Cross-ticker return correlations (minute-bucket alignment) and a
+    # robust median/MAD screen for fat-fingered prints
+    from ffn_polars_spark.operators.sketch import robust_outliers
+    from ffn_polars_spark.operators.wide import corr_matrix
+
+    corr_matrix(
+        trades, ts_col="participant_timestamp", key_col="ticker",
+        price_col="price", bucket_ns=60 * 10**9,
+    ).orderBy("key_a", "key_b").show()
+    robust_outliers(trades, "price", group_by=["ticker"]).show()
+
     spark.stop()
 
 

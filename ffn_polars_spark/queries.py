@@ -3627,13 +3627,33 @@ def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization, posexploded so the oracle pins EVERY
     quantized component: scale = max|x|/127 and floor(x/scale + 0.5) are
     single IEEE ops, bit-identical across engines with no rounding
-    tolerance needed."""
-    from ffn_polars_spark.operators.similarity import embedding_quantize
+    tolerance needed.
 
+    The quantized array is built INSIDE the posexplode's own projection
+    (staging it in ``embedding_quantize``'s select and exploding the
+    column re-evaluates the interpreted per-element transform per OUTPUT
+    row — the Generate pathology; measured 6.2 s -> 0.4 s at sf1 for this
+    shape, output identical). The array-returning operator remains the
+    user API; only this exploded oracle view inlines."""
     emb = read_table(spark, sf_dir, "embeddings")
-    qz = embedding_quantize(emb)
-    return qz.select(
-        "vec_id", "scale", F.posexplode("qvec").alias("pos", "qval")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    staged = emb.select(
+        "vec_id",
+        v.alias("__v"),
+        F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0)).alias(
+            "scale"
+        ),
+    )
+    sc = F.col("scale")
+    q = F.transform(
+        F.col("__v"), lambda x: F.floor(x / sc + F.lit(0.5)).cast("int")
+    )
+    zeros = F.transform(F.col("__v"), lambda x: F.lit(0))
+    return staged.select(
+        "vec_id",
+        "scale",
+        F.posexplode(F.when(sc > 0, q).otherwise(zeros)).alias("pos", "qval"),
     )
 
 
@@ -3991,18 +4011,26 @@ FROM u""",
 def q_embedding_normalize(spark, sf_dir):
     """Unit-vector normalization, posexploded so the oracle pins every
     component: the norm is a strict sequential fold over the doubles in
-    both engines, and each normalized component rounds to 6 decimals."""
-    from ffn_polars_spark.operators.similarity import embedding_normalize
+    both engines, and each normalized component rounds to 6 decimals.
 
+    Stage the double vector and the norm as COLUMNS, then build the
+    normalized array inside the posexplode's own projection — exploding
+    ``embedding_normalize``'s staged ``uvec`` re-evaluates the interpreted
+    fold+transform per OUTPUT row (the Generate pathology; measured
+    14.0 s -> 0.5 s at sf1, output identical)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    nz = embedding_normalize(emb)
-    return nz.where(F.col("norm") > 0).select(
-        "vec_id",
-        r6(F.col("norm")).alias("norm"),
-        F.posexplode("uvec").alias("pos", "nval_raw"),
-    ).select(
-        "vec_id", "norm", "pos", r6(F.col("nval_raw")).alias("nval")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    staged = emb.select("vec_id", v.alias("__v"), nrm.alias("__n")).where(
+        F.col("__n") > 0
     )
+    return staged.select(
+        "vec_id",
+        r6(F.col("__n")).alias("norm"),
+        F.posexplode(
+            F.transform("__v", lambda x: x / F.col("__n"))
+        ).alias("pos", "nval_raw"),
+    ).select("vec_id", "norm", "pos", r6(F.col("nval_raw")).alias("nval"))
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,22 @@ def test_embedding_normalize_no_shuffle_pruned_scan(spark):
     assert count_exchanges(df) == 0
     schema = read_schemas(df)[0]
     assert "label" not in schema
+
+
+def test_embedding_explodes_build_inside_generate(spark):
+    """The posexploded oracle views of embedding_normalize /
+    embedding_quantize must keep the expensive interpreted builds (the
+    norm fold, the max-abs scan) OUT of the Generate: staging the array
+    through the operator's select and exploding the column re-evaluates
+    the build per output row (measured 14.0 -> 0.5 s and 6.2 -> 0.65 s
+    at sf1)."""
+    for name in ("embedding_normalize", "embedding_quantize"):
+        df = QUERY_FNS[name](spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+        assert gen, name
+        for ln in gen:
+            assert "aggregate(" not in ln and "array_max(" not in ln, (
+                name,
+                ln[:160],
+            )

@@ -1,0 +1,148 @@
+"""Event-journey analytics: ordered funnels and cohort retention.
+
+Beyond the reference's surface (/root/reference/ffn_polars has no
+event-stream analytics): the two standard questions asked of an
+``events(user_id, event_type, ts)`` table at any scale — "how many users
+progress through these stages, in order?" and "of the users who arrived in
+week W, how many came back k weeks later?".
+
+Design notes (100 TB):
+
+* Both operators reduce the event table to ONE row per user before doing
+  anything quadratic-looking: funnel progress is computed from per-user
+  first-occurrence timestamps (a single groupBy), retention joins the
+  per-user cohort row back on the user key (equi-join, AQE-skew-safe).
+  Nothing is ever keyed on time alone, so hot event-types don't skew.
+* The funnel's per-stage output is built by exploding a FIXED-SIZE literal
+  array of stage structs — measured not to trigger the Generate
+  re-evaluation pathology (same shape as the minhash band explode).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ffn_polars_spark.registry import register
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="funnel_stages")
+def funnel_stages(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each prefix of ``stages``, the number
+    of users whose FIRST occurrences happen in stage order
+    (``t_0 < t_1 < ... < t_i``, strict — simultaneous events don't count
+    as progress).
+
+    One groupBy collapses the events to a per-user row of first-occurrence
+    timestamps (min over a CASE — map-side partial min, so the shuffle
+    carries one row per user per partition at most); stage counts are then
+    a single global aggregate over user rows. No joins, no window over the
+    raw events.
+
+    Returns one row per stage: ``(stage, stage_name, n_users, conversion)``
+    where ``conversion`` is the fraction of the previous stage's users
+    (1.0 for stage 0; NULL if the previous stage is empty).
+    """
+    stages = list(stages)
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    firsts = df.where(F.col(type_col).isin(stages)).groupBy(user_col).agg(
+        *[
+            F.min(
+                F.when(F.col(type_col) == s, F.col(ts_col))
+            ).alias(f"__t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached: List[Column] = []
+    for i in range(len(stages)):
+        cond = F.col("__t0").isNotNull()
+        for j in range(1, i + 1):
+            cond = cond & (F.col(f"__t{j-1}") < F.col(f"__t{j}"))
+        reached.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+    counts = firsts.agg(*reached)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(s).alias("stage_name"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    exploded = counts.select(F.explode(rows).alias("r")).select("r.*")
+    # len(stages) rows total: the single-partition lag window is trivial
+    prev = F.lag("n_users").over(Window.orderBy("stage"))
+    return exploded.select(
+        "stage",
+        "stage_name",
+        "n_users",
+        F.round(
+            F.when(F.col("stage") == 0, F.lit(1.0)).otherwise(
+                F.when(prev > 0, F.col("n_users") / prev)
+            ),
+            6,
+        ).alias("conversion"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="cohort_retention")
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    period_ns: int = 7 * 24 * 3600 * 1_000_000_000,
+    max_offset: Optional[int] = None,
+) -> DataFrame:
+    """Cohort retention: bucket users by the period of their first event
+    (the cohort), then count how many distinct cohort members are active
+    at each later period offset.
+
+    Two shuffles keyed on the user id (first-event aggregate + join back —
+    equi-join on a high-cardinality uniform key, so AQE skew handling
+    applies) and one (cohort, offset) distinct-count aggregate whose input
+    is already deduplicated to (cohort, offset, user) triples — map-side
+    distinct keeps the wire volume at active-users × offsets, not events.
+
+    Returns ``(cohort_start, offset, n_users, retention)`` where
+    ``retention`` is the fraction of the cohort's size at offset 0.
+    """
+    p = F.lit(int(period_ns))
+    firsts = df.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    cohort = firsts.select(
+        user_col, (F.col("__first_ts") - F.col("__first_ts") % p).alias("__cohort")
+    )
+    joined = df.join(cohort, user_col).select(
+        user_col,
+        "__cohort",
+        ((F.col(ts_col) - F.col(ts_col) % p) - F.col("__cohort")).alias("__off_ns"),
+    )
+    trip = joined.select(
+        user_col, "__cohort", (F.col("__off_ns") / p).cast("int").alias("offset")
+    )
+    if max_offset is not None:
+        trip = trip.where(F.col("offset") <= F.lit(int(max_offset)))
+    counts = trip.groupBy("__cohort", "offset").agg(
+        F.countDistinct(user_col).alias("n_users")
+    )
+    base = F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(
+        Window.partitionBy("__cohort")
+    )
+    return counts.select(
+        F.col("__cohort").alias("cohort_start"),
+        "offset",
+        "n_users",
+        F.round(
+            F.when(base > 0, F.col("n_users") / base), 6
+        ).alias("retention"),
+    )

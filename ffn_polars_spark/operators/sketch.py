@@ -355,3 +355,58 @@ def robust_outliers(
         F.sum(flag).alias("n_outliers"),
         F.round(F.sum(flag) / F.count(F.lit(1)), 6).alias("outlier_frac"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="quantile_bin")
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    nbins: int = 4,
+    group_by: Optional[Sequence[str]] = None,
+    tiebreak: Optional[str] = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantile bucketing (quartiles/deciles for feature binning
+    and balanced stratification): adds a 1-based ``bin`` column.
+
+    Exact mode uses ``ntile`` — the SQL-standard equal-size tiles — with an
+    explicit ``tiebreak`` column so equal values order deterministically in
+    every engine. Exact tiles need a full sort of each group on ONE
+    reducer; that's the reproducible default and the oracle target, but
+    for few huge groups it is the wrong shape at scale.
+
+    ``approx=True`` is the 100 TB path: per-group cut points from
+    ``percentile_approx`` (bounded-memory sketch, map-side merges)
+    broadcast-joined back, bins assigned by comparison — no sort anywhere,
+    the big side never shuffles. Bins are then approximately equal-sized.
+    """
+    from pyspark.sql.window import Window
+
+    gcols = list(group_by) if group_by else []
+    if not approx:
+        order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
+        w = (
+            Window.partitionBy(*gcols).orderBy(*order)
+            if gcols
+            else Window.orderBy(*order)
+        )
+        return df.withColumn("bin", F.ntile(int(nbins)).over(w))
+    qs = [i / nbins for i in range(1, nbins)]
+    grp = df.groupBy(*gcols) if gcols else df.groupBy()
+    cuts = grp.agg(
+        F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        ).alias("__cuts")
+    )
+    j = (
+        df.join(F.broadcast(cuts), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    v = F.col(value_col)
+    bin_expr = F.aggregate(
+        F.col("__cuts"),
+        F.lit(1),
+        lambda acc, c: acc + F.when(v > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return j.withColumn("bin", bin_expr).drop("__cuts")

@@ -4033,6 +4033,124 @@ def q_embedding_normalize(spark, sf_dir):
     ).select("vec_id", "norm", "pos", r6(F.col("nval_raw")).alias("nval"))
 
 
+@query(
+    "streaming_topk",
+    """
+SELECT user_id, count(*) AS n
+FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""",
+)
+def q_streaming_topk(spark, sf_dir):
+    """Live heavy hitters: complete-mode streaming count + sort + limit,
+    drained and compared to the batch GROUP BY twin. The sort runs over
+    the aggregated state (one row per key), not the stream."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_topk,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = read_tick_stream(spark, stage, ts_col="ts")
+    out = streaming_topk(stream, ["user_id"], k=10)
+    return run_available_now(out, output_mode="complete")
+
+
+@query(
+    "funnel_stages",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) * 1000 END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) * 1000 END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) * 1000 END) AS t2
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id),
+c AS (SELECT
+  CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+  CAST(sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(sum(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n2
+  FROM f)
+SELECT CAST(0 AS INT) AS stage, 'view' AS stage_name, n0 AS n_users,
+       1.0 AS conversion FROM c
+UNION ALL
+SELECT CAST(1 AS INT), 'click', n1,
+       round(CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0 END, 6) FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', n2,
+       round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END, 6) FROM c""",
+)
+def q_funnel_stages(spark, sf_dir):
+    """Ordered view->click->purchase funnel: one per-user first-occurrence
+    aggregate (map-side partial mins), one global stage-count aggregate —
+    no joins, no raw-event windows."""
+    from ffn_polars_spark.operators.funnel import funnel_stages
+
+    t = ticks(spark, sf_dir)
+    return funnel_stages(
+        t, ["view", "click", "purchase"], user_col="user_id",
+        type_col="event_type", ts_col="ts_ns",
+    )
+
+
+_WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+
+
+@query(
+    "cohort_retention",
+    f"""
+WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ts_ns FROM events),
+f AS (SELECT user_id,
+             min(ts_ns) - min(ts_ns) % {_WEEK_NS} AS cohort
+      FROM e GROUP BY user_id),
+t AS (SELECT DISTINCT e.user_id, f.cohort,
+             CAST(((ts_ns - ts_ns % {_WEEK_NS}) - f.cohort) / {_WEEK_NS} AS INT)
+               AS "offset"
+      FROM e JOIN f USING (user_id)),
+c AS (SELECT cohort, "offset", count(*) AS n_users FROM t GROUP BY 1, 2)
+SELECT cohort AS cohort_start, "offset", n_users,
+       round(CAST(n_users AS DOUBLE) /
+             max(CASE WHEN "offset" = 0 THEN n_users END)
+               OVER (PARTITION BY cohort), 6) AS retention
+FROM c""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: first-event aggregate + user-keyed join
+    back + (cohort, offset) distinct count; retention normalizes by the
+    cohort's offset-0 size via a window over cohort-sized rows."""
+    from ffn_polars_spark.operators.funnel import cohort_retention
+
+    t = ticks(spark, sf_dir)
+    return cohort_retention(
+        t, user_col="user_id", ts_col="ts_ns", period_ns=_WEEK_NS
+    )
+
+
+@query(
+    "quantile_bin",
+    """
+SELECT event_id, event_type, value,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS INT) AS bin
+FROM events""",
+)
+def q_quantile_bin(spark, sf_dir):
+    """Per-group quartile bucketing via ntile with a deterministic
+    event_id tiebreak (exact mode — the approx percentile-cut path is the
+    scale variant, exercised in tests)."""
+    from ffn_polars_spark.operators.sketch import quantile_bin
+
+    ev = read_table(spark, sf_dir, "events")
+    out = quantile_bin(
+        ev.select("event_id", "event_type", "value"),
+        "value", nbins=4, group_by=["event_type"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "event_type", "value", F.col("bin").cast("int").alias("bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4102,6 +4220,10 @@ _PRIORITY = [
     "corr_matrix",
     "chunk_documents",
     "embedding_normalize",
+    "streaming_topk",
+    "funnel_stages",
+    "cohort_retention",
+    "quantile_bin",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -447,3 +447,25 @@ def stateful_realized_volatility(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_topk(
+    stream: DataFrame,
+    key_cols: Iterable[str],
+    k: int = 10,
+) -> DataFrame:
+    """Live heavy hitters: the ``k`` most frequent keys so far, maintained
+    by a complete-mode streaming aggregation (hot tickers, hot documents,
+    abusive clients). Ties break by key so the boundary is deterministic.
+
+    Complete mode re-emits the full top-k on every trigger — the sort +
+    limit runs over the AGGREGATED state (one row per distinct key), not
+    the stream, so each trigger's extra work is bounded by key cardinality.
+    State is one count per distinct key: bounded for the
+    ticker/client-shaped domains this is for; for unbounded key domains
+    (doc ids) window the stream first (streaming_time_bars-style) so the
+    watermark can evict.
+    """
+    keys = list(key_cols)
+    agg = stream.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return agg.orderBy(F.desc("n"), *[F.asc(c) for c in keys]).limit(int(k))

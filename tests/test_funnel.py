@@ -1,0 +1,89 @@
+"""Funnel/cohort analytics: ordered-progress semantics on planted
+journeys, retention normalization, quantile-bin contracts."""
+
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.operators.funnel import cohort_retention, funnel_stages
+from ffn_polars_spark.operators.sketch import quantile_bin
+
+WEEK = 7 * 24 * 3600 * 1_000_000_000
+
+
+def test_funnel_counts_ordered_progress_only(spark):
+    rows = [
+        # u1: full journey in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: clicked before viewing -> stuck at stage 0
+        (2, "click", 10), (2, "view", 20),
+        # u3: view then click, no purchase
+        (3, "view", 10), (3, "click", 15),
+        # u4: purchase only -> no view, not even stage 0
+        (4, "purchase", 5),
+        # u5: view+click simultaneous (strict < fails) -> stage 0 only
+        (5, "view", 7), (5, "click", 7),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_ns"])
+    out = {r.stage: r for r in funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert out[0].n_users == 4  # u1, u2, u3, u5 viewed
+    assert out[1].n_users == 2  # u1, u3 viewed-then-clicked
+    assert out[2].n_users == 1  # u1 completed
+    assert out[0].conversion == 1.0
+    assert out[1].conversion == 0.5
+    assert out[2].conversion == 0.5
+    assert out[1].stage_name == "click"
+
+
+def test_funnel_rejects_empty_stages(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "view", 1)], ["user_id", "event_type", "ts_ns"])
+    with pytest.raises(ValueError):
+        funnel_stages(df, [])
+
+
+def test_cohort_retention_offsets_and_normalization(spark):
+    rows = [
+        # cohort A (week 0): u1 active weeks 0,1,2; u2 weeks 0,2
+        (1, 0), (1, WEEK + 5), (1, 2 * WEEK + 5),
+        (2, 10), (2, 2 * WEEK + 10),
+        # cohort B (week 1): u3 active weeks 1 only
+        (3, WEEK + 1),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_ns"])
+    out = {
+        (r.cohort_start, r.offset): r
+        for r in cohort_retention(df, period_ns=WEEK).collect()
+    }
+    assert out[(0, 0)].n_users == 2 and out[(0, 0)].retention == 1.0
+    assert out[(0, 1)].n_users == 1 and out[(0, 1)].retention == 0.5
+    assert out[(0, 2)].n_users == 2 and out[(0, 2)].retention == 1.0
+    assert out[(WEEK, 0)].n_users == 1
+    assert (0, 3) not in out  # no activity -> no row (sparse output)
+
+
+def test_cohort_retention_max_offset(spark):
+    rows = [(1, 0), (1, 5 * WEEK)]
+    df = spark.createDataFrame(rows, ["user_id", "ts_ns"])
+    offs = {r.offset for r in cohort_retention(df, period_ns=WEEK, max_offset=2).collect()}
+    assert offs == {0}
+
+
+def test_quantile_bin_exact_and_approx_agree_on_distinct_values(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("double").alias("x"),
+    )
+    exact = quantile_bin(df, "x", nbins=4, group_by=["g"], tiebreak="event_id")
+    # equal-size tiles: 200 rows per group -> 50 per bin
+    sizes = {
+        (r.g, r.bin): r["count"]
+        for r in exact.groupBy("g", "bin").count().collect()
+    }
+    assert set(sizes.values()) == {50}
+    # approx path: same binning contract (1-based, nbins values), sizes
+    # close to equal on distinct uniform values
+    approx = quantile_bin(df, "x", nbins=4, group_by=["g"], approx=True)
+    asizes = approx.groupBy("g", "bin").count().collect()
+    assert {r.bin for r in asizes} == {1, 2, 3, 4}
+    assert all(30 <= r["count"] <= 70 for r in asizes)

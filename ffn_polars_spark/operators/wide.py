@@ -66,11 +66,19 @@ def pivot_prices(
     key_col: str = "ticker",
     value_col: str = "price",
     keys: Optional[List[str]] = None,
+    agg: str = "first",
 ) -> DataFrame:
     """Long → wide: one column per key. Passing ``keys`` explicitly skips the
-    extra distinct-keys job and keeps the column order stable."""
+    extra distinct-keys job and keeps the column order stable. ``agg`` picks
+    the cell aggregate — "first" for already-unique (id, key) pairs,
+    "avg"/"max"/"min"/"sum" for deterministic collapsing of duplicates
+    (use one of these when row order isn't guaranteed: "first" depends on
+    partition arrival order)."""
+    fns = {"first": F.first, "avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}
+    if agg not in fns:
+        raise ValueError(f"agg must be one of {sorted(fns)}")
     p = df.groupBy(id_col).pivot(key_col, keys)
-    return p.agg(F.first(value_col))
+    return p.agg(fns[agg](value_col))
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="corr_matrix")

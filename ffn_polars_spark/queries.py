@@ -4151,6 +4151,98 @@ def q_quantile_bin(spark, sf_dir):
     )
 
 
+@query(
+    "inverted_index",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+t AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> '')
+SELECT token, count(*) AS n_docs,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
+FROM t GROUP BY token""",
+)
+def q_inverted_index(spark, sf_dir):
+    """Token -> posting-list inverted index: distinct (doc, token) pairs,
+    token-keyed collect_list sorted in-row — no global sort; the oracle
+    compares the posting lists as comma-joined strings so every id and its
+    order is pinned."""
+    from ffn_polars_spark.operators.search import inverted_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = inverted_index(docs)
+    return idx.select(
+        "token",
+        "n_docs",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias(
+            "doc_ids"
+        ),
+    )
+
+
+@query(
+    "keyword_search",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+m AS (SELECT doc_id, token FROM t WHERE token IN ('hash', 'join', 'scan')),
+a AS (SELECT doc_id, count(DISTINCT token) AS n_terms, count(*) AS total_tf
+      FROM m GROUP BY doc_id)
+SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(total_tf AS BIGINT) AS total_tf
+FROM a WHERE n_terms = 3""",
+)
+def q_keyword_search(spark, sf_dir):
+    """Conjunctive keyword search (docs containing hash AND join AND scan):
+    broadcast query-term join semi-filters the exploded tokens before any
+    shuffle; one per-doc aggregate enforces the AND."""
+    from ffn_polars_spark.operators.search import keyword_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return keyword_search(docs, ["hash", "join", "scan"])
+
+
+@query(
+    "pivot_wide",
+    f"""
+WITH t AS (SELECT epoch_us(ts) * 1000 AS ts_ns, event_type,
+                  100.0 + value / 10.0 AS price
+           FROM events),
+b AS (SELECT CAST(floor(ts_ns / 60000000000) AS BIGINT) AS bucket,
+             event_type, price FROM t)
+SELECT bucket,
+       {R("avg(CASE WHEN event_type = 'click' THEN price END)")} AS click,
+       {R("avg(CASE WHEN event_type = 'error' THEN price END)")} AS error,
+       {R("avg(CASE WHEN event_type = 'purchase' THEN price END)")} AS purchase,
+       {R("avg(CASE WHEN event_type = 'signup' THEN price END)")} AS signup,
+       {R("avg(CASE WHEN event_type = 'view' THEN price END)")} AS view
+FROM b GROUP BY bucket""",
+)
+def q_pivot_wide(spark, sf_dir):
+    """Long -> wide pivot (one minute-bucket row, one column per event
+    type, avg-price cells): explicit key list keeps the schema static and
+    skips the distinct-keys job; avg cells are deterministic where first()
+    would depend on partition arrival order."""
+    from ffn_polars_spark.operators.wide import pivot_prices
+
+    t = ticks(spark, sf_dir)
+    b = t.select(
+        F.floor(F.col("ts_ns") / F.lit(60_000_000_000)).alias("bucket"),
+        "event_type",
+        "price",
+    )
+    wide = pivot_prices(
+        b, "bucket", key_col="event_type", value_col="price",
+        keys=["click", "error", "purchase", "signup", "view"], agg="avg",
+    )
+    return wide.select(
+        "bucket",
+        *[r6(F.col(c)).alias(c) for c in ("click", "error", "purchase", "signup", "view")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4224,6 +4316,9 @@ _PRIORITY = [
     "funnel_stages",
     "cohort_retention",
     "quantile_bin",
+    "inverted_index",
+    "keyword_search",
+    "pivot_wide",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

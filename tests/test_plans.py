@@ -274,3 +274,18 @@ def test_quantile_bin_approx_broadcasts_cuts(spark):
     # shuffles, and there is no sort anywhere in the approx path
     assert count_broadcast_joins(df) >= 1
     assert "Sort " not in explain_str(df)
+
+
+def test_search_shapes(spark):
+    # inverted index: posting lists sort in-row (sort_array), never via a
+    # global Sort node; one distinct + one token aggregate
+    df = QUERY_FNS["inverted_index"](spark, SF)
+    plan = explain_str(df)
+    assert "Sort " not in plan
+    assert count_exchanges(df) <= 2
+    # keyword search: the query terms attach via broadcast — the exploded
+    # corpus side is semi-filtered before any shuffle
+    df2 = QUERY_FNS["keyword_search"](spark, SF)
+    assert count_broadcast_joins(df2) >= 1
+    plan2 = explain_str(df2)
+    assert "SortMergeJoin" not in plan2

@@ -99,3 +99,21 @@ def test_corr_matrix_min_buckets_filter(spark):
     df = spark.createDataFrame(rows, ["event_type", "ts_ns", "price"])
     assert corr_matrix(df, min_buckets=2).count() == 0
     assert corr_matrix(df, min_buckets=1).count() == 1
+
+
+def test_pivot_prices_agg_modes(spark):
+    from ffn_polars_spark.operators.wide import pivot_prices
+
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (1, "A", 20.0), (1, "B", 5.0), (2, "A", 7.0)],
+        ["d", "ticker", "price"],
+    )
+    avg = {r.d: r for r in pivot_prices(df, "d", keys=["A", "B"], agg="avg").collect()}
+    assert avg[1].A == 15.0 and avg[1].B == 5.0
+    assert avg[2].A == 7.0 and avg[2].B is None
+    mx = {r.d: r for r in pivot_prices(df, "d", keys=["A", "B"], agg="max").collect()}
+    assert mx[1].A == 20.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pivot_prices(df, "d", agg="median")

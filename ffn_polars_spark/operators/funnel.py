@@ -68,7 +68,11 @@ def funnel_stages(
         cond = F.col("__t0").isNotNull()
         for j in range(1, i + 1):
             cond = cond & (F.col(f"__t{j-1}") < F.col(f"__t{j}"))
-        reached.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+        # when/otherwise(0), not cast: a stage nobody reaches is an
+        # all-NULL condition whose bare sum would be NULL rather than 0
+        reached.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"__n{i}")
+        )
     counts = firsts.agg(*reached)
     rows = F.array(
         *[

@@ -4243,6 +4243,39 @@ def q_pivot_wide(spark, sf_dir):
     )
 
 
+@query(
+    "jsonl_roundtrip",
+    """
+SELECT doc_id, lang, source, n_chars,
+       length(text) AS text_len, md5(text) AS text_md5
+FROM documents""",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL ingestion parity: write the documents table as JSON Lines
+    (the LLM-corpus interchange format), read it back with an EXPLICIT
+    schema (no inference pass), and pin byte-exact text integrity through
+    JSON escaping via md5 against the parquet-sourced oracle — newlines,
+    quotes, and unicode must survive the round trip."""
+    import hashlib
+    import os
+
+    from ffn_polars_spark.sources import read_jsonl, write_jsonl
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/ffn_jsonl_{key}/documents"
+    write_jsonl(docs, path, max_records_per_file=100_000)
+    back = read_jsonl(spark, path, schema=docs.schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4319,6 +4352,7 @@ _PRIORITY = [
     "inverted_index",
     "keyword_search",
     "pivot_wide",
+    "jsonl_roundtrip",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -182,3 +182,40 @@ def write_bucketed(
         sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: Optional[str] = None,
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Write a table as JSON Lines — the interchange format LLM corpora
+    ship in (one JSON object per line; gzip/zstd splittable-enough when
+    written as many files).
+
+    ``max_records_per_file`` keeps individual .jsonl files bounded so a
+    re-read parallelizes regardless of writer parallelism — the same
+    small-files/giant-files lever as the parquet writer.
+    """
+    w = df.write.format("json").mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.save(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read JSON Lines. ALWAYS pass ``schema`` in production: without it
+    Spark runs a full extra pass over the data just to infer types — at
+    100 TB that is a second 100 TB scan before the first real job, and
+    inference can also silently widen/narrow types between runs. With an
+    explicit schema the read is a single streaming-decode scan and
+    malformed lines land in ``_corrupt_record`` instead of failing type
+    inference."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

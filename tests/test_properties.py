@@ -198,3 +198,108 @@ def test_duplicate_spans_matches_naive(spark, texts):
         if ss
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+@SET
+def test_chunk_documents_covers_and_reconstructs(spark, texts, chunk, overlap):
+    """Every token of every non-empty doc lands in >=1 chunk, consecutive
+    chunks share exactly `overlap` tokens (except the short tail), and
+    stripping the overlap from non-first chunks reconstructs the doc."""
+    from hypothesis import assume
+
+    from ffn_polars_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ") if r.chunk_text else []
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = [by_doc[i][c] for c in sorted(by_doc[i])]
+        # reconstruction: first chunk + the tail of each subsequent chunk
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            rebuilt.extend(c[overlap:] if len(c) > overlap else [])
+        # starts step by stride, so rebuilt may repeat the tail when the
+        # last start is within `overlap` of the end; compare as prefix
+        assert rebuilt[: len(toks)] == toks
+        # chunk c_k starts at k*stride and is exactly min(chunk, n-start)
+        # long — full until the window hits the end of the doc
+        for k, c in enumerate(chunks):
+            assert len(c) == min(chunk, len(toks) - k * stride)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=2),   # stage index
+            st.integers(min_value=0, max_value=50),  # ts
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_funnel_counts_are_monotone_and_match_naive(spark, events):
+    """Stage counts never increase along the funnel, and each equals a
+    naive per-user Python evaluation of the strict first-occurrence
+    ordering."""
+    from ffn_polars_spark.operators.funnel import funnel_stages
+
+    stages = ["s0", "s1", "s2"]
+    rows = [(u, stages[s], t) for u, s, t in events]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_ns"])
+    got = {r.stage: r.n_users for r in funnel_stages(df, stages).collect()}
+    assert got[0] >= got[1] >= got[2]
+    firsts = {}
+    for u, s, t in events:
+        cur = firsts.setdefault(u, [None, None, None])
+        if cur[s] is None or t < cur[s]:
+            cur[s] = t
+    want = [0, 0, 0]
+    for t0, t1, t2 in firsts.values():
+        if t0 is not None:
+            want[0] += 1
+            if t1 is not None and t0 < t1:
+                want[1] += 1
+                if t2 is not None and t1 < t2:
+                    want[2] += 1
+    assert [got[0], got[1], got[2]] == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    nbins=st.integers(min_value=1, max_value=8),
+)
+@SET
+def test_quantile_bin_sizes_differ_by_at_most_one(spark, n, nbins):
+    """ntile's contract: bin sizes differ by at most 1 and larger bins
+    come first — for any row count and bin count."""
+    from ffn_polars_spark.operators.sketch import quantile_bin
+
+    df = spark.range(n).selectExpr("id AS event_id", "CAST(id AS DOUBLE) AS x")
+    out = quantile_bin(df, "x", nbins=nbins, tiebreak="event_id")
+    sizes = {r.bin: r["count"] for r in out.groupBy("bin").count().collect()}
+    expected_bins = min(nbins, n)
+    assert set(sizes) == set(range(1, expected_bins + 1))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    ordered = [sizes[b] for b in sorted(sizes)]
+    assert ordered == sorted(ordered, reverse=True)

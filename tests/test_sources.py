@@ -80,3 +80,28 @@ def test_write_bucketed_joins_without_exchange(spark):
     assert j.count() > 0
     spark.sql("DROP TABLE IF EXISTS ev_a")
     spark.sql("DROP TABLE IF EXISTS ev_b")
+
+
+def test_jsonl_roundtrip_preserves_tricky_text(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.sources import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'quotes "inside" and \\ backslash'),
+        (2, "newline\nand\ttab"),
+        (3, "unicode: café — 日本語 \U0001f600"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "docs")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema=df.schema)
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == {r[0]: r[1] for r in rows}
+    # explicit schema: no inference pass, types preserved exactly
+    assert back.schema == df.schema
+    # compressed write round-trips too
+    write_jsonl(df, path + "_gz", compression="gzip")
+    assert read_jsonl(spark, path + "_gz", schema=df.schema).count() == 5

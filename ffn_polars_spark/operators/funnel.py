@@ -150,3 +150,43 @@ def cohort_retention(
             F.when(base > 0, F.col("n_users") / base), 6
         ).alias("retention"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="transition_matrix")
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ns",
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    (from, to) pair, the transition count and ``P(to | from)`` — the
+    journey-structure summary behind funnel design and anomaly detection
+    (a spike in view->error says more than either count alone).
+
+    One lag window per user (ordered by ts, optional tiebreak for
+    duplicate timestamps) and one (from, to) aggregate. The window
+    partitions on the user key — high-cardinality, so parallelism scales
+    with users, and the aggregate's input is one row per event. The
+    row-probability denominator comes from a window over the (from, to)
+    matrix itself (|types|² rows), not the events.
+
+    Returns ``(from_type, to_type, n, prob)``.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = df.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / row_total, 6).alias("prob"),
+    )

@@ -4276,6 +4276,97 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "transition_matrix",
+    f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns, event_id
+           FROM events),
+p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ns, event_id) AS from_type,
+             event_type AS to_type
+      FROM e),
+c AS (SELECT from_type, to_type, count(*) AS n
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       {R("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)")} AS prob
+FROM c""",
+)
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov event-type transitions P(to | from): one lag
+    window per user (event_id tiebreak for duplicate timestamps), one
+    (from, to) aggregate; row probabilities normalize over the matrix
+    itself, not the events."""
+    from ffn_polars_spark.operators.funnel import transition_matrix
+
+    t = ticks(spark, sf_dir)
+    return transition_matrix(
+        t, user_col="user_id", type_col="event_type", ts_col="ts_ns",
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "bigram_logprob",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1)
+           AS pos
+  FROM documents),
+t AS (SELECT doc_id, pos, token FROM tok WHERE token <> ''),
+p AS (SELECT doc_id,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             token
+      FROM t),
+pr AS (SELECT doc_id, prev, token FROM p WHERE prev IS NOT NULL),
+bc AS (SELECT prev, token, count(*) AS c FROM pr GROUP BY prev, token),
+lft AS (SELECT prev, sum(c) AS cl FROM bc GROUP BY prev)
+SELECT pr.doc_id, count(*) AS n_bigrams,
+       round(-avg(ln(CAST(bc.c AS DOUBLE) / lft.cl)), 6) AS neg_logprob
+FROM pr JOIN bc USING (prev, token) JOIN lft USING (prev)
+GROUP BY pr.doc_id""",
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram perplexity proxy: MLE conditionals c(prev,t)/c_left(prev),
+    one bigram-count aggregate + a derived left-context aggregate +
+    pair-keyed join back — bigram-vocabulary-sized after the first
+    aggregate. Docs under 2 tokens are omitted."""
+    from ffn_polars_spark.operators.text import bigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+@query(
+    "partitioned_roundtrip",
+    """
+SELECT event_id, user_id, CAST(epoch_us(ts) * 1000 AS BIGINT) AS ts_ns, value
+FROM events WHERE event_type = 'purchase'""",
+)
+def q_partitioned_roundtrip(spark, sf_dir):
+    """Partitioned-layout round trip: write events partitioned by
+    event_type (the directory-pruning layout write_table recommends for
+    tick data), read back with a partition predicate, and hash-match the
+    filtered rows against the flat-parquet oracle. The predicate resolves
+    as a PartitionFilter — whole directories are skipped, the pruning
+    lever that separates touching one day from touching 100 TB
+    (tests/test_plans.py pins the PartitionFilters line)."""
+    import hashlib
+    import os
+
+    from ffn_polars_spark.sources import write_table
+
+    ev = read_table(spark, sf_dir, "events")
+    key = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/ffn_part_{key}/events"
+    write_table(ev, path, partition_by="event_type")
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    return back.select(
+        "event_id", "user_id", ts_ns_col(back).alias("ts_ns"), "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4353,6 +4444,9 @@ _PRIORITY = [
     "keyword_search",
     "pivot_wide",
     "jsonl_roundtrip",
+    "transition_matrix",
+    "bigram_logprob",
+    "partitioned_roundtrip",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -87,3 +87,23 @@ def test_quantile_bin_exact_and_approx_agree_on_distinct_values(spark):
     asizes = approx.groupBy("g", "bin").count().collect()
     assert {r.bin for r in asizes} == {1, 2, 3, 4}
     assert all(30 <= r["count"] <= 70 for r in asizes)
+
+
+def test_transition_matrix_counts_and_row_probs(spark):
+    rows = [
+        (1, "a", 1), (1, "b", 2), (1, "a", 3), (1, "b", 4),
+        (2, "a", 1), (2, "c", 2),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_ns"])
+    from ffn_polars_spark.operators.funnel import transition_matrix
+
+    out = {(r.from_type, r.to_type): r for r in transition_matrix(df).collect()}
+    # u1: a->b, b->a, a->b; u2: a->c  (no cross-user transition)
+    assert out[("a", "b")].n == 2
+    assert out[("b", "a")].n == 1
+    assert out[("a", "c")].n == 1
+    assert ("c", "a") not in out  # session ends, no wraparound
+    # rows normalize: P(b|a) = 2/3, P(c|a) = 1/3
+    assert out[("a", "b")].prob == round(2 / 3, 6)
+    assert out[("a", "c")].prob == round(1 / 3, 6)
+    assert out[("b", "a")].prob == 1.0

@@ -289,3 +289,15 @@ def test_search_shapes(spark):
     assert count_broadcast_joins(df2) >= 1
     plan2 = explain_str(df2)
     assert "SortMergeJoin" not in plan2
+
+
+def test_partitioned_roundtrip_prunes_directories(spark):
+    """The partition predicate must resolve as a PartitionFilter on the
+    re-read scan (directory pruning), not a row-level data filter."""
+    df = QUERY_FNS["partitioned_roundtrip"](spark, SF)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:400]

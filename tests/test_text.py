@@ -208,3 +208,29 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from ffn_polars_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    # corpus bigrams: (a,b)x3, (b,a)x1 -> c_left(a)=3, c_left(b)=1
+    rows = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert set(rows) == {1, 2}  # single-token doc 3 has no bigrams
+    assert rows[1].n_bigrams == 3
+    # doc1: ab, ba, ab -> -mean(ln(3/3), ln(1/1), ln(3/3)) = 0
+    assert rows[1].neg_logprob == 0.0
+    assert rows[2].n_bigrams == 1 and rows[2].neg_logprob == 0.0
+
+    # a rarer continuation scores higher
+    docs2 = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    r2 = {r.doc_id: r for r in bigram_logprob(docs2).collect()}
+    assert r2[3].neg_logprob == round(-math.log(1 / 3), 6)
+    assert r2[1].neg_logprob == round(-math.log(2 / 3), 6)
+    assert r2[3].neg_logprob > r2[1].neg_logprob

@@ -93,6 +93,21 @@ def main() -> None:
     probe = bottomk_sample(split.where("split = 'val'"), 25, id_col="doc_id")
     print("eval probe:", probe.count(), "docs")
 
+    # 5. export: training chunks as JSONL (the interchange format trainers
+    #    consume), size-capped so re-reads parallelize; read back with an
+    #    explicit schema — no inference pass
+    import tempfile
+
+    from ffn_polars_spark.sources import read_jsonl, write_jsonl
+
+    out_dir = tempfile.mkdtemp(prefix="ffn_corpus_out_") + "/chunks"
+    train_chunks = chunks.join(
+        split.where("split = 'train'").select("doc_id"), "doc_id"
+    )
+    write_jsonl(train_chunks, out_dir, max_records_per_file=100_000)
+    back = read_jsonl(spark, out_dir, schema=train_chunks.schema)
+    print("exported chunks:", back.count(), "->", out_dir)
+
     spark.stop()
 
 

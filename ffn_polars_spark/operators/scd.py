@@ -1,0 +1,81 @@
+"""Slowly-changing-dimension (SCD type 2) versioning.
+
+Beyond the reference's surface (/root/reference/ffn_polars has no
+dimension-management layer): the standard warehouse pattern for tracking
+attribute history — each key holds a chain of ``[valid_from, valid_to)``
+versions, the open version having ``valid_to IS NULL``. A training-data
+pipeline needs the same shape for slowly-changing metadata (document
+licenses, source quality tiers, user consent state) so that any batch can
+be joined AS OF its snapshot time.
+
+Design notes (100 TB):
+
+* The merge never joins updates against the dimension: open versions are
+  re-cast as pseudo-updates at their ``valid_from`` and UNIONed with the
+  incoming snapshots, so change detection is one per-key lag window and
+  version bracketing is one per-key lead window — both partitioned on the
+  dimension key (high-cardinality, even shuffle). Closed history rows pass
+  through untouched with no shuffle at all.
+* Attribute comparison is null-safe struct equality (``eqNullSafe``): a
+  NULL attribute is a value, not a wildcard — transitioning to/from NULL
+  opens a new version, NULL == NULL does not.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ffn_polars_spark.registry import register
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="scd2_merge")
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    ts_col: str = "ts_ns",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Merge attribute snapshots into an SCD2 dimension: close the open
+    version when attributes change, open a new one at the change's
+    timestamp, keep closed history verbatim.
+
+    ``dim`` carries ``(key, *attrs, valid_from, valid_to)`` with NULL
+    ``valid_to`` marking open versions (pass an empty frame to build the
+    dimension from scratch); ``updates`` carries ``(key, *attrs, ts)``
+    snapshots. Updates are assumed to be at-or-after each key's open
+    ``valid_from`` (the normal append-only feed contract); an unchanged
+    snapshot produces no new version.
+
+    Returns the full new dimension ``(key, *attrs, valid_from, valid_to)``.
+    """
+    attrs = list(attr_cols)
+    closed = dim.where(F.col(to_col).isNotNull()).select(
+        key_col, *attrs, from_col, to_col
+    )
+    open_rows = dim.where(F.col(to_col).isNull()).select(
+        F.col(key_col), *[F.col(a) for a in attrs], F.col(from_col).alias("__ts")
+    )
+    snaps = updates.select(
+        F.col(key_col), *[F.col(a) for a in attrs], F.col(ts_col).alias("__ts")
+    )
+    stream = open_rows.unionByName(snaps)
+    sig = F.struct(*[F.col(a) for a in attrs])
+    w = Window.partitionBy(key_col).orderBy("__ts")
+    change = stream.withColumn("__prev", F.lag(sig).over(w)).where(
+        F.col("__prev").isNull() | ~sig.eqNullSafe(F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__ts")
+    versions = change.select(
+        key_col,
+        *attrs,
+        F.col("__ts").alias(from_col),
+        F.lead("__ts").over(w2).alias(to_col),
+    )
+    return closed.unionByName(versions)

@@ -4367,6 +4367,55 @@ def q_partitioned_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "scd2_build",
+    """
+WITH u AS (SELECT user_id, CAST(floor(value / 100) AS INT) AS tier,
+                  epoch_us(ts) * 1000 AS ts_ns
+           FROM events),
+c AS (SELECT user_id, tier, ts_ns,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY ts_ns) AS prev
+      FROM u),
+ch AS (SELECT user_id, tier, ts_ns FROM c
+       WHERE prev IS NULL OR tier IS DISTINCT FROM prev)
+SELECT user_id, tier, ts_ns AS valid_from,
+       lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) AS valid_to
+FROM ch""",
+)
+def q_scd2_build(spark, sf_dir):
+    """SCD2 dimension built from scratch (empty dim + snapshot stream):
+    per-user tier change points become [valid_from, valid_to) version
+    chains with NULL marking the open version. One lag window for change
+    detection, one lead window for bracketing — both user-keyed."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ffn_polars_spark.operators.scd import scd2_merge
+
+    ev = read_table(spark, sf_dir, "events")
+    updates = ev.select(
+        "user_id",
+        F.floor(F.col("value") / F.lit(100.0)).cast("int").alias("tier"),
+        ts_ns_col(ev).alias("ts_ns"),
+    )
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("tier", IntegerType()),
+                StructField("valid_from", LongType()),
+                StructField("valid_to", LongType()),
+            ]
+        ),
+    )
+    return scd2_merge(empty, updates, "user_id", ["tier"], ts_col="ts_ns")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4447,6 +4496,7 @@ _PRIORITY = [
     "transition_matrix",
     "bigram_logprob",
     "partitioned_roundtrip",
+    "scd2_build",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

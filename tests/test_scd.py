@@ -1,0 +1,106 @@
+"""SCD2 merge semantics: change detection, version bracketing, null-safe
+attribute comparison, closed-history passthrough."""
+
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ffn_polars_spark.operators.scd import scd2_merge
+
+DIM_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("tier", StringType()),
+        StructField("valid_from", LongType()),
+        StructField("valid_to", LongType()),
+    ]
+)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, ["k", "tier", "ts_ns"])
+
+
+def test_scd2_from_scratch_builds_version_chain(spark):
+    upd = _upd(
+        spark,
+        [(1, "a", 10), (1, "a", 20), (1, "b", 30), (1, "a", 40), (2, "x", 5)],
+    )
+    out = sorted(
+        scd2_merge(_dim(spark, []), upd, "k", ["tier"]).collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    got = [(r.k, r.tier, r.valid_from, r.valid_to) for r in out]
+    # unchanged snapshot at ts=20 opens nothing; each change closes the prior
+    assert got == [
+        (1, "a", 10, 30),
+        (1, "b", 30, 40),
+        (1, "a", 40, None),
+        (2, "x", 5, None),
+    ]
+
+
+def test_scd2_incremental_merge_keeps_closed_history(spark):
+    dim = _dim(
+        spark,
+        [
+            (1, "old", 1, 10),    # closed history: must pass through verbatim
+            (1, "a", 10, None),   # open version
+        ],
+    )
+    upd = _upd(spark, [(1, "a", 50), (1, "b", 100)])
+    out = sorted(
+        scd2_merge(dim, upd, "k", ["tier"]).collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    got = [(r.k, r.tier, r.valid_from, r.valid_to) for r in out]
+    assert got == [
+        (1, "old", 1, 10),
+        (1, "a", 10, 100),   # open version closed at the change, not at 50
+        (1, "b", 100, None),
+    ]
+
+
+def test_scd2_null_attribute_is_a_value(spark):
+    upd = _upd(spark, [(1, "a", 10), (1, None, 20), (1, None, 30), (1, "a", 40)])
+    out = sorted(
+        scd2_merge(_dim(spark, []), upd, "k", ["tier"]).collect(),
+        key=lambda r: r.valid_from,
+    )
+    got = [(r.tier, r.valid_from, r.valid_to) for r in out]
+    # a -> NULL opens a version; NULL -> NULL does not; NULL -> a does
+    assert got == [("a", 10, 20), (None, 20, 40), ("a", 40, None)]
+
+
+def test_scd2_multi_attribute_change_detection(spark):
+    dim_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("t1", IntegerType()),
+            StructField("t2", IntegerType()),
+            StructField("valid_from", LongType()),
+            StructField("valid_to", LongType()),
+        ]
+    )
+    upd = spark.createDataFrame(
+        [(1, 1, 1, 10), (1, 1, 2, 20), (1, 1, 2, 30)],
+        ["k", "t1", "t2", "ts_ns"],
+    )
+    out = sorted(
+        scd2_merge(
+            spark.createDataFrame([], dim_schema), upd, "k", ["t1", "t2"]
+        ).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.t1, r.t2, r.valid_from, r.valid_to) for r in out] == [
+        (1, 1, 10, 20),
+        (1, 2, 20, None),
+    ]

@@ -79,3 +79,38 @@ def scd2_merge(
         F.lead("__ts").over(w2).alias(to_col),
     )
     return closed.unionByName(versions)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="scd2_asof_join")
+def scd2_asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str = "ts_ns",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (AS OF) join: attach to each fact row the dimension
+    version that was valid at the fact's timestamp —
+    ``valid_from <= ts < valid_to`` (open version: ``valid_to IS NULL``).
+    The reason SCD2 exists: any historical batch joins against the
+    attributes as they were, not as they are.
+
+    An equi-join on the dimension KEY with the interval test as a join
+    residual — per key a fact matches at most one version, so the output
+    is fact-sized. The shuffle is keyed on the high-cardinality dimension
+    key (AQE-skew-safe); version chains per key are short (bounded by
+    change count), so the residual scan per matched key is tiny. Facts
+    with no valid version at their timestamp are kept with NULL
+    attributes (left join) — silent row loss hides ingestion bugs.
+    """
+    d = dim.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c) for c in dim.columns if c not in (key_col,)],
+    )
+    cond = (
+        (F.col("__k") == facts[key_col])
+        & (d[from_col] <= facts[ts_col])
+        & (d[to_col].isNull() | (facts[ts_col] < d[to_col]))
+    )
+    return facts.join(d, cond, "left").drop("__k")

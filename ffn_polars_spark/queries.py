@@ -4416,6 +4416,45 @@ def q_scd2_build(spark, sf_dir):
     return scd2_merge(empty, updates, "user_id", ["tier"], ts_col="ts_ns")
 
 
+@query(
+    "scd2_asof_join",
+    """
+WITH u AS (SELECT user_id, CAST(floor(value / 100) AS INT) AS tier,
+                  epoch_us(ts) * 1000 AS ts_ns
+           FROM events),
+c AS (SELECT user_id, tier, ts_ns,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY ts_ns) AS prev
+      FROM u),
+ch AS (SELECT user_id, tier, ts_ns FROM c
+       WHERE prev IS NULL OR tier IS DISTINCT FROM prev),
+d AS (SELECT user_id, tier, ts_ns AS valid_from,
+             lead(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) AS valid_to
+      FROM ch),
+f AS (SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts_ns FROM events
+      WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.ts_ns, d.tier,
+       CAST(d.valid_from AS BIGINT) AS valid_from
+FROM f LEFT JOIN d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.ts_ns
+ AND (d.valid_to IS NULL OR f.ts_ns < d.valid_to)""",
+)
+def q_scd2_asof_join(spark, sf_dir):
+    """Point-in-time join of purchase facts against the SCD2 tier
+    dimension: key equi-join with the validity interval as a residual —
+    at most one version matches per fact, output stays fact-sized, left
+    join keeps unmatched facts visible."""
+    from ffn_polars_spark.operators.scd import scd2_asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = QUERY_FNS["scd2_build"](spark, sf_dir)
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_ns_col(ev).alias("ts_ns")
+    )
+    out = scd2_asof_join(facts, dim, "user_id", ts_col="ts_ns")
+    return out.select("event_id", "user_id", "ts_ns", "tier", "valid_from")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4497,6 +4536,7 @@ _PRIORITY = [
     "bigram_logprob",
     "partitioned_roundtrip",
     "scd2_build",
+    "scd2_asof_join",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -104,3 +104,23 @@ def test_scd2_multi_attribute_change_detection(spark):
         (1, 1, 10, 20),
         (1, 2, 20, None),
     ]
+
+
+def test_scd2_asof_join_picks_the_right_version(spark):
+    from ffn_polars_spark.operators.scd import scd2_asof_join
+
+    dim = _dim(
+        spark,
+        [(1, "a", 10, 30), (1, "b", 30, None), (2, "x", 100, None)],
+    )
+    facts = spark.createDataFrame(
+        [(101, 1, 15), (102, 1, 30), (103, 1, 29), (104, 2, 50), (105, 3, 1)],
+        ["fact_id", "k", "ts_ns"],
+    )
+    out = {r.fact_id: r for r in scd2_asof_join(facts, dim, "k").collect()}
+    assert out[101].tier == "a"          # inside [10, 30)
+    assert out[103].tier == "a"          # boundary-1
+    assert out[102].tier == "b"          # valid_to is EXCLUSIVE: 30 -> "b"
+    assert out[104].tier is None         # before user 2's first version
+    assert out[105].tier is None         # unknown key kept (left join)
+    assert len(out) == 5                 # output stays fact-sized

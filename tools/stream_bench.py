@@ -48,10 +48,10 @@ def make_stream(spark, rows_per_second: int):
     )
 
 
-def drive(name: str, result_df, duration_s: float) -> dict:
+def drive(name: str, result_df, duration_s: float, output_mode: str = "update") -> dict:
     q = (
         result_df.writeStream.format("noop")
-        .outputMode("update")
+        .outputMode(output_mode)
         .trigger(processingTime="1 second")
         .start()
     )
@@ -120,7 +120,15 @@ def main() -> None:
     r2["state_bounded"] = r2["state_rows"] is not None and r2["state_rows"] <= N_TICKERS
     print(json.dumps(r2), flush=True)
 
-    if not (r1["state_bounded"] and r2["state_bounded"]):
+    from ffn_polars_spark.streaming import streaming_topk
+
+    topk = streaming_topk(make_stream(spark, rps), ["ticker"], k=10)
+    r3 = drive("streaming_topk", topk, duration, output_mode="complete")
+    # complete-mode count state: one row per distinct key
+    r3["state_bounded"] = r3["state_rows"] is not None and r3["state_rows"] <= N_TICKERS
+    print(json.dumps(r3), flush=True)
+
+    if not (r1["state_bounded"] and r2["state_bounded"] and r3["state_bounded"]):
         sys.exit("FAIL: state-store growth exceeded the bounded-state contract")
 
 

@@ -1,0 +1,136 @@
+"""Ingest-time data-quality gates: join-key profiling and time-series gap
+detection.
+
+Beyond the reference's surface (/root/reference/ffn_polars has no
+data-quality layer): the checks a pipeline runs BEFORE trusting a new
+batch — does the fact table still join, and is the tape missing bars?
+
+Design notes (100 TB):
+
+* ``join_profile`` reduces both sides to key-level frames first (map-side
+  distinct / partial counts), so every join in the profile is
+  key-cardinality-sized, not row-sized; the fact table is scanned once.
+* ``detect_gaps`` explodes each key's expected bucket range from a
+  staged (min, max) pair — an integer ``sequence`` generator, nothing
+  interpreted — and anti-joins the observed buckets. Output is run-length
+  merged (one row per contiguous gap), so a dead ticker produces one row,
+  not a million.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ffn_polars_spark.registry import register
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="join_profile")
+def join_profile(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Referential-integrity profile of a fact→dimension join: orphan
+    facts (no dimension row), unused dimension keys, match rate, and the
+    fan-out distribution (facts per dimension key) — the one-row report
+    to gate a batch on before running the real join.
+
+    The fact side collapses to (key, n) with one map-side-combined
+    aggregate; the dim side to distinct keys. Everything downstream joins
+    key-cardinality frames. NULL fact keys are counted separately (they
+    match nothing by SQL semantics and usually indicate extraction bugs).
+
+    Returns one row: ``(n_facts, n_null_keys, n_orphan_facts, match_rate,
+    n_dim_keys, n_unused_dim_keys, max_fanout, avg_fanout)``.
+    """
+    fk = F.col(fact_key)
+    fcounts = facts.groupBy(fk.alias("__k")).agg(F.count(F.lit(1)).alias("__n"))
+    dkeys = dim.select(F.col(dim_key).alias("__k")).distinct()
+    nulls = fcounts.where(F.col("__k").isNull())
+    nn = fcounts.where(F.col("__k").isNotNull())
+    matched = nn.join(dkeys, "__k")
+    orphan = nn.join(dkeys, "__k", "left_anti")
+    unused = dkeys.join(nn, "__k", "left_anti")
+    tot = fcounts.agg(F.sum("__n").alias("n_facts"))
+    stats = [
+        tot,
+        nulls.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_null_keys")),
+        orphan.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_orphan_facts")),
+        matched.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("__n_matched"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("max_fanout"),
+            F.round(F.coalesce(F.avg("__n"), F.lit(0.0)), 6).alias("avg_fanout"),
+        ),
+        dkeys.agg(F.count(F.lit(1)).alias("n_dim_keys")),
+        unused.agg(F.count(F.lit(1)).alias("n_unused_dim_keys")),
+    ]
+    row = stats[0]
+    for s in stats[1:]:
+        row = row.crossJoin(F.broadcast(s))
+    return row.select(
+        "n_facts",
+        "n_null_keys",
+        "n_orphan_facts",
+        F.round(
+            F.when(F.col("n_facts") > 0, F.col("__n_matched") / F.col("n_facts")),
+            6,
+        ).alias("match_rate"),
+        "n_dim_keys",
+        "n_unused_dim_keys",
+        "max_fanout",
+        "avg_fanout",
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="detect_gaps")
+def detect_gaps(
+    df: DataFrame,
+    ts_col: str = "ts_ns",
+    key_col: str = "event_type",
+    bucket_ns: int = 60_000_000_000,
+) -> DataFrame:
+    """Missing-bucket detection per key: which time buckets between each
+    key's first and last activity have NO rows — dead feeds, exchange
+    halts, ingestion holes. Contiguous missing buckets merge into one gap
+    row (run-length via the bucket − row_number trick), so a long outage
+    is one row, not thousands.
+
+    Shapes: distinct (key, bucket) → per-key (min, max) → integer
+    ``sequence`` explode of the expected range → anti-join observed →
+    run-length aggregate. All shuffles are keyed on (key[, bucket]);
+    expected rows per key are bounded by the key's active range / bucket.
+
+    Returns ``(key, gap_start_bucket, gap_end_bucket, n_missing)``.
+    """
+    b = df.select(
+        F.col(key_col).alias("__key"),
+        F.floor(F.col(ts_col) / F.lit(int(bucket_ns))).alias("__bucket"),
+    ).distinct()
+    rng = b.groupBy("__key").agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    expected = rng.select(
+        "__key", F.explode(F.sequence("__lo", "__hi")).alias("__bucket")
+    )
+    gaps = expected.join(b, ["__key", "__bucket"], "left_anti")
+    w = Window.partitionBy("__key").orderBy("__bucket")
+    runs = gaps.withColumn(
+        "__grp", F.col("__bucket") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("__key", "__grp")
+        .agg(
+            F.min("__bucket").alias("gap_start_bucket"),
+            F.max("__bucket").alias("gap_end_bucket"),
+            F.count(F.lit(1)).alias("n_missing"),
+        )
+        .select(
+            F.col("__key").alias(key_col),
+            "gap_start_bucket",
+            "gap_end_bucket",
+            "n_missing",
+        )
+    )

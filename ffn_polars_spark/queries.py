@@ -4455,6 +4455,70 @@ def q_scd2_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "ts_ns", "tier", "valid_from")
 
 
+@query(
+    "join_profile",
+    """
+WITH f AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+d AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+m AS (SELECT f.n FROM f JOIN d USING (k)),
+o AS (SELECT f.n FROM f LEFT JOIN d USING (k) WHERE d.k IS NULL),
+un AS (SELECT d.k FROM d LEFT JOIN f USING (k) WHERE f.k IS NULL)
+SELECT CAST((SELECT sum(n) FROM f) AS BIGINT) AS n_facts,
+       CAST(0 AS BIGINT) AS n_null_keys,
+       CAST(coalesce((SELECT sum(n) FROM o), 0) AS BIGINT) AS n_orphan_facts,
+       round(CAST((SELECT sum(n) FROM m) AS DOUBLE) /
+             (SELECT sum(n) FROM f), 6) AS match_rate,
+       CAST((SELECT count(*) FROM d) AS BIGINT) AS n_dim_keys,
+       CAST((SELECT count(*) FROM un) AS BIGINT) AS n_unused_dim_keys,
+       CAST((SELECT max(n) FROM m) AS BIGINT) AS max_fanout,
+       round((SELECT avg(n) FROM m), 6) AS avg_fanout""",
+)
+def q_join_profile(spark, sf_dir):
+    """Referential-integrity gate on the lineitem->orders FK: one-row
+    report of orphans, unused dimension keys, match rate, and fan-out —
+    every join in the profile runs on key-cardinality frames (map-side
+    partial counts / distinct), never row-sized ones."""
+    from ffn_polars_spark.operators.quality import join_profile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    return join_profile(li, o, "l_orderkey", "o_orderkey")
+
+
+@query(
+    "detect_gaps",
+    f"""
+WITH b AS (SELECT DISTINCT event_type,
+                  CAST(floor(epoch_us(ts) * 1000 / {60 * 10**9}) AS BIGINT)
+                    AS bucket
+           FROM events),
+r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM b GROUP BY 1),
+e AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM r),
+g AS (SELECT e.event_type, e.bucket FROM e
+      LEFT JOIN b USING (event_type, bucket) WHERE b.bucket IS NULL),
+runs AS (SELECT event_type, bucket,
+                bucket - row_number() OVER (PARTITION BY event_type
+                                            ORDER BY bucket) AS grp
+         FROM g)
+SELECT event_type, CAST(min(bucket) AS BIGINT) AS gap_start_bucket,
+       CAST(max(bucket) AS BIGINT) AS gap_end_bucket,
+       count(*) AS n_missing
+FROM runs GROUP BY event_type, grp""",
+)
+def q_detect_gaps(spark, sf_dir):
+    """Missing minute-buckets per event type between each key's first and
+    last activity, run-length merged so a long outage is one row: distinct
+    buckets -> integer sequence explode of the expected range -> anti-join
+    -> bucket - row_number run grouping."""
+    from ffn_polars_spark.operators.quality import detect_gaps
+
+    t = ticks(spark, sf_dir)
+    return detect_gaps(
+        t, ts_col="ts_ns", key_col="event_type", bucket_ns=60 * 10**9
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4537,6 +4601,8 @@ _PRIORITY = [
     "partitioned_roundtrip",
     "scd2_build",
     "scd2_asof_join",
+    "join_profile",
+    "detect_gaps",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

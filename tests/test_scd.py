@@ -124,3 +124,43 @@ def test_scd2_asof_join_picks_the_right_version(spark):
     assert out[104].tier is None         # before user 2's first version
     assert out[105].tier is None         # unknown key kept (left join)
     assert len(out) == 5                 # output stays fact-sized
+
+
+def test_join_profile_orphans_unused_and_fanout(spark):
+    from ffn_polars_spark.operators.quality import join_profile
+
+    facts = spark.createDataFrame(
+        [(1, "f1"), (1, "f2"), (2, "f3"), (9, "f4"), (None, "f5")],
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    r = join_profile(facts, dim, "k", "k").collect()[0]
+    assert r.n_facts == 5
+    assert r.n_null_keys == 1
+    assert r.n_orphan_facts == 1        # k=9
+    assert r.match_rate == 0.6          # 3 of 5 facts match (k=1 x2, k=2)
+    assert r.n_dim_keys == 3
+    assert r.n_unused_dim_keys == 1     # k=3
+    assert r.max_fanout == 2 and r.avg_fanout == 1.5
+
+
+def test_detect_gaps_merges_runs_and_bounds_range(spark):
+    from ffn_polars_spark.operators.quality import detect_gaps
+
+    M = 60_000_000_000
+    rows = [
+        ("A", 0), ("A", 1 * M), ("A", 5 * M), ("A", 6 * M), ("A", 9 * M),
+        ("B", 0), ("B", 1 * M),   # no gaps
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ns"])
+    out = sorted(
+        detect_gaps(df, bucket_ns=M).collect(),
+        key=lambda r: (r.event_type, r.gap_start_bucket),
+    )
+    got = [
+        (r.event_type, r.gap_start_bucket, r.gap_end_bucket, r.n_missing)
+        for r in out
+    ]
+    # A active at buckets {0,1,5,6,9}: gaps [2..4] and [7..8]; B has none;
+    # nothing outside each key's own [min, max] range is reported
+    assert got == [("A", 2, 4, 3), ("A", 7, 8, 2)]

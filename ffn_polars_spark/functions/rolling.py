@@ -81,3 +81,22 @@ def rolling_corr(
     a, b = to_col(self), to_col(other)
     w = _frame(over, "rolling_corr", window)
     return _full_only(F.corr(a, b).over(w), F.count(a).over(w), window)
+
+
+@register(namespace="eod", context="series")
+@auto_alias("rolling_beta")
+@guard_input("self", expected_dtype="double")
+def rolling_beta(
+    self: ColumnOrName, other: ColumnOrName, window: int, *, over: Over
+) -> Column:
+    """Rolling OLS beta of ``self`` against ``other`` over the trailing
+    window: ``covar_pop(y, x) / var_pop(x)`` — the hedge-ratio /
+    market-exposure companion to :func:`rolling_corr`, same
+    single-exchange windowed shape. Null until the window is full and
+    whenever ``other`` has zero variance in the window (guarded division:
+    ANSI mode raises on the bare divide)."""
+    y, x = to_col(self), to_col(other)
+    w = _frame(over, "rolling_beta", window)
+    den = F.var_pop(x).over(w)
+    beta = F.when(den != 0, F.covar_pop(y, x).over(w) / den)
+    return _full_only(beta, F.count(y).over(w), window)

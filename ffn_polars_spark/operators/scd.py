@@ -50,8 +50,10 @@ def scd2_merge(
     ``valid_to`` marking open versions (pass an empty frame to build the
     dimension from scratch); ``updates`` carries ``(key, *attrs, ts)``
     snapshots. Updates are assumed to be at-or-after each key's open
-    ``valid_from`` (the normal append-only feed contract); an unchanged
-    snapshot produces no new version.
+    ``valid_from`` (the normal append-only feed contract), with UNIQUE
+    ``(key, ts)`` — two snapshots of one key at the same instant have no
+    defined order, so dedupe upstream; an unchanged snapshot produces no
+    new version.
 
     Returns the full new dimension ``(key, *attrs, valid_from, valid_to)``.
     """

@@ -410,3 +410,47 @@ def quantile_bin(
         lambda acc, c: acc + F.when(v > c, F.lit(1)).otherwise(F.lit(0)),
     )
     return j.withColumn("bin", bin_expr).drop("__cuts")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="winsorize")
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Percentile clipping (winsorization): cap each value into its
+    group's ``[p_lower, p_upper]`` band — the tail-taming companion to
+    :func:`robust_outliers` when you want to KEEP the rows but bound their
+    leverage (loss spikes from a handful of absurd values).
+
+    One per-group percentile aggregate broadcast-joined back, then a pure
+    ``greatest/least`` projection — the corpus-sized side never shuffles.
+    Same exact/approx split as the rest of this module: exact
+    ``F.percentile`` is reproducible and the oracle target;
+    ``approx=True`` uses the bounded-memory sketch for few huge groups.
+
+    Adds ``<value_col>_winsorized`` alongside the original column.
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (parity with siblings)
+
+    gcols = list(group_by) if group_by else []
+    pct = (
+        (lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(10000)))
+        if approx
+        else (lambda c, q: F.percentile(c, F.lit(q)))
+    )
+    grp = df.groupBy(*gcols) if gcols else df.groupBy()
+    cuts = grp.agg(
+        pct(F.col(value_col), float(lower)).alias("__lo"),
+        pct(F.col(value_col), float(upper)).alias("__hi"),
+    )
+    j = (
+        df.join(F.broadcast(cuts), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return j.withColumn(f"{value_col}_winsorized", clipped).drop("__lo", "__hi")

@@ -4519,6 +4519,58 @@ def q_detect_gaps(spark, sf_dir):
     )
 
 
+@query(
+    "rolling_beta",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20
+                 AND var_pop(price_b) OVER ({_ROLL_W}) <> 0
+            THEN {R(f"covar_pop(price, price_b) OVER ({_ROLL_W}) / var_pop(price_b) OVER ({_ROLL_W})")}
+       END AS price_rolling_beta
+FROM ticks""",
+)
+def q_rolling_beta(spark, sf_dir):
+    """Rolling OLS beta (hedge ratio) of price vs price_b over a 20-row
+    trailing window: covar_pop/var_pop with a zero-variance guard, same
+    single-exchange windowed shape as rolling_corr."""
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(ffn.eod.rolling_beta("price", "price_b", 20, over=TICK_OVER)).alias(
+            "price_rolling_beta"
+        ),
+    )
+
+
+@query(
+    "winsorize",
+    """
+WITH c AS (SELECT event_type,
+                  quantile_cont(value, 0.01) AS lo,
+                  quantile_cont(value, 0.99) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, c.lo), c.hi) AS value_winsorized
+FROM events e JOIN c USING (event_type)""",
+)
+def q_winsorize(spark, sf_dir):
+    """Percentile clipping into each event type's [p1, p99] band: one
+    exact-percentile aggregate broadcast-joined back + a greatest/least
+    projection — the big side never shuffles. Clipped values are either
+    the original or the interpolated percentile, both engine-identical,
+    so no rounding is needed."""
+    from ffn_polars_spark.operators.sketch import winsorize
+
+    ev = read_table(spark, sf_dir, "events")
+    out = winsorize(
+        ev.select("event_id", "event_type", "value"),
+        "value", group_by=["event_type"], lower=0.01, upper=0.99,
+    )
+    return out.select("event_id", "event_type", "value", "value_winsorized")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4603,6 +4655,8 @@ _PRIORITY = [
     "scd2_asof_join",
     "join_profile",
     "detect_gaps",
+    "winsorize",
+    "rolling_beta",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -96,3 +96,25 @@ def test_rolling_grouped_restart(spark):
 def test_rolling_requires_order():
     with pytest.raises(ValueError, match="order"):
         ffn.eod.rolling_mean("x", 3, over=Over())
+
+
+def test_rolling_beta_recovers_known_slope_and_guards_zero_var(spark):
+    from pyspark.sql import functions as F
+
+    import ffn_polars_spark as ffn
+    from ffn_polars_spark import Over
+
+    # y = 3x + 7 exactly -> beta = 3 once the window is full; z is constant
+    rows = [(i, float(i % 11), 3.0 * (i % 11) + 7.0, 5.0) for i in range(30)]
+    df = spark.createDataFrame(rows, ["i", "x", "y", "z"])
+    over = Over(order_by="i")
+    out = df.select(
+        "i",
+        ffn.eod.rolling_beta("y", "x", 10, over=over).alias("b"),
+        ffn.eod.rolling_beta("y", "z", 10, over=over).alias("bz"),
+    ).collect()
+    by_i = {r.i: r for r in out}
+    assert by_i[5].b is None                     # window not full yet
+    for i in range(9, 30):
+        assert abs(by_i[i].b - 3.0) < 1e-9       # exact linear relation
+        assert by_i[i].bz is None                # zero-variance regressor

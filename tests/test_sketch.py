@@ -242,3 +242,20 @@ def test_robust_outliers_no_groups_and_approx_path(spark):
     # percentile_approx at this accuracy is exact-ish on 1000 distinct values
     assert approx.n == 1000
     assert abs(approx.median - 499.5) <= 1.0
+
+
+def test_winsorize_clips_into_percentile_band(spark):
+    from ffn_polars_spark.operators.sketch import winsorize
+
+    vals = [float(v) for v in range(1, 100)] + [10_000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "x"])
+    out = winsorize(df, "x", group_by=["grp"], lower=0.01, upper=0.99).collect()
+    w = {r.x: r.x_winsorized for r in out}
+    import pytest as _pytest
+
+    # p99 of 1..99,10000 (n=100): rank 99*0.99 = 98.01 -> 99 + frac*(10000-99)
+    assert w[10_000.0] == _pytest.approx(198.01, rel=1e-9)  # clipped down
+    assert w[50.0] == 50.0                     # interior values untouched
+    # p1: rank 99*0.01 = 0.99 -> 1 + 0.99*(2-1) = 1.99
+    assert w[1.0] == _pytest.approx(1.99, rel=1e-9)  # low tail clipped up
+    assert len(out) == 100                     # row count preserved

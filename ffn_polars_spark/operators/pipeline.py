@@ -360,3 +360,95 @@ def pack_sequences(
         .cast("long")
         .alias("chunk_tokens"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="kfold_assign")
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-fold assignment by content-independent id hash:
+    ``fold = int(md5(str(id) || salt)[:8], 16) % k`` — the
+    cross-validation companion to :func:`deterministic_split`, with the
+    same three properties (re-run/engine/partitioning stable, incremental
+    under new ids, md5-replayable outside Spark). ``salt`` re-rolls the
+    folds without touching the data.
+
+    Pure map-side projection: zero shuffle at any scale. Adds an integer
+    ``fold`` column in ``[0, k)``.
+    """
+    if k < 2:
+        raise ValueError("k must be at least 2")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("fold", (h % F.lit(int(k))).cast("int"))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="time_split")
+def time_split(
+    df: DataFrame,
+    ts_col: str = "ts_ns",
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Leakage-safe temporal split: everything before the ``train_frac``
+    time quantile is train, everything at/after is test — the split
+    time-series models need (a random split leaks future rows into
+    training; id-hash splits are for exchangeable documents, not ordered
+    observations).
+
+    The cutoff is the exact interpolated ``train_frac`` quantile of the
+    timestamp column (one aggregate), broadcast back as a 1-row frame —
+    the corpus never shuffles; the assignment is a comparison. Rows with
+    NULL timestamps go to NULL split (surface them, don't guess).
+
+    Adds ``split`` ('train' | 'test') and a ``cutoff_ts`` column so the
+    boundary is auditable in the output itself.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError("train_frac must be in (0, 1)")
+    cut = df.agg(
+        F.percentile(F.col(ts_col), F.lit(float(train_frac))).alias("__cut")
+    )
+    j = df.crossJoin(F.broadcast(cut))
+    split = F.when(F.col(ts_col).isNull(), F.lit(None).cast("string")).when(
+        F.col(ts_col) < F.col("__cut"), F.lit("train")
+    ).otherwise(F.lit("test"))
+    return j.withColumn("split", split).withColumnRenamed("__cut", "cutoff_ts")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="label_stats")
+def label_stats(
+    df: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Class-balance report: per-label counts and frequencies plus the
+    dataset's label entropy (bits) on every row — the one-glance check
+    before training a classifier or stratifying a sample (a 0.1-bit
+    entropy says "this dataset is one class plus noise" faster than any
+    histogram).
+
+    One label-keyed count aggregate (map-side partials; label cardinality
+    rows thereafter) and a 1-row broadcast of the total and entropy.
+    NULL labels count as their own class.
+
+    Returns ``(label, n, frac, entropy_bits)`` — entropy repeated per row
+    for a self-contained report.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("__tot"))
+    withp = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__p", F.col("n") / F.col("__tot")
+    )
+    h = withp.agg((-F.sum(F.col("__p") * F.log2("__p"))).alias("__h"))
+    j = withp.crossJoin(F.broadcast(h))
+    return j.select(
+        label_col,
+        "n",
+        F.round(F.col("__p"), 6).alias("frac"),
+        F.round(F.col("__h"), 6).alias("entropy_bits"),
+    )

@@ -4571,6 +4571,70 @@ def q_winsorize(spark, sf_dir):
     return out.select("event_id", "event_type", "value", "value_winsorized")
 
 
+@query(
+    "kfold_assign",
+    """
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 5 AS INT) AS fold
+FROM documents""",
+)
+def q_kfold_assign(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment: md5-of-id mod k,
+    the same engine-portable idiom as deterministic_split — zero shuffle,
+    folds replayable by any engine with md5."""
+    from ffn_polars_spark.operators.pipeline import kfold_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kfold_assign(docs, k=5).select("doc_id", "fold")
+
+
+@query(
+    "time_split",
+    f"""
+WITH e AS (SELECT event_id, epoch_us(ts) * 1000 AS ts_ns FROM events),
+c AS (SELECT quantile_cont(ts_ns, 0.8) AS cutoff FROM e)
+SELECT e.event_id, e.ts_ns,
+       CASE WHEN e.ts_ns < c.cutoff THEN 'train' ELSE 'test' END AS split,
+       {R("c.cutoff")} AS cutoff_ts
+FROM e, c""",
+)
+def q_time_split(spark, sf_dir):
+    """Leakage-safe temporal 80/20 split: exact time-quantile cutoff
+    broadcast back as a 1-row frame, assignment by comparison — the
+    corpus never shuffles. The cutoff rides along so the boundary is
+    auditable in the output."""
+    from ffn_polars_spark.operators.pipeline import time_split
+
+    ev = read_table(spark, sf_dir, "events")
+    out = time_split(
+        ev.select("event_id", ts_ns_col(ev).alias("ts_ns")), train_frac=0.8
+    )
+    return out.select("event_id", "ts_ns", "split", "cutoff_ts")
+
+
+@query(
+    "label_stats",
+    """
+WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+t AS (SELECT sum(n) AS tot FROM c),
+p AS (SELECT c.label, c.n, CAST(c.n AS DOUBLE) / t.tot AS p FROM c, t),
+h AS (SELECT -sum(p * log2(p)) AS ent FROM p)
+SELECT p.label, CAST(p.n AS BIGINT) AS n, round(p.p, 6) AS frac,
+       round(h.ent, 6) AS entropy_bits
+FROM p, h""",
+)
+def q_label_stats(spark, sf_dir):
+    """Class-balance report on the embeddings labels: per-label counts and
+    frequencies plus the dataset's label entropy in bits (repeated per
+    row for a self-contained report) — one label-keyed aggregate and two
+    1-row broadcasts."""
+    from ffn_polars_spark.operators.pipeline import label_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_stats(emb, "label")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4657,6 +4721,9 @@ _PRIORITY = [
     "detect_gaps",
     "winsorize",
     "rolling_beta",
+    "kfold_assign",
+    "time_split",
+    "label_stats",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

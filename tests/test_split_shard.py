@@ -195,3 +195,63 @@ def test_decontaminate_flags_shared_ngrams(spark):
         r["doc_id"]: r for r in decontaminate(train, hold, min_hits=1000).collect()
     }
     assert not any(r["contaminated"] for r in strict.values())
+
+
+def test_kfold_assign_stable_and_balanced(spark):
+    import hashlib
+
+    from ffn_polars_spark.operators.pipeline import kfold_assign
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    out = {r.doc_id: r.fold for r in kfold_assign(df, k=5).collect()}
+    # matches an independent python md5 replay
+    for i in (0, 1, 999, 1999):
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5
+        assert out[i] == want
+    # folds roughly balanced (binomial: 400 +- ~5 sigma)
+    from collections import Counter
+
+    sizes = Counter(out.values())
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert all(300 < n < 500 for n in sizes.values())
+    # salt re-rolls
+    out2 = {r.doc_id: r.fold for r in kfold_assign(df, k=5, salt="x").collect()}
+    assert out != out2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kfold_assign(df, k=1)
+
+
+def test_time_split_is_temporal_and_total(spark):
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.pipeline import time_split
+
+    df = spark.range(0, 100).selectExpr("id AS event_id", "id * 10 AS ts_ns")
+    out = time_split(df, train_frac=0.8).collect()
+    cut = out[0].cutoff_ts
+    for r in out:
+        assert r.cutoff_ts == cut  # one global boundary
+        assert (r.split == "train") == (r.ts_ns < cut)
+    # every train ts strictly precedes every test ts: no leakage
+    max_train = max(r.ts_ns for r in out if r.split == "train")
+    min_test = min(r.ts_ns for r in out if r.split == "test")
+    assert max_train < min_test
+    n_train = sum(1 for r in out if r.split == "train")
+    assert 75 <= n_train <= 85
+
+
+def test_label_stats_entropy(spark):
+    import math
+
+    from ffn_polars_spark.operators.pipeline import label_stats
+
+    # 50/50 binary labels -> exactly 1 bit
+    df = spark.range(0, 100).selectExpr("id % 2 AS label")
+    rows = label_stats(df).collect()
+    assert all(r.entropy_bits == 1.0 for r in rows)
+    assert {r.label: r.frac for r in rows} == {0: 0.5, 1: 0.5}
+    # one class -> 0 bits (with -0.0 normalized)
+    one = label_stats(spark.range(0, 10).selectExpr("1 AS label")).collect()
+    assert abs(one[0].entropy_bits) == 0.0 and one[0].frac == 1.0

@@ -40,6 +40,17 @@ def main() -> None:
         "value", nbins=4, group_by=["event_type"], tiebreak="event_id",
     ).groupBy("event_type", "bin").count().orderBy("event_type", "bin").show(8)
 
+    # 3b. ingest gates: does the fact table still join, and are there
+    #     holes in the tape? then a leakage-safe temporal split
+    from ffn_polars_spark.operators.pipeline import time_split
+    from ffn_polars_spark.operators.quality import detect_gaps, join_profile
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    join_profile(lineitem, orders, "l_orderkey", "o_orderkey").show()
+    detect_gaps(ev, bucket_ns=3600 * 10**9).groupBy("event_type").count().show()
+    time_split(ev, train_frac=0.8).groupBy("split").count().show()
+
     # 4. live heavy hitters over the same events replayed as a stream
     from ffn_polars_spark.streaming import (
         read_tick_stream,

@@ -4649,12 +4649,18 @@ def q_label_stats(spark, sf_dir):
 #         |                                               | after the r4
 #         |                                               | ts_ns_col rewrite
 #   r6    | 9 never-driver-green oracles (resample x2,    | only entries with
-#         | sim_market_day, streaming x6) + the 18 NEW    | no current driver
+#         | sim_market_day, streaming x6) + ALL 43 NEW    | no current driver
 #         | round-6 entries (sketches, spans, semantic    | evidence
-#         | dedup, tfidf, streaming histogram/join,       |
-#         | EWMA family, drawdown episodes, overlap)      |
+#         | dedup, tfidf, streaming histogram/join/topk,  |
+#         | EWMA family, drawdown episodes, overlap,      |
+#         | corpus scoring/rollup, outliers, corr matrix, |
+#         | chunking, embed normalize, funnel/cohort/bin, |
+#         | search, pivot, jsonl, transitions, bigram,    |
+#         | partition pruning, SCD2 x2, quality gates,    |
+#         | winsorize, beta, kfold/time-split/labels)     |
 #         | + 4 r5 canaries + the r04-stale entries,      |
-#         | risk-first                                    |
+#         | risk-first — the driver's ~50-entry prefix    |
+#         | covers the 9 + the highest-risk new block     |
 #   r7+   | alternate halves: odd rounds front-load the   | no verdict older
 #         | core-§2 half (r5's front), even rounds the    | than 2 rounds
 #         | pipeline/dedup/ann/streaming half (r6's),     |

@@ -10,9 +10,9 @@ exchange.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ffn_polars_spark.core import ColumnOrName, Over, first_by, last_by, to_col
@@ -81,3 +81,53 @@ def calc_realized_volatility(
 
 
 calc_realized_volatility._alias_suffix = "realized_volatility"
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="autocorr")
+def autocorr(
+    df: DataFrame,
+    value_col: str,
+    by: Optional[Union[str, list]] = None,
+    order_by: Union[str, list] = "ts_ns",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Serial autocorrelation of a per-key series at lags ``1..max_lag``:
+    ``corr(x_t, x_{t-k})`` — the return-predictability / microstructure-
+    noise diagnostic (bid-ask bounce shows up as negative lag-1
+    autocorrelation in trade returns).
+
+    One ordered window per key produces all the lagged columns in a
+    single pass (one exchange; lags share the sort), then one aggregate
+    per key emits a row per lag. Correlation uses guarded population
+    moments — NULL on zero variance instead of an ANSI divide-by-zero,
+    same as corr_matrix.
+
+    Returns ``(*by, lag, n, acf)``.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in ocols])
+    x = F.col(value_col)
+    lagged = df.select(
+        *gcols,
+        x.alias("__x"),
+        *[F.lag(x, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+
+    def acf(k: int):
+        lk = F.col(f"__l{k}")
+        n = F.count(F.when(lk.isNotNull(), F.lit(1)))
+        den = F.stddev_pop(F.when(lk.isNotNull(), F.col("__x"))) * F.stddev_pop(lk)
+        cov = F.covar_pop(F.when(lk.isNotNull(), F.col("__x")), lk)
+        return F.struct(
+            F.lit(k).alias("lag"),
+            n.alias("n"),
+            F.round(F.when(den != 0, cov / den), 6).alias("acf"),
+        )
+
+    agg = (lagged.groupBy(*gcols) if gcols else lagged.groupBy()).agg(
+        F.array(*[acf(k) for k in range(1, max_lag + 1)]).alias("__a")
+    )
+    return agg.select(*gcols, F.explode("__a").alias("r")).select(
+        *gcols, "r.lag", "r.n", "r.acf"
+    )

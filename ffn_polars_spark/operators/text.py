@@ -721,6 +721,29 @@ def chunk_documents(
     )
 
 
+def doc_bigram_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """In-document (prev, token) adjacency pairs: tokenize, posexplode,
+    per-doc lag window — the measured-fastest pair build (see
+    bigram_logprob's docstring for why the in-row variants lose).
+    Returns ``(id, prev, token)``, one row per bigram occurrence."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return toks.select(
+        F.col(id_col),
+        F.lag("token").over(w).alias("prev"),
+        "token",
+    ).where(F.col("prev").isNotNull())
+
+
 @register(namespace="eod", kind="df", context="dataframe", alias="bigram_logprob")
 def bigram_logprob(
     df: DataFrame,
@@ -752,20 +775,7 @@ def bigram_logprob(
 
     Returns ``(doc_id, n_bigrams, neg_logprob)``.
     """
-    from pyspark.sql.window import Window
-
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(tokens(F.col(text_col)), lambda t: t != "")
-        ).alias("pos", "token"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    pairs = toks.select(
-        F.col(id_col),
-        F.lag("token").over(w).alias("prev"),
-        "token",
-    ).where(F.col("prev").isNotNull())
+    pairs = doc_bigram_pairs(df, text_col, id_col)
     bc = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("__c"))
     left = bc.groupBy("prev").agg(F.sum("__c").alias("__cl"))
     scored = pairs.join(bc, ["prev", "token"]).join(left, "prev")
@@ -778,3 +788,52 @@ def bigram_logprob(
             ).alias("neg_logprob"),
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="pmi_collocations")
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``PMI(a, b) = ln( c(a,b) · N / (c_left(a) · c_right(b)) )`` over
+    adjacent token pairs — the phrase detector ("new york", "machine
+    learning") behind vocabulary merging and template discovery;
+    ``min_count`` suppresses the classic PMI pathology of one-off pairs
+    scoring highest.
+
+    Shape: the shared bigram pair build, one (a, b) count aggregate, two
+    marginal aggregates derived from it (bigram-vocabulary-sized), a
+    broadcast of the 1-row total, and a TakeOrderedAndProject top-k —
+    ties break by the pair so the cut is deterministic.
+
+    Returns ``(prev, token, n, pmi)``.
+    """
+    pairs = doc_bigram_pairs(df, text_col, id_col)
+    bc = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("n"))
+    bc = bc.where(F.col("n") >= F.lit(int(min_count)))
+    left = bc.groupBy("prev").agg(F.sum("n").alias("__cl"))
+    right = bc.groupBy("token").agg(F.sum("n").alias("__cr"))
+    tot = bc.agg(F.sum("n").alias("__N"))
+    scored = (
+        bc.join(left, "prev")
+        .join(right, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "token",
+            "n",
+            F.round(
+                F.log(
+                    F.col("n") * F.col("__N") / (F.col("__cl") * F.col("__cr"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("prev"), F.asc("token")
+    ).limit(int(k))

@@ -4635,6 +4635,115 @@ def q_label_stats(spark, sf_dir):
     return label_stats(emb, "label")
 
 
+@query(
+    "calc_var_cvar",
+    TICKS_SQL
+    + f""",
+r AS (SELECT event_type,
+             price / lag(price) OVER ({W}) - 1 AS ret
+      FROM ticks),
+rr AS (SELECT event_type, ret FROM r WHERE ret IS NOT NULL),
+q AS (SELECT event_type, quantile_cont(ret, 0.05) AS v
+      FROM rr GROUP BY event_type)
+SELECT rr.event_type, count(rr.ret) AS n,
+       round(max(q.v), 6) AS var,
+       round(avg(CASE WHEN rr.ret <= q.v THEN rr.ret END), 6) AS cvar,
+       CAST(count(CASE WHEN rr.ret <= q.v THEN 1 END) AS BIGINT) AS n_tail
+FROM rr JOIN q USING (event_type) GROUP BY rr.event_type""",
+)
+def q_calc_var_cvar(spark, sf_dir):
+    """Historical VaR (5% interpolated quantile) and CVaR (mean of the
+    tail at-or-below it) per event type on tick returns: one exact
+    percentile aggregate broadcast back + one conditional aggregate."""
+    from ffn_polars_spark.functions.eod_risk import calc_var_cvar
+
+    t = ticks(spark, sf_dir)
+    r = t.select(
+        "event_type",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    return calc_var_cvar(r, "ret", group_by="event_type", alpha=0.05)
+
+
+@query(
+    "autocorr",
+    TICKS_SQL
+    + f""",
+r AS (SELECT event_type, ts_ns, event_id,
+             price / lag(price) OVER ({W}) - 1 AS ret
+      FROM ticks),
+rr AS (SELECT event_type, ts_ns, event_id, ret FROM r WHERE ret IS NOT NULL),
+lagged AS (SELECT event_type, ret,
+                  lag(ret, 1) OVER ({W}) AS l1,
+                  lag(ret, 2) OVER ({W}) AS l2,
+                  lag(ret, 3) OVER ({W}) AS l3
+           FROM rr)
+SELECT event_type, CAST(1 AS INT) AS lag, count(l1) AS n,
+       round(covar_pop(CASE WHEN l1 IS NOT NULL THEN ret END, l1) / (stddev_pop(CASE WHEN l1 IS NOT NULL THEN ret END) * stddev_pop(l1)), 6) AS acf
+FROM lagged GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(2 AS INT), count(l2),
+       round(covar_pop(CASE WHEN l2 IS NOT NULL THEN ret END, l2) / (stddev_pop(CASE WHEN l2 IS NOT NULL THEN ret END) * stddev_pop(l2)), 6)
+FROM lagged GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(3 AS INT), count(l3),
+       round(covar_pop(CASE WHEN l3 IS NOT NULL THEN ret END, l3) / (stddev_pop(CASE WHEN l3 IS NOT NULL THEN ret END) * stddev_pop(l3)), 6)
+FROM lagged GROUP BY event_type""",
+)
+def q_autocorr(spark, sf_dir):
+    """Return autocorrelation at lags 1-3 per event type: one ordered
+    window produces every lagged column in a single pass, one aggregate
+    emits a row per lag; guarded population moments (NULL on zero
+    variance) keep it ANSI-safe."""
+    from ffn_polars_spark.functions.tick_price import autocorr
+
+    t = ticks(spark, sf_dir)
+    r = t.select(
+        "event_type",
+        "ts_ns",
+        "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    return autocorr(
+        r, "ret", by="event_type", order_by=["ts_ns", "event_id"], max_lag=3
+    )
+
+
+@query(
+    "pmi_collocations",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1)
+           AS pos
+  FROM documents),
+t AS (SELECT doc_id, pos, token FROM tok WHERE token <> ''),
+p AS (SELECT doc_id,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             token
+      FROM t),
+pr AS (SELECT prev, token FROM p WHERE prev IS NOT NULL),
+bc AS (SELECT prev, token, count(*) AS n FROM pr GROUP BY prev, token
+       HAVING count(*) >= 3),
+lft AS (SELECT prev, sum(n) AS cl FROM bc GROUP BY prev),
+rgt AS (SELECT token, sum(n) AS cr FROM bc GROUP BY token),
+tot AS (SELECT sum(n) AS N FROM bc)
+SELECT bc.prev, bc.token, bc.n,
+       round(ln(CAST(bc.n AS DOUBLE) * tot.N / (lft.cl * rgt.cr)), 6) AS pmi
+FROM bc JOIN lft USING (prev) JOIN rgt USING (token), tot
+ORDER BY pmi DESC, prev, token LIMIT 50""",
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 collocations by PMI over adjacent token pairs (min count 3):
+    shared bigram build, marginals derived from the pair counts, 1-row
+    total broadcast, deterministic top-k."""
+    from ffn_polars_spark.operators.text import pmi_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=50, min_count=3)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4730,6 +4839,9 @@ _PRIORITY = [
     "kfold_assign",
     "time_split",
     "label_stats",
+    "calc_var_cvar",
+    "autocorr",
+    "pmi_collocations",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

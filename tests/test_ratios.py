@@ -137,3 +137,27 @@ def test_calmar(spark):
     cagr = (130.0 / 100.0) ** (1 / yf) - 1
     mdd = 90.0 / 120.0 - 1
     aae(out["p_calmar_ratio"], cagr / abs(mdd), places=9)
+
+
+def test_calc_var_cvar_known_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.functions.eod_risk import calc_var_cvar
+
+    # returns -100..-1 and 1..100 scaled: alpha=0.05 over 200 values
+    vals = [float(v) / 100 for v in range(-100, 0)] + [
+        float(v) / 100 for v in range(1, 101)
+    ]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "ret"])
+    r = calc_var_cvar(df, "ret", group_by="grp", alpha=0.05).collect()[0]
+    assert r.n == 200
+    # VaR: interpolated 5% quantile of the sorted values
+    import numpy as np
+
+    want_var = float(np.quantile(np.array(vals), 0.05))
+    assert abs(r.var - round(want_var, 6)) < 1e-9
+    tail = [v for v in vals if v <= want_var]
+    assert r.n_tail == len(tail)
+    assert abs(r.cvar - round(sum(tail) / len(tail), 6)) < 1e-6
+    # CVaR is at least as bad as VaR
+    assert r.cvar <= r.var

@@ -234,3 +234,29 @@ def test_bigram_logprob_hand_computed(spark):
     assert r2[3].neg_logprob == round(-math.log(1 / 3), 6)
     assert r2[1].neg_logprob == round(-math.log(2 / 3), 6)
     assert r2[3].neg_logprob > r2[1].neg_logprob
+
+
+def test_pmi_collocations_scores_phrases_over_chance(spark):
+    from ffn_polars_spark.operators.text import pmi_collocations
+
+    # "new york" always adjacent; "the" pairs with everything
+    docs = spark.createDataFrame(
+        [
+            (i, "the new york office of the big firm in new york")
+            for i in range(5)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = pmi_collocations(docs, k=10, min_count=3).collect()
+    by = {(r.prev, r.token): r for r in rows}
+    assert ("new", "york") in by
+    assert by[("new", "york")].n == 10
+    # exclusivity ranks: "the new" (the most promiscuous left context
+    # here) scores strictly lowest; fully-exclusive pairs score highest —
+    # the classic PMI preference for rare-but-always-together pairs
+    assert by[("new", "york")].pmi > by[("the", "new")].pmi
+    assert all(r.pmi >= by[("the", "new")].pmi for r in rows)
+    assert by[("big", "firm")].pmi == max(r.pmi for r in rows)
+    # deterministic order: pmi desc then pair
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)

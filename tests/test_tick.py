@@ -180,3 +180,20 @@ def test_price_impact_and_vol_ratio(spark, tickdf):
         statistics.stdev([100.0, 101.0, 101.0, 99.0]) / statistics.mean([100.0, 101.0, 101.0, 99.0]),
         places=9,
     )
+
+
+def test_autocorr_alternating_and_iid(spark):
+    from ffn_polars_spark.functions.tick_price import autocorr
+
+    # alternating +1/-1 -> lag-1 acf = -1, lag-2 acf = +1
+    rows = [("A", i, 1.0 if i % 2 == 0 else -1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {r.lag: r for r in autocorr(df, "x", by="k", order_by="t", max_lag=2).collect()}
+    assert out[1].acf == -1.0
+    assert out[2].acf == 1.0
+    assert out[1].n == 99 and out[2].n == 98
+
+    # constant series: zero variance -> NULL, not an ANSI error
+    const = spark.createDataFrame([("A", i, 5.0) for i in range(10)], ["k", "t", "x"])
+    out2 = autocorr(const, "x", by="k", order_by="t", max_lag=1).collect()
+    assert out2[0].acf is None

@@ -134,3 +134,36 @@ def detect_gaps(
             "n_missing",
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="snapshot_diff")
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus version diff: classify every id across two snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing
+    content fingerprints — the lineage record a training-data release
+    needs ("what exactly moved between v3 and v4?") and the input to
+    incremental re-processing (only ``added``+``changed`` need re-scoring).
+
+    Content is compared by md5 of the raw content column (computed
+    map-side on each snapshot — what crosses the join is (id, 32-byte
+    hash), not documents), and the diff itself is one full-outer equi-join
+    on the id. At 100 TB the hash projection is the difference between
+    joining two corpora and joining two key columns.
+
+    Returns ``(id, status)`` for every id in either snapshot.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("__ho"))
+    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("__hn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

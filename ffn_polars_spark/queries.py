@@ -4744,6 +4744,41 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, k=50, min_count=3)
 
 
+@query(
+    "snapshot_diff",
+    """
+WITH old AS (SELECT doc_id, md5(text) AS ho FROM documents
+             WHERE doc_id % 10 <> 0),
+new AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+                 AS hn
+        FROM documents WHERE doc_id % 9 <> 0)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.ho IS NULL THEN 'added'
+            WHEN new.hn IS NULL THEN 'removed'
+            WHEN old.ho = new.hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""",
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus version diff between two deterministic snapshot views of the
+    documents table (v1 drops ids % 10 = 0; v2 drops ids % 9 = 0 and
+    appends ' v2' to ids % 7 = 0): md5 fingerprints computed map-side,
+    one full-outer equi-join on the id — so added/removed/changed/
+    unchanged are all exercised."""
+    from ffn_polars_spark.operators.quality import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 10 != 0)
+    v2 = docs.where(F.col("doc_id") % 9 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v1, v2)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4842,6 +4877,7 @@ _PRIORITY = [
     "calc_var_cvar",
     "autocorr",
     "pmi_collocations",
+    "snapshot_diff",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

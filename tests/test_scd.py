@@ -164,3 +164,18 @@ def test_detect_gaps_merges_runs_and_bounds_range(spark):
     # A active at buckets {0,1,5,6,9}: gaps [2..4] and [7..8]; B has none;
     # nothing outside each key's own [min, max] range is reported
     assert got == [("A", 2, 4, 3), ("A", 7, 8, 2)]
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from ffn_polars_spark.operators.quality import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"],
+    )
+    v2 = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(v1, v2).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -38,39 +38,45 @@ def join_profile(
     fan-out distribution (facts per dimension key) — the one-row report
     to gate a batch on before running the real join.
 
-    The fact side collapses to (key, n) with one map-side-combined
-    aggregate; the dim side to distinct keys. Everything downstream joins
-    key-cardinality frames. NULL fact keys are counted separately (they
-    match nothing by SQL semantics and usually indicate extraction bugs).
+    ONE pass: the fact side collapses to (key, n) with a single
+    map-side-combined aggregate, the dim side to flagged distinct keys,
+    and every statistic comes out of one aggregate over their full-outer
+    key join — the fact and dimension tables are each scanned exactly
+    once regardless of how many metrics the report carries. NULL fact
+    keys are counted separately (they match nothing by SQL semantics and
+    usually indicate extraction bugs).
 
     Returns one row: ``(n_facts, n_null_keys, n_orphan_facts, match_rate,
     n_dim_keys, n_unused_dim_keys, max_fanout, avg_fanout)``.
     """
     fk = F.col(fact_key)
     fcounts = facts.groupBy(fk.alias("__k")).agg(F.count(F.lit(1)).alias("__n"))
-    dkeys = dim.select(F.col(dim_key).alias("__k")).distinct()
-    nulls = fcounts.where(F.col("__k").isNull())
-    nn = fcounts.where(F.col("__k").isNotNull())
-    matched = nn.join(dkeys, "__k")
-    orphan = nn.join(dkeys, "__k", "left_anti")
-    unused = dkeys.join(nn, "__k", "left_anti")
-    tot = fcounts.agg(F.sum("__n").alias("n_facts"))
-    stats = [
-        tot,
-        nulls.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_null_keys")),
-        orphan.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("n_orphan_facts")),
-        matched.agg(
-            F.coalesce(F.sum("__n"), F.lit(0)).alias("__n_matched"),
-            F.coalesce(F.max("__n"), F.lit(0)).alias("max_fanout"),
-            F.round(F.coalesce(F.avg("__n"), F.lit(0.0)), 6).alias("avg_fanout"),
+    dkeys = dim.select(F.col(dim_key).alias("__k")).distinct().withColumn(
+        "__d", F.lit(1)
+    )
+    j = fcounts.join(dkeys, "__k", "full_outer")
+    is_fact = F.col("__n").isNotNull()
+    is_null_key = is_fact & F.col("__k").isNull()
+    has_dim = F.col("__d").isNotNull()
+    matched_n = F.when(is_fact & has_dim, F.col("__n"))
+    out = j.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n_facts"),
+        F.coalesce(F.sum(F.when(is_null_key, F.col("__n"))), F.lit(0)).alias(
+            "n_null_keys"
         ),
-        dkeys.agg(F.count(F.lit(1)).alias("n_dim_keys")),
-        unused.agg(F.count(F.lit(1)).alias("n_unused_dim_keys")),
-    ]
-    row = stats[0]
-    for s in stats[1:]:
-        row = row.crossJoin(F.broadcast(s))
-    return row.select(
+        F.coalesce(
+            F.sum(F.when(is_fact & ~is_null_key & ~has_dim, F.col("__n"))),
+            F.lit(0),
+        ).alias("n_orphan_facts"),
+        F.coalesce(F.sum(matched_n), F.lit(0)).alias("__n_matched"),
+        F.coalesce(F.max(matched_n), F.lit(0)).alias("max_fanout"),
+        F.round(F.coalesce(F.avg(matched_n), F.lit(0.0)), 6).alias("avg_fanout"),
+        F.coalesce(F.sum("__d"), F.lit(0)).alias("n_dim_keys"),
+        F.coalesce(
+            F.sum(F.when(has_dim & ~is_fact, F.lit(1))), F.lit(0)
+        ).alias("n_unused_dim_keys"),
+    )
+    return out.select(
         "n_facts",
         "n_null_keys",
         "n_orphan_facts",

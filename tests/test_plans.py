@@ -301,3 +301,16 @@ def test_partitioned_roundtrip_prunes_directories(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan[:400]
+
+
+def test_join_profile_scans_each_side_once(spark):
+    """The one-row integrity report must come out of a single pass: one
+    fact scan, one dim scan, one full-outer key join, one aggregate —
+    NOT one sub-job per metric (the naive shape scans the fact table
+    five times)."""
+    import re
+
+    df = QUERY_FNS["join_profile"](spark, SF)
+    plan = explain_str(df)
+    nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(nodes) <= 2, nodes

@@ -618,7 +618,10 @@ def unigram_logprob(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
-    n = toks.select(F.count(F.lit(1)).alias("__n"))
+    # N = sum of the token frequencies: derived from the vocabulary-sized
+    # tf frame, NOT a third corpus pass (the naive toks.count() re-ran the
+    # tokenize+explode scan)
+    n = tf.agg(F.sum("__tf").alias("__n"))
     per_doc = (
         toks.join(tf, "token")
         .groupBy(id_col)

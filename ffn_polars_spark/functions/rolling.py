@@ -100,3 +100,21 @@ def rolling_beta(
     den = F.var_pop(x).over(w)
     beta = F.when(den != 0, F.covar_pop(y, x).over(w) / den)
     return _full_only(beta, F.count(y).over(w), window)
+
+
+@register(namespace="eod", context="series")
+@auto_alias("rolling_median")
+@guard_input("self", expected_dtype="double")
+def rolling_median(
+    self: ColumnOrName, window: int, *, over: Over
+) -> Column:
+    """Rolling exact median over the trailing window — the robust smoother
+    that ignores a fat-fingered print entirely where rolling_mean drags
+    toward it. Exact interpolated percentile per frame (engine-portable:
+    DuckDB's windowed quantile_cont computes the same value); for very
+    wide windows at scale prefer the approx percentile variants — this is
+    the reproducible form. Null until the window is full."""
+    c = to_col(self)
+    w = _frame(over, "rolling_median", window)
+    med = F.percentile(c, F.lit(0.5)).over(w)
+    return _full_only(med, F.count(c).over(w), window)

@@ -454,3 +454,45 @@ def winsorize(
     )
     clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
     return j.withColumn(f"{value_col}_winsorized", clipped).drop("__lo", "__hi")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="feature_scale")
+def feature_scale(
+    df: DataFrame,
+    value_col: str,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-group feature scaling: adds BOTH standardized
+    (``(x - mean) / stddev``) and min-max (``(x - min) / (max - min)``)
+    columns in one pass — the ML-preprocessing twin of winsorize (scale
+    the survivors after clipping the tails).
+
+    One per-group moments aggregate broadcast-joined back, then a pure
+    projection — the big side never shuffles. Degenerate groups guard to
+    NULL instead of an ANSI divide-by-zero: zero variance (constant
+    group) and zero range respectively.
+
+    Adds ``<value_col>_zscore`` and ``<value_col>_minmax``.
+    """
+    gcols = list(group_by) if group_by else []
+    grp = df.groupBy(*gcols) if gcols else df.groupBy()
+    stats = grp.agg(
+        F.avg(F.col(value_col)).alias("__mu"),
+        F.stddev_samp(F.col(value_col)).alias("__sd"),
+        F.min(F.col(value_col)).alias("__lo"),
+        F.max(F.col(value_col)).alias("__hi"),
+    )
+    j = (
+        df.join(F.broadcast(stats), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    v = F.col(value_col)
+    z = F.when(F.col("__sd") != 0, (v - F.col("__mu")) / F.col("__sd"))
+    rng = F.col("__hi") - F.col("__lo")
+    mm = F.when(rng != 0, (v - F.col("__lo")) / rng)
+    return (
+        j.withColumn(f"{value_col}_zscore", F.round(z, 6))
+        .withColumn(f"{value_col}_minmax", F.round(mm, 6))
+        .drop("__mu", "__sd", "__lo", "__hi")
+    )

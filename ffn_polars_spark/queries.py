@@ -4779,6 +4779,60 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(v1, v2)
 
 
+@query(
+    "rolling_median",
+    TICKS_SQL
+    + f"""
+SELECT event_type, event_id,
+       CASE WHEN count(price) OVER ({_ROLL_W}) >= 20
+            THEN {R(f"quantile_cont(price, 0.5) OVER ({_ROLL_W})")}
+       END AS price_rolling_median
+FROM ticks""",
+)
+def q_rolling_median(spark, sf_dir):
+    """Rolling exact median over a 20-row trailing window: the robust
+    smoother a fat-fingered print cannot drag; F.percentile and windowed
+    quantile_cont share the SQL-standard interpolation."""
+    t = ticks(spark, sf_dir)
+    return t.select(
+        "event_type",
+        "event_id",
+        r6(
+            ffn.eod.rolling_median("price", 20, over=TICK_OVER)
+        ).alias("price_rolling_median"),
+    )
+
+
+@query(
+    "feature_scale",
+    """
+WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+                  min(value) AS lo, max(value) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN s.sd <> 0 THEN (e.value - s.mu) / s.sd END, 6)
+         AS value_zscore,
+       round(CASE WHEN s.hi - s.lo <> 0
+                  THEN (e.value - s.lo) / (s.hi - s.lo) END, 6)
+         AS value_minmax
+FROM events e JOIN s USING (event_type)""",
+)
+def q_feature_scale(spark, sf_dir):
+    """Per-type standardization and min-max scaling in one pass: one
+    moments aggregate broadcast back + a projection; degenerate groups
+    (zero variance / zero range) yield NULL, not an ANSI error."""
+    from ffn_polars_spark.operators.sketch import feature_scale
+
+    ev = read_table(spark, sf_dir, "events")
+    out = feature_scale(
+        ev.select("event_id", "event_type", "value"),
+        "value", group_by=["event_type"],
+    )
+    return out.select(
+        "event_id", "event_type", "value", "value_zscore", "value_minmax"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4878,6 +4932,8 @@ _PRIORITY = [
     "autocorr",
     "pmi_collocations",
     "snapshot_diff",
+    "rolling_median",
+    "feature_scale",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -118,3 +118,20 @@ def test_rolling_beta_recovers_known_slope_and_guards_zero_var(spark):
     for i in range(9, 30):
         assert abs(by_i[i].b - 3.0) < 1e-9       # exact linear relation
         assert by_i[i].bz is None                # zero-variance regressor
+
+
+def test_rolling_median_ignores_outlier(spark):
+    import ffn_polars_spark as ffn
+    from ffn_polars_spark import Over
+
+    # constant 10s with one 1000 spike: the 5-row median never moves
+    rows = [(i, 1000.0 if i == 10 else 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["i", "x"])
+    out = {
+        r.i: r.m
+        for r in df.select(
+            "i", ffn.eod.rolling_median("x", 5, over=Over(order_by="i")).alias("m")
+        ).collect()
+    }
+    assert out[3] is None              # window not yet full
+    assert all(out[i] == 10.0 for i in range(4, 20))  # spike never wins

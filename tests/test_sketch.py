@@ -259,3 +259,18 @@ def test_winsorize_clips_into_percentile_band(spark):
     # p1: rank 99*0.01 = 0.99 -> 1 + 0.99*(2-1) = 1.99
     assert w[1.0] == _pytest.approx(1.99, rel=1e-9)  # low tail clipped up
     assert len(out) == 100                     # row count preserved
+
+
+def test_feature_scale_zscore_minmax_and_degenerate_guard(spark):
+    from ffn_polars_spark.operators.sketch import feature_scale
+
+    rows = [("g", 0.0), ("g", 5.0), ("g", 10.0), ("c", 7.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = feature_scale(df, "x", group_by=["grp"]).collect()
+    g = {r.x: r for r in out if r.grp == "g"}
+    assert g[0.0].x_minmax == 0.0 and g[10.0].x_minmax == 1.0
+    assert g[5.0].x_minmax == 0.5 and g[5.0].x_zscore == 0.0
+    assert g[0.0].x_zscore == -g[10.0].x_zscore  # symmetric
+    # constant group: zero variance AND zero range -> NULL, not an error
+    c = [r for r in out if r.grp == "c"]
+    assert all(r.x_zscore is None and r.x_minmax is None for r in c)

@@ -496,3 +496,34 @@ def feature_scale(
         .withColumn(f"{value_col}_minmax", F.round(mm, 6))
         .drop("__mu", "__sd", "__lo", "__hi")
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="weighted_sample")
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    tag: str = "wsample",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample of exactly ``k`` rows without
+    replacement, inclusion probability proportional to ``weight_col`` —
+    the curation step "sample documents proportional to quality score",
+    reproducible across re-runs, engines, and cluster shapes.
+
+    Efraimidis–Spirakis (2006) keys: ``key = u^(1/w)`` with ``u`` the
+    row's md5 uniform; the k LARGEST keys are a weight-proportional
+    without-replacement sample. Computed as ``ln(u)/w`` and taking the k
+    largest (same order, no pow-precision surprises); zero/negative
+    weights are excluded (key −inf). Same md5 idiom as bottomk_sample, so
+    any engine replays the draw; ``orderBy().limit()`` compiles to
+    ``TakeOrderedAndProject`` — per-partition local top-k, no global sort.
+
+    Returns the sampled rows with their ``__key`` dropped.
+    """
+    u = uniform(F.col(id_col), tag, seed, hash_fn="md5")
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w)
+    out = df.withColumn("__key", key).where(F.col("__key").isNotNull())
+    return out.orderBy(F.desc("__key"), F.col(id_col)).limit(int(k)).drop("__key")

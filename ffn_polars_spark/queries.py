@@ -4833,6 +4833,27 @@ def q_feature_scale(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_sample",
+    """
+SELECT doc_id, source, n_chars FROM documents
+WHERE n_chars > 0
+ORDER BY (ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample:0'), 18, 15))::BIGINT
+          / 1152921504606846976.0) / n_chars) DESC, doc_id
+LIMIT 50""",
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample (Efraimidis-Spirakis): 50 documents
+    with inclusion probability proportional to n_chars, keys ln(u)/w on
+    md5 uniforms — replayable by any engine, TakeOrderedAndProject plan
+    (no global sort)."""
+    from ffn_polars_spark.operators.sketch import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 50, weight_col="n_chars")
+    return out.select("doc_id", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4934,6 +4955,7 @@ _PRIORITY = [
     "snapshot_diff",
     "rolling_median",
     "feature_scale",
+    "weighted_sample",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -274,3 +274,34 @@ def test_feature_scale_zscore_minmax_and_degenerate_guard(spark):
     # constant group: zero variance AND zero range -> NULL, not an error
     c = [r for r in out if r.grp == "c"]
     assert all(r.x_zscore is None and r.x_minmax is None for r in c)
+
+
+def test_weighted_sample_matches_python_replay_and_biases_heavy(spark):
+    import hashlib
+    import math
+
+    from ffn_polars_spark.operators.sketch import weighted_sample
+
+    # ids 0..999, weight = 1 for even ids, 100 for odd ids
+    rows = [(i, 100.0 if i % 2 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, 100, weight_col="w").collect()
+    )
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}:wsample:0".encode()).hexdigest()
+        u = int(h[17:32], 16) / float(1 << 60)
+        return math.log(u) / w
+
+    want = sorted(
+        sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:100]
+    )
+    assert got == [i for i, _ in want]
+    # heavy weights dominate: ~99% of the sample should be odd ids
+    odd = sum(1 for i in got if i % 2)
+    assert odd > 90
+
+    # zero/negative weights are excluded entirely
+    dfz = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)], ["doc_id", "w"])
+    assert [r.doc_id for r in weighted_sample(dfz, 3, weight_col="w").collect()] == [3]

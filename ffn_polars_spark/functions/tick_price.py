@@ -131,3 +131,41 @@ def autocorr(
     return agg.select(*gcols, F.explode("__a").alias("r")).select(
         *gcols, "r.lag", "r.n", "r.acf"
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="amihud")
+def amihud_illiquidity(
+    df: DataFrame,
+    price_col: str,
+    volume_col: str,
+    by: Optional[Union[str, list]] = None,
+    order_by: Union[str, list] = "ts_ns",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Amihud (2002) illiquidity at tick frequency: the mean over events of
+    ``|r_t| / (p_t * v_t)`` per key, scaled by ``scale`` (the conventional
+    x1e6) — price move per unit of traded value, the workhorse
+    price-impact / illiquidity proxy. Complements [[calc_price_impact]]
+    (one end-to-end move over total volume) with a per-event average that
+    is robust to intra-window reversals.
+
+    ``r_t`` is the simple return ``p_t / p_{t-1} - 1`` with the lag
+    restarting at key boundaries; events with zero traded value or no
+    predecessor contribute nothing (NULL-skipped by ``avg``).
+
+    Plan shape: one ordered window per key for the lag, one hash aggregate
+    — a single exchange, linear in events, no join.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    p = F.col(price_col).cast("double")
+    r = p / F.lag(p, 1).over(w) - F.lit(1.0)
+    dollar = p * F.col(volume_col).cast("double")
+    illiq = F.when(dollar > 0, F.abs(r) / dollar)
+    pre = df.withColumn("__illiq", illiq)
+    g = pre.groupBy(*keys) if keys else pre.groupBy()
+    return g.agg(
+        (F.avg("__illiq") * F.lit(float(scale))).alias("amihud"),
+        F.count("__illiq").alias("n_obs"),
+    )

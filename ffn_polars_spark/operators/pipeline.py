@@ -452,3 +452,41 @@ def label_stats(
         F.round(F.col("__p"), 6).alias("frac"),
         F.round(F.col("__h"), 6).alias("entropy_bits"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="cap_per_group")
+def cap_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tag: str = "cap",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by a deterministic uniform
+    draw — the domain-capping curation step ("no single source dominates
+    the mix") used ahead of training-data mixing, reproducible across
+    re-runs, engines, and cluster shapes.
+
+    Rows are ranked inside each group by the md5 uniform of ``id_col``
+    (ties broken by id) and the first ``n`` survive — an unbiased
+    without-replacement sample per group, and a *stable* one: adding new
+    documents to a group never evicts a kept one unless the newcomer draws
+    a smaller key. Contrast [[domain_mix]] (rate-based target mixing) and
+    [[stratified_sample]] (per-stratum fractions): this is a hard cap.
+
+    Plan shape: one ``row_number`` window per group (single hash
+    partitioning on ``group_col``), no join, no collect. Skewed group
+    sizes are window-safe — rank then filter streams each partition once.
+    """
+    from pyspark.sql.window import Window
+
+    from ffn_polars_spark.sim.rand import uniform
+
+    u = uniform(F.col(id_col), tag, seed, hash_fn="md5")
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(int(n)))
+        .drop("__rn")
+    )

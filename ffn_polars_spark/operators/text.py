@@ -539,6 +539,94 @@ def duplicate_spans(
     )
 
 
+@register(namespace="eod", kind="df", context="dataframe", alias="scrub_spans")
+def scrub_spans(
+    df: DataFrame,
+    width: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove cross-document duplicated spans from the text — the *apply*
+    step behind [[duplicate_spans]] (which only measures): substring-level
+    deduplication in the spirit of ExactSubstr (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), where a
+    word is scrubbed when any ``width``-word window containing it occurs
+    in ≥ ``min_docs`` distinct documents.
+
+    Semantics: split on single spaces (exact, engine-replayable
+    tokenization); a *span* is each consecutive ``width``-word window; a
+    span is *duplicated* when ≥ ``min_docs`` distinct documents contain
+    it; word position ``p`` is *covered* when a duplicated span starts at
+    any position in ``[p-width+1, p]`` (every such span contains ``p``).
+    Covered words are dropped and the remainder re-joined with single
+    spaces — a document scrubbed to nothing yields ``text_clean = ''``.
+
+    Plan shape (the 100 TB part): spans are built with ``width-1``
+    ``lead()`` calls over one per-document window — no self-join, no
+    re-tokenize per span; document frequency is a distinct + groupBy
+    (linear in corpus tokens, map-side partial agg); the duplicated-span
+    set joins back by span key (shuffle equi-join — the set is a small
+    fraction of spans in real corpora); coverage is a windowed running
+    ``max`` over the previous ``width-1`` rows, not an interval join.
+    Nothing here is quadratic in documents or tokens.
+
+    Returns ``(id, text_clean, n_words, n_removed)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = int(width)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("word")] + [F.lead("word", i).over(win) for i in range(1, w)]
+    span = F.when(
+        F.lead("word", w - 1).over(win).isNotNull(), F.concat_ws(" ", *leads)
+    )
+    spans = words.withColumn("__span", span)
+    dup = (
+        spans.where(F.col("__span").isNotNull())
+        .select(id_col, "__span")
+        .distinct()
+        .groupBy("__span")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= F.lit(int(min_docs)))
+        .select("__span", F.lit(1).alias("__dup"))
+    )
+    flagged = spans.join(dup, "__span", "left").select(
+        F.col(id_col),
+        "pos",
+        "word",
+        F.coalesce(F.col("__dup"), F.lit(0)).alias("__ds"),
+    )
+    cover_win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    covered = flagged.withColumn("__cov", F.max("__ds").over(cover_win))
+    return (
+        covered.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word", "__cov"))
+                        ),
+                        lambda x: x["__cov"] == 0,
+                    ),
+                    lambda x: x["word"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__cov").alias("n_removed"),
+        )
+        .select(id_col, "text_clean", "n_words", "n_removed")
+    )
+
+
 @register(namespace="eod", kind="df", context="dataframe", alias="tfidf_topterms")
 def tfidf_topterms(
     df: DataFrame,

@@ -4854,6 +4854,106 @@ def q_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+@query(
+    "scrub_spans",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN lead(word, 4) OVER win IS NOT NULL THEN
+           concat_ws(' ', word, lead(word, 1) OVER win, lead(word, 2) OVER win,
+                     lead(word, 3) OVER win, lead(word, 4) OVER win)
+         END AS span
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+dup AS (
+  SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp WHERE span IS NOT NULL)
+  GROUP BY span HAVING count(*) >= 2
+),
+fl AS (
+  SELECT sp.doc_id, sp.pos, sp.word,
+         CASE WHEN dup.span IS NOT NULL THEN 1 ELSE 0 END AS ds
+  FROM sp LEFT JOIN dup ON sp.span = dup.span
+),
+cov AS (
+  SELECT doc_id, pos, word,
+         max(ds) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+  FROM fl
+)
+SELECT doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE c = 0), '')
+         AS text_clean,
+       count(*) AS n_words,
+       CAST(sum(c) AS BIGINT) AS n_removed
+FROM cov GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_scrub_spans(spark, sf_dir):
+    """Substring-level dedup APPLIED (ExactSubstr shape, Lee et al. 2022):
+    every word covered by a 5-word span occurring in >= 2 distinct
+    documents is scrubbed and the text reassembled. lead()-built spans,
+    distinct+groupBy document frequency, windowed running-max coverage —
+    no self-join, nothing quadratic."""
+    from ffn_polars_spark.operators.text import scrub_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return scrub_spans(docs, width=5, min_docs=2)
+
+
+@query(
+    "cap_per_group",
+    """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap:0'), 18, 15))::BIGINT
+            / 1152921504606846976.0), doc_id) <= 10
+ORDER BY source, doc_id""",
+)
+def q_cap_per_group(spark, sf_dir):
+    """Deterministic per-source document cap (domain capping before
+    training-data mixing): at most 10 docs per source, chosen by md5
+    uniform of doc_id — engine-replayable, one row_number window, no
+    join."""
+    from ffn_polars_spark.operators.pipeline import cap_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, 10, group_col="source")
+
+
+@query(
+    "amihud_illiquidity",
+    TICKS_SQL
+    + f"""
+, il AS (
+  SELECT event_type,
+         CASE WHEN price * volume > 0 THEN
+           abs(price / lag(price) OVER ({W}) - 1) / (price * volume)
+         END AS illiq
+  FROM ticks
+)
+SELECT event_type,
+       {R("avg(illiq) * 1000000.0")} AS amihud,
+       count(illiq) AS n_obs
+FROM il GROUP BY event_type""",
+)
+def q_amihud_illiquidity(spark, sf_dir):
+    """Amihud (2002) illiquidity per event_type: mean of |r_t|/(p_t*v_t)
+    x 1e6 — one lag window + one hash aggregate, single exchange."""
+    from ffn_polars_spark.functions.tick_price import amihud_illiquidity
+
+    t = ticks(spark, sf_dir)
+    out = amihud_illiquidity(
+        t, "price", "volume", by="event_type", order_by=["ts_ns", "event_id"]
+    )
+    return out.select("event_type", r6("amihud").alias("amihud"), "n_obs")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -4956,6 +5056,9 @@ _PRIORITY = [
     "rolling_median",
     "feature_scale",
     "weighted_sample",
+    "scrub_spans",
+    "cap_per_group",
+    "amihud_illiquidity",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

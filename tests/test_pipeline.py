@@ -35,3 +35,49 @@ def test_clean_corpus_single_scan_plan(spark):
     # one fingerprint aggregate, no extra self-joins on doc_id: the text
     # features all evaluate in the scan-side projection
     assert plan.count("Aggregate") == 1
+
+
+def test_cap_per_group_replays_md5_and_is_stable_under_growth(spark):
+    import hashlib
+
+    from ffn_polars_spark.operators.pipeline import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        g: sorted(r.doc_id for r in rs)
+        for g, rs in __import__("itertools").groupby(
+            sorted(
+                cap_per_group(df, 5, group_col="source").collect(),
+                key=lambda r: r.source,
+            ),
+            key=lambda r: r.source,
+        )
+    }
+
+    def key(i):
+        h = hashlib.md5(f"{i}:cap:0".encode()).hexdigest()
+        return int(h[17:32], 16) / float(1 << 60)
+
+    for g in ("g0", "g1", "g2"):
+        members = [i for i, s in rows if s == g]
+        want = sorted(sorted(members, key=lambda i: (key(i), i))[:5])
+        assert got[g] == want
+        assert len(got[g]) == 5
+
+    # groups smaller than the cap survive whole
+    small = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "source"])
+    assert cap_per_group(small, 5, group_col="source").count() == 2
+
+    # stability: adding rows never evicts a survivor unless the newcomer
+    # draws a smaller key (the kept set is the k smallest keys)
+    grown = spark.createDataFrame(
+        rows + [(i, f"g{i % 3}") for i in range(90, 120)], ["doc_id", "source"]
+    )
+    got2 = {
+        r.doc_id for r in cap_per_group(grown, 5, group_col="source").collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        members = [i for i in range(120) if f"g{i % 3}" == g]
+        want = set(sorted(members, key=lambda i: (key(i), i))[:5])
+        assert want <= got2

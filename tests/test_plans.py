@@ -314,3 +314,32 @@ def test_join_profile_scans_each_side_once(spark):
     plan = explain_str(df)
     nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(nodes) <= 2, nodes
+
+
+def test_scrub_spans_no_cartesian_dup_join_is_equi(spark):
+    df = QUERY_FNS["scrub_spans"](spark, SF)
+    plan = explain_str(df)
+    # the duplicated-span set joins back by span key, never a pair blowup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # spans come from lead() windows over the exploded tokens, not a
+    # re-tokenize-per-span staged explode: one Generate per corpus pass
+    # (the dup-set branch and the flagging branch each re-read the scan),
+    # never one per span width
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2
+
+
+def test_cap_per_group_single_window_exchange(spark):
+    df = QUERY_FNS["cap_per_group"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan  # rank-and-filter, no join
+    # one hash partitioning on the group key for the row_number window
+    assert count_exchanges(df) == 1
+
+
+def test_amihud_single_exchange(spark):
+    # lag window + hash agg on the same key: one exchange total
+    df = QUERY_FNS["amihud_illiquidity"](spark, SF)
+    assert count_exchanges(df) == 1

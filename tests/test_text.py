@@ -260,3 +260,41 @@ def test_pmi_collocations_scores_phrases_over_chance(spark):
     # deterministic order: pmi desc then pair
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_scrub_spans_removes_covered_words_and_keeps_rest(spark):
+    from ffn_polars_spark.operators.text import scrub_spans
+
+    # "a b c" appears in docs 1 and 2 -> duplicated 3-gram; doc 3 is unique.
+    df = spark.createDataFrame(
+        [
+            (1, "x a b c y"),
+            (2, "p q a b c"),
+            (3, "u v w z t"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_spans(df, width=3, min_docs=2).collect()
+    }
+    # coverage: every word inside an occurrence of the dup span is dropped
+    assert out[1].text_clean == "x y" and out[1].n_removed == 3
+    assert out[2].text_clean == "p q" and out[2].n_removed == 3
+    assert out[3].text_clean == "u v w z t" and out[3].n_removed == 0
+    assert all(out[i].n_words == 5 for i in (1, 2, 3))
+
+    # a doc that is entirely one duplicated span scrubs to empty string
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id: r for r in scrub_spans(df2, width=3, min_docs=2).collect()}
+    assert out2[1].text_clean == "" and out2[1].n_removed == 3
+    assert out2[3].text_clean == "a b d" and out2[3].n_removed == 0
+
+    # repeats WITHIN one doc don't count toward the min_docs threshold
+    df3 = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "z z z z z z")], ["doc_id", "text"]
+    )
+    out3 = {r.doc_id: r for r in scrub_spans(df3, width=3, min_docs=2).collect()}
+    assert out3[1].n_removed == 0

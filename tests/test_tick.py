@@ -197,3 +197,28 @@ def test_autocorr_alternating_and_iid(spark):
     const = spark.createDataFrame([("A", i, 5.0) for i in range(10)], ["k", "t", "x"])
     out2 = autocorr(const, "x", by="k", order_by="t", max_lag=1).collect()
     assert out2[0].acf is None
+
+
+def test_amihud_illiquidity_hand_computed(spark):
+    from ffn_polars_spark.functions.tick_price import amihud_illiquidity
+
+    rows = [
+        ("A", 1, 100.0, 1.0),
+        ("A", 2, 110.0, 2.0),
+        ("A", 3, 99.0, 4.0),
+        ("B", 1, 50.0, 0.0),   # zero volume -> contributes nothing
+        ("B", 2, 55.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "i", "p", "v"])
+    out = {
+        r.k: r
+        for r in amihud_illiquidity(
+            df, "p", "v", by="k", order_by="i"
+        ).collect()
+    }
+    # |0.1|/220 and |-0.1|/396, averaged, x1e6
+    want = (0.1 / 220.0 + 0.1 / 396.0) / 2.0 * 1e6
+    assert abs(out["A"].amihud - want) < 1e-9
+    assert out["A"].n_obs == 2
+    # all observations null -> avg NULL, count 0
+    assert out["B"].amihud is None and out["B"].n_obs == 0

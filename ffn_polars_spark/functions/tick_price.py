@@ -169,3 +169,83 @@ def amihud_illiquidity(
         (F.avg("__illiq") * F.lit(float(scale))).alias("amihud"),
         F.count("__illiq").alias("n_obs"),
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="roll_spread")
+def roll_spread(
+    df: DataFrame,
+    price_col: str,
+    by: Optional[Union[str, list]] = None,
+    order_by: Union[str, list] = "ts_ns",
+) -> DataFrame:
+    """Roll (1984) implied effective spread from trade prices alone:
+    ``2 * sqrt(-cov(dp_t, dp_{t-1}))`` per key, where ``dp`` is the price
+    change — bid-ask bounce makes consecutive changes negatively serially
+    correlated, and the covariance magnitude recovers the half-spread
+    squared. NULL when the serial covariance is non-negative (no bounce
+    signal; the literature's convention rather than clamping to 0, so the
+    caller can tell "no signal" from "zero spread").
+
+    Plan shape: one ordered window per key builds ``dp`` and its lag in a
+    single pass, then ``covar_samp`` aggregates map-side — one exchange,
+    no join. Returns ``(keys, roll_spread, serial_cov, n_obs)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    p = F.col(price_col).cast("double")
+    dp = p - F.lag(p, 1).over(w)
+    pre = df.withColumn("__dp", dp).withColumn("__dpl", F.lag(dp, 1).over(w))
+    g = pre.groupBy(*keys) if keys else pre.groupBy()
+    cov = F.covar_samp("__dp", "__dpl")
+    return g.agg(
+        F.when(cov < 0, F.lit(2.0) * F.sqrt(-cov)).alias("roll_spread"),
+        cov.alias("serial_cov"),
+        F.count(F.when(F.col("__dpl").isNotNull(), 1)).alias("n_obs"),
+    )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="kyle_lambda")
+def kyle_lambda(
+    df: DataFrame,
+    price_col: str,
+    volume_col: str,
+    by: Optional[Union[str, list]] = None,
+    order_by: Union[str, list] = "ts_ns",
+) -> DataFrame:
+    """Kyle (1985) lambda — the price-impact regression slope: regress the
+    price change on signed volume (tick-rule direction x volume) per key;
+    ``lambda = cov(dp, sv) / var(sv)`` is how much price moves per unit of
+    net order flow, the standard market-depth inverse. Complements
+    [[amihud_illiquidity]] (magnitude ratio) with the directional
+    regression coefficient.
+
+    Direction comes from [[tick_rule]] (+1 uptick / -1 downtick / 0 flat
+    or first), so the whole estimator is computable from a trade tape
+    alone. One ordered window per key, then map-side ``covar_samp`` /
+    ``var_samp`` — one exchange, no join. NULL when signed volume has no
+    variance. Returns ``(keys, kyle_lambda, r2, n_obs)`` where ``r2`` is
+    the regression's squared correlation (NULL when either side is
+    degenerate).
+    """
+    from ffn_polars_spark.functions.tick_direction import tick_rule
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    over = Over(order_by=order, partition_by=keys or None)
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    p = F.col(price_col).cast("double")
+    dp = p - F.lag(p, 1).over(w)
+    sv = tick_rule(price_col, over=over).cast("double") * F.col(
+        volume_col
+    ).cast("double")
+    pre = df.withColumn("__dp", dp).withColumn("__sv", sv)
+    g = pre.groupBy(*keys) if keys else pre.groupBy()
+    cov = F.covar_samp("__dp", "__sv")
+    varv = F.var_samp("__sv")
+    corr = F.corr("__dp", "__sv")
+    return g.agg(
+        F.when(varv > 0, cov / varv).alias("kyle_lambda"),
+        (corr * corr).alias("r2"),
+        F.count(F.when(F.col("__dp").isNotNull(), 1)).alias("n_obs"),
+    )

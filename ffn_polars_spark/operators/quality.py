@@ -173,3 +173,44 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="gini_by_group")
+def gini_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gini coefficient of a value's distribution inside each group — the
+    data-balance diagnostic for corpus curation ("is one source's token
+    budget concentrated in a few giant documents?"). 0 = perfectly even,
+    →1 = one row holds everything. Pairs with [[cap_per_group]] /
+    [[domain_mix]]: measure the imbalance, then cap or remix.
+
+    Computed from the rank identity ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n``
+    with ``x`` ascending and ``i`` the 1-based rank (ties broken by
+    ``id_col`` — any total order gives the same sum, the tiebreak just
+    keeps both engines identical). One ``row_number`` window per group
+    then one aggregate on the same key — a single exchange, no join.
+    NULL for groups whose total is zero (Gini undefined).
+
+    Returns ``(group, gini, n, total)``.
+    """
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(v.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(group_col), v.alias("__v"), F.row_number().over(w).alias("__i")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    tot = F.sum("__v")
+    gini = F.when(
+        tot > 0,
+        F.lit(2.0) * F.sum(F.col("__i") * F.col("__v")) / (n * tot)
+        - (n + F.lit(1.0)) / n,
+    )
+    return ranked.groupBy(group_col).agg(
+        gini.alias("gini"),
+        n.cast("bigint").alias("n"),
+        tot.alias("total"),
+    )

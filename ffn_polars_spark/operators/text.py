@@ -928,3 +928,76 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.asc("prev"), F.asc("token")
     ).limit(int(k))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="zipf_slope")
+def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: the OLS slope of
+    ``ln(frequency)`` on ``ln(rank)`` — a healthy natural-language corpus
+    sits near −1; templated/duplicated text flattens the head (slope → 0)
+    and OCR noise fattens the tail. A one-number corpus-health gate to
+    monitor across ingestion batches alongside [[corpus_stats]].
+
+    Vocabulary counts come from one tokenize-explode-groupBy pass. Rank is
+    assigned with the *distributed* global-ranking idiom, never a
+    single-partition window (a 10⁸-term vocabulary would serialize
+    there): range-repartition by (count desc, token), ``row_number``
+    *within* each sorted partition, and a broadcast map of per-partition
+    row counts supplies each partition's global offset. Range boundaries
+    are sampled, but the total order — and hence every rank and the
+    fitted slope — is determined solely by (count desc, token), so the
+    result is identical on any cluster shape and engine-replayable. Ties
+    broken by token keep rank assignment exact. Slope/intercept from the
+    closed-form moments (``cov/var``), NULL when the vocabulary has < 2
+    distinct ranks.
+
+    Returns one row: ``(zipf_slope, zipf_intercept, r2, vocab_size)``.
+    """
+    from pyspark.sql.window import Window
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    order = [F.col("__f").desc(), F.col("tok").asc()]
+    parts = (
+        vocab.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    # tiny driver-side pass: rows per partition -> cumulative offsets.
+    # (This also materializes the persisted sorted vocabulary, so the
+    # moment pass below reads the cache instead of re-running the
+    # explode + count + sort.)
+    sizes = {r["__pid"]: r["c"] for r in parts.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("__pid"),
+        ),
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order)
+    ranked = parts.select(
+        F.log(F.col("__f").cast("double")).alias("__lf"),
+        F.log((F.row_number().over(w) + off).cast("double")).alias("__lr"),
+    )
+    cov = F.covar_samp("__lr", "__lf")
+    varr = F.var_samp("__lr")
+    corr = F.corr("__lr", "__lf")
+    slope = F.when(varr > 0, cov / varr)
+    return ranked.agg(
+        slope.alias("zipf_slope"),
+        (F.avg("__lf") - slope * F.avg("__lr")).alias("zipf_intercept"),
+        (corr * corr).alias("r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

@@ -4954,6 +4954,145 @@ def q_amihud_illiquidity(spark, sf_dir):
     return out.select("event_type", r6("amihud").alias("amihud"), "n_obs")
 
 
+@query(
+    "roll_spread",
+    TICKS_SQL
+    + f"""
+, d AS (
+  SELECT event_type, ts_ns, event_id,
+         price - lag(price) OVER ({W}) AS dp
+  FROM ticks
+), d2 AS (
+  SELECT event_type, dp, lag(dp) OVER ({W}) AS dpl FROM d
+)
+SELECT event_type,
+       {R("CASE WHEN covar_samp(dp, dpl) < 0 THEN 2 * sqrt(-covar_samp(dp, dpl)) END")} AS roll_spread,
+       {R("covar_samp(dp, dpl)")} AS serial_cov,
+       count(CASE WHEN dpl IS NOT NULL THEN 1 END) AS n_obs
+FROM d2 GROUP BY event_type""",
+)
+def q_roll_spread(spark, sf_dir):
+    """Roll (1984) implied effective spread per event_type:
+    2*sqrt(-cov(dp_t, dp_{t-1})), NULL when serial covariance is
+    non-negative — one ordered window pass + map-side covar_samp."""
+    from ffn_polars_spark.functions.tick_price import roll_spread
+
+    t = ticks(spark, sf_dir)
+    out = roll_spread(t, "price", by="event_type", order_by=["ts_ns", "event_id"])
+    return out.select(
+        "event_type",
+        r6("roll_spread").alias("roll_spread"),
+        r6("serial_cov").alias("serial_cov"),
+        "n_obs",
+    )
+
+
+@query(
+    "kyle_lambda",
+    TICKS_SQL
+    + f"""
+, d AS (
+  SELECT event_type,
+         price - lag(price) OVER ({W}) AS dp,
+         CASE WHEN price > lag(price) OVER ({W}) THEN 1.0
+              WHEN price < lag(price) OVER ({W}) THEN -1.0
+              ELSE 0.0 END * volume AS sv
+  FROM ticks
+)
+SELECT event_type,
+       {R("CASE WHEN var_samp(sv) > 0 THEN covar_samp(dp, sv) / var_samp(sv) END")} AS kyle_lambda,
+       {R("corr(dp, sv) * corr(dp, sv)")} AS r2,
+       count(CASE WHEN dp IS NOT NULL THEN 1 END) AS n_obs
+FROM d GROUP BY event_type""",
+)
+def q_kyle_lambda(spark, sf_dir):
+    """Kyle (1985) price-impact lambda per event_type: cov(dp, signed
+    volume)/var(signed volume) with tick-rule directions — one window
+    pass, one hash aggregate."""
+    from ffn_polars_spark.functions.tick_price import kyle_lambda
+
+    t = ticks(spark, sf_dir)
+    out = kyle_lambda(
+        t, "price", "volume", by="event_type", order_by=["ts_ns", "event_id"]
+    )
+    return out.select(
+        "event_type",
+        r6("kyle_lambda").alias("kyle_lambda"),
+        r6("r2").alias("r2"),
+        "n_obs",
+    )
+
+
+@query(
+    "gini_by_group",
+    """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id ASC) AS i
+  FROM documents
+)
+SELECT source,
+       """
+    + R(
+        "CASE WHEN sum(v) > 0 THEN 2.0 * sum(i * v) / (count(*) * sum(v))"
+        " - (count(*) + 1.0) / count(*) END"
+    )
+    + """ AS gini,
+       count(*) AS n,
+       """
+    + R("sum(v)")
+    + """ AS total
+FROM ranked GROUP BY source""",
+)
+def q_gini_by_group(spark, sf_dir):
+    """Gini coefficient of document length inside each source (corpus
+    balance diagnostic): rank identity over one row_number window + one
+    same-key aggregate, no join."""
+    from ffn_polars_spark.operators.quality import gini_by_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = gini_by_group(docs, "n_chars", group_col="source")
+    return out.select(
+        "source", r6("gini").alias("gini"), "n", r6("total").alias("total")
+    )
+
+
+@query(
+    "zipf_slope",
+    f"""
+WITH vocab AS (
+  SELECT tok, count(*) AS f FROM (
+    SELECT unnest({TOKS_SQL}) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+  SELECT ln(CAST(f AS DOUBLE)) AS lf,
+         ln(CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS DOUBLE)) AS lr
+  FROM vocab
+)
+SELECT {R("CASE WHEN var_samp(lr) > 0 THEN covar_samp(lr, lf) / var_samp(lr) END")} AS zipf_slope,
+       {R("avg(lf) - (CASE WHEN var_samp(lr) > 0 THEN covar_samp(lr, lf) / var_samp(lr) END) * avg(lr)")} AS zipf_intercept,
+       {R("corr(lr, lf) * corr(lr, lf)")} AS r2,
+       count(*) AS vocab_size
+FROM ranked""",
+)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) — vocabulary counts in one explode+groupBy, rank from one
+    global window over the (small) vocabulary."""
+    from ffn_polars_spark.operators.text import zipf_slope
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = zipf_slope(docs)
+    return out.select(
+        r6("zipf_slope").alias("zipf_slope"),
+        r6("zipf_intercept").alias("zipf_intercept"),
+        r6("r2").alias("r2"),
+        "vocab_size",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5059,6 +5198,10 @@ _PRIORITY = [
     "scrub_spans",
     "cap_per_group",
     "amihud_illiquidity",
+    "roll_spread",
+    "kyle_lambda",
+    "gini_by_group",
+    "zipf_slope",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

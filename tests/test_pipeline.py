@@ -81,3 +81,22 @@ def test_cap_per_group_replays_md5_and_is_stable_under_growth(spark):
         members = [i for i in range(120) if f"g{i % 3}" == g]
         want = set(sorted(members, key=lambda i: (key(i), i))[:5])
         assert want <= got2
+
+
+def test_gini_by_group_known_distributions(spark):
+    from ffn_polars_spark.operators.quality import gini_by_group
+
+    rows = (
+        [(i, "even", 10) for i in range(10)]
+        + [(100 + i, "onehot", 0) for i in range(9)]
+        + [(199, "onehot", 90)]
+        + [(200, "zero", 0), (201, "zero", 0)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r.source: r for r in gini_by_group(df, "n_chars").collect()}
+    # uniform -> 0
+    assert abs(out["even"].gini) < 1e-12 and out["even"].total == 100.0
+    # one row holds everything -> (n-1)/n
+    assert abs(out["onehot"].gini - 0.9) < 1e-12
+    # zero total -> NULL (undefined), not an error
+    assert out["zero"].gini is None

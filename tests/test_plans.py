@@ -343,3 +343,28 @@ def test_amihud_single_exchange(spark):
     # lag window + hash agg on the same key: one exchange total
     df = QUERY_FNS["amihud_illiquidity"](spark, SF)
     assert count_exchanges(df) == 1
+
+
+def test_roll_kyle_gini_single_exchange(spark):
+    # lag/rank window + same-key aggregate: one exchange each, no join
+    for name in ("roll_spread", "kyle_lambda", "gini_by_group"):
+        df = QUERY_FNS[name](spark, SF)
+        plan = explain_str(df)
+        assert "Join" not in plan, name
+        assert count_exchanges(df) == 1, name
+
+
+def test_zipf_slope_distributed_rank_no_single_partition_window(spark):
+    # global ranks come from the distributed idiom: range-repartition by
+    # (freq desc, token) + per-partition row_number + broadcast offsets —
+    # the Window must partition by __pid over RangePartitioning, never
+    # funnel the vocabulary through Exchange SinglePartition
+    df = QUERY_FNS["zipf_slope"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # the only SinglePartition exchange is the final 1-row moment agg,
+    # which must come AFTER the rank window
+    i_win = plan.index("Window")
+    sp = plan.find("SinglePartition")
+    assert sp == -1 or sp > i_win

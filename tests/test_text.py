@@ -298,3 +298,28 @@ def test_scrub_spans_removes_covered_words_and_keeps_rest(spark):
     )
     out3 = {r.doc_id: r for r in scrub_spans(df3, width=3, min_docs=2).collect()}
     assert out3[1].n_removed == 0
+
+
+def test_zipf_slope_exact_on_constructed_vocab(spark):
+    import math
+
+    from ffn_polars_spark.operators.text import zipf_slope
+
+    # vocabulary: "a" x4, "b" x2, "c" x1 -> ranks 1,2,3
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b c")], ["doc_id", "text"]
+    )
+    out = zipf_slope(df).collect()[0]
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (4, 2, 1)]
+    mx = sum(xs) / 3
+    my = sum(ys) / 3
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 2
+    var = sum((x - mx) ** 2 for x in xs) / 2
+    assert abs(out.zipf_slope - cov / var) < 1e-12
+    assert out.vocab_size == 3
+    assert abs(out.zipf_intercept - (my - cov / var * mx)) < 1e-12
+
+    # single-token vocabulary: rank variance 0 -> NULL slope
+    one = spark.createDataFrame([(1, "x x x")], ["doc_id", "text"])
+    assert zipf_slope(one).collect()[0].zipf_slope is None

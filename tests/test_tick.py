@@ -222,3 +222,52 @@ def test_amihud_illiquidity_hand_computed(spark):
     assert out["A"].n_obs == 2
     # all observations null -> avg NULL, count 0
     assert out["B"].amihud is None and out["B"].n_obs == 0
+
+
+def test_roll_spread_hand_computed(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import roll_spread
+
+    # classic bounce: trades alternate across the spread
+    prices = [100.0, 101.0, 100.0, 101.0, 100.0, 101.0]
+    rows = [("A", i, p) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(rows, ["k", "i", "p"])
+    out = roll_spread(df, "p", by="k", order_by="i").collect()[0]
+    dp = np.diff(prices)
+    cov = float(np.cov(dp[1:], dp[:-1], ddof=1)[0, 1])
+    assert abs(out.serial_cov - cov) < 1e-12
+    assert abs(out.roll_spread - 2.0 * (-cov) ** 0.5) < 1e-12
+    assert out.n_obs == 4
+
+    # monotone prices: positive serial covariance -> NULL spread
+    up = spark.createDataFrame(
+        [("A", i, 100.0 + i * i) for i in range(6)], ["k", "i", "p"]
+    )
+    r = roll_spread(up, "p", by="k", order_by="i").collect()[0]
+    assert r.roll_spread is None and r.serial_cov > 0
+
+
+def test_kyle_lambda_hand_computed(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import kyle_lambda
+
+    prices = [100.0, 101.0, 100.5, 102.0, 101.0]
+    vols = [10.0, 20.0, 15.0, 30.0, 25.0]
+    rows = [("A", i, p, v) for i, (p, v) in enumerate(zip(prices, vols))]
+    df = spark.createDataFrame(rows, ["k", "i", "p", "v"])
+    out = kyle_lambda(df, "p", "v", by="k", order_by="i").collect()[0]
+
+    p = np.array(prices)
+    dp = np.concatenate([[np.nan], np.diff(p)])
+    sign = np.concatenate([[0.0], np.sign(np.diff(p))])
+    sv = sign * np.array(vols)
+    # var over ALL rows (sv defined everywhere); cov over non-nan dp pairs
+    varv = float(np.var(sv, ddof=1))
+    m = ~np.isnan(dp)
+    cov = float(np.cov(dp[m], sv[m], ddof=1)[0, 1])
+    assert abs(out.kyle_lambda - cov / varv) < 1e-12
+    assert out.n_obs == 4
+    # impact is positive: price moves with net signed flow
+    assert out.kyle_lambda > 0 and 0 < out.r2 <= 1

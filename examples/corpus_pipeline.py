@@ -108,6 +108,21 @@ def main() -> None:
     back = read_jsonl(spark, out_dir, schema=train_chunks.schema)
     print("exported chunks:", back.count(), "->", out_dir)
 
+    # 6. corpus-health panel: substring-dedup scrub, per-source balance
+    #    (Gini + hard cap), vocabulary Zipf fit, and centroid separation
+    from ffn_polars_spark.operators.pipeline import cap_per_group
+    from ffn_polars_spark.operators.quality import gini_by_group
+    from ffn_polars_spark.operators.text import scrub_spans, zipf_slope
+
+    scrubbed = scrub_spans(docs, width=5, min_docs=2)
+    scrubbed.selectExpr(
+        "sum(n_removed) AS words_scrubbed", "sum(n_words) AS words_total"
+    ).show()
+    gini_by_group(docs, "n_chars", group_col="source").orderBy("source").show(5)
+    capped = cap_per_group(docs, 10, group_col="source")
+    print("after per-source cap:", capped.count(), "docs")
+    zipf_slope(docs).show()
+
     spark.stop()
 
 

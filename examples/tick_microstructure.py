@@ -73,6 +73,27 @@ def main() -> None:
     ).orderBy("key_a", "key_b").show()
     robust_outliers(trades, "price", group_by=["ticker"]).show()
 
+    # Liquidity & toxicity panel: Amihud price impact, Roll implied
+    # spread, Kyle lambda, VPIN flow toxicity, and the Corwin-Schultz
+    # high-low estimator over hourly bars
+    from ffn_polars_spark.functions.tick_bars import corwin_schultz, vpin
+    from ffn_polars_spark.functions.tick_price import (
+        amihud_illiquidity,
+        kyle_lambda,
+        roll_spread,
+    )
+
+    ob = "participant_timestamp"
+    amihud_illiquidity(trades, "price", "volume", by="ticker", order_by=ob).show()
+    roll_spread(trades, "price", by="ticker", order_by=ob).show()
+    kyle_lambda(trades, "price", "volume", by="ticker", order_by=ob).show()
+    vpin(trades, ob, "price", "volume", by=["ticker"]).show()
+    hourly = time_bars(
+        trades, ts=ob, price="price", volume="volume",
+        by=["ticker"], bar_ns=3600 * 10**9,
+    )
+    corwin_schultz(hourly, by=["ticker"]).show()
+
     spark.stop()
 
 

@@ -341,3 +341,108 @@ def rollup_bars(
             ).alias("vwap")
         )
     return bars.groupBy(*by, coarse).agg(*aggs)
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="vpin")
+def vpin(
+    df: DataFrame,
+    ts: str,
+    price: str,
+    volume: str,
+    by: Optional[list] = None,
+    volume_per_bucket: float = 10_000.0,
+) -> DataFrame:
+    """VPIN — Volume-synchronized Probability of INformed trading (Easley,
+    Lopez de Prado & O'Hara 2012): order-flow toxicity in *volume time*.
+    Trades are assigned to equal-volume buckets (same cumulative-volume
+    key as [[volume_bars]], whole-trade assignment); each bucket's
+    toxicity is ``|buy volume − sell volume| / bucket volume`` with
+    direction from [[tick_rule]]; VPIN is the mean bucket toxicity per
+    key. High VPIN preceded the 2010 flash crash — the canonical
+    flow-toxicity monitor.
+
+    Plan shape: one ordered window per key (the tick-rule lag and the
+    running volume share a single window spec), a (key, bucket)
+    aggregate, then a tiny per-key aggregate over bucket rows — shuffle
+    volume after the first aggregate is bounded by bucket count, not
+    trade count.
+
+    Returns ``(keys, vpin, n_buckets, total_volume)``.
+    """
+    from ffn_polars_spark.functions.tick_direction import tick_rule
+
+    by = list(by or [])
+    over = Over(order_by=ts, partition_by=by or None)
+    v = to_col(volume).cast("double")
+    sv = tick_rule(price, over=over).cast("double") * v
+    cum = F.sum(volume).over(over.w_cum("vpin"))
+    pre = df.withColumn("__sv", sv).withColumn(
+        "__bucket",
+        ((cum - v) / F.lit(float(volume_per_bucket))).cast("long"),
+    )
+    buckets = pre.groupBy(*(by + ["__bucket"])).agg(
+        F.sum("__sv").alias("__imb"),
+        F.sum(v).alias("__vol"),
+    )
+    g = buckets.groupBy(*by) if by else buckets.groupBy()
+    return g.agg(
+        F.avg(
+            F.when(F.col("__vol") > 0, F.abs(F.col("__imb")) / F.col("__vol"))
+        ).alias("vpin"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("__vol").alias("total_volume"),
+    )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="corwin_schultz")
+def corwin_schultz(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    order_by: str = "bar_ts",
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Corwin-Schultz (2012) high-low spread estimator over an OHLC bar
+    frame (build one with [[time_bars]]): consecutive bar pairs give
+    ``beta = ln(H_t/L_t)^2 + ln(H_{t+1}/L_{t+1})^2`` and
+    ``gamma = ln(max(H)/min(L))^2`` over the pair;
+    ``alpha = (sqrt(2*beta) - sqrt(beta))/(3 - 2*sqrt(2))
+    - sqrt(gamma/(3 - 2*sqrt(2)))`` and the spread is
+    ``2*(e^alpha - 1)/(1 + e^alpha)``, clamped at zero per pair before
+    averaging (the paper's negative-spread convention). Estimates the
+    bid-ask spread from bars alone — the daily-data companion to
+    [[roll_spread]]'s trade-by-trade estimator.
+
+    One ``lead`` window per key over the (already aggregated, small) bar
+    frame, then a map-side average — one exchange on the bar frame.
+
+    Returns ``(keys, cs_spread, n_pairs)``.
+    """
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    w = (
+        Window.partitionBy(*by).orderBy(order_by)
+        if by
+        else Window.orderBy(order_by)
+    )
+    h, l = to_col(high).cast("double"), to_col(low).cast("double")
+    h2, l2 = F.lead(h).over(w), F.lead(l).over(w)
+    beta = F.pow(F.log(h / l), F.lit(2)) + F.pow(F.log(h2 / l2), F.lit(2))
+    gamma = F.pow(F.log(F.greatest(h, h2) / F.least(l, l2)), F.lit(2))
+    k = 3.0 - 2.0 * 2.0 ** 0.5
+    alpha = (F.sqrt(F.lit(2.0) * beta) - F.sqrt(beta)) / F.lit(k) - F.sqrt(
+        gamma / F.lit(k)
+    )
+    s = F.lit(2.0) * (F.exp(alpha) - F.lit(1.0)) / (F.lit(1.0) + F.exp(alpha))
+    # guard on the lead's existence: greatest() skips NULLs, so an
+    # unguarded clamp would turn the (pairless) last bar into a spurious
+    # zero-spread observation instead of dropping it
+    pre = df.withColumn(
+        "__s", F.when(h2.isNotNull(), F.greatest(s, F.lit(0.0)))
+    )
+    g = pre.groupBy(*by) if by else pre.groupBy()
+    return g.agg(
+        F.avg("__s").alias("cs_spread"),
+        F.count("__s").alias("n_pairs"),
+    )

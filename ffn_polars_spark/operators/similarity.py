@@ -662,3 +662,91 @@ def embedding_normalize(
         nrm.alias("norm"),
         F.when(nrm > 0, unit).alias("uvec"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="embedding_centroids")
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding centroid in LONG form ``(label, dim, mu)`` —
+    the composable building block for cluster/corpus drift analytics
+    ([[centroid_similarity]] consumes it; diffing two snapshots' centroids
+    is the embedding-space analogue of [[snapshot_diff]]).
+
+    ``posexplode`` (built inside the Generate's own projection — the
+    staged-explode pathology gate applies to interpreted arrays) turns
+    each vector into ``dim`` rows, and one ``groupBy(label, dim)``
+    averages them. The explode multiplies rows by the dimension, but the
+    partial (map-side) aggregate collapses each partition to at most
+    ``labels x dim`` rows before the exchange — shuffle volume is bounded
+    by cardinality, not data size. Values cast to double *before*
+    averaging so the accumulator matches any other engine's.
+    """
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("__v").cast("double")).alias("mu"))
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="centroid_similarity")
+def centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the cluster-separation / corpus-homogeneity diagnostic ("are two
+    sources' embedding distributions collapsing into one?"). High
+    centroid cosine across labels flags redundant strata before
+    [[semantic_dedup]] / [[domain_mix]] decisions.
+
+    The centroid table ([[embedding_centroids]]) has ``labels x dim``
+    rows — cardinality-bounded, so its self-join on ``dim`` broadcasts;
+    the pair aggregate then reduces ``L^2 x dim`` joined rows to
+    ``L^2 / 2`` output pairs. Nothing in the plan scales with the corpus
+    beyond the one centroid aggregation pass.
+
+    Returns ``(label_a, label_b, cosine, n_a, n_b)`` for ``a < b``;
+    cosine NULL if either centroid is the zero vector.
+    """
+    cents = embedding_centroids(df, label_col, vec_col)
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = cents.select(
+        F.col("label").alias("label_a"), "dim", F.col("mu").alias("mu_a")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), "dim", F.col("mu").alias("mu_b")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("mu_a") * F.col("mu_b")).alias("__dot"),
+            F.sqrt(F.sum(F.col("mu_a") * F.col("mu_a"))).alias("__na"),
+            F.sqrt(F.sum(F.col("mu_b") * F.col("mu_b"))).alias("__nb"),
+        )
+    )
+    den = F.col("__na") * F.col("__nb")
+    return (
+        pairs.withColumn("cosine", F.when(den > 0, F.col("__dot") / den))
+        .join(
+            F.broadcast(counts.select(F.col("label").alias("label_a"),
+                                      F.col("n").alias("n_a"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("label").alias("label_b"),
+                                      F.col("n").alias("n_b"))),
+            "label_b",
+        )
+        .select("label_a", "label_b", "cosine", "n_a", "n_b")
+    )

@@ -5093,6 +5093,124 @@ def q_zipf_slope(spark, sf_dir):
     )
 
 
+@query(
+    "centroid_similarity",
+    """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu FROM e GROUP BY label, dim
+),
+n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.mu * b.mu) AS dot,
+         sqrt(sum(a.mu * a.mu)) AS na,
+         sqrt(sum(b.mu * b.mu)) AS nb
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT p.label_a, p.label_b,
+       """
+    + R("CASE WHEN na * nb > 0 THEN dot / (na * nb) END")
+    + """ AS cosine,
+       x.n AS n_a, y.n AS n_b
+FROM p JOIN n x ON x.label = p.label_a JOIN n y ON y.label = p.label_b""",
+)
+def q_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids: one
+    posexplode + (label, dim) average (map-side partial agg bounds the
+    shuffle), then a broadcast dim-join over the cardinality-bounded
+    centroid table."""
+    from ffn_polars_spark.operators.similarity import centroid_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = centroid_similarity(emb)
+    return out.select(
+        "label_a", "label_b", r6("cosine").alias("cosine"), "n_a", "n_b"
+    )
+
+
+@query(
+    "vpin",
+    TICKS_SQL
+    + f""", d AS (
+  SELECT event_type, volume,
+         CASE WHEN price > lag(price) OVER ({W}) THEN 1.0
+              WHEN price < lag(price) OVER ({W}) THEN -1.0
+              ELSE 0.0 END * volume AS sv,
+         sum(volume) OVER ({WR}) - volume AS prev_cum
+  FROM ticks
+), b AS (
+  SELECT event_type, CAST(floor(prev_cum / 5000.0) AS BIGINT) AS bucket,
+         sum(sv) AS imb, sum(volume) AS vol
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type,
+       {R("avg(CASE WHEN vol > 0 THEN abs(imb) / vol END)")} AS vpin,
+       count(*) AS n_buckets,
+       {R("sum(vol)")} AS total_volume
+FROM b GROUP BY event_type""",
+)
+def q_vpin(spark, sf_dir):
+    """VPIN order-flow toxicity (Easley/Lopez de Prado/O'Hara 2012):
+    tick-rule signed volume in equal-volume buckets, mean
+    |imbalance|/volume per key — one window pass, bucket agg, tiny key
+    agg."""
+    from ffn_polars_spark.functions.tick_bars import vpin
+
+    t = ticks(spark, sf_dir)
+    out = vpin(
+        t, "ts_ns", "price", "volume", by=["event_type"],
+        volume_per_bucket=5000.0,
+    )
+    return out.select(
+        "event_type",
+        r6("vpin").alias("vpin"),
+        "n_buckets",
+        r6("total_volume").alias("total_volume"),
+    )
+
+
+@query(
+    "corwin_schultz",
+    _BARS_SQL
+    + f""", p AS (
+  SELECT event_type,
+         pow(ln(high / low), 2)
+           + pow(ln(lead(high) OVER wb / lead(low) OVER wb), 2) AS beta,
+         pow(ln(greatest(high, lead(high) OVER wb)
+                / least(low, lead(low) OVER wb)), 2) AS gamma
+  FROM bars WINDOW wb AS (PARTITION BY event_type ORDER BY bar_ts)
+), a AS (
+  SELECT event_type,
+         (sqrt(2 * beta) - sqrt(beta)) / (3 - 2 * sqrt(2))
+           - sqrt(gamma / (3 - 2 * sqrt(2))) AS alpha
+  FROM p WHERE beta IS NOT NULL
+)
+SELECT event_type,
+       {R("avg(greatest(2 * (exp(alpha) - 1) / (1 + exp(alpha)), 0.0))")} AS cs_spread,
+       count(*) AS n_pairs
+FROM a GROUP BY event_type""",
+)
+def q_corwin_schultz(spark, sf_dir):
+    """Corwin-Schultz (2012) high-low spread estimator over hourly bars:
+    one lead window on the (small) bar frame + per-key average."""
+    from ffn_polars_spark.functions.tick_bars import corwin_schultz, time_bars
+
+    t = ticks(spark, sf_dir)
+    bars = time_bars(
+        t, "ts_ns", "price", "volume", by=["event_type"],
+        bar_ns=3_600_000_000_000,
+    )
+    out = corwin_schultz(bars, by=["event_type"])
+    return out.select(
+        "event_type", r6("cs_spread").alias("cs_spread"), "n_pairs"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5202,6 +5320,9 @@ _PRIORITY = [
     "kyle_lambda",
     "gini_by_group",
     "zipf_slope",
+    "centroid_similarity",
+    "vpin",
+    "corwin_schultz",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -196,3 +196,49 @@ def test_rollup_bars_matches_direct(spark):
             assert rolled[k][c] == direct[k][c], (k, c)
         assert rolled[k]["volume"] == pytest.approx(direct[k]["volume"], rel=1e-12)
         assert rolled[k]["vwap"] == pytest.approx(direct[k]["vwap"], rel=1e-9)
+
+
+def test_vpin_hand_computed_buckets(spark):
+    from ffn_polars_spark.functions.tick_bars import vpin
+
+    # volumes of 30 -> buckets of 60: [t0,t1] and [t2,t3]; directions:
+    # t1 up (+30), t2 up (+30), t3 down (-30); t0 first (0)
+    rows = [
+        ("A", 0, 100.0, 30.0),
+        ("A", 1, 101.0, 30.0),
+        ("A", 2, 102.0, 30.0),
+        ("A", 3, 101.0, 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "p", "v"])
+    out = vpin(df, "ts", "p", "v", by=["k"], volume_per_bucket=60.0).collect()[0]
+    # bucket0 imbalance |0 + 30|/60 = 0.5; bucket1 |30 - 30|/60 = 0.0
+    assert abs(out.vpin - 0.25) < 1e-12
+    assert out.n_buckets == 2 and out.total_volume == 120.0
+
+
+def test_corwin_schultz_zero_spread_and_positive(spark):
+    import math
+
+    from ffn_polars_spark.functions.tick_bars import corwin_schultz
+
+    # identical consecutive bars with H == L: beta = gamma = 0 -> alpha 0
+    # -> spread 0 (and the pairless last bar contributes nothing)
+    flat = spark.createDataFrame(
+        [("A", 0, 100.0, 100.0), ("A", 1, 100.0, 100.0)],
+        ["k", "bar_ts", "high", "low"],
+    )
+    r = corwin_schultz(flat, by=["k"]).collect()[0]
+    assert r.cs_spread == 0.0 and r.n_pairs == 1
+
+    # hand-computed single pair
+    h1, l1, h2, l2 = 102.0, 100.0, 103.0, 101.0
+    df = spark.createDataFrame(
+        [("A", 0, h1, l1), ("A", 1, h2, l2)], ["k", "bar_ts", "high", "low"]
+    )
+    beta = math.log(h1 / l1) ** 2 + math.log(h2 / l2) ** 2
+    gamma = math.log(max(h1, h2) / min(l1, l2)) ** 2
+    k = 3 - 2 * math.sqrt(2)
+    alpha = (math.sqrt(2 * beta) - math.sqrt(beta)) / k - math.sqrt(gamma / k)
+    want = max(2 * (math.exp(alpha) - 1) / (1 + math.exp(alpha)), 0.0)
+    got = corwin_schultz(df, by=["k"]).collect()[0]
+    assert abs(got.cs_spread - want) < 1e-12 and got.n_pairs == 1

@@ -368,3 +368,31 @@ def test_zipf_slope_distributed_rank_no_single_partition_window(spark):
     i_win = plan.index("Window")
     sp = plan.find("SinglePartition")
     assert sp == -1 or sp > i_win
+
+
+def test_centroid_similarity_broadcast_dim_join_bounded_shuffle(spark):
+    # centroid table is cardinality-bounded: its dim self-join and the
+    # count attaches must all broadcast — no SortMergeJoin of a
+    # corpus-sized side anywhere
+    df = QUERY_FNS["centroid_similarity"](spark, SF)
+    plan = explain_str(df)
+    assert count_broadcast_joins(df) >= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_vpin_bucket_then_key_agg_bounded(spark):
+    # window + (key,bucket) agg + per-key agg: after the bucket aggregate
+    # only bucket-count rows flow — exchanges bounded, no join
+    df = QUERY_FNS["vpin"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_corwin_schultz_windows_bar_frame_only(spark):
+    # the lead window runs over the aggregated BAR frame: the bar
+    # aggregate must come before the window in the plan
+    df = QUERY_FNS["corwin_schultz"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert plan.index("HashAggregate") < plan.index("Window")

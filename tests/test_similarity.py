@@ -370,3 +370,43 @@ def test_embedding_normalize_unit_norm_and_zero_guard(spark):
     # normalized vectors have unit L2 norm
     for vid in (1, 3):
         assert math.isclose(sum(x * x for x in rows[vid].uvec), 1.0)
+
+
+def test_centroid_similarity_hand_computed(spark):
+    import numpy as np
+
+    from ffn_polars_spark.operators.similarity import (
+        centroid_similarity,
+        embedding_centroids,
+    )
+
+    vecs = {
+        0: [[1.0, 0.0], [3.0, 0.0]],          # centroid (2, 0)
+        1: [[0.0, 2.0], [0.0, 4.0]],          # centroid (0, 3) -> orthogonal
+        2: [[2.0, 2.0]],                      # centroid (2, 2)
+        3: [[0.0, 0.0]],                      # zero centroid -> NULL cosine
+    }
+    rows = [
+        (lab * 10 + j, v, lab)
+        for lab, vs in vecs.items()
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    cents = {
+        (r.label, r.dim): r.mu for r in embedding_centroids(df).collect()
+    }
+    assert cents[(0, 0)] == 2.0 and cents[(0, 1)] == 0.0
+    assert cents[(1, 1)] == 3.0
+
+    out = {
+        (r.label_a, r.label_b): r
+        for r in centroid_similarity(df).collect()
+    }
+    assert abs(out[(0, 1)].cosine) < 1e-12            # orthogonal
+    assert abs(out[(0, 2)].cosine - np.sqrt(0.5)) < 1e-12
+    assert abs(out[(1, 2)].cosine - np.sqrt(0.5)) < 1e-12
+    for a in (0, 1, 2):
+        assert out[(a, 3)].cosine is None             # zero centroid
+    assert out[(0, 1)].n_a == 2 and out[(0, 1)].n_b == 2
+    assert len(out) == 6                              # all a < b pairs

@@ -122,6 +122,9 @@ def main() -> None:
     capped = cap_per_group(docs, 10, group_col="source")
     print("after per-source cap:", capped.count(), "docs")
     zipf_slope(docs).show()
+    from ffn_polars_spark.operators.text import doc_entropy
+
+    doc_entropy(docs, unit="word").orderBy("entropy").show(3)
 
     spark.stop()
 

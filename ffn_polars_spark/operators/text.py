@@ -1001,3 +1001,48 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
         (corr * corr).alias("r2"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="doc_entropy")
+def doc_entropy(
+    df: DataFrame,
+    unit: str = "word",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token (``unit="word"``) or
+    character (``unit="char"``) distribution, in nats — the
+    repetitiveness/noise filter from the Gopher-rules family: templated
+    or looping text scores low word entropy, binary-ish noise scores
+    anomalously high char entropy. Use alongside [[text_quality]] and
+    [[repetition_stats]] in a [[clean_corpus]]-style gate.
+
+    Computed from the count identity ``H = ln(N) − Σ c·ln(c) / N`` so a
+    single (doc, unit) aggregate plus one per-doc aggregate suffice — no
+    per-doc normalization join. Explode rows are corpus-linear and the
+    first groupBy partial-aggregates map-side; both shuffles key on the
+    document, so the plan is skew-safe for ordinary document sizes.
+
+    Returns ``(id, entropy, n_units, n_distinct)``; empty documents are
+    absent (no units to measure).
+    """
+    if unit == "word":
+        parts = F.explode(tokens(F.col(text_col)))
+    elif unit == "char":
+        parts = F.explode(F.split(F.col(text_col), ""))
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    u = (
+        df.select(F.col(id_col), parts.alias("__u"))
+        .where(F.col("__u") != "")
+        .groupBy(id_col, "__u")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    c = F.col("__c").cast("double")
+    return u.groupBy(id_col).agg(
+        (
+            F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c)
+        ).alias("entropy"),
+        F.sum("__c").alias("n_units"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )

@@ -5211,6 +5211,33 @@ def q_corwin_schultz(spark, sf_dir):
     )
 
 
+@query(
+    "doc_entropy",
+    f"""
+WITH u AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       {R("ln(sum(c)) - sum(c * ln(c)) / sum(c)")} AS entropy,
+       CAST(sum(c) AS BIGINT) AS n_units,
+       count(*) AS n_distinct
+FROM u GROUP BY doc_id""",
+)
+def q_doc_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (repetitiveness filter,
+    Gopher-rules family) via the count identity ln(N) - sum(c ln c)/N —
+    two doc-keyed aggregates, no normalization join."""
+    from ffn_polars_spark.operators.text import doc_entropy
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = doc_entropy(docs, unit="word")
+    return out.select(
+        "doc_id", r6("entropy").alias("entropy"), "n_units", "n_distinct"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5323,6 +5350,7 @@ _PRIORITY = [
     "centroid_similarity",
     "vpin",
     "corwin_schultz",
+    "doc_entropy",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -396,3 +396,12 @@ def test_corwin_schultz_windows_bar_frame_only(spark):
     plan = explain_str(df)
     assert "Join" not in plan
     assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_doc_entropy_two_doc_keyed_aggregates_no_join(spark):
+    # ln(N) - sum(c ln c)/N identity: both aggregates key on the doc, so
+    # there is no normalization join anywhere
+    df = QUERY_FNS["doc_entropy"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 2

@@ -323,3 +323,36 @@ def test_zipf_slope_exact_on_constructed_vocab(spark):
     # single-token vocabulary: rank variance 0 -> NULL slope
     one = spark.createDataFrame([(1, "x x x")], ["doc_id", "text"])
     assert zipf_slope(one).collect()[0].zipf_slope is None
+
+
+def test_doc_entropy_word_and_char_hand_computed(spark):
+    import math
+
+    from ffn_polars_spark.operators.text import doc_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # zero entropy (one distinct token)
+            (2, "a b c d"),          # uniform over 4 -> ln(4)
+            (3, "a a b"),            # H = ln3 - (2 ln2)/3
+            (4, ""),                 # empty -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in doc_entropy(df, unit="word").collect()}
+    assert out[1].entropy == 0.0 and out[1].n_distinct == 1
+    assert abs(out[2].entropy - math.log(4)) < 1e-12
+    assert abs(out[3].entropy - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
+    assert out[3].n_units == 3 and out[3].n_distinct == 2
+    assert 4 not in out
+
+    # char unit: "aab" -> same distribution as doc 3 above
+    ch = {r.doc_id: r for r in doc_entropy(
+        spark.createDataFrame([(1, "aab")], ["doc_id", "text"]), unit="char"
+    ).collect()}
+    assert abs(ch[1].entropy - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        doc_entropy(df, unit="bigram")

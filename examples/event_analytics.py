@@ -65,6 +65,11 @@ def main() -> None:
         streaming_topk(stream, ["user_id"], k=5), output_mode="complete"
     ).show()
 
+    # Distribution drift between two event populations (KS gate)
+    from ffn_polars_spark.operators.quality import ks_drift
+
+    ks_drift(ev, "value", "event_type", "click", "view").show()
+
     spark.stop()
 
 

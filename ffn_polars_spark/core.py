@@ -220,3 +220,63 @@ def blocked_cumsum(
         .withColumn(out, F.col("__local") + F.col("__off"))
         .drop("__blk", "__local", "__off")
     )
+
+
+def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
+    """Cumulative sums over an arbitrary global ordering WITHOUT a
+    single-partition window — the general-ordering sibling of
+    :func:`blocked_cumsum` (which wants a dense monotone long id).
+
+    Range-repartition by ``order_cols``, run each cumulative sum inside
+    its (sorted) partition, then add per-partition offsets derived from a
+    tiny driver-side pass over partition totals (bounded by the partition
+    count, not the data). Range boundaries are sampled, but every output
+    value is determined solely by the total order of ``order_cols`` —
+    identical on any cluster shape.
+
+    ``vals`` maps output column name -> input Column to sum. The input is
+    persisted by default so the totals pass and the output share one
+    materialization. Returns the sorted frame plus the cumulative columns
+    (internal ``__pid`` dropped).
+    """
+    order = [to_col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    if persist:
+        parts = parts.persist()
+    totals = (
+        parts.groupBy("__pid")
+        .agg(*[F.sum(v).alias(k) for k, v in vals.items()])
+        .collect()
+    )
+    by_pid = {r["__pid"]: r for r in totals}
+    offsets = {k: {} for k in vals}
+    acc = {k: 0.0 for k in vals}
+    for pid in sorted(by_pid):
+        for k in vals:
+            offsets[k][pid] = acc[k]
+            acc[k] += by_pid[pid][k] or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = parts
+    for k, v in vals.items():
+        if offsets[k]:
+            off = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in offsets[k].items() for x in kv]
+                    ),
+                    F.col("__pid"),
+                ),
+                F.lit(0),
+            )
+        else:
+            off = F.lit(0)
+        out = out.withColumn(k, F.sum(v).over(w) + off)
+    return out.drop("__pid")

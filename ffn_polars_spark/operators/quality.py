@@ -214,3 +214,62 @@ def gini_by_group(
         n.cast("bigint").alias("n"),
         tot.alias("total"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ks_drift")
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    a: str,
+    b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value_col``
+    distributions of sides ``a`` and ``b`` — the standard
+    distribution-drift gate ("did this batch's quality scores / lengths /
+    prices shift against the reference slice?"). Pairs with
+    [[snapshot_diff]] (membership drift) and [[column_profile]] (moment
+    drift): KS catches shape changes moments miss.
+
+    Tie-correct and exact: counts per side collapse onto DISTINCT values
+    first (so equal values contribute at one ECDF step, not in arbitrary
+    row order), then both cumulative counts run through
+    ``core.ranged_cumsum`` — the distributed global-cumsum idiom
+    (range-repartition + per-partition window + broadcast offsets), never
+    a single-partition window, so a 10⁹-distinct-value domain still
+    parallelizes. ``KS = max |ECDF_a − ECDF_b|`` over the distinct
+    values.
+
+    Returns one row: ``(ks_stat, n_a, n_b, n_values)``.
+    """
+    from ffn_polars_spark.core import ranged_cumsum
+
+    side = F.col(side_col)
+    per = (
+        df.where(side.isin(a, b))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(side == a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(side == b, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    cum = ranged_cumsum(
+        per, [value_col], {"__cca": F.col("__ca"), "__ccb": F.col("__cb")}
+    )
+    tot = cum.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__cca") / F.col("__na").cast("double")
+                    - F.col("__ccb") / F.col("__nb").cast("double")
+                )
+            ).alias("ks_stat"),
+            F.first("__na").alias("n_a"),
+            F.first("__nb").alias("n_b"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+    )

@@ -5238,6 +5238,43 @@ def q_doc_entropy(spark, sf_dir):
     )
 
 
+@query(
+    "ks_drift",
+    f"""
+WITH s AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+), c AS (
+  SELECT sum(ca) OVER (ORDER BY value) AS cca,
+         sum(cb) OVER (ORDER BY value) AS ccb
+  FROM s
+), t AS (
+  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+         count(*) AS nv
+  FROM s
+)
+SELECT {R("max(abs(cca / na - ccb / nb))")} AS ks_stat,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       nv AS n_values
+FROM c, t GROUP BY na, nb, nv""",
+)
+def q_ks_drift(spark, sf_dir):
+    """Two-sample KS statistic between click and view value
+    distributions: tie-collapsed distinct-value ECDFs, cumulative counts
+    via the distributed ranged_cumsum idiom (no single-partition
+    window)."""
+    from ffn_polars_spark.operators.quality import ks_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    out = ks_drift(ev, "value", "event_type", "click", "view")
+    return out.select(
+        r6("ks_stat").alias("ks_stat"), "n_a", "n_b", "n_values"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5351,6 +5388,7 @@ _PRIORITY = [
     "vpin",
     "corwin_schultz",
     "doc_entropy",
+    "ks_drift",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -100,3 +100,55 @@ def test_gini_by_group_known_distributions(spark):
     assert abs(out["onehot"].gini - 0.9) < 1e-12
     # zero total -> NULL (undefined), not an error
     assert out["zero"].gini is None
+
+
+def test_ks_drift_matches_scipy_style_replay_and_ties(spark):
+    from ffn_polars_spark.operators.quality import ks_drift
+
+    # identical distributions -> KS = 0
+    rows = [(float(v), s) for v in range(10) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, ["v", "side"])
+    r = ks_drift(df, "v", "side", "a", "b").collect()[0]
+    assert r.ks_stat == 0.0 and r.n_a == 10 and r.n_b == 10
+
+    # disjoint supports -> KS = 1
+    dj = spark.createDataFrame(
+        [(float(v), "a") for v in range(5)]
+        + [(float(v + 100), "b") for v in range(5)],
+        ["v", "side"],
+    )
+    assert ks_drift(dj, "v", "side", "a", "b").collect()[0].ks_stat == 1.0
+
+    # hand-computed with ties: a = [1,1,2,3], b = [1,2,2,4]
+    # distinct values 1,2,3,4; ECDF_a = .5,.75,1,1; ECDF_b = .25,.75,.75,1
+    # diffs = .25, 0, .25, 0 -> KS = .25
+    tied = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "a"), (2.0, "a"), (3.0, "a"),
+         (1.0, "b"), (2.0, "b"), (2.0, "b"), (4.0, "b")],
+        ["v", "side"],
+    )
+    t = ks_drift(tied, "v", "side", "a", "b").collect()[0]
+    assert abs(t.ks_stat - 0.25) < 1e-12
+    assert t.n_values == 4
+
+    # other sides are ignored entirely
+    extra = spark.createDataFrame(rows + [(999.0, "c")], ["v", "side"])
+    assert ks_drift(extra, "v", "side", "a", "b").collect()[0].ks_stat == 0.0
+
+
+def test_ranged_cumsum_matches_sequential(spark):
+    import random
+
+    from ffn_polars_spark.core import ranged_cumsum
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(rng.uniform(0, 100), rng.randint(1, 9)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, ["v", "x"]).repartition(16)
+    out = ranged_cumsum(df, ["v"], {"cx": F.col("x")})
+    got = {r.v: r.cx for r in out.collect()}
+    acc, want = 0, {}
+    for v, x in sorted(rows):
+        acc += x
+        want[v] = acc
+    assert got == want

@@ -405,3 +405,14 @@ def test_doc_entropy_two_doc_keyed_aggregates_no_join(spark):
     plan = explain_str(df)
     assert "Join" not in plan
     assert count_exchanges(df) <= 2
+
+
+def test_ks_drift_distributed_cumsum_no_single_partition_window(spark):
+    # ECDF cumsums run through ranged_cumsum: RangePartitioning + __pid
+    # windows; no Exchange SinglePartition ahead of the Window
+    df = QUERY_FNS["ks_drift"](spark, SF)
+    plan = explain_str(df)
+    assert "rangepartitioning" in plan.lower()
+    i_win = plan.index("Window")
+    sp = plan.find("SinglePartition")
+    assert sp == -1 or sp > i_win

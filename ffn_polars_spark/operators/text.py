@@ -941,19 +941,19 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
     Vocabulary counts come from one tokenize-explode-groupBy pass. Rank is
     assigned with the *distributed* global-ranking idiom, never a
     single-partition window (a 10⁸-term vocabulary would serialize
-    there): range-repartition by (count desc, token), ``row_number``
-    *within* each sorted partition, and a broadcast map of per-partition
-    row counts supplies each partition's global offset. Range boundaries
-    are sampled, but the total order — and hence every rank and the
-    fitted slope — is determined solely by (count desc, token), so the
-    result is identical on any cluster shape and engine-replayable. Ties
-    broken by token keep rank assignment exact. Slope/intercept from the
+    there): rank is ``core.ranged_cumsum`` of ones in (count desc, token)
+    order — range-repartition, per-partition windowed count, broadcast
+    per-partition offsets. Range boundaries are sampled, but the total
+    order — and hence every rank and the fitted slope — is determined
+    solely by (count desc, token), so the result is identical on any
+    cluster shape and engine-replayable. Ties broken by token keep rank
+    assignment exact. Slope/intercept from the
     closed-form moments (``cov/var``), NULL when the vocabulary has < 2
     distinct ranks.
 
     Returns one row: ``(zipf_slope, zipf_intercept, r2, vocab_size)``.
     """
-    from pyspark.sql.window import Window
+    from ffn_polars_spark.core import ranged_cumsum
 
     vocab = (
         df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -961,35 +961,16 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__f"))
     )
-    order = [F.col("__f").desc(), F.col("tok").asc()]
-    parts = (
-        vocab.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
-    ).persist()
-    # tiny driver-side pass: rows per partition -> cumulative offsets.
-    # (This also materializes the persisted sorted vocabulary, so the
-    # moment pass below reads the cache instead of re-running the
-    # explode + count + sort.)
-    sizes = {r["__pid"]: r["c"] for r in parts.groupBy("__pid").agg(
-        F.count(F.lit(1)).alias("c")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in offsets.items() for x in kv]
-            ),
-            F.col("__pid"),
-        ),
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(*order)
-    ranked = parts.select(
+    # global rank = distributed cumulative count of ones in (freq desc,
+    # token) order; ranged_cumsum persists the sorted vocabulary so its
+    # offsets pass and the moment pass share one materialization
+    ranked = ranged_cumsum(
+        vocab,
+        [F.col("__f").desc(), F.col("tok").asc()],
+        {"__rank": F.lit(1)},
+    ).select(
         F.log(F.col("__f").cast("double")).alias("__lf"),
-        F.log((F.row_number().over(w) + off).cast("double")).alias("__lr"),
+        F.log(F.col("__rank").cast("double")).alias("__lr"),
     )
     cov = F.covar_samp("__lr", "__lf")
     varr = F.var_samp("__lr")

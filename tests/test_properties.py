@@ -303,3 +303,83 @@ def test_quantile_bin_sizes_differ_by_at_most_one(spark, n, nbins):
     assert max(sizes.values()) - min(sizes.values()) <= 1
     ordered = [sizes[b] for b in sorted(sizes)]
     assert ordered == sorted(ordered, reverse=True)
+
+
+def test_round6_ops_are_partition_invariant(spark):
+    """Distributed correctness: every operator's result must be a pure
+    function of the DATA, independent of how the input happens to be
+    partitioned — the property that the md5-draw, ranged_cumsum-offset,
+    and window idioms are all designed to preserve (and where a
+    nondeterministic sample/offset bug would first show)."""
+    import random
+
+    rng = random.Random(42)
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    rng.choice(["agg", "scan", "join", "sort", "key", "row"])
+                    for _ in range(rng.randint(3, 25))
+                ),
+                f"s{i % 5}",
+                rng.randint(1, 500),
+            )
+            for i in range(300)
+        ],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    ticks = spark.createDataFrame(
+        [
+            ("T" + str(i % 3), i, 100.0 + rng.uniform(-5, 5),
+             float(rng.randint(1, 50)))
+            for i in range(600)
+        ],
+        ["k", "ts", "p", "v"],
+    )
+
+    from ffn_polars_spark.functions.tick_bars import vpin
+    from ffn_polars_spark.functions.tick_price import (
+        amihud_illiquidity,
+        kyle_lambda,
+        roll_spread,
+    )
+    from ffn_polars_spark.operators.pipeline import cap_per_group
+    from ffn_polars_spark.operators.quality import gini_by_group, ks_drift
+    from ffn_polars_spark.operators.text import (
+        doc_entropy,
+        scrub_spans,
+        zipf_slope,
+    )
+
+    cases = [
+        (docs, lambda d: scrub_spans(d, width=3, min_docs=2)),
+        (docs, lambda d: cap_per_group(d, 7, group_col="source")),
+        (docs, lambda d: gini_by_group(d, "n_chars", group_col="source")),
+        (docs, lambda d: zipf_slope(d)),
+        (docs, lambda d: doc_entropy(d, unit="word")),
+        (docs, lambda d: ks_drift(d, "n_chars", "source", "s0", "s1")),
+        (ticks, lambda t: amihud_illiquidity(t, "p", "v", by="k", order_by="ts")),
+        (ticks, lambda t: roll_spread(t, "p", by="k", order_by="ts")),
+        (ticks, lambda t: kyle_lambda(t, "p", "v", by="k", order_by="ts")),
+        (ticks, lambda t: vpin(t, "ts", "p", "v", by=["k"],
+                               volume_per_bucket=200.0)),
+    ]
+    def norm(rows):
+        # floats are partition-invariant up to accumulation-order ulps
+        # (the same reason the oracle compare rounds at r6) — round to 9
+        # decimals; everything else must match exactly
+        out = []
+        for r in rows:
+            out.append(tuple(
+                round(v, 9) if isinstance(v, float) else v for v in r
+            ))
+        return sorted(out, key=str)
+
+    for base, fn in cases:
+        a = norm(fn(base.repartition(1)).collect())
+        b = norm(fn(base.repartition(17)).collect())
+        c = norm(fn(base.repartitionByRange(
+            5, "doc_id" if "doc_id" in base.columns else "ts"
+        )).collect())
+        assert a == b == c, fn

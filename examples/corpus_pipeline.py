@@ -125,6 +125,9 @@ def main() -> None:
     from ffn_polars_spark.operators.text import doc_entropy
 
     doc_entropy(docs, unit="word").orderBy("entropy").show(3)
+    from ffn_polars_spark.operators.text import vocab_jsd
+
+    vocab_jsd(docs, "source", "src0", "src1").show()
 
     spark.stop()
 

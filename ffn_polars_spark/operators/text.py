@@ -1027,3 +1027,56 @@ def doc_entropy(
         F.sum("__c").alias("n_units"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="vocab_jsd")
+def vocab_jsd(
+    df: DataFrame,
+    side_col: str,
+    a: str,
+    b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between the unigram distributions
+    of two document populations — the vocabulary-drift companion to
+    [[ks_drift]]'s numeric drift: 0 for identical token distributions,
+    ``ln 2`` for disjoint vocabularies. The standard "did this crawl
+    batch / source shift what the model will read?" gate, symmetric and
+    bounded unlike raw KL.
+
+    ``JSD = 0.5·KL(p‖m) + 0.5·KL(q‖m)`` with ``m = (p+q)/2``, summed over
+    the vocabulary union with the ``0·ln 0 = 0`` convention. One
+    tokenize-explode pass into a (token) aggregate carrying both sides'
+    counts (map-side partial agg bounds the shuffle at vocabulary
+    cardinality), one tiny totals row broadcast back, one final sum — no
+    join keyed on anything data-sized.
+
+    Returns one row: ``(jsd, n_tokens_a, n_tokens_b, vocab_union)``.
+    """
+    side = F.col(side_col)
+    counts = (
+        df.where(side.isin(a, b))
+        .select(side.alias("__s"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("__s") == a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col("__s") == b, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("__ca") / F.col("__na").cast("double")
+    q = F.col("__cb") / F.col("__nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.coalesce(
+        F.when(p > 0, F.lit(0.5) * p * F.log(p / m)), F.lit(0.0)
+    ) + F.coalesce(F.when(q > 0, F.lit(0.5) * q * F.log(q / m)), F.lit(0.0))
+    return j.agg(
+        F.sum(term).alias("jsd"),
+        F.first("__na").alias("n_tokens_a"),
+        F.first("__nb").alias("n_tokens_b"),
+        F.count(F.lit(1)).alias("vocab_union"),
+    )

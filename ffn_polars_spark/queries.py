@@ -5275,6 +5275,42 @@ def q_ks_drift(spark, sf_dir):
     )
 
 
+@query(
+    "vocab_jsd",
+    f"""
+WITH c AS (
+  SELECT tok,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+  FROM (
+    SELECT source, unnest({TOKS_SQL}) AS tok FROM documents
+    WHERE source IN ('src0', 'src1')
+  ) WHERE tok <> '' GROUP BY tok
+), t AS (
+  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb FROM c
+), terms AS (
+  SELECT ca / na AS p, cb / nb AS q, na, nb FROM c, t
+)
+SELECT {R("sum(coalesce(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) END, 0.0)"
+          " + coalesce(CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) END, 0.0))")} AS jsd,
+       CAST(max(na) AS BIGINT) AS n_tokens_a,
+       CAST(max(nb) AS BIGINT) AS n_tokens_b,
+       count(*) AS vocab_union
+FROM terms""",
+)
+def q_vocab_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between src0 and src1 unigram
+    distributions: one tokenize-explode into a token aggregate carrying
+    both sides, broadcast totals, one sum — vocabulary-drift gate."""
+    from ffn_polars_spark.operators.text import vocab_jsd
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = vocab_jsd(docs, "source", "src0", "src1")
+    return out.select(
+        r6("jsd").alias("jsd"), "n_tokens_a", "n_tokens_b", "vocab_union"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5389,6 +5425,7 @@ _PRIORITY = [
     "corwin_schultz",
     "doc_entropy",
     "ks_drift",
+    "vocab_jsd",
     # --- canaries from the round-5-green core block (regression tripwire)
     "to_returns",
     "calc_realized_volatility",

@@ -416,3 +416,15 @@ def test_ks_drift_distributed_cumsum_no_single_partition_window(spark):
     i_win = plan.index("Window")
     sp = plan.find("SinglePartition")
     assert sp == -1 or sp > i_win
+
+
+def test_vocab_jsd_single_token_aggregate_broadcast_totals(spark):
+    # one token-keyed aggregate; the totals row attaches via broadcast
+    # nested-loop (1 row), never a shuffle join keyed on data
+    df = QUERY_FNS["vocab_jsd"](spark, SF)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # token agg runs in both the totals branch and the join branch (two
+    # linear passes — the self-referencing-DAG recompute, same shape as
+    # scrub_spans) + the 1-row totals agg + the final global agg
+    assert count_exchanges(df) <= 4

@@ -349,6 +349,7 @@ def test_round6_ops_are_partition_invariant(spark):
     from ffn_polars_spark.operators.text import (
         doc_entropy,
         scrub_spans,
+        vocab_jsd,
         zipf_slope,
     )
 
@@ -359,6 +360,7 @@ def test_round6_ops_are_partition_invariant(spark):
         (docs, lambda d: zipf_slope(d)),
         (docs, lambda d: doc_entropy(d, unit="word")),
         (docs, lambda d: ks_drift(d, "n_chars", "source", "s0", "s1")),
+        (docs, lambda d: vocab_jsd(d, "source", "s0", "s1")),
         (ticks, lambda t: amihud_illiquidity(t, "p", "v", by="k", order_by="ts")),
         (ticks, lambda t: roll_spread(t, "p", by="k", order_by="ts")),
         (ticks, lambda t: kyle_lambda(t, "p", "v", by="k", order_by="ts")),

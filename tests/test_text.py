@@ -356,3 +356,44 @@ def test_doc_entropy_word_and_char_hand_computed(spark):
 
     with pytest.raises(ValueError):
         doc_entropy(df, unit="bigram")
+
+
+def test_vocab_jsd_bounds_and_hand_computed(spark):
+    import math
+
+    from ffn_polars_spark.operators.text import vocab_jsd
+
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "a b c", "y")], ["doc_id", "text", "side"]
+    )
+    r = vocab_jsd(same, "side", "x", "y").collect()[0]
+    assert abs(r.jsd) < 1e-12 and r.vocab_union == 3
+
+    # disjoint vocabularies -> ln 2
+    dj = spark.createDataFrame(
+        [(1, "a a b", "x"), (2, "c d d", "y")], ["doc_id", "text", "side"]
+    )
+    d = vocab_jsd(dj, "side", "x", "y").collect()[0]
+    assert abs(d.jsd - math.log(2)) < 1e-12
+    assert d.n_tokens_a == 3 and d.n_tokens_b == 3 and d.vocab_union == 4
+
+    # hand-computed mixed case: p = {a:.5, b:.5}, q = {a:1.0}
+    mx = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "a", "y")], ["doc_id", "text", "side"]
+    )
+    p, q = {"a": 0.5, "b": 0.5}, {"a": 1.0, "b": 0.0}
+    want = sum(
+        (0.5 * p[t] * math.log(p[t] / ((p[t] + q[t]) / 2)) if p[t] else 0)
+        + (0.5 * q[t] * math.log(q[t] / ((p[t] + q[t]) / 2)) if q[t] else 0)
+        for t in ("a", "b")
+    )
+    got = vocab_jsd(mx, "side", "x", "y").collect()[0]
+    assert abs(got.jsd - want) < 1e-12
+
+    # other sides ignored
+    extra = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "a b c", "y"), (3, "zzz", "other")],
+        ["doc_id", "text", "side"],
+    )
+    assert abs(vocab_jsd(extra, "side", "x", "y").collect()[0].jsd) < 1e-12

@@ -5324,19 +5324,16 @@ def q_vocab_jsd(spark, sf_dir):
 #   r5    | 48 core SURVEY §2 ops + 3 canaries            | re-verify core
 #         |                                               | after the r4
 #         |                                               | ts_ns_col rewrite
-#   r6    | 9 never-driver-green oracles (resample x2,    | only entries with
-#         | sim_market_day, streaming x6) + ALL 43 NEW    | no current driver
-#         | round-6 entries (sketches, spans, semantic    | evidence
-#         | dedup, tfidf, streaming histogram/join/topk,  |
-#         | EWMA family, drawdown episodes, overlap,      |
-#         | corpus scoring/rollup, outliers, corr matrix, |
-#         | chunking, embed normalize, funnel/cohort/bin, |
-#         | search, pivot, jsonl, transitions, bigram,    |
-#         | partition pruning, SCD2 x2, quality gates,    |
-#         | winsorize, beta, kfold/time-split/labels)     |
-#         | + 4 r5 canaries + the r04-stale entries,      |
-#         | risk-first — the driver's ~50-entry prefix    |
-#         | covers the 9 + the highest-risk new block     |
+#   r6    | exactly 50: 9 never-driver-green oracles      | only entries with
+#         | (resample x2, sim_market_day, streaming x6)   | no current driver
+#         | + 3 r5-green canaries + the 26 newest         | evidence, plus
+#         | round-6 entries (drift gates, entropy,        | regression
+#         | microstructure estimators, sampling/scrub,    | canaries INSIDE
+#         | splits/risk) + 12 highest-complexity earlier  | the window
+#         | round-6 entries (stateful streaming, SCD2,    |
+#         | round-trips, sketches); the simpler-oracle    |
+#         | remainder of the round-6 block sits just      |
+#         | behind and front-loads r7                     |
 #   r7+   | alternate halves: odd rounds front-load the   | no verdict older
 #         | core-§2 half (r5's front), even rounds the    | than 2 rounds
 #         | pipeline/dedup/ann/streaming half (r6's),     |
@@ -5361,76 +5358,82 @@ _PRIORITY = [
     "streaming_session_stats",
     "streaming_running_vwap",
     "streaming_realized_vol",
-    # --- new in round 6 (no driver evidence yet): sketch/sampling + span
-    # dedup + vocabulary operators
-    "kmv_distinct",
-    "bottomk_sample",
-    "vocab_topk",
-    "duplicate_spans",
-    "semantic_dedup",
-    "group_quantiles",
-    "value_histogram",
-    "tfidf_topterms",
-    "streaming_histogram",
-    "embedding_quantize",
-    "streaming_interval_join",
-    "column_profile",
-    "ewma",
-    "ewm_volatility",
-    "drawdown_details",
-    "monthly_returns",
-    "corpus_overlap",
-    "unigram_logprob",
-    "corpus_rollup",
-    "robust_outliers",
-    "corr_matrix",
-    "chunk_documents",
-    "embedding_normalize",
-    "streaming_topk",
-    "funnel_stages",
-    "cohort_retention",
-    "quantile_bin",
-    "inverted_index",
-    "keyword_search",
-    "pivot_wide",
-    "jsonl_roundtrip",
-    "transition_matrix",
-    "bigram_logprob",
-    "partitioned_roundtrip",
-    "scd2_build",
-    "scd2_asof_join",
-    "join_profile",
-    "detect_gaps",
-    "winsorize",
-    "rolling_beta",
-    "kfold_assign",
-    "time_split",
-    "label_stats",
-    "calc_var_cvar",
-    "autocorr",
-    "pmi_collocations",
-    "snapshot_diff",
-    "rolling_median",
-    "feature_scale",
-    "weighted_sample",
-    "scrub_spans",
-    "cap_per_group",
-    "amihud_illiquidity",
-    "roll_spread",
-    "kyle_lambda",
-    "gini_by_group",
-    "zipf_slope",
-    "centroid_similarity",
-    "vpin",
-    "corwin_schultz",
-    "doc_entropy",
-    "ks_drift",
-    "vocab_jsd",
-    # --- canaries from the round-5-green core block (regression tripwire)
+    # --- 3 canaries from the round-5-green core block (regression
+    # tripwire, kept INSIDE the ~50-entry driver window)
     "to_returns",
     "calc_realized_volatility",
-    "time_bars",
     "idle_time",
+    # --- round-6 entries, newest first (verified locally + judge-runnable;
+    # the driver window covers through bigram_logprob below = exactly 50
+    # entries; the remainder of the round-6 block front-loads r7)
+    "vocab_jsd",
+    "ks_drift",
+    "doc_entropy",
+    "corwin_schultz",
+    "vpin",
+    "centroid_similarity",
+    "zipf_slope",
+    "gini_by_group",
+    "kyle_lambda",
+    "roll_spread",
+    "amihud_illiquidity",
+    "cap_per_group",
+    "scrub_spans",
+    "weighted_sample",
+    "feature_scale",
+    "rolling_median",
+    "snapshot_diff",
+    "pmi_collocations",
+    "autocorr",
+    "calc_var_cvar",
+    "label_stats",
+    "time_split",
+    "kfold_assign",
+    "rolling_beta",
+    "winsorize",
+    "detect_gaps",
+    # --- highest-complexity earlier-round-6 entries (stateful streaming,
+    # SCD2, round-trips, sketches) — the rest of the 50-window
+    "join_profile",
+    "scd2_asof_join",
+    "scd2_build",
+    "partitioned_roundtrip",
+    "jsonl_roundtrip",
+    "streaming_topk",
+    "streaming_interval_join",
+    "streaming_histogram",
+    "semantic_dedup",
+    "kmv_distinct",
+    "corpus_overlap",
+    "bigram_logprob",
+    # ======== driver window (~50) ends here ========
+    # --- remaining round-6 entries (simpler oracles; front-load in r7)
+    "transition_matrix",
+    "pivot_wide",
+    "keyword_search",
+    "inverted_index",
+    "quantile_bin",
+    "cohort_retention",
+    "funnel_stages",
+    "embedding_normalize",
+    "chunk_documents",
+    "corr_matrix",
+    "robust_outliers",
+    "corpus_rollup",
+    "unigram_logprob",
+    "monthly_returns",
+    "drawdown_details",
+    "ewm_volatility",
+    "ewma",
+    "column_profile",
+    "embedding_quantize",
+    "tfidf_topterms",
+    "value_histogram",
+    "group_quantiles",
+    "duplicate_spans",
+    "vocab_topk",
+    "bottomk_sample",
+    "time_bars",
     # --- the r04-stale block (last driver verdict round 4), risk-first:
     # code touched in round 6 (pair-budget guard rewrite) ...
     "ann_topk",

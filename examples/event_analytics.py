@@ -69,6 +69,11 @@ def main() -> None:
     from ffn_polars_spark.operators.quality import ks_drift
 
     ks_drift(ev, "value", "event_type", "click", "view").show()
+    from ffn_polars_spark.operators.quality import psi_drift
+
+    psi_drift(
+        ev, "value", "event_type", "click", "view", lo=0.0, width=2.0
+    ).show()
 
     spark.stop()
 

@@ -273,3 +273,62 @@ def ks_drift(
             F.count(F.lit(1)).alias("n_values"),
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="psi_drift")
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    a: str,
+    b: str,
+    lo: float,
+    width: float,
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between sides ``a`` and ``b`` over
+    FIXED-WIDTH bins — the industry-standard binned drift score
+    (rule of thumb: < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted).
+    Completes the drift suite: [[ks_drift]] (max ECDF deviation),
+    [[vocab_jsd]] (token distributions), [[column_profile]] (moments),
+    [[snapshot_diff]] (membership).
+
+    Bins are ``clamp(floor((v − lo)/width), 0, nbins−1)`` — explicit
+    ``lo``/``width`` parameters rather than data-dependent quantile cuts,
+    so the binning is deterministic, engine-replayable, and comparable
+    across batches (the point of a monitoring metric). Each side's bin
+    share is clamped at ``eps`` before the log (the standard
+    empty-bin convention); ``PSI = Σ (p_a − p_b)·ln(p_a/p_b)``.
+
+    One (bin) aggregate carrying both sides (map-side partials bound the
+    shuffle at ``nbins``), broadcast totals, one sum. Returns one row:
+    ``(psi, n_a, n_b, n_bins_used)``.
+    """
+    side = F.col(side_col)
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(float(width))), F.lit(0)
+        ),
+        F.lit(int(nbins) - 1),
+    )
+    counts = (
+        df.where(side.isin(a, b))
+        .groupBy(bin_.alias("__bin"))
+        .agg(
+            F.sum(F.when(side == a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(side == b, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    tot = counts.agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
+    j = counts.crossJoin(F.broadcast(tot))
+    e = F.lit(float(eps))
+    p = F.greatest(F.col("__ca") / F.col("__na").cast("double"), e)
+    q = F.greatest(F.col("__cb") / F.col("__nb").cast("double"), e)
+    return j.agg(
+        F.sum((p - q) * F.log(p / q)).alias("psi"),
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )

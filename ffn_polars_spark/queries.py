@@ -5311,6 +5311,40 @@ def q_vocab_jsd(spark, sf_dir):
     )
 
 
+@query(
+    "psi_drift",
+    f"""
+WITH c AS (
+  SELECT least(greatest(CAST(floor(value / 2.0) AS BIGINT), 0), 9) AS bin,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+), t AS (
+  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb FROM c
+), s AS (
+  SELECT greatest(ca / na, 1e-6) AS p, greatest(cb / nb, 1e-6) AS q, na, nb
+  FROM c, t
+)
+SELECT {R("sum((p - q) * ln(p / q))")} AS psi,
+       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       count(*) AS n_bins_used
+FROM s""",
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between click and view value
+    distributions over 10 fixed-width bins (lo=0, width=2) — one bin
+    aggregate carrying both sides, broadcast totals, one sum."""
+    from ffn_polars_spark.operators.quality import psi_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    out = psi_drift(
+        ev, "value", "event_type", "click", "view", lo=0.0, width=2.0,
+        nbins=10,
+    )
+    return out.select(r6("psi").alias("psi"), "n_a", "n_b", "n_bins_used")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5366,6 +5400,7 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "psi_drift",
     "vocab_jsd",
     "ks_drift",
     "doc_entropy",
@@ -5405,9 +5440,9 @@ _PRIORITY = [
     "semantic_dedup",
     "kmv_distinct",
     "corpus_overlap",
-    "bigram_logprob",
     # ======== driver window (~50) ends here ========
     # --- remaining round-6 entries (simpler oracles; front-load in r7)
+    "bigram_logprob",
     "transition_matrix",
     "pivot_wide",
     "keyword_search",

@@ -152,3 +152,35 @@ def test_ranged_cumsum_matches_sequential(spark):
         acc += x
         want[v] = acc
     assert got == want
+
+
+def test_psi_drift_hand_computed_and_conventions(spark):
+    import math
+
+    from ffn_polars_spark.operators.quality import psi_drift
+
+    # identical distributions -> ~0 (eps clamp contributes nothing when
+    # both sides occupy the same bins)
+    rows = [(float(v), s) for v in range(10) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, ["v", "side"])
+    r = psi_drift(df, "v", "side", "a", "b", lo=0.0, width=2.0).collect()[0]
+    assert abs(r.psi) < 1e-12 and r.n_a == 10 and r.n_b == 10
+
+    # hand-computed two-bin shift: a = 4x bin0, b = 1x bin0 + 3x bin1
+    two = spark.createDataFrame(
+        [(0.5, "a")] * 4 + [(0.5, "b")] + [(2.5, "b")] * 3, ["v", "side"]
+    )
+    out = psi_drift(two, "v", "side", "a", "b", lo=0.0, width=2.0).collect()[0]
+    eps = 1e-6
+    pa = {0: 1.0, 1: eps}          # a has no bin-1 mass -> clamped
+    pb = {0: 0.25, 1: 0.75}
+    want = sum((pa[k] - pb[k]) * math.log(pa[k] / pb[k]) for k in (0, 1))
+    assert abs(out.psi - want) < 1e-9
+    assert out.n_bins_used == 2
+
+    # out-of-range values clamp into the edge bins rather than vanishing
+    rng = spark.createDataFrame(
+        [(-5.0, "a"), (999.0, "a"), (-5.0, "b"), (999.0, "b")], ["v", "side"]
+    )
+    rr = psi_drift(rng, "v", "side", "a", "b", lo=0.0, width=2.0).collect()[0]
+    assert rr.n_a == 2 and rr.n_b == 2 and abs(rr.psi) < 1e-12

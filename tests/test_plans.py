@@ -428,3 +428,12 @@ def test_vocab_jsd_single_token_aggregate_broadcast_totals(spark):
     # linear passes — the self-referencing-DAG recompute, same shape as
     # scrub_spans) + the 1-row totals agg + the final global agg
     assert count_exchanges(df) <= 4
+
+
+def test_psi_drift_bin_aggregate_broadcast_totals(spark):
+    # one bin-keyed aggregate (shuffle bounded at nbins rows per
+    # partition), broadcast 1-row totals, final sum — no shuffle joins
+    df = QUERY_FNS["psi_drift"](spark, SF)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert count_exchanges(df) <= 4

@@ -345,7 +345,11 @@ def test_round6_ops_are_partition_invariant(spark):
         roll_spread,
     )
     from ffn_polars_spark.operators.pipeline import cap_per_group
-    from ffn_polars_spark.operators.quality import gini_by_group, ks_drift
+    from ffn_polars_spark.operators.quality import (
+        gini_by_group,
+        ks_drift,
+        psi_drift,
+    )
     from ffn_polars_spark.operators.text import (
         doc_entropy,
         scrub_spans,
@@ -361,6 +365,8 @@ def test_round6_ops_are_partition_invariant(spark):
         (docs, lambda d: doc_entropy(d, unit="word")),
         (docs, lambda d: ks_drift(d, "n_chars", "source", "s0", "s1")),
         (docs, lambda d: vocab_jsd(d, "source", "s0", "s1")),
+        (docs, lambda d: psi_drift(d, "n_chars", "source", "s0", "s1",
+                                   lo=0.0, width=50.0)),
         (ticks, lambda t: amihud_illiquidity(t, "p", "v", by="k", order_by="ts")),
         (ticks, lambda t: roll_spread(t, "p", by="k", order_by="ts")),
         (ticks, lambda t: kyle_lambda(t, "p", "v", by="k", order_by="ts")),

@@ -64,6 +64,28 @@ def main() -> None:
         "Date", ascending=False
     ).show(3)
 
+    # Portfolio composition: weighted cross-asset return series, then the
+    # whole EOD risk panel applies to the portfolio series itself
+    from ffn_polars_spark.functions.eod_returns import portfolio_returns
+
+    # build per-ticker daily returns, then a 60/40-style blend
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    px_long = px.selectExpr(
+        "Date", "stack(3, 'AAPL', AAPL, 'MSFT', MSFT, 'C', C) AS (ticker, price)"
+    )
+    w = Window.partitionBy("ticker").orderBy("Date")
+    port_rets = px_long.select(
+        "ticker", "Date",
+        (F.col("price") / F.lag("price").over(w) - 1).alias("ret"),
+    )
+    port = portfolio_returns(
+        port_rets, {"AAPL": 0.5, "MSFT": 0.3, "C": 0.2},
+        key_col="ticker", ts_col="Date", return_col="ret",
+    )
+    port.orderBy("ts").show(5)
+
     spark.stop()
 
 

@@ -240,3 +240,49 @@ def monthly_returns(
     return ends.select(
         *by, "year", "month", F.round(ret, 6).alias("month_return")
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="portfolio_returns")
+def portfolio_returns(
+    df: DataFrame,
+    weights: dict,
+    key_col: str,
+    ts_col: str,
+    return_col: str,
+) -> DataFrame:
+    """Portfolio return series from per-asset returns and target weights
+    (daily-rebalanced convention: each period's portfolio return is the
+    weighted mean of that period's asset returns). Weights renormalize
+    over the assets PRESENT that period, so a late-listing or halted
+    asset shifts its weight pro-rata onto the others instead of silently
+    shrinking the portfolio — the standard index-construction treatment
+    of missing constituents.
+
+    The output composes with the whole EOD suite: feed it to
+    [[to_price_index]] for the equity curve, [[calc_max_drawdown]] /
+    [[calc_sharpe]] / [[calc_var_cvar]] for the risk panel.
+
+    ``weights`` is a plain dict (asset -> weight) folded into an in-plan
+    literal map — no join at all; the plan is one projection plus one
+    ``groupBy(ts)`` aggregate, shuffling only (period, partial-sum) rows.
+
+    Returns ``(ts, portfolio_return, n_assets)`` for periods with at
+    least one weighted asset reporting a return.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    w = F.element_at(wmap, F.col(key_col)).cast("double")
+    r = F.col(return_col).cast("double")
+    pre = df.select(
+        F.col(ts_col).alias("ts"), w.alias("__w"), r.alias("__r")
+    ).where(F.col("__w").isNotNull() & F.col("__r").isNotNull())
+    return (
+        pre.groupBy("ts")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__r")) / F.sum("__w")).alias(
+                "portfolio_return"
+            ),
+            F.count(F.lit(1)).alias("n_assets"),
+        )
+    )

@@ -5345,6 +5345,56 @@ def q_psi_drift(spark, sf_dir):
     return out.select(r6("psi").alias("psi"), "n_a", "n_b", "n_bins_used")
 
 
+@query(
+    "portfolio_returns",
+    _BARS_SQL
+    + f""", r AS (
+  SELECT event_type, bar_ts,
+         close / lag(close) OVER (PARTITION BY event_type ORDER BY bar_ts) - 1 AS ret
+  FROM bars
+), wtd AS (
+  SELECT bar_ts AS ts, ret,
+         CASE event_type WHEN 'click' THEN 0.4 WHEN 'view' THEN 0.3
+              WHEN 'purchase' THEN 0.2 WHEN 'error' THEN 0.1 END AS w
+  FROM r
+)
+SELECT ts,
+       {R("sum(w * ret) / sum(w)")} AS portfolio_return,
+       count(*) AS n_assets
+FROM wtd WHERE w IS NOT NULL AND ret IS NOT NULL GROUP BY ts""",
+)
+def q_portfolio_returns(spark, sf_dir):
+    """Daily-rebalanced portfolio returns over four event-type 'assets'
+    (hourly-bar close returns, fixed target weights, renormalized over
+    present assets): in-plan literal weight map, no join, one ts
+    aggregate."""
+    from ffn_polars_spark.functions.eod_returns import portfolio_returns
+    from ffn_polars_spark.functions.tick_bars import time_bars
+    from pyspark.sql.window import Window as _W
+
+    t = ticks(spark, sf_dir)
+    bars = time_bars(
+        t, "ts_ns", "price", "volume", by=["event_type"],
+        bar_ns=3_600_000_000_000,
+    )
+    w = _W.partitionBy("event_type").orderBy("bar_ts")
+    rets = bars.select(
+        "event_type",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    )
+    out = portfolio_returns(
+        rets,
+        {"click": 0.4, "view": 0.3, "purchase": 0.2, "error": 0.1},
+        key_col="event_type",
+        ts_col="bar_ts",
+        return_col="ret",
+    )
+    return out.select(
+        "ts", r6("portfolio_return").alias("portfolio_return"), "n_assets"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5400,6 +5450,7 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "portfolio_returns",
     "psi_drift",
     "vocab_jsd",
     "ks_drift",
@@ -5439,8 +5490,8 @@ _PRIORITY = [
     "streaming_histogram",
     "semantic_dedup",
     "kmv_distinct",
-    "corpus_overlap",
     # ======== driver window (~50) ends here ========
+    "corpus_overlap",
     # --- remaining round-6 entries (simpler oracles; front-load in r7)
     "bigram_logprob",
     "transition_matrix",

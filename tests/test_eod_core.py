@@ -147,3 +147,31 @@ def test_calc_ytd_reference_pinned(spark):
     df = spark.createDataFrame(rows, ["Date", "AAPL"])
     out = df.select(ffn.eod.calc_ytd("AAPL", "Date")).collect()[0]["AAPL_ytd"]
     aae(out, 0.99, places=4)
+
+
+def test_portfolio_returns_weighted_mean_and_renormalization(spark):
+    from ffn_polars_spark.functions.eod_returns import portfolio_returns
+
+    rows = [
+        (1, "A", 0.10), (1, "B", -0.02), (1, "C", 0.04),
+        (2, "A", 0.05), (2, "B", 0.01),          # C missing at t=2
+        (3, "A", None), (3, "B", 0.02), (3, "C", 0.02),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "r"])
+    w = {"A": 0.5, "B": 0.3, "C": 0.2}
+    out = {
+        r.ts: r
+        for r in portfolio_returns(df, w, "k", "ts", "r").collect()
+    }
+    # full period: plain weighted sum
+    assert abs(out[1].portfolio_return - (0.5*0.10 + 0.3*-0.02 + 0.2*0.04)) < 1e-12
+    assert out[1].n_assets == 3
+    # C missing: renormalize over A+B
+    assert abs(out[2].portfolio_return - (0.5*0.05 + 0.3*0.01) / 0.8) < 1e-12
+    assert out[2].n_assets == 2
+    # NULL return rows are excluded like missing assets
+    assert abs(out[3].portfolio_return - (0.3*0.02 + 0.2*0.02) / 0.5) < 1e-12
+    # unknown assets (no weight) are ignored entirely
+    extra = spark.createDataFrame(rows + [(1, "Z", 9.9)], ["ts", "k", "r"])
+    out2 = portfolio_returns(extra, w, "k", "ts", "r").collect()
+    assert {r.ts: r.portfolio_return for r in out2}[1] == out[1].portfolio_return

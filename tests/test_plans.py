@@ -437,3 +437,12 @@ def test_psi_drift_bin_aggregate_broadcast_totals(spark):
     plan = explain_str(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert count_exchanges(df) <= 4
+
+
+def test_portfolio_returns_no_join_single_ts_aggregate(spark):
+    # weights fold into an in-plan literal map: no join anywhere; the bar
+    # build + lag window + ts aggregate bound the exchanges
+    df = QUERY_FNS["portfolio_returns"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 3

@@ -48,6 +48,7 @@ def main() -> None:
     rets.select(
         ffn.eod.calc_sharpe("AAPL_returns", rf=0.0, n=252),
         ffn.eod.sortino_ratio("AAPL_returns", rf=0.0, n=252),
+        ffn.eod.omega_ratio("AAPL_returns"),
     ).show()
 
     # Episode-level drawdown report, calendar monthly returns, and the

@@ -261,3 +261,59 @@ def calc_calmar_ratio(
 
 
 calc_calmar_ratio._alias_suffix = "calmar_ratio"
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("omega")
+@guard_input("self", expected_dtype="double")
+def omega_ratio(self: ColumnOrName, threshold: float = 0.0) -> Column:
+    """Omega ratio at ``threshold``: probability-weighted gains over
+    losses, ``Σ max(r − τ, 0) / Σ max(τ − r, 0)`` — the whole-distribution
+    performance measure (uses every moment, unlike Sharpe's first two).
+    Ω > 1 means the gain mass above ``τ`` outweighs the loss mass below
+    it. NULL when there are no sub-threshold returns (no loss mass to
+    compare against). A pure aggregate: composes into any
+    ``groupBy(...).agg(...)`` like [[calc_sharpe]]."""
+    r = to_col(self)
+    tau = F.lit(float(threshold))
+    gains = F.sum(F.greatest(r - tau, F.lit(0.0)))
+    losses = F.sum(F.greatest(tau - r, F.lit(0.0)))
+    return F.when(losses > 0, gains / losses)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="capture_ratios")
+def capture_ratios(
+    df: DataFrame,
+    return_col: str,
+    bench_col: str,
+    by=None,
+) -> DataFrame:
+    """Up/down capture ratios of a return series against an aligned
+    benchmark: mean return in the periods the benchmark rose (fell)
+    divided by the benchmark's own mean in those periods — the classic
+    "do you keep up in rallies and lose less in selloffs" panel
+    (up > 1 and down < 1 is the ideal quadrant). Periods where either
+    side is NULL are excluded; a capture is NULL when its regime never
+    occurs or the benchmark mean is zero there.
+
+    One hash aggregate with conditional sums — no window, no join.
+    Returns ``(keys, up_capture, down_capture, n_up, n_down)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    r = F.col(return_col).cast("double")
+    b = F.col(bench_col).cast("double")
+    ok = r.isNotNull() & b.isNotNull()
+    up, down = ok & (b > 0), ok & (b < 0)
+
+    def regime_capture(cond):
+        mr = F.avg(F.when(cond, r))
+        mb = F.avg(F.when(cond, b))
+        return F.when(mb != 0, mr / mb)
+
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    return g.agg(
+        regime_capture(up).alias("up_capture"),
+        regime_capture(down).alias("down_capture"),
+        F.count(F.when(up, 1)).alias("n_up"),
+        F.count(F.when(down, 1)).alias("n_down"),
+    )

@@ -5395,6 +5395,56 @@ def q_portfolio_returns(spark, sf_dir):
     )
 
 
+@query(
+    "omega_ratio",
+    RETS_SQL
+    + f"""
+SELECT event_type,
+       {R("CASE WHEN sum(greatest(0.0 - r, 0.0)) > 0 THEN"
+          " sum(greatest(r - 0.0, 0.0)) / sum(greatest(0.0 - r, 0.0)) END")} AS r_omega
+FROM rets GROUP BY event_type""",
+)
+def q_omega_ratio(spark, sf_dir):
+    """Omega ratio at threshold 0 per event_type: probability-weighted
+    gain mass over loss mass — one conditional-sum aggregate."""
+    t = rets(spark, sf_dir)
+    return t.groupBy("event_type").agg(
+        r6(ffn.eod.omega_ratio("r")).alias("r_omega")
+    )
+
+
+@query(
+    "capture_ratios",
+    RETS_SQL
+    + f"""
+SELECT event_type,
+       {R("CASE WHEN avg(CASE WHEN r IS NOT NULL AND rb > 0 THEN rb END) != 0 THEN"
+          " avg(CASE WHEN r IS NOT NULL AND rb > 0 THEN r END)"
+          " / avg(CASE WHEN r IS NOT NULL AND rb > 0 THEN rb END) END")} AS up_capture,
+       {R("CASE WHEN avg(CASE WHEN r IS NOT NULL AND rb < 0 THEN rb END) != 0 THEN"
+          " avg(CASE WHEN r IS NOT NULL AND rb < 0 THEN r END)"
+          " / avg(CASE WHEN r IS NOT NULL AND rb < 0 THEN rb END) END")} AS down_capture,
+       count(CASE WHEN r IS NOT NULL AND rb > 0 THEN 1 END) AS n_up,
+       count(CASE WHEN r IS NOT NULL AND rb < 0 THEN 1 END) AS n_down
+FROM rets GROUP BY event_type""",
+)
+def q_capture_ratios(spark, sf_dir):
+    """Up/down capture of the price series against the price_b benchmark
+    per event_type — one conditional-sum hash aggregate, no window, no
+    join."""
+    from ffn_polars_spark.functions.eod_ratios import capture_ratios
+
+    t = rets(spark, sf_dir)
+    out = capture_ratios(t, "r", "rb", by="event_type")
+    return out.select(
+        "event_type",
+        r6("up_capture").alias("up_capture"),
+        r6("down_capture").alias("down_capture"),
+        "n_up",
+        "n_down",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5450,6 +5500,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "omega_ratio",
+    "capture_ratios",
     "portfolio_returns",
     "psi_drift",
     "vocab_jsd",
@@ -5488,9 +5540,9 @@ _PRIORITY = [
     "streaming_topk",
     "streaming_interval_join",
     "streaming_histogram",
+    # ======== driver window (~50) ends here ========
     "semantic_dedup",
     "kmv_distinct",
-    # ======== driver window (~50) ends here ========
     "corpus_overlap",
     # --- remaining round-6 entries (simpler oracles; front-load in r7)
     "bigram_logprob",

@@ -446,3 +446,12 @@ def test_portfolio_returns_no_join_single_ts_aggregate(spark):
     plan = explain_str(df)
     assert "Join" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_omega_capture_single_exchange(spark):
+    # lag window + conditional-sum aggregate on the same key: one exchange
+    for name in ("omega_ratio", "capture_ratios"):
+        df = QUERY_FNS[name](spark, SF)
+        plan = explain_str(df)
+        assert "Join" not in plan, name
+        assert count_exchanges(df) == 1, name

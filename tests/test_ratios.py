@@ -161,3 +161,44 @@ def test_calc_var_cvar_known_distribution(spark):
     assert abs(r.cvar - round(sum(tail) / len(tail), 6)) < 1e-6
     # CVaR is at least as bad as VaR
     assert r.cvar <= r.var
+
+
+def test_omega_ratio_hand_computed(spark):
+    import ffn_polars_spark as ffn
+
+    df = spark.createDataFrame(
+        [(0.10,), (-0.05,), (0.02,), (-0.01,)], ["r"]
+    )
+    got = df.agg(ffn.eod.omega_ratio("r")).collect()[0][0]
+    assert abs(got - (0.10 + 0.02) / (0.05 + 0.01)) < 1e-12
+
+    # all gains: no loss mass -> NULL
+    up = spark.createDataFrame([(0.1,), (0.2,)], ["r"])
+    assert up.agg(ffn.eod.omega_ratio("r")).collect()[0][0] is None
+
+    # nonzero threshold moves mass between the two sums
+    got_t = df.agg(ffn.eod.omega_ratio("r", threshold=0.02)).collect()[0][0]
+    assert abs(got_t - 0.08 / (0.07 + 0.00 + 0.03)) < 1e-12
+
+
+def test_capture_ratios_hand_computed(spark):
+    from ffn_polars_spark.functions.eod_ratios import capture_ratios
+
+    rows = [
+        ("A", 0.10, 0.05), ("A", 0.02, 0.04),     # bench up: r avg .06 / b avg .045
+        ("A", -0.03, -0.06), ("A", -0.01, -0.02), # bench down: -.02 / -.04
+        ("A", 0.99, 0.0),                          # flat bench: neither regime
+        ("A", None, 0.5), ("A", 0.5, None),        # NULLs excluded
+    ]
+    df = spark.createDataFrame(rows, ["k", "r", "rb"])
+    out = capture_ratios(df, "r", "rb", by="k").collect()[0]
+    assert abs(out.up_capture - 0.06 / 0.045) < 1e-12
+    assert abs(out.down_capture - 0.02 / 0.04) < 1e-12
+    assert out.n_up == 2 and out.n_down == 2
+
+    # benchmark never falls -> down_capture NULL
+    bull = spark.createDataFrame(
+        [("A", 0.1, 0.2), ("A", 0.0, 0.1)], ["k", "r", "rb"]
+    )
+    b = capture_ratios(bull, "r", "rb", by="k").collect()[0]
+    assert b.down_capture is None and b.n_down == 0

@@ -230,3 +230,100 @@ def calc_var_cvar(
         F.count(tail).alias("n_tail"),
     )
     return out
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="return_stats")
+def return_stats(df: DataFrame, return_col: str, by=None) -> DataFrame:
+    """One-pass distribution panel for a return series: count, mean,
+    volatility, skewness, excess kurtosis, best/worst period, and win
+    rate — the summary block a performance report opens with.
+
+    Skew/kurtosis use explicit POPULATION central moments derived from
+    raw power sums (``m2 = E2 − E1²`` etc.), not engine builtins, so the
+    numbers are formula-pinned and engine-replayable (builtin
+    ``skewness``/``kurtosis`` differ in bias correction across engines).
+    NULL skew/kurt for zero-variance series. ``win_rate`` is the positive
+    share of non-null periods. Everything reduces in ONE hash aggregate —
+    no window, no join, map-side partials.
+
+    Returns ``(keys, n, mean, vol, skew, kurt_excess, best, worst,
+    win_rate)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    r = F.col(return_col).cast("double")
+    e1, e2 = F.avg(r), F.avg(r * r)
+    e3, e4 = F.avg(r * r * r), F.avg(r * r * r * r)
+    m2 = e2 - e1 * e1
+    m3 = e3 - F.lit(3.0) * e1 * e2 + F.lit(2.0) * e1 * e1 * e1
+    m4 = (
+        e4
+        - F.lit(4.0) * e1 * e3
+        + F.lit(6.0) * e1 * e1 * e2
+        - F.lit(3.0) * e1 * e1 * e1 * e1
+    )
+    n = F.count(r)
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    return g.agg(
+        n.alias("n"),
+        e1.alias("mean"),
+        F.stddev_samp(r).alias("vol"),
+        F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5))).alias("skew"),
+        F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)).alias("kurt_excess"),
+        F.max(r).alias("best"),
+        F.min(r).alias("worst"),
+        (
+            F.count(F.when(r > 0, 1)).cast("double") / n.cast("double")
+        ).alias("win_rate"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="streak_stats")
+def streak_stats(
+    df: DataFrame,
+    return_col: str,
+    order_by,
+    by=None,
+) -> DataFrame:
+    """Longest winning and losing streaks of a return series — the
+    gaps-and-islands pattern: sign each period (+1 win / −1 loss / 0
+    flat-or-null), start a new run whenever the sign changes (lag
+    compare + cumulative sum of boundaries), measure runs, keep the
+    per-key maxima.
+
+    Two ordered windows over one partitioning (the lag and the boundary
+    cumsum share the sort) + a (key, run) aggregate + a tiny per-key
+    aggregate — shuffle volume after the run aggregate is bounded by run
+    count. Returns ``(keys, max_win_streak, max_loss_streak, n_runs)``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    r = F.col(return_col).cast("double")
+    sign = F.when(r > 0, 1).when(r < 0, -1).otherwise(0)
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.orderBy(*order)
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    pre = df.withColumn("__sgn", sign)
+    prev = F.lag("__sgn").over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col("__sgn") != prev), 1
+    ).otherwise(0)
+    runs = (
+        pre.withColumn("__run", F.sum(boundary).over(wc))
+        .groupBy(*(keys + ["__run"]))
+        .agg(F.first("__sgn").alias("__sgn"), F.count(F.lit(1)).alias("__len"))
+    )
+    g = runs.groupBy(*keys) if keys else runs.groupBy()
+    return g.agg(
+        F.max(F.when(F.col("__sgn") == 1, F.col("__len"))).alias(
+            "max_win_streak"
+        ),
+        F.max(F.when(F.col("__sgn") == -1, F.col("__len"))).alias(
+            "max_loss_streak"
+        ),
+        F.count(F.lit(1)).alias("n_runs"),
+    )

@@ -5445,6 +5445,87 @@ def q_capture_ratios(spark, sf_dir):
     )
 
 
+@query(
+    "return_stats",
+    RETS_SQL
+    + f"""
+, m AS (
+  SELECT event_type, count(r) AS n, avg(r) AS e1, avg(r * r) AS e2,
+         avg(r * r * r) AS e3, avg(r * r * r * r) AS e4,
+         stddev_samp(r) AS vol, max(r) AS best, min(r) AS worst,
+         count(CASE WHEN r > 0 THEN 1 END) AS wins
+  FROM rets GROUP BY event_type
+)
+SELECT event_type, n, {R("e1")} AS mean, {R("vol")} AS vol,
+       {R("CASE WHEN e2 - e1 * e1 > 0 THEN"
+          " (e3 - 3 * e1 * e2 + 2 * e1 * e1 * e1) / pow(e2 - e1 * e1, 1.5) END")} AS skew,
+       {R("CASE WHEN e2 - e1 * e1 > 0 THEN"
+          " (e4 - 4 * e1 * e3 + 6 * e1 * e1 * e2 - 3 * e1 * e1 * e1 * e1)"
+          " / ((e2 - e1 * e1) * (e2 - e1 * e1)) - 3 END")} AS kurt_excess,
+       {R("best")} AS best, {R("worst")} AS worst,
+       {R("CAST(wins AS DOUBLE) / n")} AS win_rate
+FROM m""",
+)
+def q_return_stats(spark, sf_dir):
+    """Distribution panel per event_type — count/mean/vol/skew/excess
+    kurtosis/best/worst/win rate from formula-pinned population moments,
+    one hash aggregate."""
+    from ffn_polars_spark.functions.eod_risk import return_stats
+
+    t = rets(spark, sf_dir)
+    out = return_stats(t, "r", by="event_type")
+    return out.select(
+        "event_type", "n", r6("mean").alias("mean"), r6("vol").alias("vol"),
+        r6("skew").alias("skew"), r6("kurt_excess").alias("kurt_excess"),
+        r6("best").alias("best"), r6("worst").alias("worst"),
+        r6("win_rate").alias("win_rate"),
+    )
+
+
+@query(
+    "streak_stats",
+    TICKS_SQL
+    + f"""
+, rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks
+), s AS (
+  SELECT event_type, ts_ns, event_id,
+         CASE WHEN r > 0 THEN 1 WHEN r < 0 THEN -1 ELSE 0 END AS sgn
+  FROM rr
+), b AS (
+  SELECT event_type, ts_ns, event_id, sgn,
+         CASE WHEN lag(sgn) OVER ({W}) IS NULL
+                   OR sgn != lag(sgn) OVER ({W}) THEN 1 ELSE 0 END AS bd
+  FROM s
+), runs AS (
+  SELECT event_type, sgn, count(*) AS len FROM (
+    SELECT event_type, sgn, sum(bd) OVER ({WR}) AS run FROM b
+  ) GROUP BY event_type, sgn, run
+)
+SELECT event_type,
+       max(CASE WHEN sgn = 1 THEN len END) AS max_win_streak,
+       max(CASE WHEN sgn = -1 THEN len END) AS max_loss_streak,
+       count(*) AS n_runs
+FROM runs GROUP BY event_type""",
+)
+def q_streak_stats(spark, sf_dir):
+    """Longest win/loss streaks per event_type — gaps-and-islands run
+    ids (lag compare + boundary cumsum sharing one sort), run lengths,
+    per-key maxima."""
+    from ffn_polars_spark.functions.eod_risk import streak_stats
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    )
+    return streak_stats(
+        pre, "r", order_by=["ts_ns", "event_id"], by="event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5500,6 +5581,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "return_stats",
+    "streak_stats",
     "omega_ratio",
     "capture_ratios",
     "portfolio_returns",
@@ -5538,9 +5621,9 @@ _PRIORITY = [
     "partitioned_roundtrip",
     "jsonl_roundtrip",
     "streaming_topk",
+    # ======== driver window (~50) ends here ========
     "streaming_interval_join",
     "streaming_histogram",
-    # ======== driver window (~50) ends here ========
     "semantic_dedup",
     "kmv_distinct",
     "corpus_overlap",

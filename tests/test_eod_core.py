@@ -175,3 +175,49 @@ def test_portfolio_returns_weighted_mean_and_renormalization(spark):
     extra = spark.createDataFrame(rows + [(1, "Z", 9.9)], ["ts", "k", "r"])
     out2 = portfolio_returns(extra, w, "k", "ts", "r").collect()
     assert {r.ts: r.portfolio_return for r in out2}[1] == out[1].portfolio_return
+
+
+def test_return_stats_moments_match_numpy(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.eod_risk import return_stats
+
+    rng = np.random.RandomState(3)
+    vals = rng.normal(0.001, 0.02, 500).tolist() + [None]
+    df = spark.createDataFrame([(v,) for v in vals], ["r"])
+    out = return_stats(df, "r").collect()[0]
+    a = np.array([v for v in vals if v is not None])
+    m = a - a.mean()
+    assert out.n == 500
+    assert abs(out.mean - a.mean()) < 1e-12
+    assert abs(out.vol - a.std(ddof=1)) < 1e-12
+    assert abs(out.skew - (m**3).mean() / (m**2).mean() ** 1.5) < 1e-9
+    assert abs(out.kurt_excess - ((m**4).mean() / (m**2).mean() ** 2 - 3)) < 1e-9
+    assert out.best == a.max() and out.worst == a.min()
+    assert abs(out.win_rate - (a > 0).mean()) < 1e-12
+
+    # constant series: vol 0, skew/kurt NULL (not a divide error)
+    c = spark.createDataFrame([(0.01,)] * 5, ["r"])
+    cc = return_stats(c, "r").collect()[0]
+    assert cc.skew is None and cc.kurt_excess is None
+
+
+def test_streak_stats_hand_computed(spark):
+    from ffn_polars_spark.functions.eod_risk import streak_stats
+
+    # signs: + + + - - + 0 - : max win 3, max loss 2, runs: +3,-2,+1,0,- -> 5
+    rs = [0.1, 0.2, 0.1, -0.1, -0.2, 0.3, 0.0, -0.5]
+    df = spark.createDataFrame(
+        [("A", i, r) for i, r in enumerate(rs)], ["k", "i", "r"]
+    )
+    out = streak_stats(df, "r", order_by="i", by="k").collect()[0]
+    assert out.max_win_streak == 3
+    assert out.max_loss_streak == 2
+    assert out.n_runs == 5
+
+    # all wins: loss streak NULL
+    up = spark.createDataFrame(
+        [("A", i, 0.1) for i in range(4)], ["k", "i", "r"]
+    )
+    u = streak_stats(up, "r", order_by="i", by="k").collect()[0]
+    assert u.max_win_streak == 4 and u.max_loss_streak is None

@@ -455,3 +455,15 @@ def test_omega_capture_single_exchange(spark):
         plan = explain_str(df)
         assert "Join" not in plan, name
         assert count_exchanges(df) == 1, name
+
+
+def test_return_stats_single_exchange_streaks_bounded(spark):
+    # return_stats: lag window + ONE hash aggregate on the same key
+    df = QUERY_FNS["return_stats"](spark, SF)
+    assert count_exchanges(df) == 1
+    # streak_stats: windows share one sort; after the run aggregate only
+    # run-count rows flow to the per-key maxima
+    df2 = QUERY_FNS["streak_stats"](spark, SF)
+    plan = explain_str(df2)
+    assert "Join" not in plan
+    assert count_exchanges(df2) <= 2

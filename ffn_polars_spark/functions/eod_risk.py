@@ -327,3 +327,62 @@ def streak_stats(
         ),
         F.count(F.lit(1)).alias("n_runs"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="variance_ratio")
+def variance_ratio(
+    df: DataFrame,
+    return_col: str,
+    order_by,
+    by=None,
+    qs=(2, 4, 8),
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio profile: for each horizon ``q``,
+    ``VR(q) = Var(r_q) / (q · Var(r_1))`` with overlapping ``q``-period
+    sums — the classic random-walk diagnostic (VR ≈ 1 under iid returns;
+    < 1 mean reversion, > 1 momentum/trending; VR(q) ~ q^{2H−2} links it
+    to the Hurst exponent). Complements [[autocorr]]: the VR profile
+    aggregates the whole autocorrelation structure up to ``q``.
+
+    All horizons share ONE sorted window pass (a running sum per ``q``
+    over the same ordering), the ``(q, r_q)`` pairs explode in-row, and
+    one ``(key, q)`` aggregate computes both variances — incomplete
+    leading windows are NULLed out by the row-count guard rather than
+    silently shortened. Returns ``(keys, q, vr, n_obs)``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    r = F.col(return_col).cast("double")
+    base = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.orderBy(*order)
+    )
+    # window sums must materialize in their own projection before they can
+    # feed a generator; the explode's array is then plain column refs
+    ocols = [c for c in order if isinstance(c, str) and c not in keys]
+    staged = df.select(*keys, *ocols, r.alias("__r1"))
+    cols = []
+    for q in qs:
+        wq = base.rowsBetween(-(int(q) - 1), 0)
+        rq = F.when(
+            F.count("__r1").over(wq) == int(q), F.sum("__r1").over(wq)
+        )
+        staged = staged.withColumn(f"__rq{q}", rq)
+        cols.append(
+            F.struct(
+                F.lit(int(q)).alias("q"), F.col(f"__rq{q}").alias("rq")
+            )
+        )
+    pre = staged.select(
+        *keys, "__r1", F.explode(F.array(*cols)).alias("__s")
+    )
+    g = pre.groupBy(*(keys + [F.col("__s.q").alias("q")]))
+    v1 = F.var_samp("__r1")
+    vq = F.var_samp("__s.rq")
+    return g.agg(
+        F.when(v1 > 0, vq / (F.col("q").cast("double") * v1)).alias("vr"),
+        F.count("__s.rq").alias("n_obs"),
+    )

@@ -5526,6 +5526,53 @@ def q_streak_stats(spark, sf_dir):
     )
 
 
+@query(
+    "variance_ratio",
+    TICKS_SQL
+    + f"""
+, rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks
+), u AS (
+  SELECT event_type, 2 AS q, r,
+         CASE WHEN count(r) OVER ({W} ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 2
+              THEN sum(r) OVER ({W} ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) END AS rq
+  FROM rr
+  UNION ALL
+  SELECT event_type, 4 AS q, r,
+         CASE WHEN count(r) OVER ({W} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) = 4
+              THEN sum(r) OVER ({W} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) END AS rq
+  FROM rr
+  UNION ALL
+  SELECT event_type, 8 AS q, r,
+         CASE WHEN count(r) OVER ({W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8
+              THEN sum(r) OVER ({W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) END AS rq
+  FROM rr
+)
+SELECT event_type, q,
+       {R("CASE WHEN var_samp(r) > 0 THEN var_samp(rq) / (q * var_samp(r)) END")} AS vr,
+       count(rq) AS n_obs
+FROM u GROUP BY event_type, q""",
+)
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio profile per event_type at horizons
+    2/4/8 — one sorted window pass produces every horizon's overlapping
+    sum, one (key, q) aggregate computes both variances."""
+    from ffn_polars_spark.functions.eod_risk import variance_ratio
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    )
+    out = variance_ratio(
+        pre, "r", order_by=["ts_ns", "event_id"], by="event_type",
+        qs=(2, 4, 8),
+    )
+    return out.select("event_type", "q", r6("vr").alias("vr"), "n_obs")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5581,6 +5628,7 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "variance_ratio",
     "return_stats",
     "streak_stats",
     "omega_ratio",
@@ -5620,8 +5668,8 @@ _PRIORITY = [
     "scd2_build",
     "partitioned_roundtrip",
     "jsonl_roundtrip",
-    "streaming_topk",
     # ======== driver window (~50) ends here ========
+    "streaming_topk",
     "streaming_interval_join",
     "streaming_histogram",
     "semantic_dedup",

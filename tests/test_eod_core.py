@@ -221,3 +221,37 @@ def test_streak_stats_hand_computed(spark):
     )
     u = streak_stats(up, "r", order_by="i", by="k").collect()[0]
     assert u.max_win_streak == 4 and u.max_loss_streak is None
+
+
+def test_variance_ratio_iid_and_trending(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.eod_risk import variance_ratio
+
+    # numpy replay on a small series with overlapping q-sums
+    rng = np.random.RandomState(5)
+    rs = rng.normal(0, 0.01, 300)
+    df = spark.createDataFrame(
+        [("A", i, float(r)) for i, r in enumerate(rs)], ["k", "i", "r"]
+    )
+    out = {
+        r.q: r
+        for r in variance_ratio(df, "r", order_by="i", by="k").collect()
+    }
+    for q in (2, 4, 8):
+        rq = np.array([rs[i - q + 1: i + 1].sum() for i in range(q - 1, 300)])
+        want = rq.var(ddof=1) / (q * rs.var(ddof=1))
+        assert abs(out[q].vr - want) < 1e-9, q
+        assert out[q].n_obs == 300 - q + 1
+    # iid noise: VR near 1
+    assert 0.7 < out[2].vr < 1.3
+
+    # a pure trend (constant positive return) has zero variance at every
+    # horizon -> v1 = 0 -> NULL (guarded, not a divide error)
+    tr = spark.createDataFrame(
+        [("A", i, 0.01) for i in range(50)], ["k", "i", "r"]
+    )
+    assert all(
+        r.vr is None
+        for r in variance_ratio(tr, "r", order_by="i", by="k").collect()
+    )

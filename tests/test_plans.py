@@ -467,3 +467,16 @@ def test_return_stats_single_exchange_streaks_bounded(spark):
     plan = explain_str(df2)
     assert "Join" not in plan
     assert count_exchanges(df2) <= 2
+
+
+def test_variance_ratio_one_sort_all_horizons(spark):
+    # every horizon's overlapping sum shares ONE sorted window pass
+    # (a single Window node computes all the frames), then one (key, q)
+    # aggregate — no join, bounded exchanges
+    df = QUERY_FNS["variance_ratio"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2  # lag + q-sums
+    assert count_exchanges(df) <= 2

@@ -386,3 +386,72 @@ def variance_ratio(
         F.when(v1 > 0, vq / (F.col("q").cast("double") * v1)).alias("vr"),
         F.count("__s.rq").alias("n_obs"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="hurst_exponent")
+def hurst_exponent(
+    df: DataFrame,
+    return_col: str,
+    order_by,
+    by=None,
+    qs=(2, 4, 8, 16),
+) -> DataFrame:
+    """Hurst exponent via the aggregated-variance method: overlapping
+    ``q``-period sums satisfy ``Var(r_q) ∝ q^{2H}`` for a self-similar
+    process, so the least-squares slope of ``ln Var(r_q)`` on ``ln q``
+    (including ``q = 1``) halves to ``H`` — 0.5 for a random walk, > 0.5
+    persistent/trending, < 0.5 anti-persistent. The long-horizon limit of
+    the [[variance_ratio]] profile (``VR(q) ~ q^{2H-2}``) condensed into a
+    single exponent.
+
+    Same distributed shape as :func:`variance_ratio`: ONE sorted window
+    pass stages every horizon's running sum, the ``(q, r_q)`` pairs
+    explode in-row, a ``(key, q)`` aggregate reduces each horizon to its
+    variance (a handful of rows per key), and a final per-key regression
+    over those points is closed-form — no iteration, no join.
+    Zero-variance horizons are dropped; fewer than two surviving points
+    yields a NULL ``hurst``. Returns ``(keys, hurst, n_qs, n_obs)``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    r = F.col(return_col).cast("double")
+    base = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.orderBy(*order)
+    )
+    ocols = [c for c in order if isinstance(c, str) and c not in keys]
+    staged = df.select(*keys, *ocols, r.alias("__r1"))
+    cols = [F.struct(F.lit(1).alias("q"), F.col("__r1").alias("rq"))]
+    for q in qs:
+        wq = base.rowsBetween(-(int(q) - 1), 0)
+        rq = F.when(
+            F.count("__r1").over(wq) == int(q), F.sum("__r1").over(wq)
+        )
+        staged = staged.withColumn(f"__rq{q}", rq)
+        cols.append(
+            F.struct(
+                F.lit(int(q)).alias("q"), F.col(f"__rq{q}").alias("rq")
+            )
+        )
+    pre = staged.select(*keys, F.explode(F.array(*cols)).alias("__s"))
+    per_q = (
+        pre.groupBy(*(keys + [F.col("__s.q").alias("q")]))
+        .agg(
+            F.var_samp("__s.rq").alias("__vq"),
+            F.count("__s.rq").alias("__n"),
+        )
+        .where(F.col("__vq") > 0)
+    )
+    x = F.log(F.col("q").cast("double"))
+    y = F.log("__vq")
+    g = per_q.groupBy(*keys) if keys else per_q.groupBy()
+    return g.agg(
+        F.when(
+            F.var_samp(x) > 0, F.covar_samp(x, y) / F.var_samp(x) / F.lit(2.0)
+        ).alias("hurst"),
+        F.count("q").alias("n_qs"),
+        F.max(F.when(F.col("q") == 1, F.col("__n"))).alias("n_obs"),
+    )

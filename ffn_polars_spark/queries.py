@@ -5573,6 +5573,63 @@ def q_variance_ratio(spark, sf_dir):
     return out.select("event_type", "q", r6("vr").alias("vr"), "n_obs")
 
 
+def _QSUM_U(qs=(2, 4, 8, 16), with_q1=True):
+    """Overlapping q-period-sum UNION ALL block shared by the
+    variance-ratio-family oracles: complete windows only, NULL otherwise."""
+    parts = (
+        ["SELECT event_type, 1 AS q, r, r AS rq\n  FROM rr"] if with_q1 else []
+    )
+    for q in qs:
+        frame = f"{W} ROWS BETWEEN {q - 1} PRECEDING AND CURRENT ROW"
+        parts.append(
+            f"""SELECT event_type, {q} AS q, r,
+         CASE WHEN count(r) OVER ({frame}) = {q}
+              THEN sum(r) OVER ({frame}) END AS rq
+  FROM rr"""
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+@query(
+    "hurst_exponent",
+    TICKS_SQL
+    + f"""
+, rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks
+), u AS (
+  {_QSUM_U()}
+), v AS (
+  SELECT event_type, q, var_samp(rq) AS vq, count(rq) AS n
+  FROM u GROUP BY event_type, q
+)
+SELECT event_type,
+       {R("CASE WHEN var_samp(ln(q)) > 0 THEN covar_samp(ln(q), ln(vq)) / var_samp(ln(q)) / 2.0 END")} AS hurst,
+       count(q) AS n_qs,
+       max(CASE WHEN q = 1 THEN n END) AS n_obs
+FROM v WHERE vq > 0 GROUP BY event_type""",
+)
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent per event_type via the aggregated-variance
+    regression over horizons 1/2/4/8/16 — the same one-sorted-pass q-sum
+    staging as variance_ratio, condensed to a closed-form slope."""
+    from ffn_polars_spark.functions.eod_risk import hurst_exponent
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    )
+    out = hurst_exponent(
+        pre, "r", order_by=["ts_ns", "event_id"], by="event_type",
+        qs=(2, 4, 8, 16),
+    )
+    return out.select(
+        "event_type", r6("hurst").alias("hurst"), "n_qs", "n_obs"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -5628,6 +5685,7 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "hurst_exponent",
     "variance_ratio",
     "return_stats",
     "streak_stats",
@@ -5667,8 +5725,8 @@ _PRIORITY = [
     "scd2_asof_join",
     "scd2_build",
     "partitioned_roundtrip",
-    "jsonl_roundtrip",
     # ======== driver window (~50) ends here ========
+    "jsonl_roundtrip",
     "streaming_topk",
     "streaming_interval_join",
     "streaming_histogram",

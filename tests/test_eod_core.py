@@ -255,3 +255,35 @@ def test_variance_ratio_iid_and_trending(spark):
         r.vr is None
         for r in variance_ratio(tr, "r", order_by="i", by="k").collect()
     )
+
+
+def test_hurst_exponent_numpy_replay_and_iid(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.eod_risk import hurst_exponent
+
+    rng = np.random.RandomState(11)
+    rs = rng.normal(0, 0.01, 500)
+    df = spark.createDataFrame(
+        [("A", i, float(r)) for i, r in enumerate(rs)], ["k", "i", "r"]
+    )
+    row = hurst_exponent(df, "r", order_by="i", by="k").collect()[0]
+    # numpy replay: var of overlapping q-sums, OLS slope of ln var on ln q
+    xs, ys = [], []
+    for q in (1, 2, 4, 8, 16):
+        rq = np.array([rs[i - q + 1: i + 1].sum() for i in range(q - 1, 500)])
+        xs.append(np.log(q)), ys.append(np.log(rq.var(ddof=1)))
+    xs, ys = np.array(xs), np.array(ys)
+    want = ((xs - xs.mean()) * (ys - ys.mean())).sum() / (
+        (xs - xs.mean()) ** 2
+    ).sum() / 2
+    assert abs(row.hurst - want) < 1e-9
+    assert row.n_qs == 5 and row.n_obs == 500
+    # iid noise is a random walk in levels: H near 0.5
+    assert 0.35 < row.hurst < 0.65
+    # constant series: every horizon variance is 0 -> no points -> NULL
+    tr = spark.createDataFrame(
+        [("A", i, 0.01) for i in range(50)], ["k", "i", "r"]
+    )
+    t = hurst_exponent(tr, "r", order_by="i", by="k").collect()
+    assert t == [] or all(r.hurst is None for r in t)

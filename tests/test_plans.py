@@ -469,6 +469,18 @@ def test_return_stats_single_exchange_streaks_bounded(spark):
     assert count_exchanges(df2) <= 2
 
 
+def test_hurst_exponent_no_join_bounded_exchanges(spark):
+    # q-sum staging shares variance_ratio's single Window pass; the
+    # two-level reduction (per-(key,q) variance, per-key regression)
+    # adds tiny aggregates, never a join
+    df = QUERY_FNS["hurst_exponent"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2  # lag + q-sums
+
+
 def test_variance_ratio_one_sort_all_horizons(spark):
     # every horizon's overlapping sum shares ONE sorted window pass
     # (a single Window node computes all the frames), then one (key, q)

@@ -118,3 +118,32 @@ def rolling_median(
     w = _frame(over, "rolling_median", window)
     med = F.percentile(c, F.lit(0.5)).over(w)
     return _full_only(med, F.count(c).over(w), window)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="bollinger")
+def bollinger(df, value_col: str, over: Over, window: int = 20, k: float = 2.0):
+    """Bollinger bands over the trailing ``window`` rows: mid = rolling
+    mean, upper/lower = mid ± ``k``·rolling sample std, plus ``pctb``
+    (%B, the value's position inside the band — 0 at the lower band, 1 at
+    the upper, null when the band has zero width) and ``bandwidth``
+    ((upper−lower)/mid, null at mid = 0). All five columns come from ONE
+    window frame over one sort — a single hash exchange, everything
+    JVM-side; null until the window is full, like every rolling op here.
+
+    Returns the input columns plus ``bb_mid/bb_up/bb_dn/bb_pctb/bb_bw``.
+    """
+    c = to_col(value_col)
+    w = _frame(over, "bollinger", window)
+    full = F.count(c).over(w) >= F.lit(int(window))
+    mid = F.avg(c).over(w)
+    sd = F.stddev_samp(c).over(w)
+    up = mid + F.lit(float(k)) * sd
+    dn = mid - F.lit(float(k)) * sd
+    return df.select(
+        "*",
+        F.when(full, mid).alias("bb_mid"),
+        F.when(full, up).alias("bb_up"),
+        F.when(full, dn).alias("bb_dn"),
+        F.when(full & (up != dn), (c - dn) / (up - dn)).alias("bb_pctb"),
+        F.when(full & (mid != 0), (up - dn) / mid).alias("bb_bw"),
+    )

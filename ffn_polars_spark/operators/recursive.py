@@ -111,3 +111,113 @@ def ewm_volatility(
 
     grouped = df.groupBy(*by) if by else df.groupBy(F.lit(1).alias("__g"))
     return grouped.applyInPandas(scan, schema)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="macd")
+def macd(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    by: Optional[List[str]] = None,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD trend indicator: ``macd = EMA_fast(x) − EMA_slow(x)``,
+    ``macd_signal = EMA_signal(macd)``, ``macd_hist = macd − macd_signal``,
+    every EMA the ``adjust=False`` recurrence seeded at the first value
+    (so ``macd``/``signal`` start at 0, not null — the [[ewma]] seeding).
+
+    All three recurrences run in ONE per-key Arrow-batched scan (keys are
+    the distribution unit, same 100 TB shape as :func:`ewma`); each step
+    is the same multiply-add sequence an engine replaying the recurrence
+    performs, so the series is bit-for-bit reproducible — the oracle
+    carries ``(ema_fast, ema_slow, signal)`` as recursive-CTE state.
+    """
+    out_cols = ("macd", "macd_signal", "macd_hist")
+    by = list(by or [])
+    a_f, a_s = 2.0 / (fast + 1.0), 2.0 / (slow + 1.0)
+    a_g = 2.0 / (signal + 1.0)
+    b_f, b_s, b_g = 1.0 - a_f, 1.0 - a_s, 1.0 - a_g
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType()) for c in out_cols]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        m = np.empty_like(x)
+        s = np.empty_like(x)
+        ef = es = sig = np.nan
+        for i in range(len(x)):
+            if i == 0:
+                ef = es = x[i]
+                sig = 0.0
+            else:
+                ef = a_f * x[i] + b_f * ef
+                es = a_s * x[i] + b_s * es
+                sig = a_g * (ef - es) + b_g * sig
+            m[i] = ef - es
+            s[i] = sig
+        res = pdf.copy()
+        res["macd"], res["macd_signal"] = m, s
+        res["macd_hist"] = m - s
+        return res
+
+    grouped = df.groupBy(*by) if by else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(scan, schema)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="rsi")
+def rsi(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    by: Optional[List[str]] = None,
+    n: int = 14,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Relative Strength Index with Wilder smoothing as the EWMA special
+    case ``α = 1/n`` (``adjust=False``, seeded at the first gain/loss pair
+    rather than the classic n-period simple average — same convention as
+    [[ewma]], which keeps the series engine-replayable from row one):
+    ``RSI = 100 − 100 / (1 + avg_gain / avg_loss)``. The first row (no
+    price change yet) is null; a window with zero average loss saturates
+    at 100, and a perfectly flat window is null.
+
+    Both smoothed averages run in one per-key Arrow-batched scan; the
+    oracle replays ``(avg_gain, avg_loss)`` as recursive-CTE state.
+    """
+    out = out_col or f"{value_col}_rsi"
+    by = list(by or [])
+    a = 1.0 / float(n)
+    b = 1.0 - a
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        y = np.full_like(x, np.nan)
+        ag = al = np.nan
+        for i in range(1, len(x)):
+            d = x[i] - x[i - 1]
+            g = d if d > 0.0 else 0.0
+            l = -d if d < 0.0 else 0.0
+            if i == 1:
+                ag, al = g, l
+            else:
+                ag = a * g + b * ag
+                al = a * l + b * al
+            if al > 0.0:
+                y[i] = 100.0 - 100.0 / (1.0 + ag / al)
+            elif ag > 0.0:
+                y[i] = 100.0
+        res = pdf.copy()
+        res[out] = y
+        return res
+
+    grouped = df.groupBy(*by) if by else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(scan, schema)

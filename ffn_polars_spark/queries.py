@@ -3860,6 +3860,133 @@ def q_ewm_volatility(spark, sf_dir):
     return out.select("event_type", "ts_ns", r6(F.col("r_ewmvol")).alias("r_ewmvol"))
 
 
+# MACD EMA coefficients, spelled as repr() so the SQL literals parse back to
+# the exact binary64 doubles the Python scan computes from 2/(n+1).
+_MACD_AF, _MACD_AS, _MACD_AG = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+_MACD_BF, _MACD_BS, _MACD_BG = 1.0 - _MACD_AF, 1.0 - _MACD_AS, 1.0 - _MACD_AG
+
+
+@query(
+    "macd",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", rn AS (
+  SELECT event_type, ts_ns, price,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns) AS rn
+  FROM ticks),
+walk AS (
+  SELECT event_type, ts_ns, rn, price AS ef, price AS es,
+         CAST(0.0 AS DOUBLE) AS sig
+  FROM rn WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.ts_ns, r.rn,
+         {_MACD_AF!r} * r.price + {_MACD_BF!r} * w.ef,
+         {_MACD_AS!r} * r.price + {_MACD_BS!r} * w.es,
+         {_MACD_AG!r} * (({_MACD_AF!r} * r.price + {_MACD_BF!r} * w.ef)
+                       - ({_MACD_AS!r} * r.price + {_MACD_BS!r} * w.es))
+           + {_MACD_BG!r} * w.sig
+  FROM walk w JOIN rn r ON r.event_type = w.event_type AND r.rn = w.rn + 1)
+SELECT event_type, ts_ns, {R("ef - es")} AS macd, {R("sig")} AS macd_signal,
+       {R("(ef - es) - sig")} AS macd_hist
+FROM walk""",
+)
+def q_macd(spark, sf_dir):
+    """MACD(12,26,9) per ticker: three EMA recurrences in one Arrow scan
+    per key, replayed draw-for-draw by a recursive CTE carrying
+    (ema_fast, ema_slow, signal) as state."""
+    from ffn_polars_spark.operators.recursive import macd
+
+    t = ticks(spark, sf_dir).select("event_type", "ts_ns", "price")
+    out = macd(t, "price", "ts_ns", by=["event_type"])
+    return out.select(
+        "event_type", "ts_ns", r6("macd").alias("macd"),
+        r6("macd_signal").alias("macd_signal"),
+        r6("macd_hist").alias("macd_hist"),
+    )
+
+
+_RSI_A = 1.0 / 14.0
+_RSI_B = 1.0 - _RSI_A
+
+
+@query(
+    "rsi",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", d0 AS (
+  SELECT event_type, ts_ns, price - lag(price) OVER ({W}) AS d
+  FROM ticks),
+rn AS (
+  SELECT event_type, ts_ns, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns) AS rn
+  FROM d0 WHERE d IS NOT NULL),
+walk AS (
+  SELECT event_type, ts_ns, rn,
+         CASE WHEN d > 0 THEN d ELSE 0.0 END AS ag,
+         CASE WHEN d < 0 THEN -d ELSE 0.0 END AS al
+  FROM rn WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.ts_ns, x.rn,
+         {_RSI_A!r} * (CASE WHEN x.d > 0 THEN x.d ELSE 0.0 END) + {_RSI_B!r} * w.ag,
+         {_RSI_A!r} * (CASE WHEN x.d < 0 THEN -x.d ELSE 0.0 END) + {_RSI_B!r} * w.al
+  FROM walk w JOIN rn x ON x.event_type = w.event_type AND x.rn = w.rn + 1)
+SELECT event_type, ts_ns,
+       CASE WHEN al > 0 THEN {R("100.0 - 100.0 / (1.0 + ag / al)")}
+            WHEN ag > 0 THEN 100.0 END AS price_rsi
+FROM walk""",
+)
+def q_rsi(spark, sf_dir):
+    """Wilder RSI(14) per ticker (EWMA-seeded, see operator docstring):
+    the (avg_gain, avg_loss) pair is recursive-CTE state in the oracle.
+    The first row per key has no price change, so both sides emit rows
+    only from the second tick on (flat-window nulls are kept)."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    from ffn_polars_spark.operators.recursive import rsi
+
+    t = ticks(spark, sf_dir).select("event_type", "ts_ns", "price")
+    out = rsi(t, "price", "ts_ns", by=["event_type"], n=14)
+    rk = F.row_number().over(
+        SqlWindow.partitionBy("event_type").orderBy("ts_ns")
+    )
+    return (
+        out.withColumn("__rk", rk)
+        .where(F.col("__rk") > 1)
+        .select("event_type", "ts_ns", r6("price_rsi").alias("price_rsi"))
+    )
+
+
+@query(
+    "bollinger",
+    TICKS_SQL
+    + f""", b AS (
+  SELECT event_type, ts_ns, price,
+         avg(price) OVER ({W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mid,
+         stddev_samp(price) OVER ({W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd,
+         count(price) OVER ({W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cnt
+  FROM ticks)
+SELECT event_type, ts_ns,
+       CASE WHEN cnt >= 20 THEN {R("mid")} END AS bb_mid,
+       CASE WHEN cnt >= 20 THEN {R("mid + 2.0 * sd")} END AS bb_up,
+       CASE WHEN cnt >= 20 THEN {R("mid - 2.0 * sd")} END AS bb_dn,
+       CASE WHEN cnt >= 20 AND (mid + 2.0 * sd) <> (mid - 2.0 * sd)
+            THEN {R("(price - (mid - 2.0 * sd)) / ((mid + 2.0 * sd) - (mid - 2.0 * sd))")} END AS bb_pctb,
+       CASE WHEN cnt >= 20 AND mid <> 0
+            THEN {R("((mid + 2.0 * sd) - (mid - 2.0 * sd)) / mid")} END AS bb_bw
+FROM b""",
+)
+def q_bollinger(spark, sf_dir):
+    """Bollinger(20, 2) per ticker: five band columns from ONE window
+    frame over one sort — single exchange, all JVM-side."""
+    from ffn_polars_spark.functions.rolling import bollinger
+
+    t = ticks(spark, sf_dir).select("event_type", "ts_ns", "event_id", "price")
+    out = bollinger(t, "price", over=TICK_OVER, window=20, k=2.0)
+    return out.select(
+        "event_type", "ts_ns", r6("bb_mid").alias("bb_mid"),
+        r6("bb_up").alias("bb_up"), r6("bb_dn").alias("bb_dn"),
+        r6("bb_pctb").alias("bb_pctb"), r6("bb_bw").alias("bb_bw"),
+    )
+
+
 @query(
     "unigram_logprob",
     r"""
@@ -5685,6 +5812,9 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "macd",
+    "rsi",
+    "bollinger",
     "hurst_exponent",
     "variance_ratio",
     "return_stats",
@@ -5722,10 +5852,10 @@ _PRIORITY = [
     # --- highest-complexity earlier-round-6 entries (stateful streaming,
     # SCD2, round-trips, sketches) — the rest of the 50-window
     "join_profile",
+    # ======== driver window (~50) ends here ========
     "scd2_asof_join",
     "scd2_build",
     "partitioned_roundtrip",
-    # ======== driver window (~50) ends here ========
     "jsonl_roundtrip",
     "streaming_topk",
     "streaming_interval_join",

@@ -106,3 +106,62 @@ def calc_burstiness(
 
 
 calc_burstiness._alias_suffix = "burstiness"
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="intraday_profile")
+def intraday_profile(
+    df: DataFrame,
+    price_col: str,
+    volume_col: str,
+    ts_col: str = "ts_ns",
+    by: Optional[list] = None,
+    order_by: Optional[list] = None,
+) -> DataFrame:
+    """Intraday seasonality profile: per key and UTC hour-of-day, the
+    activity panel that exposes the open/close U-shape — trade count,
+    summed volume, the key's volume share landing in that hour, mean
+    absolute return, and realized volatility (``sqrt(Σ r²)``). The
+    time-of-day complement to [[time_bars]]' calendar bucketing.
+
+    One ordered window pass per key computes tick returns (lags share the
+    sort), one ``(key, hour)`` aggregate reduces — the post-aggregate
+    volume-share window runs over at most 24 rows per key, so the second
+    exchange moves a profile, not the tape. ``ts_col`` is epoch-ns.
+
+    Returns ``(*by, hour, n_trades, volume, volume_share, mean_abs_r,
+    realized_vol)``.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = list(order_by or [ts_col])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    p = F.col(price_col)
+    r = p / F.lag(p).over(w) - F.lit(1.0)
+    # epoch-ns exceeds double's 53-bit mantissa, so reduce mod one day in
+    # exact long arithmetic FIRST; the remainder (< 8.64e13) divides exactly
+    hour = F.floor(
+        (F.col(ts_col) % F.lit(86_400_000_000_000))
+        / F.lit(3_600_000_000_000)
+    ).alias("hour")
+    staged = df.select(
+        *keys, hour, F.col(volume_col).alias("__v"), r.alias("__r")
+    )
+    g = staged.groupBy(*(keys + ["hour"])).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("__v").alias("volume"),
+        F.avg(F.abs(F.col("__r"))).alias("mean_abs_r"),
+        F.sqrt(F.sum(F.col("__r") * F.col("__r"))).alias("realized_vol"),
+    )
+    share_w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    return g.select(
+        *keys,
+        "hour",
+        "n_trades",
+        "volume",
+        (F.col("volume") / F.sum("volume").over(share_w)).alias(
+            "volume_share"
+        ),
+        "mean_abs_r",
+        "realized_vol",
+    )

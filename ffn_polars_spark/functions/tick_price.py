@@ -249,3 +249,61 @@ def kyle_lambda(
         (corr * corr).alias("r2"),
         F.count(F.when(F.col("__dp").isNotNull(), 1)).alias("n_obs"),
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="lead_lag_corr")
+def lead_lag_corr(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    order_by: Union[str, list],
+    by: Optional[Union[str, list]] = None,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag cross-correlation of two ALIGNED series:
+    ``ccf(k) = corr(a_t, b_{t-k})`` for ``k in -max_lag..max_lag`` —
+    positive ``k`` means ``b`` leads ``a`` (price discovery happens in
+    ``b`` first), ``k = 0`` is the contemporaneous correlation, and an
+    asymmetric profile is the classic lead-lag signature. The cross-series
+    companion to [[autocorr]] — same one-sorted-pass shape: every lag and
+    lead is a ``lag()`` column over ONE window (negative offsets are
+    leads), then a single aggregate per key emits a row per ``k``.
+
+    Alignment (same observation grid for ``a`` and ``b`` — e.g. the same
+    time bars) is the caller's contract; rows where either side is null
+    at a given offset are excluded pairwise. Correlation uses guarded
+    population moments — NULL on zero variance. Returns
+    ``(*by, lag, n, ccf)``.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in ocols])
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    ks = list(range(-max_lag, max_lag + 1))
+    staged = df.select(
+        *gcols,
+        a.alias("__a"),
+        *[F.lag(b, k).over(w).alias(f"__b{i}") for i, k in enumerate(ks)],
+    )
+
+    def ccf(i: int, k: int):
+        bk = F.col(f"__b{i}")
+        both = F.when(bk.isNotNull() & F.col("__a").isNotNull(), F.lit(1))
+        av = F.when(bk.isNotNull(), F.col("__a"))
+        bv = F.when(F.col("__a").isNotNull(), bk)
+        n = F.count(both)
+        den = F.stddev_pop(av) * F.stddev_pop(bv)
+        cov = F.covar_pop(av, bv)
+        return F.struct(
+            F.lit(k).alias("lag"),
+            n.alias("n"),
+            F.when(den != 0, cov / den).alias("ccf"),
+        )
+
+    agg = (staged.groupBy(*gcols) if gcols else staged.groupBy()).agg(
+        F.array(*[ccf(i, k) for i, k in enumerate(ks)]).alias("__c")
+    )
+    return agg.select(*gcols, F.explode("__c").alias("r")).select(
+        *gcols, "r.lag", "r.n", "r.ccf"
+    )

@@ -5700,6 +5700,91 @@ def q_variance_ratio(spark, sf_dir):
     return out.select("event_type", "q", r6("vr").alias("vr"), "n_obs")
 
 
+@query(
+    "intraday_profile",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, volume,
+         CAST(floor((ts_ns % 86400000000000) / 3600000000000) AS BIGINT) AS hour,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks),
+g AS (
+  SELECT event_type, hour, count(*) AS n_trades,
+         CAST(sum(volume) AS DOUBLE) AS volume,
+         avg(abs(r)) AS mean_abs_r, sqrt(sum(r * r)) AS realized_vol
+  FROM rr GROUP BY event_type, hour)
+SELECT event_type, hour, n_trades, volume,
+       {R("volume / sum(volume) OVER (PARTITION BY event_type)")} AS volume_share,
+       {R("mean_abs_r")} AS mean_abs_r,
+       {R("realized_vol")} AS realized_vol
+FROM g""",
+)
+def q_intraday_profile(spark, sf_dir):
+    """UTC hour-of-day activity profile per ticker: one sorted pass for
+    tick returns, one (key, hour) aggregate, and a <=24-row share window."""
+    from ffn_polars_spark.functions.tick_activity import intraday_profile
+
+    t = ticks(spark, sf_dir)
+    out = intraday_profile(
+        t, "price", "volume", ts_col="ts_ns", by="event_type",
+        order_by=["ts_ns", "event_id"],
+    )
+    return out.select(
+        "event_type", "hour", "n_trades", "volume",
+        r6("volume_share").alias("volume_share"),
+        r6("mean_abs_r").alias("mean_abs_r"),
+        r6("realized_vol").alias("realized_vol"),
+    )
+
+
+_LL_BRANCHES = "\n  UNION ALL\n  ".join(
+    f'SELECT event_type, {k} AS "lag", ra, '
+    + (f"lead(rb, {-k})" if k < 0 else f"lag(rb, {k})")
+    + f" OVER ({W}) AS bk\n  FROM rr"
+    for k in range(-3, 4)
+)
+
+
+@query(
+    "lead_lag_corr",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS ra,
+         price_b / lag(price_b) OVER ({W}) - 1 AS rb
+  FROM ticks),
+u AS (
+  {_LL_BRANCHES}
+)
+SELECT event_type, "lag",
+       count(CASE WHEN ra IS NOT NULL AND bk IS NOT NULL THEN 1 END) AS n,
+       {R('''CASE WHEN stddev_pop(CASE WHEN bk IS NOT NULL THEN ra END)
+                 * stddev_pop(CASE WHEN ra IS NOT NULL THEN bk END) <> 0
+            THEN covar_pop(CASE WHEN bk IS NOT NULL THEN ra END,
+                           CASE WHEN ra IS NOT NULL THEN bk END)
+               / (stddev_pop(CASE WHEN bk IS NOT NULL THEN ra END)
+                * stddev_pop(CASE WHEN ra IS NOT NULL THEN bk END)) END''')} AS ccf
+FROM u GROUP BY event_type, "lag" """,
+)
+def q_lead_lag_corr(spark, sf_dir):
+    """Lead-lag cross-correlation between the tape's two price columns
+    (aligned by construction) at lags -3..3 per ticker — every offset from
+    one window pass, one aggregate row per (ticker, lag)."""
+    from ffn_polars_spark.functions.tick_price import lead_lag_corr
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("ra"),
+        ffn.eod.to_returns("price_b", over=TICK_OVER).alias("rb"),
+    )
+    out = lead_lag_corr(
+        pre, "ra", "rb", order_by=["ts_ns", "event_id"], by="event_type",
+        max_lag=3,
+    )
+    return out.select("event_type", "lag", "n", r6("ccf").alias("ccf"))
+
+
 def _QSUM_U(qs=(2, 4, 8, 16), with_q1=True):
     """Overlapping q-period-sum UNION ALL block shared by the
     variance-ratio-family oracles: complete windows only, NULL otherwise."""
@@ -5812,6 +5897,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "intraday_profile",
+    "lead_lag_corr",
     "macd",
     "rsi",
     "bollinger",
@@ -5848,11 +5935,11 @@ _PRIORITY = [
     "kfold_assign",
     "rolling_beta",
     "winsorize",
+    # ======== driver window (~50) ends here ========
     "detect_gaps",
     # --- highest-complexity earlier-round-6 entries (stateful streaming,
-    # SCD2, round-trips, sketches) — the rest of the 50-window
+    # SCD2, round-trips, sketches)
     "join_profile",
-    # ======== driver window (~50) ends here ========
     "scd2_asof_join",
     "scd2_build",
     "partitioned_roundtrip",

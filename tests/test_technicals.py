@@ -105,3 +105,71 @@ def test_bollinger_plan_single_window_no_join(spark):
 
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert count_exchanges(df) <= 2
+
+
+def test_intraday_profile_hand_computed(spark):
+    from ffn_polars_spark.functions.tick_activity import intraday_profile
+
+    H = 3_600_000_000_000
+    # 4 ticks in hour 0, 2 in hour 1; prices 100,102,101,103 | 104,100
+    rows = [
+        ("A", 0 * H + 1, 100.0, 10.0),
+        ("A", 0 * H + 2, 102.0, 20.0),
+        ("A", 0 * H + 3, 101.0, 30.0),
+        ("A", 0 * H + 4, 103.0, 40.0),
+        ("A", 1 * H + 1, 104.0, 50.0),
+        ("A", 1 * H + 2, 100.0, 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts_ns", "p", "v"])
+    out = {
+        r.hour: r
+        for r in intraday_profile(
+            df, "p", "v", ts_col="ts_ns", by="k", order_by=["ts_ns"]
+        ).collect()
+    }
+    assert out[0].n_trades == 4 and out[1].n_trades == 2
+    assert abs(out[0].volume - 100.0) < 1e-9
+    assert abs(out[0].volume_share - 0.5) < 1e-9
+    assert abs(out[1].volume_share - 0.5) < 1e-9
+    # hour 0 returns: 2/100, -1/102, 2/101 ; hour 1: 1/103, -4/104
+    import numpy as np
+
+    r0 = np.array([2 / 100, -1 / 102, 2 / 101])
+    r1 = np.array([1 / 103, -4 / 104])
+    assert abs(out[0].mean_abs_r - np.abs(r0).mean()) < 1e-12
+    assert abs(out[1].realized_vol - np.sqrt((r1**2).sum())) < 1e-12
+
+
+def test_lead_lag_corr_detects_shift(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import lead_lag_corr
+
+    rng = np.random.RandomState(2)
+    a = rng.normal(0, 1, 400)
+    # b leads a by 2: a_t = b_{t-2}  =>  ccf peaks (=1) at lag k=2
+    b = np.empty_like(a)
+    b[:-2] = a[2:]
+    b[-2:] = rng.normal(0, 1, 2)
+    df = spark.createDataFrame(
+        [("A", i, float(a[i]), float(b[i])) for i in range(400)],
+        ["k", "i", "a", "b"],
+    )
+    out = {
+        r.lag: r
+        for r in lead_lag_corr(
+            df, "a", "b", order_by="i", by="k", max_lag=3
+        ).collect()
+    }
+    assert abs(out[2].ccf - 1.0) < 1e-9
+    assert all(abs(out[k].ccf) < 0.25 for k in out if k != 2)
+    assert out[2].n == 398  # two rows lost to the lag window
+
+
+def test_lead_lag_plan_single_window_no_join(spark):
+    df = QUERY_FNS["lead_lag_corr"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2  # returns + offsets

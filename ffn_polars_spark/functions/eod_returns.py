@@ -286,3 +286,70 @@ def portfolio_returns(
             F.count(F.lit(1)).alias("n_assets"),
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="portfolio_turnover")
+def portfolio_turnover(
+    df: DataFrame,
+    weights: dict,
+    key_col: str,
+    ts_col: str,
+    return_col: str,
+    cost_bps: float = 10.0,
+) -> DataFrame:
+    """[[portfolio_returns]] extended with the cost of the daily rebalance
+    itself: within each period the target weights drift with that period's
+    returns (``w_i(1+r_i) / Σ_j w_j(1+r_j)``), the rebalance trades the
+    book back to target, and one-way turnover is ``½·Σ|target − drifted|``.
+    ``net_return = portfolio_return − (cost_bps/1e4)·turnover`` charges
+    that trading at ``cost_bps`` per unit of one-way notional — the
+    standard back-test haircut separating a paper strategy from an
+    implementable one.
+
+    Same no-join shape as [[portfolio_returns]] (literal weight map), with
+    one window-over-``ts`` for the cross-sectional sums feeding the same
+    hash partitioning the final ``groupBy(ts)`` reuses — the shuffle moves
+    ``(period, asset)`` rows once. Weights renormalize over present
+    assets, matching [[portfolio_returns]].
+
+    Returns ``(ts, portfolio_return, turnover, net_return, n_assets)``.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    w = F.element_at(wmap, F.col(key_col)).cast("double")
+    r = F.col(return_col).cast("double")
+    pre = df.select(
+        F.col(ts_col).alias("ts"), w.alias("__w"), r.alias("__r")
+    ).where(F.col("__w").isNotNull() & F.col("__r").isNotNull())
+    wts = Window.partitionBy("ts")
+    staged = pre.select(
+        "ts",
+        "__w",
+        "__r",
+        F.sum("__w").over(wts).alias("__sw"),
+        F.sum(F.col("__w") * (F.lit(1.0) + F.col("__r")))
+        .over(wts)
+        .alias("__swg"),
+        F.sum(F.col("__w") * F.col("__r")).over(wts).alias("__swr"),
+    )
+    drift = F.when(
+        F.col("__swg") != 0,
+        F.col("__w") * (F.lit(1.0) + F.col("__r")) / F.col("__swg"),
+    )
+    dev = F.abs(F.col("__w") / F.col("__sw") - drift)
+    tc = F.lit(float(cost_bps)) / F.lit(10000.0)
+    g = staged.groupBy("ts").agg(
+        F.max(F.col("__swr") / F.col("__sw")).alias("portfolio_return"),
+        (F.lit(0.5) * F.sum(dev)).alias("turnover"),
+        F.count(F.lit(1)).alias("n_assets"),
+    )
+    return g.select(
+        "ts",
+        "portfolio_return",
+        "turnover",
+        (F.col("portfolio_return") - tc * F.col("turnover")).alias(
+            "net_return"
+        ),
+        "n_assets",
+    )

@@ -5523,6 +5523,70 @@ def q_portfolio_returns(spark, sf_dir):
 
 
 @query(
+    "portfolio_turnover",
+    _BARS_SQL
+    + f""", r AS (
+  SELECT event_type, bar_ts,
+         close / lag(close) OVER (PARTITION BY event_type ORDER BY bar_ts) - 1 AS ret
+  FROM bars
+), wtd AS (
+  SELECT bar_ts AS ts, ret,
+         CASE event_type WHEN 'click' THEN 0.4 WHEN 'view' THEN 0.3
+              WHEN 'purchase' THEN 0.2 WHEN 'error' THEN 0.1 END AS w
+  FROM r WHERE ret IS NOT NULL
+), s AS (
+  SELECT ts, w, ret,
+         sum(w) OVER (PARTITION BY ts) AS sw,
+         sum(w * (1.0 + ret)) OVER (PARTITION BY ts) AS swg,
+         sum(w * ret) OVER (PARTITION BY ts) AS swr
+  FROM wtd WHERE w IS NOT NULL
+), g AS (
+  SELECT ts, max(swr / sw) AS pr,
+         0.5 * sum(abs(w / sw - CASE WHEN swg <> 0
+                                     THEN w * (1.0 + ret) / swg END)) AS tn,
+         count(*) AS n_assets
+  FROM s GROUP BY ts
+)
+SELECT ts, {R("pr")} AS portfolio_return, {R("tn")} AS turnover,
+       {R("pr - (10.0 / 10000.0) * tn")} AS net_return, n_assets
+FROM g""",
+)
+def q_portfolio_turnover(spark, sf_dir):
+    """Rebalance turnover and cost-adjusted net returns for the same
+    four-asset hourly-bar portfolio as portfolio_returns: drifted weights
+    vs target, 10 bps one-way cost — literal weight map, no join, the
+    per-ts window reuses the aggregate's partitioning."""
+    from ffn_polars_spark.functions.eod_returns import portfolio_turnover
+    from ffn_polars_spark.functions.tick_bars import time_bars
+    from pyspark.sql.window import Window as _W
+
+    t = ticks(spark, sf_dir)
+    bars = time_bars(
+        t, "ts_ns", "price", "volume", by=["event_type"],
+        bar_ns=3_600_000_000_000,
+    )
+    w = _W.partitionBy("event_type").orderBy("bar_ts")
+    rets = bars.select(
+        "event_type",
+        "bar_ts",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    )
+    out = portfolio_turnover(
+        rets,
+        {"click": 0.4, "view": 0.3, "purchase": 0.2, "error": 0.1},
+        key_col="event_type",
+        ts_col="bar_ts",
+        return_col="ret",
+        cost_bps=10.0,
+    )
+    return out.select(
+        "ts", r6("portfolio_return").alias("portfolio_return"),
+        r6("turnover").alias("turnover"),
+        r6("net_return").alias("net_return"), "n_assets",
+    )
+
+
+@query(
     "omega_ratio",
     RETS_SQL
     + f"""
@@ -5897,6 +5961,7 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "portfolio_turnover",
     "intraday_profile",
     "lead_lag_corr",
     "macd",
@@ -5934,8 +5999,8 @@ _PRIORITY = [
     "time_split",
     "kfold_assign",
     "rolling_beta",
-    "winsorize",
     # ======== driver window (~50) ends here ========
+    "winsorize",
     "detect_gaps",
     # --- highest-complexity earlier-round-6 entries (stateful streaming,
     # SCD2, round-trips, sketches)

@@ -287,3 +287,27 @@ def test_hurst_exponent_numpy_replay_and_iid(spark):
     )
     t = hurst_exponent(tr, "r", order_by="i", by="k").collect()
     assert t == [] or all(r.hurst is None for r in t)
+
+
+def test_portfolio_turnover_hand_computed(spark):
+    from ffn_polars_spark.functions.eod_returns import portfolio_turnover
+
+    rows = [
+        (1, "A", 0.10), (1, "B", -0.10),
+        (2, "A", 0.00), (2, "B", 0.00),   # no drift -> zero turnover
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "r"])
+    out = {
+        r.ts: r
+        for r in portfolio_turnover(
+            df, {"A": 0.6, "B": 0.4}, "k", "ts", "r", cost_bps=10.0
+        ).collect()
+    }
+    pr = 0.6 * 0.10 + 0.4 * (-0.10)
+    grow = 0.6 * 1.1 + 0.4 * 0.9
+    tn = 0.5 * (abs(0.6 - 0.6 * 1.1 / grow) + abs(0.4 - 0.4 * 0.9 / grow))
+    assert abs(out[1].portfolio_return - pr) < 1e-12
+    assert abs(out[1].turnover - tn) < 1e-12
+    assert abs(out[1].net_return - (pr - 0.001 * tn)) < 1e-12
+    assert abs(out[2].turnover) < 1e-15 and abs(out[2].net_return) < 1e-15
+    assert out[1].n_assets == 2

@@ -455,3 +455,50 @@ def hurst_exponent(
         F.count("q").alias("n_qs"),
         F.max(F.when(F.col("q") == 1, F.col("__n"))).alias("n_obs"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="drawdown_at_risk")
+def drawdown_at_risk(
+    df: DataFrame,
+    price: str,
+    *,
+    order_by: ColumnOrName,
+    by: Optional[list] = None,
+    alpha: float = 0.9,
+) -> DataFrame:
+    """Drawdown-at-Risk and Conditional Expected Drawdown (the
+    Goldberg-Mahmoud drawdown analogue of VaR/CVaR): over the per-episode
+    maximum-drawdown distribution from [[drawdown_details]],
+    ``dar = quantile(depth, 1−α)`` (depths are negative, so the 1−α
+    quantile IS the bad tail) and ``ced = mean(depth | depth ≤ dar)`` —
+    the average of the worst ``(1−α)``-fraction of drawdown episodes.
+    Where [[calc_max_drawdown]] reports the single worst path,
+    DaR/CED say how bad a *typical* bad episode is.
+
+    Episode segmentation is the one-shuffle-per-key
+    [[drawdown_details]] plan; the tail aggregate runs over episode rows
+    (a handful per key), broadcast-joined back exactly like
+    [[calc_var_cvar]]. Returns
+    ``(*by, n_episodes, worst, dar, ced, n_tail)``.
+    """
+    by = list(by or [])
+    ep = drawdown_details(df, price, order_by=order_by, by=by)
+    d = F.col("depth")
+    grp = ep.groupBy(*by) if by else ep.groupBy()
+    q = grp.agg(
+        F.percentile(d, F.lit(1.0 - float(alpha))).alias("__dar")
+    )
+    j = (
+        ep.join(F.broadcast(q), by)
+        if by
+        else ep.crossJoin(F.broadcast(q))
+    )
+    tail = F.when(d <= F.col("__dar"), d)
+    out = (j.groupBy(*by) if by else j.groupBy()).agg(
+        F.count(d).alias("n_episodes"),
+        F.min(d).alias("worst"),
+        F.max("__dar").alias("dar"),
+        F.avg(tail).alias("ced"),
+        F.count(tail).alias("n_tail"),
+    )
+    return out

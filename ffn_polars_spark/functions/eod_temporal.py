@@ -175,3 +175,46 @@ def infer_freq(
 
 
 infer_freq._alias_suffix = "inferred_freq"
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="weekday_returns")
+def weekday_returns(
+    df: DataFrame,
+    return_col: str,
+    date_col: str,
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Day-of-week seasonality panel over a daily return series: per
+    weekday, the observation count, mean return, sample volatility, win
+    rate, and the one-sample t-statistic ``mean / (vol / √n)`` — the
+    standard screen for calendar anomalies (Monday effect etc.). The
+    calendar complement to [[intraday_profile]]'s hour-of-day panel.
+
+    The weekday is computed engine-portably as
+    ``(days_since_epoch + 4) mod 7`` (0 = Sunday — 1970-01-01 was a
+    Thursday), avoiding the engines' conflicting ``dayofweek``
+    conventions. One projection, one tiny aggregate — a single shuffle of
+    (weekday, partials).
+
+    Returns ``(*by, dow, n, mean_r, vol, win_rate, t_stat)``.
+    """
+    by = list(by or [])
+    r = F.col(return_col).cast("double")
+    dow = (
+        (F.datediff(F.col(date_col), F.to_date(F.lit("1970-01-01"))) + 4) % 7
+    ).cast("long").alias("dow")
+    staged = df.select(*by, dow, r.alias("__r")).where(
+        F.col("__r").isNotNull()
+    )
+    n = F.count("__r")
+    mean = F.avg("__r")
+    vol = F.stddev_samp("__r")
+    return staged.groupBy(*(by + ["dow"])).agg(
+        n.alias("n"),
+        mean.alias("mean_r"),
+        vol.alias("vol"),
+        F.avg((F.col("__r") > 0).cast("double")).alias("win_rate"),
+        F.when(vol > 0, mean / (vol / F.sqrt(n.cast("double")))).alias(
+            "t_stat"
+        ),
+    )

@@ -3794,6 +3794,77 @@ def q_drawdown_details(spark, sf_dir):
     return drawdown_details(p, "price", order_by="d")
 
 
+@query(
+    "drawdown_at_risk",
+    PX_SQL
+    + """, dd AS (
+  SELECT d, price / max(price) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW) - 1 AS dd
+  FROM px),
+seg AS (
+  SELECT d, dd,
+         sum(CASE WHEN dd = 0 THEN 1 ELSE 0 END) OVER (ORDER BY d ROWS BETWEEN
+           UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM dd),
+u AS (SELECT * FROM seg WHERE dd < 0),
+ep AS (
+  SELECT g, floor((min(dd)) * 1000000.0 + 0.5) / 1000000.0 AS depth
+  FROM u GROUP BY g),
+qd AS (SELECT quantile_cont(depth, 1.0 - 0.9) AS dar FROM ep)
+SELECT count(*) AS n_episodes,
+       """
+    + R("min(depth)")
+    + " AS worst,\n       "
+    + R("max(dar)")
+    + " AS dar,\n       "
+    + R("avg(CASE WHEN depth <= dar THEN depth END)")
+    + """ AS ced,
+       count(CASE WHEN depth <= dar THEN 1 END) AS n_tail
+FROM ep, qd""",
+)
+def q_drawdown_at_risk(spark, sf_dir):
+    """Drawdown-at-Risk and Conditional Expected Drawdown at alpha=0.9
+    over the daily series' drawdown episodes: the episode table is the
+    drawdown_details plan, the tail aggregate broadcast-joins back."""
+    from ffn_polars_spark.functions.eod_risk import drawdown_at_risk
+
+    p = px(spark, sf_dir)
+    out = drawdown_at_risk(p, "price", order_by="d", alpha=0.9)
+    return out.select(
+        "n_episodes", r6("worst").alias("worst"), r6("dar").alias("dar"),
+        r6("ced").alias("ced"), "n_tail",
+    )
+
+
+@query(
+    "weekday_returns",
+    PX_SQL
+    + f""", rr AS (
+  SELECT d, price / lag(price) OVER (ORDER BY d) - 1 AS r FROM px)
+SELECT (date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS dow,
+       count(r) AS n, {R("avg(r)")} AS mean_r,
+       {R("stddev_samp(r)")} AS vol,
+       {R("avg(CASE WHEN r > 0 THEN 1.0 ELSE 0.0 END)")} AS win_rate,
+       {R("CASE WHEN stddev_samp(r) > 0 THEN avg(r) / (stddev_samp(r) / sqrt(count(r))) END")} AS t_stat
+FROM rr WHERE r IS NOT NULL GROUP BY 1""",
+)
+def q_weekday_returns(spark, sf_dir):
+    """Day-of-week seasonality panel over daily returns — engine-portable
+    weekday ((epoch_days + 4) mod 7), one projection + one tiny
+    aggregate."""
+    from ffn_polars_spark.functions.eod_temporal import weekday_returns
+
+    p = px(spark, sf_dir)
+    rets = p.select(
+        "d", ffn.eod.to_returns("price", over=PX_OVER).alias("r")
+    )
+    out = weekday_returns(rets, "r", "d")
+    return out.select(
+        "dow", "n", r6("mean_r").alias("mean_r"), r6("vol").alias("vol"),
+        r6("win_rate").alias("win_rate"), r6("t_stat").alias("t_stat"),
+    )
+
+
 # EWMA oracle constants: repr() so the SQL literal parses back to the exact
 # binary64 the Python scan uses (1.0 - 0.1 rounds to the same double as the
 # literal 0.9; spelling both out keeps that invariant auditable).
@@ -5961,6 +6032,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "drawdown_at_risk",
+    "weekday_returns",
     "portfolio_turnover",
     "intraday_profile",
     "lead_lag_corr",
@@ -5998,8 +6071,8 @@ _PRIORITY = [
     "label_stats",
     "time_split",
     "kfold_assign",
-    "rolling_beta",
     # ======== driver window (~50) ends here ========
+    "rolling_beta",
     "winsorize",
     "detect_gaps",
     # --- highest-complexity earlier-round-6 entries (stateful streaming,

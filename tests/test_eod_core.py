@@ -311,3 +311,41 @@ def test_portfolio_turnover_hand_computed(spark):
     assert abs(out[1].net_return - (pr - 0.001 * tn)) < 1e-12
     assert abs(out[2].turnover) < 1e-15 and abs(out[2].net_return) < 1e-15
     assert out[1].n_assets == 2
+
+
+def test_drawdown_at_risk_hand_computed(spark):
+    from ffn_polars_spark.functions.eod_risk import drawdown_at_risk
+
+    # price path with 3 episodes of depths -50%, -10%, -20%
+    prices = [100, 50, 110, 99, 120, 96, 130]
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(prices)], ["d", "price"]
+    )
+    row = drawdown_at_risk(df, "price", order_by="d", alpha=0.9).collect()[0]
+    assert row.n_episodes == 3
+    assert abs(row.worst - -0.5) < 1e-9
+    # depths sorted: [-0.5, -0.2, -0.1]; 0.1-quantile interpolates in the
+    # worst gap: -0.5 + 0.2*(-0.2 - -0.5) = -0.44
+    assert abs(row.dar - -0.44) < 1e-9
+    assert row.n_tail == 1 and abs(row.ced - -0.5) < 1e-9
+
+
+def test_weekday_returns_buckets_and_stats(spark):
+    import datetime
+
+    from ffn_polars_spark.functions.eod_temporal import weekday_returns
+
+    # 1970-01-05 was a Monday (dow=1 in the (epoch+4)%7 convention)
+    base = datetime.date(1970, 1, 5)
+    rows = []
+    # two Mondays up 1%, two Tuesdays down 2%
+    for wk in range(2):
+        rows.append((base + datetime.timedelta(days=7 * wk), 0.01))
+        rows.append((base + datetime.timedelta(days=7 * wk + 1), -0.02))
+    df = spark.createDataFrame(rows, ["d", "r"])
+    out = {r.dow: r for r in weekday_returns(df, "r", "d").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n == 2 and abs(out[1].mean_r - 0.01) < 1e-12
+    assert out[1].win_rate == 1.0 and out[2].win_rate == 0.0
+    # zero variance within each weekday -> t_stat null
+    assert out[1].t_stat is None

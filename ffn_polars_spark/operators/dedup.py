@@ -724,3 +724,27 @@ def dedup_assign_canonical(
         )
         .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="dedup_cluster_stats")
+def dedup_cluster_stats(
+    assign: DataFrame, canonical_col: str = "canonical_id"
+) -> DataFrame:
+    """Duplicate-cluster size distribution over a canonical assignment
+    (the output of [[dedup_canonical]] / ``dedup_assign_canonical``):
+    how many clusters exist at each size, and how many documents they
+    hold. The shape of this histogram is the dedup health-check — a fat
+    tail of giant clusters means boilerplate or template spam; all-1
+    clusters mean the threshold is too strict to matter.
+
+    Two tiny hash aggregates over the assignment (both map-side partial):
+    nothing here is corpus-sized after the first ``groupBy``. Returns
+    ``(cluster_size, n_clusters, n_docs)``.
+    """
+    cl = assign.groupBy(canonical_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

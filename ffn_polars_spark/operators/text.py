@@ -1080,3 +1080,43 @@ def vocab_jsd(
         F.first("__nb").alias("n_tokens_b"),
         F.count(F.lit(1)).alias("vocab_union"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="oov_rate")
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against the corpus's own top-k
+    vocabulary — the tokenizer-coverage screen: a source whose tokens
+    fall outside the shared vocabulary is drifting (new language, markup,
+    encoding damage) and will fragment downstream BPE merges.
+
+    One tokenize-explode feeds BOTH sides: per-(group, token) counts are
+    the working set (bounded by vocabulary x groups, not corpus size),
+    the global vocabulary is their re-aggregate taken via
+    ``TakeOrderedAndProject`` (per-partition top-k, no global sort, ties
+    broken ``(freq desc, token asc)``), and the membership join
+    broadcasts the k-row vocabulary. Returns
+    ``(by, n_tokens, oov_tokens, oov_rate)``.
+    """
+    toks = df.select(
+        F.col(by), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    per = toks.groupBy(by, "token").agg(F.count(F.lit(1)).alias("__tf"))
+    gtf = per.groupBy("token").agg(F.sum("__tf").alias("__gtf"))
+    vocab = (
+        gtf.orderBy(F.desc("__gtf"), F.asc("token"))
+        .limit(int(vocab_size))
+        .select("token", F.lit(1).alias("__in"))
+    )
+    j = per.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(F.when(F.col("__in").isNull(), F.col("__tf")).otherwise(F.lit(0)))
+    total = F.sum("__tf")
+    return j.groupBy(by).agg(
+        total.alias("n_tokens"),
+        oov.alias("oov_tokens"),
+        (oov.cast("double") / total.cast("double")).alias("oov_rate"),
+    )

@@ -1953,6 +1953,70 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup_assign_canonical(docs, pairs)
 
 
+# dedup_cluster_stats shares the dedup_canonical oracle verbatim up to the
+# final assignment SELECT, which it folds into cluster-size aggregates.
+_CLUSTER_STATS_SQL = ORACLE_SQL["dedup_canonical"].replace(
+    """SELECT d.doc_id,
+       coalesce(comp.c, d.doc_id) AS canonical_id,
+       d.doc_id <> coalesce(comp.c, d.doc_id) AS is_duplicate
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.node""",
+    """, assign AS (
+  SELECT coalesce(comp.c, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+), cl AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM assign
+  GROUP BY canonical_id)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM cl GROUP BY cluster_size""",
+)
+assert "cl AS" in _CLUSTER_STATS_SQL  # surgery must have matched
+
+
+@query("dedup_cluster_stats", _CLUSTER_STATS_SQL)
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Cluster-size histogram of the near-dup canonical assignment —
+    the dedup health-check; two tiny aggregates on top of the
+    dedup_canonical plan."""
+    from ffn_polars_spark.operators.dedup import (
+        dedup_assign_canonical,
+        dedup_cluster_stats,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_cluster_stats(dedup_assign_canonical(docs, pairs))
+
+
+@query(
+    "oov_rate",
+    r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+t AS (SELECT source, token FROM tok WHERE token <> ''),
+per AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2),
+gtf AS (SELECT token, sum(tf) AS gtf FROM per GROUP BY token),
+vocab AS (SELECT token FROM gtf ORDER BY gtf DESC, token LIMIT 100)
+SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN tf ELSE 0 END) AS BIGINT) AS oov_tokens,
+       floor((sum(CASE WHEN v.token IS NULL THEN tf ELSE 0 END) / CAST(sum(tf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
+FROM per LEFT JOIN vocab v USING (token) GROUP BY source""",
+)
+def q_oov_rate(spark, sf_dir):
+    """Per-source OOV rate against the corpus top-100 vocabulary: one
+    tokenize feeds both the per-source counts and the TakeOrdered
+    vocabulary; the membership join broadcasts 100 rows."""
+    from ffn_polars_spark.operators.text import oov_rate
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = oov_rate(docs, vocab_size=100)
+    return out.select(
+        "source", "n_tokens", "oov_tokens", r6("oov_rate").alias("oov_rate")
+    )
+
+
 # Engine-portable 60-bit hash (low 15 hex chars of md5) — the SQL twin of
 # dedup._hash64(col, "md5"). {s} is the string expression to hash.
 def _H(s: str) -> str:
@@ -6032,6 +6096,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "dedup_cluster_stats",
+    "oov_rate",
     "drawdown_at_risk",
     "weekday_returns",
     "portfolio_turnover",
@@ -6069,9 +6135,9 @@ _PRIORITY = [
     "autocorr",
     "calc_var_cvar",
     "label_stats",
+    # ======== driver window (~50) ends here ========
     "time_split",
     "kfold_assign",
-    # ======== driver window (~50) ends here ========
     "rolling_beta",
     "winsorize",
     "detect_gaps",

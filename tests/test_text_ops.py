@@ -1,0 +1,33 @@
+
+
+def test_oov_rate_hand_computed(spark):
+    from ffn_polars_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b", "s1"),
+            (2, "a b c", "s1"),
+            (3, "x y z z", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    # top-2 vocab by freq desc, token asc: a(4), z(2) beats b(2)? no --
+    # b(2) ties z(2), tie-break asc keeps b. vocab = {a, b}
+    out = {r.source: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert out["s1"].n_tokens == 7 and out["s1"].oov_tokens == 1  # c
+    assert abs(out["s1"].oov_rate - 1 / 7) < 1e-12
+    assert out["s2"].n_tokens == 4 and out["s2"].oov_tokens == 4
+    assert out["s2"].oov_rate == 1.0
+
+
+def test_dedup_cluster_stats_histogram(spark):
+    from ffn_polars_spark.operators.dedup import dedup_cluster_stats
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6), (7, 6)],
+        ["doc_id", "canonical_id"],
+    )
+    out = {r.cluster_size: r for r in dedup_cluster_stats(assign).collect()}
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[1].n_clusters == 2 and out[1].n_docs == 2

@@ -4539,6 +4539,70 @@ def q_jsonl_roundtrip(spark, sf_dir):
 
 
 @query(
+    "csv_roundtrip",
+    """
+SELECT doc_id, lang, source, n_chars,
+       length(text) AS text_len, md5(text) AS text_md5
+FROM documents""",
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """Quoted-CSV ingestion parity (RFC 4180 quote-doubling dialect):
+    write the documents table as CSV, read it back with an explicit
+    schema and multiLine quoting, and pin byte-exact text integrity via
+    md5 — embedded newlines, quotes, and unicode must survive the
+    lowest-common-denominator format."""
+    import hashlib
+    import os
+
+    from ffn_polars_spark.sources import read_csv, write_csv
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/ffn_csv_{key}/documents"
+    write_csv(docs, path, max_records_per_file=100_000)
+    back = read_csv(spark, path, schema=docs.schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@query(
+    "orc_roundtrip",
+    """
+SELECT doc_id, lang, source, n_chars,
+       length(text) AS text_len, md5(text) AS text_md5
+FROM documents""",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source parity (the Hive/Trino-ecosystem columnar format):
+    write, read back (schema travels with the file), byte-exact text md5
+    against the parquet-sourced oracle."""
+    import hashlib
+    import os
+
+    from ffn_polars_spark.sources import read_orc, write_orc
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+    path = f"/tmp/ffn_orc_{key}/documents"
+    write_orc(docs, path, max_records_per_file=100_000)
+    back = read_orc(spark, path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@query(
     "transition_matrix",
     f"""
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns, event_id
@@ -6096,6 +6160,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "csv_roundtrip",
+    "orc_roundtrip",
     "dedup_cluster_stats",
     "oov_rate",
     "drawdown_at_risk",
@@ -6132,10 +6198,10 @@ _PRIORITY = [
     "rolling_median",
     "snapshot_diff",
     "pmi_collocations",
+    # ======== driver window (~50) ends here ========
     "autocorr",
     "calc_var_cvar",
     "label_stats",
-    # ======== driver window (~50) ends here ========
     "time_split",
     "kfold_assign",
     "rolling_beta",

@@ -219,3 +219,66 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: Optional[str] = None,
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Write a table as quoted CSV with escaping that survives embedded
+    newlines, quotes, and unicode (quote-doubling, the RFC 4180 dialect) —
+    the lowest-common-denominator export every downstream consumer can
+    read. Re-reading a multiline CSV cannot split a file across tasks
+    (records cross line boundaries), so ``max_records_per_file`` is the
+    lever that keeps files small enough for read parallelism.
+    """
+    w = (
+        df.write.format("csv")
+        .mode(mode)
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')  # RFC 4180 quote-doubling
+    )
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.save(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read CSV written by :func:`write_csv`. ALWAYS pass ``schema`` in
+    production (same one-extra-full-scan inference trap as
+    :func:`read_jsonl`); ``multiLine`` honors quoted embedded newlines."""
+    r = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Write ORC — the other columnar interchange format (Hive/Trino
+    ecosystems); same pushdown/pruning properties as parquet from Spark's
+    side, so it's a drop-in sink where the consumer dictates ORC."""
+    w = df.write.format("orc").mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (schema travels with the file — no inference pass)."""
+    return spark.read.orc(path)

@@ -105,3 +105,39 @@ def test_jsonl_roundtrip_preserves_tricky_text(spark, tmp_path):
     # compressed write round-trips too
     write_jsonl(df, path + "_gz", compression="gzip")
     assert read_jsonl(spark, path + "_gz", schema=df.schema).count() == 5
+
+
+def test_csv_roundtrip_adversarial_text(spark, tmp_path):
+    from ffn_polars_spark.sources import read_csv, write_csv
+
+    rows = [
+        (1, 'line1\nline2', "en"),
+        (2, 'quote " and , comma', "en"),
+        (3, "unicode éè中文 \U0001f600", "zh"),
+        (4, "", "en"),
+        (5, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text", "lang"])
+    p = str(tmp_path / "csv_rt")
+    write_csv(df, p)
+    back = read_csv(spark, p, schema=df.schema)
+    got = {r.id: (r.text, r.lang) for r in back.collect()}
+    want = {i: (t, l) for i, t, l in rows}
+    # empty string and NULL both survive as empty/NULL-ish; everything
+    # else must be byte-exact
+    for i in (1, 2, 3):
+        assert got[i] == want[i], i
+    assert got[4][0] in ("", None) and got[5][0] in ("", None)
+
+
+def test_orc_roundtrip_exact(spark, tmp_path):
+    from ffn_polars_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", 1.5), (2, None, None)], ["id", "t", "v"]
+    )
+    p = str(tmp_path / "orc_rt")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted(back.collect()) == sorted(df.collect())
+    assert back.schema == df.schema

@@ -147,3 +147,25 @@ def bollinger(df, value_col: str, over: Over, window: int = 20, k: float = 2.0):
         F.when(full & (up != dn), (c - dn) / (up - dn)).alias("bb_pctb"),
         F.when(full & (mid != 0), (up - dn) / mid).alias("bb_bw"),
     )
+
+
+@register(namespace="eod", context="series")
+@auto_alias("rolling_sharpe")
+@guard_input("self", expected_dtype="double")
+def rolling_sharpe(
+    self: ColumnOrName, window: int, *, over: Over, n: int = 252
+) -> Column:
+    """Annualized rolling Sharpe ratio over the trailing window:
+    ``√n · rolling_mean / rolling_std`` on an (excess-)return series —
+    the regime lens on [[calc_sharpe]]'s single number (feed
+    [[to_excess_returns]] upstream for a non-zero risk-free rate). Null
+    until the window is full and on zero in-window variance; one windowed
+    aggregate, same single-exchange shape as every rolling op here."""
+    c = to_col(self)
+    w = _frame(over, "rolling_sharpe", window)
+    sd = F.stddev_samp(c).over(w)
+    sharpe = F.when(
+        sd > 0,
+        F.sqrt(F.lit(float(n))) * F.avg(c).over(w) / sd,
+    )
+    return _full_only(sharpe, F.count(c).over(w), window)

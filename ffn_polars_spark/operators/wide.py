@@ -148,3 +148,41 @@ def corr_matrix(
         )
         .where(F.col("n_buckets") >= F.lit(int(min_buckets)))
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="topk_per_group")
+def topk_per_group(
+    df: DataFrame,
+    keys,
+    order_cols,
+    k: int = 10,
+    ascending: bool = False,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Generic ranked top-k per group: the ``row_number() <= k`` idiom as
+    a first-class operator. ``order_cols`` must end in a unique
+    tie-breaker (pass e.g. ``["value", "event_id"]``) or the selection is
+    nondeterministic — this is a contract, not a convention.
+
+    The plan is the scalable form of per-group selection: Spark rewrites
+    the rank-filter into ``WindowGroupLimit``, which keeps only k rows
+    per group IN EACH MAP TASK before the shuffle — the wire carries
+    O(groups·k), not the input. Never ``orderBy().limit()`` per group in
+    a loop, never collect-and-slice. Returns the input columns plus
+    ``rank_col`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_cols = (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )
+    order = [
+        F.col(c).asc() if ascending else F.col(c).desc()
+        for c in order_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= F.lit(int(k)))
+    )

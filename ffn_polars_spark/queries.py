@@ -5964,6 +5964,58 @@ def q_variance_ratio(spark, sf_dir):
 
 
 @query(
+    "rolling_sharpe",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks)
+SELECT event_type, ts_ns,
+       CASE WHEN count(r) OVER ({W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) >= 20
+                 AND stddev_samp(r) OVER ({W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0
+            THEN {R("sqrt(252.0) * avg(r) OVER (" + W + " ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) / stddev_samp(r) OVER (" + W + " ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)")}
+       END AS r_rolling_sharpe
+FROM rr""",
+)
+def q_rolling_sharpe(spark, sf_dir):
+    """Annualized 20-tick rolling Sharpe per ticker — one window frame
+    over one sort, sharing the return lag's exchange."""
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    )
+    return pre.select(
+        "event_type", "ts_ns",
+        r6(ffn.eod.rolling_sharpe("r", 20, over=TICK_OVER, n=252)).alias(
+            "r_rolling_sharpe"
+        ),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id DESC) AS INT) AS rank
+  FROM events) t
+WHERE rank <= 3""",
+)
+def q_topk_per_group(spark, sf_dir):
+    """Generic per-group top-k (k=3 by value, event_id tiebreak): the
+    rank filter compiles to WindowGroupLimit, so each map task forwards
+    at most k rows per group — wire cost O(groups·k)."""
+    from ffn_polars_spark.operators.wide import topk_per_group
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return topk_per_group(ev, "event_type", ["value", "event_id"], k=3)
+
+
+@query(
     "intraday_profile",
     TICKS_SQL
     + f""", rr AS (
@@ -6160,6 +6212,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "rolling_sharpe",
+    "topk_per_group",
     "csv_roundtrip",
     "orc_roundtrip",
     "dedup_cluster_stats",
@@ -6196,9 +6250,9 @@ _PRIORITY = [
     "weighted_sample",
     "feature_scale",
     "rolling_median",
+    # ======== driver window (~50) ends here ========
     "snapshot_diff",
     "pmi_collocations",
-    # ======== driver window (~50) ends here ========
     "autocorr",
     "calc_var_cvar",
     "label_stats",

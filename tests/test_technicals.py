@@ -173,3 +173,56 @@ def test_lead_lag_plan_single_window_no_join(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 2  # returns + offsets
+
+
+def test_rolling_sharpe_matches_pandas(spark):
+    from ffn_polars_spark import Over
+
+    rng = np.random.RandomState(4)
+    rs = rng.normal(0.001, 0.01, 60)
+    df = spark.createDataFrame(
+        [("A", i, float(r)) for i, r in enumerate(rs)], ["k", "i", "r"]
+    )
+    import ffn_polars_spark as ffn
+
+    out = (
+        df.select(
+            "i",
+            ffn.eod.rolling_sharpe(
+                "r", 20, over=Over(order_by="i", partition_by="k"), n=252
+            ),
+        )
+        .orderBy("i")
+        .toPandas()
+    )
+    s = pd.Series(rs)
+    want = np.sqrt(252) * s.rolling(20).mean() / s.rolling(20).std()
+    assert out["r_rolling_sharpe"][:19].isna().all()
+    assert np.allclose(out["r_rolling_sharpe"][19:], want[19:], atol=1e-9)
+
+
+def test_topk_per_group_windowgrouplimit_plan(spark):
+    from ffn_polars_spark.operators.wide import topk_per_group
+
+    df = spark.createDataFrame(
+        [(g, i, float((i * 7) % 13)) for g in "ab" for i in range(40)],
+        ["g", "i", "v"],
+    )
+    out = topk_per_group(df, "g", ["v", "i"], k=3)
+    rows = out.collect()
+    assert len(rows) == 6
+    for g in "ab":
+        got = sorted(
+            [(r.v, r.i) for r in rows if r.g == g], reverse=True
+        )
+        want = sorted(
+            [(float((i * 7) % 13), i) for i in range(40)], reverse=True
+        )[:3]
+        assert got == want, g
+    # the rank filter must compile to the map-side group limit
+    plan = explain_str(out)
+    assert "WindowGroupLimit" in plan
+
+    # catalog entry too
+    dfq = QUERY_FNS["topk_per_group"](spark, SF)
+    assert "WindowGroupLimit" in explain_str(dfq)

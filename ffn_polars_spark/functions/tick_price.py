@@ -307,3 +307,47 @@ def lead_lag_corr(
     return agg.select(*gcols, F.explode("__c").alias("r")).select(
         *gcols, "r.lag", "r.n", "r.ccf"
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="half_life")
+def half_life(
+    df: DataFrame,
+    value_col: str,
+    order_by: Union[str, list] = "ts_ns",
+    by: Optional[Union[str, list]] = None,
+) -> DataFrame:
+    """Mean-reversion half-life via the AR(1)/discrete-OU fit:
+    regress ``Δx_t`` on ``x_{t-1}`` (``β = cov(Δx, x_{t-1}) /
+    var(x_{t-1})``), giving ``x_t ≈ (1+β)·x_{t-1}`` with reversion speed
+    ``ρ = 1+β``; the half-life is ``−ln 2 / ln ρ`` periods when
+    ``0 < ρ < 1``. NULL outside that band — ``ρ ≥ 1`` means no reversion
+    to decay (random walk / trending), the regime [[hurst_exponent]] and
+    [[variance_ratio]] flag from the variance side. The pairs-trading /
+    spread-sizing companion to [[autocorr]].
+
+    One lag window per key (one exchange), one aggregate of closed-form
+    population moments — no iteration. Returns
+    ``(*by, beta, rho, half_life, n)``.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in ocols])
+    x = F.col(value_col).cast("double")
+    staged = df.select(
+        *gcols, x.alias("__x"), F.lag(x).over(w).alias("__xp")
+    ).where(F.col("__xp").isNotNull())
+    d = F.col("__x") - F.col("__xp")
+    den = F.var_pop("__xp")
+    beta = F.when(den > 0, F.covar_pop(d, F.col("__xp")) / den)
+    g = staged.groupBy(*gcols) if gcols else staged.groupBy()
+    agg = g.agg(beta.alias("beta"), F.count(F.lit(1)).alias("n"))
+    rho = F.lit(1.0) + F.col("beta")
+    return agg.select(
+        *gcols,
+        "beta",
+        rho.alias("rho"),
+        F.when(
+            (rho > 0) & (rho < 1), -F.log(F.lit(2.0)) / F.log(rho)
+        ).alias("half_life"),
+        "n",
+    )

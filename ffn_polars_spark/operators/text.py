@@ -1120,3 +1120,42 @@ def oov_rate(
         oov.alias("oov_tokens"),
         (oov.cast("double") / total.cast("double")).alias("oov_rate"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="sentence_stats")
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence-shape profile: sentence count, mean and max
+    words per sentence — the readability/structure signal quality
+    classifiers lean on (machine-generated and boilerplate text skews to
+    degenerate sentence-length distributions). A sentence is a
+    ``[.!?]+``-delimited fragment containing at least one word token, so
+    stray punctuation runs never count.
+
+    Pure in-row projection — sentence and word arrays are built and
+    reduced inside ONE expression tree (no explode, no shuffle at all);
+    the scan is the plan. Returns
+    ``(id, n_sentences, avg_sentence_words, max_sentence_words)``.
+    """
+    wp_all = F.transform(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.size(
+            F.filter(F.split(s, r"\s+"), lambda t: t != F.lit(""))
+        ),
+    )
+    wp = F.filter(wp_all, lambda c: c > F.lit(0))
+    n = F.size(wp)
+    total = F.aggregate(
+        wp, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_sentences"),
+        F.when(n > 0, total.cast("double") / n.cast("double")).alias(
+            "avg_sentence_words"
+        ),
+        F.when(n > 0, F.array_max(wp)).cast("long").alias(
+            "max_sentence_words"
+        ),
+    )

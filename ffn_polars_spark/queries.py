@@ -5964,6 +5964,70 @@ def q_variance_ratio(spark, sf_dir):
 
 
 @query(
+    "half_life",
+    TICKS_SQL
+    + f""", s AS (
+  SELECT event_type, price AS x,
+         lag(price) OVER ({W}) AS xp
+  FROM ticks),
+g AS (
+  SELECT event_type,
+         CASE WHEN var_pop(xp) > 0
+              THEN covar_pop(x - xp, xp) / var_pop(xp) END AS beta,
+         count(*) AS n
+  FROM s WHERE xp IS NOT NULL GROUP BY event_type)
+SELECT event_type, {R("beta")} AS beta, {R("1.0 + beta")} AS rho,
+       CASE WHEN 1.0 + beta > 0 AND 1.0 + beta < 1
+            THEN {R("-ln(2.0) / ln(1.0 + beta)")} END AS half_life,
+       n
+FROM g""",
+)
+def q_half_life(spark, sf_dir):
+    """AR(1) mean-reversion half-life of the price level per ticker —
+    one lag window, one closed-form moment aggregate."""
+    from ffn_polars_spark.functions.tick_price import half_life
+
+    t = ticks(spark, sf_dir)
+    out = half_life(
+        t, "price", order_by=["ts_ns", "event_id"], by="event_type"
+    )
+    return out.select(
+        "event_type", r6("beta").alias("beta"), r6("rho").alias("rho"),
+        r6("half_life").alias("half_life"), "n",
+    )
+
+
+@query(
+    "sentence_stats",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                     x -> len(list_filter(string_split_regex(x, '\s+'),
+                                          t -> t <> ''))),
+                     c -> c > 0) AS wp
+  FROM documents)
+SELECT doc_id, CAST(len(wp) AS BIGINT) AS n_sentences,
+       CASE WHEN len(wp) > 0
+            THEN floor((CAST(list_sum(wp) AS DOUBLE) / CAST(len(wp) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS avg_sentence_words,
+       CAST(list_max(wp) AS BIGINT) AS max_sentence_words
+FROM s""",
+)
+def q_sentence_stats(spark, sf_dir):
+    """Per-document sentence-shape profile — pure in-row expression tree,
+    no explode, no shuffle; the parquet scan is the whole plan."""
+    from ffn_polars_spark.operators.text import sentence_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = sentence_stats(docs)
+    return out.select(
+        "doc_id", "n_sentences",
+        r6("avg_sentence_words").alias("avg_sentence_words"),
+        "max_sentence_words",
+    )
+
+
+@query(
     "rolling_sharpe",
     TICKS_SQL
     + f""", rr AS (
@@ -6212,6 +6276,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "half_life",
+    "sentence_stats",
     "rolling_sharpe",
     "topk_per_group",
     "csv_roundtrip",
@@ -6248,9 +6314,9 @@ _PRIORITY = [
     "cap_per_group",
     "scrub_spans",
     "weighted_sample",
+    # ======== driver window (~50) ends here ========
     "feature_scale",
     "rolling_median",
-    # ======== driver window (~50) ends here ========
     "snapshot_diff",
     "pmi_collocations",
     "autocorr",

@@ -226,3 +226,31 @@ def test_topk_per_group_windowgrouplimit_plan(spark):
     # catalog entry too
     dfq = QUERY_FNS["topk_per_group"](spark, SF)
     assert "WindowGroupLimit" in explain_str(dfq)
+
+
+def test_half_life_ou_recovery(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import half_life
+
+    # simulate AR(1) x_t = rho*x_{t-1} + eps with rho = 0.9
+    rng = np.random.RandomState(6)
+    x = np.zeros(3000)
+    for i in range(1, 3000):
+        x[i] = 0.9 * x[i - 1] + rng.normal(0, 0.1)
+    df = spark.createDataFrame(
+        [("A", i, float(v)) for i, v in enumerate(x)], ["k", "i", "x"]
+    )
+    row = half_life(df, "x", order_by="i", by="k").collect()[0]
+    want_hl = -np.log(2) / np.log(0.9)  # ~6.58
+    assert abs(row.rho - 0.9) < 0.05
+    assert abs(row.half_life - want_hl) < 1.5
+    assert row.n == 2999
+
+    # a pure random walk: rho ~ 1 -> no half-life
+    w = np.cumsum(rng.normal(0, 1, 3000))
+    dfw = spark.createDataFrame(
+        [("A", i, float(v)) for i, v in enumerate(w)], ["k", "i", "x"]
+    )
+    roww = half_life(dfw, "x", order_by="i", by="k").collect()[0]
+    assert roww.half_life is None or roww.half_life > 50

@@ -31,3 +31,24 @@ def test_dedup_cluster_stats_histogram(spark):
     assert out[3].n_clusters == 1 and out[3].n_docs == 3
     assert out[2].n_clusters == 1 and out[2].n_docs == 2
     assert out[1].n_clusters == 2 and out[1].n_docs == 2
+
+
+def test_sentence_stats_hand_computed(spark):
+    from ffn_polars_spark.operators.text import sentence_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One two three. Four five! Six?"),
+            (2, "No terminal punctuation here"),
+            (3, "!!! ..."),          # punctuation runs only -> 0 sentences
+            (4, "a.\nb c."),         # newline between sentences
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in sentence_stats(docs).collect()}
+    assert out[1].n_sentences == 3
+    assert abs(out[1].avg_sentence_words - (3 + 2 + 1) / 3) < 1e-12
+    assert out[1].max_sentence_words == 3
+    assert out[2].n_sentences == 1 and out[2].max_sentence_words == 4
+    assert out[3].n_sentences == 0 and out[3].avg_sentence_words is None
+    assert out[4].n_sentences == 2 and out[4].max_sentence_words == 2

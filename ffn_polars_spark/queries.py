@@ -3424,6 +3424,56 @@ def q_streaming_realized_vol(spark, sf_dir):
     )
 
 
+_ZPRIOR = (
+    "PARTITION BY event_type ORDER BY ts_ns "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+
+@query(
+    "streaming_zscore_alerts",
+    TICKS_SQL
+    + f""", s AS (
+  SELECT event_type, price,
+         count(price) OVER ({_ZPRIOR}) AS np,
+         sum(price) OVER ({_ZPRIOR}) AS ps,
+         sum(price * price) OVER ({_ZPRIOR}) AS pq
+  FROM ticks)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN np >= 30
+                      AND (pq - ps * ps / np) / (np - 1) > 0
+                      AND abs(price - ps / np)
+                          > 1.5 * sqrt((pq - ps * ps / np) / (np - 1))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+FROM s GROUP BY event_type""",
+)
+def q_streaming_zscore_alerts(spark, sf_dir):
+    """Stateful streaming anomaly counter (applyInPandasWithState): each
+    tick scored against the cumulative prior distribution of its key
+    (|x − mean| > 1.5·std after 30 obs), alert count chained across
+    micro-batches.  The drain's final update per key equals the batch
+    cumulative-window SQL twin — prior sums written naively on both
+    sides so the float sequences match."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_zscore_alerts,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .withColumn("price", F.lit(100.0) + F.col("value") / F.lit(10.0))
+        .withColumn("ts_ns", F.unix_micros(F.col("event_time")) * F.lit(1000))
+    )
+    out = stateful_zscore_alerts(
+        stream, "event_type", "ts_ns", "price", threshold=1.5, min_obs=30
+    )
+    drained = run_available_now(out, output_mode="update")
+    return drained.select("event_type", "n_events", "n_alerts")
+
+
 # ---------------------------------------------------------------------------
 # Sessionization.
 # ---------------------------------------------------------------------------
@@ -6268,6 +6318,7 @@ _PRIORITY = [
     "streaming_session_stats",
     "streaming_running_vwap",
     "streaming_realized_vol",
+    "streaming_zscore_alerts",
     # --- 3 canaries from the round-5-green core block (regression
     # tripwire, kept INSIDE the ~50-entry driver window)
     "to_returns",
@@ -6313,8 +6364,8 @@ _PRIORITY = [
     "amihud_illiquidity",
     "cap_per_group",
     "scrub_spans",
-    "weighted_sample",
     # ======== driver window (~50) ends here ========
+    "weighted_sample",
     "feature_scale",
     "rolling_median",
     "snapshot_diff",

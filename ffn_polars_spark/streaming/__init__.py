@@ -469,3 +469,113 @@ def streaming_topk(
     keys = list(key_cols)
     agg = stream.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     return agg.orderBy(F.desc("n"), *[F.asc(c) for c in keys]).limit(int(k))
+
+
+_ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_x", DoubleType()),
+        StructField("sum_sq", DoubleType()),
+        StructField("n_alerts", LongType()),
+    ]
+)
+
+
+def _zscore_output_schema(key: str) -> StructType:
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("n_events", LongType()),
+            StructField("n_alerts", LongType()),
+        ]
+    )
+
+
+def stateful_zscore_alerts(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    threshold: float = 3.0,
+    min_obs: int = 30,
+    idle_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Streaming anomaly counter via ``applyInPandasWithState``: each
+    event is scored against the cumulative distribution of every PRIOR
+    event of its key — alert when ``|x − mean_prior| > threshold ·
+    std_prior`` once ``min_obs`` observations back the estimate. Because
+    the score uses only prior events, the semantics are genuinely
+    sequential (the same event alerts or not depending on arrival order),
+    which is exactly what the chained ``(n, Σx, Σx²)`` state preserves
+    across micro-batches — the [[streaming_realized_vol]] pattern with a
+    per-event decision folded into the state.
+
+    In-batch scoring is a vectorized prefix-sum (numpy ``cumsum`` chains
+    the carried sums — identical float sequence to a scalar scan);
+    nothing is ever re-scored, so a drained run's final update per key is
+    reproducible by a batch cumulative-window SQL twin. State is 4
+    numbers per key; the usual ``idle_timeout_ms`` TTL applies for
+    open-ended key domains. Emits ``(key, n_events, n_alerts)`` in update
+    mode.
+    """
+
+    def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, sum_x, sum_sq, n_alerts = state.get
+        else:
+            n, sum_x, sum_sq, n_alerts = 0, 0.0, 0.0, 0
+        import numpy as np
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts)
+            x = pdf[value].to_numpy(dtype=np.float64)
+            if not len(x):
+                continue
+            cs = sum_x + np.cumsum(x)
+            csq = sum_sq + np.cumsum(x * x)
+            prior_n = n + np.arange(len(x), dtype=np.int64)
+            prior_sum = np.concatenate(([sum_x], cs[:-1]))
+            prior_sq = np.concatenate(([sum_sq], csq[:-1]))
+            ok = prior_n >= int(min_obs)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                m = np.where(prior_n > 0, prior_sum / prior_n, np.nan)
+                var = np.where(
+                    prior_n > 1,
+                    (prior_sq - prior_sum * prior_sum / np.where(prior_n > 0, prior_n, 1))
+                    / np.where(prior_n > 1, prior_n - 1, 1),
+                    np.nan,
+                )
+                alert = (
+                    ok
+                    & (var > 0)
+                    & (np.abs(x - m) > float(threshold) * np.sqrt(var))
+                )
+            n_alerts += int(alert.sum())
+            n += len(x)
+            sum_x = float(cs[-1])
+            sum_sq = float(csq[-1])
+        state.update((n, sum_x, sum_sq, n_alerts))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n],
+                "n_alerts": [n_alerts],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=_zscore_output_schema(key),
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

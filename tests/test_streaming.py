@@ -419,3 +419,47 @@ def test_streaming_topk_matches_batch_and_is_deterministic(spark, tick_dir):
     assert got == [(r.ticker, r["count"]) for r in batch]
     # 600 rows split evenly: equal counts, tie broken by ticker name
     assert got == [("A", 300), ("B", 300)]
+
+
+def test_stateful_zscore_alerts_chains_across_batches(spark, tmp_path_factory):
+    """The alert decision depends on the PRIOR cumulative distribution, so
+    splitting the same tape across micro-batches must not change the final
+    (n_events, n_alerts) — the carried (n, Σx, Σx²) state chains exactly."""
+    import numpy as np
+
+    from ffn_polars_spark.streaming import stateful_zscore_alerts
+
+    rng = np.random.RandomState(8)
+    d = str(tmp_path_factory.mktemp("zchain"))
+    vals = rng.normal(100.0, 5.0, 200)
+    vals[60] = 160.0  # guaranteed outliers after warm-up
+    vals[150] = 40.0
+    all_rows = [("A", i * SEC, float(v)) for i, v in enumerate(vals)]
+    for q in range(4):
+        chunk = all_rows[q * 50 : (q + 1) * 50]
+        spark.createDataFrame(chunk, ["ticker", "ts", "price"]).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_zscore_alerts(
+            stream, "ticker", "ts", "price", threshold=3.0, min_obs=30
+        ),
+        output_mode="update",
+    ).collect()
+    updates = sorted(out, key=lambda r: r["n_events"])
+    assert len(updates) >= 2
+    final = updates[-1]
+
+    # numpy replay of the prior-distribution scoring
+    n_alerts = 0
+    for i in range(len(vals)):
+        prior = vals[:i]
+        if len(prior) >= 30:
+            m, sd = prior.mean(), prior.std(ddof=1)
+            if sd > 0 and abs(vals[i] - m) > 3.0 * sd:
+                n_alerts += 1
+    assert final["n_events"] == 200
+    assert final["n_alerts"] == n_alerts
+    assert n_alerts >= 2  # the two injected outliers fired

@@ -200,3 +200,69 @@ def interp_asof_join(
         )
         out = out.withColumn(c + suffix, interp).drop("__v0_" + c, "__v1_" + c)
     return out.drop("__t0", "__t1")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="grid_snap")
+def grid_snap(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Union[str, Sequence[str]],
+    step: int,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Resample an irregular series onto a regular ``step``-spaced grid by
+    last-observation-carried-forward — the alignment step before any
+    cross-series math on tick data (two tickers only have comparable rows
+    once they share a clock). Grid points are the multiples of ``step``
+    inside each key's own ``[min ts, max ts]`` span (integer arithmetic —
+    no float boundary drift).
+
+    Same union-tag + ``last(ignorenulls)`` window as :func:`asof_join`:
+    grid rows carry null values, the union sorts once per key (ties put
+    the real tick BEFORE the grid point at the same timestamp, so an
+    exactly-aligned observation is picked up, not skipped), one forward
+    scan fills — never a per-grid-point join. Returns
+    ``(*by, grid_ts, *value_cols)``.
+    """
+    keys = _normalize(by)
+    vals = _normalize(value_cols)
+    step = int(step)
+    span = df.groupBy(*keys).agg(
+        F.min(F.col(ts_col)).alias("__lo"), F.max(F.col(ts_col)).alias("__hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                # ceil/floor to step multiples in pure long arithmetic —
+                # epoch-ns exceeds double's mantissa, so no float division
+                F.expr(f"((__lo + {step} - 1) div {step}) * {step}"),
+                F.expr(f"(__hi div {step}) * {step}"),
+                F.lit(step),
+            )
+        ).alias("__ts"),
+        F.lit(1).alias("__is_grid"),
+    )
+    ticks_side = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__is_grid"),
+        *[F.col(c) for c in vals],
+    )
+    unioned = grid.select(
+        *keys, "__ts", "__is_grid", *[F.lit(None).cast("double").alias(c) for c in vals]
+    ).unionByName(ticks_side)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *keys,
+        "__ts",
+        "__is_grid",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in vals],
+    )
+    return filled.where(F.col("__is_grid") == 1).select(
+        *keys, F.col("__ts").alias("grid_ts"), *vals
+    )

@@ -6014,6 +6014,37 @@ def q_variance_ratio(spark, sf_dir):
 
 
 @query(
+    "grid_snap",
+    TICKS_SQL
+    + """, span AS (
+  SELECT event_type, min(ts_ns) AS lo, max(ts_ns) AS hi
+  FROM ticks GROUP BY event_type),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(((lo + 59999999999) // 60000000000) * 60000000000,
+                                (hi // 60000000000) * 60000000000,
+                                60000000000)) AS grid_ts
+  FROM span)
+SELECT g.event_type, g.grid_ts, t.price
+FROM grid g
+ASOF LEFT JOIN ticks t
+  ON g.event_type = t.event_type AND g.grid_ts >= t.ts_ns""",
+)
+def q_grid_snap(spark, sf_dir):
+    """LOCF resampling of each ticker's price onto a 1-minute grid: the
+    union-tag + last(ignorenulls) forward fill (one sort per key, no
+    per-grid-point join); the oracle is DuckDB's native ASOF JOIN — an
+    independent formulation of the same semantics."""
+    from ffn_polars_spark.operators.asof import grid_snap
+
+    t = ticks(spark, sf_dir)
+    out = grid_snap(
+        t, "ts_ns", "price", step=60_000_000_000, by="event_type"
+    )
+    return out.select("event_type", "grid_ts", "price")
+
+
+@query(
     "half_life",
     TICKS_SQL
     + f""", s AS (
@@ -6327,6 +6358,7 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "grid_snap",
     "half_life",
     "sentence_stats",
     "rolling_sharpe",
@@ -6363,8 +6395,8 @@ _PRIORITY = [
     "roll_spread",
     "amihud_illiquidity",
     "cap_per_group",
-    "scrub_spans",
     # ======== driver window (~50) ends here ========
+    "scrub_spans",
     "weighted_sample",
     "feature_scale",
     "rolling_median",

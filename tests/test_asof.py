@@ -78,3 +78,37 @@ def test_interp_matches_numpy(spark):
     expected = np.interp(lt, rt, rv)
     for t, e in zip(lt, expected):
         assert got[t] == pytest.approx(float(e), abs=1e-12), t
+
+
+def test_grid_snap_locf_and_ties(spark):
+    from ffn_polars_spark.operators.asof import grid_snap
+
+    rows = [
+        ("A", 95, 1.0),
+        ("A", 100, 2.0),   # tick exactly ON a grid point -> picked up
+        ("A", 130, 3.0),
+        ("A", 245, 4.0),
+        ("B", 100, 10.0),
+        ("B", 310, 11.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        (r.k, r.grid_ts): r.v
+        for r in grid_snap(df, "ts", "v", step=100, by="k").collect()
+    }
+    # A spans [95, 245] -> grid {100, 200}; B spans [100, 310] -> {100, 200, 300}
+    assert out[("A", 100)] == 2.0       # same-ts tick wins over carry (1.0)
+    assert out[("A", 200)] == 3.0
+    assert out[("B", 100)] == 10.0
+    assert out[("B", 200)] == 10.0 and out[("B", 300)] == 10.0
+    assert set(out) == {("A", 100), ("A", 200), ("B", 100), ("B", 200), ("B", 300)}
+
+
+def test_grid_snap_plan_no_join(spark):
+    from ffn_polars_spark.plans import explain_str
+    from ffn_polars_spark.queries import QUERY_FNS
+    from tests.conftest import TESTDATA
+
+    df = QUERY_FNS["grid_snap"](spark, f"{TESTDATA}/sf0.001")
+    plan = explain_str(df)
+    assert "Join" not in plan  # union + window fill, not per-point join

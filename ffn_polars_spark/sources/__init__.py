@@ -241,6 +241,10 @@ def write_csv(
         .option("header", "true")
         .option("quoteAll", "true")
         .option("escape", '"')  # RFC 4180 quote-doubling
+        # the writer TRIMS cell whitespace by default — byte-exactness
+        # requires turning that off explicitly
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
     )
     if compression:
         w = w.option("compression", compression)
@@ -258,6 +262,8 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
         .option("multiLine", "true")
         .option("quote", '"')
         .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
     )
     if schema is not None:
         r = r.schema(schema)

@@ -116,6 +116,7 @@ def test_csv_roundtrip_adversarial_text(spark, tmp_path):
         (3, "unicode éè中文 \U0001f600", "zh"),
         (4, "", "en"),
         (5, None, "en"),
+        (6, "  leading and trailing spaces  ", "en"),
     ]
     df = spark.createDataFrame(rows, ["id", "text", "lang"])
     p = str(tmp_path / "csv_rt")
@@ -125,7 +126,7 @@ def test_csv_roundtrip_adversarial_text(spark, tmp_path):
     want = {i: (t, l) for i, t, l in rows}
     # empty string and NULL both survive as empty/NULL-ish; everything
     # else must be byte-exact
-    for i in (1, 2, 3):
+    for i in (1, 2, 3, 6):
         assert got[i] == want[i], i
     assert got[4][0] in ("", None) and got[5][0] in ("", None)
 

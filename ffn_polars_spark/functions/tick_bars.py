@@ -446,3 +446,94 @@ def corwin_schultz(
         F.avg("__s").alias("cs_spread"),
         F.count("__s").alias("n_pairs"),
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="imbalance_bars")
+def imbalance_bars(
+    df: DataFrame,
+    ts_col: str,
+    price_col: str,
+    volume_col: str,
+    threshold: float,
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Tick-imbalance bars (the information-driven bar family of López de
+    Prado's *Advances in Financial Machine Learning*, ch. 2): sign each
+    tick with the tick rule (carry the last non-zero sign through flats),
+    accumulate signed volume, and CLOSE a bar the moment the running
+    |imbalance| reaches ``threshold`` — bars arrive faster when informed
+    flow arrives, unlike clock-driven [[time_bars]].
+
+    Distribution of labor: the tick sign is a pure window computation
+    (``last(nonzero sign) ignorenulls`` — stays JVM-side, one sort per
+    key); ONLY the threshold-reset bar assignment is inherently
+    sequential, so it runs as a per-key Arrow-batched scan emitting a
+    ``bar_id`` (the [[ewma]] distribution contract: bounded rows per key,
+    unbounded keys in parallel); per-bar OHLCV/imbalance stats are then a
+    plain JVM aggregate. With integer-valued volumes the running
+    imbalance is integer-valued in float64, so the threshold comparison
+    is exact and engine-replayable (the oracle walks the same reset
+    recurrence in a recursive CTE).
+
+    Returns ``(*by, bar_id, bar_start_ts, bar_end_ts, open, high, low,
+    close, volume, imbalance, n_ticks)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    by = list(by or [])
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col(price_col) - F.lag(price_col).over(w)
+    sign0 = F.signum(d)
+    sign = F.coalesce(
+        F.last(F.nullif(sign0, F.lit(0.0)), ignorenulls=True).over(wcum),
+        F.lit(0.0),
+    )
+    staged = df.select(
+        *by,
+        F.col(ts_col).alias("__ts"),
+        F.col(price_col).alias("__p"),
+        F.col(volume_col).cast("double").alias("__v"),
+        (sign * F.col(volume_col).cast("double")).alias("__flow"),
+    )
+    schema = T.StructType(
+        [staged.schema[c] for c in staged.columns]
+        + [T.StructField("__bar", T.LongType())]
+    )
+    thr = float(threshold)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts", kind="mergesort")
+        flow = pdf["__flow"].to_numpy(dtype=np.float64)
+        bars = np.empty(len(flow), dtype=np.int64)
+        cum, bar = 0.0, 1
+        for i, f in enumerate(flow):
+            if i == 0:
+                cum = f
+            elif abs(cum) >= thr:
+                bar += 1
+                cum = f
+            else:
+                cum += f
+            bars[i] = bar
+        out = pdf.copy()
+        out["__bar"] = bars
+        return out
+
+    grouped = staged.groupBy(*by) if by else staged.groupBy(F.lit(1).alias("__g"))
+    assigned = grouped.applyInPandas(assign, schema)
+    g = assigned.groupBy(*(by + ["__bar"]))
+    return g.agg(
+        F.min("__ts").alias("bar_start_ts"),
+        F.max("__ts").alias("bar_end_ts"),
+        F.min_by("__p", "__ts").alias("open"),
+        F.max("__p").alias("high"),
+        F.min("__p").alias("low"),
+        F.max_by("__p", "__ts").alias("close"),
+        F.sum("__v").alias("volume"),
+        F.sum("__flow").alias("imbalance"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).withColumnRenamed("__bar", "bar_id")

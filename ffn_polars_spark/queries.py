@@ -6013,6 +6013,55 @@ def q_variance_ratio(spark, sf_dir):
     return out.select("event_type", "q", r6("vr").alias("vr"), "n_obs")
 
 
+_WT = "PARTITION BY event_type ORDER BY ts_ns"  # ts_ns is unique per key
+
+
+@query(
+    "imbalance_bars",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", d0 AS (
+  SELECT event_type, ts_ns, price, volume,
+         sign(price - lag(price) OVER ({_WT})) AS s0
+  FROM ticks),
+sg AS (
+  SELECT event_type, ts_ns, price, volume,
+         coalesce(last_value(nullif(s0, 0.0) IGNORE NULLS)
+                  OVER ({_WT} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  0.0) AS sgn
+  FROM d0),
+f AS (
+  SELECT event_type, ts_ns, price, volume, sgn * volume AS flow,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns) AS rn
+  FROM sg),
+walk AS (
+  SELECT event_type, rn, ts_ns, price, volume, flow, flow AS cum,
+         CAST(1 AS BIGINT) AS bar
+  FROM f WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.rn, x.ts_ns, x.price, x.volume, x.flow,
+         CASE WHEN abs(w.cum) >= 500.0 THEN x.flow ELSE w.cum + x.flow END,
+         w.bar + CASE WHEN abs(w.cum) >= 500.0 THEN 1 ELSE 0 END
+  FROM walk w JOIN f x ON x.event_type = w.event_type AND x.rn = w.rn + 1)
+SELECT event_type, bar AS bar_id, min(ts_ns) AS bar_start_ts,
+       max(ts_ns) AS bar_end_ts, arg_min(price, ts_ns) AS open,
+       max(price) AS high, min(price) AS low,
+       arg_max(price, ts_ns) AS close, CAST(sum(volume) AS DOUBLE) AS volume,
+       CAST(sum(flow) AS DOUBLE) AS imbalance, count(*) AS n_ticks
+FROM walk GROUP BY event_type, bar""",
+)
+def q_imbalance_bars(spark, sf_dir):
+    """Tick-imbalance bars (|signed volume| >= 500 closes a bar) per
+    ticker: JVM window sign, per-key Arrow scan for the reset recurrence,
+    JVM per-bar aggregate; the oracle replays the reset walk in a
+    recursive CTE."""
+    from ffn_polars_spark.functions.tick_bars import imbalance_bars
+
+    t = ticks(spark, sf_dir)
+    return imbalance_bars(
+        t, "ts_ns", "price", "volume", threshold=500.0, by=["event_type"]
+    )
+
+
 @query(
     "grid_snap",
     TICKS_SQL
@@ -6358,6 +6407,7 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "imbalance_bars",
     "grid_snap",
     "half_life",
     "sentence_stats",
@@ -6394,8 +6444,8 @@ _PRIORITY = [
     "kyle_lambda",
     "roll_spread",
     "amihud_illiquidity",
-    "cap_per_group",
     # ======== driver window (~50) ends here ========
+    "cap_per_group",
     "scrub_spans",
     "weighted_sample",
     "feature_scale",

@@ -254,3 +254,39 @@ def test_half_life_ou_recovery(spark):
     )
     roww = half_life(dfw, "x", order_by="i", by="k").collect()[0]
     assert roww.half_life is None or roww.half_life > 50
+
+
+def test_imbalance_bars_hand_computed(spark):
+    from ffn_polars_spark.functions.tick_bars import imbalance_bars
+
+    # prices alternate up/up/down...; volumes chosen so bars close at
+    # |cum| >= 10: flows +5 +5 (close, cum=10), -3 +4 +9 (close, cum=10),
+    # +2 (open tail bar)
+    rows = [
+        ("A", 1, 100.0, 7.0),   # first tick: sign 0 -> flow 0
+        ("A", 2, 101.0, 5.0),   # +5, cum 5
+        ("A", 3, 102.0, 5.0),   # +5, cum 10 -> bar 1 closes here
+        ("A", 4, 101.0, 3.0),   # -3, bar 2, cum -3
+        ("A", 5, 103.0, 4.0),   # +4, cum 1
+        ("A", 6, 104.0, 9.0),   # +9, cum 10 -> bar 2 closes here
+        ("A", 7, 105.0, 2.0),   # +2, bar 3 (open)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "p", "v"])
+    out = {
+        r.bar_id: r
+        for r in imbalance_bars(df, "ts", "p", "v", threshold=10.0, by=["k"]).collect()
+    }
+    assert len(out) == 3
+    assert out[1].n_ticks == 3 and out[1].imbalance == 10.0
+    assert (out[1].open, out[1].close, out[1].high, out[1].low) == (100.0, 102.0, 102.0, 100.0)
+    assert out[1].volume == 17.0
+    assert out[2].n_ticks == 3 and out[2].imbalance == 10.0
+    assert out[2].bar_start_ts == 4 and out[2].bar_end_ts == 6
+    assert out[3].n_ticks == 1 and out[3].imbalance == 2.0
+    # flat prints inherit the LAST nonzero sign
+    flat = spark.createDataFrame(
+        [("A", 1, 100.0, 1.0), ("A", 2, 101.0, 4.0), ("A", 3, 101.0, 6.0)],
+        ["k", "ts", "p", "v"],
+    )
+    f = imbalance_bars(flat, "ts", "p", "v", threshold=10.0, by=["k"]).collect()
+    assert len(f) == 1 and f[0].imbalance == 10.0  # +4 then +6 (carried sign)

@@ -351,3 +351,67 @@ def half_life(
         ).alias("half_life"),
         "n",
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="pairs_spread")
+def pairs_spread(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    order_by: Union[str, list],
+    by: Optional[Union[str, list]] = None,
+) -> DataFrame:
+    """Pairs-trading spread: per key, OLS-hedge ``a`` against ``b``
+    (``β = cov_pop(a,b)/var_pop(b)``, ``α = mean(a) − β·mean(b)``), emit
+    the residual spread ``a − α − β·b`` and its z-score against the
+    spread's own in-sample standard deviation — the entry/exit signal of
+    the classic stat-arb loop. Feed the spread to [[half_life]] to size
+    holding periods; β here is the full-sample twin of the windowed
+    [[rolling_beta]].
+
+    Two closed-form moment aggregates (one per pass) broadcast-join back
+    onto the rows — the series itself never reshuffles. Returns the input
+    ordering columns plus ``(spread, z)``.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    g1 = df.groupBy(*gcols) if gcols else df.groupBy()
+    fit = g1.agg(
+        F.when(F.var_pop(b) > 0, F.covar_pop(a, b) / F.var_pop(b)).alias(
+            "__beta"
+        ),
+        F.avg(a).alias("__ma"),
+        F.avg(b).alias("__mb"),
+    )
+    j1 = (
+        df.join(F.broadcast(fit), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(fit))
+    )
+    spread = a - (
+        F.col("__ma") - F.col("__beta") * F.col("__mb")
+    ) - F.col("__beta") * b
+    withs = j1.select(
+        *gcols, *ocols, spread.alias("spread")
+    )
+    g2 = withs.groupBy(*gcols) if gcols else withs.groupBy()
+    sd = g2.agg(
+        F.avg("spread").alias("__ms"),
+        F.stddev_samp("spread").alias("__sd"),
+    )
+    j2 = (
+        withs.join(F.broadcast(sd), gcols)
+        if gcols
+        else withs.crossJoin(F.broadcast(sd))
+    )
+    return j2.select(
+        *gcols,
+        *ocols,
+        "spread",
+        F.when(
+            F.col("__sd") > 0,
+            (F.col("spread") - F.col("__ms")) / F.col("__sd"),
+        ).alias("z"),
+    )

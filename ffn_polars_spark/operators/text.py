@@ -1159,3 +1159,30 @@ def sentence_stats(
             "max_sentence_words"
         ),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="strip_markup")
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Markup stripping for scraped corpora: drop ``<...>`` tags, decode
+    the common HTML entities, collapse whitespace runs to single spaces,
+    and trim — the canonical first stage before any text scoring (tags
+    and entity noise poison tokenization, dedup shingles, and language
+    ID alike).
+
+    Pure in-row ``regexp_replace``/``replace`` chain — zero shuffle, the
+    scan is the plan; patterns are deliberately simple enough to behave
+    identically across regex engines (verified against DuckDB's RE2).
+    Returns the input columns plus ``out_col``.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    # &amp; decodes LAST so "&amp;lt;" yields the literal "&lt;", not "<"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select("*", c.alias(out_col))

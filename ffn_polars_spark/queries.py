@@ -6013,6 +6013,89 @@ def q_variance_ratio(spark, sf_dir):
     return out.select("event_type", "q", r6("vr").alias("vr"), "n_obs")
 
 
+@query(
+    "pairs_spread",
+    TICKS_SQL
+    + f""", pl AS (
+  SELECT event_type, ts_ns, event_id, price,
+         lag(price) OVER ({W}) AS pb
+  FROM ticks),
+p AS (SELECT * FROM pl WHERE pb IS NOT NULL),
+fit AS (
+  SELECT event_type,
+         CASE WHEN var_pop(pb) > 0
+              THEN covar_pop(price, pb) / var_pop(pb) END AS beta,
+         avg(price) AS ma, avg(pb) AS mb
+  FROM p GROUP BY event_type),
+sp AS (
+  SELECT t.event_type, t.ts_ns, t.event_id,
+         t.price - (f.ma - f.beta * f.mb) - f.beta * t.pb AS spread
+  FROM p t JOIN fit f USING (event_type)),
+sd AS (
+  SELECT event_type, avg(spread) AS ms, stddev_samp(spread) AS sd
+  FROM sp GROUP BY event_type)
+SELECT s.event_type, s.ts_ns, s.event_id, {R("s.spread")} AS spread,
+       {R("CASE WHEN d.sd > 0 THEN (s.spread - d.ms) / d.sd END")} AS z
+FROM sp s JOIN sd d USING (event_type)""",
+)
+def q_pairs_spread(spark, sf_dir):
+    """OLS hedge-ratio spread of price against its own lag per ticker
+    (the AR(1) residual — a well-conditioned pair; the tape's two price
+    columns are exactly collinear, so their residual would be pure float
+    noise), with its in-sample z-score: two tiny moment aggregates
+    broadcast back — the series never reshuffles."""
+    from ffn_polars_spark.functions.tick_price import pairs_spread
+    from pyspark.sql.window import Window as _W
+
+    t = ticks(spark, sf_dir)
+    w = _W.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    pre = t.select(
+        "event_type", "ts_ns", "event_id", "price",
+        F.lag("price").over(w).alias("pb"),
+    ).where(F.col("pb").isNotNull())
+    out = pairs_spread(
+        pre, "price", "pb", order_by=["ts_ns", "event_id"],
+        by="event_type",
+    )
+    return out.select(
+        "event_type", "ts_ns", "event_id",
+        r6("spread").alias("spread"), r6("z").alias("z"),
+    )
+
+
+@query(
+    "strip_markup",
+    r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g'))) AS clean_md5,
+       length(trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g'))) AS clean_len
+FROM documents""",
+)
+def q_strip_markup(spark, sf_dir):
+    """Markup strip + entity decode + whitespace squeeze, byte-pinned via
+    md5 against DuckDB's RE2 replay — zero shuffle, the scan is the
+    plan."""
+    from ffn_polars_spark.operators.text import strip_markup
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = strip_markup(docs)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+    )
+
+
 _WT = "PARTITION BY event_type ORDER BY ts_ns"  # ts_ns is unique per key
 
 
@@ -6407,6 +6490,8 @@ _PRIORITY = [
     # --- round-6 entries, newest first (verified locally + judge-runnable;
     # the driver window covers through bigram_logprob below = exactly 50
     # entries; the remainder of the round-6 block front-loads r7)
+    "pairs_spread",
+    "strip_markup",
     "imbalance_bars",
     "grid_snap",
     "half_life",
@@ -6442,9 +6527,9 @@ _PRIORITY = [
     "zipf_slope",
     "gini_by_group",
     "kyle_lambda",
+    # ======== driver window (~50) ends here ========
     "roll_spread",
     "amihud_illiquidity",
-    # ======== driver window (~50) ends here ========
     "cap_per_group",
     "scrub_spans",
     "weighted_sample",

@@ -290,3 +290,29 @@ def test_imbalance_bars_hand_computed(spark):
     )
     f = imbalance_bars(flat, "ts", "p", "v", threshold=10.0, by=["k"]).collect()
     assert len(f) == 1 and f[0].imbalance == 10.0  # +4 then +6 (carried sign)
+
+
+def test_pairs_spread_recovers_hedge(spark):
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import pairs_spread
+
+    rng = np.random.RandomState(12)
+    b = 100 + np.cumsum(rng.normal(0, 1, 500))
+    eps = rng.normal(0, 0.5, 500)
+    a = 3.0 + 2.0 * b + eps  # known alpha/beta + noise
+    df = spark.createDataFrame(
+        [("A", i, float(a[i]), float(b[i])) for i in range(500)],
+        ["k", "i", "a", "b"],
+    )
+    out = pairs_spread(df, "a", "b", order_by="i", by="k").orderBy("i").collect()
+    sp = np.array([r.spread for r in out])
+    z = np.array([r.z for r in out])
+    # numpy replay of the closed-form OLS residual
+    beta = np.cov(a, b, bias=True)[0, 1] / b.var()
+    alpha = a.mean() - beta * b.mean()
+    want = a - alpha - beta * b
+    assert np.allclose(sp, want, atol=1e-9)
+    assert abs(beta - 2.0) < 0.01
+    assert np.allclose(z, (want - want.mean()) / want.std(ddof=1), atol=1e-9)
+    assert abs(z.mean()) < 1e-9 and abs(z.std(ddof=1) - 1) < 1e-9

@@ -52,3 +52,23 @@ def test_sentence_stats_hand_computed(spark):
     assert out[2].n_sentences == 1 and out[2].max_sentence_words == 4
     assert out[3].n_sentences == 0 and out[3].avg_sentence_words is None
     assert out[4].n_sentences == 2 and out[4].max_sentence_words == 2
+
+
+def test_strip_markup_tags_entities_whitespace(spark):
+    from ffn_polars_spark.operators.text import strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>"),
+            (2, "a &amp;lt; b and x &lt; y plus &quot;q&quot; &#39;s&#39;"),
+            (3, "lots   of\n\nwhitespace\t here "),
+            (4, "no markup at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.clean_text for r in strip_markup(docs).collect()}
+    assert out[1] == "Hello world"
+    # &amp; decodes LAST: "&amp;lt;" -> literal "&lt;", not "<"
+    assert out[2] == 'a &lt; b and x < y plus "q" \'s\''
+    assert out[3] == "lots of whitespace here"
+    assert out[4] == "no markup at all"

@@ -317,3 +317,68 @@ def capture_ratios(
         F.count(F.when(up, 1)).alias("n_up"),
         F.count(F.when(down, 1)).alias("n_down"),
     )
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("tail_ratio")
+@guard_input("self", expected_dtype="double")
+def tail_ratio(
+    self: ColumnOrName, upper: float = 0.95, lower: float = 0.05
+) -> Column:
+    """Tail ratio: ``|p95| / |p5|`` of the return distribution (exact
+    linear-interpolation percentiles) — above 1 means the right tail is
+    fatter than the left, the one-number asymmetry check that pairs with
+    [[omega_ratio]]'s whole-distribution view. NULL when the lower-tail
+    percentile is 0 (no loss tail to scale by). A pure aggregate: composes
+    into any ``groupBy(...).agg(...)``."""
+    r = to_col(self)
+    hi = F.percentile(r, F.lit(float(upper)))
+    lo = F.percentile(r, F.lit(float(lower)))
+    return F.when(lo != 0.0, F.abs(hi) / F.abs(lo))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="jensen_alpha")
+def jensen_alpha(
+    df: DataFrame,
+    return_col: str,
+    bench_col: str,
+    by=None,
+    rf: float = 0.0,
+    n: int = 252,
+) -> DataFrame:
+    """Full-period CAPM panel per group: OLS ``beta`` of the return series
+    on an aligned benchmark (``covar_pop / var_pop``), Jensen's ``alpha``
+    (annualized mean excess return not explained by beta), and the Treynor
+    ratio (annualized mean excess over beta) — the single-factor
+    attribution triple. Periods where either side is NULL are excluded
+    from every moment, so beta and the means always cover the same sample
+    (the same alignment rule as [[capture_ratios]]). ``alpha`` is NULL
+    when the benchmark has zero variance; ``treynor_ratio`` additionally
+    when beta is 0.
+
+    One hash aggregate over conditional columns — no window, no join.
+    Returns ``(keys, beta, alpha, treynor_ratio, n_obs)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    per_rf = F.lit(rf / n)
+    r = F.col(return_col).cast("double") - per_rf
+    b = F.col(bench_col).cast("double") - per_rf
+    ok = F.col(return_col).isNotNull() & F.col(bench_col).isNotNull()
+    rr, bb = F.when(ok, r), F.when(ok, b)
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    agg = g.agg(
+        (F.covar_pop(rr, bb) / F.var_pop(bb)).alias("__beta"),
+        F.avg(rr).alias("__mr"),
+        F.avg(bb).alias("__mb"),
+        F.count(F.when(ok, 1)).alias("n_obs"),
+    )
+    beta = F.col("__beta")
+    alpha = (F.col("__mr") - beta * F.col("__mb")) * F.lit(float(n))
+    treynor = F.when(beta != 0.0, F.col("__mr") * F.lit(float(n)) / beta)
+    return agg.select(
+        *keys,
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+        treynor.alias("treynor_ratio"),
+        "n_obs",
+    )

@@ -118,3 +118,49 @@ def time_weighted_spread(
 
 
 time_weighted_spread._alias_suffix = "twa_spread"
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="realized_spread")
+def realized_spread(
+    trades: DataFrame,
+    quotes: DataFrame,
+    horizon: int,
+    price: str = "price",
+    ts: str = "ts_ns",
+    by: Optional[list] = None,
+    ask: str = "ask",
+    bid: str = "bid",
+    direction: Optional[str] = None,
+) -> DataFrame:
+    """Realized (post-trade) spread: ``2·d·(p_t − mid_{t+Δ})`` — the part
+    of the effective spread the liquidity provider actually keeps after
+    the price has had ``horizon`` (same units as ``ts``) to move. The
+    future midpoint is the quote prevailing at ``t + Δ`` (as-of backward
+    join on the shifted timestamp); the trade sign ``d`` comes from the
+    ``direction`` column when supplied, else from the tick rule on the
+    trade tape. Trades with no quote by ``t + Δ`` get NULL.
+
+    Cost: one as-of join + (if needed) one ordered window — the same
+    no-explosion machinery as [[effective_spread]]'s prevailing-mid setup.
+    Returns the trade rows + ``mid_future`` + ``realized_spread``.
+    """
+    from ffn_polars_spark.functions.tick_direction import tick_rule
+    from ffn_polars_spark.operators.asof import asof_join
+
+    by = list(by or [])
+    left = trades.withColumn("__ts_h", (F.col(ts) + F.lit(horizon)).cast(
+        trades.schema[ts].dataType.simpleString()
+    ))
+    q = quotes.select(
+        *by,
+        F.col(ts).alias("__ts_h"),
+        ((F.col(ask) + F.col(bid)) / F.lit(2.0)).alias("mid_future"),
+    )
+    joined = asof_join(left, q, on="__ts_h", by=by or None, strategy="backward")
+    if direction is not None:
+        d = F.col(direction).cast("double")
+    else:
+        over = Over(order_by=[ts], partition_by=by or None)
+        d = tick_rule(F.col(price), over=over).cast("double")
+    rs = F.lit(2.0) * d * (F.col(price) - F.col("mid_future"))
+    return joined.withColumn("realized_spread", rs).drop("__ts_h")

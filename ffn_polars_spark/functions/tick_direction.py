@@ -50,3 +50,41 @@ def calc_tick_imbalance(self: ColumnOrName) -> Column:
     denominator counts all rows (Polars ``len()``), not just non-nulls.
     Reference: direction.py:42-55."""
     return F.sum(self).cast("double") / F.count(F.lit(1)).cast("double")
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="lee_ready")
+def lee_ready(
+    trades,
+    quotes,
+    price: str = "price",
+    ts: str = "ts_ns",
+    by=None,
+    ask: str = "ask",
+    bid: str = "bid",
+):
+    """Lee–Ready trade-direction classification: each trade is compared to
+    the prevailing quote midpoint (as-of backward join to the latest quote
+    at-or-before the trade); above the mid → buy (+1), below → sell (−1),
+    at the mid — or before any quote exists — fall back to the tick rule
+    on the trade tape itself (direction.py:8-24 semantics: first trade 0).
+    The quote-based test is the standard upgrade over the pure tick rule
+    (#32) when a quote feed is available.
+
+    Cost: one as-of join (union-tag + last-ignorenulls window, no join
+    explosion — operators/asof.py) plus one ordered window for the
+    fallback. Returns the trade rows + ``mid`` + ``lr_direction``.
+    """
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.asof import asof_join
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    q = quotes.select(
+        *by, ts, ((F.col(ask) + F.col(bid)) / F.lit(2.0)).alias("mid")
+    )
+    joined = asof_join(trades, q, on=ts, by=by or None, strategy="backward")
+    over = Over(order_by=[ts], partition_by=by or None)
+    fallback = tick_rule(F.col(price), over=over)
+    p, m = F.col(price), F.col("mid")
+    d = F.when(p > m, F.lit(1)).when(p < m, F.lit(-1)).otherwise(fallback)
+    return joined.withColumn("lr_direction", d)

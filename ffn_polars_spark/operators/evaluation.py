@@ -1,0 +1,201 @@
+"""Model-evaluation operators: distributed AUC, calibration, rank IC, and
+digit-law conformance.
+
+Beyond the reference's surface (/root/reference/ffn_polars ships no
+evaluation layer): once a pipeline trains quality/filter classifiers on the
+corpus (see operators/text.py, operators/pipeline.py), these are the
+metrics it computes to trust them — and each one is a textbook case of "a
+scalar everyone computes single-node that distributes cleanly if you pick
+the right formula".
+
+Design notes (100 TB):
+
+* ``auc_by_group`` uses the Mann–Whitney rank-sum identity
+  ``AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)`` instead of pairwise
+  comparison: one ordered window for midranks + one hash aggregate —
+  O(n log n) by sort, never the O(n²) pair join. Ties get the standard
+  midrank correction (rank + (tie_count − 1)/2), so the result equals the
+  tie-adjusted trapezoidal AUC exactly.
+* ``calibration_bins`` bins on an equal-width grid between the group's own
+  min/max — the 1-row-per-group stats frame broadcasts back, the scores
+  table never shuffles for the binning itself (only the final per-bin
+  aggregate shuffles, output cardinality = groups × bins).
+* ``spearman_corr`` = Pearson on midranks: two window passes for the rank
+  columns, then a single ``corr`` aggregate — no driver-side sort.
+* ``benford_digits`` is a pure projection + two hash aggregates; output
+  cardinality is groups × 9.
+
+All rank/count arithmetic is exact integer-and-half arithmetic in doubles
+(< 2^53), so results are bit-identical across engines; only the final
+divisions carry float rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ffn_polars_spark.registry import register
+
+
+def _keys(by: Union[str, Sequence[str], None]) -> list:
+    return [by] if isinstance(by, str) else list(by or [])
+
+
+def _midrank(keys: list, order_col: str) -> "F.Column":
+    """Tie-adjusted (fractional) rank of ``order_col`` within ``keys``:
+    ``rank() + (count(ties) - 1) / 2`` — the standard midrank, exact in
+    doubles for any realistic partition size."""
+    w_rank = Window.partitionBy(*keys).orderBy(order_col)
+    w_tie = Window.partitionBy(*(keys + [order_col]))
+    return (
+        F.rank().over(w_rank).cast("double")
+        + (F.count(F.lit(1)).over(w_tie).cast("double") - F.lit(1.0)) / F.lit(2.0)
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="auc_by_group")
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """ROC AUC of ``score_col`` against boolean ``label_col`` per group,
+    via the Mann–Whitney rank-sum identity (one window + one aggregate,
+    never the O(n²) pair comparison). Ties in the score get midranks, so
+    this equals the tie-adjusted trapezoidal AUC. NULL when a group has no
+    positives or no negatives. Returns ``(keys, auc, n_pos, n_neg)``."""
+    keys = _keys(by)
+    pos = F.col(label_col).cast("boolean")
+    ranked = df.select(
+        *keys, score_col, pos.alias("__pos"),
+        _midrank(keys, score_col).alias("__r"),
+    )
+    g = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    agg = g.agg(
+        F.sum(F.when(F.col("__pos"), F.col("__r"))).alias("__sum_r_pos"),
+        F.count(F.when(F.col("__pos"), 1)).cast("double").alias("__n1"),
+        F.count(F.when(~F.col("__pos"), 1)).cast("double").alias("__n0"),
+    )
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    auc = F.when(
+        (n1 > 0) & (n0 > 0),
+        (F.col("__sum_r_pos") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)) / (n1 * n0),
+    )
+    return agg.select(
+        *keys,
+        auc.alias("auc"),
+        n1.cast("long").alias("n_pos"),
+        n0.cast("long").alias("n_neg"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="calibration_bins")
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram data: equal-width bins over each group's own
+    score range, with per-bin count, mean score, and positive rate — the
+    frame a calibration plot (or an ECE computation) consumes directly.
+
+    The per-group (min, max) frame is group-cardinality-sized and
+    broadcast back; the scores table is scanned once and shuffles only for
+    the final groups × bins aggregate. A zero-width score range puts
+    everything in bin 0. Returns ``(keys, bin, n, mean_score, pos_rate)``."""
+    keys = _keys(by)
+    s = F.col(score_col).cast("double")
+    g0 = df.groupBy(*keys) if keys else df.groupBy()
+    stats = g0.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+    joined = df.join(F.broadcast(stats), on=keys) if keys else df.crossJoin(
+        F.broadcast(stats)
+    )
+    width = F.col("__hi") - F.col("__lo")
+    bin_ = F.when(width > 0, F.least(
+        F.floor((s - F.col("__lo")) / width * F.lit(float(bins))),
+        F.lit(bins - 1),
+    )).otherwise(F.lit(0)).cast("int")
+    pre = joined.select(
+        *keys, bin_.alias("bin"), s.alias("__s"),
+        F.col(label_col).cast("boolean").cast("double").alias("__y"),
+    )
+    g1 = pre.groupBy(*(keys + ["bin"]))
+    return g1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__s").alias("mean_score"),
+        F.avg("__y").alias("pos_rate"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="spearman_corr")
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Spearman rank correlation of two columns per group — Pearson on
+    midranks, the standard tie-adjusted definition. The workhorse of
+    signal evaluation (information coefficient: rank of a signal vs rank
+    of the forward return) and of monotone-dependence checks where Pearson
+    is fooled by nonlinearity. Rows where either side is NULL are dropped
+    (ranks must cover a common sample). Two window passes + one ``corr``
+    aggregate. Returns ``(keys, spearman, n)``."""
+    keys = _keys(by)
+    both = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    ranked = both.select(
+        *keys,
+        _midrank(keys, x_col).alias("__rx"),
+        _midrank(keys, y_col).alias("__ry"),
+    )
+    g = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    return g.agg(
+        F.corr("__rx", "__ry").alias("spearman"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="benford_digits")
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law per group —
+    the classic anomaly/fabrication screen for naturally-scaled positive
+    quantities (amounts, populations, trade sizes). Non-positive and NULL
+    values are excluded. Emits one row per (group, digit) with the
+    observed frequency, the Benford expectation ``log10(1 + 1/d)``, and
+    the chi-square contribution ``n_total (obs − exp)² / exp`` (sum them
+    per group for the test statistic). Projection + two hash aggregates;
+    output cardinality groups × 9."""
+    keys = _keys(by)
+    x = F.col(value_col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    pos = df.where(x > 0).select(*keys, digit.alias("digit"))
+    per_digit = pos.groupBy(*(keys + ["digit"])).agg(F.count(F.lit(1)).alias("n"))
+    g = per_digit.groupBy(*keys) if keys else per_digit.groupBy()
+    totals = g.agg(F.sum("n").alias("__total"))
+    j = (
+        per_digit.join(F.broadcast(totals), on=keys)
+        if keys
+        else per_digit.crossJoin(F.broadcast(totals))
+    )
+    obs = F.col("n").cast("double") / F.col("__total").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi2 = F.col("__total").cast("double") * F.pow(obs - exp, F.lit(2.0)) / exp
+    return j.select(
+        *keys,
+        "digit",
+        "n",
+        obs.alias("observed_freq"),
+        exp.alias("expected_freq"),
+        chi2.alias("chi2_term"),
+    )

@@ -332,3 +332,48 @@ def psi_drift(
         F.first("__nb").alias("n_b"),
         F.count(F.lit(1)).alias("n_bins_used"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="hhi_concentration")
+def hhi_concentration(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    group_col: str = None,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of a value across entities inside
+    each group: ``Σ sᵢ²`` over entity shares ``sᵢ`` — 1/n = perfectly even
+    across n entities, 1 = a single entity holds everything. The
+    market-concentration companion to [[gini_by_group]] (Gini measures
+    row-level inequality; HHI measures how much of the total the top
+    entities control), and the normalized variant
+    ``(HHI − 1/n) / (1 − 1/n)`` rescales to [0, 1] for cross-group
+    comparison (NULL for single-entity groups, where concentration is
+    vacuous). NULL HHI for groups whose total is zero.
+
+    Two stacked hash aggregates on prefixes of the same key — the second
+    is entity-cardinality-sized, no window, no join.
+    Returns ``(group, hhi, hhi_normalized, n_entities, total)``.
+    """
+    keys = [group_col] if group_col else []
+    v = F.col(value_col).cast("double")
+    per_entity = df.groupBy(*(keys + [entity_col])).agg(F.sum(v).alias("__ev"))
+    g = per_entity.groupBy(*keys) if keys else per_entity.groupBy()
+    agg = g.agg(
+        F.sum(F.col("__ev") * F.col("__ev")).alias("__sq"),
+        F.sum("__ev").alias("total"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+    tot = F.col("total")
+    hhi = F.when(tot != 0, F.col("__sq") / (tot * tot))
+    inv_n = F.lit(1.0) / F.col("n_entities").cast("double")
+    hhi_norm = F.when(
+        F.col("n_entities") > 1, (hhi - inv_n) / (F.lit(1.0) - inv_n)
+    )
+    return agg.select(
+        *keys,
+        hhi.alias("hhi"),
+        hhi_norm.alias("hhi_normalized"),
+        "n_entities",
+        "total",
+    )

@@ -6435,6 +6435,361 @@ def q_hurst_exponent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Model-evaluation panel (operators/evaluation.py): the metrics a pipeline
+# trusts its trained quality/filter classifiers by. Orders is the scored
+# frame: score = o_totalprice, positive = finished status ('F').
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "auc_by_group",
+    f"""
+WITH r AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+           + (count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1) / 2.0 AS mr
+  FROM orders)
+SELECT o_orderpriority,
+       {R("(sum(CASE WHEN pos = 1 THEN mr END) - (sum(pos) * (sum(pos) + 1.0)) / 2.0) / (sum(pos) * (count(*) - sum(pos)))")} AS auc,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+FROM r GROUP BY o_orderpriority""",
+)
+def q_auc_by_group(spark, sf_dir):
+    """Distributed ROC AUC per priority band via the Mann-Whitney rank-sum
+    identity — one midrank window + one hash aggregate, never the O(n²)
+    pairwise compare. Midranks make ties exact, so both engines agree to
+    the last bit before the single output division."""
+    from ffn_polars_spark.operators.evaluation import auc_by_group
+
+    orders = read_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    out = auc_by_group(scored, "o_totalprice", "label", by="o_orderpriority")
+    return out.select(
+        "o_orderpriority", r6("auc").alias("auc"), "n_pos", "n_neg"
+    )
+
+
+@query(
+    "calibration_bins",
+    f"""
+WITH s AS (
+  SELECT o_orderpriority,
+         min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM orders GROUP BY o_orderpriority),
+b AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN s.hi - s.lo > 0
+              THEN CAST(least(floor((o.o_totalprice - s.lo) / (s.hi - s.lo) * 10.0), 9) AS INT)
+              ELSE 0 END AS bin,
+         o.o_totalprice AS sc,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders o JOIN s USING (o_orderpriority))
+SELECT o_orderpriority, bin, count(*) AS n,
+       {R("avg(sc)")} AS mean_score,
+       {R("avg(y)")} AS pos_rate
+FROM b GROUP BY o_orderpriority, bin""",
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram frame: 10 equal-width score bins inside each
+    group's own range (the 1-row-per-group stats frame broadcasts back —
+    the scored table shuffles only for the groups x bins output). The bin
+    edges come from identical double arithmetic in both engines, so the
+    floor is deterministic."""
+    from ffn_polars_spark.operators.evaluation import calibration_bins
+
+    orders = read_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    out = calibration_bins(
+        scored, "o_totalprice", "label", by="o_orderpriority", bins=10
+    )
+    return out.select(
+        "o_orderpriority", "bin", "n",
+        r6("mean_score").alias("mean_score"),
+        r6("pos_rate").alias("pos_rate"),
+    )
+
+
+@query(
+    "spearman_ic",
+    TICKS_SQL
+    + f""", sig AS (
+  SELECT event_type, volume AS signal,
+         lead(price) OVER ({W}) / price - 1 AS fwd_ret
+  FROM ticks),
+s AS (SELECT * FROM sig WHERE signal IS NOT NULL AND fwd_ret IS NOT NULL),
+rk AS (
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY signal)
+           + (count(*) OVER (PARTITION BY event_type, signal) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY event_type ORDER BY fwd_ret)
+           + (count(*) OVER (PARTITION BY event_type, fwd_ret) - 1) / 2.0 AS ry
+  FROM s)
+SELECT event_type, {R("corr(rx, ry)")} AS spearman, count(*) AS n
+FROM rk GROUP BY event_type""",
+)
+def q_spearman_ic(spark, sf_dir):
+    """Information coefficient: Spearman rank correlation between a signal
+    (volume) and the next-period return, per ticker — Pearson on midranks,
+    so ties are exact and only the final corr carries float noise."""
+    from ffn_polars_spark.operators.evaluation import spearman_corr
+
+    t = ticks(spark, sf_dir)
+    w = TICK_OVER.w_ordered("spearman_ic")
+    sig = t.select(
+        "event_type",
+        F.col("volume").alias("signal"),
+        (F.lead("price", 1).over(w) / F.col("price") - 1).alias("fwd_ret"),
+    )
+    out = spearman_corr(sig, "signal", "fwd_ret", by="event_type")
+    return out.select("event_type", r6("spearman").alias("spearman"), "n")
+
+
+@query(
+    "benford_digits",
+    f"""
+WITH pos AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+pd AS (SELECT o_orderpriority, digit, count(*) AS n
+       FROM pos GROUP BY o_orderpriority, digit),
+tt AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS total
+       FROM pd GROUP BY o_orderpriority)
+SELECT pd.o_orderpriority, pd.digit, pd.n,
+       {R("pd.n / CAST(tt.total AS DOUBLE)")} AS observed_freq,
+       {R("log10(1.0 + 1.0 / pd.digit)")} AS expected_freq,
+       {R("tt.total * pow(pd.n / CAST(tt.total AS DOUBLE) - log10(1.0 + 1.0 / pd.digit), 2) / log10(1.0 + 1.0 / pd.digit)")} AS chi2_term
+FROM pd JOIN tt USING (o_orderpriority)""",
+)
+def q_benford_digits(spark, sf_dir):
+    """First-significant-digit distribution of order totals vs Benford's
+    law, per priority band — projection + two hash aggregates, output
+    cardinality groups x 9, with per-digit chi-square contributions."""
+    from ffn_polars_spark.operators.evaluation import benford_digits
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = benford_digits(orders, "o_totalprice", by="o_orderpriority")
+    return out.select(
+        "o_orderpriority", "digit", "n",
+        r6("observed_freq").alias("observed_freq"),
+        r6("expected_freq").alias("expected_freq"),
+        r6("chi2_term").alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CAPM attribution + tail asymmetry (functions/eod_ratios.py additions).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jensen_alpha",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type,
+         price / lag(price) OVER ({W}) - 1 AS r,
+         price_b / lag(price_b) OVER ({W}) - 1 AS b
+  FROM ticks),
+ok AS (SELECT * FROM rr WHERE r IS NOT NULL AND b IS NOT NULL),
+m AS (
+  SELECT event_type,
+         covar_pop(r, b) / var_pop(b) AS beta,
+         avg(r) AS mr, avg(b) AS mb,
+         count(*) AS n_obs
+  FROM ok GROUP BY event_type)
+SELECT event_type,
+       {R("beta")} AS beta,
+       {R("(mr - beta * mb) * 252.0")} AS alpha,
+       {R("CASE WHEN beta <> 0 THEN mr * 252.0 / beta END")} AS treynor_ratio,
+       n_obs
+FROM m""",
+)
+def q_jensen_alpha(spark, sf_dir):
+    """Single-factor CAPM panel per ticker: OLS beta of price returns on
+    the price_b benchmark, annualized Jensen's alpha, and Treynor — one
+    hash aggregate over conditional columns after the returns window."""
+    from ffn_polars_spark.functions.eod_ratios import jensen_alpha
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+        ffn.eod.to_returns("price_b", over=TICK_OVER).alias("b"),
+    )
+    out = jensen_alpha(pre, "r", "b", by="event_type")
+    return out.select(
+        "event_type",
+        r6("beta").alias("beta"),
+        r6("alpha").alias("alpha"),
+        r6("treynor_ratio").alias("treynor_ratio"),
+        "n_obs",
+    )
+
+
+@query(
+    "tail_ratio",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks)
+SELECT event_type,
+       {R("CASE WHEN quantile_cont(r, 0.05) <> 0 THEN abs(quantile_cont(r, 0.95)) / abs(quantile_cont(r, 0.05)) END")} AS r_tail_ratio
+FROM rr WHERE r IS NOT NULL GROUP BY event_type""",
+)
+def q_tail_ratio(spark, sf_dir):
+    """Right-tail / left-tail percentile ratio of returns per ticker —
+    exact interpolated percentiles (the proven quantile_cont parity), one
+    aggregate after the returns window."""
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", ffn.eod.to_returns("price", over=TICK_OVER).alias("r")
+    ).where(F.col("r").isNotNull())
+    return pre.groupBy("event_type").agg(
+        r6(ffn.eod.tail_ratio("r")).alias("r_tail_ratio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quote-aware trade classification (functions/tick_direction.py lee_ready,
+# functions/quote.py realized_spread): the tape splits into a trade print
+# stream (every third event) and a quote stream (the rest).
+# ---------------------------------------------------------------------------
+
+_LR_SPLIT_SQL = (
+    TICKS_SQL
+    + """, t AS (
+  SELECT event_type, event_id, ts_ns, price FROM ticks WHERE event_id % 3 = 0),
+q AS (
+  SELECT event_type, ts_ns,
+         (greatest(price, price_b) + least(price, price_b)) / 2.0 AS mid
+  FROM ticks WHERE event_id % 3 <> 0)"""
+)
+
+
+def _lr_frames(spark, sf_dir):
+    tk = ticks(spark, sf_dir)
+    trades = tk.where(F.col("event_id") % 3 == 0).select(
+        "event_type", "event_id", "ts_ns", "price"
+    )
+    quotes = tk.where(F.col("event_id") % 3 != 0).select(
+        "event_type",
+        "ts_ns",
+        F.greatest("price", "price_b").alias("ask"),
+        F.least("price", "price_b").alias("bid"),
+    )
+    return trades, quotes
+
+
+@query(
+    "lee_ready",
+    _LR_SPLIT_SQL
+    + f""",
+j AS (
+  SELECT t.event_type, t.event_id, t.ts_ns, t.price, q.mid
+  FROM t ASOF LEFT JOIN q
+    ON t.event_type = q.event_type AND t.ts_ns >= q.ts_ns)
+SELECT event_type, event_id,
+       {R("mid")} AS mid,
+       CASE WHEN price > mid THEN 1
+            WHEN price < mid THEN -1
+            ELSE (CASE WHEN price > lag(price) OVER ({W}) THEN 1
+                       WHEN price < lag(price) OVER ({W}) THEN -1
+                       ELSE 0 END) END AS lr_direction
+FROM j""",
+)
+def q_lee_ready(spark, sf_dir):
+    """Lee-Ready classification of the trade stream against the prevailing
+    quote midpoint (as-of backward), tick-rule fallback at the mid or
+    before the first quote — one as-of join + one ordered window."""
+    from ffn_polars_spark.functions.tick_direction import lee_ready
+
+    trades, quotes = _lr_frames(spark, sf_dir)
+    out = lee_ready(trades, quotes, price="price", ts="ts_ns", by="event_type")
+    return out.select(
+        "event_type", "event_id", r6("mid").alias("mid"), "lr_direction"
+    )
+
+
+@query(
+    "realized_spread",
+    _LR_SPLIT_SQL
+    + f""",
+th AS (SELECT *, ts_ns + 60000000000 AS ts_h FROM t),
+j AS (
+  SELECT th.event_type, th.event_id, th.ts_ns, th.price, q.mid AS mid_future
+  FROM th ASOF LEFT JOIN q
+    ON th.event_type = q.event_type AND th.ts_h >= q.ts_ns)
+SELECT event_type, event_id,
+       {R("mid_future")} AS mid_future,
+       {R(f"2.0 * (CASE WHEN price > lag(price) OVER ({W}) THEN 1 WHEN price < lag(price) OVER ({W}) THEN -1 ELSE 0 END) * (price - mid_future)")} AS realized_spread
+FROM j""",
+)
+def q_realized_spread(spark, sf_dir):
+    """Post-trade realized spread: 2·d·(p_t − mid_{{t+60s}}) with the future
+    midpoint from an as-of join on the shifted timestamp and tick-rule
+    trade signs — what the liquidity provider keeps after one minute."""
+    from ffn_polars_spark.functions.quote import realized_spread
+
+    trades, quotes = _lr_frames(spark, sf_dir)
+    out = realized_spread(
+        trades, quotes, horizon=60_000_000_000, price="price",
+        ts="ts_ns", by=["event_type"],
+    )
+    return out.select(
+        "event_type", "event_id",
+        r6("mid_future").alias("mid_future"),
+        r6("realized_spread").alias("realized_spread"),
+    )
+
+
+@query(
+    "hhi_concentration",
+    f"""
+WITH pe AS (
+  SELECT o_orderpriority, o_custkey, sum(o_totalprice) AS ev
+  FROM orders GROUP BY o_orderpriority, o_custkey),
+m AS (
+  SELECT o_orderpriority,
+         sum(ev * ev) AS sq, sum(ev) AS total, count(*) AS n_entities
+  FROM pe GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       {R("CASE WHEN total <> 0 THEN sq / (total * total) END")} AS hhi,
+       {R("CASE WHEN n_entities > 1 THEN (sq / (total * total) - 1.0 / n_entities) / (1.0 - 1.0 / n_entities) END")} AS hhi_normalized,
+       n_entities
+FROM m""",
+)
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl concentration of order value across customers inside
+    each priority band — two stacked hash aggregates on prefixes of the
+    same key, output cardinality = groups. The raw `total` column stays
+    out of the catalog projection: a ~1e9-magnitude double sum
+    accumulates engine-order drift right at r6's 1e-6 resolution, while
+    the share ratios (drift ~1e-19) are hash-stable."""
+    from ffn_polars_spark.operators.quality import hhi_concentration
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = hhi_concentration(
+        orders, "o_totalprice", "o_custkey", group_col="o_orderpriority"
+    )
+    return out.select(
+        "o_orderpriority",
+        r6("hhi").alias("hhi"),
+        r6("hhi_normalized").alias("hhi_normalized"),
+        "n_entities",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
 # The correctness driver checks a bounded prefix of the catalog per round
@@ -6469,6 +6824,17 @@ def q_hurst_exponent(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
+    # --- brand-new this session (no driver evidence yet): evaluation panel,
+    # CAPM/tail ratios, quote-aware classification, HHI.
+    "auc_by_group",
+    "calibration_bins",
+    "spearman_ic",
+    "benford_digits",
+    "jensen_alpha",
+    "tail_ratio",
+    "lee_ready",
+    "realized_spread",
+    "hhi_concentration",
     # --- the 9 entries with no driver-green row ever: their hash-exact
     # oracles landed after round 4's window rotation (local + judge re-runs
     # attest them; this puts driver evidence on record).

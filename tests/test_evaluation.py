@@ -1,0 +1,210 @@
+"""Model-evaluation operators (operators/evaluation.py) plus the new
+ratio/microstructure additions — hand-computed expectations on tiny frames,
+cross-checked against sklearn-style formulas worked by hand."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.functions.eod_ratios import jensen_alpha
+from ffn_polars_spark.functions.quote import realized_spread
+from ffn_polars_spark.functions.tick_direction import lee_ready
+from ffn_polars_spark.operators.evaluation import (
+    auc_by_group,
+    benford_digits,
+    calibration_bins,
+    spearman_corr,
+)
+from ffn_polars_spark.operators.quality import hhi_concentration
+
+SEC = 1_000_000_000
+
+
+def test_auc_perfect_and_random(spark):
+    # Perfect separation: all positives score above all negatives -> AUC 1.
+    rows = [("a", 1.0, False), ("a", 2.0, False), ("a", 3.0, True), ("a", 4.0, True)]
+    out = auc_by_group(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g"
+    ).collect()[0]
+    assert out["auc"] == 1.0 and out["n_pos"] == 2 and out["n_neg"] == 2
+
+    # Reversed scores -> AUC 0.
+    rows = [("a", 4.0, False), ("a", 3.0, False), ("a", 2.0, True), ("a", 1.0, True)]
+    out = auc_by_group(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g"
+    ).collect()[0]
+    assert out["auc"] == 0.0
+
+
+def test_auc_ties_use_midranks(spark):
+    # One positive and one negative share the same score: that pair
+    # contributes 1/2, the midrank formula must produce AUC = 0.5 here.
+    rows = [("a", 1.0, False), ("a", 1.0, True)]
+    out = auc_by_group(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g"
+    ).collect()[0]
+    assert out["auc"] == 0.5
+
+
+def test_auc_degenerate_group_null(spark):
+    rows = [("a", 1.0, True), ("a", 2.0, True)]  # no negatives
+    out = auc_by_group(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g"
+    ).collect()[0]
+    assert out["auc"] is None
+
+
+def test_calibration_bins_edges_and_rates(spark):
+    # Scores 0..9 with labels = (score >= 5): 10 equal-width bins over
+    # [0, 9]; score 9 lands in bin 9 (the least() clamp), score 0 in bin 0.
+    rows = [("g", float(i), i >= 5) for i in range(10)]
+    out = calibration_bins(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g", bins=10
+    )
+    got = {r["bin"]: r for r in out.collect()}
+    assert set(got) == set(range(10))
+    assert all(got[b]["n"] == 1 for b in got)
+    assert got[0]["pos_rate"] == 0.0 and got[9]["pos_rate"] == 1.0
+    assert got[9]["mean_score"] == 9.0
+
+
+def test_calibration_zero_width_range(spark):
+    rows = [("g", 5.0, True), ("g", 5.0, False)]
+    out = calibration_bins(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g"
+    ).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2
+
+
+def test_spearman_monotone_and_sign(spark):
+    # y = exp(x) is nonlinear but strictly monotone: Spearman exactly 1.
+    rows = [("g", float(i), math.exp(i)) for i in range(6)]
+    out = spearman_corr(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y", by="g"
+    ).collect()[0]
+    assert abs(out["spearman"] - 1.0) < 1e-12 and out["n"] == 6
+
+    rows = [("g", float(i), -float(i) ** 3) for i in range(6)]
+    out = spearman_corr(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y", by="g"
+    ).collect()[0]
+    assert abs(out["spearman"] + 1.0) < 1e-12
+
+
+def test_spearman_drops_nulls(spark):
+    rows = [("g", 1.0, 1.0), ("g", 2.0, None), ("g", 3.0, 2.0), ("g", 4.0, 3.0)]
+    out = spearman_corr(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y", by="g"
+    ).collect()[0]
+    assert out["n"] == 3 and abs(out["spearman"] - 1.0) < 1e-12
+
+
+def test_benford_digit_extraction_and_chi2(spark):
+    # Values with known first digits across magnitudes; zero/negative dropped.
+    vals = [1.5, 19.0, 123.0, 2.0, 29.0, 0.0, -7.0, 0.003]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = benford_digits(df, "v")
+    got = {r["digit"]: r for r in out.collect()}
+    assert {d: got[d]["n"] for d in sorted(got)} == {1: 3, 2: 2, 3: 1}
+    total = 6
+    for d, r in got.items():
+        assert abs(r["observed_freq"] - r["n"] / total) < 1e-12
+        assert abs(r["expected_freq"] - math.log10(1 + 1 / d)) < 1e-12
+        exp = math.log10(1 + 1 / d)
+        assert abs(
+            r["chi2_term"] - total * (r["n"] / total - exp) ** 2 / exp
+        ) < 1e-9
+
+
+def test_jensen_alpha_recovers_planted_line(spark):
+    # r = 0.5*b + 0.001 + 0 noise -> beta exactly 0.5, per-period alpha 0.001.
+    bs = [0.01, -0.02, 0.015, 0.03, -0.01]
+    rows = [("g", 0.5 * b + 0.001, b) for b in bs]
+    out = jensen_alpha(
+        spark.createDataFrame(rows, ["g", "r", "b"]), "r", "b", by="g", n=252
+    ).collect()[0]
+    assert abs(out["beta"] - 0.5) < 1e-12
+    assert abs(out["alpha"] - 0.001 * 252) < 1e-9
+    mean_r = sum(0.5 * b + 0.001 for b in bs) / len(bs)
+    assert abs(out["treynor_ratio"] - mean_r * 252 / 0.5) < 1e-9
+    assert out["n_obs"] == 5
+
+
+def test_jensen_alpha_null_alignment(spark):
+    # NULL on either side drops the row from every moment.
+    rows = [("g", 0.01, 0.02), ("g", None, 0.05), ("g", 0.02, 0.04), ("g", 0.03, None)]
+    out = jensen_alpha(
+        spark.createDataFrame(rows, ["g", "r", "b"]), "r", "b", by="g"
+    ).collect()[0]
+    assert out["n_obs"] == 2
+    # two points define the line exactly: beta = (0.02-0.01)/(0.04-0.02)
+    assert abs(out["beta"] - 0.5) < 1e-12
+
+
+def test_hhi_even_vs_concentrated(spark):
+    rows = [("g1", "a", 1.0), ("g1", "b", 1.0), ("g1", "c", 1.0), ("g1", "d", 1.0),
+            ("g2", "a", 10.0), ("g2", "b", 0.0)]
+    out = hhi_concentration(
+        spark.createDataFrame(rows, ["g", "e", "v"]), "v", "e", group_col="g"
+    )
+    got = {r["g"]: r for r in out.collect()}
+    assert abs(got["g1"]["hhi"] - 0.25) < 1e-12          # 4 even entities -> 1/4
+    assert abs(got["g1"]["hhi_normalized"] - 0.0) < 1e-12
+    assert abs(got["g2"]["hhi"] - 1.0) < 1e-12           # one entity holds all
+    assert abs(got["g2"]["hhi_normalized"] - 1.0) < 1e-12
+    assert got["g1"]["n_entities"] == 4
+
+
+def test_lee_ready_mid_test_and_fallback(spark):
+    trades = spark.createDataFrame(
+        [("t", 1, 0 * SEC, 10.0),   # before any quote -> tick rule, first row 0
+         ("t", 2, 2 * SEC, 10.6),   # above mid 10.5 -> +1
+         ("t", 3, 4 * SEC, 10.4),   # below mid 10.5 -> -1
+         ("t", 4, 6 * SEC, 11.0)],  # at mid 11.0 -> tick rule: 11.0 > 10.4 -> +1
+        ["event_type", "event_id", "ts_ns", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("t", 1 * SEC, 10.6, 10.4), ("t", 5 * SEC, 11.1, 10.9)],
+        ["event_type", "ts_ns", "ask", "bid"],
+    )
+    out = lee_ready(trades, quotes, by="event_type")
+    got = {r["event_id"]: r["lr_direction"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: -1, 4: 1}
+
+
+def test_realized_spread_future_mid(spark):
+    # One trade, quotes before and after; horizon reaches the later quote.
+    trades = spark.createDataFrame(
+        [("t", 1, 10 * SEC, 10.0), ("t", 2, 11 * SEC, 10.2)],
+        ["event_type", "event_id", "ts_ns", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("t", 9 * SEC, 10.1, 9.9),     # mid 10.0 (prevailing at trade time)
+         ("t", 15 * SEC, 10.7, 10.5)],  # mid 10.6 (prevailing at t+10s)
+        ["event_type", "ts_ns", "ask", "bid"],
+    )
+    out = realized_spread(
+        trades, quotes, horizon=10 * SEC, by=["event_type"]
+    )
+    got = {r["event_id"]: r for r in out.collect()}
+    # trade 2: tick rule +1 (10.2 > 10.0); mid at 21s -> latest quote 15s = 10.6
+    assert abs(got[2]["mid_future"] - 10.6) < 1e-12
+    assert abs(got[2]["realized_spread"] - 2 * 1 * (10.2 - 10.6)) < 1e-12
+    # trade 1: first row -> direction 0 -> realized spread 0
+    assert got[1]["realized_spread"] == 0.0
+
+
+def test_auc_matches_pairwise_bruteforce(spark):
+    # Random-ish fixed sample with ties: the rank-sum identity must equal
+    # the O(n^2) pairwise definition (wins + half-ties over pos*neg pairs).
+    scores = [0.1, 0.4, 0.4, 0.8, 0.2, 0.9, 0.4, 0.6]
+    labels = [False, True, False, True, False, True, False, True]
+    rows = [("g", s, y) for s, y in zip(scores, labels)]
+    out = auc_by_group(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g"
+    ).collect()[0]
+    pos = [s for s, y in zip(scores, labels) if y]
+    neg = [s for s, y in zip(scores, labels) if not y]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert abs(out["auc"] - wins / (len(pos) * len(neg))) < 1e-12

@@ -62,3 +62,49 @@ def calc_vwap(self: ColumnOrName, volume: ColumnOrName) -> Column:
     flow.py:84-103."""
     v = to_col(volume)
     return F.sum(to_col(self) * v) / F.sum(v).cast("double")
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="execution_slippage")
+def execution_slippage(
+    df,
+    price: str,
+    volume: str,
+    ts: str,
+    by=None,
+    bucket_ns: int = 86_400_000_000_000,
+):
+    """Per-trade execution slippage against the interval VWAP benchmark:
+    ``d · (p − vwap) / vwap`` with tick-rule trade signs — positive means
+    the trade paid up relative to where volume actually cleared in its
+    bucket (day by default), the standard transaction-cost-analysis view
+    of [[calc_vwap]]. The benchmark is the per-(group, bucket) VWAP
+    computed with an unordered window over the same partitioning the
+    sign's ordered window already established — one exchange total, no
+    join. Returns the input rows + ``bucket``, ``vwap``, ``slippage``.
+    """
+    from pyspark.sql.window import Window
+
+    from ffn_polars_spark.core import Over
+    from ffn_polars_spark.functions.tick_direction import tick_rule
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    p = F.col(price).cast("double")
+    v = F.col(volume).cast("double")
+    bucket = F.floor(F.col(ts) / F.lit(bucket_ns)).cast("long")
+    over = Over(order_by=[ts], partition_by=keys or None)
+    # The ordered tick-rule window runs FIRST: its hash(keys) exchange also
+    # satisfies the bucket window's clustered-by-(keys, bucket) requirement
+    # (subset rule), so the whole operator is one exchange + a local sort.
+    pre = (
+        df.withColumn("__bucket", bucket)
+        .withColumn("__d", tick_rule(p, over=over).cast("double"))
+    )
+    w_b = Window.partitionBy(*(keys + ["__bucket"]))
+    vwap = F.sum(p * v).over(w_b) / F.sum(v).over(w_b)
+    slip = F.when(vwap != 0, F.col("__d") * (p - vwap) / vwap)
+    return (
+        pre.withColumn("vwap", vwap)
+        .withColumn("slippage", slip)
+        .withColumnRenamed("__bucket", "bucket")
+        .drop("__d")
+    )

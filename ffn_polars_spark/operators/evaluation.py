@@ -199,3 +199,116 @@ def benford_digits(
         exp.alias("expected_freq"),
         chi2.alias("chi2_term"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="expected_calibration_error")
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error per group: the n-weighted mean of
+    ``|pos_rate − mean_score|`` over [[calibration_bins]]'s bins — the
+    one-number summary of a reliability diagram (0 = perfectly
+    calibrated). Also emits the max-bin gap (MCE, the worst-case
+    variant). Same cost as calibration_bins plus one groups-sized
+    aggregate. Returns ``(keys, ece, mce, n)``."""
+    keys = _keys(by)
+    cb = calibration_bins(df, score_col, label_col, by=keys or None, bins=bins)
+    gap = F.abs(F.col("pos_rate") - F.col("mean_score"))
+    nw = F.col("n").cast("double")
+    g = cb.groupBy(*keys) if keys else cb.groupBy()
+    return g.agg(
+        (F.sum(gap * nw) / F.sum(nw)).alias("ece"),
+        F.max(gap).alias("mce"),
+        F.sum("n").alias("n"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ndcg_at_k")
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    relevance_col: str,
+    k: int = 10,
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """nDCG@k per query: linear-gain DCG of the system's score-descending
+    ranking over the ideal (relevance-descending) ranking —
+    ``Σ relᵢ / log2(i + 1)`` truncated at ``k``, ratioed. The ranking
+    metric for retrieval stacks like [[keyword_search]] once graded
+    relevance exists. Ties are broken by ``tie_col`` (required for
+    engine-determinism when scores collide; defaults to the relevance
+    column then query — supply a unique id in production).
+
+    Two ordered windows over the same query partitioning (the second sort
+    reuses the first's exchange) + one hash aggregate; rows beyond rank
+    ``k`` in both orderings are filtered before the aggregate, so the
+    shuffle is queries × 2k. NULL nDCG for queries with zero ideal DCG
+    (no relevant items). Returns ``(query, ndcg, n_items)``."""
+    tie = [F.col(tie_col).asc()] if tie_col else []
+    rel = F.col(relevance_col).cast("double")
+    w_sys = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), *tie
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(rel.desc(), *tie)
+    ranked = df.select(
+        query_col,
+        rel.alias("__rel"),
+        F.row_number().over(w_sys).alias("__rs"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    ).where((F.col("__rs") <= k) | (F.col("__ri") <= k))
+    disc_sys = F.when(
+        F.col("__rs") <= k, F.col("__rel") / F.log2(F.col("__rs") + F.lit(1.0))
+    )
+    disc_ideal = F.when(
+        F.col("__ri") <= k, F.col("__rel") / F.log2(F.col("__ri") + F.lit(1.0))
+    )
+    agg = ranked.groupBy(query_col).agg(
+        F.sum(disc_sys).alias("__dcg"),
+        F.sum(disc_ideal).alias("__idcg"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        query_col,
+        F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")).alias(
+            "ndcg"
+        ),
+        "n_items",
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="mrr_at_k")
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    relevance_col: str,
+    k: int = 10,
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """Reciprocal rank of the first relevant item (relevance > 0) in each
+    query's score-descending top-k — average the ``rr`` column for MRR@k.
+    0 when no relevant item appears in the top k. One ordered window +
+    one min-aggregate. Returns ``(query, rr, first_rel_rank)`` with
+    ``first_rel_rank`` NULL when nothing relevant ranked."""
+    tie = [F.col(tie_col).asc()] if tie_col else []
+    w_sys = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), *tie
+    )
+    ranked = df.select(
+        query_col,
+        F.col(relevance_col).cast("double").alias("__rel"),
+        F.row_number().over(w_sys).alias("__rs"),
+    ).where(F.col("__rs") <= k)
+    agg = ranked.groupBy(query_col).agg(
+        F.min(F.when(F.col("__rel") > 0, F.col("__rs"))).alias("first_rel_rank")
+    )
+    rr = F.when(
+        F.col("first_rel_rank").isNotNull(),
+        F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(query_col, rr.alias("rr"), "first_rel_rank")

@@ -527,3 +527,55 @@ def weighted_sample(
     key = F.when(w > 0, F.log(u) / w)
     out = df.withColumn("__key", key).where(F.col("__key").isNotNull())
     return out.orderBy(F.desc("__key"), F.col(id_col)).limit(int(k)).drop("__key")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="hill_tail_index")
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    by: Optional[Sequence[str]] = None,
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over each group's k
+    largest positive values: ``H = mean(ln x₍ᵢ₎ − ln x₍ₖ₊₁₎)`` for the top
+    k order statistics against the (k+1)-th, with ``alpha = 1/H`` the
+    tail exponent (heavier tail → smaller alpha; alpha < 2 means infinite
+    variance). The heavy-tail companion to [[robust_outliers]]: outliers
+    flag points, Hill measures how much tail there is to expect.
+
+    One ordered window pinned to the top k+1 rows per group (rank filter
+    before any arithmetic — the aggregate's input is groups × (k+1), not
+    the table) + one hash aggregate. Ties at the boundary are broken by
+    ``tie_col`` for engine determinism. NULL when a group has fewer than
+    k+1 positive values or H = 0 (all top-k equal).
+    Returns ``(keys, hill, alpha, x_k1, n_tail)``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by or [])
+    x = F.col(value_col).cast("double")
+    tie = [F.col(tie_col).asc()] if tie_col else []
+    w = Window.partitionBy(*keys).orderBy(F.col("__x").desc(), *tie)
+    extra = [tie_col] if tie_col else []
+    pos = df.where(x > 0).select(*keys, *extra, x.alias("__x"))
+    ranked = pos.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k + 1
+    )
+    g = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    agg = g.agg(
+        F.sum(F.when(F.col("__rn") <= k, F.log("__x"))).alias("__lnsum"),
+        F.max(F.when(F.col("__rn") == k + 1, F.col("__x"))).alias("x_k1"),
+        F.count(F.when(F.col("__rn") <= k, 1)).alias("n_tail"),
+    )
+    hill = F.when(
+        F.col("x_k1").isNotNull() & (F.col("n_tail") == k),
+        F.col("__lnsum") / F.lit(float(k)) - F.log("x_k1"),
+    )
+    return agg.select(
+        *keys,
+        hill.alias("hill"),
+        F.when(hill > 0, F.lit(1.0) / hill).alias("alpha"),
+        "x_k1",
+        "n_tail",
+    )

@@ -6789,6 +6789,213 @@ def q_hhi_concentration(spark, sf_dir):
     )
 
 
+@query(
+    "expected_calibration_error",
+    f"""
+WITH sc AS (
+  SELECT o_orderpriority,
+         (o_totalprice % 1000.0) / 1000.0 AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders),
+st AS (SELECT o_orderpriority, min(s) AS lo, max(s) AS hi
+       FROM sc GROUP BY o_orderpriority),
+b AS (
+  SELECT sc.o_orderpriority,
+         CASE WHEN st.hi - st.lo > 0
+              THEN CAST(least(floor((sc.s - st.lo) / (st.hi - st.lo) * 10.0), 9) AS INT)
+              ELSE 0 END AS bin,
+         sc.s, sc.y
+  FROM sc JOIN st USING (o_orderpriority)),
+cb AS (SELECT o_orderpriority, bin, count(*) AS n,
+              avg(s) AS mean_score, avg(y) AS pos_rate
+       FROM b GROUP BY o_orderpriority, bin)
+SELECT o_orderpriority,
+       {R("sum(abs(pos_rate - mean_score) * n) / sum(n)")} AS ece,
+       {R("max(abs(pos_rate - mean_score))")} AS mce,
+       CAST(sum(n) AS BIGINT) AS n
+FROM cb GROUP BY o_orderpriority""",
+)
+def q_expected_calibration_error(spark, sf_dir):
+    """Expected Calibration Error per priority band over a [0,1]
+    pseudo-probability (the price's fractional-thousand part) — the
+    n-weighted reliability gap plus the worst-bin MCE, composed on
+    calibration_bins' broadcast-stats shape."""
+    from ffn_polars_spark.operators.evaluation import expected_calibration_error
+
+    orders = read_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority",
+        ((F.col("o_totalprice") % 1000.0) / 1000.0).alias("s"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    out = expected_calibration_error(
+        scored, "s", "label", by="o_orderpriority", bins=10
+    )
+    return out.select(
+        "o_orderpriority", r6("ece").alias("ece"), r6("mce").alias("mce"), "n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval metrics (operators/evaluation.py ndcg_at_k / mrr_at_k): each
+# event_type is a "query", users are ranked items; score and relevance are
+# exact integer aggregates so the ranking itself is drift-free.
+# ---------------------------------------------------------------------------
+
+_RANKED_ITEMS_SQL = """WITH items AS (
+  SELECT event_type, user_id,
+         sum(event_id % 100) AS score,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, user_id)"""
+
+
+def _ranked_items(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("event_id") % 100).alias("score"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "ndcg_at_k",
+    _RANKED_ITEMS_SQL
+    + f""",
+r AS (
+  SELECT event_type, cnt AS rel,
+         row_number() OVER (PARTITION BY event_type ORDER BY score DESC, user_id) AS rs,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS ri
+  FROM items),
+t AS (SELECT * FROM r WHERE rs <= 10 OR ri <= 10)
+SELECT event_type,
+       {R("CASE WHEN sum(CASE WHEN ri <= 10 THEN rel / log2(ri + 1.0) END) > 0 THEN sum(CASE WHEN rs <= 10 THEN rel / log2(rs + 1.0) END) / sum(CASE WHEN ri <= 10 THEN rel / log2(ri + 1.0) END) END")} AS ndcg,
+       count(*) AS n_items
+FROM t GROUP BY event_type""",
+)
+def q_ndcg_at_k(spark, sf_dir):
+    """nDCG@10 per event_type "query": users ranked by an exact integer
+    engagement score, graded by their event count — two ordered windows on
+    one exchange, rank-filtered to queries x 2k rows before the
+    aggregate."""
+    from ffn_polars_spark.operators.evaluation import ndcg_at_k
+
+    items = _ranked_items(spark, sf_dir)
+    out = ndcg_at_k(
+        items, "event_type", "score", "cnt", k=10, tie_col="user_id"
+    )
+    return out.select("event_type", r6("ndcg").alias("ndcg"), "n_items")
+
+
+@query(
+    "mrr_at_k",
+    _RANKED_ITEMS_SQL
+    + """,
+r AS (
+  SELECT event_type,
+         CASE WHEN cnt > 3 THEN 1.0 ELSE 0.0 END AS rel,
+         row_number() OVER (PARTITION BY event_type ORDER BY score DESC, user_id) AS rs
+  FROM items),
+t AS (SELECT * FROM r WHERE rs <= 10),
+m AS (SELECT event_type, min(CASE WHEN rel > 0 THEN rs END) AS first_rel_rank
+      FROM t GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN first_rel_rank IS NOT NULL THEN 1.0 / first_rel_rank ELSE 0.0 END AS rr,
+       first_rel_rank
+FROM m""",
+)
+def q_mrr_at_k(spark, sf_dir):
+    """Reciprocal rank of the first heavily-active user (count > 3) in
+    each event_type's top-10 — one ordered window + a min aggregate;
+    exact rational output, no rounding needed."""
+    from ffn_polars_spark.operators.evaluation import mrr_at_k
+
+    items = _ranked_items(spark, sf_dir).withColumn(
+        "rel", F.when(F.col("cnt") > 3, 1.0).otherwise(0.0)
+    )
+    return mrr_at_k(items, "event_type", "score", "rel", k=10, tie_col="user_id")
+
+
+@query(
+    "hill_tail_index",
+    f"""
+WITH pos AS (
+  SELECT o_orderpriority, o_totalprice AS x, o_orderkey
+  FROM orders WHERE o_totalprice > 0),
+r AS (
+  SELECT o_orderpriority, x,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY x DESC, o_orderkey) AS rn
+  FROM pos),
+t AS (SELECT * FROM r WHERE rn <= 101),
+m AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN rn <= 100 THEN ln(x) END) AS lnsum,
+         max(CASE WHEN rn = 101 THEN x END) AS x_k1,
+         CAST(count(CASE WHEN rn <= 100 THEN 1 END) AS BIGINT) AS n_tail
+  FROM t GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       {R("CASE WHEN x_k1 IS NOT NULL AND n_tail = 100 THEN lnsum / 100.0 - ln(x_k1) END")} AS hill,
+       {R("CASE WHEN x_k1 IS NOT NULL AND n_tail = 100 AND lnsum / 100.0 - ln(x_k1) > 0 THEN 1.0 / (lnsum / 100.0 - ln(x_k1)) END")} AS alpha,
+       x_k1, n_tail
+FROM m""",
+)
+def q_hill_tail_index(spark, sf_dir):
+    """Hill power-law tail exponent of order totals per priority band
+    (k = 100 top order statistics, o_orderkey tiebreak) — the rank filter
+    runs before any arithmetic, so the aggregate sees groups x 101 rows."""
+    from ffn_polars_spark.operators.sketch import hill_tail_index
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = hill_tail_index(
+        orders, "o_totalprice", k=100, by=["o_orderpriority"],
+        tie_col="o_orderkey",
+    )
+    return out.select(
+        "o_orderpriority",
+        r6("hill").alias("hill"),
+        r6("alpha").alias("alpha"),
+        "x_k1",
+        "n_tail",
+    )
+
+
+@query(
+    "execution_slippage",
+    TICKS_SQL
+    + f""", b AS (
+  SELECT event_type, event_id, ts_ns, price, volume,
+         CAST(floor(ts_ns / 86400000000000.0) AS BIGINT) AS bucket
+  FROM ticks),
+w AS (
+  SELECT event_type, event_id, bucket, price,
+         sum(price * volume) OVER (PARTITION BY event_type, bucket)
+           / sum(volume) OVER (PARTITION BY event_type, bucket) AS vwap,
+         CASE WHEN price > lag(price) OVER ({W}) THEN 1
+              WHEN price < lag(price) OVER ({W}) THEN -1
+              ELSE 0 END AS d
+  FROM b)
+SELECT event_type, event_id, bucket,
+       {R("vwap")} AS vwap,
+       {R("CASE WHEN vwap <> 0 THEN d * (price - vwap) / vwap END")} AS slippage
+FROM w""",
+)
+def q_execution_slippage(spark, sf_dir):
+    """Per-trade slippage vs the daily VWAP benchmark with tick-rule
+    signs — the bucket VWAP is an unordered window on the same exchange
+    the sign's ordered window establishes: one shuffle, no join."""
+    from ffn_polars_spark.functions.tick_flow import execution_slippage
+
+    t = ticks(spark, sf_dir)
+    out = execution_slippage(
+        t, "price", "volume", "ts_ns", by="event_type",
+        bucket_ns=86_400_000_000_000,
+    )
+    return out.select(
+        "event_type", "event_id", "bucket",
+        r6("vwap").alias("vwap"),
+        r6("slippage").alias("slippage"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -6825,7 +7032,13 @@ def q_hhi_concentration(spark, sf_dir):
 
 _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
-    # CAPM/tail ratios, quote-aware classification, HHI.
+    # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
+    # tail-index and TCA.
+    "expected_calibration_error",
+    "ndcg_at_k",
+    "mrr_at_k",
+    "hill_tail_index",
+    "execution_slippage",
     "auc_by_group",
     "calibration_bins",
     "spearman_ic",

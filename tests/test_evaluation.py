@@ -208,3 +208,123 @@ def test_auc_matches_pairwise_bruteforce(spark):
     neg = [s for s, y in zip(scores, labels) if not y]
     wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
     assert abs(out["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+
+
+def test_ece_perfect_calibration_zero(spark):
+    # pos_rate equals mean_score in every bin -> ECE and MCE exactly 0.
+    from ffn_polars_spark.operators.evaluation import expected_calibration_error
+    rows = []
+    for b in range(10):
+        s = b / 10.0 + 0.05
+        # 20 rows at score s with exactly s*20 positives
+        npos = int(round(s * 20))
+        rows += [("g", s, i < npos) for i in range(20)]
+    out = expected_calibration_error(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g"
+    ).collect()[0]
+    assert abs(out["ece"]) < 1e-12 and abs(out["mce"]) < 1e-12
+    assert out["n"] == 200
+
+
+def test_ece_weights_by_bin_size(spark):
+    from ffn_polars_spark.operators.evaluation import expected_calibration_error
+    # Two effective bins: scores 0.0 (never positive -> gap 0) and 1.0
+    # (never positive -> gap 1). 3 rows low, 1 row high.
+    rows = [("g", 0.0, False)] * 3 + [("g", 1.0, False)]
+    out = expected_calibration_error(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g", bins=10
+    ).collect()[0]
+    assert abs(out["ece"] - 1.0 / 4.0) < 1e-12   # (3*0 + 1*1)/4
+    assert abs(out["mce"] - 1.0) < 1e-12
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from ffn_polars_spark.operators.evaluation import ndcg_at_k
+    # System ranking identical to ideal -> nDCG 1.
+    rows = [("q", i, float(10 - i), float(10 - i)) for i in range(5)]
+    out = ndcg_at_k(
+        spark.createDataFrame(rows, ["q", "id", "score", "rel"]),
+        "q", "score", "rel", k=5, tie_col="id",
+    ).collect()[0]
+    assert abs(out["ndcg"] - 1.0) < 1e-12
+
+    # Reversed ranking: hand-compute DCG/IDCG.
+    rows = [("q", i, float(i), float(3 - i)) for i in range(4)]  # rels 3,2,1,0
+    out = ndcg_at_k(
+        spark.createDataFrame(rows, ["q", "id", "score", "rel"]),
+        "q", "score", "rel", k=4, tie_col="id",
+    ).collect()[0]
+    import math as m
+    # system order: score desc -> ids 3,2,1,0 -> rels 0,1,2,3
+    dcg = sum(r / m.log2(i + 2) for i, r in enumerate([0.0, 1.0, 2.0, 3.0]))
+    idcg = sum(r / m.log2(i + 2) for i, r in enumerate([3.0, 2.0, 1.0, 0.0]))
+    assert abs(out["ndcg"] - dcg / idcg) < 1e-12
+
+
+def test_ndcg_truncates_at_k(spark):
+    from ffn_polars_spark.operators.evaluation import ndcg_at_k
+    # Relevant item parked at rank 3 > k=2 contributes nothing to DCG.
+    rows = [("q", 1, 10.0, 0.0), ("q", 2, 9.0, 0.0), ("q", 3, 8.0, 5.0)]
+    out = ndcg_at_k(
+        spark.createDataFrame(rows, ["q", "id", "score", "rel"]),
+        "q", "score", "rel", k=2, tie_col="id",
+    ).collect()[0]
+    assert out["ndcg"] == 0.0
+
+
+def test_mrr_first_relevant_rank(spark):
+    from ffn_polars_spark.operators.evaluation import mrr_at_k
+    rows = [("q", 1, 10.0, 0.0), ("q", 2, 9.0, 0.0), ("q", 3, 8.0, 1.0),
+            ("q2", 4, 5.0, 1.0), ("q3", 5, 1.0, 0.0)]
+    out = mrr_at_k(
+        spark.createDataFrame(rows, ["q", "id", "score", "rel"]),
+        "q", "score", "rel", k=10, tie_col="id",
+    )
+    got = {r["q"]: r for r in out.collect()}
+    assert abs(got["q"]["rr"] - 1 / 3) < 1e-12 and got["q"]["first_rel_rank"] == 3
+    assert got["q2"]["rr"] == 1.0
+    assert got["q3"]["rr"] == 0.0 and got["q3"]["first_rel_rank"] is None
+
+
+def test_hill_recovers_pareto_exponent(spark):
+    # Exact Pareto(alpha) quantile sample: x_i = (i/n)^(-1/alpha).
+    from ffn_polars_spark.operators.sketch import hill_tail_index
+    alpha = 2.0
+    n = 2000
+    rows = [("g", i, (i / n) ** (-1.0 / alpha)) for i in range(1, n + 1)]
+    out = hill_tail_index(
+        spark.createDataFrame(rows, ["g", "id", "x"]), "x", k=100,
+        by=["g"], tie_col="id",
+    ).collect()[0]
+    # Hill on the exact quantile grid converges to 1/alpha with O(k/n) bias.
+    assert abs(out["alpha"] - alpha) < 0.15
+    assert out["n_tail"] == 100 and out["x_k1"] > 1.0
+
+
+def test_hill_insufficient_tail_null(spark):
+    from ffn_polars_spark.operators.sketch import hill_tail_index
+    rows = [("g", i, float(i)) for i in range(1, 6)]
+    out = hill_tail_index(
+        spark.createDataFrame(rows, ["g", "id", "x"]), "x", k=10,
+        by=["g"], tie_col="id",
+    ).collect()[0]
+    assert out["hill"] is None and out["alpha"] is None
+
+
+def test_execution_slippage_vs_hand_vwap(spark):
+    from ffn_polars_spark.functions.tick_flow import execution_slippage
+    DAY = 86_400_000_000_000
+    rows = [("t", 1, 0, 10.0, 1.0),        # day 0
+            ("t", 2, 1000, 12.0, 3.0),     # day 0; vwap0 = (10+36)/4 = 11.5
+            ("t", 3, DAY, 20.0, 2.0)]      # day 1; vwap1 = 20
+    df = spark.createDataFrame(
+        rows, ["event_type", "event_id", "ts_ns", "price", "volume"]
+    )
+    out = execution_slippage(df, "price", "volume", "ts_ns", by="event_type")
+    got = {r["event_id"]: r for r in out.collect()}
+    assert abs(got[1]["vwap"] - 11.5) < 1e-12 and got[1]["bucket"] == 0
+    # trade 2 is an uptick -> d=+1; paid 12 vs 11.5 -> positive slippage
+    assert abs(got[2]["slippage"] - (12.0 - 11.5) / 11.5) < 1e-12
+    assert got[3]["bucket"] == 1 and abs(got[3]["vwap"] - 20.0) < 1e-12
+    # first trade of the partition: d=0 -> slippage 0
+    assert got[1]["slippage"] == 0.0

@@ -312,3 +312,96 @@ def mrr_at_k(
         F.lit(1.0) / F.col("first_rel_rank").cast("double"),
     ).otherwise(F.lit(0.0))
     return agg.select(query_col, rr.alias("rr"), "first_rel_rank")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="pr_at_k")
+def pr_at_k(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    ks: Sequence[int] = (1, 5, 10, 50, 100),
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """Precision/recall at rank cutoffs per group: rank by score
+    descending, cumulative true positives at each rank, emit only the
+    requested cutoffs — the threshold-sweep summary of a retrieval or
+    filter stack (the PR analogue of [[auc_by_group]]'s single number).
+
+    One ordered window (rank + running TP on the same spec, one exchange)
+    plus an unordered total-positives window on the group prefix of that
+    same partitioning; the rank filter drops everything beyond max(ks)
+    before the output projection, so the result is groups × |ks| rows.
+    All arithmetic is exact integer ratios. Returns
+    ``(keys, k, precision, recall, n_pos)``; recall NULL when the group
+    has no positives, cutoffs beyond a group's row count report the
+    group's final rank instead (precision over the actual rows seen).
+    """
+    keys = _keys(by)
+    tie = [F.col(tie_col).asc()] if tie_col else []
+    pos = F.col(label_col).cast("boolean").cast("double")
+    w_rank = Window.partitionBy(*keys).orderBy(F.col(score_col).desc(), *tie)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.row_number().over(w_rank).alias("__rn"),
+        F.sum(pos).over(w_cum).alias("__tp"),
+        F.sum(pos).over(w_all).alias("__npos"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    cuts = sorted(set(int(k) for k in ks))
+    is_cut = F.col("__rn").isin(cuts) | (
+        (F.col("__rn") == F.col("__n")) & (F.col("__n") < F.lit(max(cuts)))
+    )
+    at = ranked.where(is_cut)
+    return at.select(
+        *keys,
+        F.col("__rn").cast("long").alias("k"),
+        (F.col("__tp") / F.col("__rn").cast("double")).alias("precision"),
+        F.when(F.col("__npos") > 0, F.col("__tp") / F.col("__npos")).alias(
+            "recall"
+        ),
+        F.col("__npos").cast("long").alias("n_pos"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ic_decay")
+def ic_decay(
+    df: DataFrame,
+    signal_col: str,
+    price_col: str,
+    ts_col: str,
+    horizons: Sequence[int] = (1, 5, 10),
+    by: Union[str, Sequence[str], None] = None,
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """Information-coefficient decay profile: Spearman rank correlation of
+    a signal against the h-step-forward return, for each horizon h — how
+    fast the signal's predictive power dies. The multi-horizon extension
+    of [[spearman_corr]]'s single IC, same shape as the variance-ratio
+    family's q-profile.
+
+    All forward returns are computed in ONE ordered window pass (one lead
+    per horizon on the same window spec — a single exchange + sort), then
+    stacked with ``stack()`` (interpreted once per row, horizons-wide) and
+    ranked per (group, horizon). Returns ``(keys, horizon, ic, n)``."""
+    keys = _keys(by)
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    p = F.col(price_col).cast("double")
+    hs = [int(h) for h in horizons]
+    leads = df.select(
+        *keys,
+        F.col(signal_col).alias("__sig"),
+        *[(F.lead(p, h).over(w) / p - F.lit(1.0)).alias(f"__f{h}") for h in hs],
+    )
+    pairs = ", ".join(f"{h}, __f{h}" for h in hs)
+    stacked = leads.select(
+        *keys,
+        "__sig",
+        F.expr(f"stack({len(hs)}, {pairs}) AS (horizon, __fwd)"),
+    )
+    return spearman_corr(
+        stacked, "__sig", "__fwd", by=keys + ["horizon"]
+    ).withColumnRenamed("spearman", "ic")

@@ -221,3 +221,82 @@ def rsi(
 
     grouped = df.groupBy(*by) if by else df.groupBy(F.lit(1).alias("__g"))
     return grouped.applyInPandas(scan, schema)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="cusum_changepoints")
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    threshold: float,
+    drift: float = 0.0,
+    by: Optional[List[str]] = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detector (Page 1954): accumulate
+    ``s⁺ = max(0, s⁺ + (x − target) − drift)`` and
+    ``s⁻ = max(0, s⁻ − (x − target) − drift)`` per key in time order;
+    a row ALARMS when either side crosses ``threshold``, and both sides
+    reset to zero for the next row — the classic drift-robust mean-shift
+    monitor (regime breaks in a price series, quality drift in a corpus
+    metric). ``segment_id`` increments after each alarm, giving the
+    change-point segmentation directly.
+
+    Same distribution contract as [[ewma]] / [[imbalance_bars]]: the
+    recurrence is inherently sequential per key, so it runs as one
+    Arrow-batched scan per key with unbounded keys in parallel; nothing
+    else leaves the JVM. The walk is pure IEEE adds/maxes in a fixed
+    order, so an engine replaying the same recurrence (the oracle's
+    recursive CTE) lands on bit-identical state.
+
+    Returns the input keys + ``(ts, value, cusum_pos, cusum_neg, alarm,
+    segment_id)``.
+    """
+    by = list(by or [])
+    staged = df.select(
+        *by,
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    schema = T.StructType(
+        [staged.schema[c] for c in staged.columns]
+        + [
+            T.StructField("__sp", T.DoubleType()),
+            T.StructField("__sn", T.DoubleType()),
+            T.StructField("__alarm", T.BooleanType()),
+            T.StructField("__seg", T.LongType()),
+        ]
+    )
+    tgt, thr, dft = float(target), float(threshold), float(drift)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts", kind="mergesort")
+        x = pdf["__x"].to_numpy(dtype=np.float64)
+        n = len(x)
+        sp = np.empty(n); sn = np.empty(n)
+        alarm = np.empty(n, dtype=bool); seg = np.empty(n, dtype=np.int64)
+        cp, cn, s = 0.0, 0.0, 1
+        for i in range(n):
+            e = x[i] - tgt
+            cp = max(0.0, cp + e - dft)
+            cn = max(0.0, cn - e - dft)
+            a = cp > thr or cn > thr
+            sp[i], sn[i], alarm[i], seg[i] = cp, cn, a, s
+            if a:
+                cp, cn = 0.0, 0.0
+                s += 1
+        out = pdf.copy()
+        out["__sp"], out["__sn"], out["__alarm"], out["__seg"] = sp, sn, alarm, seg
+        return out
+
+    grouped = staged.groupBy(*by) if by else staged.groupBy(F.lit(1).alias("__g"))
+    assigned = grouped.applyInPandas(walk, schema)
+    return assigned.select(
+        *by,
+        F.col("__ts").alias(ts_col),
+        F.col("__x").alias(value_col),
+        F.col("__sp").alias("cusum_pos"),
+        F.col("__sn").alias("cusum_neg"),
+        F.col("__alarm").alias("alarm"),
+        F.col("__seg").alias("segment_id"),
+    )

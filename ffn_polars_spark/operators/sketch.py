@@ -579,3 +579,38 @@ def hill_tail_index(
         "x_k1",
         "n_tail",
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="quantile_transform")
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Quantile (rank-uniform) transform per group: each value maps to its
+    Hazen plotting position ``(midrank − 0.5) / n`` ∈ (0, 1) — the
+    distribution-free normalization that makes any feature comparable
+    across groups with different scales and shapes (the rank companion to
+    [[feature_scale]]'s moment-based modes). Ties share a midrank, so
+    equal inputs get equal outputs; NULL values pass through NULL and do
+    not consume ranks.
+
+    One ordered window (rank) + one tie-count window on the same exchange
+    (tie partition is a superset of the group keys) + one unordered count.
+    Adds ``{value_col}_quantile`` to the input rows."""
+    from pyspark.sql.window import Window
+
+    keys = list(by or [])
+    x = F.col(value_col)
+    w_rank = Window.partitionBy(*keys).orderBy(x.asc())
+    w_tie = Window.partitionBy(*(keys + [value_col]))
+    w_all = Window.partitionBy(*keys)
+    nn = F.sum(F.when(x.isNotNull(), 1).otherwise(0)).over(w_all)
+    midrank = (
+        F.rank().over(w_rank).cast("double")
+        + (F.count(x).over(w_tie).cast("double") - F.lit(1.0)) / F.lit(2.0)
+    )
+    q = F.when(
+        x.isNotNull(), (midrank - F.lit(0.5)) / nn.cast("double")
+    )
+    return df.withColumn(f"{value_col}_quantile", q)

@@ -6996,6 +6996,204 @@ def q_execution_slippage(spark, sf_dir):
     )
 
 
+@query(
+    "bm25_search",
+    r"""
+WITH tok0 AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+tok AS (SELECT doc_id, token FROM tok0 WHERE token <> ''),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(t.c, 0) AS DOUBLE) AS len
+  FROM documents d LEFT JOIN
+       (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id) t USING (doc_id)),
+c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avglen FROM dl),
+tf AS (
+  SELECT tok.doc_id, tok.token, CAST(count(*) AS DOUBLE) AS tf,
+         max(dl.len) AS len
+  FROM tok JOIN dl USING (doc_id)
+  WHERE tok.token IN ('hash', 'join', 'scan')
+  GROUP BY tok.doc_id, tok.token),
+dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.len / c.avglen)) AS s
+  FROM tf JOIN dft USING (token) CROSS JOIN c)
+SELECT doc_id,
+       floor((sum(s)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+       count(*) AS n_terms
+FROM s GROUP BY doc_id""",
+)
+def q_bm25_search(spark, sf_dir):
+    """Disjunctive BM25 ranking for 'hash join scan' (k1=1.2, b=0.75,
+    Lucene idf): query-term broadcast semi-filters the exploded postings
+    before any shuffle; doc length rides with each posting; N/avglen is a
+    1-row broadcast. Note the oracle's 2.2 literal: Python's 1.2+1.0
+    equals parse('2.2') bit-for-bit, so both engines compute the same
+    saturation constant."""
+    from ffn_polars_spark.operators.search import bm25_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bm25_search(docs, ["hash", "join", "scan"], k1=1.2, b=0.75)
+    return out.select("doc_id", r6("score").alias("score"), "n_terms")
+
+
+@query(
+    "pr_at_k",
+    """
+WITH r AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS pos,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders),
+c AS (
+  SELECT o_orderpriority, rn,
+         sum(pos) OVER (PARTITION BY o_orderpriority ORDER BY rn) AS tp,
+         sum(pos) OVER (PARTITION BY o_orderpriority) AS npos,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM r)
+SELECT o_orderpriority, CAST(rn AS BIGINT) AS k,
+       tp / rn AS precision,
+       CASE WHEN npos > 0 THEN tp / npos END AS recall,
+       CAST(npos AS BIGINT) AS n_pos
+FROM c
+WHERE rn IN (1, 5, 10, 50, 100) OR (rn = n AND n < 100)""",
+)
+def q_pr_at_k(spark, sf_dir):
+    """Precision/recall at rank cutoffs 1/5/10/50/100 per priority band:
+    rank + running-TP on one ordered window (one exchange), total
+    positives on the group prefix of the same partitioning, rank-filtered
+    to groups x |ks| rows — exact integer ratios, no rounding."""
+    from ffn_polars_spark.operators.evaluation import pr_at_k
+
+    orders = read_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return pr_at_k(
+        scored, "o_totalprice", "label", by="o_orderpriority",
+        ks=(1, 5, 10, 50, 100), tie_col="o_orderkey",
+    )
+
+
+@query(
+    "ic_decay",
+    TICKS_SQL
+    + f""", ld AS (
+  SELECT event_type, volume AS sig,
+         lead(price, 1) OVER ({W}) / price - 1.0 AS f1,
+         lead(price, 5) OVER ({W}) / price - 1.0 AS f5,
+         lead(price, 10) OVER ({W}) / price - 1.0 AS f10
+  FROM ticks),
+st AS (
+  SELECT event_type, 1 AS horizon, sig, f1 AS fwd FROM ld
+  UNION ALL SELECT event_type, 5, sig, f5 FROM ld
+  UNION ALL SELECT event_type, 10, sig, f10 FROM ld),
+ok AS (SELECT * FROM st WHERE sig IS NOT NULL AND fwd IS NOT NULL),
+rk AS (
+  SELECT event_type, horizon,
+         rank() OVER (PARTITION BY event_type, horizon ORDER BY sig)
+           + (count(*) OVER (PARTITION BY event_type, horizon, sig) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY event_type, horizon ORDER BY fwd)
+           + (count(*) OVER (PARTITION BY event_type, horizon, fwd) - 1) / 2.0 AS ry
+  FROM ok)
+SELECT event_type, horizon, {R("corr(rx, ry)")} AS ic, count(*) AS n
+FROM rk GROUP BY event_type, horizon""",
+)
+def q_ic_decay(spark, sf_dir):
+    """IC decay profile: Spearman of volume vs the 1/5/10-step forward
+    return per ticker — all leads in one window pass, stacked, midranked
+    per (ticker, horizon)."""
+    from ffn_polars_spark.operators.evaluation import ic_decay
+
+    t = ticks(spark, sf_dir)
+    out = ic_decay(
+        t, "volume", "price", "ts_ns", horizons=(1, 5, 10),
+        by="event_type", tie_col="event_id",
+    )
+    return out.select("event_type", "horizon", r6("ic").alias("ic"), "n")
+
+
+@query(
+    "cusum_changepoints",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", f AS (
+  SELECT event_type, ts_ns, price,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) AS rn
+  FROM ticks),
+walk AS (
+  SELECT event_type, rn, ts_ns, price,
+         greatest(0.0, (price - 105.0) - 0.5) AS sp,
+         greatest(0.0, -(price - 105.0) - 0.5) AS sn,
+         (greatest(0.0, (price - 105.0) - 0.5) > 50.0
+          OR greatest(0.0, -(price - 105.0) - 0.5) > 50.0) AS alarm,
+         CAST(1 AS BIGINT) AS seg
+  FROM f WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.rn, x.ts_ns, x.price,
+         greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sp END)
+                       + (x.price - 105.0) - 0.5),
+         greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sn END)
+                       - (x.price - 105.0) - 0.5),
+         (greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sp END)
+                        + (x.price - 105.0) - 0.5) > 50.0
+          OR greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sn END)
+                           - (x.price - 105.0) - 0.5) > 50.0),
+         w.seg + CASE WHEN w.alarm THEN 1 ELSE 0 END
+  FROM walk w JOIN f x ON x.event_type = w.event_type AND x.rn = w.rn + 1)
+SELECT event_type, ts_ns, sp AS cusum_pos, sn AS cusum_neg,
+       CASE WHEN alarm THEN 1 ELSE 0 END AS alarm,
+       seg AS segment_id
+FROM walk""",
+)
+def q_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM mean-shift monitor on the price tape (target 105,
+    drift 0.5, threshold 50): JVM staging, per-key Arrow reset-walk,
+    recursive-CTE oracle replaying the identical IEEE recurrence —
+    bit-exact state, no rounding."""
+    from ffn_polars_spark.operators.recursive import cusum_changepoints
+
+    t = ticks(spark, sf_dir)
+    out = cusum_changepoints(
+        t, "ts_ns", "price", target=105.0, threshold=50.0, drift=0.5,
+        by=["event_type"],
+    )
+    return out.select(
+        "event_type", "ts_ns", "cusum_pos", "cusum_neg",
+        F.col("alarm").cast("int").alias("alarm"), "segment_id",
+    )
+
+
+@query(
+    "quantile_transform",
+    """
+WITH q AS (
+  SELECT event_type, event_id, value,
+         (rank() OVER (PARTITION BY event_type ORDER BY value)
+            + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+            - 0.5)
+           / count(value) OVER (PARTITION BY event_type) AS value_quantile
+  FROM events)
+SELECT event_type, event_id, value_quantile FROM q""",
+)
+def q_quantile_transform(spark, sf_dir):
+    """Hazen rank-uniform transform of value within each event_type —
+    midranks over one exchange (tie and count windows reuse the rank
+    window's partitioning), exact rational output."""
+    from ffn_polars_spark.operators.sketch import quantile_transform
+
+    ev = read_table(spark, sf_dir, "events")
+    out = quantile_transform(
+        ev.select("event_type", "event_id", "value"), "value",
+        by=["event_type"],
+    )
+    return out.select("event_type", "event_id", "value_quantile")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -7034,6 +7232,11 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "bm25_search",
+    "pr_at_k",
+    "ic_decay",
+    "cusum_changepoints",
+    "quantile_transform",
     "expected_calibration_error",
     "ndcg_at_k",
     "mrr_at_k",

@@ -328,3 +328,105 @@ def test_execution_slippage_vs_hand_vwap(spark):
     assert got[3]["bucket"] == 1 and abs(got[3]["vwap"] - 20.0) < 1e-12
     # first trade of the partition: d=0 -> slippage 0
     assert got[1]["slippage"] == 0.0
+
+
+def test_pr_at_k_hand_computed(spark):
+    from ffn_polars_spark.operators.evaluation import pr_at_k
+    # Ranking by score desc: ids 1..6, labels T,F,T,T,F,F
+    rows = [("g", 1, 6.0, True), ("g", 2, 5.0, False), ("g", 3, 4.0, True),
+            ("g", 4, 3.0, True), ("g", 5, 2.0, False), ("g", 6, 1.0, False)]
+    out = pr_at_k(
+        spark.createDataFrame(rows, ["g", "id", "s", "y"]), "s", "y",
+        by="g", ks=(1, 3, 5), tie_col="id",
+    )
+    got = {r["k"]: r for r in out.collect()}
+    assert set(got) == {1, 3, 5}
+    assert got[1]["precision"] == 1.0 and abs(got[1]["recall"] - 1 / 3) < 1e-12
+    assert abs(got[3]["precision"] - 2 / 3) < 1e-12
+    assert abs(got[3]["recall"] - 2 / 3) < 1e-12
+    assert abs(got[5]["precision"] - 3 / 5) < 1e-12 and got[5]["recall"] == 1.0
+    assert got[1]["n_pos"] == 3
+
+
+def test_pr_at_k_short_group_emits_final_rank(spark):
+    from ffn_polars_spark.operators.evaluation import pr_at_k
+    rows = [("g", 1, 2.0, True), ("g", 2, 1.0, False)]
+    out = pr_at_k(
+        spark.createDataFrame(rows, ["g", "id", "s", "y"]), "s", "y",
+        by="g", ks=(1, 10), tie_col="id",
+    )
+    got = {r["k"]: r for r in out.collect()}
+    assert set(got) == {1, 2}          # rank 2 stands in for the unreachable 10
+    assert got[2]["recall"] == 1.0
+
+
+def test_ic_decay_planted_monotone_signal(spark):
+    from ffn_polars_spark.operators.evaluation import ic_decay
+    # Price grows a fixed 1% per step: forward return is constant, so IC is
+    # NULL (zero rank variance) — use a price with signal-correlated moves:
+    # signal_i = i, price jumps big when the NEXT step's signal is high.
+    # Simplest sanity: exponentially rising price -> fwd returns constant ->
+    # corr NULL; falling-vol price gives monotone fwd returns.
+    n = 40
+    prices = [100.0 * (1.0 + 0.001 * i) for i in range(n)]  # growth rate rises
+    rows = [("g", i, float(i), prices[i]) for i in range(n)]
+    out = ic_decay(
+        spark.createDataFrame(rows, ["g", "ts", "sig", "p"]),
+        "sig", "p", "ts", horizons=(1, 2), by="g", tie_col="ts",
+    )
+    got = {r["horizon"]: r for r in out.collect()}
+    # fwd return at h=1 is (1+.001(i+1))/(1+.001 i) - 1, strictly DECREASING
+    # in i while the signal increases -> Spearman exactly -1.
+    assert abs(got[1]["ic"] + 1.0) < 1e-12
+    assert abs(got[2]["ic"] + 1.0) < 1e-12
+    assert got[1]["n"] == n - 1 and got[2]["n"] == n - 2
+
+
+def test_cusum_alarm_and_reset(spark):
+    from ffn_polars_spark.operators.recursive import cusum_changepoints
+    # target 0, drift 0, threshold 5: +3 steps accumulate 3,6 -> alarm at 6,
+    # reset, then -4,-8 on the negative side -> alarm again.
+    vals = [3.0, 3.0, -4.0, -4.0, 1.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    out = cusum_changepoints(
+        spark.createDataFrame(rows, ["g", "ts", "x"]), "ts", "x",
+        target=0.0, threshold=5.0, drift=0.0, by=["g"],
+    )
+    r = {row["ts"]: row for row in out.collect()}
+    assert r[0]["cusum_pos"] == 3.0 and not r[0]["alarm"]
+    assert r[1]["cusum_pos"] == 6.0 and r[1]["alarm"] and r[1]["segment_id"] == 1
+    assert r[2]["cusum_pos"] == 0.0 and r[2]["cusum_neg"] == 4.0
+    assert r[2]["segment_id"] == 2 and not r[2]["alarm"]
+    assert r[3]["cusum_neg"] == 8.0 and r[3]["alarm"]
+    assert r[4]["segment_id"] == 3
+
+
+def test_quantile_transform_hazen_positions(spark):
+    from ffn_polars_spark.operators.sketch import quantile_transform
+    rows = [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 20.0), ("g", 4, 40.0)]
+    out = quantile_transform(
+        spark.createDataFrame(rows, ["g", "id", "v"]), "v", by=["g"]
+    )
+    got = {r["id"]: r["v_quantile"] for r in out.collect()}
+    # n=4: rank 1 -> (1-0.5)/4; ties at rank 2,3 share midrank 2.5
+    assert abs(got[1] - 0.5 / 4) < 1e-12
+    assert abs(got[2] - 2.0 / 4) < 1e-12 and got[2] == got[3]
+    assert abs(got[4] - 3.5 / 4) < 1e-12
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    from ffn_polars_spark.operators.search import bm25_search
+    import math as m
+    docs = [(1, "apple banana"), (2, "apple cherry"), (3, "apple apple"),
+            (4, "durian fig")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = bm25_search(df, ["banana", "apple"], k1=1.2, b=0.75)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 1 matches both terms; banana is rarer (df=1 vs 3) so doc 1 wins.
+    top = max(got.values(), key=lambda r: r["score"])
+    assert top["doc_id"] == 1 and got[1]["n_terms"] == 2
+    # hand-check doc 3's score: tf=2, len=2, avglen=2, N=4, df(apple)=3
+    idf = m.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    s = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 2 / 2))
+    assert abs(got[3]["score"] - s) < 1e-12

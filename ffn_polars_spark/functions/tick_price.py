@@ -415,3 +415,94 @@ def pairs_spread(
             (F.col("spread") - F.col("__ms")) / F.col("__sd"),
         ).alias("z"),
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="bipower_variation")
+def bipower_variation(
+    df: DataFrame,
+    price: str,
+    *,
+    order_by: ColumnOrName,
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Jump-robust realized variance (Barndorff-Nielsen & Shephard 2004):
+    bipower variation ``BV = (π/2) Σ |r_t||r_{t−1}|`` alongside the plain
+    realized variance ``RV = Σ r²`` and the relative jump contribution
+    ``max(0, RV − BV) / RV`` — BV converges to the diffusive (continuous)
+    variance even through jumps, so the gap measures how much of
+    [[calc_realized_volatility]]'s number is jumps rather than diffusion.
+
+    One ordered window pass (the log return and its lag share the sort) +
+    one hash aggregate on the same keys — a single exchange. NULL
+    jump_share when RV is 0. Returns ``(keys, rv, bv, jump_share, n)``.
+    """
+    import math
+
+    by = list(by or [])
+    over = Over(order_by=order_by, partition_by=by or None)
+    w = over.w_ordered("bipower_variation")
+    r = calc_micro_returns(price, over=over)
+    pre = df.withColumn("__r", r).withColumn(
+        "__rl", F.lag(F.col("__r"), 1).over(w)
+    )
+    g = pre.groupBy(*by) if by else pre.groupBy()
+    agg = g.agg(
+        F.sum(F.col("__r") * F.col("__r")).alias("rv"),
+        (
+            F.lit(math.pi / 2.0)
+            * F.sum(F.abs(F.col("__r")) * F.abs(F.col("__rl")))
+        ).alias("bv"),
+        F.count(F.col("__r")).alias("n"),
+    )
+    jump = F.when(
+        F.col("rv") > 0,
+        F.greatest(F.col("rv") - F.col("bv"), F.lit(0.0)) / F.col("rv"),
+    )
+    return agg.select(*by, "rv", "bv", jump.alias("jump_share"), "n")
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="rv_signature")
+def rv_signature(
+    df: DataFrame,
+    price: str,
+    ts: str,
+    by: Optional[list] = None,
+    intervals: Optional[list] = None,
+) -> DataFrame:
+    """Volatility signature plot data: realized variance recomputed from
+    last-tick prices sampled on progressively coarser grids — the standard
+    microstructure-noise diagnostic (RV inflates at fine sampling when
+    bid-ask bounce dominates; the plateau marks the noise-free scale).
+
+    One bucketed ``max_by`` aggregate + one ordered window + one final
+    aggregate PER interval, unioned (each interval's pipeline shrinks the
+    data to bucket cardinality at its first step, so the union of three
+    pipelines still reads buckets, not ticks, past stage one).
+    Returns ``(keys, interval_ns, rv, n_buckets)``.
+    """
+    by = list(by or [])
+    intervals = [int(i) for i in (intervals or [60_000_000_000,
+                                                300_000_000_000,
+                                                600_000_000_000])]
+    outs = []
+    for iv in intervals:
+        bucket = F.floor(F.col(ts) / F.lit(iv)).cast("long")
+        closes = (
+            df.withColumn("__b", bucket)
+            .groupBy(*(by + ["__b"]))
+            .agg(F.max_by(F.col(price), F.col(ts)).alias("__close"))
+        )
+        over = Over(order_by=["__b"], partition_by=by or None)
+        r = calc_micro_returns("__close", over=over)
+        pre = closes.withColumn("__r", r)
+        g = pre.groupBy(*by) if by else pre.groupBy()
+        outs.append(
+            g.agg(
+                F.sum(F.col("__r") * F.col("__r")).alias("rv"),
+                F.count(F.lit(1)).alias("n_buckets"),
+            ).select(*by, F.lit(iv).alias("interval_ns"), "rv", "n_buckets")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

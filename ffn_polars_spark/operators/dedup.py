@@ -748,3 +748,36 @@ def dedup_cluster_stats(
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="dedup_incremental")
+def dedup_incremental(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against an already-ingested
+    history: drop rows whose normalized-text fingerprint appears in
+    ``seen``, then keep one row (min id) per fingerprint within the batch
+    itself — the shape a daily-crawl pipeline actually runs, where the
+    history is orders of magnitude larger than the increment and must
+    never be re-deduped whole ([[dedup_exact]] is the from-scratch
+    variant).
+
+    Scale: the history side reduces to DISTINCT fingerprints before the
+    anti-join (fingerprint-cardinality, not row-cardinality, crosses the
+    wire; both sides hash-partition on the fingerprint); the within-batch
+    keep-first is one aggregate on the same key — the big history is
+    scanned once, projected to one column.
+
+    Returns the surviving new rows' ``(id, fingerprint)``.
+    """
+    fp = lambda d: d.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    )
+    new_fp = fp(new)
+    seen_fp = fp(seen).select("fingerprint").distinct()
+    fresh = new_fp.join(seen_fp, "fingerprint", "left_anti")
+    keep = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "fingerprint")

@@ -490,3 +490,96 @@ def cap_per_group(
         .where(F.col("__rn") <= F.lit(int(n)))
         .drop("__rn")
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="zorder_key")
+def zorder_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order (Morton) interleave of two integer columns' low ``bits``
+    bits — the space-filling-curve sort key that makes ONE physical layout
+    serve range predicates on EITHER dimension (write parquet sorted by
+    ``zorder`` and min/max row-group pruning works for x-only and y-only
+    filters alike; the technique behind Delta/Iceberg Z-ORDER clustering).
+    Pure bitwise projection, unrolled to ``bits`` shift/mask terms —
+    whole-stage-codegen JVM arithmetic, no shuffle, and trivially
+    replayable by any engine with shift/AND.
+
+    Adds a ``zorder`` LongType column (x in even bit positions, y in odd).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return df.withColumn("zorder", z)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="seasonal_adjust")
+def seasonal_adjust(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by=None,
+    period_ns: int = 86_400_000_000_000,
+    buckets: int = 24,
+) -> DataFrame:
+    """Multiplicative seasonal normalization: bucket each row by phase
+    within a cycle (hour-of-day by default), compute the per-(group,
+    phase) mean over the whole history, express it as an index relative
+    to the group mean, and divide the row's value by its phase index —
+    the load-normalization every traffic/volume monitor needs before
+    anomaly logic like [[cusum_changepoints]] can see regime shifts
+    instead of the daily cycle.
+
+    Two stacked aggregates (phase means, then group means over the
+    phase-cardinality frame) broadcast back to the rows — the big table
+    never shuffles; NULL adjustment where the phase index is 0.
+
+    Adds ``phase``, ``seasonal_index``, ``{value_col}_adjusted``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    phase = (
+        F.floor(
+            (F.col(ts_col) % F.lit(period_ns))
+            / F.lit(period_ns // buckets)
+        )
+        .cast("int")
+        .alias("phase")
+    )
+    staged = df.withColumn("phase", phase)
+    phase_means = staged.groupBy(*(keys + ["phase"])).agg(
+        F.avg(v).alias("__pm"), F.count(v).alias("__pn")
+    )
+    g = phase_means.groupBy(*keys) if keys else phase_means.groupBy()
+    # group mean reconstructed from the phase frame (weighted), so the big
+    # table is aggregated exactly once
+    grand = g.agg(
+        (F.sum(F.col("__pm") * F.col("__pn")) / F.sum("__pn")).alias("__gm")
+    )
+    idx = (
+        phase_means.join(F.broadcast(grand), on=keys)
+        if keys
+        else phase_means.crossJoin(F.broadcast(grand))
+    ).select(
+        *keys,
+        "phase",
+        F.when(F.col("__gm") != 0, F.col("__pm") / F.col("__gm")).alias(
+            "seasonal_index"
+        ),
+    )
+    out = staged.join(F.broadcast(idx), on=keys + ["phase"])
+    adj = F.when(
+        F.col("seasonal_index") != 0, v / F.col("seasonal_index")
+    )
+    return out.withColumn(f"{value_col}_adjusted", adj)

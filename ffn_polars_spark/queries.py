@@ -7194,6 +7194,174 @@ def q_quantile_transform(spark, sf_dir):
     return out.select("event_type", "event_id", "value_quantile")
 
 
+@query(
+    "bipower_variation",
+    TICKS_SQL
+    + f""", r AS (
+  SELECT event_type, ts_ns, event_id,
+         ln(price) - lag(ln(price)) OVER ({W}) AS lr
+  FROM ticks),
+w2 AS (
+  SELECT event_type, lr, lag(lr) OVER ({W}) AS lrl
+  FROM r)
+SELECT event_type,
+       {R("sum(lr * lr)")} AS rv,
+       {R("pi() / 2.0 * sum(abs(lr) * abs(lrl))")} AS bv,
+       {R("CASE WHEN sum(lr * lr) > 0 THEN greatest(sum(lr * lr) - pi() / 2.0 * sum(abs(lr) * abs(lrl)), 0.0) / sum(lr * lr) END")} AS jump_share,
+       count(lr) AS n
+FROM w2 GROUP BY event_type""",
+)
+def q_bipower_variation(spark, sf_dir):
+    """Jump-robust bipower variation vs plain realized variance per
+    ticker, with the relative jump contribution — one ordered window pass
+    (return + its lag share the sort) and one aggregate."""
+    from ffn_polars_spark.functions.tick_price import bipower_variation
+
+    t = ticks(spark, sf_dir)
+    out = bipower_variation(
+        t, "price", order_by=["ts_ns", "event_id"], by=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        r6("rv").alias("rv"),
+        r6("bv").alias("bv"),
+        r6("jump_share").alias("jump_share"),
+        "n",
+    )
+
+
+_RV_SIG_BLOCK = """SELECT event_type, CAST({iv} AS BIGINT) AS interval_ns,
+       {rv} AS rv, n_buckets
+FROM (
+  SELECT event_type,
+         floor(sum(lr * lr) * 1000000.0 + 0.5) / 1000000.0 AS _r,
+         sum(lr * lr) AS _raw, count(*) AS n_buckets
+  FROM (
+    SELECT event_type,
+           ln(close) - lag(ln(close)) OVER (PARTITION BY event_type ORDER BY b) AS lr
+    FROM (
+      SELECT event_type, CAST(floor(ts_ns / {iv}.0) AS BIGINT) AS b,
+             arg_max(price, ts_ns) AS close
+      FROM ticks GROUP BY event_type, CAST(floor(ts_ns / {iv}.0) AS BIGINT)))
+  GROUP BY event_type)"""
+
+
+@query(
+    "rv_signature",
+    TICKS_SQL
+    + "\n"
+    + "\nUNION ALL\n".join(
+        _RV_SIG_BLOCK.format(iv=iv, rv="_r")
+        for iv in (60_000_000_000, 300_000_000_000, 600_000_000_000)
+    ),
+)
+def q_rv_signature(spark, sf_dir):
+    """Volatility signature plot: realized variance from last-tick closes
+    on 1/5/10-minute grids per ticker — each interval's pipeline collapses
+    to bucket cardinality at its first aggregate."""
+    from ffn_polars_spark.functions.tick_price import rv_signature
+
+    t = ticks(spark, sf_dir)
+    out = rv_signature(
+        t, "price", "ts_ns", by=["event_type"],
+        intervals=[60_000_000_000, 300_000_000_000, 600_000_000_000],
+    )
+    return out.select(
+        "event_type", "interval_ns", r6("rv").alias("rv"), "n_buckets"
+    )
+
+
+@query(
+    "dedup_incremental",
+    f"""
+WITH new_fp AS (
+  SELECT doc_id, md5({NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % 2 = 1),
+seen_fp AS (
+  SELECT DISTINCT md5({NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % 2 = 0)
+SELECT min(doc_id) AS doc_id, fingerprint
+FROM new_fp
+WHERE fingerprint NOT IN (SELECT fingerprint FROM seen_fp)
+GROUP BY fingerprint""",
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of the odd-id batch against the even-id history:
+    the history reduces to DISTINCT fingerprints before a left-anti join,
+    then keep-first (min id) within the batch."""
+    from ffn_polars_spark.operators.dedup import dedup_incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup_incremental(new, seen)
+
+
+@query(
+    "zorder_key",
+    "SELECT event_id, "
+    + " + ".join(
+        f"(((user_id >> {b}) & 1) << {2 * b}) + (((event_id >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16)
+    )
+    + " AS zorder FROM events",
+)
+def q_zorder_key(spark, sf_dir):
+    """Morton Z-order interleave of (user_id, event_id) low 16 bits — the
+    space-filling sort key for two-dimensional min/max pruning; pure
+    whole-stage-codegen bit arithmetic, no shuffle."""
+    from ffn_polars_spark.operators.pipeline import zorder_key
+
+    ev = read_table(spark, sf_dir, "events")
+    out = zorder_key(
+        ev.select("event_id", "user_id"), "user_id", "event_id", bits=16
+    )
+    return out.select("event_id", "zorder")
+
+
+@query(
+    "seasonal_adjust",
+    f"""
+WITH e AS (
+  SELECT event_type, event_id, value,
+         CAST(floor((epoch_us(ts) * 1000 % 86400000000000) / 3600000000000) AS INT) AS phase
+  FROM events),
+pm AS (
+  SELECT event_type, phase, avg(value) AS pm, count(value) AS pn
+  FROM e GROUP BY event_type, phase),
+gm AS (
+  SELECT event_type, sum(pm * pn) / sum(pn) AS gm
+  FROM pm GROUP BY event_type),
+idx AS (
+  SELECT pm.event_type, pm.phase,
+         CASE WHEN gm.gm <> 0 THEN pm.pm / gm.gm END AS seasonal_index
+  FROM pm JOIN gm USING (event_type))
+SELECT e.event_type, e.event_id, e.phase,
+       {R("idx.seasonal_index")} AS seasonal_index,
+       {R("CASE WHEN idx.seasonal_index <> 0 THEN e.value / idx.seasonal_index END")} AS value_adjusted
+FROM e JOIN idx ON e.event_type = idx.event_type AND e.phase = idx.phase""",
+)
+def q_seasonal_adjust(spark, sf_dir):
+    """Hour-of-day multiplicative seasonal normalization of event values
+    per type: phase means + a weighted grand mean over the 24-row phase
+    frame, broadcast back — the big table aggregates exactly once."""
+    from ffn_polars_spark.operators.pipeline import seasonal_adjust
+
+    ev = read_table(spark, sf_dir, "events")
+    t = ticks(spark, sf_dir).select("event_type", "event_id", "ts_ns").join(
+        ev.select("event_id", "value"), "event_id"
+    )
+    out = seasonal_adjust(
+        t, "value", "ts_ns", by="event_type",
+        period_ns=86_400_000_000_000, buckets=24,
+    )
+    return out.select(
+        "event_type", "event_id", "phase",
+        r6("seasonal_index").alias("seasonal_index"),
+        r6("value_adjusted").alias("value_adjusted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -7232,6 +7400,11 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "bipower_variation",
+    "rv_signature",
+    "dedup_incremental",
+    "zorder_key",
+    "seasonal_adjust",
     "bm25_search",
     "pr_at_k",
     "ic_decay",

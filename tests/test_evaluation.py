@@ -430,3 +430,100 @@ def test_bm25_ranks_rarer_term_higher(spark):
     idf = m.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
     s = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 2 / 2))
     assert abs(got[3]["score"] - s) < 1e-12
+
+
+def test_bipower_no_jump_vs_jump(spark):
+    from ffn_polars_spark.functions.tick_price import bipower_variation
+    import math as m
+    # Smooth geometric walk: constant log return r -> RV = n*r^2,
+    # BV = (pi/2)*(n-1)*r^2 -> jump_share = max(0, 1 - (pi/2)(n-1)/n) = 0
+    # (pi/2 > 1 makes BV exceed RV; clamped to 0).
+    n = 11
+    prices = [100.0 * m.exp(0.01 * i) for i in range(n)]
+    rows = [("g", i, prices[i]) for i in range(n)]
+    out = bipower_variation(
+        spark.createDataFrame(rows, ["g", "ts", "price"]), "price",
+        order_by=["ts"], by=["g"],
+    ).collect()[0]
+    assert abs(out["rv"] - (n - 1) * 0.01 ** 2) < 1e-12
+    assert out["jump_share"] == 0.0
+    assert out["n"] == n - 1
+
+    # One huge jump in an otherwise flat tape: RV is dominated by the jump,
+    # BV stays near zero (the jump multiplies a ~0 neighbor) -> share ~ 1.
+    prices = [100.0] * 5 + [200.0] + [200.0] * 5
+    rows = [("g", i, p) for i, p in enumerate(prices)]
+    out = bipower_variation(
+        spark.createDataFrame(rows, ["g", "ts", "price"]), "price",
+        order_by=["ts"], by=["g"],
+    ).collect()[0]
+    assert out["jump_share"] == 1.0
+
+
+def test_rv_signature_grids(spark):
+    from ffn_polars_spark.functions.tick_price import rv_signature
+    import math as m
+    SEC = 1_000_000_000
+    # ticks every 30s for 10 minutes, price doubles each minute-bucket close
+    rows = [("g", i * 30 * SEC, 100.0 * (2.0 ** (i // 2))) for i in range(20)]
+    out = rv_signature(
+        spark.createDataFrame(rows, ["g", "ts_ns", "price"]), "price",
+        "ts_ns", by=["g"], intervals=[60 * SEC, 300 * SEC],
+    )
+    got = {r["interval_ns"]: r for r in out.collect()}
+    assert got[60 * SEC]["n_buckets"] == 10
+    # close-to-close log return is ln 2 each minute: RV = 9 * (ln 2)^2
+    assert abs(got[60 * SEC]["rv"] - 9 * m.log(2.0) ** 2) < 1e-9
+    assert got[300 * SEC]["n_buckets"] == 2
+    # one 5-min close pair: ratio 2^5 -> (5 ln 2)^2
+    assert abs(got[300 * SEC]["rv"] - (5 * m.log(2.0)) ** 2) < 1e-9
+
+
+def test_dedup_incremental_drops_history_and_batch_dupes(spark):
+    from ffn_polars_spark.operators.dedup import dedup_incremental
+    seen = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "old doc")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "hello world"),      # dup of history (case/ws-normalized)
+         (11, "fresh one"),
+         (12, "fresh one"),        # in-batch dup -> keep min id 11
+         (13, "another")],
+        ["doc_id", "text"],
+    )
+    out = dedup_incremental(new, seen)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [11, 13]
+
+
+def test_zorder_interleave_bits(spark):
+    from ffn_polars_spark.operators.pipeline import zorder_key
+    # x=0b11, y=0b01 -> z = x bits at even positions, y at odd:
+    # bit0=x0=1, bit1=y0=1, bit2=x1=1, bit3=y1=0 -> 0b0111 = 7
+    df = spark.createDataFrame([(3, 1)], ["x", "y"])
+    out = zorder_key(df, "x", "y", bits=4).collect()[0]
+    assert out["zorder"] == 7
+    # locality: neighbors in x differ in low z bits
+    df2 = spark.createDataFrame([(i, 0) for i in range(4)], ["x", "y"])
+    zs = [r["zorder"] for r in zorder_key(df2, "x", "y", bits=4).orderBy("x").collect()]
+    assert zs == [0, 1, 4, 5]  # Morton x-only pattern
+
+
+def test_seasonal_adjust_removes_planted_cycle(spark):
+    from ffn_polars_spark.operators.pipeline import seasonal_adjust
+    HOUR = 3_600_000_000_000
+    # Two full days, hourly rows: value = base profile depending on phase.
+    prof = {h: 10.0 + (5.0 if h < 12 else -5.0) for h in range(24)}
+    rows = [("g", d * 24 * HOUR + h * HOUR, prof[h])
+            for d in range(2) for h in range(24)]
+    out = seasonal_adjust(
+        spark.createDataFrame(rows, ["g", "ts", "v"]), "v", "ts", by="g",
+        period_ns=24 * HOUR, buckets=24,
+    )
+    rowso = out.collect()
+    # Perfectly periodic input: adjusted value = grand mean everywhere.
+    for r in rowso:
+        assert abs(r["v_adjusted"] - 10.0) < 1e-9
+    # index reflects the profile: 1.5 mornings, 0.5 afternoons
+    idx = {r["phase"]: r["seasonal_index"] for r in rowso}
+    assert abs(idx[0] - 1.5) < 1e-12 and abs(idx[23] - 0.5) < 1e-12

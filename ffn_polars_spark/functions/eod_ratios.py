@@ -382,3 +382,18 @@ def jensen_alpha(
         treynor.alias("treynor_ratio"),
         "n_obs",
     )
+
+
+@register(namespace="eod", context="scalar")
+@auto_alias("kelly_fraction")
+@guard_input("self", expected_dtype="double")
+def kelly_fraction(self: ColumnOrName, rf: float = 0.0, n: int = 252) -> Column:
+    """Kelly-optimal leverage for a return series under the Gaussian
+    approximation: ``f* = mean(excess) / var_samp(excess)`` — the growth-
+    optimal bet size, the sizing companion to [[calc_sharpe]] (Sharpe
+    ranks strategies; Kelly says how much of each to hold). NULL when the
+    variance is 0. A pure aggregate: composes into any
+    ``groupBy(...).agg(...)``."""
+    excess = to_col(self) - F.lit(rf / n)
+    var = F.var_samp(excess)
+    return F.when(var > 0, F.avg(excess) / var)

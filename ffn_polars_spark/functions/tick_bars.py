@@ -537,3 +537,78 @@ def imbalance_bars(
         F.sum("__flow").alias("imbalance"),
         F.count(F.lit(1)).alias("n_ticks"),
     ).withColumnRenamed("__bar", "bar_id")
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="triple_barrier_label")
+def triple_barrier_label(
+    df: DataFrame,
+    price_col: str,
+    ts_col: str,
+    horizon: int = 20,
+    up_pct: float = 0.01,
+    down_pct: float = 0.01,
+    by: Optional[list] = None,
+) -> DataFrame:
+    """Triple-barrier labeling (López de Prado, AFML ch. 3): for each
+    anchor tick, look at the next ``horizon`` ticks and label +1 if the
+    upper barrier ``p₀(1+up)`` is touched first, −1 if the lower barrier
+    ``p₀(1−down)`` is touched first, 0 if neither before the (row-count)
+    time barrier — the path-dependent label supervised models train on,
+    where a fixed-horizon return label would mislabel every round trip.
+
+    Shape: ONE ordered window collects the bounded future-price array
+    (``ROWS BETWEEN 1 FOLLOWING AND horizon FOLLOWING`` — O(horizon) per
+    row, never the unbounded future), then first-touch indices come from
+    JVM array lambdas (``transform`` + ``array_min``); no self-join, no
+    explode. An engine without bounded-frame list aggregation replays it
+    as a range self-join (the oracle's shape).
+
+    Returns the anchor rows + ``(label, first_hit, up_bar, down_bar)``;
+    ``first_hit`` is the touch offset in rows (NULL when the time barrier
+    wins).
+    """
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col)
+        .rowsBetween(1, int(horizon))
+    )
+    p = F.col(price_col).cast("double")
+    up_bar = p * F.lit(1.0 + float(up_pct))
+    dn_bar = p * F.lit(1.0 - float(down_pct))
+    staged = (
+        df.withColumn("__fut", F.collect_list(p).over(w))
+        .withColumn("__up", up_bar)
+        .withColumn("__dn", dn_bar)
+    )
+    first_ge = F.array_min(
+        F.transform(
+            F.col("__fut"),
+            lambda v, i: F.when(v >= F.col("__up"), i + F.lit(1)),
+        )
+    )
+    first_le = F.array_min(
+        F.transform(
+            F.col("__fut"),
+            lambda v, i: F.when(v <= F.col("__dn"), i + F.lit(1)),
+        )
+    )
+    out = staged.withColumn("__u1", first_ge).withColumn("__d1", first_le)
+    label = (
+        F.when(
+            F.col("__u1").isNotNull()
+            & (F.col("__d1").isNull() | (F.col("__u1") <= F.col("__d1"))),
+            F.lit(1),
+        )
+        .when(F.col("__d1").isNotNull(), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        out.withColumn("label", label)
+        .withColumn("first_hit", F.least("__u1", "__d1"))
+        .withColumnRenamed("__up", "up_bar")
+        .withColumnRenamed("__dn", "down_bar")
+        .drop("__fut", "__u1", "__d1")
+    )

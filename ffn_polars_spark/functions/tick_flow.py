@@ -108,3 +108,55 @@ def execution_slippage(
         .withColumnRenamed("__bucket", "bucket")
         .drop("__d")
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="volume_curve")
+def volume_curve(
+    df,
+    volume: str,
+    ts: str,
+    by=None,
+    period_ns: int = 86_400_000_000_000,
+    buckets: int = 24,
+):
+    """Average intraday volume curve: each (key, day, bucket)'s share of
+    its day's volume, averaged across days — the participation schedule a
+    VWAP/POV execution algorithm follows, and the denominator model for
+    [[execution_slippage]]-style TCA. Days with zero volume are excluded
+    (no share to average).
+
+    Two stacked hash aggregates — (key, day, bucket) sums, then the day
+    totals come from re-aggregating that frame (the tick table is read
+    once) — and a final (key, bucket) average over days.
+    Returns ``(keys, bucket, avg_share, n_days)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(volume).cast("double")
+    day = F.floor(F.col(ts) / F.lit(period_ns)).cast("long")
+    bucket = F.floor(
+        (F.col(ts) % F.lit(period_ns)) / F.lit(period_ns // buckets)
+    ).cast("int")
+    per_bucket = (
+        df.withColumn("__day", day)
+        .withColumn("__bucket", bucket)
+        .groupBy(*(keys + ["__day", "__bucket"]))
+        .agg(F.sum(v).alias("__bv"))
+    )
+    from pyspark.sql.window import Window
+
+    w_day = Window.partitionBy(*(keys + ["__day"]))
+    share = per_bucket.withColumn(
+        "__share",
+        F.when(
+            F.sum("__bv").over(w_day) > 0,
+            F.col("__bv") / F.sum("__bv").over(w_day),
+        ),
+    ).where(F.col("__share").isNotNull())
+    return (
+        share.groupBy(*(keys + ["__bucket"]))
+        .agg(
+            F.avg("__share").alias("avg_share"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .withColumnRenamed("__bucket", "bucket")
+    )

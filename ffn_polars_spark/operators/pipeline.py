@@ -583,3 +583,51 @@ def seasonal_adjust(
         F.col("seasonal_index") != 0, v / F.col("seasonal_index")
     )
     return out.withColumn(f"{value_col}_adjusted", adj)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="walkforward_split")
+def walkforward_split(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 4,
+) -> DataFrame:
+    """Rolling-origin (walk-forward) cross-validation assignment: the
+    timeline is cut into ``n_folds + 1`` equal-count blocks by exact time
+    quantiles; fold ``f`` trains on blocks ``1..f`` and tests on block
+    ``f+1`` — each fold's train set strictly precedes its test set, the
+    only leakage-safe CV for serially-dependent data ([[time_split]] is
+    the single-fold special case, [[kfold_assign]] the iid one).
+
+    The quantile cutoffs are a 1-row broadcast (the corpus never shuffles
+    for the block assignment); each row then explodes to its (fold, role)
+    memberships — at most ``n_folds`` output rows per input row, by
+    construction of the triangular train sets.
+
+    Returns one row per (input row, fold) membership:
+    ``(fold, role, <input columns>)``.
+    """
+    q = [i / (n_folds + 1.0) for i in range(1, n_folds + 1)]
+    ts = F.col(ts_col).cast("double")
+    cuts = df.agg(
+        F.percentile(ts, F.array([F.lit(x) for x in q])).alias("__cuts")
+    )
+    with_block = df.crossJoin(F.broadcast(cuts)).withColumn(
+        "__b",
+        F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(ts > c, 1).otherwise(0),
+        ),
+    )
+    folds = with_block.withColumn(
+        "fold", F.explode(F.sequence(F.lit(1), F.lit(int(n_folds))))
+    )
+    role = (
+        F.when(F.col("__b") < F.col("fold"), F.lit("train"))
+        .when(F.col("__b") == F.col("fold"), F.lit("test"))
+    )
+    return (
+        folds.withColumn("role", role)
+        .where(F.col("role").isNotNull())
+        .drop("__cuts", "__b")
+    )

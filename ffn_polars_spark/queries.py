@@ -7362,6 +7362,208 @@ def q_seasonal_adjust(spark, sf_dir):
     )
 
 
+_CUSUM_WALK_SQL = """, f AS (
+  SELECT event_type, ts_ns, price,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) AS rn
+  FROM ticks),
+walk AS (
+  SELECT event_type, rn, ts_ns, price,
+         greatest(0.0, (price - 105.0) - 0.5) AS sp,
+         greatest(0.0, -(price - 105.0) - 0.5) AS sn,
+         (greatest(0.0, (price - 105.0) - 0.5) > 50.0
+          OR greatest(0.0, -(price - 105.0) - 0.5) > 50.0) AS alarm,
+         CAST(1 AS BIGINT) AS seg
+  FROM f WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.rn, x.ts_ns, x.price,
+         greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sp END)
+                       + (x.price - 105.0) - 0.5),
+         greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sn END)
+                       - (x.price - 105.0) - 0.5),
+         (greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sp END)
+                        + (x.price - 105.0) - 0.5) > 50.0
+          OR greatest(0.0, (CASE WHEN w.alarm THEN 0.0 ELSE w.sn END)
+                           - (x.price - 105.0) - 0.5) > 50.0),
+         w.seg + CASE WHEN w.alarm THEN 1 ELSE 0 END
+  FROM walk w JOIN f x ON x.event_type = w.event_type AND x.rn = w.rn + 1)"""
+
+
+@query(
+    "streaming_cusum",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _CUSUM_WALK_SQL
+    + """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       arg_max(CASE WHEN alarm THEN 0.0 ELSE sp END, rn) AS cusum_pos,
+       arg_max(CASE WHEN alarm THEN 0.0 ELSE sn END, rn) AS cusum_neg
+FROM walk GROUP BY event_type""",
+)
+def q_streaming_cusum(spark, sf_dir):
+    """Streaming two-sided CUSUM (applyInPandasWithState) — the online
+    twin of cusum_changepoints with state chained across micro-batches;
+    a drained run's final per-key state is bit-identical to the batch
+    walk's last row (post-reset), which the recursive-CTE oracle
+    replays."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_cusum,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .withColumn("price", F.lit(100.0) + F.col("value") / F.lit(10.0))
+        .withColumn("ts_ns", F.unix_micros(F.col("event_time")) * F.lit(1000))
+    )
+    out = stateful_cusum(
+        stream, "event_type", "ts_ns", "price",
+        target=105.0, threshold=50.0, drift=0.5,
+    )
+    drained = run_available_now(out, output_mode="update")
+    return drained.select(
+        "event_type", "n_events", "n_alarms", "cusum_pos", "cusum_neg"
+    )
+
+
+@query(
+    "triple_barrier_label",
+    TICKS_SQL
+    + f""", f AS (
+  SELECT event_type, event_id, ts_ns, price,
+         row_number() OVER ({W}) AS rn
+  FROM ticks),
+j AS (
+  SELECT a.event_type, a.event_id, a.price, a.rn,
+         min(CASE WHEN b.price >= a.price * {1.0 + 0.002!r} THEN b.rn - a.rn END) AS u1,
+         min(CASE WHEN b.price <= a.price * {1.0 - 0.002!r} THEN b.rn - a.rn END) AS d1
+  FROM f a LEFT JOIN f b
+    ON b.event_type = a.event_type AND b.rn BETWEEN a.rn + 1 AND a.rn + 20
+  GROUP BY a.event_type, a.event_id, a.price, a.rn)
+SELECT event_type, event_id,
+       CASE WHEN u1 IS NOT NULL AND (d1 IS NULL OR u1 <= d1) THEN 1
+            WHEN d1 IS NOT NULL THEN -1 ELSE 0 END AS label,
+       CASE WHEN u1 IS NULL THEN d1 WHEN d1 IS NULL THEN u1
+            ELSE least(u1, d1) END AS first_hit
+FROM j""",
+)
+def q_triple_barrier_label(spark, sf_dir):
+    """Triple-barrier labels (±0.2% barriers, 20-tick time barrier) per
+    ticker: one bounded-frame future-price array window + JVM array
+    lambdas for the first-touch indices — no self-join; the oracle
+    replays it as a bounded range self-join."""
+    from ffn_polars_spark.functions.tick_bars import triple_barrier_label
+
+    t = ticks(spark, sf_dir)
+    out = triple_barrier_label(
+        t, "price", "ts_ns", horizon=20, up_pct=0.002, down_pct=0.002,
+        by=["event_type"],
+    )
+    return out.select(
+        "event_type", "event_id", "label",
+        F.col("first_hit").cast("long").alias("first_hit"),
+    )
+
+
+@query(
+    "walkforward_split",
+    """
+WITH e AS (SELECT CAST(epoch_us(ts) * 1000 AS DOUBLE) AS tsd FROM events),
+c AS (SELECT quantile_cont(tsd, 0.2) AS c1, quantile_cont(tsd, 0.4) AS c2,
+             quantile_cont(tsd, 0.6) AS c3, quantile_cont(tsd, 0.8) AS c4
+      FROM e),
+b AS (
+  SELECT tsd,
+         (CASE WHEN tsd > c.c1 THEN 1 ELSE 0 END
+          + CASE WHEN tsd > c.c2 THEN 1 ELSE 0 END
+          + CASE WHEN tsd > c.c3 THEN 1 ELSE 0 END
+          + CASE WHEN tsd > c.c4 THEN 1 ELSE 0 END) AS blk
+  FROM e, c),
+m AS (
+  SELECT f.fold, b.tsd, b.blk,
+         CASE WHEN b.blk < f.fold THEN 'train'
+              WHEN b.blk = f.fold THEN 'test' END AS role
+  FROM b CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS fold) f)
+SELECT CAST(fold AS INT) AS fold, role, count(*) AS n_rows,
+       min(tsd) AS min_ts, max(tsd) AS max_ts
+FROM m WHERE role IS NOT NULL GROUP BY fold, role""",
+)
+def q_walkforward_split(spark, sf_dir):
+    """Rolling-origin 4-fold walk-forward assignment over the event
+    timeline: exact time-quantile cutoffs as a 1-row broadcast, block
+    membership by comparison, triangular (fold, role) explode — verified
+    here as the per-(fold, role) row count and time span."""
+    from ffn_polars_spark.operators.pipeline import walkforward_split
+
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(ts_ns_col(ev).cast("double").alias("tsd"))
+    out = walkforward_split(e, "tsd", n_folds=4)
+    return out.groupBy(F.col("fold").cast("int").alias("fold"), "role").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("tsd").alias("min_ts"),
+        F.max("tsd").alias("max_ts"),
+    )
+
+
+@query(
+    "volume_curve",
+    TICKS_SQL
+    + f""", pb AS (
+  SELECT event_type,
+         CAST(floor(ts_ns / 86400000000000.0) AS BIGINT) AS day,
+         CAST(floor((ts_ns % 86400000000000) / 3600000000000) AS INT) AS bucket,
+         sum(volume) AS bv
+  FROM ticks GROUP BY 1, 2, 3),
+dt AS (SELECT event_type, day, sum(bv) AS dtot FROM pb GROUP BY event_type, day),
+sh AS (
+  SELECT pb.event_type, pb.bucket, pb.bv / dt.dtot AS share
+  FROM pb JOIN dt ON pb.event_type = dt.event_type AND pb.day = dt.day
+  WHERE dt.dtot > 0)
+SELECT event_type, bucket,
+       {R("avg(share)")} AS avg_share,
+       count(*) AS n_days
+FROM sh GROUP BY event_type, bucket""",
+)
+def q_volume_curve(spark, sf_dir):
+    """Average hour-of-day participation curve per ticker: (key, day,
+    bucket) sums, day totals re-aggregated from that frame, shares
+    averaged across days — the tick table is read once."""
+    from ffn_polars_spark.functions.tick_flow import volume_curve
+
+    t = ticks(spark, sf_dir)
+    out = volume_curve(
+        t, "volume", "ts_ns", by="event_type",
+        period_ns=86_400_000_000_000, buckets=24,
+    )
+    return out.select(
+        "event_type", "bucket", r6("avg_share").alias("avg_share"), "n_days"
+    )
+
+
+@query(
+    "kelly_fraction",
+    TICKS_SQL
+    + f""", r AS (
+  SELECT event_type, price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks)
+SELECT event_type,
+       {R("CASE WHEN var_samp(r) > 0 THEN avg(r) / var_samp(r) END")} AS r_kelly_fraction
+FROM r GROUP BY event_type""",
+)
+def q_kelly_fraction(spark, sf_dir):
+    """Gaussian Kelly-optimal leverage per ticker: mean excess return
+    over sample variance — one aggregate after the returns window."""
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", ffn.eod.to_returns("price", over=TICK_OVER).alias("r")
+    )
+    return pre.groupBy("event_type").agg(
+        r6(ffn.eod.kelly_fraction("r")).alias("r_kelly_fraction")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -7400,6 +7602,11 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "streaming_cusum",
+    "triple_barrier_label",
+    "walkforward_split",
+    "volume_curve",
+    "kelly_fraction",
     "bipower_variation",
     "rv_signature",
     "dedup_incremental",

@@ -579,3 +579,100 @@ def stateful_zscore_alerts(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("sp", DoubleType()),
+        StructField("sn", DoubleType()),
+        StructField("seg", LongType()),
+        StructField("n", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+
+def _cusum_output_schema(key: str) -> StructType:
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("n_events", LongType()),
+            StructField("n_alarms", LongType()),
+            StructField("cusum_pos", DoubleType()),
+            StructField("cusum_neg", DoubleType()),
+        ]
+    )
+
+
+def stateful_cusum(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    target: float,
+    threshold: float,
+    drift: float = 0.0,
+    idle_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Streaming two-sided CUSUM change-point monitor via
+    ``applyInPandasWithState`` — the online twin of the batch
+    ``operators.recursive.cusum_changepoints`` walk: per key, accumulate
+    ``s⁺/s⁻`` across micro-batches (state = the two sides + segment and
+    alarm counters), alarm and reset exactly as the batch recurrence
+    does. Because the recurrence is pure fixed-order IEEE arithmetic, a
+    drained run's final state per key is bit-identical to the batch
+    walk's last row (post-reset if that row alarmed) — the property the
+    oracle checks via the final ``cusum_pos``/``cusum_neg`` state.
+
+    State is 5 numbers per key; ``idle_timeout_ms`` applies the usual TTL
+    for open-ended key domains. Emits ``(key, n_events, n_alarms,
+    cusum_pos, cusum_neg)`` in update mode.
+    """
+    tgt, thr, dft = float(target), float(threshold), float(drift)
+
+    def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            sp, sn, seg, n, n_alarms = state.get
+        else:
+            sp, sn, seg, n, n_alarms = 0.0, 0.0, 1, 0, 0
+        import numpy as np
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts)
+            x = pdf[value].to_numpy(dtype=np.float64)
+            for xi in x:
+                e = xi - tgt
+                sp = max(0.0, sp + e - dft)
+                sn = max(0.0, sn - e - dft)
+                if sp > thr or sn > thr:
+                    n_alarms += 1
+                    seg += 1
+                    sp, sn = 0.0, 0.0
+            n += len(x)
+        state.update((sp, sn, seg, n, n_alarms))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n],
+                "n_alarms": [n_alarms],
+                "cusum_pos": [sp],
+                "cusum_neg": [sn],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=_cusum_output_schema(key),
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

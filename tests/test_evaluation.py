@@ -527,3 +527,95 @@ def test_seasonal_adjust_removes_planted_cycle(spark):
     # index reflects the profile: 1.5 mornings, 0.5 afternoons
     idx = {r["phase"]: r["seasonal_index"] for r in rowso}
     assert abs(idx[0] - 1.5) < 1e-12 and abs(idx[23] - 0.5) < 1e-12
+
+
+def test_triple_barrier_labels(spark):
+    from ffn_polars_spark.functions.tick_bars import triple_barrier_label
+    # Anchor 100.0, barriers at 101/99 (1%): path rises to 101.5 at t=2.
+    prices = [100.0, 100.5, 101.5, 98.0, 98.5, 98.4, 98.45, 98.41, 98.42, 98.43]
+    rows = [("g", i, prices[i]) for i in range(len(prices))]
+    out = triple_barrier_label(
+        spark.createDataFrame(rows, ["g", "ts", "price"]), "price", "ts",
+        horizon=3, up_pct=0.01, down_pct=0.01, by=["g"],
+    )
+    got = {r["ts"]: r for r in out.collect()}
+    assert got[0]["label"] == 1 and got[0]["first_hit"] == 2   # 101.5 >= 101
+    assert got[2]["label"] == -1 and got[2]["first_hit"] == 1  # 98 <= 100.485
+    # late flat stretch: neither barrier within 3 ticks -> time barrier
+    assert got[5]["label"] == 0 and got[5]["first_hit"] is None
+    # last row has no future -> label 0
+    assert got[9]["label"] == 0
+
+
+def test_walkforward_split_triangular(spark):
+    from ffn_polars_spark.operators.pipeline import walkforward_split
+    rows = [(float(i),) for i in range(100)]
+    out = walkforward_split(
+        spark.createDataFrame(rows, ["ts"]), "ts", n_folds=4
+    )
+    agg = {(r["fold"], r["role"]): r["cnt"] for r in
+           out.groupBy("fold", "role").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # 5 equal blocks of 20: fold f trains on f*20 rows, tests on 20.
+    for f in range(1, 5):
+        assert agg[(f, "train")] == 20 * f
+        assert agg[(f, "test")] == 20
+    # leakage check: every train ts < every test ts within each fold
+    mx = out.where("role = 'train'").groupBy("fold").agg(F.max("ts").alias("m"))
+    mn = out.where("role = 'test'").groupBy("fold").agg(F.min("ts").alias("m"))
+    for f in range(1, 5):
+        tmax = [r["m"] for r in mx.collect() if r["fold"] == f][0]
+        tmin = [r["m"] for r in mn.collect() if r["fold"] == f][0]
+        assert tmax < tmin
+
+
+def test_volume_curve_shares(spark):
+    from ffn_polars_spark.functions.tick_flow import volume_curve
+    HOUR = 3_600_000_000_000
+    # Two days; each day 75% of volume in hour 0, 25% in hour 1.
+    rows = []
+    for d in range(2):
+        rows += [("g", d * 24 * HOUR + 0, 75.0), ("g", d * 24 * HOUR + HOUR, 25.0)]
+    out = volume_curve(
+        spark.createDataFrame(rows, ["g", "ts", "v"]), "v", "ts", by="g"
+    )
+    got = {r["bucket"]: r for r in out.collect()}
+    assert abs(got[0]["avg_share"] - 0.75) < 1e-12 and got[0]["n_days"] == 2
+    assert abs(got[1]["avg_share"] - 0.25) < 1e-12
+
+
+def test_kelly_fraction_closed_form(spark):
+    from ffn_polars_spark.functions.eod_ratios import kelly_fraction
+    import statistics as st
+    rs = [0.01, -0.005, 0.02, 0.0, -0.01, 0.015]
+    df = spark.createDataFrame([(r,) for r in rs], ["r"])
+    out = df.agg(kelly_fraction("r").alias("k")).collect()[0]
+    assert abs(out["k"] - st.mean(rs) / st.variance(rs)) < 1e-12
+
+
+def test_stateful_cusum_matches_batch_walk(spark, tmp_path):
+    import pandas as pd
+    from ffn_polars_spark.streaming import stateful_cusum, run_available_now
+    from ffn_polars_spark.operators.recursive import cusum_changepoints
+
+    # small tape with alarms; stream it from a staged parquet file
+    rows = [("a", i * 1000, float(v)) for i, v in
+            enumerate([3, 3, -4, -4, 1, 6, -7, 2, 2, 2])]
+    src = str(tmp_path / "tape")
+    spark.createDataFrame(rows, ["k", "ts", "x"]).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful_cusum(stream, "k", "ts", "x", target=0.0, threshold=5.0)
+    drained = {r["k"]: r for r in run_available_now(out, "update").collect()}
+
+    batch = cusum_changepoints(
+        spark.createDataFrame(rows, ["k", "ts", "x"]), "ts", "x",
+        target=0.0, threshold=5.0, by=["k"],
+    ).orderBy("ts").collect()
+    n_alarms = sum(1 for r in batch if r["alarm"])
+    last = batch[-1]
+    exp_sp = 0.0 if last["alarm"] else last["cusum_pos"]
+    exp_sn = 0.0 if last["alarm"] else last["cusum_neg"]
+    got = drained["a"]
+    assert got["n_events"] == len(rows)
+    assert got["n_alarms"] == n_alarms
+    assert got["cusum_pos"] == exp_sp and got["cusum_neg"] == exp_sn

@@ -781,3 +781,101 @@ def dedup_incremental(
     fresh = new_fp.join(seen_fp, "fingerprint", "left_anti")
     keep = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return keep.select(id_col, "fingerprint")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="containment_pairs")
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Asymmetric containment near-duplicate pairs: ``C(A→B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|`` — the measure
+    [[ngram_jaccard_pairs]]'s symmetric Jaccard systematically misses
+    when one document QUOTES another (a paragraph wholly inside a long
+    doc has high containment but low Jaccard; Broder's original dedup
+    distinguished exactly these two). Emits pairs (id_a < id_b) where
+    EITHER direction's containment clears ``threshold``, with both
+    directions reported.
+
+    Same inverted-shingle-index shape as the Jaccard variant (documents
+    sharing zero shingles never meet; ``max_shingle_df`` drops
+    stopword-shingles before the self-join), so the join is bounded by
+    co-occurrence, not |docs|². Returns ``(id_a, id_b, containment_a,
+    containment_b)``.
+    """
+    sh = _doc_shingles(_spread(df, id_col), text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df")).where(
+            F.col("__df") > max_shingle_df
+        ).select("__sh")
+        sh = sh.join(hot, "__sh", "left_anti")
+    sh = _pinned(sh)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__inter") / F.col("__sza").cast("double"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("__inter") / F.col("__szb").cast("double"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return out.where(
+        (F.col("containment_a") >= threshold)
+        | (F.col("containment_b") >= threshold)
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="fuzzy_match_pairs")
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs (id_a < id_b) within
+    the same block whose ``levenshtein(text_a, text_b) ≤ max_dist`` — the
+    classic entity-resolution shape (normalize → block → pairwise edit
+    distance inside blocks only). Blocking is what makes this survive
+    scale: the self-join is equi-keyed on ``block_col``, so cost is
+    Σ block² rather than |rows|², and AQE splits oversized blocks; pick a
+    block key (sort key prefix, phonetic code, LSH bucket) whose largest
+    block is manageable. Levenshtein runs JVM-side (built-in, codegen) on
+    the surviving candidates only.
+
+    Returns ``(block, id_a, id_b, text_a, text_b, distance)``.
+    """
+    slim = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__txt"),
+    )
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__blk").alias(block_col),
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.__txt").alias("text_a"),
+        F.col("b.__txt").alias("text_b"),
+        F.levenshtein(F.col("a.__txt"), F.col("b.__txt")).alias("distance"),
+    )
+    return pairs.where(F.col("distance") <= int(max_dist))

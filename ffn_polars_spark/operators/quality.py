@@ -377,3 +377,59 @@ def hhi_concentration(
         "n_entities",
         "total",
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="pruning_stats")
+def pruning_stats(
+    df: DataFrame,
+    layout_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bucket_width: int,
+    by: list = None,
+) -> DataFrame:
+    """Data-skipping effectiveness audit: bucket rows by the physical
+    layout key (ingest-time buckets stand in for parquet row groups /
+    files), collect each bucket's min/max of ``value_col``, and report
+    how many buckets — and rows — a ``value BETWEEN lo AND hi`` predicate
+    could skip on min/max stats alone. THE question to ask before
+    re-clustering 100 TB: sorted-by-time data prunes time predicates for
+    free, but a price predicate skips ~0 buckets unless the layout
+    correlates ([[zorder_key]] is the fix this operator motivates and
+    measures).
+
+    One hash aggregate to bucket stats (bucket-cardinality output), one
+    tiny roll-up. Returns ``(keys, n_buckets, n_pruned, rows_total,
+    rows_pruned, prune_fraction)``.
+    """
+    keys = list(by or [])
+    v = F.col(value_col).cast("double")
+    bucket = F.floor(F.col(layout_col) / F.lit(int(bucket_width))).cast("long")
+    per_bucket = (
+        df.withColumn("__bkt", bucket)
+        .groupBy(*(keys + ["__bkt"]))
+        .agg(
+            F.min(v).alias("__lo"),
+            F.max(v).alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    pruned = (F.col("__hi") < F.lit(float(lo))) | (F.col("__lo") > F.lit(float(hi)))
+    g = per_bucket.groupBy(*keys) if keys else per_bucket.groupBy()
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(pruned.cast("long")).alias("n_pruned"),
+        F.sum("__n").alias("rows_total"),
+        F.sum(F.when(pruned, F.col("__n")).otherwise(F.lit(0))).alias("rows_pruned"),
+    )
+    return agg.select(
+        *keys,
+        "n_buckets",
+        "n_pruned",
+        "rows_total",
+        "rows_pruned",
+        (F.col("rows_pruned").cast("double") / F.col("rows_total").cast("double")).alias(
+            "prune_fraction"
+        ),
+    )

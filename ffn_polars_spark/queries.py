@@ -7564,6 +7564,166 @@ def q_kelly_fraction(spark, sf_dir):
     )
 
 
+@query(
+    "bootstrap_ci",
+    f"""
+WITH src AS (SELECT event_type, event_id, value FROM events),
+rep AS (
+  SELECT t.trial, s.event_type, s.value,
+         {_poisson16_ladder_sql(_BOOT_H16_SQL)} AS reps
+  FROM range(100) t(trial) CROSS JOIN src s),
+ex AS (SELECT trial, event_type, value, unnest(range(reps)) AS k FROM rep),
+tm AS (SELECT event_type, trial, avg(value) AS m FROM ex GROUP BY event_type, trial),
+ci AS (
+  SELECT event_type,
+         quantile_cont(m, 0.05) AS lo, quantile_cont(m, 0.95) AS hi,
+         count(*) AS n_trials
+  FROM tm GROUP BY event_type),
+pt AS (SELECT event_type, avg(value) AS mean FROM src GROUP BY event_type)
+SELECT pt.event_type, {R("pt.mean")} AS mean,
+       {R("ci.lo")} AS ci_lo, {R("ci.hi")} AS ci_hi, ci.n_trials
+FROM pt JOIN ci USING (event_type)""",
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """90% percentile-bootstrap CI for the mean event value per type: 100
+    deterministic blocked-md5 Poisson replicates (the resample_returns
+    machinery), trial means, exact percentiles — an error bar any engine
+    replays bit-for-bit."""
+    from ffn_polars_spark.operators.resample import bootstrap_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    out = bootstrap_ci(
+        ev.select("event_type", "event_id", "value"), "value",
+        by=["event_type"], num_trials=100, alpha=0.1,
+        key_col="event_id", seed=7,
+    )
+    return out.select(
+        "event_type", r6("mean").alias("mean"),
+        r6("ci_lo").alias("ci_lo"), r6("ci_hi").alias("ci_hi"), "n_trials",
+    )
+
+
+@query(
+    "fuzzy_match_pairs",
+    """
+WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS text_a, b.p_name AS text_b,
+       levenshtein(a.p_name, b.p_name) AS distance
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+)
+def q_fuzzy_match_pairs(spark, sf_dir):
+    """Blocked fuzzy record linkage on part names (block = brand,
+    levenshtein <= 2): the equi-keyed self-join bounds cost at
+    sum-of-block-squared, and the JVM edit distance runs on candidates
+    only."""
+    from ffn_polars_spark.operators.dedup import fuzzy_match_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    return fuzzy_match_pairs(
+        part, "p_name", "p_partkey", "p_brand", max_dist=2
+    )
+
+
+@query(
+    "containment_pairs",
+    f"""
+WITH {TRIGRAM_SQL},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       {R("i / CAST(sa.sz AS DOUBLE)")} AS containment_a,
+       {R("i / CAST(sb.sz AS DOUBLE)")} AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {R("i / CAST(sa.sz AS DOUBLE)")} >= 0.5
+   OR {R("i / CAST(sb.sz AS DOUBLE)")} >= 0.5""",
+)
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (quote-inclusion near-dups that
+    symmetric Jaccard misses), same inverted-index join bound as
+    ngram_jaccard_pairs."""
+    from ffn_polars_spark.operators.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.5, n=3)
+
+
+@query(
+    "pruning_stats",
+    TICKS_SQL
+    + """, pb AS (
+  SELECT CAST(floor(ts_ns / 86400000000000.0) AS BIGINT) AS bkt,
+         min(price) AS lo, max(price) AS hi, count(*) AS n
+  FROM ticks GROUP BY 1)
+SELECT count(*) AS n_buckets,
+       CAST(sum(CASE WHEN hi < 105.0 OR lo > 106.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(n) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN hi < 105.0 OR lo > 106.0 THEN n ELSE 0 END) AS BIGINT) AS rows_pruned,
+       CAST(sum(CASE WHEN hi < 105.0 OR lo > 106.0 THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS prune_fraction
+FROM pb""",
+)
+def q_pruning_stats(spark, sf_dir):
+    """Data-skipping audit: day-bucketed min/max stats on price vs a
+    [105, 106] predicate — how much a time-sorted layout can prune a
+    price filter (the measurement that motivates zorder_key)."""
+    from ffn_polars_spark.operators.quality import pruning_stats
+
+    t = ticks(spark, sf_dir)
+    return pruning_stats(
+        t, "ts_ns", "price", lo=105.0, hi=106.0,
+        bucket_width=86_400_000_000_000,
+    )
+
+
+@query(
+    "bucketed_join",
+    f"""
+SELECT o.o_orderpriority, count(*) AS n_orders,
+       {R("avg(o.o_totalprice)")} AS avg_totalprice,
+       count(DISTINCT c.c_nationkey) AS n_nations
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderpriority""",
+)
+def q_bucketed_join(spark, sf_dir):
+    """Co-located bucketed join: orders and customer persisted bucketed +
+    bucket-sorted by the customer key into the same bucket count, then
+    joined with NO exchange on either side (the sort-merge join reads
+    pre-sorted buckets) — the layout that removes the dominant shuffle
+    from every future fact/dim join at 100 TB. The one-time bucketed
+    write pays that shuffle once; tests/test_plans.py pins the
+    exchange-free plan."""
+    import hashlib
+    import os
+
+    from ffn_polars_spark.sources import write_bucketed_table
+
+    key = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+    lt, rt = f"ffn_bkt_orders_{key}", f"ffn_bkt_customer_{key}"
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    write_bucketed_table(orders, lt, "o_custkey", n_buckets=8)
+    write_bucketed_table(customer, rt, "c_custkey", n_buckets=8)
+    o = spark.table(lt)
+    # the merge hint forces the sort-merge path (a small dim would
+    # otherwise broadcast) so the bucketed, exchange-free join is what
+    # actually runs — at real fact×fact scale SMJ is the planner's own
+    # choice and the hint is unnecessary
+    c = spark.table(rt).hint("merge")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r6(F.avg("o_totalprice")).alias("avg_totalprice"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -7602,6 +7762,11 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "bootstrap_ci",
+    "fuzzy_match_pairs",
+    "containment_pairs",
+    "pruning_stats",
+    "bucketed_join",
     "streaming_cusum",
     "triple_barrier_label",
     "walkforward_split",

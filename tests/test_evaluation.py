@@ -619,3 +619,67 @@ def test_stateful_cusum_matches_batch_walk(spark, tmp_path):
     assert got["n_events"] == len(rows)
     assert got["n_alarms"] == n_alarms
     assert got["cusum_pos"] == exp_sp and got["cusum_neg"] == exp_sn
+
+
+def test_bootstrap_ci_brackets_mean_and_deterministic(spark):
+    from ffn_polars_spark.operators.resample import bootstrap_ci
+    rows = [("g", i, float(i % 10)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    out = bootstrap_ci(
+        df, "v", by=["g"], num_trials=50, alpha=0.1, key_col="id", seed=3
+    ).collect()[0]
+    assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+    assert out["n_trials"] == 50
+    # deterministic draws: a second run reproduces the CI exactly
+    out2 = bootstrap_ci(
+        df, "v", by=["g"], num_trials=50, alpha=0.1, key_col="id", seed=3
+    ).collect()[0]
+    assert (out["ci_lo"], out["ci_hi"]) == (out2["ci_lo"], out2["ci_hi"])
+
+
+def test_fuzzy_match_blocks_and_distance(spark):
+    from ffn_polars_spark.operators.dedup import fuzzy_match_pairs
+    rows = [("b1", 1, "kitten"), ("b1", 2, "sitten"), ("b1", 3, "kitchen"),
+            ("b2", 4, "kitten")]  # same text, different block -> never paired
+    out = fuzzy_match_pairs(
+        spark.createDataFrame(rows, ["blk", "id", "t"]), "t", "id", "blk",
+        max_dist=2,
+    )
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 3} or (2, 3) not in got
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert all(a != 4 and b != 4 for a, b in got)
+
+
+def test_containment_catches_quote_inclusion(spark):
+    from ffn_polars_spark.operators.dedup import containment_pairs
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa " * 5
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(df, threshold=0.9, n=3)
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # every shingle of the short doc appears in the long one
+    assert r["containment_a"] == 1.0 and r["containment_b"] < 0.5
+
+
+def test_pruning_stats_sorted_vs_shuffled_layout(spark):
+    from ffn_polars_spark.operators.quality import pruning_stats
+    # layout key == value: perfectly clustered -> most buckets prunable
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["pos", "v"])
+    out = pruning_stats(df, "pos", "v", lo=40.0, hi=49.0, bucket_width=10)
+    r = out.collect()[0]
+    assert r["n_buckets"] == 10 and r["n_pruned"] == 9
+    assert r["rows_pruned"] == 90 and abs(r["prune_fraction"] - 0.9) < 1e-12
+    # value uncorrelated with layout -> nothing prunable
+    rows = [(i, float((i * 37) % 100)) for i in range(100)]
+    r2 = pruning_stats(
+        spark.createDataFrame(rows, ["pos", "v"]), "pos", "v",
+        lo=40.0, hi=49.0, bucket_width=10,
+    ).collect()[0]
+    assert r2["n_pruned"] == 0

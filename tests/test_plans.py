@@ -492,3 +492,47 @@ def test_variance_ratio_one_sort_all_horizons(spark):
 
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 2  # lag + q-sums
     assert count_exchanges(df) <= 2
+
+
+def test_bucketed_join_no_exchange(spark):
+    # the co-located layout: both sides bucketed+sorted by the join key ->
+    # the sort-merge join must read buckets directly, no Exchange anywhere
+    df = QUERY_FNS["bucketed_join"](spark, SF)
+    plan = explain_str(df)
+    join_part = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+    # no shuffle feeding the join itself; the final tiny aggregate may
+    # exchange on the group key
+    import re
+
+    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+    assert joins, "expected a join in the plan"
+    # count exchanges BELOW the join: walk the formatted tree — the join
+    # inputs must come straight from bucketed scans
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    below = "\n".join(lines[join_idx:])
+    assert "Exchange" not in below, below
+
+
+def test_execution_slippage_single_exchange(spark):
+    # ordered sign window runs first; the bucket-VWAP window reuses its
+    # hash(keys) exchange via the subset rule
+    df = QUERY_FNS["execution_slippage"](spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_auc_and_quantile_transform_single_exchange(spark):
+    # midrank machinery: rank window + tie window + (for the transform)
+    # group count all share one hash(keys) exchange
+    for name in ("auc_by_group", "quantile_transform"):
+        df = QUERY_FNS[name](spark, SF)
+        assert count_exchanges(df) == 1, name
+
+
+def test_triple_barrier_no_join_one_exchange(spark):
+    # bounded future-frame array + lambdas: no self-join, one exchange
+    df = QUERY_FNS["triple_barrier_label"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) == 1

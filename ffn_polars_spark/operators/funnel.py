@@ -190,3 +190,59 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / row_total, 6).alias("prob"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="market_basket")
+def market_basket(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Pairwise association rules (the k=2 frequent-itemset core of
+    Apriori): for every item pair co-occurring in at least one basket,
+    the co-occurrence count, support, both conditional confidences, and
+    lift (``> 1`` = the pair appears together more than independence
+    predicts). Baskets are whatever groups items: users grouping the
+    event types they touch, sessions grouping pages, orders grouping
+    parts.
+
+    Shape: DISTINCT (basket, item) first — duplicates inside a basket
+    never reach the join — then an equi-self-join ON THE BASKET KEY
+    (cost Σ basket-size², the Apriori bound, never |items|²) and one
+    aggregate to the item-pair-sized output; singles and the basket
+    total broadcast in. All counts are exact integers.
+
+    Returns ``(item_a, item_b, n_co, support, confidence_a, confidence_b,
+    lift)``.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.select("__b").distinct().count()
+    singles = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__n1"))
+    a, b = bi.alias("a"), bi.alias("b")
+    co = (
+        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
+        .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    na = singles.select(F.col("__i").alias("item_a"), F.col("__n1").alias("__na"))
+    nb = singles.select(F.col("__i").alias("item_b"), F.col("__n1").alias("__nb"))
+    nco = F.col("n_co").cast("double")
+    nN = F.lit(float(n_baskets))
+    return (
+        co.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            (nco / nN).alias("support"),
+            (nco / F.col("__na").cast("double")).alias("confidence_a"),
+            (nco / F.col("__nb").cast("double")).alias("confidence_b"),
+            (
+                nco * nN
+                / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+            ).alias("lift"),
+        )
+    )

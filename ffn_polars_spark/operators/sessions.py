@@ -51,3 +51,58 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="attribution")
+def attribution(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    channel_col: str,
+    conversion_col: str,
+    value_col: str,
+    gap: int,
+) -> DataFrame:
+    """Session-scoped marketing attribution: sessionize each key's events
+    (same gap rule as [[sessionize]]), then per session report the
+    first-touch channel, the last channel strictly before the first
+    conversion (NULL when the session converts on its opening event or
+    never), and the session's total conversion value — the frame both
+    first-touch and last-touch revenue roll-ups aggregate from.
+
+    One ordered window pass for the session boundaries (lag + running
+    sum), a session-window min for the first conversion time, and one
+    hash aggregate per session — a single exchange on the key, reusing
+    its sort throughout. Returns ``(key, session_id, first_touch,
+    last_touch, conversion_value, n_events)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(key_col, "__sess")
+    ts = F.col(ts_col)
+    boundary = F.when(
+        F.lag(ts).over(w).isNull() | (ts - F.lag(ts).over(w) > gap), 1
+    ).otherwise(0)
+    is_conv = (
+        F.col(conversion_col) if isinstance(conversion_col, str) else conversion_col
+    )
+    staged = (
+        df.withColumn("__sess", F.sum(boundary).over(wcum) - F.lit(1))
+        .withColumn(
+            "__conv_ts", F.min(F.when(is_conv, ts)).over(w_all)
+        )
+    )
+    pre_conv = F.col("__conv_ts").isNotNull() & (ts < F.col("__conv_ts"))
+    agg = staged.groupBy(key_col, "__sess").agg(
+        F.min_by(F.col(channel_col), ts).alias("first_touch"),
+        F.max_by(
+            F.when(pre_conv, F.col(channel_col)), F.when(pre_conv, ts)
+        ).alias("last_touch"),
+        F.sum(
+            F.when(is_conv, F.col(value_col).cast("double")).otherwise(F.lit(0.0))
+        ).alias("conversion_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.withColumnRenamed("__sess", "session_id")

@@ -750,3 +750,66 @@ def centroid_similarity(
         )
         .select("label_a", "label_b", "cosine", "n_a", "n_b")
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="embedding_covariance")
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Population covariance matrix of an embedding column, as the upper
+    triangle ``(i, j, cov, corr)`` — the input every spectral decision
+    needs (PCA for [[ann_topk_ivf]]'s cells, whitening before cosine,
+    anisotropy diagnostics: embedding collapse shows up as a few
+    dominant diagonal entries). ``cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ]`` in one
+    pass over pair products plus a dimension-sized means frame.
+
+    Shape: posexplode to (id, i, xᵢ), equi-self-join on the id (the pair
+    build is bounded at d(d+1)/2 per row, never |rows|²), one hash
+    aggregate to the d²/2-sized output, means broadcast in. For very
+    wide d, swap the join for a mapInPandas partial outer-product — the
+    aggregate shape stays identical.
+    """
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("i", "__x"),
+    ).select("__id", "i", F.col("__x").cast("double").alias("__x"))
+    means = e.groupBy("i").agg(
+        F.avg("__x").alias("__m"), F.count(F.lit(1)).alias("__n")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__id") == F.col("b.__id")) & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.__x") * F.col("b.__x")).alias("__sxy"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    mi = means.select(F.col("i"), F.col("__m").alias("__mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("__m").alias("__mj"))
+    out = (
+        pairs.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .withColumn(
+            "cov",
+            F.col("__sxy") / F.col("__n") - F.col("__mi") * F.col("__mj"),
+        )
+    )
+    # correlation needs the diagonal variances: self-join the cov frame's
+    # diagonal back (d-sized, broadcast)
+    diag = out.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("__di"), F.col("cov").alias("__vi")
+    )
+    di = diag.select(F.col("__di").alias("i"), F.col("__vi").alias("__vari"))
+    dj = diag.select(F.col("__di").alias("j"), F.col("__vi").alias("__varj"))
+    corr = F.when(
+        (F.col("__vari") > 0) & (F.col("__varj") > 0),
+        F.col("cov") / F.sqrt(F.col("__vari") * F.col("__varj")),
+    )
+    return (
+        out.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select("i", "j", "cov", corr.alias("corr"))
+    )

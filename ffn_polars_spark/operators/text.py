@@ -1186,3 +1186,43 @@ def strip_markup(
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.select("*", c.alias(out_col))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="luhn_validate")
+def luhn_validate(
+    df: DataFrame,
+    candidate_col: str,
+) -> DataFrame:
+    """Luhn mod-10 checksum validation of digit-string candidates — the
+    precision filter a PII pipeline runs after [[pii_scrub]]-style regex
+    extraction: a 16-digit regex hit is only treated as a card number if
+    the check digit verifies, cutting false redactions ~10×. Pure JVM
+    expression arithmetic (per-position doubling from the right via an
+    indexed ``transform`` + ``aggregate``), no UDF, trivially replayable
+    in any engine with string indexing.
+
+    Adds ``luhn_valid`` (NULL for candidates with non-digit characters
+    or fewer than 2 digits).
+    """
+    c = F.col(candidate_col)
+    n = F.length(c)
+    digits_ok = c.rlike("^[0-9]{2,}$")
+    # position p (1-based from the LEFT); from the right: r = n - p, doubled
+    # when r is odd (Luhn doubles every second digit from the check digit)
+    term = lambda p: (
+        F.when(
+            ((n - p) % 2) == 1,
+            F.when(
+                (F.ascii(F.substr(c, p, F.lit(1))) - 48) > 4,
+                (F.ascii(F.substr(c, p, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise((F.ascii(F.substr(c, p, F.lit(1))) - 48) * 2),
+        ).otherwise(F.ascii(F.substr(c, p, F.lit(1))) - 48)
+    )
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, p: acc + term(p),
+    )
+    return df.withColumn(
+        "luhn_valid", F.when(digits_ok, (total % 10) == 0)
+    )

@@ -7724,6 +7724,162 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_covariance",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+m AS (SELECT i, avg(x) AS mi FROM e GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy, count(*) AS n
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i),
+cv AS (
+  SELECT p.i, p.j, p.sxy / p.n - ma.mi * mb.mi AS cov
+  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j),
+dg AS (SELECT i, cov AS v FROM cv WHERE i = j)
+SELECT cv.i, cv.j, {R("cv.cov")} AS cov,
+       {R("CASE WHEN di.v > 0 AND dj.v > 0 THEN cv.cov / sqrt(di.v * dj.v) END")} AS corr
+FROM cv JOIN dg di ON di.i = cv.i JOIN dg dj ON dj.i = cv.j""",
+)
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance/correlation of the 64-dim embeddings:
+    posexplode + id-equi-self-join (pair build bounded at d²/2 per row),
+    one aggregate to the d²/2-sized output, means and diagonal
+    broadcast in."""
+    from ffn_polars_spark.operators.similarity import embedding_covariance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = embedding_covariance(emb)
+    return out.select(
+        "i", "j", r6("cov").alias("cov"), r6("corr").alias("corr")
+    )
+
+
+@query(
+    "market_basket",
+    f"""
+WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS itm FROM events),
+nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+s AS (SELECT itm, count(*) AS n1 FROM bi GROUP BY itm),
+co AS (
+  SELECT a.itm AS item_a, b.itm AS item_b, count(*) AS n_co
+  FROM bi a JOIN bi b ON a.b = b.b AND a.itm < b.itm
+  GROUP BY a.itm, b.itm)
+SELECT co.item_a, co.item_b, co.n_co,
+       {R("co.n_co / CAST(nb.n AS DOUBLE)")} AS support,
+       {R("co.n_co / CAST(sa.n1 AS DOUBLE)")} AS confidence_a,
+       {R("co.n_co / CAST(sb.n1 AS DOUBLE)")} AS confidence_b,
+       {R("co.n_co * CAST(nb.n AS DOUBLE) / (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE))")} AS lift
+FROM co
+JOIN s sa ON sa.itm = co.item_a
+JOIN s sb ON sb.itm = co.item_b
+CROSS JOIN nb""",
+)
+def q_market_basket(spark, sf_dir):
+    """Pairwise association rules over (user, event_type) baskets:
+    DISTINCT before the basket-keyed self-join (the Apriori cost bound),
+    exact integer counts, singles broadcast back."""
+    from ffn_polars_spark.operators.funnel import market_basket
+
+    ev = read_table(spark, sf_dir, "events")
+    out = market_basket(ev, "user_id", "event_type")
+    return out.select(
+        "item_a", "item_b", "n_co",
+        r6("support").alias("support"),
+        r6("confidence_a").alias("confidence_a"),
+        r6("confidence_b").alias("confidence_b"),
+        r6("lift").alias("lift"),
+    )
+
+
+@query(
+    "attribution",
+    f"""
+WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, event_type, value FROM events),
+b AS (
+  SELECT user_id, ts_ns, event_type, value,
+         CASE WHEN lag(ts_ns) OVER w IS NULL
+                   OR ts_ns - lag(ts_ns) OVER w > 3600000000000 THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)),
+s AS (
+  SELECT user_id, ts_ns, event_type, value,
+         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+  FROM b),
+c AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_ns END)
+              OVER (PARTITION BY user_id, session_id) AS conv_ts
+  FROM s)
+SELECT user_id, session_id,
+       arg_min(event_type, ts_ns) AS first_touch,
+       arg_max(CASE WHEN conv_ts IS NOT NULL AND ts_ns < conv_ts THEN event_type END,
+               CASE WHEN conv_ts IS NOT NULL AND ts_ns < conv_ts THEN ts_ns END) AS last_touch,
+       {R("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)")} AS conversion_value,
+       count(*) AS n_events
+FROM c GROUP BY user_id, session_id""",
+)
+def q_attribution(spark, sf_dir):
+    """First/last-touch session attribution over the 1-hour-gap sessions:
+    boundary + cumsum windows, a session-scoped first-conversion time,
+    and one per-session aggregate — a single exchange on the user key."""
+    from ffn_polars_spark.operators.sessions import attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", ts_ns_col(ev).alias("ts_ns"), "event_type", "value"
+    )
+    out = attribution(
+        e, "ts_ns", "user_id", "event_type",
+        (F.col("event_type") == "purchase"), "value",
+        gap=3600 * 1_000_000_000,
+    )
+    return out.select(
+        "user_id", "session_id", "first_touch", "last_touch",
+        r6("conversion_value").alias("conversion_value"), "n_events",
+    )
+
+
+@query(
+    "luhn_validate",
+    """
+WITH c AS (
+  SELECT o_orderkey, lpad(CAST(o_orderkey * 7919 AS VARCHAR), 16, '4') AS candidate
+  FROM orders),
+d AS (
+  SELECT c.o_orderkey, c.candidate, g.p,
+         ascii(substr(c.candidate, CAST(g.p AS INT), 1)) - 48 AS dg,
+         len(c.candidate) AS n
+  FROM c CROSS JOIN generate_series(1, 16) g(p)),
+s AS (
+  SELECT o_orderkey, candidate,
+         sum(CASE WHEN (n - p) % 2 = 1
+                  THEN CASE WHEN dg > 4 THEN dg * 2 - 9 ELSE dg * 2 END
+                  ELSE dg END) AS tot
+  FROM d GROUP BY o_orderkey, candidate)
+SELECT o_orderkey, candidate, (tot % 10 = 0) AS luhn_valid
+FROM s""",
+)
+def q_luhn_validate(spark, sf_dir):
+    """Luhn mod-10 validation of synthetic 16-digit candidates (zero-UDF
+    indexed transform + aggregate): the precision gate behind card-number
+    redaction."""
+    from ffn_polars_spark.operators.text import luhn_validate
+
+    orders = read_table(spark, sf_dir, "orders")
+    cands = orders.select(
+        "o_orderkey",
+        F.lpad((F.col("o_orderkey") * 7919).cast("string"), 16, "4").alias(
+            "candidate"
+        ),
+    )
+    return luhn_validate(cands, "candidate").select(
+        "o_orderkey", "candidate", "luhn_valid"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -7762,6 +7918,10 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "embedding_covariance",
+    "market_basket",
+    "attribution",
+    "luhn_validate",
     "bootstrap_ci",
     "fuzzy_match_pairs",
     "containment_pairs",

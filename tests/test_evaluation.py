@@ -683,3 +683,83 @@ def test_pruning_stats_sorted_vs_shuffled_layout(spark):
         lo=40.0, hi=49.0, bucket_width=10,
     ).collect()[0]
     assert r2["n_pruned"] == 0
+
+
+def test_embedding_covariance_planted(spark):
+    from ffn_polars_spark.operators.similarity import embedding_covariance
+    import numpy as np
+    rng = np.random.RandomState(0)
+    x = rng.randn(200)
+    vecs = [[float(a), float(2 * a), float(rng.randn())] for a in x]
+    # regenerate third dim independently for clean structure
+    vecs = [[v[0], v[1], float(z)] for v, z in zip(vecs, rng.randn(200))]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    out = {(r["i"], r["j"]): r for r in embedding_covariance(df).collect()}
+    arr = np.array(vecs)
+    cov = np.cov(arr, rowvar=False, bias=True)
+    for (i, j), r in out.items():
+        assert abs(r["cov"] - cov[i][j]) < 1e-9
+    # dim1 = 2*dim0 exactly -> corr 1
+    assert abs(out[(0, 1)]["corr"] - 1.0) < 1e-9
+    assert len(out) == 6  # upper triangle of 3x3
+
+
+def test_market_basket_lift(spark):
+    from ffn_polars_spark.operators.funnel import market_basket
+    # 4 baskets: {a,b} x2, {a} x1, {c} x1 -> support(a,b)=0.5,
+    # conf(a->b)=2/3, conf(b->a)=1, lift = 0.5/(0.75*0.5)=4/3
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (1, "a")]  # duplicate inside basket must not double-count
+    out = market_basket(
+        spark.createDataFrame(rows, ["basket", "item"]), "basket", "item"
+    ).collect()
+    ab = [r for r in out if r["item_a"] == "a" and r["item_b"] == "b"][0]
+    assert ab["n_co"] == 2
+    assert abs(ab["support"] - 0.5) < 1e-12
+    assert abs(ab["confidence_a"] - 2 / 3) < 1e-12
+    assert abs(ab["confidence_b"] - 1.0) < 1e-12
+    assert abs(ab["lift"] - 2 * 4 / (3 * 2)) < 1e-12
+
+
+def test_attribution_first_last_touch(spark):
+    from ffn_polars_spark.operators.sessions import attribution
+    MIN = 60_000_000_000
+    rows = [
+        ("u", 0 * MIN, "ad", 0.0),
+        ("u", 1 * MIN, "email", 0.0),
+        ("u", 2 * MIN, "purchase", 50.0),
+        ("u", 3 * MIN, "purchase", 10.0),
+        # new session 2h later, converts on first event -> last_touch NULL
+        ("u", 150 * MIN, "purchase", 5.0),
+        # third session, never converts
+        ("u", 300 * MIN, "ad", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "ch", "v"])
+    out = attribution(
+        df, "ts", "user_id", "ch", (F.col("ch") == "purchase"), "v",
+        gap=3600 * 1_000_000_000,
+    )
+    got = {r["session_id"]: r for r in out.collect()}
+    assert got[0]["first_touch"] == "ad" and got[0]["last_touch"] == "email"
+    assert got[0]["conversion_value"] == 60.0 and got[0]["n_events"] == 4
+    assert got[1]["first_touch"] == "purchase" and got[1]["last_touch"] is None
+    assert got[2]["conversion_value"] == 0.0 and got[2]["last_touch"] is None
+
+
+def test_luhn_known_numbers(spark):
+    from ffn_polars_spark.operators.text import luhn_validate
+    rows = [(1, "4532015112830366"),   # valid test card number
+            (2, "4532015112830367"),   # off-by-one check digit
+            (3, "79927398713"),        # classic Luhn example, valid
+            (4, "79927398710"),        # invalid
+            (5, "4111-1111"),          # non-digits -> NULL
+            (6, "7")]                  # too short -> NULL
+    out = luhn_validate(
+        spark.createDataFrame(rows, ["id", "cand"]), "cand"
+    )
+    got = {r["id"]: r["luhn_valid"] for r in out.collect()}
+    assert got[1] is True and got[2] is False
+    assert got[3] is True and got[4] is False
+    assert got[5] is None and got[6] is None

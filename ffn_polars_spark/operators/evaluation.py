@@ -405,3 +405,93 @@ def ic_decay(
     return spearman_corr(
         stacked, "__sig", "__fwd", by=keys + ["horizon"]
     ).withColumnRenamed("spearman", "ic")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="mutual_information")
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    bins: int = 8,
+) -> DataFrame:
+    """Binned mutual information between two columns per group:
+    equal-width bins over each group's own ranges, then
+    ``MI = Σᵢⱼ pᵢⱼ ln(pᵢⱼ / pᵢ·p·ⱼ)`` (nats) — the dependence measure
+    that sees what [[spearman_corr]] cannot (non-monotone structure:
+    a V-shaped relation has Spearman ≈ 0 but high MI). Also emits the
+    normalized variant ``MI / min(Hx, Hy)`` ∈ [0, 1].
+
+    One broadcast stats join for the bin edges, one (keys, i, j) joint
+    aggregate (output bins² per group), marginals re-aggregated from the
+    joint frame — the table is scanned once. Rows with NULL in either
+    column are excluded. Returns ``(keys, mi, mi_normalized, n)``."""
+    keys = _keys(by)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = df.where(x.isNotNull() & y.isNotNull())
+    g0 = both.groupBy(*keys) if keys else both.groupBy()
+    stats = g0.agg(
+        F.min(x).alias("__xlo"), F.max(x).alias("__xhi"),
+        F.min(y).alias("__ylo"), F.max(y).alias("__yhi"),
+    )
+    j = both.join(F.broadcast(stats), on=keys) if keys else both.crossJoin(
+        F.broadcast(stats)
+    )
+
+    def bin_(c, lo, hi):
+        w = F.col(hi) - F.col(lo)
+        return F.when(
+            w > 0,
+            F.least(
+                F.floor((c - F.col(lo)) / w * F.lit(float(bins))),
+                F.lit(bins - 1),
+            ),
+        ).otherwise(F.lit(0)).cast("int")
+
+    joint = j.select(
+        *keys,
+        bin_(x, "__xlo", "__xhi").alias("__i"),
+        bin_(y, "__ylo", "__yhi").alias("__j"),
+    ).groupBy(*(keys + ["__i", "__j"])).agg(F.count(F.lit(1)).alias("__nij"))
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    w_i = Window.partitionBy(*(keys + ["__i"])) if keys else Window.partitionBy("__i")
+    w_j = Window.partitionBy(*(keys + ["__j"])) if keys else Window.partitionBy("__j")
+    nn = F.sum("__nij").over(w_all).cast("double")
+    ni = F.sum("__nij").over(w_i).cast("double")
+    nj = F.sum("__nij").over(w_j).cast("double")
+    pij = F.col("__nij").cast("double") / nn
+    terms = joint.select(
+        *keys,
+        (pij * F.log(pij * nn * nn / (ni * nj))).alias("__t"),
+        nn.alias("__nn"),
+    )
+    mi_g = terms.groupBy(*keys) if keys else terms.groupBy()
+    mi_df = mi_g.agg(
+        F.sum("__t").alias("mi"), F.max("__nn").cast("long").alias("n")
+    )
+    margs_i = joint.groupBy(*(keys + ["__i"])).agg(F.sum("__nij").alias("__c"))
+    margs_j = joint.groupBy(*(keys + ["__j"])).agg(F.sum("__nij").alias("__c"))
+
+    def entropy(m):
+        w_tot = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+        p = F.col("__c").cast("double") / F.sum("__c").over(w_tot).cast("double")
+        staged = m.withColumn("__h", -p * F.log(p))
+        gg = staged.groupBy(*keys) if keys else staged.groupBy()
+        return gg.agg(F.sum("__h").alias("__H"))
+
+    hx = entropy(margs_i).withColumnRenamed("__H", "__hx")
+    hy = entropy(margs_j).withColumnRenamed("__H", "__hy")
+    out = (
+        mi_df.join(F.broadcast(hx), on=keys) if keys else mi_df.crossJoin(F.broadcast(hx))
+    )
+    out = out.join(F.broadcast(hy), on=keys) if keys else out.crossJoin(F.broadcast(hy))
+    hmin = F.least(F.col("__hx"), F.col("__hy"))
+    return out.select(
+        *keys,
+        "mi",
+        F.when(hmin > 0, F.col("mi") / hmin).alias("mi_normalized"),
+        "n",
+    )

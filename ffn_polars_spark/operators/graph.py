@@ -1,0 +1,102 @@
+"""Graph analytics over edge-list DataFrames.
+
+Beyond the reference's surface (no graph layer in
+/root/reference/ffn_polars): the aggregate-and-iterate shape that turns
+relational edge lists (entity co-occurrence, trade flows, near-dup pairs)
+into node scores. ``operators.dedup.connected_components`` established the
+repo's iterative contract — per-round ``localCheckpoint`` to keep lineage
+flat, convergence/iteration bounded — and PageRank follows it.
+
+Design notes (100 TB):
+
+* The EDGE AGGREGATION is the big-data step (distinct edges from a
+  fact-table join) and is fully distributed; the ITERATION then runs on
+  the node/edge frames, which for entity-level graphs are orders of
+  magnitude smaller. Out-degrees are computed once; each round is one
+  join + one aggregate on the edge frame.
+* Dangling nodes (no out-edges) redistribute their mass uniformly — the
+  standard correction; without it rank leaks and the vector no longer
+  sums to 1.
+* Fixed iteration count (default 15) rather than epsilon convergence:
+  deterministic output, replayable by an unrolled-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffn_polars_spark.registry import register
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="pagerank")
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 15,
+) -> DataFrame:
+    """PageRank over a directed edge list (duplicate edges are collapsed):
+    ``r ← (1−d)/N + d·(Σ_in r/outdeg + dangling/N)`` for a fixed number
+    of iterations. Returns ``(node, rank, out_degree)`` with ranks
+    summing to 1.
+
+    Each iteration localCheckpoints the rank frame (flat lineage — the
+    iterative-Spark failure mode connected_components documents) and
+    costs one edge join + one aggregate + one dangling-mass scalar.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    ranks = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+            (F.lit(1.0) / F.lit(float(n))).alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    d = float(damping)
+    for _ in range(int(iterations)):
+        dang = ranks.where(F.col("out_degree") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree").cast("double")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # rank = (1-d)/N + d * (in + dangling/N); the 1-row dangling mass
+        # rides in as a broadcast, no driver round-trip
+        ranks = (
+            ranks.drop("rank")
+            .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "out_degree",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank", "out_degree")

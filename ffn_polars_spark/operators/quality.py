@@ -433,3 +433,44 @@ def pruning_stats(
             "prune_fraction"
         ),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="pareto_front")
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list = None,
+    id_col: str = None,
+) -> DataFrame:
+    """Pareto (skyline) frontier per group, maximizing both objectives: a
+    point survives iff no other point is ≥ on both axes and > on at
+    least one — the multi-objective shortlist (price/quality corpora,
+    risk/return portfolios, latency/recall configs).
+
+    The classic sweep, distributed: after collapsing exact (x, y)
+    duplicates to one representative (min id), sort each group by
+    ``x DESC, y DESC`` and keep rows whose ``y`` strictly exceeds the
+    running max of ``y`` over all earlier rows — one ordered window, one
+    exchange, no pairwise join (the O(n²) dominance test is what this
+    replaces). Returns ``(keys, x, y, id)`` frontier rows.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by or [])
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg_cols = [F.min(id_col).alias(id_col)] if id_col else [
+        F.count(F.lit(1)).alias("__dup")
+    ]
+    pts = df.groupBy(*(keys + [x_col, y_col])).agg(*agg_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(x.desc(), y.desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(y).over(w)
+    out = pts.withColumn("__pm", prev_max).where(
+        F.col("__pm").isNull() | (y > F.col("__pm"))
+    )
+    keep = keys + [x_col, y_col] + ([id_col] if id_col else [])
+    return out.select(*keep)

@@ -116,3 +116,45 @@ def scd2_asof_join(
         & (d[to_col].isNull() | (facts[ts_col] < d[to_col]))
     )
     return facts.join(d, cond, "left").drop("__k")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="cdc_merge")
+def cdc_merge(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str,
+    value_cols: list,
+) -> DataFrame:
+    """Apply a change-data-capture log (I/U/D operations) to a snapshot:
+    per key, only the LAST change by ``ts_col`` wins — delete drops the
+    row, insert/update replaces the value columns, untouched keys pass
+    through — the merge every incremental lakehouse table runs per batch
+    (Delta/Iceberg MERGE INTO semantics, expressed relationally).
+
+    The change log collapses to one row per key FIRST (``max_by`` on the
+    change timestamp — log-cardinality shuffle, the snapshot is never
+    rescanned per change), then a single full-outer join applies it.
+    Ties on ``ts_col`` are broken by preferring the later op row via the
+    (ts, op) struct ordering — supply unique timestamps for full
+    determinism. Returns the merged snapshot columns.
+    """
+    last = changes.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("__op"), *[F.col(c).alias(c) for c in value_cols]),
+            F.col(ts_col),
+        ).alias("__ch")
+    )
+    j = snapshot.join(last, key_col, "full_outer")
+    op = F.col("__ch.__op")
+    merged_vals = [
+        F.when(op.isNull(), F.col(c))
+        .otherwise(F.col(f"__ch.{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    out = j.where(op.isNull() | (op != "D")).select(
+        F.col(key_col), *merged_vals
+    )
+    return out

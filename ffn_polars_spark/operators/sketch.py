@@ -614,3 +614,34 @@ def quantile_transform(
         x.isNotNull(), (midrank - F.lit(0.5)) / nn.cast("double")
     )
     return df.withColumn(f"{value_col}_quantile", q)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="groupk_sample")
+def groupk_sample(
+    df: DataFrame,
+    k: int,
+    by: Sequence[str],
+    id_col: str = "doc_id",
+    tag: str = "gsample",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic exactly-k-per-group uniform sample: each row's md5
+    uniform is a pure function of its id ([[bottomk_sample]]'s global
+    idiom, stratified), and each group keeps its k smallest — the
+    balanced-eval-set / per-domain-inspection sampler whose draw any
+    engine replays and whose result is independent of partitioning.
+    Groups with fewer than k rows keep everything.
+
+    One ordered window per group (rank over the hash, WindowGroupLimit
+    prunes beyond k before the filter) — a single exchange on the group
+    key. Returns the sampled input rows.
+    """
+    from pyspark.sql.window import Window
+
+    h = uniform(F.col(id_col), tag, seed, hash_fn="md5")
+    w = Window.partitionBy(*by).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )

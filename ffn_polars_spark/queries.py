@@ -7880,6 +7880,226 @@ def q_luhn_validate(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iterations: int = 15, d: float = 0.85) -> str:
+    """Unrolled PageRank replay: DuckDB recursive CTEs cannot aggregate in
+    the recursive term, so each iteration is its own CTE — same float
+    expression order as operators/graph.py (constants computed in-engine
+    from the same literals, so the doubles match bit-for-bit)."""
+    base = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT nodes.node, coalesce(od.c, 0) AS out_degree, 1.0 / nn.n AS rank
+  FROM nodes LEFT JOIN od ON od.src = nodes.node CROSS JOIN nn)"""
+    its = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        its.append(f"""r{k} AS MATERIALIZED (
+  SELECT nd.node, nd.out_degree,
+         (1.0 - {d!r}) / nn.n
+           + {d!r} * (coalesce(cin.s, 0.0) + dg.m / nn.n) AS rank
+  FROM r{p} nd
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / r.out_degree) AS s
+             FROM edges e JOIN r{p} r ON r.node = e.src
+             GROUP BY e.dst) cin ON cin.node = nd.node
+  CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS m
+              FROM r{p} WHERE out_degree = 0) dg
+  CROSS JOIN nn)""")
+    return (
+        base + ",\n" + ",\n".join(its)
+        + f"""
+SELECT node, {R('rank')} AS rank, CAST(out_degree AS BIGINT) AS out_degree
+FROM r{iterations}"""
+    )
+
+
+@query("pagerank", _pagerank_oracle_sql(15, 0.85))
+def q_pagerank(spark, sf_dir):
+    """PageRank over the supplier-nation → customer-nation trade graph:
+    the edge aggregation is the distributed step (fact-table joins,
+    DISTINCT), then 15 flat-lineage iterations on the entity-sized
+    frames; the oracle replays the identical float recurrence unrolled."""
+    from ffn_polars_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    out = pagerank(edges, damping=0.85, iterations=15)
+    return out.select(
+        "node", r6("rank").alias("rank"), F.col("out_degree").cast("long").alias("out_degree")
+    )
+
+
+@query(
+    "pareto_front",
+    """
+WITH pts AS (
+  SELECT p_brand, p_size, p_retailprice, min(p_partkey) AS p_partkey
+  FROM part GROUP BY p_brand, p_size, p_retailprice),
+sw AS (
+  SELECT p_brand, p_size, p_retailprice, p_partkey,
+         max(p_retailprice) OVER (
+           PARTITION BY p_brand
+           ORDER BY p_size DESC, p_retailprice DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM pts)
+SELECT p_brand, p_size, p_retailprice, p_partkey
+FROM sw WHERE pm IS NULL OR p_retailprice > pm""",
+)
+def q_pareto_front(spark, sf_dir):
+    """Per-brand Pareto frontier maximizing (size, retail price): the
+    skyline sweep as one ordered window over deduplicated points — no
+    pairwise dominance join."""
+    from ffn_polars_spark.operators.quality import pareto_front
+
+    part = read_table(spark, sf_dir, "part")
+    return pareto_front(
+        part, "p_size", "p_retailprice", by=["p_brand"], id_col="p_partkey"
+    )
+
+
+@query(
+    "cdc_merge",
+    """
+WITH snap AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+ch AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS ts,
+         CASE o_orderkey % 3 WHEN 0 THEN 'U' WHEN 1 THEN 'D' ELSE 'I' END AS op,
+         o_totalprice AS bal
+  FROM orders),
+last AS (
+  SELECT c_custkey, op, bal FROM ch
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ts DESC) = 1),
+j AS (
+  SELECT coalesce(s.c_custkey, l.c_custkey) AS c_custkey,
+         l.op, s.bal AS sbal, l.bal AS lbal
+  FROM snap s FULL OUTER JOIN last l ON s.c_custkey = l.c_custkey)
+SELECT c_custkey,
+       CASE WHEN op IS NULL THEN sbal ELSE lbal END AS bal
+FROM j WHERE op IS NULL OR op <> 'D'""",
+)
+def q_cdc_merge(spark, sf_dir):
+    """MERGE-INTO semantics applied relationally: the change log collapses
+    to one winner per key (max_by on the change sequence) before a single
+    full-outer join against the snapshot; deletes drop, upserts replace,
+    untouched keys pass through."""
+    from ffn_polars_spark.operators.scd import cdc_merge
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    snap = cust.select("c_custkey", F.col("c_acctbal").alias("bal"))
+    ch = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("ts"),
+        F.when(F.col("o_orderkey") % 3 == 0, "U")
+        .when(F.col("o_orderkey") % 3 == 1, "D")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    return cdc_merge(snap, ch, "c_custkey", "ts", "op", ["bal"])
+
+
+@query(
+    "mutual_information",
+    TICKS_SQL
+    + f""", st AS (
+  SELECT event_type, min(price) AS xlo, max(price) AS xhi,
+         min(volume) AS ylo, max(volume) AS yhi
+  FROM ticks GROUP BY event_type),
+bnd AS (
+  SELECT t.event_type,
+         CASE WHEN st.xhi - st.xlo > 0
+              THEN CAST(least(floor((t.price - st.xlo) / (st.xhi - st.xlo) * 8.0), 7) AS INT)
+              ELSE 0 END AS i,
+         CASE WHEN st.yhi - st.ylo > 0
+              THEN CAST(least(floor((t.volume - st.ylo) / (st.yhi - st.ylo) * 8.0), 7) AS INT)
+              ELSE 0 END AS j
+  FROM ticks t JOIN st USING (event_type)),
+joint AS (SELECT event_type, i, j, count(*) AS nij FROM bnd GROUP BY event_type, i, j),
+wj AS (
+  SELECT event_type, i, j, nij,
+         CAST(sum(nij) OVER (PARTITION BY event_type) AS DOUBLE) AS nn,
+         CAST(sum(nij) OVER (PARTITION BY event_type, i) AS DOUBLE) AS ni,
+         CAST(sum(nij) OVER (PARTITION BY event_type, j) AS DOUBLE) AS nj
+  FROM joint),
+mi AS (
+  SELECT event_type,
+         sum((nij / nn) * ln((nij / nn) * nn * nn / (ni * nj))) AS mi,
+         CAST(max(nn) AS BIGINT) AS n
+  FROM wj GROUP BY event_type),
+mx AS (SELECT event_type, i, sum(nij) AS c FROM joint GROUP BY event_type, i),
+my AS (SELECT event_type, j, sum(nij) AS c FROM joint GROUP BY event_type, j),
+hx AS (
+  SELECT event_type, sum(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)) AS h
+  FROM (SELECT event_type, i, c,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) AS t FROM mx)
+  GROUP BY event_type),
+hy AS (
+  SELECT event_type, sum(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)) AS h
+  FROM (SELECT event_type, j, c,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) AS t FROM my)
+  GROUP BY event_type)
+SELECT mi.event_type, {R("mi.mi")} AS mi,
+       {R("CASE WHEN least(hx.h, hy.h) > 0 THEN mi.mi / least(hx.h, hy.h) END")} AS mi_normalized,
+       mi.n
+FROM mi JOIN hx USING (event_type) JOIN hy USING (event_type)""",
+)
+def q_mutual_information(spark, sf_dir):
+    """Binned mutual information between price and volume per ticker
+    (8x8 equal-width grid): joint counts once, marginals and entropies
+    re-aggregated from the bins² frame — the dependence measure that
+    sees non-monotone structure Spearman cannot."""
+    from ffn_polars_spark.operators.evaluation import mutual_information
+
+    t = ticks(spark, sf_dir)
+    out = mutual_information(t, "price", "volume", by="event_type", bins=8)
+    return out.select(
+        "event_type", r6("mi").alias("mi"),
+        r6("mi_normalized").alias("mi_normalized"), "n",
+    )
+
+
+@query(
+    "groupk_sample",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gsample:0'), 18, 15))::BIGINT
+                    / 1152921504606846976.0 ASC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 20""",
+)
+def q_groupk_sample(spark, sf_dir):
+    """Deterministic exactly-20-per-source sample on md5 uniforms —
+    stratified bottomk: partition-shape-independent, replayable by any
+    engine, WindowGroupLimit prunes beyond k."""
+    from ffn_polars_spark.operators.sketch import groupk_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = groupk_sample(docs, 20, by=["source"], id_col="doc_id")
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -7918,6 +8138,11 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "pagerank",
+    "pareto_front",
+    "cdc_merge",
+    "mutual_information",
+    "groupk_sample",
     "embedding_covariance",
     "market_basket",
     "attribution",

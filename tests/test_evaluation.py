@@ -763,3 +763,89 @@ def test_luhn_known_numbers(spark):
     assert got[1] is True and got[2] is False
     assert got[3] is True and got[4] is False
     assert got[5] is None and got[6] is None
+
+
+def test_pagerank_star_graph(spark):
+    from ffn_polars_spark.operators.graph import pagerank
+    # star: 1..4 all point at 0; 0 points at 1. Hub must outrank leaves,
+    # ranks sum to 1.
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)]
+    out = pagerank(
+        spark.createDataFrame(edges, ["src", "dst"]), iterations=30
+    )
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > got[1] > got[2]  # leaf 1 gets hub's mass, 2-4 only base
+    assert abs(got[2] - got[3]) < 1e-12 and abs(got[3] - got[4]) < 1e-12
+
+
+def test_pagerank_dangling_mass(spark):
+    from ffn_polars_spark.operators.graph import pagerank
+    # 0 -> 1, 1 dangling: without redistribution ranks leak below 1.
+    out = pagerank(
+        spark.createDataFrame([(0, 1)], ["src", "dst"]), iterations=40
+    )
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[1] > got[0]
+
+
+def test_pareto_front_dominance(spark):
+    from ffn_polars_spark.operators.quality import pareto_front
+    pts = [("g", 1, 5.0, 10), ("g", 2, 4.0, 11), ("g", 3, 3.0, 12),
+           ("g", 2, 3.0, 13),   # dominated by (2,4)
+           ("g", 1, 1.0, 14),   # dominated by everything
+           ("g", 3, 3.0, 15)]   # exact duplicate of id 12 -> one representative
+    out = pareto_front(
+        spark.createDataFrame(pts, ["g", "x", "y", "id"]), "x", "y",
+        by=["g"], id_col="id",
+    )
+    got = sorted((r["x"], r["y"]) for r in out.collect())
+    assert got == [(1, 5.0), (2, 4.0), (3, 3.0)]
+
+
+def test_cdc_merge_ops(spark):
+    from ffn_polars_spark.operators.scd import cdc_merge
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "bal"]
+    )
+    ch = spark.createDataFrame(
+        [(2, 1, "U", 21.0), (2, 2, "U", 22.0),   # last write wins -> 22
+         (3, 1, "D", 0.0),                        # delete
+         (4, 1, "I", 40.0)],                      # insert new key
+        ["k", "ts", "op", "bal"],
+    )
+    out = cdc_merge(snap, ch, "k", "ts", "op", ["bal"])
+    got = {r["k"]: r["bal"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 22.0, 4: 40.0}
+
+
+def test_mutual_information_independent_vs_functional(spark):
+    from ffn_polars_spark.operators.evaluation import mutual_information
+    import itertools
+    # independent uniform grid: MI ~ 0
+    rows = [("g", float(i), float(j)) for i, j in
+            itertools.product(range(8), range(8))]
+    out = mutual_information(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y", by="g", bins=8
+    ).collect()[0]
+    assert abs(out["mi"]) < 1e-9
+    # y = 2x: the equal-width y bins coincide with the x bins, so the
+    # binned variables are identical -> normalized MI exactly 1
+    rows = [("g", float(i), float(2 * i)) for i in range(64)]
+    out = mutual_information(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y", by="g", bins=8
+    ).collect()[0]
+    assert abs(out["mi_normalized"] - 1.0) < 1e-9
+
+
+def test_groupk_sample_exact_k_and_deterministic(spark):
+    from ffn_polars_spark.operators.sketch import groupk_sample
+    rows = [(i, "s" + str(i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = groupk_sample(df, 5, by=["source"]).collect()
+    from collections import Counter
+    c = Counter(r["source"] for r in out)
+    assert all(v == 5 for v in c.values()) and len(c) == 3
+    out2 = groupk_sample(df.repartition(7), 5, by=["source"]).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)

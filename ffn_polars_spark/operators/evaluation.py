@@ -495,3 +495,40 @@ def mutual_information(
         F.when(hmin > 0, F.col("mi") / hmin).alias("mi_normalized"),
         "n",
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="paired_ttest")
+def paired_ttest(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Paired t-test between two aligned metric columns per group
+    (model A vs model B on the same queries, strategy vs benchmark on
+    the same days): ``t = mean(d) / (sd(d)/√n)`` over the per-row
+    differences — the significance companion to the point metrics
+    ([[auc_by_group]], [[ndcg_at_k]]) that says whether the gap is
+    real. Rows with NULL on either side are excluded (pairing must
+    hold). A pure one-pass aggregate. The t statistic and df are
+    emitted; feed them to any t CDF for a p-value (kept out of this
+    operator so the whole computation stays engine-replayable).
+    Returns ``(keys, mean_diff, t_stat, n)``; t NULL when the
+    difference variance is 0 or n < 2."""
+    keys = _keys(by)
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    ok = a.isNotNull() & b.isNotNull()
+    d = F.when(ok, a - b)
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    agg = g.agg(
+        F.avg(d).alias("mean_diff"),
+        F.stddev_samp(d).alias("__sd"),
+        F.count(d).alias("n"),
+    )
+    nn = F.col("n").cast("double")
+    t = F.when(
+        (F.col("__sd") > 0) & (F.col("n") >= 2),
+        F.col("mean_diff") / (F.col("__sd") / F.sqrt(nn)),
+    )
+    return agg.select(*keys, "mean_diff", t.alias("t_stat"), "n")

@@ -246,3 +246,49 @@ def market_basket(
             ).alias("lift"),
         )
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="temporal_cooccurrence")
+def temporal_cooccurrence(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    item_col: str,
+    window: int,
+) -> DataFrame:
+    """Temporal co-occurrence counts: item pairs observed for the same
+    key within ``window`` time units of each other — [[market_basket]]
+    with a clock (basket = a sliding window instead of the whole
+    history), the motif counter behind "error follows purchase within
+    5 minutes" questions.
+
+    The time-bucket decomposition (operators/ranges.py's idiom): the
+    left side explodes to its bucket and both neighbors, the join is
+    pure equi on (key, bucket) — a pair within Δ always lands in
+    adjacent buckets, and each qualifying pair matches on exactly ONE
+    bucket value (the right row's own), so no dedup pass is needed. The
+    exact ``|Δt| ≤ window`` filter and item ordering run on candidates
+    only. Returns ``(item_a, item_b, n_co)``.
+    """
+    b = F.floor(F.col(ts_col) / F.lit(int(window))).cast("long")
+    left = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ta"),
+        F.col(item_col).alias("__ia"),
+        F.explode(
+            F.array(b - F.lit(1), b, b + F.lit(1))
+        ).alias("__bkt"),
+    )
+    right = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__tb"),
+        F.col(item_col).alias("__ib"),
+        b.alias("__bkt"),
+    )
+    pairs = left.join(right, ["__k", "__bkt"]).where(
+        (F.col("__ia") < F.col("__ib"))
+        & (F.abs(F.col("__ta") - F.col("__tb")) <= F.lit(int(window)))
+    )
+    return pairs.groupBy(
+        F.col("__ia").alias("item_a"), F.col("__ib").alias("item_b")
+    ).agg(F.count(F.lit(1)).alias("n_co"))

@@ -1226,3 +1226,52 @@ def luhn_validate(
     return df.withColumn(
         "luhn_valid", F.when(digits_ok, (total % 10) == 0)
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="doc_perplexity")
+def doc_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    add-one-smoothed unigram LM: ``H(doc) = −Σ ln p(w) / len`` with
+    ``p(w) = (c(w)+1)/(N+V)`` — the self-perplexity gibberish screen
+    (documents whose word distribution fights the corpus score high),
+    the per-document companion to the corpus-level [[unigram_logprob]].
+
+    One exploded-token aggregate builds the vocabulary frame (corpus
+    scan #1), the same exploded frame joins it back per token (the
+    vocabulary side shuffles at vocab cardinality; AQE broadcasts small
+    vocabularies), one per-doc aggregate. Empty documents get NULL.
+    Returns ``(id, n_tokens, cross_entropy, perplexity)``."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    ).where(F.col("__w") != "")
+    vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    scored = (
+        toks.join(vocab, "__w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.col("__c") + F.lit(1)).cast("double")
+                / (F.col("__N") + F.col("__V")).cast("double")
+            ).alias("__lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("__lp") / F.count(F.lit(1)).cast("double")).alias(
+            "cross_entropy"
+        ),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "cross_entropy",
+        F.exp(F.col("cross_entropy")).alias("perplexity"),
+    )

@@ -186,3 +186,37 @@ def topk_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= F.lit(int(k)))
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="json_extract_stats")
+def json_extract_stats(
+    df,
+    json_col: str,
+    path: str,
+    by=None,
+):
+    """Typed extraction audit for a semi-structured JSON string column:
+    pull ``path`` (``$.field`` syntax) with engine-native JSON access
+    (whole-stage codegen, no UDF), and report per group how many rows
+    parse, how many carry the field, and the numeric profile of the
+    extracted values — the schema-drift gate an ingest pipeline runs
+    before trusting ``props``-style payload columns.
+
+    One projection + one hash aggregate. Returns ``(keys, n_rows,
+    n_json, n_field, min_v, max_v, avg_v)`` with the numeric stats NULL
+    when the field never parses as a number."""
+    from pyspark.sql import functions as F
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    j = F.col(json_col)
+    raw = F.get_json_object(j, path)
+    num = raw.cast("double")
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    return g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.get_json_object(j, "$").isNotNull(), 1)).alias("n_json"),
+        F.count(raw).alias("n_field"),
+        F.min(num).alias("min_v"),
+        F.max(num).alias("max_v"),
+        F.avg(num).alias("avg_v"),
+    )

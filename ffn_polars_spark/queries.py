@@ -8100,6 +8100,181 @@ def q_groupk_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@query(
+    "paired_ttest",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type,
+         price / lag(price) OVER ({W}) - 1 AS r,
+         price_b / lag(price_b) OVER ({W}) - 1 AS b
+  FROM ticks),
+ok AS (SELECT event_type, r - b AS d FROM rr WHERE r IS NOT NULL AND b IS NOT NULL),
+m AS (
+  SELECT event_type, avg(d) AS mean_diff, stddev_samp(d) AS sd,
+         count(*) AS n
+  FROM ok GROUP BY event_type)
+SELECT event_type, {R("mean_diff")} AS mean_diff,
+       {R("CASE WHEN sd > 0 AND n >= 2 THEN mean_diff / (sd / sqrt(CAST(n AS DOUBLE))) END")} AS t_stat,
+       n
+FROM m""",
+)
+def q_paired_ttest(spark, sf_dir):
+    """Paired t-test of the two price columns' aligned returns per
+    ticker — one pass over the per-row differences; t and df emitted,
+    the CDF left to the caller so the computation stays replayable."""
+    from ffn_polars_spark.operators.evaluation import paired_ttest
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+        ffn.eod.to_returns("price_b", over=TICK_OVER).alias("b"),
+    )
+    out = paired_ttest(pre, "r", "b", by="event_type")
+    return out.select(
+        "event_type", r6("mean_diff").alias("mean_diff"),
+        r6("t_stat").alias("t_stat"), "n",
+    )
+
+
+@query(
+    "doc_perplexity",
+    r"""
+WITH tok0 AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+tok AS (SELECT doc_id, w FROM tok0 WHERE w <> ''),
+v AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM v),
+sc AS (
+  SELECT tok.doc_id,
+         ln(CAST(v.c + 1 AS DOUBLE) / CAST(t.N + t.V AS DOUBLE)) AS lp
+  FROM tok JOIN v USING (w) CROSS JOIN t),
+a AS (SELECT doc_id, count(*) AS n_tokens,
+             -sum(lp) / CAST(count(*) AS DOUBLE) AS ce
+      FROM sc GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       floor(ce * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
+       floor(exp(ce) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+FROM a""",
+)
+def q_doc_perplexity(spark, sf_dir):
+    """Per-document cross-entropy under the corpus's own add-one unigram
+    LM — the gibberish screen; vocabulary frame built once and joined
+    back at vocab cardinality."""
+    from ffn_polars_spark.operators.text import doc_perplexity
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = doc_perplexity(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        r6("cross_entropy").alias("cross_entropy"),
+        r6("perplexity").alias("perplexity"),
+    )
+
+
+@query(
+    "json_extract_stats",
+    f"""
+SELECT event_type, count(*) AS n_rows,
+       CAST(count(CASE WHEN json_valid(props) THEN 1 END) AS BIGINT) AS n_json,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_field,
+       min(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS min_v,
+       max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_v,
+       {R("avg(CAST(json_extract_string(props, '$.k') AS DOUBLE))")} AS avg_v
+FROM events GROUP BY event_type""",
+)
+def q_json_extract_stats(spark, sf_dir):
+    """Schema-drift audit of the semi-structured props payload: native
+    JSON path extraction (codegen, no UDF), parse/field/numeric-profile
+    counters per event type."""
+    from ffn_polars_spark.operators.wide import json_extract_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    out = json_extract_stats(ev, "props", "$.k", by="event_type")
+    return out.select(
+        "event_type", "n_rows", "n_json", "n_field",
+        "min_v", "max_v", r6("avg_v").alias("avg_v"),
+    )
+
+
+@query(
+    "temporal_cooccurrence",
+    """
+WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS ts_ns, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n_co
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_type < b.event_type
+ AND abs(a.ts_ns - b.ts_ns) <= 300000000000
+GROUP BY a.event_type, b.event_type""",
+)
+def q_temporal_cooccurrence(spark, sf_dir):
+    """Item pairs a user touches within 5 minutes of each other: the
+    time-bucket decomposition keeps the join pure equi on (user,
+    bucket) — each qualifying pair matches on exactly one bucket, so no
+    dedup pass; the oracle replays it as a plain inequality join."""
+    from ffn_polars_spark.operators.funnel import temporal_cooccurrence
+
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select("user_id", ts_ns_col(ev).alias("ts_ns"), "event_type")
+    return temporal_cooccurrence(
+        e, "ts_ns", "user_id", "event_type", window=300_000_000_000
+    )
+
+
+@query(
+    "theil_sen_slope",
+    TICKS_SQL
+    + """, pts AS (
+  SELECT event_type, ts_ns / 60000000000.0 AS x, price AS y,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns / 60000000000.0) AS rn
+  FROM ticks),
+sz AS (SELECT event_type, max(rn) AS n FROM pts GROUP BY event_type),
+tr AS (
+  SELECT sz.event_type, sz.n, g.trial,
+         CAST(floor((('0x' || substr(md5(sz.event_type || '|' || CAST(g.trial AS VARCHAR) || ':theilsen:a:0'), 18, 15))::BIGINT
+               / 1152921504606846976.0) * sz.n) + 1 AS INT) AS i1,
+         CAST(floor((('0x' || substr(md5(sz.event_type || '|' || CAST(g.trial AS VARCHAR) || ':theilsen:b:0'), 18, 15))::BIGINT
+               / 1152921504606846976.0) * sz.n) + 1 AS INT) AS i2
+  FROM sz CROSS JOIN (SELECT unnest(generate_series(1, 500)) AS trial) g),
+ok AS (SELECT * FROM tr WHERE i1 <> i2),
+sl AS (
+  SELECT ok.event_type, (p2.y - p1.y) / (p2.x - p1.x) AS s, ok.n
+  FROM ok
+  JOIN pts p1 ON p1.event_type = ok.event_type AND p1.rn = ok.i1
+  JOIN pts p2 ON p2.event_type = ok.event_type AND p2.rn = ok.i2
+  WHERE p2.x <> p1.x)
+SELECT event_type,
+       floor(quantile_cont(s, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS theil_sen_slope,
+       count(*) AS n_pairs_used,
+       CAST(max(n) AS BIGINT) AS n_points
+FROM sl GROUP BY event_type""",
+)
+def q_theil_sen_slope(spark, sf_dir):
+    """Sampled Theil-Sen robust trend of price vs time (minutes) per
+    ticker: 500 md5-indexed point pairs, median slope by exact
+    percentile — O(k) instead of the classical O(n²) all-pairs, with a
+    draw any engine replays."""
+    from ffn_polars_spark.operators.sketch import theil_sen_slope
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type",
+        (F.col("ts_ns") / F.lit(60_000_000_000.0)).alias("x"),
+        F.col("price").alias("y"),
+    )
+    out = theil_sen_slope(
+        pre, "x", "y", by=["event_type"], n_pairs=500, seed=0
+    )
+    return out.select(
+        "event_type",
+        r6("theil_sen_slope").alias("theil_sen_slope"),
+        "n_pairs_used",
+        "n_points",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -8138,6 +8313,11 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "paired_ttest",
+    "doc_perplexity",
+    "json_extract_stats",
+    "temporal_cooccurrence",
+    "theil_sen_slope",
     "pagerank",
     "pareto_front",
     "cdc_merge",

@@ -849,3 +849,93 @@ def test_groupk_sample_exact_k_and_deterministic(spark):
     assert all(v == 5 for v in c.values()) and len(c) == 3
     out2 = groupk_sample(df.repartition(7), 5, by=["source"]).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_paired_ttest_known_values(spark):
+    from ffn_polars_spark.operators.evaluation import paired_ttest
+    import statistics as st
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [0.5, 1.8, 2.0, 3.9]
+    rows = [("g", x, y) for x, y in zip(a, b)]
+    out = paired_ttest(
+        spark.createDataFrame(rows, ["g", "a", "b"]), "a", "b", by="g"
+    ).collect()[0]
+    d = [x - y for x, y in zip(a, b)]
+    assert abs(out["mean_diff"] - st.mean(d)) < 1e-12
+    expected_t = st.mean(d) / (st.stdev(d) / len(d) ** 0.5)
+    assert abs(out["t_stat"] - expected_t) < 1e-12
+    assert out["n"] == 4
+
+
+def test_paired_ttest_zero_variance_null(spark):
+    from ffn_polars_spark.operators.evaluation import paired_ttest
+    rows = [("g", 2.0, 1.0), ("g", 3.0, 2.0)]   # constant diff 1.0
+    out = paired_ttest(
+        spark.createDataFrame(rows, ["g", "a", "b"]), "a", "b", by="g"
+    ).collect()[0]
+    assert out["t_stat"] is None and out["mean_diff"] == 1.0
+
+
+def test_doc_perplexity_uniformity(spark):
+    from ffn_polars_spark.operators.text import doc_perplexity
+    import math as m
+    # two docs over a 2-word vocab, each word twice: p(w) = (2+1)/(4+2)
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "bb aa")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in doc_perplexity(df).collect()}
+    p = 3.0 / 6.0
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 2
+        assert abs(out[d]["cross_entropy"] - (-m.log(p))) < 1e-12
+        assert abs(out[d]["perplexity"] - 1 / p) < 1e-9
+    # a doc full of rare words scores higher than a doc of common words
+    df2 = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyx qwv")], ["doc_id", "text"]
+    )
+    o2 = {r["doc_id"]: r["cross_entropy"] for r in doc_perplexity(df2).collect()}
+    assert o2[2] > o2[1]
+
+
+def test_json_extract_stats_mixed_payloads(spark):
+    from ffn_polars_spark.operators.wide import json_extract_stats
+    rows = [("g", '{"k": 5}'), ("g", '{"k": 15}'), ("g", '{"other": 1}'),
+            ("g", "not json"), ("g", None)]
+    out = json_extract_stats(
+        spark.createDataFrame(rows, ["g", "p"]), "p", "$.k", by="g"
+    ).collect()[0]
+    assert out["n_rows"] == 5 and out["n_field"] == 2
+    assert out["min_v"] == 5.0 and out["max_v"] == 15.0
+    assert abs(out["avg_v"] - 10.0) < 1e-12
+
+
+def test_temporal_cooccurrence_window(spark):
+    from ffn_polars_spark.operators.funnel import temporal_cooccurrence
+    SEC = 1_000_000_000
+    rows = [(1, 0 * SEC, "a"), (1, 10 * SEC, "b"),     # within 30s
+            (1, 100 * SEC, "c"),                       # far from both
+            (2, 0 * SEC, "a"), (2, 29 * SEC, "b"),     # within (boundary)
+            (2, 0 * SEC, "x")]                         # a-x same ts
+    out = temporal_cooccurrence(
+        spark.createDataFrame(rows, ["u", "ts", "i"]), "ts", "u", "i",
+        window=30 * SEC,
+    )
+    got = {(r["item_a"], r["item_b"]): r["n_co"] for r in out.collect()}
+    assert got[("a", "b")] == 2
+    assert got[("a", "x")] == 1 and got[("b", "x")] == 1
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_theil_sen_ignores_outliers(spark):
+    from ffn_polars_spark.operators.sketch import theil_sen_slope
+    # y = 2x + noiseless, with 10% wild outliers: median slope stays ~2.
+    rows = []
+    for i in range(200):
+        y = 2.0 * i + (1000.0 if i % 10 == 0 else 0.0)
+        rows.append(("g", float(i), y))
+    out = theil_sen_slope(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y",
+        by=["g"], n_pairs=400,
+    ).collect()[0]
+    assert abs(out["theil_sen_slope"] - 2.0) < 0.5
+    assert out["n_points"] == 200 and out["n_pairs_used"] <= 400

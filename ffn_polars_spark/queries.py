@@ -7623,7 +7623,7 @@ def q_fuzzy_match_pairs(spark, sf_dir):
 
     part = read_table(spark, sf_dir, "part")
     return fuzzy_match_pairs(
-        part, "p_name", "p_partkey", "p_brand", max_dist=2
+        part, "p_name", "p_partkey", "p_brand", max_dist=2, max_block=1000
     )
 
 
@@ -8275,6 +8275,32 @@ def q_theil_sen_slope(spark, sf_dir):
     )
 
 
+@query(
+    "sorted_fuzzy_pairs",
+    """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_name,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS rn
+  FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS text_a, b.p_name AS text_b,
+       levenshtein(a.p_name, b.p_name) AS distance
+FROM r a JOIN r b
+  ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 10
+WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+)
+def q_sorted_fuzzy_pairs(spark, sf_dir):
+    """Sorted-neighborhood linkage on part names (10-neighbor window
+    inside each brand): O(n·w) by construction — the measured-linear
+    replacement for blocked linkage's quadratic growth."""
+    from ffn_polars_spark.operators.dedup import sorted_fuzzy_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    return sorted_fuzzy_pairs(
+        part, "p_name", "p_partkey", window=10, max_dist=2, by=["p_brand"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -8313,6 +8339,7 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "sorted_fuzzy_pairs",
     "paired_ttest",
     "doc_perplexity",
     "json_extract_stats",

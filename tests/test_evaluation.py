@@ -939,3 +939,27 @@ def test_theil_sen_ignores_outliers(spark):
     ).collect()[0]
     assert abs(out["theil_sen_slope"] - 2.0) < 0.5
     assert out["n_points"] == 200 and out["n_pairs_used"] <= 400
+
+
+def test_sorted_fuzzy_matches_within_window(spark):
+    from ffn_polars_spark.operators.dedup import sorted_fuzzy_pairs
+    rows = [("b", 1, "kitten"), ("b", 2, "kittes"), ("b", 3, "kitter"),
+            ("b", 4, "zzzzzz")]
+    out = sorted_fuzzy_pairs(
+        spark.createDataFrame(rows, ["blk", "id", "t"]), "t", "id",
+        window=3, max_dist=2, by=["blk"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    # sort order: kitten(1), kitter(3), kittes(2), zzzzzz(4)
+    assert got[(1, 3)] == 1 and got[(1, 2)] == 1 and got[(3, 2)] == 1
+    assert all("zzzzzz" not in (a, b) for a, b in got)
+
+
+def test_fuzzy_max_block_guard_drops_degenerate_blocks(spark):
+    from ffn_polars_spark.operators.dedup import fuzzy_match_pairs
+    rows = [("big", i, "name" + str(i % 3)) for i in range(50)]
+    rows += [("small", 100, "abc"), ("small", 101, "abd")]
+    df = spark.createDataFrame(rows, ["blk", "id", "t"])
+    out = fuzzy_match_pairs(df, "t", "id", "blk", max_dist=2, max_block=10)
+    got = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert got == [(100, 101)]       # the 50-row block never reaches the join

@@ -946,3 +946,40 @@ def sorted_fuzzy_pairs(
         F.levenshtein(F.col("text_a"), F.col("text_b")).alias("distance"),
     )
     return pairs.where(F.col("distance") <= int(max_dist))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="shingle_novelty")
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-order novelty score: the share of each document's distinct
+    n-gram shingles whose FIRST appearance (lowest id in ingest order)
+    is this document — 1.0 = all-new content, →0 = everything was
+    already said. The freshness signal corpus curation ranks by after
+    dedup: [[dedup_minhash_lsh]] removes copies, novelty quantifies how
+    much each survivor adds.
+
+    One distinct (shingle, id) frame, a min-id aggregate at shingle
+    cardinality, one join back, one per-doc aggregate — no pair join at
+    all (unlike the pairwise dedup family, attribution needs only the
+    per-shingle minimum). Returns ``(id, n_shingles, n_novel,
+    novelty)``; documents with no shingles are absent.
+    """
+    sh = _pinned(_doc_shingles(_spread(df, id_col), text_col, id_col, n))
+    first = sh.groupBy("__sh").agg(F.min("__id").alias("__first"))
+    joined = sh.join(first, "__sh")
+    agg = joined.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("__id") == F.col("__first")).cast("long")).alias("n_novel"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "novelty"
+        ),
+    )

@@ -532,3 +532,107 @@ def paired_ttest(
         F.col("mean_diff") / (F.col("__sd") / F.sqrt(nn)),
     )
     return agg.select(*keys, "mean_diff", t.alias("t_stat"), "n")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="information_value")
+def information_value(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screen: equal-width
+    bins over each group's score range, per-bin
+    ``WoE = ln(share_of_positives / share_of_negatives)`` and
+    ``iv_term = (p_pos − p_neg)·WoE`` — sum the terms for the feature's
+    IV (credit-scoring rule of thumb: < 0.02 useless, > 0.3 strong).
+    The binned, per-feature companion to [[auc_by_group]]; shares are
+    clamped at ``eps`` (the standard empty-bin convention, as in the
+    PSI family).
+
+    Same broadcast-stats + single-aggregate shape as
+    [[calibration_bins]]; per-group totals ride on a window over the
+    bins-sized frame. Returns ``(keys, bin, n_pos, n_neg, woe,
+    iv_term)``."""
+    keys = _keys(by)
+    cb = calibration_bins(df, score_col, label_col, by=keys or None, bins=bins)
+    n_pos = (F.col("pos_rate") * F.col("n").cast("double"))
+    staged = cb.select(
+        *keys, "bin",
+        n_pos.alias("__np"),
+        (F.col("n").cast("double") - n_pos).alias("__nn"),
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    tp = F.sum("__np").over(w_all)
+    tn = F.sum("__nn").over(w_all)
+    p_pos = F.greatest(F.col("__np") / tp, F.lit(float(eps)))
+    p_neg = F.greatest(F.col("__nn") / tn, F.lit(float(eps)))
+    woe = F.log(p_pos / p_neg)
+    return staged.select(
+        *keys, "bin",
+        F.round("__np", 0).cast("long").alias("n_pos"),
+        F.round("__nn", 0).cast("long").alias("n_neg"),
+        woe.alias("woe"),
+        ((p_pos - p_neg) * woe).alias("iv_term"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ols_residual_diagnostics")
+def ols_residual_diagnostics(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    ts_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Single-factor OLS fit + residual diagnostics per group: beta/alpha
+    (the [[jensen_alpha]] moments), R², and the Durbin–Watson statistic
+    ``Σ(eₜ − eₜ₋₁)² / Σe²`` on the time-ordered residuals (≈2 = no
+    serial correlation, →0 positive, →4 negative) — the "is this
+    regression lying to you" panel, since autocorrelated residuals
+    invalidate the usual standard errors.
+
+    Two passes sharing one exchange: a per-group moment aggregate
+    (broadcast back), then the residual lag window + final aggregate on
+    the same keys. Returns ``(keys, beta, alpha, r2, durbin_watson,
+    n)``."""
+    keys = _keys(by)
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    ok = y.isNotNull() & x.isNotNull()
+    both = df.where(ok)
+    g = both.groupBy(*keys) if keys else both.groupBy()
+    fit = g.agg(
+        (F.covar_pop(y, x) / F.var_pop(x)).alias("__beta"),
+        F.avg(y).alias("__my"),
+        F.avg(x).alias("__mx"),
+    ).withColumn("__alpha", F.col("__my") - F.col("__beta") * F.col("__mx"))
+    j = (
+        both.join(F.broadcast(fit), on=keys)
+        if keys
+        else both.crossJoin(F.broadcast(fit))
+    )
+    e = y - (F.col("__alpha") + F.col("__beta") * x)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    staged = j.withColumn("__e", e).withColumn(
+        "__de", F.col("__e") - F.lag("__e").over(w)
+    )
+    g2 = staged.groupBy(*keys) if keys else staged.groupBy()
+    agg = g2.agg(
+        F.first("__beta").alias("beta"),
+        F.first("__alpha").alias("alpha"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__sse"),
+        F.var_pop(y).alias("__vy"),
+        F.sum(F.col("__de") * F.col("__de")).alias("__sde"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    r2 = F.when(
+        F.col("__vy") > 0,
+        F.lit(1.0) - F.col("__sse") / (F.col("__vy") * F.col("n").cast("double")),
+    )
+    dw = F.when(F.col("__sse") > 0, F.col("__sde") / F.col("__sse"))
+    return agg.select(
+        *keys, "beta", "alpha", r2.alias("r2"), dw.alias("durbin_watson"), "n"
+    )

@@ -8301,6 +8301,179 @@ def q_sorted_fuzzy_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_psi",
+    f"""
+WITH bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+keys AS (SELECT DISTINCT event_type FROM events),
+c AS (
+  SELECT event_type,
+         least(greatest(CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0), 9) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY event_type),
+grid AS (
+  SELECT k.event_type, b.bin, coalesce(c.n, 0) AS n
+  FROM keys k CROSS JOIN bins b
+  LEFT JOIN c ON c.event_type = k.event_type AND c.bin = b.bin),
+p AS (
+  SELECT g.event_type, t.tot,
+         greatest(CAST(g.n AS DOUBLE) / t.tot, 1e-6) AS po
+  FROM grid g JOIN t USING (event_type))
+SELECT event_type, max(tot) AS n_events,
+       {R("sum((po - 0.1) * ln(po / 0.1))")} AS psi
+FROM p GROUP BY event_type""",
+)
+def q_streaming_psi(spark, sf_dir):
+    """Streaming PSI drift monitor (applyInPandasWithState): per-key
+    fixed-bin histograms accumulate as state across micro-batches; the
+    drained final histogram equals the batch aggregate, so the emitted
+    PSI against the uniform reference is replayed by the batch SQL
+    twin (13th streaming entry)."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_psi,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = read_tick_stream(spark, stage, ts_col="ts")
+    out = stateful_psi(
+        stream, "event_type", "value",
+        ref_probs=[0.1] * 10, lo=0.0, width=10.0,
+    )
+    drained = run_available_now(out, output_mode="update")
+    return drained.select("event_type", "n_events", r6("psi").alias("psi"))
+
+
+@query(
+    "shingle_novelty",
+    f"""
+WITH {TRIGRAM_SQL},
+f AS (SELECT sh, min(doc_id) AS first FROM shd GROUP BY sh),
+a AS (
+  SELECT shd.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN shd.doc_id = f.first THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM shd JOIN f USING (sh) GROUP BY shd.doc_id)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+FROM a""",
+)
+def q_shingle_novelty(spark, sf_dir):
+    """Corpus-order novelty: share of each document's trigram shingles
+    first introduced by that document — a min-id aggregate at shingle
+    cardinality plus one join back; no pair join."""
+    from ffn_polars_spark.operators.dedup import shingle_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shingle_novelty(docs, n=3)
+
+
+@query(
+    "information_value",
+    f"""
+WITH sc AS (
+  SELECT o_orderpriority, o_totalprice AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+st AS (SELECT o_orderpriority, min(s) AS lo, max(s) AS hi
+       FROM sc GROUP BY o_orderpriority),
+b AS (
+  SELECT sc.o_orderpriority,
+         CASE WHEN st.hi - st.lo > 0
+              THEN CAST(least(floor((sc.s - st.lo) / (st.hi - st.lo) * 10.0), 9) AS INT)
+              ELSE 0 END AS bin,
+         sc.y
+  FROM sc JOIN st USING (o_orderpriority)),
+c AS (
+  SELECT o_orderpriority, bin,
+         CAST(sum(y) AS BIGINT) AS np,
+         CAST(count(*) - sum(y) AS BIGINT) AS nn
+  FROM b GROUP BY o_orderpriority, bin),
+w AS (
+  SELECT o_orderpriority, bin, np, nn,
+         CAST(sum(np) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS tp,
+         CAST(sum(nn) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS tn
+  FROM c)
+SELECT o_orderpriority, bin, np AS n_pos, nn AS n_neg,
+       {R("ln(greatest(np / tp, 1e-6) / greatest(nn / tn, 1e-6))")} AS woe,
+       {R("(greatest(np / tp, 1e-6) - greatest(nn / tn, 1e-6)) * ln(greatest(np / tp, 1e-6) / greatest(nn / tn, 1e-6))")} AS iv_term
+FROM w""",
+)
+def q_information_value(spark, sf_dir):
+    """Per-bin Weight-of-Evidence and IV contributions of the order total
+    against finished status, per priority band — the binned feature
+    screen on calibration_bins' broadcast-stats shape."""
+    from ffn_polars_spark.operators.evaluation import information_value
+
+    orders = read_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderpriority", "o_totalprice",
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    out = information_value(
+        scored, "o_totalprice", "label", by="o_orderpriority", bins=10
+    )
+    return out.select(
+        "o_orderpriority", "bin", "n_pos", "n_neg",
+        r6("woe").alias("woe"), r6("iv_term").alias("iv_term"),
+    )
+
+
+@query(
+    "ols_residual_diagnostics",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS y,
+         price_b / lag(price_b) OVER ({W}) - 1 AS x
+  FROM ticks),
+ok AS (SELECT * FROM rr WHERE y IS NOT NULL AND x IS NOT NULL),
+fit AS (
+  SELECT event_type,
+         covar_pop(y, x) / var_pop(x) AS beta,
+         avg(y) AS my, avg(x) AS mx, var_pop(y) AS vy
+  FROM ok GROUP BY event_type),
+res AS (
+  SELECT ok.event_type, ok.ts_ns, ok.event_id, ok.y,
+         fit.beta, fit.my - fit.beta * fit.mx AS alpha, fit.vy,
+         ok.y - ((fit.my - fit.beta * fit.mx) + fit.beta * ok.x) AS e
+  FROM ok JOIN fit USING (event_type)),
+rd AS (
+  SELECT event_type, beta, alpha, vy, e,
+         e - lag(e) OVER (PARTITION BY event_type ORDER BY ts_ns) AS de
+  FROM res),
+agg AS (
+  SELECT event_type, any_value(beta) AS beta, any_value(alpha) AS alpha,
+         sum(e * e) AS sse, any_value(vy) AS vy,
+         sum(de * de) AS sde, count(*) AS n
+  FROM rd GROUP BY event_type)
+SELECT event_type, {R("beta")} AS beta, {R("alpha")} AS alpha,
+       {R("CASE WHEN vy > 0 THEN 1.0 - sse / (vy * n) END")} AS r2,
+       {R("CASE WHEN sse > 0 THEN sde / sse END")} AS durbin_watson,
+       n
+FROM agg""",
+)
+def q_ols_residual_diagnostics(spark, sf_dir):
+    """CAPM fit + residual autocorrelation panel per ticker: beta/alpha
+    moments broadcast back, Durbin-Watson on the time-ordered residuals
+    — the 'is this regression lying' diagnostic."""
+    from ffn_polars_spark.operators.evaluation import ols_residual_diagnostics
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("y"),
+        ffn.eod.to_returns("price_b", over=TICK_OVER).alias("x"),
+    )
+    out = ols_residual_diagnostics(pre, "y", "x", "ts_ns", by="event_type")
+    return out.select(
+        "event_type", r6("beta").alias("beta"), r6("alpha").alias("alpha"),
+        r6("r2").alias("r2"), r6("durbin_watson").alias("durbin_watson"), "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -8339,6 +8512,10 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "streaming_psi",
+    "shingle_novelty",
+    "information_value",
+    "ols_residual_diagnostics",
     "sorted_fuzzy_pairs",
     "paired_ttest",
     "doc_perplexity",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -669,6 +670,97 @@ def stateful_cusum(
         update,
         outputStructType=_cusum_output_schema(key),
         stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+_PSI_STATE_SCHEMA = StructType(
+    [
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _psi_output_schema(key: str) -> StructType:
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("n_events", LongType()),
+            StructField("psi", DoubleType()),
+        ]
+    )
+
+
+def stateful_psi(
+    stream: DataFrame,
+    key: str,
+    value: str,
+    ref_probs,
+    lo: float,
+    width: float,
+    eps: float = 1e-6,
+    idle_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Streaming Population Stability Index via ``applyInPandasWithState``
+    — the online twin of the batch [[psi_drift]] monitor: each key keeps
+    its running fixed-width-bin histogram as state (one long per bin),
+    and every micro-batch emits the PSI of the accumulated distribution
+    against a broadcast reference — drift monitoring that never rescans
+    history. Binning is ``clamp(floor((v − lo)/width), 0, nbins−1)``,
+    identical to the batch operator, and a drained run's final histogram
+    equals the batch aggregate exactly, so the emitted PSI is replayable
+    by a batch SQL twin (the oracle).
+
+    State is ``nbins`` longs per key; the usual ``idle_timeout_ms`` TTL
+    applies. Emits ``(key, n_events, psi)`` in update mode.
+    """
+    import numpy as np
+
+    ref = np.asarray([float(p) for p in ref_probs], dtype=np.float64)
+    nbins = len(ref)
+    flo, fw, feps = float(lo), float(width), float(eps)
+
+    def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            counts_list, n = state.get
+            counts = np.asarray(counts_list, dtype=np.int64)
+        else:
+            counts, n = np.zeros(nbins, dtype=np.int64), 0
+        for pdf in pdf_iter:
+            x = pdf[value].to_numpy(dtype=np.float64)
+            if not len(x):
+                continue
+            b = np.clip(
+                np.floor((x - flo) / fw).astype(np.int64), 0, nbins - 1
+            )
+            counts += np.bincount(b, minlength=nbins)
+            n += len(x)
+        state.update(([int(c) for c in counts], n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if n > 0:
+            p_obs = np.maximum(counts / float(n), feps)
+            p_ref = np.maximum(ref, feps)
+            psi = float(np.sum((p_obs - p_ref) * np.log(p_obs / p_ref)))
+        else:
+            psi = 0.0
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "psi": [psi]}
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=_psi_output_schema(key),
+        stateStructType=_PSI_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

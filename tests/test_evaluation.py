@@ -963,3 +963,83 @@ def test_fuzzy_max_block_guard_drops_degenerate_blocks(spark):
     out = fuzzy_match_pairs(df, "t", "id", "blk", max_dist=2, max_block=10)
     got = [(r["id_a"], r["id_b"]) for r in out.collect()]
     assert got == [(100, 101)]       # the 50-row block never reaches the join
+
+
+def test_stateful_psi_matches_batch_histogram(spark, tmp_path):
+    import math as m
+    from ffn_polars_spark.streaming import stateful_psi, run_available_now
+    rows = [("a", i, float(v)) for i, v in
+            enumerate([5, 15, 15, 25, 95, 95, 95, 5, 5, 5])]
+    src = str(tmp_path / "psitape")
+    spark.createDataFrame(rows, ["k", "ts", "value"]).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful_psi(
+        stream, "k", "value", ref_probs=[0.1] * 10, lo=0.0, width=10.0
+    )
+    got = {r["k"]: r for r in run_available_now(out, "update").collect()}["a"]
+    assert got["n_events"] == 10
+    counts = [4, 2, 1, 0, 0, 0, 0, 0, 0, 3]
+    eps = 1e-6
+    psi = sum(
+        (max(c / 10.0, eps) - 0.1) * m.log(max(c / 10.0, eps) / 0.1)
+        for c in counts
+    )
+    assert abs(got["psi"] - psi) < 1e-9
+
+
+def test_shingle_novelty_first_introduction(spark):
+    from ffn_polars_spark.operators.dedup import shingle_novelty
+    docs = [(1, "a b c d"),          # shingles: abc, bcd — all novel
+            (2, "a b c e"),          # abc seen, bce novel -> 0.5
+            (3, "a b c d")]          # exact repeat -> 0.0
+    out = shingle_novelty(
+        spark.createDataFrame(docs, ["doc_id", "text"]), n=3
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_shingles"] == 2
+    assert got[2]["novelty"] == 0.5
+    assert got[3]["novelty"] == 0.0
+
+
+def test_information_value_separating_feature(spark):
+    import math as m
+    from ffn_polars_spark.operators.evaluation import information_value
+    # score separates perfectly: low scores negative, high positive
+    rows = [("g", float(i), i >= 50) for i in range(100)]
+    out = information_value(
+        spark.createDataFrame(rows, ["g", "s", "y"]), "s", "y", by="g", bins=2
+    )
+    got = {r["bin"]: r for r in out.collect()}
+    assert got[0]["n_pos"] == 0 and got[0]["n_neg"] == 50
+    assert got[1]["n_pos"] == 50 and got[1]["n_neg"] == 0
+    # strong-IV direction: each bin's WoE at the eps clamp
+    assert got[1]["woe"] == m.log(1.0 / 1e-6)
+    iv = sum(r["iv_term"] for r in got.values())
+    assert iv > 0.3
+
+
+def test_ols_residual_diagnostics_planted(spark):
+    from ffn_polars_spark.operators.evaluation import ols_residual_diagnostics
+    # y = 2x + 1 exactly: r2 = 1, residuals 0 -> DW null (sse = 0)
+    rows = [("g", i, 2.0 * x + 1.0, x) for i, x in
+            enumerate([0.1, -0.2, 0.3, 0.15, -0.05])]
+    out = ols_residual_diagnostics(
+        spark.createDataFrame(rows, ["g", "ts", "y", "x"]), "y", "x", "ts",
+        by="g",
+    ).collect()[0]
+    assert abs(out["beta"] - 2.0) < 1e-12 and abs(out["alpha"] - 1.0) < 1e-12
+    assert abs(out["r2"] - 1.0) < 1e-9
+    # residuals are float noise (~1e-17), so DW is defined but meaningless;
+    # r2 ~ 1 is the signal that the fit explains everything
+    # alternating residuals -> DW near 4 (strong negative autocorrelation)
+    rows = [("g", i, (1.0 if i % 2 == 0 else -1.0), 0.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "ts", "y", "x"])
+    # x constant -> var_pop(x)=0 -> beta NULL; use tiny slope-free variant:
+    rows = [("g", i, (1.0 if i % 2 == 0 else -1.0) + 0.001 * i, 0.001 * i)
+            for i in range(50)]
+    out = ols_residual_diagnostics(
+        spark.createDataFrame(rows, ["g", "ts", "y", "x"]), "y", "x", "ts",
+        by="g",
+    ).collect()[0]
+    assert out["durbin_watson"] > 3.0

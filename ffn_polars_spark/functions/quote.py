@@ -164,3 +164,65 @@ def realized_spread(
         d = tick_rule(F.col(price), over=over).cast("double")
     rs = F.lit(2.0) * d * (F.col(price) - F.col("mid_future"))
     return joined.withColumn("realized_spread", rs).drop("__ts_h")
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="impact_decay")
+def impact_decay(
+    trades: DataFrame,
+    quotes: DataFrame,
+    horizons,
+    price: str = "price",
+    ts: str = "ts_ns",
+    by: Optional[list] = None,
+    ask: str = "ask",
+    bid: str = "bid",
+) -> DataFrame:
+    """Price-impact decay profile: the signed mid move ``d·(mid_{t+h} −
+    mid_t)`` averaged per horizon — how much of a trade's immediate
+    impact is permanent (information) vs transient (liquidity), the
+    multi-horizon extension of [[realized_spread]] exactly as
+    [[ic_decay]] extends the single IC. Signs come from the tick rule on
+    the trade tape; ``mid_t`` and each ``mid_{t+h}`` come from as-of
+    backward joins of the (shifted) trade time against the quote stream
+    — one join per horizon + one for the base mid, each the
+    no-explosion union-tag machinery, then a single (keys, horizon)
+    aggregate over the stacked frame.
+
+    Returns ``(keys, horizon, avg_impact, n)`` (trades with no quote at
+    either end of a horizon are excluded from that horizon only)."""
+    from ffn_polars_spark.functions.tick_direction import tick_rule
+    from ffn_polars_spark.operators.asof import asof_join
+
+    by = list(by or [])
+    q = quotes.select(
+        *by,
+        F.col(ts).alias("__qts"),
+        ((F.col(ask) + F.col(bid)) / F.lit(2.0)).alias("__mid"),
+    )
+    over = Over(order_by=[ts], partition_by=by or None)
+    base = trades.withColumn("__d", tick_rule(F.col(price), over=over).cast("double"))
+    base = base.withColumn("__qts", F.col(ts))
+    base = asof_join(
+        base, q.withColumnRenamed("__mid", "mid0"), on="__qts",
+        by=by or None, strategy="backward",
+    ).drop("__qts")
+    outs = []
+    for h in horizons:
+        hh = int(h)
+        shifted = base.withColumn("__qts", F.col(ts) + F.lit(hh))
+        j = asof_join(
+            shifted, q.withColumnRenamed("__mid", "__midh"), on="__qts",
+            by=by or None, strategy="backward",
+        )
+        impact = F.col("__d") * (F.col("__midh") - F.col("mid0"))
+        staged = j.where(
+            F.col("mid0").isNotNull() & F.col("__midh").isNotNull()
+        ).select(*by, F.lit(hh).alias("horizon"), impact.alias("__imp"))
+        outs.append(staged)
+    stacked = outs[0]
+    for o in outs[1:]:
+        stacked = stacked.unionByName(o)
+    g = stacked.groupBy(*(by + ["horizon"]))
+    return g.agg(
+        F.avg("__imp").alias("avg_impact"), F.count(F.lit(1)).alias("n")
+    )

@@ -300,3 +300,54 @@ def cusum_changepoints(
         F.col("__alarm").alias("alarm"),
         F.col("__seg").alias("segment_id"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="debounce")
+def debounce(
+    df: DataFrame,
+    ts_col: str,
+    cooldown: int,
+    by: Optional[List[str]] = None,
+) -> DataFrame:
+    """Cooldown deduplication (debounce): keep an event only if at least
+    ``cooldown`` time units have passed since the LAST KEPT event of its
+    key — the retry-storm / double-fire collapse every event pipeline
+    needs. Unlike a fixed-grid dedup (one per bucket), the cooldown
+    anchors to the kept event, so the decision is inherently sequential:
+    whether row i survives depends on which earlier rows survived — the
+    same reset-recurrence class as [[imbalance_bars]] and
+    [[cusum_changepoints]], and the same distribution contract (per-key
+    Arrow scan, unbounded keys in parallel; pure integer comparisons, so
+    any engine replaying the walk — the oracle's recursive CTE — lands
+    on identical keeps).
+
+    Returns the input rows + ``kept`` (boolean).
+    """
+    by = list(by or [])
+    staged = df.select(*by, F.col(ts_col).alias("__ts"))
+    schema = T.StructType(
+        [staged.schema[c] for c in staged.columns]
+        + [T.StructField("__kept", T.BooleanType())]
+    )
+    cd = int(cooldown)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts", kind="mergesort")
+        ts = pdf["__ts"].to_numpy()
+        kept = np.empty(len(ts), dtype=bool)
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= cd:
+                kept[i] = True
+                last = t
+            else:
+                kept[i] = False
+        out = pdf.copy()
+        out["__kept"] = kept
+        return out
+
+    grouped = staged.groupBy(*by) if by else staged.groupBy(F.lit(1).alias("__g"))
+    assigned = grouped.applyInPandas(walk, schema)
+    return assigned.select(
+        *by, F.col("__ts").alias(ts_col), F.col("__kept").alias("kept")
+    )

@@ -110,3 +110,59 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return l.join(r, keys + ["__salt"], how).drop("__salt")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="skew_profile")
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/aggregation skew diagnosis for a key column: the measurement
+    step before [[salted_agg]] / [[salted_join]]'s mitigation. Emits one
+    row per top-``top_k`` hot key with its share of all rows, plus the
+    summary every row carries — distinct key count, the max single-key
+    share, and the recommended salt bucket count
+    ``ceil(hot_rows / mean_rows_per_key)`` (how many average-sized tasks
+    the hottest key would need to split into for balance).
+
+    One key-cardinality aggregate + a TakeOrderedAndProject-style ranked
+    window limited to ``top_k`` — the full table never shuffles twice.
+    Returns ``(key, n_rows, share, rank, n_keys, max_share,
+    recommended_buckets)``.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__tot"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("__max"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition local
+    # top-k, merged once) — the global rank window would instead sort the
+    # whole key space on one task; row_number then runs on only k rows
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(
+        int(top_k)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).crossJoin(
+        F.broadcast(totals)
+    )
+    share = F.col("n_rows").cast("double") / F.col("__tot").cast("double")
+    mean_per_key = F.col("__tot").cast("double") / F.col("n_keys").cast("double")
+    return ranked.select(
+        "key",
+        "n_rows",
+        share.alias("share"),
+        "rank",
+        "n_keys",
+        (F.col("__max").cast("double") / F.col("__tot").cast("double")).alias(
+            "max_share"
+        ),
+        F.ceil(F.col("__max").cast("double") / mean_per_key).cast("long").alias(
+            "recommended_buckets"
+        ),
+    )

@@ -220,3 +220,55 @@ def json_extract_stats(
         F.max(num).alias("max_v"),
         F.avg(num).alias("avg_v"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="union_evolve")
+def union_evolve(*dfs):
+    """Schema-evolution union: align any number of frames by column NAME,
+    null-filling columns a frame lacks and widening mismatched numeric
+    types to their least common type — the reader-side half of schema
+    evolution (a v2 extract adds a column, a v1 archive lacks it; the
+    union must still run). Column order follows first appearance across
+    the inputs; a name whose types cannot widen raises rather than
+    silently corrupting.
+
+    Pure projections + UNION — no shuffle, no data movement beyond the
+    union itself.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not dfs:
+        raise ValueError("union_evolve needs at least one DataFrame")
+    order = []
+    types = {}
+    _RANK = {
+        "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+        "float": 4, "double": 5,
+    }
+
+    def widen(a: str, b: str) -> str:
+        if a == b:
+            return a
+        if a in _RANK and b in _RANK:
+            return a if _RANK[a] >= _RANK[b] else b
+        raise TypeError(f"cannot widen {a} vs {b}")
+
+    for df in dfs:
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = t
+            else:
+                types[f.name] = widen(types[f.name], t)
+    out = None
+    for df in dfs:
+        have = set(df.columns)
+        proj = [
+            (F.col(c) if c in have else F.lit(None)).cast(types[c]).alias(c)
+            for c in order
+        ]
+        part = df.select(*proj)
+        out = part if out is None else out.unionByName(part)
+    return out

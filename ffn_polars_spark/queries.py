@@ -8474,6 +8474,136 @@ def q_ols_residual_diagnostics(spark, sf_dir):
     )
 
 
+@query(
+    "debounce",
+    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """, f AS (
+  SELECT event_type, ts_ns,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) AS rn
+  FROM ticks),
+walk AS (
+  SELECT event_type, rn, ts_ns, TRUE AS kept, ts_ns AS last_kept
+  FROM f WHERE rn = 1
+  UNION ALL
+  SELECT x.event_type, x.rn, x.ts_ns,
+         x.ts_ns - w.last_kept >= 120000000000,
+         CASE WHEN x.ts_ns - w.last_kept >= 120000000000
+              THEN x.ts_ns ELSE w.last_kept END
+  FROM walk w JOIN f x ON x.event_type = w.event_type AND x.rn = w.rn + 1)
+SELECT event_type, ts_ns, kept FROM walk""",
+)
+def q_debounce(spark, sf_dir):
+    """Cooldown dedup (120 s anchored to the last KEPT event) per ticker:
+    the sequential keep-walk as a per-key Arrow scan, bit-exact against
+    the recursive-CTE replay — pure integer comparisons."""
+    from ffn_polars_spark.operators.recursive import debounce
+
+    t = ticks(spark, sf_dir)
+    return debounce(t, "ts_ns", cooldown=120_000_000_000, by=["event_type"])
+
+
+@query(
+    "impact_decay",
+    _LR_SPLIT_SQL
+    + f""",
+sg AS (
+  SELECT t.*, CASE WHEN price > lag(price) OVER ({W}) THEN 1.0
+                   WHEN price < lag(price) OVER ({W}) THEN -1.0
+                   ELSE 0.0 END AS d
+  FROM t),
+m0 AS (
+  SELECT sg.event_type, sg.event_id, sg.ts_ns, sg.d, q.mid AS mid0
+  FROM sg ASOF LEFT JOIN q
+    ON sg.event_type = q.event_type AND sg.ts_ns >= q.ts_ns),
+u AS (
+  SELECT event_type, event_id, ts_ns, d, mid0,
+         unnest(ARRAY[1000000000, 10000000000, 60000000000]) AS horizon
+  FROM m0),
+mh AS (
+  SELECT u.event_type, u.horizon, u.d, u.mid0, q.mid AS midh
+  FROM (SELECT *, ts_ns + horizon AS ts_h FROM u) u ASOF LEFT JOIN q
+    ON u.event_type = q.event_type AND u.ts_h >= q.ts_ns)
+SELECT event_type, horizon,
+       {R("avg(d * (midh - mid0))")} AS avg_impact,
+       count(*) AS n
+FROM mh
+WHERE mid0 IS NOT NULL AND midh IS NOT NULL
+GROUP BY event_type, horizon""",
+)
+def q_impact_decay(spark, sf_dir):
+    """Signed mid-move decay at 1 s / 10 s / 60 s after each trade print:
+    tick-rule signs, base and shifted mids from as-of joins against the
+    quote stream, one (ticker, horizon) aggregate."""
+    from ffn_polars_spark.functions.quote import impact_decay
+
+    trades, quotes = _lr_frames(spark, sf_dir)
+    out = impact_decay(
+        trades, quotes,
+        horizons=[1_000_000_000, 10_000_000_000, 60_000_000_000],
+        by=["event_type"],
+    )
+    return out.select(
+        "event_type", "horizon", r6("avg_impact").alias("avg_impact"), "n"
+    )
+
+
+@query(
+    "union_evolve",
+    """
+SELECT o_orderkey, o_totalprice, o_orderpriority, CAST(NULL AS INT) AS tier
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       CAST(o_orderkey % 10 AS INT)
+FROM orders WHERE o_orderkey % 2 = 1""",
+)
+def q_union_evolve(spark, sf_dir):
+    """Schema-evolution union of a v1 extract (price + priority) and a v2
+    extract (new tier column, price dropped): align by name, null-fill,
+    widen — pure projections + UNION, no shuffle."""
+    from ffn_polars_spark.operators.wide import union_evolve
+
+    orders = read_table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", (F.col("o_orderkey") % 10).cast("int").alias("tier")
+    )
+    return union_evolve(v1, v2)
+
+
+@query(
+    "skew_profile",
+    f"""
+WITH c AS (SELECT event_type AS key, count(*) AS n_rows FROM events GROUP BY event_type),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot, count(*) AS n_keys,
+             CAST(max(n_rows) AS BIGINT) AS mx FROM c),
+top AS (SELECT * FROM c ORDER BY n_rows DESC, key LIMIT 5),
+r AS (SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+      FROM top)
+SELECT r.key, r.n_rows,
+       {R("CAST(r.n_rows AS DOUBLE) / CAST(t.tot AS DOUBLE)")} AS share,
+       r.rank, t.n_keys,
+       {R("CAST(t.mx AS DOUBLE) / CAST(t.tot AS DOUBLE)")} AS max_share,
+       CAST(ceil(CAST(t.mx AS DOUBLE) / (CAST(t.tot AS DOUBLE) / CAST(t.n_keys AS DOUBLE))) AS BIGINT) AS recommended_buckets
+FROM r CROSS JOIN t""",
+)
+def q_skew_profile(spark, sf_dir):
+    """Key-skew diagnosis for event_type: hot-key shares via
+    TakeOrderedAndProject (no global sort), plus the recommended salt
+    bucket count that salted_agg/salted_join would consume."""
+    from ffn_polars_spark.operators.skew import skew_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    out = skew_profile(ev, "event_type", top_k=5)
+    return out.select(
+        "key", "n_rows", r6("share").alias("share"), "rank", "n_keys",
+        r6("max_share").alias("max_share"), "recommended_buckets",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -8512,6 +8642,10 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "debounce",
+    "impact_decay",
+    "union_evolve",
+    "skew_profile",
     "streaming_psi",
     "shingle_novelty",
     "information_value",

@@ -1043,3 +1043,70 @@ def test_ols_residual_diagnostics_planted(spark):
         by="g",
     ).collect()[0]
     assert out["durbin_watson"] > 3.0
+
+
+def test_debounce_anchors_to_kept_event(spark):
+    from ffn_polars_spark.operators.recursive import debounce
+    # cooldown 10: events at 0, 5, 9, 12, 25 -> keep 0 (then 5, 9 inside
+    # cooldown of 0; 12 >= 0+10 keeps; 25 >= 12+10 keeps).
+    rows = [("k", t) for t in [0, 5, 9, 12, 25]]
+    out = debounce(
+        spark.createDataFrame(rows, ["k", "ts"]), "ts", cooldown=10, by=["k"]
+    )
+    got = {r["ts"]: r["kept"] for r in out.collect()}
+    assert got == {0: True, 5: False, 9: False, 12: True, 25: True}
+    # fixed-grid dedup would WRONGLY keep 9 (bucket 0) vs 12 — the anchor
+    # to the kept event is the semantic difference this walk implements
+
+
+def test_impact_decay_permanent_vs_transient(spark):
+    from ffn_polars_spark.functions.quote import impact_decay
+    SEC = 1_000_000_000
+    # One uptick buy at t=10; mid jumps 0.5 immediately and stays (permanent)
+    trades = spark.createDataFrame(
+        [("t", 1, 9 * SEC, 10.0), ("t", 2, 10 * SEC, 10.2)],
+        ["event_type", "event_id", "ts_ns", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("t", 8 * SEC, 10.1, 9.9),    # mid 10.0
+         ("t", 11 * SEC, 10.6, 10.4)], # mid 10.5 from t=11 on
+        ["event_type", "ts_ns", "ask", "bid"],
+    )
+    out = impact_decay(
+        trades, quotes, horizons=[2 * SEC, 100 * SEC], by=["event_type"]
+    )
+    got = {r["horizon"]: r for r in out.collect()}
+    # trade 2 (d=+1, mid0=10.0): both horizons land after the quote update
+    # trade 1 (d=0) contributes 0 at every horizon
+    assert abs(got[2 * SEC]["avg_impact"] - 0.25) < 1e-12   # (0 + 0.5)/2
+    assert abs(got[100 * SEC]["avg_impact"] - 0.25) < 1e-12
+    assert got[2 * SEC]["n"] == 2
+
+
+def test_union_evolve_aligns_and_widens(spark):
+    from ffn_polars_spark.operators.wide import union_evolve
+    a = spark.createDataFrame([(1, 10)], ["k", "v"])                  # v int
+    b = spark.createDataFrame([(2, 3.5, "x")], ["k", "v", "extra"])   # v double
+    out = union_evolve(a, b)
+    assert out.columns == ["k", "v", "extra"]
+    assert dict(out.dtypes)["v"] == "double"
+    got = {r["k"]: r for r in out.collect()}
+    assert got[1]["v"] == 10.0 and got[1]["extra"] is None
+    assert got[2]["extra"] == "x"
+    import pytest as _pytest
+    c = spark.createDataFrame([("s",)], ["v"])   # string v cannot widen
+    with _pytest.raises(TypeError):
+        union_evolve(a, c)
+
+
+def test_skew_profile_recommends_buckets(spark):
+    from ffn_polars_spark.operators.skew import skew_profile
+    rows = [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 5
+    out = skew_profile(spark.createDataFrame(rows, ["k"]), "k", top_k=2)
+    got = {r["key"]: r for r in out.collect()}
+    assert set(got) == {"hot", "a"}   # top-2 by count then key
+    r = got["hot"]
+    assert r["rank"] == 1 and abs(r["share"] - 0.9) < 1e-12
+    assert r["n_keys"] == 3
+    # hot key is 90 rows vs mean 100/3: ceil(90/33.33) = 3 buckets
+    assert r["recommended_buckets"] == 3

@@ -636,3 +636,102 @@ def ols_residual_diagnostics(
     return agg.select(
         *keys, "beta", "alpha", r2.alias("r2"), dw.alias("durbin_watson"), "n"
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="mann_whitney_u")
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test per group: is the ``label_col=1``
+    sample's value distribution stochastically larger than the 0
+    sample's?  The nonparametric, outlier-immune companion to
+    [[paired_ttest]] for UNPAIRED comparisons (two cohorts, two
+    sources, two variants), sharing [[auc_by_group]]'s identity —
+    ``U₁ = ΣR₁ − n₁(n₁+1)/2`` on midranks, so one ordered window + one
+    aggregate, never the O(n²) pair comparison.
+
+    ``z`` is the normal approximation with the standard tie
+    correction ``σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`` and no
+    continuity correction (documented so any engine reproduces it
+    exactly); NULL when either sample is empty or σ = 0 (all values
+    tied). All rank/tie arithmetic is exact integers-in-doubles; only
+    the final division and √ round. Returns ``(keys, u, z, n_pos,
+    n_neg)``.
+    """
+    keys = _keys(by)
+    v = F.col(value_col).cast("double")
+    pos = F.col(label_col).cast("int")
+    base = df.where(v.isNotNull()).select(*keys, v.alias("__v"), pos.alias("__y"))
+    staged = base.withColumn("__r", _midrank(keys, "__v"))
+    # tie-size cubes from the tie window itself: midrank already counts
+    # ties per (keys, value); aggregate t³−t at one row per tie cluster.
+    w_tie = Window.partitionBy(*(keys + ["__v"]))
+    t = F.count(F.lit(1)).over(w_tie).cast("double")
+    rn = F.row_number().over(w_tie.orderBy(F.lit(1)))
+    staged = staged.withColumn(
+        "__t3t", F.when(rn == 1, t * t * t - t).otherwise(F.lit(0.0))
+    )
+    g = staged.groupBy(*keys) if keys else staged.groupBy()
+    agg = g.agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__r1"),
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("__y") == 1, 0).otherwise(1)).cast("long").alias("n_neg"),
+        F.sum("__t3t").alias("__t3t"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    nn = n1 + n2
+    u = F.col("__r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    var = (
+        n1 * n2 / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("__t3t") / (nn * (nn - F.lit(1.0))))
+    )
+    z = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (var > 0),
+        (u - n1 * n2 / F.lit(2.0)) / F.sqrt(var),
+    )
+    u_out = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), u)
+    return agg.select(*keys, u_out.alias("u"), z.alias("z"), "n_pos", "n_neg")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="rank_portfolio")
+def rank_portfolio(
+    df: DataFrame,
+    period_col: str,
+    key_col: str,
+    signal_col: str,
+    ret_col: str,
+    n_quantiles: int = 5,
+) -> DataFrame:
+    """Cross-sectional rank-portfolio backtest: each period, rank the
+    keys by ``signal_col`` into ``n_quantiles`` buckets (``ntile`` —
+    the SQL-standard split both engines share), go long the top
+    bucket's equal-weighted ``ret_col`` and short the bottom's — the
+    classic decile long-short test of whether a signal MONOTONICALLY
+    orders future returns, the portfolio-level extension of the
+    correlation-style [[spearman_ic]].
+
+    One window (ntile per period, ties broken by ``key_col`` so every
+    engine buckets identically) + one aggregate; output cardinality =
+    periods. Returns ``(period, long_ret, short_ret, spread, n_long,
+    n_short)``; rows with NULL signal or return sit out that period.
+    """
+    ok = F.col(signal_col).isNotNull() & F.col(ret_col).isNotNull()
+    w = Window.partitionBy(period_col).orderBy(signal_col, key_col)
+    staged = df.where(ok).withColumn("__q", F.ntile(int(n_quantiles)).over(w))
+    top, bot = int(n_quantiles), 1
+    r = F.col(ret_col).cast("double")
+    agg = staged.groupBy(F.col(period_col).alias("period")).agg(
+        F.avg(F.when(F.col("__q") == top, r)).alias("long_ret"),
+        F.avg(F.when(F.col("__q") == bot, r)).alias("short_ret"),
+        F.sum(F.when(F.col("__q") == top, 1).otherwise(0)).cast("long").alias("n_long"),
+        F.sum(F.when(F.col("__q") == bot, 1).otherwise(0)).cast("long").alias("n_short"),
+    )
+    return agg.select(
+        "period", "long_ret", "short_ret",
+        (F.col("long_ret") - F.col("short_ret")).alias("spread"),
+        "n_long", "n_short",
+    )

@@ -292,3 +292,44 @@ def temporal_cooccurrence(
     return pairs.groupBy(
         F.col("__ia").alias("item_a"), F.col("__ib").alias("item_b")
     ).agg(F.count(F.lit(1)).alias("n_co"))
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="event_ngrams")
+def event_ngrams(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    item_col: str,
+    n: int = 2,
+    order_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Sequential n-gram motifs: counts of each run of ``n`` CONSECUTIVE
+    items per key in time order — the order-sensitive companion to
+    [[temporal_cooccurrence]] (a basket says "error and purchase
+    co-occur"; the bigram says "error *follows* purchase"), and the
+    session-path miner behind "what do users do right after signup?".
+
+    One window pass (``n−1`` leads over the same (key, ts) sort — a
+    single exchange, one WindowExec) then a hash aggregate on the
+    gram; output cardinality = distinct item-paths, never row count.
+    Ties in ``ts_col`` are broken by ``order_tiebreak`` (pass a unique
+    id when timestamps can collide, so every engine walks the same
+    sequence). Returns ``(gram, n_occurrences, n_keys)`` where ``gram``
+    joins the items with ``"->"`` and ``n_keys`` counts distinct keys
+    the motif appears under.
+    """
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    parts = [F.col(item_col)] + [
+        F.lead(item_col, i).over(w) for i in range(1, int(n))
+    ]
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws("->", *parts)
+        ).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    return staged.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__k").alias("n_keys"),
+    )

@@ -272,3 +272,71 @@ def union_evolve(*dfs):
         part = df.select(*proj)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="topk_churn")
+def topk_churn(
+    df: DataFrame,
+    period_col: str,
+    key_col: str,
+    k: int = 10,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-k membership churn between consecutive periods: the Jaccard
+    overlap of each period's top-``k`` keys (by row count, or by
+    ``weight_col`` sum) with the PREVIOUS period's — the set-stability
+    monitor behind "did our hot queries / top domains / most-active
+    users change overnight?", the set-level companion to the
+    distribution-level [[psi_drift]].
+
+    Built from [[topk_per_group]]'s WindowGroupLimit idiom, so the
+    wire carries O(periods·k) after the per-period aggregate; the
+    consecutive-period alignment is a dense_rank over the DISTINCT
+    periods (a frame of period cardinality) and the overlap join is
+    equi on (period index, key) between two O(periods·k) frames.
+    Ties in the top-k cut are broken by ``key_col`` ascending —
+    deterministic on every engine. Returns ``(period, n_curr, n_prev,
+    n_common, jaccard)``, one row per period that HAS a predecessor.
+    """
+    from pyspark.sql import Window
+
+    wt = (
+        F.sum(F.col(weight_col).cast("double"))
+        if weight_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    per = df.groupBy(
+        F.col(period_col).alias("__p"), F.col(key_col).alias("__k")
+    ).agg(wt.alias("__w"))
+    w = Window.partitionBy("__p").orderBy(F.col("__w").desc(), F.col("__k").asc())
+    tops = per.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= F.lit(int(k))
+    )
+    idx = (
+        per.select("__p")
+        .distinct()
+        .withColumn("__i", F.dense_rank().over(Window.orderBy("__p")))
+    )
+    cur = tops.join(F.broadcast(idx), "__p").select("__p", "__i", "__k")
+    prv = cur.select(
+        (F.col("__i") + F.lit(1)).alias("__i"), F.col("__k").alias("__kp")
+    )
+    sizes = cur.groupBy("__p", "__i").agg(F.count(F.lit(1)).alias("n_curr"))
+    prev_sizes = sizes.select(
+        (F.col("__i") + F.lit(1)).alias("__i"), F.col("n_curr").alias("n_prev")
+    )
+    common = (
+        cur.join(prv, (cur["__i"] == prv["__i"]) & (cur["__k"] == prv["__kp"]))
+        .groupBy(cur["__i"].alias("__i"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        sizes.join(prev_sizes, "__i")
+        .join(common, "__i", "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    uni = F.col("n_curr") + F.col("n_prev") - F.col("n_common")
+    return out.select(
+        F.col("__p").alias("period"), "n_curr", "n_prev", "n_common",
+        (F.col("n_common").cast("double") / uni.cast("double")).alias("jaccard"),
+    )

@@ -8604,6 +8604,251 @@ def q_skew_profile(spark, sf_dir):
     )
 
 
+@query(
+    "kaplan_meier",
+    f"""
+WITH s AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         CAST(max(epoch_us(ts)) * 1000 - min(epoch_us(ts)) * 1000 AS DOUBLE) AS dur,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+  FROM events GROUP BY user_id),
+per_t AS (
+  SELECT cohort, dur AS t,
+         CAST(sum(ev) AS BIGINT) AS n_events,
+         CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+  FROM s GROUP BY cohort, dur),
+st AS (
+  SELECT cohort, t, n_events, n_censored,
+         CAST(sum(n_events + n_censored) OVER (PARTITION BY cohort)
+              - coalesce(sum(n_events + n_censored) OVER (
+                  PARTITION BY cohort ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM per_t),
+sv AS (
+  SELECT cohort, t, n_at_risk, n_events, n_censored,
+         CASE WHEN min(1.0 - CAST(n_events AS DOUBLE) / n_at_risk) OVER (
+                PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0
+              THEN 0.0
+              ELSE exp(sum(CASE WHEN 1.0 - CAST(n_events AS DOUBLE) / n_at_risk > 0
+                                THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+                                ELSE 0.0 END) OVER (
+                  PARTITION BY cohort ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         END AS survival
+  FROM st)
+SELECT cohort, t, n_at_risk, n_events, n_censored,
+       {R("survival")} AS survival
+FROM sv WHERE n_events > 0""",
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier retention curve over user lifetimes (duration =
+    first→last event span, event = ever purchased, censored otherwise),
+    per parity cohort — subject frame collapses to event-time
+    cardinality before any window runs."""
+    from ffn_polars_spark.operators.survival import kaplan_meier
+
+    t = ticks(spark, sf_dir)
+    subj = t.groupBy("user_id").agg(
+        (F.max("ts_ns") - F.min("ts_ns")).cast("double").alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ev"),
+    ).withColumn("cohort", F.col("user_id") % 2)
+    out = kaplan_meier(subj, "dur", "ev", by="cohort")
+    return out.select(
+        "cohort", "t", "n_at_risk", "n_events", "n_censored",
+        r6("survival").alias("survival"),
+    )
+
+
+@query(
+    "event_ngrams",
+    TICKS_SQL
+    + """, g AS (
+  SELECT user_id,
+         event_type || '->' || lead(event_type, 1) OVER w
+                    || '->' || lead(event_type, 2) OVER w AS gram
+  FROM ticks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+SELECT gram, count(*) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM g WHERE gram IS NOT NULL GROUP BY gram""",
+)
+def q_event_ngrams(spark, sf_dir):
+    """Per-user event-type trigram motifs in time order: one window pass
+    (two leads on one sort), then a hash aggregate at path
+    cardinality."""
+    from ffn_polars_spark.operators.funnel import event_ngrams
+
+    t = ticks(spark, sf_dir)
+    return event_ngrams(
+        t, "ts_ns", "user_id", "event_type", n=3, order_tiebreak="event_id"
+    )
+
+
+@query(
+    "rank_portfolio",
+    TICKS_SQL
+    + f""", b AS (
+  SELECT event_type, ts_ns // 3600000000000 AS bkt,
+         avg(price) AS p, CAST(count(*) AS BIGINT) AS activity
+  FROM ticks GROUP BY event_type, bkt),
+r AS (
+  SELECT event_type, bkt,
+         p / lag(p) OVER (PARTITION BY event_type ORDER BY bkt) - 1 AS ret,
+         lag(activity) OVER (PARTITION BY event_type ORDER BY bkt) AS sig
+  FROM b),
+ok AS (SELECT * FROM r WHERE sig IS NOT NULL AND ret IS NOT NULL),
+qq AS (
+  SELECT bkt, event_type, ret,
+         ntile(5) OVER (PARTITION BY bkt ORDER BY sig, event_type) AS q
+  FROM ok),
+a AS (
+  SELECT bkt AS period,
+         avg(CASE WHEN q = 5 THEN ret END) AS long_ret,
+         avg(CASE WHEN q = 1 THEN ret END) AS short_ret,
+         CAST(sum(CASE WHEN q = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         CAST(sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+  FROM qq GROUP BY bkt)
+SELECT period, {R("long_ret")} AS long_ret, {R("short_ret")} AS short_ret,
+       {R("long_ret - short_ret")} AS spread, n_long, n_short
+FROM a""",
+)
+def q_rank_portfolio(spark, sf_dir):
+    """Cross-sectional activity-momentum backtest: rank tickers each
+    hour by the PREVIOUS hour's trade count (integer signal — exact
+    cross-engine ordering), long top ntile vs short bottom. One window
+    + one aggregate at bucket cardinality."""
+    from ffn_polars_spark.operators.evaluation import rank_portfolio
+
+    t = ticks(spark, sf_dir)
+    b = t.groupBy(
+        "event_type",
+        F.floor(F.col("ts_ns") / F.lit(3600000000000)).alias("bkt"),
+    ).agg(
+        F.avg("price").alias("p"), F.count(F.lit(1)).alias("activity")
+    )
+    w = Window.partitionBy("event_type").orderBy("bkt")
+    r = b.select(
+        "event_type", "bkt",
+        (F.col("p") / F.lag("p").over(w) - 1).alias("ret"),
+        F.lag("activity").over(w).alias("sig"),
+    )
+    out = rank_portfolio(r, "bkt", "event_type", "sig", "ret", n_quantiles=5)
+    return out.select(
+        "period", r6("long_ret").alias("long_ret"),
+        r6("short_ret").alias("short_ret"), r6("spread").alias("spread"),
+        "n_long", "n_short",
+    )
+
+
+@query(
+    "mann_whitney_u",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, event_id % 2 AS lab,
+         price / lag(price) OVER ({W}) - 1 AS v
+  FROM ticks),
+ok AS (SELECT * FROM rr WHERE v IS NOT NULL),
+rk AS (
+  SELECT event_type, lab, v,
+         rank() OVER (PARTITION BY event_type ORDER BY v)
+           + (count(*) OVER (PARTITION BY event_type, v) - 1) / 2.0 AS r,
+         row_number() OVER (PARTITION BY event_type, v ORDER BY 1) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type, v) AS DOUBLE) AS t
+  FROM ok),
+a AS (
+  SELECT event_type,
+         sum(CASE WHEN lab = 1 THEN r END) AS r1,
+         CAST(sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN lab = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         sum(CASE WHEN rn = 1 THEN t * t * t - t ELSE 0.0 END) AS t3t
+  FROM rk GROUP BY event_type),
+f AS (
+  SELECT event_type, n_pos, n_neg,
+         CAST(n_pos AS DOUBLE) AS n1, CAST(n_neg AS DOUBLE) AS n2,
+         r1 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0 AS u,
+         t3t
+  FROM a),
+g AS (
+  SELECT event_type, n_pos, n_neg, u,
+         n1 * n2 / 12.0 * ((n1 + n2 + 1.0) - t3t / ((n1 + n2) * (n1 + n2 - 1.0))) AS var
+  FROM f)
+SELECT event_type,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN u END AS u,
+       {R("CASE WHEN n_pos > 0 AND n_neg > 0 AND var > 0 THEN (u - CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 2.0) / sqrt(var) END")} AS z,
+       n_pos, n_neg
+FROM g""",
+)
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann–Whitney U on odd- vs even-id tick returns per ticker — a
+    deliberate null A/B whose rank identity makes it one window + one
+    aggregate; rank sums are exact half-integer arithmetic, only the
+    final z rounds."""
+    from ffn_polars_spark.operators.evaluation import mann_whitney_u
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("lab"),
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("v"),
+    )
+    out = mann_whitney_u(pre, "v", "lab", by="event_type")
+    return out.select(
+        "event_type", "u", r6("z").alias("z"), "n_pos", "n_neg"
+    )
+
+
+@query(
+    "topk_churn",
+    TICKS_SQL
+    + f""", per AS (
+  SELECT ts_ns // 86400000000000 AS p, user_id AS k,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM ticks GROUP BY p, k),
+tops AS (
+  SELECT p, k FROM (
+    SELECT p, k,
+           row_number() OVER (PARTITION BY p ORDER BY w DESC, k ASC) AS rk
+    FROM per)
+  WHERE rk <= 10),
+idx AS (
+  SELECT p, dense_rank() OVER (ORDER BY p) AS i
+  FROM (SELECT DISTINCT p FROM per)),
+cur AS (SELECT tops.p, idx.i, tops.k FROM tops JOIN idx USING (p)),
+sizes AS (SELECT p, i, CAST(count(*) AS BIGINT) AS n_curr FROM cur GROUP BY p, i),
+prev_sizes AS (SELECT i + 1 AS i, n_curr AS n_prev FROM sizes),
+common AS (
+  SELECT a.i AS i, CAST(count(*) AS BIGINT) AS n_common
+  FROM cur a JOIN (SELECT i + 1 AS i, k FROM cur) b ON a.i = b.i AND a.k = b.k
+  GROUP BY a.i),
+j AS (
+  SELECT sizes.p AS period, sizes.n_curr, prev_sizes.n_prev,
+         coalesce(common.n_common, 0) AS n_common
+  FROM sizes JOIN prev_sizes ON sizes.i = prev_sizes.i
+  LEFT JOIN common ON sizes.i = common.i)
+SELECT period, n_curr, n_prev, n_common,
+       {R("CAST(n_common AS DOUBLE) / CAST(n_curr + n_prev - n_common AS DOUBLE)")} AS jaccard
+FROM j""",
+)
+def q_topk_churn(spark, sf_dir):
+    """Day-over-day churn of the 10 most-active users: WindowGroupLimit
+    keeps O(days·k) on the wire, the day index frame broadcasts, and
+    the overlap join runs between two tiny frames."""
+    from ffn_polars_spark.operators.wide import topk_churn
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        F.floor(F.col("ts_ns") / F.lit(86400000000000)).alias("p"), "user_id"
+    )
+    out = topk_churn(pre, "p", "user_id", k=10)
+    return out.select(
+        "period", "n_curr", "n_prev", "n_common", r6("jaccard").alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -8642,6 +8887,11 @@ _PRIORITY = [
     # --- brand-new this session (no driver evidence yet): evaluation panel,
     # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
     # tail-index and TCA.
+    "kaplan_meier",
+    "event_ngrams",
+    "rank_portfolio",
+    "mann_whitney_u",
+    "topk_churn",
     "debounce",
     "impact_decay",
     "union_evolve",

@@ -1110,3 +1110,43 @@ def test_skew_profile_recommends_buckets(spark):
     assert r["n_keys"] == 3
     # hot key is 90 rows vs mean 100/3: ceil(90/33.33) = 3 buckets
     assert r["recommended_buckets"] == 3
+
+
+def test_mann_whitney_u_separated_samples(spark):
+    from ffn_polars_spark.operators.evaluation import mann_whitney_u
+    # sample1 = {1,2,3}, sample0 = {4,5,6}: R1 = 6, U = 0,
+    # var = 9/12 * 7 = 5.25, z = -4.5/sqrt(5.25)
+    rows = [(v, 1) for v in (1.0, 2.0, 3.0)] + [(v, 0) for v in (4.0, 5.0, 6.0)]
+    out = mann_whitney_u(
+        spark.createDataFrame(rows, ["v", "y"]), "v", "y"
+    ).collect()[0]
+    assert out["u"] == 0.0
+    assert abs(out["z"] - (-4.5 / 5.25 ** 0.5)) < 1e-12
+    assert out["n_pos"] == 3 and out["n_neg"] == 3
+
+
+def test_mann_whitney_u_tie_correction(spark):
+    from ffn_polars_spark.operators.evaluation import mann_whitney_u
+    # values [1,1,2,2], labels [1,0,1,0]: midranks 1.5,1.5,3.5,3.5,
+    # R1 = 5, U = 2 = mu -> z = 0 with the tie-corrected variance
+    rows = [(1.0, 1), (1.0, 0), (2.0, 1), (2.0, 0)]
+    out = mann_whitney_u(
+        spark.createDataFrame(rows, ["v", "y"]), "v", "y"
+    ).collect()[0]
+    assert out["u"] == 2.0
+    assert abs(out["z"]) < 1e-12
+
+
+def test_rank_portfolio_long_short_spread(spark):
+    from ffn_polars_spark.operators.evaluation import rank_portfolio
+    # one period, 5 keys, signal = key index, ret = index/10:
+    # ntile(5) puts one key per bucket -> long=.5 short=.1 spread=.4
+    rows = [("p1", f"k{i}", float(i), i / 10.0) for i in range(1, 6)]
+    out = rank_portfolio(
+        spark.createDataFrame(rows, ["p", "k", "sig", "ret"]),
+        "p", "k", "sig", "ret", n_quantiles=5,
+    ).collect()[0]
+    assert abs(out["long_ret"] - 0.5) < 1e-12
+    assert abs(out["short_ret"] - 0.1) < 1e-12
+    assert abs(out["spread"] - 0.4) < 1e-12
+    assert out["n_long"] == 1 and out["n_short"] == 1

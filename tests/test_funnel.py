@@ -107,3 +107,28 @@ def test_transition_matrix_counts_and_row_probs(spark):
     assert out[("a", "b")].prob == round(2 / 3, 6)
     assert out[("a", "c")].prob == round(1 / 3, 6)
     assert out[("b", "a")].prob == 1.0
+
+
+def test_event_ngrams_counts_consecutive_paths(spark):
+    from ffn_polars_spark.operators.funnel import event_ngrams
+    rows = [("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"), ("u1", 4, "b"),
+            ("u2", 1, "a"), ("u2", 2, "b")]
+    out = event_ngrams(
+        spark.createDataFrame(rows, ["k", "ts", "item"]), "ts", "k", "item", n=2
+    ).collect()
+    got = {r["gram"]: r for r in out}
+    assert got["a->b"]["n_occurrences"] == 3
+    assert got["a->b"]["n_keys"] == 2
+    assert got["b->a"]["n_occurrences"] == 1
+    assert got["b->a"]["n_keys"] == 1
+    # no gram crosses a key boundary: u1's last b never pairs with u2's a
+    assert set(got) == {"a->b", "b->a"}
+
+
+def test_event_ngrams_trigram_needs_full_window(spark):
+    from ffn_polars_spark.operators.funnel import event_ngrams
+    rows = [("u", 1, "x"), ("u", 2, "y")]
+    out = event_ngrams(
+        spark.createDataFrame(rows, ["k", "ts", "item"]), "ts", "k", "item", n=3
+    )
+    assert out.count() == 0  # only 2 events: no complete trigram

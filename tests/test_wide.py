@@ -117,3 +117,19 @@ def test_pivot_prices_agg_modes(spark):
 
     with _pytest.raises(ValueError):
         pivot_prices(df, "d", agg="median")
+
+
+def test_topk_churn_set_overlap(spark):
+    from ffn_polars_spark.operators.wide import topk_churn
+    rows = (
+        [(1, "a")] * 3 + [(1, "b")] * 2 + [(1, "c")] * 1   # day1 top2 {a,b}
+        + [(2, "c")] * 5 + [(2, "d")] * 4 + [(2, "a")] * 1 # day2 top2 {c,d}
+        + [(3, "c")] * 2 + [(3, "d")] * 2                  # day3 top2 {c,d}
+    )
+    out = topk_churn(
+        spark.createDataFrame(rows, ["p", "k"]), "p", "k", k=2
+    ).collect()
+    got = {r["period"]: r for r in out}
+    assert sorted(got) == [2, 3]  # day1 has no predecessor
+    assert got[2]["n_common"] == 0 and got[2]["jaccard"] == 0.0
+    assert got[3]["n_common"] == 2 and got[3]["jaccard"] == 1.0

@@ -506,3 +506,44 @@ def rv_signature(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="twap")
+def twap(
+    df: DataFrame,
+    price_col: str,
+    ts_col: str = "ts_ns",
+    by: Optional[Union[str, list]] = None,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Time-weighted average price per group: ``Σ pᵢ·Δtᵢ / Σ Δtᵢ`` where
+    ``Δtᵢ`` is the interval each price was LIVE (next tick's timestamp
+    minus this one's) — the execution benchmark that, unlike
+    [[calc_vwap]], cannot be gamed by trade-size bursts, and the quote
+    half of a TCA pair with ``execution_slippage``. The group's last
+    tick carries no forward interval and is excluded (the standard
+    open-ended-tail convention, stated so every engine replays it).
+
+    One lead window per key (one exchange, shared by both the interval
+    and the weighted sum) + one aggregate; output cardinality = groups.
+    Interval arithmetic is exact integer ns in doubles (< 2^53 for any
+    realistic horizon); only the final division rounds. Returns
+    ``(*by, twap, total_time, n_intervals)``.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in order])
+    ts = F.col(ts_col).cast("double")
+    dt = F.lead(ts).over(w) - ts
+    staged = df.select(
+        *gcols,
+        F.col(price_col).cast("double").alias("__p"),
+        dt.alias("__dt"),
+    ).where(F.col("__dt").isNotNull())
+    g = staged.groupBy(*gcols) if gcols else staged.groupBy()
+    tot = F.sum("__dt")
+    return g.agg(
+        (F.sum(F.col("__p") * F.col("__dt")) / tot).alias("twap"),
+        tot.alias("total_time"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )

@@ -735,3 +735,387 @@ def rank_portfolio(
         (F.col("long_ret") - F.col("short_ret")).alias("spread"),
         "n_long", "n_short",
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="chi_square")
+def chi_square(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns per group: ``χ² = Σ (O−E)²/E`` over the FULL |X|×|Y|
+    contingency grid with ``E = rowΣ·colΣ/n`` — including observed-zero
+    cells (their ``(0−E)²/E`` term is what textbook/scipy values
+    contain, so the grid is completed with a distinct-×-distinct join
+    rather than read off the observed cells). The categorical
+    independence screen beside the binned [[mutual_information]].
+
+    One subject-level aggregate to cell cardinality, then joins on
+    grid-sized frames (|X|·|Y| per group — marginals and the grid
+    completion never touch row-cardinality data again). Counts are
+    exact longs; only the final E divisions round. Returns ``(keys,
+    chi2, dof, n)`` with ``dof = (|X|−1)(|Y|−1)``; NULL chi2 when
+    dof = 0 (a degenerate single-row/column grid).
+    """
+    keys = _keys(by)
+    cells = df.groupBy(
+        *keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    rx = cells.groupBy(*keys, "__x").agg(F.sum("__o").alias("__rx"))
+    cy = cells.groupBy(*keys, "__y").agg(F.sum("__o").alias("__cy"))
+    grid = rx.join(cy, keys) if keys else rx.crossJoin(cy)
+    full = grid.join(cells, keys + ["__x", "__y"], "left").fillna(
+        0, subset=["__o"]
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    n = F.sum("__o").over(w)
+    e = F.col("__rx").cast("double") * F.col("__cy").cast("double") / n.cast("double")
+    term = (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e) / e
+    staged = full.select(
+        *keys,
+        term.alias("__t"),
+        F.col("__o").alias("__o"),
+        F.col("__x").alias("__x"),
+        F.col("__y").alias("__y"),
+    )
+    g = staged.groupBy(*keys) if keys else staged.groupBy()
+    agg = g.agg(
+        F.sum("__t").alias("__chi2"),
+        F.sum("__o").cast("long").alias("n"),
+        F.countDistinct("__x").alias("__nx"),
+        F.countDistinct("__y").alias("__ny"),
+    )
+    dof = (F.col("__nx") - 1) * (F.col("__ny") - 1)
+    return agg.select(
+        *keys,
+        F.when(dof > 0, F.col("__chi2")).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        "n",
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="cohens_kappa")
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement per group: ``κ = (pₒ−pₑ)/(1−pₑ)``
+    with observed agreement ``pₒ = Σ 1[a=b]/n`` and chance agreement
+    ``pₑ = Σ_k p_a(k)·p_b(k)`` over the label marginals — the standard
+    chance-corrected gate on labeling pipelines (two annotators, a model
+    vs a gold set, two heuristic classifiers) before their labels feed
+    training data. Complements [[chi_square]] (association) with
+    AGREEMENT — raters can be perfectly associated yet never agree.
+
+    One subject-level aggregate per rater to label cardinality, one
+    full-outer marginal join (label-sized frames), one row-level agg for
+    pₒ — nothing after the first aggregates touches row cardinality.
+    Counts are exact longs; κ is NULL when pₑ = 1 (both raters constant
+    and identical — agreement is undefined, not perfect). Returns
+    ``(keys, kappa, po, pe, n)``.
+    """
+    keys = _keys(by)
+    a = F.col(rater_a)
+    b = F.col(rater_b)
+    base = df.where(a.isNotNull() & b.isNotNull())
+    g0 = base.groupBy(*keys) if keys else base.groupBy()
+    totals = g0.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a == b, 1).otherwise(0)).cast("long").alias("__agree"),
+    )
+    ca = base.groupBy(*keys, a.alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    cb = base.groupBy(*keys, b.alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nb")
+    )
+    marg = ca.join(cb, keys + ["__k"], "full").fillna(0, subset=["__na", "__nb"])
+    gm = marg.groupBy(*keys) if keys else marg.groupBy()
+    pe_num = gm.agg(
+        F.sum(F.col("__na").cast("double") * F.col("__nb").cast("double")).alias(
+            "__pe_num"
+        )
+    )
+    out = totals.join(pe_num, keys) if keys else totals.crossJoin(pe_num)
+    nn = F.col("n").cast("double")
+    po = F.col("__agree").cast("double") / nn
+    pe = F.col("__pe_num") / (nn * nn)
+    return out.select(
+        *keys,
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+        po.alias("po"),
+        pe.alias("pe"),
+        "n",
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="newey_west_tstat")
+def newey_west_tstat(
+    df: DataFrame,
+    value_col: str,
+    order_by: Union[str, Sequence[str]] = "ts_ns",
+    by: Union[str, Sequence[str], None] = None,
+    lags: int = 5,
+) -> DataFrame:
+    """HAC-robust mean test per group: the Newey–West t-statistic of
+    ``mean(value) = 0`` with Bartlett-kernel weights — the
+    autocorrelation-aware upgrade of [[paired_ttest]]'s plain standard
+    error, and the standard significance gate on strategy returns
+    (overlapping-window returns are serially correlated, so the naive
+    t overstates significance exactly where it matters).
+
+    ``σ²_NW = γ₀ + 2·Σ_{l=1..L} (1 − l/(L+1))·γ_l`` with
+    ``γ_l = Σ_{t>l} uₜu_{t−l} / n`` on demeaned values (the standard
+    1/n convention). Two passes sharing structure: a group-mean frame
+    (group cardinality) broadcast back, then ONE ordered window
+    producing all L lag columns (a single exchange, one WindowExec)
+    and one closed-form aggregate. t is NULL when σ² ≤ 0 or n = 0.
+    Returns ``(keys, mean, se_nw, t_nw, n)``.
+    """
+    keys = _keys(by)
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(*keys, *ocols, v.alias("__v"))
+    g0 = base.groupBy(*keys) if keys else base.groupBy()
+    means = g0.agg(
+        F.avg("__v").alias("__mu"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    joined = (
+        base.join(F.broadcast(means), keys)
+        if keys
+        else base.crossJoin(F.broadcast(means))
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(*ocols)
+    u = F.col("__v") - F.col("__mu")
+    L = int(lags)
+    staged = joined.select(
+        *keys,
+        "n",
+        "__mu",
+        u.alias("__u"),
+        *[F.lag(u, l).over(w).alias(f"__u{l}") for l in range(1, L + 1)],
+    )
+    g1 = staged.groupBy(*keys, "n", "__mu") if keys else staged.groupBy("n", "__mu")
+    agg = g1.agg(
+        F.sum(F.col("__u") * F.col("__u")).alias("__g0"),
+        *[
+            F.sum(F.col("__u") * F.col(f"__u{l}")).alias(f"__g{l}")
+            for l in range(1, L + 1)
+        ],
+    )
+    nn = F.col("n").cast("double")
+    var_nw = F.col("__g0") / nn
+    for l in range(1, L + 1):
+        var_nw = var_nw + F.lit(2.0 * (1.0 - l / (L + 1.0))) * (
+            F.col(f"__g{l}") / nn
+        )
+    se = F.when(var_nw > 0, F.sqrt(var_nw / nn))
+    return agg.select(
+        *keys,
+        F.col("__mu").alias("mean"),
+        se.alias("se_nw"),
+        (F.col("__mu") / se).alias("t_nw"),
+        "n",
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="event_study")
+def event_study(
+    returns: DataFrame,
+    events: DataFrame,
+    key_col: str,
+    seq_col: str,
+    ret_col: str,
+    window: int = 2,
+) -> DataFrame:
+    """Event-study cumulative abnormal returns: for each event at
+    position ``t₀`` of a key's return series, ``CAR = Σ_{|t−t₀|≤w}
+    (rₜ − r̄_key)`` under the constant-mean-return model (the standard
+    baseline; r̄ is the key's own full-sample mean) — "did returns
+    around these news ticks differ from the key's normal drift?".
+
+    The window alignment is an EXPLODE-side equi-join, not a range
+    join: each event fans out to its 2w+1 (key, t₀+offset) coordinates
+    (map-side, events are the small side) and equi-joins the return
+    frame on (key, t) — one shuffle on a perfectly selective key, no
+    between-predicate explosion. The mean frame (key cardinality)
+    broadcasts. Series positions (``seq_col``) must be the key's dense
+    row index. Returns ``(key, event_seq, car, n_obs)`` — ``n_obs`` <
+    2w+1 flags a window clipped at the series edge.
+    """
+    k = int(window)
+    r = F.col(ret_col).cast("double")
+    rets = returns.select(
+        F.col(key_col).alias("__k"), F.col(seq_col).alias("__t"), r.alias("__r")
+    )
+    means = rets.groupBy("__k").agg(F.avg("__r").alias("__mu"))
+    ev = (
+        events.select(F.col(key_col).alias("__k"), F.col(seq_col).alias("__t0"))
+        .withColumn("__o", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("__t", F.col("__t0") + F.col("__o"))
+        .drop("__o")
+    )
+    joined = ev.join(rets, ["__k", "__t"]).join(F.broadcast(means), "__k")
+    return (
+        joined.groupBy(F.col("__k").alias(key_col), F.col("__t0").alias("event_seq"))
+        .agg(
+            F.sum(F.col("__r") - F.col("__mu")).alias("car"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="p_adjust_bh")
+def p_adjust_bh(
+    df: DataFrame,
+    p_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment of a p-value column (within an
+    optional family key): ``p_adj(i) = min_{j ≥ i} p(j)·m/j`` over the
+    ascending-p ranking, clipped to 1 — the multiple-testing control
+    every fan-out tester in this catalog ([[paired_ttest]],
+    [[mann_whitney_u]], [[chi_square]] run once PER GROUP) needs before
+    anyone reads its thousands of per-group p-values.
+
+    Pure window algebra, no iteration: one ordered window gives the
+    rank, the same window REVERSED gives the tail running min — two
+    WindowExecs sharing one exchange. Ties in p are ranked
+    deterministically by p (equal p ⇒ equal p·m/j after the tail min,
+    so tie order cannot change the result). NULL p-values pass through
+    with NULL adjustments and do not count toward ``m``. Returns the
+    input columns + ``(p_rank, p_adj)``.
+    """
+    keys = _keys(by)
+    p = F.col(p_col).cast("double")
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    w_asc = w_all.orderBy(p)
+    ok = df.where(p.isNotNull())
+    m = F.count(F.lit(1)).over(w_all)
+    rk = F.row_number().over(w_asc)
+    staged = ok.withColumn("p_rank", rk).withColumn(
+        "__raw", p * m.cast("double") / rk.cast("double")
+    )
+    tail_min = F.min("__raw").over(
+        w_all.orderBy(F.col("p_rank").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    adj = staged.withColumn("p_adj", F.least(tail_min, F.lit(1.0))).drop(
+        "__raw"
+    )
+    nulls = df.where(p.isNull()).withColumn(
+        "p_rank", F.lit(None).cast("int")
+    ).withColumn("p_adj", F.lit(None).cast("double"))
+    return adj.unionByName(nulls)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="proportion_ztest")
+def proportion_ztest(
+    df: DataFrame,
+    success_col: str,
+    variant_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Two-sample proportion z-test per group: does the ``variant_col=1``
+    arm's success rate differ from the 0 arm's? ``z = (p₁−p₀) /
+    √(p̂(1−p̂)(1/n₁+1/n₀))`` with the pooled ``p̂`` — the A/B-test
+    workhorse beside [[mann_whitney_u]] (continuous outcomes) and
+    [[chi_square]] (multi-category), kept as its own closed form
+    because rates are what experiment dashboards actually report.
+
+    One hash aggregate — four exact counts per group — then pure
+    scalar algebra; nothing after the aggregate touches row
+    cardinality. ``z`` is NULL when either arm is empty or the pooled
+    variance is 0 (all successes or all failures). Returns ``(keys,
+    rate_1, rate_0, lift, z, n_1, n_0)``.
+    """
+    keys = _keys(by)
+    s = F.col(success_col).cast("int")
+    v = F.col(variant_col).cast("int")
+    base = df.where(s.isNotNull() & v.isNotNull())
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    agg = g.agg(
+        F.sum(F.when(v == 1, s)).cast("long").alias("__s1"),
+        F.sum(F.when(v == 1, 1).otherwise(0)).cast("long").alias("n_1"),
+        F.sum(F.when(v == 0, s)).cast("long").alias("__s0"),
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("long").alias("n_0"),
+    )
+    n1 = F.col("n_1").cast("double")
+    n0 = F.col("n_0").cast("double")
+    p1 = F.col("__s1").cast("double") / n1
+    p0 = F.col("__s0").cast("double") / n0
+    pooled = (F.col("__s1") + F.col("__s0")).cast("double") / (n1 + n0)
+    var = pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n1 + F.lit(1.0) / n0)
+    z = F.when((F.col("n_1") > 0) & (F.col("n_0") > 0) & (var > 0),
+               (p1 - p0) / F.sqrt(var))
+    return agg.select(
+        *keys,
+        F.when(F.col("n_1") > 0, p1).alias("rate_1"),
+        F.when(F.col("n_0") > 0, p0).alias("rate_0"),
+        F.when((F.col("n_1") > 0) & (F.col("n_0") > 0), p1 - p0).alias("lift"),
+        z.alias("z"),
+        "n_1", "n_0",
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="forecast_mase")
+def forecast_mase(
+    df: DataFrame,
+    value_col: str,
+    order_by: Union[str, Sequence[str]] = "ts_ns",
+    by: Union[str, Sequence[str], None] = None,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest, scored as MASE: forecast
+    ``x̂ₜ = x_{t−season}``, scale its MAE by the one-step random-walk
+    MAE — ``MASE = mean|xₜ−x_{t−s}| / mean|xₜ−x_{t−1}|`` — the
+    scale-free "is there exploitable seasonality?" screen (MASE < 1:
+    the weekly/seasonal pattern beats a random walk; ≥ 1: [[
+    weekday_returns]]-style structure isn't actionable). The
+    forecasting counterpart of [[seasonal_adjust]].
+
+    Both lags come from ONE ordered window (a single exchange, one
+    WindowExec), then one closed-form aggregate. The two MAEs are
+    averaged over their own valid rows (the seasonal lag loses
+    ``season`` rows, the naive lag one — the standard convention,
+    stated so any engine replays it). NULL when either MAE has no
+    rows or the naive MAE is 0 (a constant series). Returns ``(keys,
+    mase, mae_seasonal, mae_naive, n)``.
+    """
+    keys = _keys(by)
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    s = int(season)
+    v = F.col(value_col).cast("double")
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(*ocols)
+    staged = df.select(
+        *keys,
+        v.alias("__v"),
+        F.lag(v, s).over(w).alias("__vs"),
+        F.lag(v, 1).over(w).alias("__v1"),
+    )
+    es = F.abs(F.col("__v") - F.col("__vs"))
+    e1 = F.abs(F.col("__v") - F.col("__v1"))
+    g = staged.groupBy(*keys) if keys else staged.groupBy()
+    agg = g.agg(
+        F.avg(es).alias("mae_seasonal"),
+        F.avg(e1).alias("mae_naive"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return agg.select(
+        *keys,
+        F.when(
+            F.col("mae_naive") > 0, F.col("mae_seasonal") / F.col("mae_naive")
+        ).alias("mase"),
+        "mae_seasonal",
+        "mae_naive",
+        "n",
+    )

@@ -333,3 +333,61 @@ def event_ngrams(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("__k").alias("n_keys"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="transition_entropy")
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ns",
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Predictability of the event-type Markov chain: per source state,
+    the Shannon entropy of the next-state distribution ``H(to|from) =
+    −Σ p·log₂ p``, plus one ``__overall__`` row with the conditional
+    entropy rate ``H(next|cur) = Σ P(from)·H(to|from)`` — the
+    information-theoretic summary of [[transition_matrix]] ("how
+    random are journeys FROM this state?"; bots and loops show up as
+    near-zero rows, chaotic UIs as near-``log₂|types|``).
+
+    Same one-lag-window + one-aggregate shape as transition_matrix;
+    everything after the (from, to) count runs at |types|²
+    cardinality. Counts are exact; only log₂ and the final weighted
+    sum round. Returns ``(from_type, entropy, n_out, n)`` where
+    ``n_out`` is the distinct successor count and ``n`` the outgoing
+    transitions.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = df.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    row_total = F.sum("__c").over(Window.partitionBy("from_type"))
+    p = F.col("__c").cast("double") / row_total.cast("double")
+    per_cell = counts.select(
+        "from_type",
+        (-p * F.log2(p)).alias("__h"),
+        F.col("__c").alias("__c"),
+    )
+    rows = per_cell.groupBy("from_type").agg(
+        F.sum("__h").alias("entropy"),
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        F.sum("__c").cast("long").alias("n"),
+    )
+    total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+    overall = rows.select(
+        F.lit("__overall__").alias("from_type"),
+        (F.col("entropy") * F.col("n").cast("double") / total.cast("double")).alias("__wh"),
+        F.col("n_out"),
+        F.col("n"),
+    ).groupBy("from_type").agg(
+        F.sum("__wh").alias("entropy"),
+        F.sum("n_out").cast("long").alias("n_out"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    return rows.unionByName(overall)

@@ -100,3 +100,65 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", "rank", "out_degree")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="triangle_count")
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over an
+    undirected simple graph: direction and duplicates collapse to
+    canonical ``u < v`` edges (self-loops dropped), each triangle is
+    enumerated exactly once as an ordered triple ``a < b < c`` (wedge
+    join ``(a,b)⋈(b,c)`` closed by ``(a,c)``), then the three corners
+    fan back out to nodes. ``clustering = 2T / (d(d−1))`` for degree
+    ≥ 2 — the density/community companion to [[pagerank]]'s
+    centrality (spam clusters and bot rings show up as clustering
+    anomalies long before rank moves).
+
+    The edge aggregation is the distributed step; the wedge join runs
+    on the canonical edge frame with both sides shuffled on the shared
+    node key. The ordered-triple canonicalization means every wedge
+    and every closure is checked exactly once (no 6× duplication +
+    dedup). At production scale the standard refinement is ordering by
+    (degree, node) instead of node value — same triangle set, wedge
+    lists bounded by O(m^1.5) even on power-law graphs; value order is
+    used here because it needs no second pass over the edges. Returns
+    ``(node, degree, n_triangles, clustering)`` for every node of the
+    graph, clustering NULL below degree 2.
+    """
+    raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = raw.select(
+        F.least("__s", "__d").alias("u"), F.greatest("__s", "__d").alias("v")
+    ).distinct()
+    und = und.persist()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = deg.join(corners, "node", "left").fillna(0, subset=["n_triangles"])
+    d = F.col("degree").cast("double")
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0) * F.col("n_triangles").cast("double") / (d * (d - F.lit(1.0))),
+        ).alias("clustering"),
+    )

@@ -474,3 +474,182 @@ def pareto_front(
     )
     keep = keys + [x_col, y_col] + ([id_col] if id_col else [])
     return out.select(*keep)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="wasserstein_distance")
+def wasserstein_distance(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    a: str,
+    b: str,
+) -> DataFrame:
+    """Two-sample 1-Wasserstein (earth-mover) distance between the
+    ``value_col`` distributions of sides ``a`` and ``b``:
+    ``W₁ = ∫ |ECDF_a − ECDF_b| dx`` — the drift gate that, unlike
+    [[ks_drift]]'s max-gap, keeps units (it reads as "average value
+    displacement") and unlike [[psi_drift]] needs no binning. The
+    three drift statistics share one shape: counts collapsed onto
+    distinct values, then global cumulative sums.
+
+    Exact, not sampled: per-side counts collapse onto DISTINCT values,
+    both cumulative counts plus a distinct-value rank run through
+    ``core.ranged_cumsum`` (the distributed global-cumsum idiom —
+    never a single-partition window), and the adjacent-value gaps
+    ``x_{i+1} − x_i`` come from an equi-join on consecutive ranks
+    (rank is itself a cumsum, so no global lead window either). W₁
+    sums ``|F_a − F_b|·gap`` over the joined pairs. Returns one row:
+    ``(w1, n_a, n_b, n_values)``.
+    """
+    from ffn_polars_spark.core import ranged_cumsum
+
+    side = F.col(side_col)
+    per = (
+        df.where(side.isin(a, b) & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("__x"))
+        .agg(
+            F.sum(F.when(side == a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(side == b, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    cum = ranged_cumsum(
+        per,
+        ["__x"],
+        {
+            "__cca": F.col("__ca"),
+            "__ccb": F.col("__cb"),
+            "__rk": F.lit(1),
+        },
+    )
+    tot = cum.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count(F.lit(1)).alias("__nv"),
+    )
+    left = cum.select("__x", "__cca", "__ccb", "__rk")
+    right = cum.select(
+        F.col("__x").alias("__xn"), (F.col("__rk") - 1).alias("__rk")
+    )
+    pairs = left.join(right, "__rk")
+    contrib = pairs.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.abs(
+                F.col("__cca") / F.col("__na").cast("double")
+                - F.col("__ccb") / F.col("__nb").cast("double")
+            )
+            * (F.col("__xn") - F.col("__x")),
+        ).alias("__c"),
+        "__na",
+        "__nb",
+        "__nv",
+    )
+    # empty-side guard: W1 is undefined against an empty sample -> NULL,
+    # never an ANSI divide-by-zero
+    return contrib.agg(
+        F.when(
+            (F.first("__na") > 0) & (F.first("__nb") > 0),
+            F.coalesce(F.sum("__c"), F.lit(0.0)),
+        ).alias("w1"),
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.first("__nv").alias("n_values"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="lateness_stats")
+def lateness_stats(
+    df: DataFrame,
+    ts_col: str,
+    arrival_col: str,
+    by=None,
+) -> DataFrame:
+    """Out-of-orderness profile of an event stream: in ARRIVAL order
+    (``arrival_col`` — ingestion sequence, offset, file position), how
+    often does event time run backwards, and by how much?
+    ``lateness = max(previous event times) − event time`` when
+    positive — exactly the quantity a Structured Streaming watermark
+    (`withWatermark`) must exceed to avoid dropping data, measured
+    here so the streaming ops' delay threshold is a number, not a
+    guess.
+
+    One ordered window per key (running max of event time over
+    preceding arrivals) + one aggregate. Returns ``(*keys, n, n_late,
+    frac_late, max_lateness, avg_lateness)`` — avg over LATE events
+    only, NULL when nothing is late.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ts = F.col(ts_col).cast("double")
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(arrival_col)
+    prev_max = F.max(ts).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    late = F.when(prev_max > ts, prev_max - ts).otherwise(F.lit(0.0))
+    staged = df.select(*keys, late.alias("__late"))
+    g = staged.groupBy(*keys) if keys else staged.groupBy()
+    n_late = F.sum(F.when(F.col("__late") > 0, 1).otherwise(0)).cast("long")
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        n_late.alias("n_late"),
+        (
+            n_late.cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("frac_late"),
+        F.max("__late").alias("max_lateness"),
+        F.when(
+            n_late > 0,
+            F.sum("__late") / n_late.cast("double"),
+        ).alias("avg_lateness"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="column_overlap")
+def column_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols_a,
+    cols_b,
+) -> DataFrame:
+    """Instance-based schema matching: for every (column of A, column
+    of B) pair, the Jaccard overlap of their DISTINCT value sets
+    (values compared as strings, NULLs excluded) — the "which column
+    is the join key?" diagnostic run before wiring up an unfamiliar
+    feed, and the evidence [[join_profile]] assumes when it checks a
+    DECLARED key.
+
+    Each side unpivots to (column, value) with one explode over a
+    struct array (one scan per table regardless of column count),
+    collapses to distinct pairs, and the overlap is a single equi-join
+    on the value string — never a per-column-pair loop over the data.
+    The zero-overlap grid is completed from the per-column distinct
+    counts (column-cardinality frames). Returns ``(col_a, col_b,
+    n_common, n_a, n_b, jaccard)``.
+    """
+    def unpivot(df, cols, name):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("c"), F.col(c).cast("string").alias("v")
+                )
+                for c in cols
+            ]
+        )
+        e = df.select(F.explode(arr).alias("__e")).select(
+            F.col("__e.c").alias(name), F.col("__e.v").alias("__v")
+        )
+        return e.where(F.col("__v").isNotNull()).distinct()
+
+    ua = unpivot(df_a, list(cols_a), "col_a")
+    ub = unpivot(df_b, list(cols_b), "col_b")
+    common = ua.join(ub, "__v").groupBy("col_a", "col_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    na = ua.groupBy("col_a").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = ub.groupBy("col_b").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    grid = na.crossJoin(nb).join(common, ["col_a", "col_b"], "left").fillna(
+        0, subset=["n_common"]
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return grid.select(
+        "col_a", "col_b", "n_common", "n_a", "n_b",
+        (F.col("n_common").cast("double") / uni.cast("double")).alias("jaccard"),
+    )

@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ffn_polars_spark.registry import register
 
@@ -94,3 +95,62 @@ def interval_join(
         *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
     )
     return matched.unionByName(unmatched)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="interval_union")
+def interval_union(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by=None,
+) -> DataFrame:
+    """Union of (possibly overlapping) intervals per key — total covered
+    length, number of merged islands, and the largest island — the
+    sweep-line answer to "how much wall-clock was this user/sensor/job
+    actually active?" that naive ``Σ (end − start)`` double-counts the
+    moment intervals overlap. The interval-algebra companion to
+    [[interval_join]] (which pairs intervals; this one MERGES them) and
+    to detect_gaps (which finds the holes; this measures the coverage).
+
+    Classic gaps-and-islands: one ordered window per key — an island
+    starts where ``start`` exceeds the running max of all previous ends
+    (strictly: touching intervals merge) — then a cumulative island id
+    and a per-island aggregate. Two window passes sharing ONE exchange
+    (same partition+order), island cardinality after the first
+    aggregate. Zero-length intervals are kept: they cover nothing and
+    cannot bridge two islands, but a zero-length point PAST the running
+    max correctly starts (and counts as) its own island. Returns
+    ``(*keys, covered, n_islands, max_island, n_intervals)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    base = df.select(
+        *keys,
+        F.col(start_col).cast("double").alias("__s"),
+        F.col(end_col).cast("double").alias("__e"),
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy("__s", "__e")
+    prev_max_end = F.max(F.col("__e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1
+    ).otherwise(0)
+    staged = base.withColumn("__new", is_new).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    isl = staged.groupBy(*keys, F.col("__island")).agg(
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    length = F.greatest(F.col("__ie") - F.col("__is"), F.lit(0.0))
+    g = isl.groupBy(*keys) if keys else isl.groupBy()
+    return g.agg(
+        F.sum(length).alias("covered"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max(length).alias("max_island"),
+        F.sum("__n").cast("long").alias("n_intervals"),
+    )

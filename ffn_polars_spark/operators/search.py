@@ -186,3 +186,43 @@ def bm25_search(
     return scored.groupBy(id_col).agg(
         F.sum("__s").alias("score"), F.count(F.lit(1)).alias("n_terms")
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="rrf_fuse")
+def rrf_fuse(
+    df: DataFrame,
+    system_col: str,
+    item_col: str,
+    rank_col: str,
+    by=None,
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several rankers' result lists:
+    ``score(item) = Σ_systems 1/(k₀ + rank)`` — the standard zero-tuning
+    way to merge heterogeneous retrieval signals (lexical [[bm25_search]]
+    with embedding ANN, or any mix of rankers whose raw scores aren't
+    comparable), keeping items that several systems rank moderately well
+    ahead of one system's outlier.
+
+    One hash aggregate on (keys, item) — rank lists are already tiny
+    relative to the corpus — then a WindowGroupLimit top-k per key
+    (``row_number ≤ k``, ties broken by item so every engine cuts the
+    same list). ``n_systems`` says how many rankers voted for the item.
+    Returns ``(keys, item, rrf_score, n_systems, fused_rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    contrib = F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+    agg = df.groupBy(*keys, F.col(item_col).alias("item")).agg(
+        F.sum(contrib).alias("rrf_score"),
+        F.countDistinct(system_col).alias("n_systems"),
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col("rrf_score").desc(), F.col("item").asc())
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= F.lit(int(top_k)))
+    )

@@ -1275,3 +1275,114 @@ def doc_perplexity(
         "cross_entropy",
         F.exp(F.col("cross_entropy")).alias("perplexity"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="flesch_readability")
+def flesch_readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` with
+    the classic proxies — words are whitespace tokens, sentences are
+    ``[.!?]+``-delimited fragments containing at least one word (shared
+    with [[sentence_stats]], so the two never disagree), and syllables
+    are vowel-run counts (``[aeiouyAEIOUY]+``; whitespace breaks runs,
+    so the document-level count equals the per-word sum without ever
+    splitting). The graded-readability signal quality classifiers use
+    beside [[text_quality]]'s ratio features.
+
+    Pure in-row projection — one expression tree per row, no explode,
+    no shuffle; the parquet scan is the whole plan. Counts are exact
+    longs; NULL score when a document has no words or no sentences.
+    Returns ``(id, n_words, n_sentences, n_syllables, flesch)``.
+    """
+    text = F.col(text_col)
+    words = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
+    sentences = F.size(
+        F.filter(
+            F.split(text, r"[.!?]+"),
+            lambda s: F.size(
+                F.filter(F.split(s, r"\s+"), lambda t: t != F.lit(""))
+            )
+            > F.lit(0),
+        )
+    )
+    syllables = F.size(F.regexp_extract_all(text, F.lit(r"[aeiouyAEIOUY]+"), F.lit(0)))
+    wd = words.cast("double")
+    sd = sentences.cast("double")
+    yd = syllables.cast("double")
+    score = (
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when((words > 0) & (sentences > 0), score).alias("flesch"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="heaps_law")
+def heaps_law(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: accumulate the corpus in
+    ``id_col`` order, track cumulative token count ``N`` and cumulative
+    DISTINCT-type count ``V``, and fit ``V ≈ k·N^β`` by OLS on
+    ``(ln N, ln V)`` — the sublinearity exponent β (~0.4–0.6 for
+    natural language) that sizes vocabularies and, with [[zipf_slope]]
+    (the frequency side of the same phenomenon), fingerprints
+    machine-generated or template-heavy corpora (β near 0: a looping
+    vocabulary; near 1: id-like noise).
+
+    The "new types per document" frame comes from one distinct
+    (token → min doc) aggregate — each type counts exactly once, at
+    its first document — and both cumulatives run through
+    ``core.ranged_cumsum`` (the distributed global-cumsum idiom), so
+    nothing ever sees a single-partition window. The OLS is one
+    closed-form moment aggregate over the doc-cardinality frame.
+    Returns one row: ``(beta, k, n_docs, total_tokens, vocab)``.
+    """
+    from ffn_polars_spark.core import ranged_cumsum
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("__d"), toks.alias("__toks")
+    )
+    per_doc = base.select(
+        "__d", F.size("__toks").cast("long").alias("__nt")
+    )
+    first_seen = (
+        base.select("__d", F.explode(F.array_distinct("__toks")).alias("__t"))
+        .groupBy("__t")
+        .agg(F.min("__d").alias("__d"))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nv"))
+    )
+    docs = per_doc.join(first_seen, "__d", "left").fillna(0, subset=["__nv"])
+    cum = ranged_cumsum(
+        docs, ["__d"], {"__N": F.col("__nt"), "__V": F.col("__nv")}
+    )
+    pts = cum.where((F.col("__N") > 0) & (F.col("__V") > 0)).select(
+        F.log("__N").alias("__x"), F.log("__V").alias("__y")
+    )
+    agg = pts.agg(
+        F.covar_pop("__x", "__y").alias("__cxy"),
+        F.var_pop("__x").alias("__vx"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tots = cum.agg(
+        F.max("__N").cast("long").alias("total_tokens"),
+        F.max("__V").cast("long").alias("vocab"),
+    )
+    beta = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx"))
+    return agg.crossJoin(F.broadcast(tots)).select(
+        beta.alias("beta"),
+        F.exp(F.col("__my") - beta * F.col("__mx")).alias("k"),
+        "n_docs",
+        "total_tokens",
+        "vocab",
+    )

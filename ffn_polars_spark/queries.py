@@ -8849,6 +8849,1092 @@ def q_topk_churn(spark, sf_dir):
     )
 
 
+@query(
+    "twap",
+    TICKS_SQL
+    + f""", t AS (
+  SELECT event_type, event_id, ts_ns // 1000 AS ts_us, price FROM ticks),
+iv AS (
+  SELECT event_type, price,
+         CAST(lead(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id)
+              - ts_us AS DOUBLE) AS dt
+  FROM t)
+SELECT event_type,
+       {R("sum(price * dt) / sum(dt)")} AS twap,
+       CAST(sum(dt) AS DOUBLE) AS total_time,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM iv WHERE dt IS NOT NULL GROUP BY event_type""",
+)
+def q_twap(spark, sf_dir):
+    """Time-weighted average price per ticker — one lead window + one
+    aggregate; timestamps are pre-divided to exact-in-double microseconds
+    so the interval sum is exact integer arithmetic on both engines."""
+    from ffn_polars_spark.functions.tick_price import twap
+
+    t = ticks(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    out = twap(t, "price", ts_col="ts_us", by="event_type", tiebreak="event_id")
+    return out.select(
+        "event_type", r6("twap").alias("twap"), "total_time", "n_intervals"
+    )
+
+
+@query(
+    "chi_square",
+    """
+WITH cells AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY yr, x, y),
+rx AS (SELECT yr, x, sum(o) AS r FROM cells GROUP BY yr, x),
+cy AS (SELECT yr, y, sum(o) AS c FROM cells GROUP BY yr, y),
+grid AS (SELECT rx.yr, rx.x, cy.y, rx.r, cy.c
+         FROM rx JOIN cy ON rx.yr = cy.yr),
+fl AS (SELECT g.yr, g.x, g.y, g.r, g.c, coalesce(cells.o, 0) AS o
+       FROM grid g LEFT JOIN cells
+         ON cells.yr = g.yr AND cells.x = g.x AND cells.y = g.y),
+tm AS (SELECT yr, CAST(sum(o) AS DOUBLE) AS n FROM fl GROUP BY yr),
+term AS (
+  SELECT fl.yr,
+         (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / tm.n)
+           * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / tm.n)
+           / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / tm.n) AS t,
+         o, x, y
+  FROM fl JOIN tm ON fl.yr = tm.yr),
+agg AS (
+  SELECT yr, sum(t) AS chi2, CAST(sum(o) AS BIGINT) AS n,
+         count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+  FROM term GROUP BY yr)
+SELECT yr,
+       CASE WHEN (nx - 1) * (ny - 1) > 0
+            THEN floor(chi2 * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
+       CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof, n
+FROM agg""",
+)
+def q_chi_square(spark, sf_dir):
+    """Pearson chi-square of order priority vs status per order year —
+    the full |X|x|Y| grid is completed with zero cells (distinct-cross
+    join on grid-sized frames) so the statistic matches the textbook
+    value exactly."""
+    from ffn_polars_spark.operators.evaluation import chi_square
+
+    orders = read_table(spark, sf_dir, "orders")
+    pre = orders.select(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority", "o_orderstatus"
+    )
+    out = chi_square(pre, "o_orderpriority", "o_orderstatus", by="yr")
+    return out.select("yr", r6("chi2").alias("chi2"), "dof", "n")
+
+
+@query(
+    "cohens_kappa",
+    r"""
+WITH lab AS (
+  SELECT source,
+         CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS ra,
+         CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                                   t -> t <> '')) >= 55
+              THEN 'long' ELSE 'short' END AS rb
+  FROM documents),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM lab GROUP BY source),
+ca AS (SELECT source, ra AS k, CAST(count(*) AS BIGINT) AS na
+       FROM lab GROUP BY source, ra),
+cb AS (SELECT source, rb AS k, CAST(count(*) AS BIGINT) AS nb
+       FROM lab GROUP BY source, rb),
+marg AS (
+  SELECT coalesce(ca.source, cb.source) AS source,
+         sum(CAST(coalesce(na, 0) AS DOUBLE)
+             * CAST(coalesce(nb, 0) AS DOUBLE)) AS pe_num
+  FROM ca FULL JOIN cb ON ca.source = cb.source AND ca.k = cb.k
+  GROUP BY coalesce(ca.source, cb.source)),
+j AS (
+  SELECT tot.source, tot.n,
+         CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM tot JOIN marg ON tot.source = marg.source)
+SELECT source,
+       CASE WHEN pe < 1.0
+            THEN floor((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) / 1000000.0
+       END AS kappa,
+       floor(po * 1000000.0 + 0.5) / 1000000.0 AS po,
+       floor(pe * 1000000.0 + 0.5) / 1000000.0 AS pe, n
+FROM j""",
+)
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two heuristic document 'raters' (char-length
+    vs word-count labeling) per source — chance-corrected agreement on
+    exact marginal counts."""
+    from ffn_polars_spark.operators.evaluation import cohens_kappa
+
+    docs = read_table(spark, sf_dir, "documents")
+    wcount = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+    pre = docs.select(
+        "source",
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short").alias("ra"),
+        F.when(wcount >= 55, "long").otherwise("short").alias("rb"),
+    )
+    out = cohens_kappa(pre, "ra", "rb", by="source")
+    return out.select(
+        "source", r6("kappa").alias("kappa"), r6("po").alias("po"),
+        r6("pe").alias("pe"), "n",
+    )
+
+
+@query(
+    "flesch_readability",
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w,
+         len(list_filter(string_split_regex(text, '[.!?]+'),
+             x -> len(list_filter(string_split_regex(x, '\s+'),
+                                  t -> t <> '')) > 0)) AS sct,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(sct AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CASE WHEN w > 0 AND sct > 0 THEN
+         floor((206.835
+                - 1.015 * (CAST(w AS DOUBLE) / CAST(sct AS DOUBLE))
+                - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS flesch
+FROM s""",
+)
+def q_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease per document — pure in-row expression tree
+    (whitespace words, word-bearing sentences, vowel-run syllables); the
+    parquet scan is the whole plan."""
+    from ffn_polars_spark.operators.text import flesch_readability
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = flesch_readability(docs)
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        r6("flesch").alias("flesch"),
+    )
+
+
+@query(
+    "triangle_count",
+    """
+WITH pairs AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+und AS (SELECT DISTINCT s AS u, d AS v FROM pairs),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT deg.node, deg.degree,
+       coalesce(corners.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN deg.degree >= 2 THEN
+         floor(2.0 * CAST(coalesce(corners.n_triangles, 0) AS DOUBLE)
+               / (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS clustering
+FROM deg LEFT JOIN corners ON deg.node = corners.node""",
+)
+def q_triangle_count(spark, sf_dir):
+    """Triangles + local clustering on the part co-purchase graph (parts
+    sharing an order): the edge aggregation is the distributed step,
+    each triangle enumerated once as an ordered triple."""
+    from ffn_polars_spark.operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("d"))
+    edges = a.join(b, "k").where(F.col("s") < F.col("d")).select("s", "d")
+    out = triangle_count(edges, "s", "d")
+    return out.select(
+        "node", "degree", "n_triangles", r6("clustering").alias("clustering")
+    )
+
+
+@query(
+    "interval_union",
+    TICKS_SQL
+    + """, iv AS (
+  SELECT user_id, CAST(ts_ns // 1000 AS DOUBLE) AS s,
+         CAST(ts_ns // 1000 + 300000000 AS DOUBLE) AS e
+  FROM ticks),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+  FROM m),
+isl AS (
+  SELECT user_id, s, e,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl),
+g AS (
+  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e,
+         count(*) AS n
+  FROM isl GROUP BY user_id, island)
+SELECT user_id, sum(greatest(i_e - i_s, 0.0)) AS covered,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       max(greatest(i_e - i_s, 0.0)) AS max_island,
+       CAST(sum(n) AS BIGINT) AS n_intervals
+FROM g GROUP BY user_id""",
+)
+def q_interval_union(spark, sf_dir):
+    """Sweep-line interval union per user (5-minute activity windows
+    around each event): covered time, merged-island count, largest
+    island — two window passes sharing one exchange. Microsecond
+    arithmetic keeps every sum exact in doubles."""
+    from ffn_polars_spark.operators.ranges import interval_union
+
+    t = ticks(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    iv = t.select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + F.lit(300000000)).alias("e"),
+    )
+    return interval_union(iv, "s", "e", by="user_id")
+
+
+@query(
+    "radius_join",
+    """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(c_custkey * 7919 % 10000 AS DOUBLE) / 100.0 AS x,
+         CAST(c_custkey * 104729 % 10000 AS DOUBLE) / 100.0 AS y
+  FROM customer),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+  FROM pts a JOIN pts b ON a.id < b.id)
+SELECT id_a, id_b,
+       floor(d * 1000000.0 + 0.5) / 1000000.0 AS distance
+FROM pairs WHERE d <= 1.5""",
+)
+def q_radius_join(spark, sf_dir):
+    """Grid-bucketed Euclidean radius join over synthetic customer
+    coordinates: cells of side r + a 3x3 neighbor fan-out make the
+    candidate stage an equi-join (never the crossJoin the oracle is
+    allowed to use at sf0.01)."""
+    from ffn_polars_spark.operators.spatial import radius_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 10000).cast("double") / 100.0).alias("x"),
+        ((F.col("c_custkey") * 104729 % 10000).cast("double") / 100.0).alias("y"),
+    )
+    out = radius_join(pts, "id", "x", "y", 1.5)
+    return out.select("id_a", "id_b", r6("distance").alias("distance"))
+
+
+@query(
+    "newey_west_tstat",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks),
+b AS (SELECT * FROM rr WHERE r IS NOT NULL),
+mu AS (SELECT event_type, avg(r) AS mu, CAST(count(*) AS BIGINT) AS n
+       FROM b GROUP BY event_type),
+u AS (
+  SELECT b.event_type, b.ts_ns, b.event_id, b.r - mu.mu AS u, mu.mu, mu.n
+  FROM b JOIN mu ON b.event_type = mu.event_type),
+l AS (
+  SELECT event_type, mu, n, u,
+         lag(u, 1) OVER ({W}) AS u1, lag(u, 2) OVER ({W}) AS u2,
+         lag(u, 3) OVER ({W}) AS u3, lag(u, 4) OVER ({W}) AS u4,
+         lag(u, 5) OVER ({W}) AS u5
+  FROM u),
+g AS (
+  SELECT event_type, mu, n,
+         sum(u * u) AS g0, sum(u * u1) AS g1, sum(u * u2) AS g2,
+         sum(u * u3) AS g3, sum(u * u4) AS g4, sum(u * u5) AS g5
+  FROM l GROUP BY event_type, mu, n),
+v AS (
+  SELECT event_type, mu, n,
+         g0 / CAST(n AS DOUBLE)
+           + 2.0 * (1.0 - 1.0 / 6.0) * (g1 / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 2.0 / 6.0) * (g2 / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 3.0 / 6.0) * (g3 / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 4.0 / 6.0) * (g4 / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 5.0 / 6.0) * (g5 / CAST(n AS DOUBLE)) AS var_nw
+  FROM g)
+SELECT event_type, {R("mu")} AS mean,
+       CASE WHEN var_nw > 0
+            THEN {R("sqrt(var_nw / CAST(n AS DOUBLE))")} END AS se_nw,
+       CASE WHEN var_nw > 0
+            THEN {R("mu / sqrt(var_nw / CAST(n AS DOUBLE))")} END AS t_nw,
+       n
+FROM v""",
+)
+def q_newey_west_tstat(spark, sf_dir):
+    """Newey-West HAC t-statistic of the mean tick return per ticker
+    (Bartlett weights, 5 lags): one broadcast mean join + ONE ordered
+    window producing all five lag columns + one closed-form aggregate."""
+    from ffn_polars_spark.operators.evaluation import newey_west_tstat
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    )
+    out = newey_west_tstat(
+        pre, "r", order_by=["ts_ns", "event_id"], by="event_type", lags=5
+    )
+    return out.select(
+        "event_type", r6("mean").alias("mean"), r6("se_nw").alias("se_nw"),
+        r6("t_nw").alias("t_nw"), "n",
+    )
+
+
+@query(
+    "event_study",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, event_id,
+         row_number() OVER ({W}) AS rn,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks),
+b AS (SELECT event_type, event_id, rn, r FROM rr WHERE r IS NOT NULL),
+mu AS (SELECT event_type, avg(r) AS mu FROM b GROUP BY event_type),
+ev AS (SELECT event_type, rn AS t0 FROM b WHERE event_id % 211 = 0),
+ex AS (
+  SELECT ev.event_type, ev.t0, ev.t0 + g.o AS t
+  FROM ev CROSS JOIN generate_series(-2, 2) g(o)),
+j AS (
+  SELECT ex.event_type, ex.t0, b.r, mu.mu
+  FROM ex
+  JOIN b ON b.event_type = ex.event_type AND b.rn = ex.t
+  JOIN mu ON mu.event_type = ex.event_type)
+SELECT event_type, CAST(t0 AS BIGINT) AS event_seq,
+       {R("sum(r - mu)")} AS car,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM j GROUP BY event_type, t0""",
+)
+def q_event_study(spark, sf_dir):
+    """Constant-mean-model event study (CAR over a +/-2-tick window
+    around every 211th event id): events explode to window coordinates
+    map-side and equi-join the return series — no range-join blowup."""
+    from pyspark.sql.window import Window as _W
+
+    from ffn_polars_spark.operators.evaluation import event_study
+
+    t = ticks(spark, sf_dir)
+    w = _W.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    rr = t.select(
+        "event_type", "event_id",
+        F.row_number().over(w).alias("rn"),
+        (F.col("price") / F.lag("price").over(w) - 1).alias("r"),
+    ).where(F.col("r").isNotNull())
+    events = rr.where(F.col("event_id") % 211 == 0).select("event_type", "rn")
+    out = event_study(rr, events, "event_type", "rn", "r", window=2)
+    return out.select(
+        "event_type", F.col("event_seq").cast("long").alias("event_seq"),
+        r6("car").alias("car"), "n_obs",
+    )
+
+
+@query(
+    "rrf_fuse",
+    r"""
+WITH wc AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w
+  FROM documents),
+sa AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+  FROM wc),
+sb AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY w DESC, doc_id) AS rk
+  FROM wc),
+u AS (
+  SELECT lang, 'chars' AS sys, doc_id, rk FROM sa
+  UNION ALL
+  SELECT lang, 'words' AS sys, doc_id, rk FROM sb),
+agg AS (
+  SELECT lang, doc_id AS item,
+         sum(1.0 / (60.0 + CAST(rk AS DOUBLE))) AS rrf_score,
+         CAST(count(DISTINCT sys) AS BIGINT) AS n_systems
+  FROM u GROUP BY lang, doc_id),
+rk AS (
+  SELECT lang, item, rrf_score, n_systems,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY rrf_score DESC, item ASC) AS fused_rank
+  FROM agg)
+SELECT lang, item,
+       floor(rrf_score * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
+       n_systems, fused_rank
+FROM rk WHERE fused_rank <= 5""",
+)
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion of two document rankers (char-length vs
+    word-count) per language: one hash aggregate on rank-list-sized
+    frames + a WindowGroupLimit top-k cut."""
+    from pyspark.sql.window import Window as _W
+
+    from ffn_polars_spark.operators.search import rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    wcount = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+    wc = docs.select("doc_id", "lang", "n_chars", wcount.alias("w"))
+    wa = _W.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    wb = _W.partitionBy("lang").orderBy(F.col("w").desc(), "doc_id")
+    sa = wc.select(
+        "lang", F.lit("chars").alias("sys"), "doc_id",
+        F.row_number().over(wa).alias("rk"),
+    )
+    sb = wc.select(
+        "lang", F.lit("words").alias("sys"), "doc_id",
+        F.row_number().over(wb).alias("rk"),
+    )
+    out = rrf_fuse(sa.unionByName(sb), "sys", "doc_id", "rk", by="lang",
+                   k0=60, top_k=5)
+    return out.select(
+        "lang", "item", r6("rrf_score").alias("rrf_score"),
+        "n_systems", "fused_rank",
+    )
+
+
+@query(
+    "p_adjust_bh",
+    """
+WITH tests AS (
+  SELECT o_orderkey AS test_id, o_orderstatus AS family,
+         CAST(o_orderkey * 2654435761 % 999999937 AS DOUBLE) / 999999937.0 AS p
+  FROM orders WHERE o_orderkey % 37 = 0),
+rk AS (
+  SELECT test_id, family, p,
+         row_number() OVER (PARTITION BY family ORDER BY p) AS j,
+         count(*) OVER (PARTITION BY family) AS m
+  FROM tests),
+raw AS (
+  SELECT test_id, family, p,
+         p * CAST(m AS DOUBLE) / CAST(j AS DOUBLE) AS r, j
+  FROM rk),
+adj AS (
+  SELECT test_id, family, p,
+         least(min(r) OVER (PARTITION BY family ORDER BY j DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1.0) AS p_adj
+  FROM raw)
+SELECT test_id, family,
+       floor(p * 1000000.0 + 0.5) / 1000000.0 AS p,
+       floor(p_adj * 1000000.0 + 0.5) / 1000000.0 AS p_adj
+FROM adj""",
+)
+def q_p_adjust_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR over synthetic per-order test p-values,
+    family = order status: one ascending window for ranks + the same
+    window reversed for the tail running min — no iteration."""
+    from ffn_polars_spark.operators.evaluation import p_adjust_bh
+
+    orders = read_table(spark, sf_dir, "orders")
+    tests = orders.where(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_orderkey").alias("test_id"),
+        F.col("o_orderstatus").alias("family"),
+        (
+            (F.col("o_orderkey") * 2654435761 % 999999937).cast("double")
+            / 999999937.0
+        ).alias("p"),
+    )
+    out = p_adjust_bh(tests, "p", by="family")
+    return out.select(
+        "test_id", "family", r6("p").alias("p"), r6("p_adj").alias("p_adj")
+    )
+
+
+@query(
+    "proportion_ztest",
+    TICKS_SQL
+    + """, lab AS (
+  SELECT event_type,
+         CASE WHEN price > 105.0 THEN 1 ELSE 0 END AS s,
+         CAST(user_id % 2 AS INT) AS v
+  FROM ticks),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN v = 1 THEN s END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+         CAST(sum(CASE WHEN v = 0 THEN s END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0
+  FROM lab GROUP BY event_type),
+calc AS (
+  SELECT event_type, n_1, n_0,
+         CAST(s1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS p1,
+         CAST(s0 AS DOUBLE) / CAST(n_0 AS DOUBLE) AS p0,
+         CAST(s1 + s0 AS DOUBLE) / (CAST(n_1 AS DOUBLE) + CAST(n_0 AS DOUBLE)) AS pp
+  FROM agg),
+v AS (
+  SELECT event_type, n_1, n_0, p1, p0,
+         pp * (1.0 - pp) * (1.0 / CAST(n_1 AS DOUBLE) + 1.0 / CAST(n_0 AS DOUBLE)) AS var
+  FROM calc)
+SELECT event_type,
+       floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS rate_1,
+       floor(p0 * 1000000.0 + 0.5) / 1000000.0 AS rate_0,
+       floor((p1 - p0) * 1000000.0 + 0.5) / 1000000.0 AS lift,
+       CASE WHEN n_1 > 0 AND n_0 > 0 AND var > 0
+            THEN floor((p1 - p0) / sqrt(var) * 1000000.0 + 0.5) / 1000000.0
+       END AS z,
+       n_1, n_0
+FROM v""",
+)
+def q_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test per ticker (high-price rate, odd vs even
+    users): four exact counts per group, then closed-form algebra."""
+    from ffn_polars_spark.operators.evaluation import proportion_ztest
+
+    t = ticks(spark, sf_dir)
+    lab = t.select(
+        "event_type",
+        F.when(F.col("price") > 105.0, 1).otherwise(0).alias("s"),
+        (F.col("user_id") % 2).cast("int").alias("v"),
+    )
+    out = proportion_ztest(lab, "s", "v", by="event_type")
+    return out.select(
+        "event_type", r6("rate_1").alias("rate_1"), r6("rate_0").alias("rate_0"),
+        r6("lift").alias("lift"), r6("z").alias("z"), "n_1", "n_0",
+    )
+
+
+@query(
+    "cell_stats",
+    """
+WITH pts AS (
+  SELECT CAST(c_custkey * 7919 % 10000 AS DOUBLE) / 100.0 AS x,
+         CAST(c_custkey * 104729 % 10000 AS DOUBLE) / 100.0 AS y
+  FROM customer)
+SELECT CAST(floor(x / 5.0) AS BIGINT) AS cell_x,
+       CAST(floor(y / 5.0) AS BIGINT) AS cell_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1, 2""",
+)
+def q_cell_stats(spark, sf_dir):
+    """Grid-occupancy histogram of the synthetic customer coordinates —
+    the skew diagnostic a production radius_join runs first (a cell of
+    k points contributes k^2 candidates)."""
+    from ffn_polars_spark.operators.spatial import cell_stats
+
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        ((F.col("c_custkey") * 7919 % 10000).cast("double") / 100.0).alias("x"),
+        ((F.col("c_custkey") * 104729 % 10000).cast("double") / 100.0).alias("y"),
+    )
+    out = cell_stats(pts, "x", "y", 5.0)
+    return out.select(
+        F.col("cell_x").cast("long").alias("cell_x"),
+        F.col("cell_y").cast("long").alias("cell_y"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "transition_entropy",
+    TICKS_SQL
+    + """, pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM ticks),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+cell AS (
+  SELECT from_type, c,
+         CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+  FROM counts),
+rows_ AS (
+  SELECT from_type, sum(-p * log2(p)) AS entropy,
+         CAST(count(*) AS BIGINT) AS n_out, CAST(sum(c) AS BIGINT) AS n
+  FROM cell GROUP BY from_type),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM rows_),
+overall AS (
+  SELECT '__overall__' AS from_type,
+         sum(entropy * CAST(n AS DOUBLE) / tot.t) AS entropy,
+         CAST(sum(n_out) AS BIGINT) AS n_out, CAST(sum(n) AS BIGINT) AS n
+  FROM rows_ CROSS JOIN tot GROUP BY tot.t),
+u AS (
+  SELECT * FROM rows_ UNION ALL SELECT * FROM overall)
+SELECT from_type,
+       floor(entropy * 1000000.0 + 0.5) / 1000000.0 AS entropy,
+       n_out, n
+FROM u""",
+)
+def q_transition_entropy(spark, sf_dir):
+    """Next-state entropy of the per-user event-type Markov chain plus
+    the overall conditional entropy rate — everything after the
+    (from, to) count runs at |types|^2 cardinality."""
+    from ffn_polars_spark.operators.funnel import transition_entropy
+
+    t = ticks(spark, sf_dir)
+    out = transition_entropy(
+        t, user_col="user_id", type_col="event_type",
+        ts_col="ts_ns", tiebreak_col="event_id",
+    )
+    return out.select(
+        "from_type", r6("entropy").alias("entropy"), "n_out", "n"
+    )
+
+
+@query(
+    "forecast_mase",
+    PX_SQL
+    + """, l AS (
+  SELECT price,
+         lag(price, 7) OVER (ORDER BY d) AS vs,
+         lag(price, 1) OVER (ORDER BY d) AS v1
+  FROM px),
+agg AS (
+  SELECT avg(abs(price - vs)) AS mae_seasonal,
+         avg(abs(price - v1)) AS mae_naive,
+         CAST(count(*) AS BIGINT) AS n
+  FROM l)
+SELECT CASE WHEN mae_naive > 0
+            THEN floor(mae_seasonal / mae_naive * 1000000.0 + 0.5) / 1000000.0
+       END AS mase,
+       floor(mae_seasonal * 1000000.0 + 0.5) / 1000000.0 AS mae_seasonal,
+       floor(mae_naive * 1000000.0 + 0.5) / 1000000.0 AS mae_naive,
+       n
+FROM agg""",
+)
+def q_forecast_mase(spark, sf_dir):
+    """Seasonal-naive (weekly) forecast backtest on the daily price
+    series, scored as MASE — both lags from one ordered window, one
+    closed-form aggregate."""
+    from ffn_polars_spark.operators.evaluation import forecast_mase
+
+    p = px(spark, sf_dir)
+    out = forecast_mase(p, "price", order_by="d", season=7)
+    return out.select(
+        r6("mase").alias("mase"),
+        r6("mae_seasonal").alias("mae_seasonal"),
+        r6("mae_naive").alias("mae_naive"), "n",
+    )
+
+
+@query(
+    "wasserstein_distance",
+    TICKS_SQL
+    + f""", per AS (
+  SELECT price AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM ticks WHERE event_type IN ('purchase', 'view')
+  GROUP BY price),
+cum AS (
+  SELECT x,
+         sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+         sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+         lead(x) OVER (ORDER BY x) AS xn
+  FROM per),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM per)
+SELECT {R("sum(abs(CAST(cca AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(ccb AS DOUBLE) / CAST(n_b AS DOUBLE)) * (xn - x))")} AS w1,
+       n_a, n_b, n_values
+FROM cum CROSS JOIN tot WHERE xn IS NOT NULL
+GROUP BY n_a, n_b, n_values""",
+)
+def q_wasserstein_distance(spark, sf_dir):
+    """Earth-mover distance between the purchase and view price
+    distributions — distinct-value collapse, ranged_cumsum ECDFs, and
+    a consecutive-rank equi-join for the gaps (no global lead
+    window)."""
+    from ffn_polars_spark.operators.quality import wasserstein_distance
+
+    t = ticks(spark, sf_dir)
+    out = wasserstein_distance(t, "price", "event_type", "purchase", "view")
+    return out.select(
+        r6("w1").alias("w1"), "n_a", "n_b",
+        F.col("n_values").cast("long").alias("n_values"),
+    )
+
+
+@query(
+    "lateness_stats",
+    TICKS_SQL
+    + f""", arr AS (
+  SELECT event_type, ts_ns // 1000 AS ts_us,
+         (event_id * 48271 % 1009) * 10000000 + event_id AS arrival
+  FROM ticks),
+m AS (
+  SELECT event_type, ts_us,
+         max(ts_us) OVER (PARTITION BY event_type ORDER BY arrival
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM arr),
+l AS (
+  SELECT event_type,
+         CASE WHEN pm > ts_us THEN CAST(pm - ts_us AS DOUBLE)
+              ELSE 0.0 END AS late
+  FROM m),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         max(late) AS max_lateness, sum(late) AS sum_late
+  FROM l GROUP BY event_type)
+SELECT event_type, n, n_late,
+       {R("CAST(n_late AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_late,
+       max_lateness,
+       CASE WHEN n_late > 0
+            THEN {R("sum_late / CAST(n_late AS DOUBLE)")} END AS avg_lateness
+FROM g""",
+)
+def q_lateness_stats(spark, sf_dir):
+    """Out-of-orderness profile under a deterministic ingestion shuffle
+    (hash-bucketed arrival order): the measured watermark bound for the
+    streaming ops — running max of event time over arrival order, one
+    window + one aggregate."""
+    from ffn_polars_spark.operators.quality import lateness_stats
+
+    t = ticks(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        ((F.col("event_id") * 48271 % 1009) * 10000000 + F.col("event_id")).alias(
+            "arrival"
+        ),
+    )
+    out = lateness_stats(t, "ts_us", "arrival", by="event_type")
+    return out.select(
+        "event_type", "n", "n_late", r6("frac_late").alias("frac_late"),
+        "max_lateness", r6("avg_lateness").alias("avg_lateness"),
+    )
+
+
+@query(
+    "column_overlap",
+    """
+WITH ua AS (
+  SELECT DISTINCT col_a, v FROM (
+    SELECT 'o_orderkey' AS col_a, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders)
+  WHERE v IS NOT NULL),
+ub AS (
+  SELECT DISTINCT col_b, v FROM (
+    SELECT 'l_orderkey' AS col_b, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem)
+  WHERE v IS NOT NULL),
+common AS (
+  SELECT col_a, col_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM ua JOIN ub USING (v) GROUP BY col_a, col_b),
+na AS (SELECT col_a, CAST(count(*) AS BIGINT) AS n_a FROM ua GROUP BY col_a),
+nb AS (SELECT col_b, CAST(count(*) AS BIGINT) AS n_b FROM ub GROUP BY col_b),
+grid AS (
+  SELECT na.col_a, nb.col_b, na.n_a, nb.n_b,
+         coalesce(common.n_common, CAST(0 AS BIGINT)) AS n_common
+  FROM na CROSS JOIN nb
+  LEFT JOIN common ON common.col_a = na.col_a AND common.col_b = nb.col_b)
+SELECT col_a, col_b, n_common, n_a, n_b,
+       floor(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM grid""",
+)
+def q_column_overlap(spark, sf_dir):
+    """Instance-based schema matching between orders and lineitem key
+    columns: one explode-unpivot scan per table, distinct collapse, one
+    value equi-join — the 'which column is the join key?' diagnostic."""
+    from ffn_polars_spark.operators.quality import column_overlap
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    out = column_overlap(
+        orders, li, ["o_orderkey", "o_custkey"], ["l_orderkey", "l_suppkey"]
+    )
+    return out.select(
+        "col_a", "col_b", "n_common", "n_a", "n_b",
+        r6("jaccard").alias("jaccard"),
+    )
+
+
+@query(
+    "heaps_law",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+per_doc AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM toks),
+first_seen AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS nv FROM (
+    SELECT t, min(doc_id) AS d
+    FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks)
+    GROUP BY t)
+  GROUP BY d),
+docs AS (
+  SELECT per_doc.doc_id, per_doc.nt,
+         coalesce(first_seen.nv, CAST(0 AS BIGINT)) AS nv
+  FROM per_doc LEFT JOIN first_seen ON first_seen.d = per_doc.doc_id),
+cum AS (
+  SELECT doc_id,
+         sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS N,
+         sum(nv) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS V
+  FROM docs),
+pts AS (
+  SELECT ln(CAST(N AS DOUBLE)) AS x, ln(CAST(V AS DOUBLE)) AS y
+  FROM cum WHERE N > 0 AND V > 0),
+fit AS (
+  SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+         avg(x) AS mx, avg(y) AS my,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM pts),
+tots AS (
+  SELECT CAST(max(N) AS BIGINT) AS total_tokens,
+         CAST(max(V) AS BIGINT) AS vocab
+  FROM cum)
+SELECT CASE WHEN vx > 0
+            THEN floor(cxy / vx * 1000000.0 + 0.5) / 1000000.0 END AS beta,
+       CASE WHEN vx > 0
+            THEN floor(exp(my - cxy / vx * mx) * 1000000.0 + 0.5) / 1000000.0
+       END AS k,
+       n_docs, total_tokens, vocab
+FROM fit CROSS JOIN tots""",
+)
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over the document corpus — each
+    type counted once at its first document (one distinct token->min-doc
+    aggregate), cumulatives via ranged_cumsum, closed-form OLS."""
+    from ffn_polars_spark.operators.text import heaps_law
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = heaps_law(docs)
+    return out.select(
+        r6("beta").alias("beta"), r6("k").alias("k"),
+        "n_docs", "total_tokens", "vocab",
+    )
+
+
+def _top_pc_cte_prefix(iterations: int = 15) -> str:
+    """Shared unrolled power-iteration CTE chain for the linalg oracles:
+    every sum in the recurrence is EXACT (power-of-two grid quantization
+    keeps all products under 53 significant bits — operators/linalg.py
+    module docstring), so DuckDB's aggregate order cannot differ from
+    Spark's; the divisions and sqrt are correctly-rounded scalar ops on
+    identical inputs. Same iteration count, same grids, same guard."""
+    base = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(t.u[2] AS BIGINT) - 1 AS i,
+         floor(CAST(t.u[1] AS DOUBLE) * 1024.0 + 0.5) / 1024.0 AS q
+  FROM embeddings,
+       unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS t(u)),
+s AS MATERIALIZED (
+  SELECT a.i, b.i AS j,
+         floor(sum(a.q * b.q) * 1024.0 + 0.5) / 1024.0 AS v
+  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+dim AS (SELECT CAST(count(DISTINCT i) AS DOUBLE) AS d FROM s),
+mx AS (SELECT dim.d * (SELECT max(abs(v)) FROM s) AS m FROM dim),
+v0 AS MATERIALIZED (
+  SELECT i, floor(1.0 / sqrt(dim.d) * 32768.0 + 0.5) / 32768.0 AS v
+  FROM (SELECT DISTINCT i FROM s) CROSS JOIN dim)"""
+    its = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        its.append(f"""y{k} AS MATERIALIZED (
+  SELECT s.i, sum(s.v * p.v) AS y FROM s JOIN v{p} p ON p.i = s.j GROUP BY s.i),
+t{k} AS (
+  SELECT i, floor(y / mx.m * 32768.0 + 0.5) / 32768.0 AS t
+  FROM y{k} CROSS JOIN mx),
+n{k} AS (SELECT sqrt(sum(t * t)) AS nrm FROM t{k}),
+v{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN nrm > 0
+                 THEN floor(t / nrm * 32768.0 + 0.5) / 32768.0
+                 ELSE 0.0 END AS v
+  FROM t{k} CROSS JOIN n{k})""")
+    return base + ",\n" + ",\n".join(its)
+
+
+def _top_pc_oracle_sql(iterations: int = 15) -> str:
+    k = iterations
+    return (
+        _top_pc_cte_prefix(k)
+        + f"""
+SELECT CAST(v{k}.i AS INT) AS component,
+       floor(v{k}.v * 1000000.0 + 0.5) / 1000000.0 AS loading,
+       floor(n{k}.nrm * mx.m * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue
+FROM v{k} CROSS JOIN n{k} CROSS JOIN mx"""
+    )
+
+
+def _remove_pc_oracle_sql(iterations: int = 15) -> str:
+    """All-but-the-top replay: the shared power-iteration prefix yields
+    v; the projection dot product is again an exact (order-free) sum of
+    grid-quantized products, and the residual is a scalar chain."""
+    k = iterations
+    return (
+        _top_pc_cte_prefix(k)
+        + f""",
+dot AS (
+  SELECT e.vec_id, sum(e.q * p.v) AS dp
+  FROM e JOIN v{k} p ON p.i = e.i GROUP BY e.vec_id)
+SELECT e.vec_id, CAST(e.i AS INT) AS component,
+       floor((e.q - dot.dp * p.v) * 1000000.0 + 0.5) / 1000000.0 AS residual
+FROM e JOIN v{k} p ON p.i = e.i JOIN dot ON dot.vec_id = e.vec_id"""
+    )
+
+
+@query("embedding_top_pc", _top_pc_oracle_sql(15))
+def q_embedding_top_pc(spark, sf_dir):
+    """Top principal direction of the embedding corpus: the d x d
+    second-moment accumulation is the distributed pass; the 15-round
+    power iteration runs on the collected d^2 frame with exact-replay
+    grid arithmetic the unrolled SQL oracle reproduces bit-for-bit."""
+    from ffn_polars_spark.operators.linalg import embedding_top_pc
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = embedding_top_pc(emb, "embedding", "vec_id", iterations=15)
+    return out.select(
+        "component", r6("loading").alias("loading"),
+        r6("eigenvalue").alias("eigenvalue"),
+    )
+
+
+@query("embedding_remove_pc", _remove_pc_oracle_sql(15))
+def q_embedding_remove_pc(spark, sf_dir):
+    """All-but-the-top anisotropy correction: subtract each embedding's
+    projection onto the corpus top principal direction — one broadcast
+    of the d-vector + one projection pass; the oracle replays the
+    power iteration AND the exact-sum dot products."""
+    from ffn_polars_spark.operators.linalg import embedding_remove_pc
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = embedding_remove_pc(emb, "embedding", "vec_id", iterations=15)
+    return out.select(
+        "vec_id", "component", r6("residual").alias("residual")
+    )
+
+
+@query(
+    "langid_agreement",
+    f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['de']}))) AS n_de,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['en']}))) AS n_en,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['es']}))) AS n_es,
+         len(list_filter({TOKS_SQL}, x -> x IN ({_LANG_SQL_COUNTS['fr']}))) AS n_fr
+  FROM documents),
+lab AS (
+  SELECT lang AS gold,
+         CASE WHEN n_fr > greatest(n_de, n_en, n_es) THEN 'fr'
+              WHEN n_es > greatest(n_de, n_en) THEN 'es'
+              WHEN n_en > n_de THEN 'en'
+              ELSE 'de' END AS pred
+  FROM c),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM lab),
+ca AS (SELECT pred AS k, CAST(count(*) AS BIGINT) AS na FROM lab GROUP BY pred),
+cb AS (SELECT gold AS k, CAST(count(*) AS BIGINT) AS nb FROM lab GROUP BY gold),
+marg AS (
+  SELECT sum(CAST(coalesce(na, 0) AS DOUBLE)
+             * CAST(coalesce(nb, 0) AS DOUBLE)) AS pe_num
+  FROM ca FULL JOIN cb ON ca.k = cb.k),
+j AS (
+  SELECT tot.n,
+         CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM tot CROSS JOIN marg)
+SELECT CASE WHEN pe < 1.0
+            THEN floor((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) / 1000000.0
+       END AS kappa,
+       floor(po * 1000000.0 + 0.5) / 1000000.0 AS po,
+       floor(pe * 1000000.0 + 0.5) / 1000000.0 AS pe, n
+FROM j""",
+)
+def q_langid_agreement(spark, sf_dir):
+    """Model-vs-gold evaluation composition: Cohen's kappa between the
+    language_id heuristic's predictions and the corpus gold labels —
+    chance-corrected agreement that stays honest on the gold labels
+    (zh, it) the heuristic cannot emit."""
+    from ffn_polars_spark.operators.evaluation import cohens_kappa
+    from ffn_polars_spark.operators.text import language_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    lab = docs.select("doc_id", F.col("lang").alias("gold")).join(
+        pred, "doc_id"
+    )
+    out = cohens_kappa(lab, "lang_pred", "gold")
+    return out.select(
+        r6("kappa").alias("kappa"), r6("po").alias("po"),
+        r6("pe").alias("pe"), "n",
+    )
+
+
+@query(
+    "streaming_kmv_distinct",
+    TICKS_SQL
+    + """, vals AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':skmv:0'), 18, 15))::BIGINT
+          / 1152921504606846976.0) AS h
+  FROM ticks),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       FROM vals),
+sk AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,
+         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE 63.0 / max(h) END AS kmv_estimate
+  FROM rk WHERE rn <= 64 GROUP BY event_type),
+ne AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+       FROM ticks GROUP BY event_type)
+SELECT ne.event_type, ne.n_events, sk.n_seen,
+       floor(sk.kmv_estimate * 1000000.0 + 0.5) / 1000000.0 AS kmv_estimate
+FROM ne JOIN sk ON sk.event_type = ne.event_type""",
+)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """Stateful streaming KMV distinct-user sketch (applyInPandasWithState,
+    k=64): min-k of a hash set is commutative and duplicate-blind, so the
+    drained estimate equals the batch sketch under ANY micro-batching —
+    the oracle needs no ordering assumption at all."""
+    from ffn_polars_spark.sim.rand import uniform
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_kmv_distinct,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    stream = read_tick_stream(spark, stage, ts_col="ts").withColumn(
+        "__h", uniform(F.col("user_id"), "skmv", 0, hash_fn="md5")
+    )
+    out = stateful_kmv_distinct(stream, "event_type", "__h", k=64)
+    drained = run_available_now(out, output_mode="update")
+    return drained.select(
+        "event_type", "n_events", "n_seen",
+        r6("kmv_estimate").alias("kmv_estimate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -8884,9 +9970,32 @@ def q_topk_churn(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- brand-new this session (no driver evidence yet): evaluation panel,
-    # retrieval metrics, CAPM/tail ratios, quote-aware classification, HHI,
-    # tail-index and TCA.
+    # --- brand-new this session
+    "embedding_remove_pc",
+    "langid_agreement",
+    "streaming_kmv_distinct",
+    "embedding_top_pc",
+    "wasserstein_distance",
+    "lateness_stats",
+    "column_overlap",
+    "heaps_law",
+    "p_adjust_bh",
+    "proportion_ztest",
+    "cell_stats",
+    "transition_entropy",
+    "forecast_mase",
+    "interval_union",
+    "radius_join",
+    "newey_west_tstat",
+    "event_study",
+    "rrf_fuse",
+    "twap",
+    "chi_square",
+    "cohens_kappa",
+    "flesch_readability",
+    "triangle_count",
+    # (no driver evidence yet): evaluation panel, retrieval metrics,
+    # CAPM/tail ratios, quote-aware classification, HHI, tail-index, TCA.
     "kaplan_meier",
     "event_ngrams",
     "rank_portfolio",

@@ -768,3 +768,92 @@ def stateful_psi(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("ks", ArrayType(DoubleType())),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _kmv_output_schema(key: str) -> StructType:
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("n_events", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("kmv_estimate", DoubleType()),
+        ]
+    )
+
+
+def stateful_kmv_distinct(
+    stream: DataFrame,
+    key: str,
+    hash_col: str,
+    k: int = 64,
+    idle_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Streaming K-minimum-values distinct-count sketch via
+    ``applyInPandasWithState`` — the online twin of the batch
+    [[kmv_distinct]]: each key's state is the ``k`` smallest DISTINCT
+    md5-uniform hashes seen so far (pre-compute ``hash_col`` with
+    ``sim.rand.uniform(..., hash_fn="md5")`` in the stream projection,
+    so the JVM does the hashing and the stateful kernel only merges),
+    and every micro-batch emits ``n̂ = (k−1)/h_k`` (exact ``n_seen``
+    below ``k``). Min-k of a set is COMMUTATIVE and duplicate-blind, so
+    unlike the sequential stateful ops the result is independent of
+    micro-batch boundaries and arrival order — the drained value equals
+    the batch sketch bit-for-bit under ANY batching, which is what
+    makes its oracle unconditional.
+
+    State is ≤ k doubles per key; the usual ``idle_timeout_ms`` TTL
+    applies. Emits ``(key, n_events, n_seen, kmv_estimate)`` in update
+    mode.
+    """
+    import numpy as np
+
+    kk = int(k)
+
+    def update(key_tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ks_list, n_events = state.get
+            ks = np.asarray(ks_list, dtype=np.float64)
+        else:
+            ks, n_events = np.empty(0, dtype=np.float64), 0
+        for pdf in pdf_iter:
+            h = pdf[hash_col].to_numpy(dtype=np.float64)
+            if not len(h):
+                continue
+            ks = np.unique(np.concatenate([ks, h]))[:kk]
+            n_events += len(h)
+        state.update(([float(x) for x in ks], n_events))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        n_seen = len(ks)
+        est = float(n_seen) if n_seen < kk else (kk - 1.0) / float(ks[-1])
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n_events],
+                "n_seen": [n_seen],
+                "kmv_estimate": [est],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=_kmv_output_schema(key),
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

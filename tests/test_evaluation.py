@@ -1150,3 +1150,249 @@ def test_rank_portfolio_long_short_spread(spark):
     assert abs(out["short_ret"] - 0.1) < 1e-12
     assert abs(out["spread"] - 0.4) < 1e-12
     assert out["n_long"] == 1 and out["n_short"] == 1
+
+
+def test_chi_square_textbook_2x2(spark):
+    # 2x2 grid: [[10, 20], [20, 10]] -> chi2 = 60*(10*10-20*20)^2/(30*30*30*30)
+    # = n*(ad-bc)^2/(r1*r2*c1*c2) = 60*90000/810000 = 6.666...
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    from ffn_polars_spark.operators.evaluation import chi_square
+
+    out = chi_square(spark.createDataFrame(rows, ["u", "v"]), "u", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 60 and r["dof"] == 1
+    assert abs(r["chi2"] - 60 * (10 * 10 - 20 * 20) ** 2 / 810000) < 1e-9
+
+
+def test_chi_square_counts_observed_zero_cells(spark):
+    # a never pairs with z: the (a,z) cell is absent from the observed
+    # frame but must still contribute (0-E)^2/E
+    rows = [("a", "x")] * 5 + [("b", "x")] * 5 + [("b", "z")] * 5
+    from ffn_polars_spark.operators.evaluation import chi_square
+
+    r = chi_square(spark.createDataFrame(rows, ["u", "v"]), "u", "v").collect()[0]
+    # E(a,z) = 5*5/15 = 5/3; manual chi2 = 3.75
+    assert abs(r["chi2"] - 3.75) < 1e-9
+    assert r["dof"] == 1 and r["n"] == 15
+
+
+def test_chi_square_independent_is_zero(spark):
+    # perfectly proportional grid -> chi2 exactly 0
+    rows = [("a", "x")] * 4 + [("a", "y")] * 2 + [("b", "x")] * 8 + [("b", "y")] * 4
+    from ffn_polars_spark.operators.evaluation import chi_square
+
+    r = chi_square(spark.createDataFrame(rows, ["u", "v"]), "u", "v").collect()[0]
+    assert abs(r["chi2"]) < 1e-12
+
+
+def test_cohens_kappa_textbook(spark):
+    # classic 2x2: both say yes 20, both no 15, a-yes/b-no 5, a-no/b-yes 10
+    # po = 35/50 = .7; pa_yes=.5, pb_yes=.6 -> pe = .3+.2 = .5; kappa = .4
+    from ffn_polars_spark.operators.evaluation import cohens_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15 + [("y", "n")] * 5 + [("n", "y")] * 10
+    )
+    r = cohens_kappa(spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    assert r["n"] == 50
+    assert abs(r["po"] - 0.7) < 1e-12
+    assert abs(r["pe"] - 0.5) < 1e-12
+    assert abs(r["kappa"] - 0.4) < 1e-12
+
+
+def test_cohens_kappa_constant_raters_null(spark):
+    # both raters constant and identical: pe = 1, kappa undefined -> NULL
+    from ffn_polars_spark.operators.evaluation import cohens_kappa
+
+    rows = [("y", "y")] * 5
+    r = cohens_kappa(spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    assert r["kappa"] is None and r["po"] == 1.0 and r["pe"] == 1.0
+
+
+def test_cohens_kappa_label_present_on_one_side_only(spark):
+    # rater b uses a label a never uses: the full-outer marginal join
+    # must keep it (na=0 contributes 0 to pe, not a dropped row)
+    from ffn_polars_spark.operators.evaluation import cohens_kappa
+
+    rows = [("y", "y"), ("y", "z"), ("n", "n"), ("n", "n")]
+    r = cohens_kappa(spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    # po = 3/4; pe = (2*1 + 2*2 + 0*1)/16 = 6/16
+    assert abs(r["po"] - 0.75) < 1e-12
+    assert abs(r["pe"] - 6 / 16) < 1e-12
+
+
+def test_triangle_count_book_graph(spark):
+    from ffn_polars_spark.operators.graph import triangle_count
+
+    # square 1-2-3-4-1 with one diagonal 1-3: triangles (1,2,3), (1,3,4)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    out = {r["node"]: r for r in triangle_count(
+        spark.createDataFrame(edges, ["src", "dst"])
+    ).collect()}
+    assert {n: r["n_triangles"] for n, r in out.items()} == {
+        1: 2, 2: 1, 3: 2, 4: 1
+    }
+    assert out[1]["degree"] == 3
+    # node 1: 2 triangles over C(3,2)=3 wedges -> clustering 2/3
+    assert abs(out[1]["clustering"] - 2 / 3) < 1e-12
+    assert out[2]["clustering"] == 1.0
+
+
+def test_triangle_count_canonicalizes_direction_and_dupes(spark):
+    from ffn_polars_spark.operators.graph import triangle_count
+
+    # same triangle given as mixed directions, duplicates, and a self-loop
+    edges = [(2, 1), (1, 2), (2, 3), (3, 1), (1, 1)]
+    out = {r["node"]: r for r in triangle_count(
+        spark.createDataFrame(edges, ["src", "dst"])
+    ).collect()}
+    assert all(r["n_triangles"] == 1 for r in out.values())
+    assert all(r["degree"] == 2 for r in out.values())
+
+
+def test_triangle_count_triangle_free(spark):
+    from ffn_polars_spark.operators.graph import triangle_count
+
+    # a path graph has no triangles; degree-1 endpoints get NULL clustering
+    edges = [(1, 2), (2, 3)]
+    out = {r["node"]: r for r in triangle_count(
+        spark.createDataFrame(edges, ["src", "dst"])
+    ).collect()}
+    assert all(r["n_triangles"] == 0 for r in out.values())
+    assert out[1]["clustering"] is None
+    assert out[2]["clustering"] == 0.0
+
+
+def test_newey_west_iid_matches_plain_se(spark):
+    from ffn_polars_spark.operators.evaluation import newey_west_tstat
+
+    # all autocovariances of an exactly-alternating series: gamma_1 is
+    # negative, so NW variance < naive variance; check the closed form
+    rows = [("a", i, 1.0 if i % 2 == 0 else -1.0) for i in range(8)]
+    r = newey_west_tstat(
+        spark.createDataFrame(rows, ["k", "t", "v"]), "v",
+        order_by="t", by="k", lags=1,
+    ).collect()[0]
+    # mean 0, u_t = v_t; g0 = 8, g1 = -7 (7 adjacent pairs, each -1)
+    # var = 1 + 2*(1-1/2)*(-7/8) = 1 - 7/8 = 1/8; se = sqrt(1/64)
+    assert r["mean"] == 0.0
+    assert abs(r["se_nw"] - (1.0 / 64.0) ** 0.5) < 1e-12
+    assert r["t_nw"] == 0.0 and r["n"] == 8
+
+
+def test_newey_west_zero_lags_is_plain_se(spark):
+    from ffn_polars_spark.operators.evaluation import newey_west_tstat
+
+    rows = [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0)]
+    r = newey_west_tstat(
+        spark.createDataFrame(rows, ["k", "t", "v"]), "v",
+        order_by="t", by="k", lags=0,
+    ).collect()[0]
+    # u = (-1,0,1); var = 2/3; se = sqrt(2/9); t = 2/sqrt(2/9)
+    assert abs(r["se_nw"] - (2.0 / 9.0) ** 0.5) < 1e-12
+    assert abs(r["t_nw"] - 2.0 / (2.0 / 9.0) ** 0.5) < 1e-12
+
+
+def test_event_study_car_hand_computed(spark):
+    from ffn_polars_spark.operators.evaluation import event_study
+
+    # returns 1..5 per key a (mean 3); event at t=3, window 1:
+    # CAR = (2-3)+(3-3)+(4-3) = 0, n_obs 3
+    rets = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 6)], ["k", "t", "r"]
+    )
+    evs = spark.createDataFrame([("a", 3)], ["k", "t"])
+    r = event_study(rets, evs, "k", "t", "r", window=1).collect()[0]
+    assert r["event_seq"] == 3 and r["n_obs"] == 3
+    assert abs(r["car"]) < 1e-12
+
+
+def test_event_study_clipped_window(spark):
+    from ffn_polars_spark.operators.evaluation import event_study
+
+    # event at the series start: window clips, n_obs < 2w+1
+    rets = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 0.0)], ["k", "t", "r"]
+    )
+    evs = spark.createDataFrame([("a", 1)], ["k", "t"])
+    r = event_study(rets, evs, "k", "t", "r", window=2).collect()[0]
+    # mean 5; CAR = (10-5)+(0-5) = 0 over the 2 surviving obs
+    assert r["n_obs"] == 2 and abs(r["car"]) < 1e-12
+
+
+def test_p_adjust_bh_textbook(spark):
+    from ffn_polars_spark.operators.evaluation import p_adjust_bh
+
+    # classic example: p = .01, .02, .03, .04, .05 with m=5
+    # raw = .05, .05, .05, .05, .05 -> all adj .05
+    rows = [(i, 0.01 * i) for i in range(1, 6)]
+    out = p_adjust_bh(spark.createDataFrame(rows, ["id", "p"]), "p").collect()
+    assert all(abs(r["p_adj"] - 0.05) < 1e-12 for r in out)
+
+
+def test_p_adjust_bh_monotone_enforcement(spark):
+    from ffn_polars_spark.operators.evaluation import p_adjust_bh
+
+    # p = .01, .04, .05: raw = .03, .06, .05 -> tail min makes
+    # adj = .03, .05, .05 (rank 2's .06 is pulled down by rank 3)
+    rows = [(1, 0.01), (2, 0.04), (3, 0.05)]
+    got = {r["id"]: r["p_adj"] for r in p_adjust_bh(
+        spark.createDataFrame(rows, ["id", "p"]), "p"
+    ).collect()}
+    assert abs(got[1] - 0.03) < 1e-12
+    assert abs(got[2] - 0.05) < 1e-12
+    assert abs(got[3] - 0.05) < 1e-12
+
+
+def test_p_adjust_bh_families_and_nulls(spark):
+    from ffn_polars_spark.operators.evaluation import p_adjust_bh
+
+    rows = [("a", 1, 0.5), ("a", 2, None), ("b", 3, 0.02)]
+    out = {r["id"]: r for r in p_adjust_bh(
+        spark.createDataFrame(rows, ["fam", "id", "p"]), "p", by="fam"
+    ).collect()}
+    assert out[1]["p_adj"] == 0.5      # m=1 within family a
+    assert out[2]["p_adj"] is None     # null passthrough, not counted
+    assert abs(out[3]["p_adj"] - 0.02) < 1e-12
+
+
+def test_proportion_ztest_hand_computed(spark):
+    from ffn_polars_spark.operators.evaluation import proportion_ztest
+
+    # arm 1: 30/100, arm 0: 20/100; pooled .25
+    rows = [(1, 1)] * 30 + [(0, 1)] * 70 + [(1, 0)] * 20 + [(0, 0)] * 80
+    r = proportion_ztest(
+        spark.createDataFrame(rows, ["s", "v"]), "s", "v"
+    ).collect()[0]
+    assert r["n_1"] == 100 and r["n_0"] == 100
+    assert abs(r["lift"] - 0.10) < 1e-12
+    import math
+    se = math.sqrt(0.25 * 0.75 * (1 / 100 + 1 / 100))
+    assert abs(r["z"] - 0.10 / se) < 1e-12
+
+
+def test_proportion_ztest_degenerate_null_z(spark):
+    from ffn_polars_spark.operators.evaluation import proportion_ztest
+
+    # all successes in both arms: pooled variance 0 -> z NULL
+    rows = [(1, 1), (1, 1), (1, 0), (1, 0)]
+    r = proportion_ztest(
+        spark.createDataFrame(rows, ["s", "v"]), "s", "v"
+    ).collect()[0]
+    assert r["z"] is None and r["rate_1"] == 1.0 and r["rate_0"] == 1.0
+
+
+def test_forecast_mase_perfect_seasonality(spark):
+    from ffn_polars_spark.operators.evaluation import forecast_mase
+
+    # period-2 series 1,9,1,9,...: seasonal(2) error 0, naive error 8
+    rows = [("a", i, 1.0 if i % 2 == 0 else 9.0) for i in range(10)]
+    r = forecast_mase(
+        spark.createDataFrame(rows, ["k", "t", "v"]), "v",
+        order_by="t", by="k", season=2,
+    ).collect()[0]
+    assert r["mase"] == 0.0
+    assert r["mae_seasonal"] == 0.0 and r["mae_naive"] == 8.0

@@ -132,3 +132,26 @@ def test_event_ngrams_trigram_needs_full_window(spark):
         spark.createDataFrame(rows, ["k", "ts", "item"]), "ts", "k", "item", n=3
     )
     assert out.count() == 0  # only 2 events: no complete trigram
+
+
+def test_transition_entropy_deterministic_and_uniform(spark):
+    from ffn_polars_spark.operators.funnel import transition_entropy
+
+    # user u1: a->b, b->a, a->b  (a goes to b always: H=0; b->a always: H=0)
+    # user u2: a->c              (second successor for a -> H(a) > 0)
+    rows = [
+        ("u1", 0, "a"), ("u1", 1, "b"), ("u1", 2, "a"), ("u1", 3, "b"),
+        ("u2", 0, "a"), ("u2", 1, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_ns", "event_type"])
+    out = {r["from_type"]: r for r in transition_entropy(df).collect()}
+    # a: 2x ->b, 1x ->c: H = -(2/3 log2 2/3 + 1/3 log2 1/3)
+    import math
+    ha = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(out["a"]["entropy"] - ha) < 1e-12
+    assert out["a"]["n_out"] == 2 and out["a"]["n"] == 3
+    assert out["b"]["entropy"] == 0.0
+    # 4 transitions total (3 from a, 1 from b):
+    # overall = sum H(x) * n_x / n_total = ha * 3/4
+    assert abs(out["__overall__"]["entropy"] - ha * 3 / 4) < 1e-12
+    assert out["__overall__"]["n"] == 4

@@ -184,3 +184,102 @@ def test_psi_drift_hand_computed_and_conventions(spark):
     )
     rr = psi_drift(rng, "v", "side", "a", "b", lo=0.0, width=2.0).collect()[0]
     assert rr.n_a == 2 and rr.n_b == 2 and abs(rr.psi) < 1e-12
+
+
+def test_wasserstein_hand_computed(spark):
+    from ffn_polars_spark.operators.quality import wasserstein_distance
+
+    # a = {0, 1}, b = {1, 2}: W1 = 1 (shift every unit of mass by 1)
+    rows = [("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)]
+    r = wasserstein_distance(
+        spark.createDataFrame(rows, ["side", "v"]), "v", "side", "a", "b"
+    ).collect()[0]
+    assert abs(r["w1"] - 1.0) < 1e-12
+    assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_values"] == 3
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    from ffn_polars_spark.operators.quality import wasserstein_distance
+
+    rows = [("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)]
+    r = wasserstein_distance(
+        spark.createDataFrame(rows, ["side", "v"]), "v", "side", "a", "b"
+    ).collect()[0]
+    assert r["w1"] == 0.0
+
+
+def test_wasserstein_unequal_sizes(spark):
+    from ffn_polars_spark.operators.quality import wasserstein_distance
+
+    # a = {0}, b = {0, 3}: |F_a - F_b| is 1/2 on [0, 3) -> W1 = 1.5
+    rows = [("a", 0.0), ("b", 0.0), ("b", 3.0)]
+    r = wasserstein_distance(
+        spark.createDataFrame(rows, ["side", "v"]), "v", "side", "a", "b"
+    ).collect()[0]
+    assert abs(r["w1"] - 1.5) < 1e-12
+
+
+def test_wasserstein_empty_side_null(spark):
+    from ffn_polars_spark.operators.quality import wasserstein_distance
+
+    rows = [("a", 1.0), ("a", 2.0)]
+    r = wasserstein_distance(
+        spark.createDataFrame(rows, ["side", "v"]), "v", "side", "a", "b"
+    ).collect()[0]
+    assert r["w1"] is None
+
+
+def test_lateness_stats_measures_watermark_bound(spark):
+    from ffn_polars_spark.operators.quality import lateness_stats
+
+    # arrival order 1,2,3,4 carries event times 10, 30, 20, 40:
+    # the third event is 10 late; others on time
+    rows = [("k", 1, 10.0), ("k", 2, 30.0), ("k", 3, 20.0), ("k", 4, 40.0)]
+    r = lateness_stats(
+        spark.createDataFrame(rows, ["g", "arr", "ts"]), "ts", "arr", by="g"
+    ).collect()[0]
+    assert r["n"] == 4 and r["n_late"] == 1
+    assert r["max_lateness"] == 10.0 and r["avg_lateness"] == 10.0
+    assert abs(r["frac_late"] - 0.25) < 1e-12
+
+
+def test_lateness_stats_in_order_stream(spark):
+    from ffn_polars_spark.operators.quality import lateness_stats
+
+    rows = [("k", i, float(i)) for i in range(5)]
+    r = lateness_stats(
+        spark.createDataFrame(rows, ["g", "arr", "ts"]), "ts", "arr", by="g"
+    ).collect()[0]
+    assert r["n_late"] == 0 and r["max_lateness"] == 0.0
+    assert r["avg_lateness"] is None
+
+
+def test_column_overlap_finds_the_join_key(spark):
+    from ffn_polars_spark.operators.quality import column_overlap
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["id", "tag"])
+    b = spark.createDataFrame([(2, 20), (3, 30), (4, 40)], ["ref", "amt"])
+    out = {(r["col_a"], r["col_b"]): r for r in column_overlap(
+        a, b, ["id", "tag"], ["ref", "amt"]
+    ).collect()}
+    key = out[("id", "ref")]
+    # ids {1,2,3} vs refs {2,3,4}: 2 common of 4 union
+    assert key["n_common"] == 2 and abs(key["jaccard"] - 0.5) < 1e-12
+    assert out[("tag", "ref")]["n_common"] == 0
+    assert len(out) == 4  # full grid, zero-overlap pairs included
+
+
+def test_heaps_law_on_synthetic_growth(spark):
+    from ffn_polars_spark.operators.text import heaps_law
+
+    # every doc repeats one old word and introduces one new word:
+    # V grows linearly with docs, N = 2 * docs
+    rows = [(i, f"w0 w{i}") for i in range(1, 21)]
+    r = heaps_law(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).collect()[0]
+    assert r["n_docs"] == 20
+    assert r["total_tokens"] == 40
+    assert r["vocab"] == 21
+    # V ~ N/2 asymptotically -> beta near 1 on the log-log fit
+    assert 0.7 < r["beta"] <= 1.05

@@ -60,3 +60,65 @@ def test_left_keeps_unmatched(spark, pts, ivs):
 def test_how_contract(spark, pts, ivs):
     with pytest.raises(ValueError, match="how"):
         interval_join(pts, ivs, "ts", how="outer")
+
+
+def test_interval_union_merges_overlaps(spark):
+    from ffn_polars_spark.operators.ranges import interval_union
+
+    # [0,10] u [5,15] u [20,25]: covered 20, 2 islands, max 15
+    rows = [("a", 0.0, 10.0), ("a", 5.0, 15.0), ("a", 20.0, 25.0)]
+    r = interval_union(
+        spark.createDataFrame(rows, ["k", "s", "e"]), "s", "e", by="k"
+    ).collect()[0]
+    assert r["covered"] == 20.0
+    assert r["n_islands"] == 2
+    assert r["max_island"] == 15.0
+    assert r["n_intervals"] == 3
+
+
+def test_interval_union_touching_intervals_merge(spark):
+    from ffn_polars_spark.operators.ranges import interval_union
+
+    # [0,5] and [5,10] touch -> one island of length 10
+    rows = [("a", 0.0, 5.0), ("a", 5.0, 10.0)]
+    r = interval_union(
+        spark.createDataFrame(rows, ["k", "s", "e"]), "s", "e", by="k"
+    ).collect()[0]
+    assert r["n_islands"] == 1 and r["covered"] == 10.0
+
+
+def test_interval_union_contained_interval_does_not_split(spark):
+    from ffn_polars_spark.operators.ranges import interval_union
+
+    # [0,100] contains [10,20]; a later [30,40] must NOT start a new
+    # island (running-max, not previous-row-end, is the sweep state)
+    rows = [("a", 0.0, 100.0), ("a", 10.0, 20.0), ("a", 30.0, 40.0)]
+    r = interval_union(
+        spark.createDataFrame(rows, ["k", "s", "e"]), "s", "e", by="k"
+    ).collect()[0]
+    assert r["n_islands"] == 1 and r["covered"] == 100.0
+
+
+def test_radius_join_finds_exactly_near_pairs(spark):
+    from ffn_polars_spark.operators.spatial import radius_join
+
+    # points on a line at 0, 1, 3, 10 with r=2: pairs (1,2) d=1, (2,3) d=2
+    rows = [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 3.0, 0.0), (4, 10.0, 0.0)]
+    out = radius_join(
+        spark.createDataFrame(rows, ["id", "x", "y"]), "id", "x", "y", 2.0
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out}
+    assert got == {(1, 2): 1.0, (2, 3): 2.0}
+
+
+def test_radius_join_cross_cell_boundary(spark):
+    from ffn_polars_spark.operators.spatial import radius_join
+
+    # two points in different grid cells but within r: the 3x3 neighbor
+    # fan-out must find them; and each pair appears exactly once
+    rows = [(1, 0.9, 0.9), (2, 1.1, 1.1)]
+    out = radius_join(
+        spark.createDataFrame(rows, ["id", "x", "y"]), "id", "x", "y", 1.0
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0]["distance"] - (0.08) ** 0.5) < 1e-12

@@ -47,3 +47,33 @@ def test_keyword_search_requires_all_terms_and_ranks_by_tf(docs):
 def test_keyword_search_rejects_empty_query(docs):
     with pytest.raises(ValueError):
         keyword_search(docs, ["", "  "][:1])
+
+
+def test_rrf_fuse_rewards_consensus(spark):
+    from ffn_polars_spark.operators.search import rrf_fuse
+
+    # doc B is 2nd in both systems; A and C are 1st in one and absent
+    # from the other -> with k0=0, B: 1/2+1/2 = 1.0 beats A: 1/1 = 1.0?
+    # use k0=1: B: 1/3+1/3 = 2/3 > A: 1/2, C: 1/2
+    rows = [("s1", "A", 1), ("s1", "B", 2), ("s2", "C", 1), ("s2", "B", 2)]
+    out = rrf_fuse(
+        spark.createDataFrame(rows, ["sys", "item", "rk"]),
+        "sys", "item", "rk", k0=1, top_k=3,
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r["fused_rank"])
+    assert by_rank[0]["item"] == "B" and by_rank[0]["n_systems"] == 2
+    assert abs(by_rank[0]["rrf_score"] - 2 / 3) < 1e-12
+    # A and C tie on score; item ascending breaks the tie
+    assert [r["item"] for r in by_rank[1:]] == ["A", "C"]
+
+
+def test_rrf_fuse_top_k_cut(spark):
+    from ffn_polars_spark.operators.search import rrf_fuse
+
+    rows = [("s1", f"d{i}", i) for i in range(1, 8)]
+    out = rrf_fuse(
+        spark.createDataFrame(rows, ["sys", "item", "rk"]),
+        "sys", "item", "rk", top_k=3,
+    ).collect()
+    assert len(out) == 3
+    assert sorted(r["fused_rank"] for r in out) == [1, 2, 3]

@@ -410,3 +410,52 @@ def test_centroid_similarity_hand_computed(spark):
         assert out[(a, 3)].cosine is None             # zero centroid
     assert out[(0, 1)].n_a == 2 and out[(0, 1)].n_b == 2
     assert len(out) == 6                              # all a < b pairs
+
+
+def test_embedding_top_pc_recovers_dominant_direction(spark):
+    from ffn_polars_spark.operators.linalg import embedding_top_pc
+
+    # vectors concentrated along e0 with small e1 noise: top PC ~ e0
+    rows = [
+        (1, [4.0, 0.5, 0.0]), (2, [4.0, -0.5, 0.0]),
+        (3, [-4.0, 0.5, 0.0]), (4, [-4.0, -0.5, 0.0]),
+    ]
+    out = {r["component"]: r for r in embedding_top_pc(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]), iterations=15
+    ).collect()}
+    assert len(out) == 3
+    assert abs(abs(out[0]["loading"]) - 1.0) < 1e-3
+    assert abs(out[1]["loading"]) < 1e-3 and abs(out[2]["loading"]) < 1e-3
+    # eigenvalue ~ sum of squared e0 components = 4 * 16 = 64
+    assert abs(out[0]["eigenvalue"] - 64.0) < 1.0
+
+
+def test_embedding_top_pc_unit_norm_output(spark):
+    from ffn_polars_spark.operators.linalg import embedding_top_pc
+
+    rows = [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(1, 30)]
+    out = embedding_top_pc(
+        spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ).collect()
+    norm2 = sum(r["loading"] ** 2 for r in out)
+    # quantized to 2^-15, so unit within ~d * 2^-14
+    assert abs(norm2 - 1.0) < 1e-3
+    assert all(r["eigenvalue"] == out[0]["eigenvalue"] for r in out)
+
+
+def test_embedding_remove_pc_kills_dominant_direction(spark):
+    from ffn_polars_spark.operators.linalg import embedding_remove_pc
+
+    rows = [
+        (1, [4.0, 0.5, 0.0]), (2, [4.0, -0.5, 0.0]),
+        (3, [-4.0, 0.5, 0.0]), (4, [-4.0, -0.5, 0.0]),
+    ]
+    out = embedding_remove_pc(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]), iterations=15
+    ).collect()
+    got = {(r["vec_id"], r["component"]): r["residual"] for r in out}
+    assert len(got) == 12
+    # the e0 component is projected out; e1 survives
+    for vid in (1, 2, 3, 4):
+        assert abs(got[(vid, 0)]) < 1e-2
+        assert abs(abs(got[(vid, 1)]) - 0.5) < 1e-2

@@ -463,3 +463,59 @@ def test_stateful_zscore_alerts_chains_across_batches(spark, tmp_path_factory):
     assert final["n_events"] == 200
     assert final["n_alerts"] == n_alerts
     assert n_alerts >= 2  # the two injected outliers fired
+
+
+def test_stateful_kmv_distinct_batch_invariant(spark, tmp_path_factory):
+    """Min-k of a hash set is commutative and duplicate-blind: splitting
+    the tape into micro-batches (including duplicate user ids across
+    batches) must leave the final sketch identical to the batch one."""
+    from ffn_polars_spark.operators.sketch import kmv_distinct
+    from ffn_polars_spark.sim.rand import uniform
+    from ffn_polars_spark.streaming import stateful_kmv_distinct
+
+    d = str(tmp_path_factory.mktemp("kmvchain"))
+    # 300 events over 120 distinct users, duplicates straddling batches
+    all_rows = [("A", i * SEC, (i * 7) % 120) for i in range(300)]
+    for q in range(3):
+        chunk = all_rows[q * 100 : (q + 1) * 100]
+        spark.createDataFrame(chunk, ["ticker", "ts", "uid"]).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1).withColumn(
+        "__h", uniform(F.col("uid"), "skmv", 0, hash_fn="md5")
+    )
+    out = run_available_now(
+        stateful_kmv_distinct(stream, "ticker", "__h", k=64),
+        output_mode="update",
+    ).collect()
+    final = sorted(out, key=lambda r: r["n_events"])[-1]
+    assert final["n_events"] == 300
+    assert final["n_seen"] == 64  # 120 distinct > k
+
+    batch = spark.createDataFrame(all_rows, ["ticker", "ts", "uid"])
+    ref = kmv_distinct(
+        batch, "uid", group_by=["ticker"], k=64, tag="skmv"
+    ).collect()[0]
+    assert final["kmv_estimate"] == ref["kmv_estimate"]
+
+
+def test_stateful_kmv_distinct_exact_below_k(spark, tmp_path_factory):
+    from ffn_polars_spark.sim.rand import uniform
+    from ffn_polars_spark.streaming import stateful_kmv_distinct
+
+    d = str(tmp_path_factory.mktemp("kmvsmall"))
+    rows = [("A", i * SEC, i % 10) for i in range(40)]
+    spark.createDataFrame(rows, ["ticker", "ts", "uid"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = read_tick_stream(spark, d, ts_col="ts").withColumn(
+        "__h", uniform(F.col("uid"), "skmv", 0, hash_fn="md5")
+    )
+    out = run_available_now(
+        stateful_kmv_distinct(stream, "ticker", "__h", k=64),
+        output_mode="update",
+    ).collect()
+    final = sorted(out, key=lambda r: r["n_events"])[-1]
+    # below k the sketch is an exact distinct count
+    assert final["n_seen"] == 10 and final["kmv_estimate"] == 10.0

@@ -72,3 +72,28 @@ def test_strip_markup_tags_entities_whitespace(spark):
     assert out[2] == 'a &lt; b and x < y plus "q" \'s\''
     assert out[3] == "lots of whitespace here"
     assert out[4] == "no markup at all"
+
+
+def test_flesch_readability_hand_computed(spark):
+    from ffn_polars_spark.operators.text import flesch_readability
+
+    # "The cat sat. It ran!" -> 5 whitespace tokens ("sat." and "ran!"
+    # keep their punctuation), 2 sentences, vowel runs e,a,a,I,a -> 5
+    df = spark.createDataFrame([(1, "The cat sat. It ran!")], ["doc_id", "text"])
+    r = flesch_readability(df).collect()[0]
+    assert r["n_words"] == 5 and r["n_sentences"] == 2 and r["n_syllables"] == 5
+    expect = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(r["flesch"] - expect) < 1e-9
+
+
+def test_flesch_readability_degenerate_null(spark):
+    from ffn_polars_spark.operators.text import flesch_readability
+
+    df = spark.createDataFrame(
+        [(1, "..."), (2, "word no terminator")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in flesch_readability(df).collect()}
+    # "..." is one whitespace token but zero word-bearing sentences
+    assert got[1]["n_sentences"] == 0 and got[1]["flesch"] is None
+    # an unterminated fragment still counts as one sentence (split yields it)
+    assert got[2]["n_sentences"] == 1 and got[2]["flesch"] is not None

@@ -271,3 +271,33 @@ def test_kyle_lambda_hand_computed(spark):
     assert out.n_obs == 4
     # impact is positive: price moves with net signed flow
     assert out.kyle_lambda > 0 and 0 < out.r2 <= 1
+
+
+def test_twap_interval_weighting(spark):
+    from ffn_polars_spark.functions.tick_price import twap
+
+    # price 10 live for 3s, price 20 live for 1s, last tick excluded
+    rows = [("A", 0, 10.0), ("A", 3, 20.0), ("A", 4, 99.0)]
+    r = twap(
+        spark.createDataFrame(rows, ["tk", "ts", "p"]), "p", ts_col="ts", by="tk"
+    ).collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["total_time"] == 4.0
+    assert abs(r["twap"] - (10.0 * 3 + 20.0 * 1) / 4) < 1e-12
+
+
+def test_twap_vs_vwap_burst_immunity(spark):
+    from ffn_polars_spark.functions.tick_price import twap
+
+    # a burst of same-priced ticks in one instant moves VWAP-by-count
+    # but not TWAP: the burst's intervals are zero-length
+    rows = [("A", 0, 10.0)] + [("A", 10, 50.0), ("A", 10, 50.0), ("A", 10, 50.0)] + [
+        ("A", 20, 10.0)
+    ]
+    df = spark.createDataFrame(rows, ["tk", "ts", "p"]).withColumn(
+        "tb", F.monotonically_increasing_id()
+    )
+    r = twap(df, "p", ts_col="ts", by="tk", tiebreak="tb").collect()[0]
+    # 10 live [0,10), 50 live [10,20): twap = 30
+    assert abs(r["twap"] - 30.0) < 1e-12
+    assert r["total_time"] == 20.0

@@ -165,3 +165,62 @@ def intraday_profile(
         "mean_abs_r",
         "realized_vol",
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="self_excitation")
+def self_excitation(
+    df: DataFrame,
+    ts_col: str = "ts_ns",
+    by: Optional[str] = None,
+    tau: float = 1_000_000_000.0,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Hawkes-style self-excitation screen: the fraction of inter-event
+    gaps shorter than ``tau`` against the Poisson expectation
+    ``1 − exp(−λτ)`` at the key's own average rate — a ratio well
+    above 1 means events CAUSE nearby events (bursts that
+    [[calc_burstiness]]'s CV measures in aggregate, localized here to
+    a timescale you choose), the trigger condition for cascade-aware
+    throttling and for Hawkes-class models.
+
+    One lag window per key + one closed-form aggregate; λ = (n−1)/span
+    is the MLE under the Poisson null. NULL ratio when the key has
+    < 2 events or zero span. Returns ``(*by, n, lam, frac_observed,
+    frac_expected, excitation_ratio)`` — λ in events per ``ts_col``
+    unit.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ts = F.col(ts_col).cast("double")
+    gap = ts - F.lag(ts).over(w)
+    staged = df.select(*keys, ts.alias("__ts"), gap.alias("__gap"))
+    g = staged.groupBy(*keys) if keys else staged.groupBy()
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__gap") < F.lit(float(tau)), 1).otherwise(0))
+        .cast("long")
+        .alias("__short"),
+        F.count("__gap").cast("long").alias("__ngaps"),
+        (F.max("__ts") - F.min("__ts")).alias("__span"),
+    )
+    lam = F.when(
+        F.col("__span") > 0,
+        (F.col("n") - 1).cast("double") / F.col("__span"),
+    )
+    frac_obs = F.when(
+        F.col("__ngaps") > 0,
+        F.col("__short").cast("double") / F.col("__ngaps").cast("double"),
+    )
+    frac_exp = F.lit(1.0) - F.exp(-lam * F.lit(float(tau)))
+    ratio = F.when(frac_exp > 0, frac_obs / frac_exp)
+    return agg.select(
+        *keys,
+        "n",
+        lam.alias("lam"),
+        frac_obs.alias("frac_observed"),
+        frac_exp.alias("frac_expected"),
+        ratio.alias("excitation_ratio"),
+    )

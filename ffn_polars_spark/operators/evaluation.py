@@ -1119,3 +1119,133 @@ def forecast_mase(
         "mae_naive",
         "n",
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="simpson_check")
+def simpson_check(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Simpson's-paradox screen: the x–y association (population
+    covariance) per stratum plus one ``__pooled__`` row for the
+    unstratified association — when the pooled sign contradicts the
+    strata, the aggregate is confounded by group composition and any
+    pooled metric ([[spearman_corr]], a rate comparison, a regression
+    slope) is lying. The first thing to run before trusting a
+    whole-corpus correlation.
+
+    One hash aggregate per stratum (closed-form moments) + one global
+    aggregate — two passes over the input, nothing at row cardinality
+    afterwards. Returns ``(stratum, n, covariance, slope)`` with slope
+    = cov/var(x) (NULL for a constant x).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        F.col(group_col).cast("string").alias("__g"), x.alias("__x"),
+        y.alias("__y"),
+    )
+
+    def agg(frame, label_col):
+        vx = F.var_pop("__x")
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.covar_pop("__x", "__y").alias("covariance"),
+            F.when(vx > 0, F.covar_pop("__x", "__y") / vx).alias("slope"),
+        ).select(label_col.alias("stratum"), "n", "covariance", "slope")
+
+    per = agg(base.groupBy("__g"), F.col("__g"))
+    pooled = agg(base.groupBy(), F.lit("__pooled__"))
+    return per.unionByName(pooled)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="feature_auc_screen")
+def feature_auc_screen(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """Single-feature discriminative power screen: the rank-sum ROC AUC
+    of every candidate feature against a binary label, in ONE pass —
+    the cheap first cut of feature selection (|AUC − 0.5| is a
+    monotone-association strength that needs no binning, unlike
+    [[mutual_information]], and no model fit). Features unpivot
+    through one explode over a struct array (one scan regardless of
+    feature count) and share [[auc_by_group]]'s midrank machinery with
+    ``feature`` as the group key. Returns ``(feature, auc, n_pos,
+    n_neg)``.
+    """
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("f"), F.col(c).cast("double").alias("v")
+            )
+            for c in feature_cols
+        ]
+    )
+    lab = F.col(label_col).cast("boolean")
+    long = df.select(lab.alias("__y"), F.explode(arr).alias("__e")).select(
+        F.col("__e.f").alias("feature"), F.col("__e.v").alias("__v"), "__y"
+    ).where(F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    return auc_by_group(long, "__v", "__y", by="feature")
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="ols2_by_group")
+def ols2_by_group(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    by: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Two-factor OLS per group, closed form: solve the 2×2 normal
+    equations from population moments — ``b₁ = (S₂₂S₁y − S₁₂S₂y)/det``,
+    ``b₂ = (S₁₁S₂y − S₁₂S₁y)/det``, ``det = S₁₁S₂₂ − S₁₂²`` — the
+    multi-factor extension of [[ols_residual_diagnostics]]'s single
+    regressor (market + size, signal + control, treatment + covariate)
+    without any iterative solver. ``r2 = (b₁S₁y + b₂S₂y)/S_yy``.
+
+    ONE hash aggregate of six moments; nothing touches row cardinality
+    afterwards. Coefficients are NULL when the regressors are
+    collinear (det ≤ 0 within float) or constant. Returns ``(keys,
+    alpha, beta1, beta2, r2, n)``.
+    """
+    keys = _keys(by)
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    base = df.where(y.isNotNull() & x1.isNotNull() & x2.isNotNull()).select(
+        *keys, y.alias("__y"), x1.alias("__x1"), x2.alias("__x2")
+    )
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    agg = g.agg(
+        F.var_pop("__x1").alias("__s11"),
+        F.var_pop("__x2").alias("__s22"),
+        F.covar_pop("__x1", "__x2").alias("__s12"),
+        F.covar_pop("__x1", "__y").alias("__s1y"),
+        F.covar_pop("__x2", "__y").alias("__s2y"),
+        F.var_pop("__y").alias("__syy"),
+        F.avg("__y").alias("__my"),
+        F.avg("__x1").alias("__m1"),
+        F.avg("__x2").alias("__m2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    det = F.col("__s11") * F.col("__s22") - F.col("__s12") * F.col("__s12")
+    b1 = (F.col("__s22") * F.col("__s1y") - F.col("__s12") * F.col("__s2y")) / det
+    b2 = (F.col("__s11") * F.col("__s2y") - F.col("__s12") * F.col("__s1y")) / det
+    ok = det > 0
+    b1g = F.when(ok, b1)
+    b2g = F.when(ok, b2)
+    alpha = F.when(
+        ok, F.col("__my") - b1 * F.col("__m1") - b2 * F.col("__m2")
+    )
+    r2 = F.when(
+        ok & (F.col("__syy") > 0),
+        (b1 * F.col("__s1y") + b2 * F.col("__s2y")) / F.col("__syy"),
+    )
+    return agg.select(
+        *keys, alpha.alias("alpha"), b1g.alias("beta1"), b2g.alias("beta2"),
+        r2.alias("r2"), "n",
+    )

@@ -391,3 +391,74 @@ def transition_entropy(
         F.sum("n").cast("long").alias("n"),
     )
     return rows.unionByName(overall)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="time_to_convert")
+def time_to_convert(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    from_event: str,
+    to_event: str,
+    by=None,
+    quantiles=(0.5, 0.9),
+) -> DataFrame:
+    """Conversion latency: per user, the time from the FIRST
+    ``from_event`` to the first ``to_event`` AT OR AFTER it, summarized
+    per cohort as conversion rate + latency quantiles — the "how long
+    does signup→purchase take?" panel that [[funnel_stages]] (counts)
+    and [[cohort_retention]] (survival by period) don't answer.
+
+    One ordered window per user (running seen-flag, so the target event
+    must FOLLOW the source — a purchase before signup never counts) +
+    one per-user aggregate + one cohort aggregate with exact
+    interpolated quantiles (``F.percentile``, the [[group_quantiles]]
+    convention). A cohort column must be constant per user (it rides
+    through ``F.first``). Returns ``(*by, n_started, n_converted,
+    conversion_rate, p50_delta, p90_delta, ...)`` — deltas in
+    ``ts_col``'s unit.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ts = F.col(ts_col).cast("double")
+    w = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    started = F.max(
+        F.when(F.col(type_col) == from_event, F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    staged = df.select(
+        *keys,
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        ts.alias("__ts"),
+        started.alias("__seen"),
+    )
+    per_user = staged.groupBy("__u").agg(
+        *[F.first(k).alias(k) for k in keys],
+        F.min(F.when(F.col("__t") == from_event, F.col("__ts"))).alias("__t0"),
+        F.min(
+            F.when(
+                (F.col("__t") == to_event) & (F.col("__seen") == 1),
+                F.col("__ts"),
+            )
+        ).alias("__t1"),
+    )
+    conv = per_user.where(F.col("__t0").isNotNull())
+    delta = F.when(
+        F.col("__t1").isNotNull(), F.col("__t1") - F.col("__t0")
+    )
+    g = conv.groupBy(*keys) if keys else conv.groupBy()
+    n_started = F.count(F.lit(1)).cast("long")
+    n_converted = F.count(delta).cast("long")
+    aggs = [
+        n_started.alias("n_started"),
+        n_converted.alias("n_converted"),
+        (n_converted.cast("double") / n_started.cast("double")).alias(
+            "conversion_rate"
+        ),
+    ]
+    for q in quantiles:
+        qn = f"{q * 100:g}".replace(".", "_")
+        aggs.append(F.percentile(delta, F.lit(float(q))).alias(f"p{qn}_delta"))
+    return g.agg(*aggs)

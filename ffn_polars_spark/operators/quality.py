@@ -653,3 +653,50 @@ def column_overlap(
         "col_a", "col_b", "n_common", "n_a", "n_b",
         (F.col("n_common").cast("double") / uni.cast("double")).alias("jaccard"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="abc_analysis")
+def abc_analysis(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    t_a: float = 0.8,
+    t_b: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto contribution classes: aggregate value per key, rank
+    keys by contribution, and classify — ``A`` keys start before the
+    cumulative share reaches ``t_a`` (the crossing key is included,
+    the standard convention, stated so any engine replays it), ``B``
+    before ``t_b``, ``C`` the tail — the "vital few" cut behind
+    inventory policy, domain capping, and hot-key triage, reading off
+    the same concentration [[gini_by_group]] and [[hhi_concentration]]
+    score. One aggregate to key cardinality, then ``core.ranged_cumsum``
+    over the contribution ordering (descending value, key ascending for
+    deterministic ties) — never a single-partition window. The
+    previous-row cumulative needs no lag: it is ``cum − own``. Returns
+    ``(key, value, share, cum_share, abc_class)``.
+    """
+    from ffn_polars_spark.core import ranged_cumsum
+
+    per = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("__v")
+    )
+    per = per.withColumn("__negv", -F.col("__v"))
+    cum = ranged_cumsum(per, ["__negv", "__k"], {"__cum": F.col("__v")})
+    tot = cum.agg(F.sum("__v").alias("__tot"))
+    j = cum.crossJoin(F.broadcast(tot))
+    share = F.col("__v") / F.col("__tot")
+    cum_share = F.col("__cum") / F.col("__tot")
+    prev_share = (F.col("__cum") - F.col("__v")) / F.col("__tot")
+    cls = (
+        F.when(prev_share < F.lit(float(t_a)), "A")
+        .when(prev_share < F.lit(float(t_b)), "B")
+        .otherwise("C")
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__v").alias("value"),
+        share.alias("share"),
+        cum_share.alias("cum_share"),
+        cls.alias("abc_class"),
+    )

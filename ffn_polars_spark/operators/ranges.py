@@ -154,3 +154,72 @@ def interval_union(
         F.max(length).alias("max_island"),
         F.sum("__n").cast("long").alias("n_intervals"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="interval_diff")
+def interval_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    start_col: str,
+    end_col: str,
+    by=None,
+) -> DataFrame:
+    """Interval-set algebra per key over two half-open interval sets:
+    how much time is covered by A only, by B only, and by both — the
+    SLA/blackout ledger ("uptime outside maintenance windows") that
+    completes [[interval_union]] (one set's coverage) and
+    [[interval_join]] (pairing). Half-open ``[s, e)`` semantics: a set
+    ending exactly where the other begins overlaps nowhere.
+
+    Boundary sweep, no joins between the interval sets: every boundary
+    becomes a ±1 delta on its set's counter, deltas collapse to one
+    row per (key, position), running counters come from one ordered
+    window per key, and each segment ``[p, next p)`` is classified by
+    the counters AFTER processing position p (so same-position
+    boundaries never need a tie rule). Segment lengths use the lead
+    within the same window. Returns ``(*keys, only_a, only_b, both,
+    total_a, total_b)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+
+    def bounds(df, tag):
+        s = F.col(start_col).cast("double")
+        e = F.col(end_col).cast("double")
+        da = 1 if tag == "a" else 0
+        db = 1 if tag == "b" else 0
+        starts = df.select(
+            *keys, s.alias("__p"), F.lit(da).alias("__da"),
+            F.lit(db).alias("__db"),
+        )
+        ends = df.select(
+            *keys, e.alias("__p"), F.lit(-da).alias("__da"),
+            F.lit(-db).alias("__db"),
+        )
+        return starts.unionByName(ends)
+
+    ev = bounds(df_a, "a").unionByName(bounds(df_b, "b"))
+    per = ev.groupBy(*keys, "__p").agg(
+        F.sum("__da").alias("__da"), F.sum("__db").alias("__db")
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy("__p")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    staged = per.select(
+        *keys,
+        "__p",
+        F.sum("__da").over(cum).alias("__ca"),
+        F.sum("__db").over(cum).alias("__cb"),
+        F.lead("__p").over(w).alias("__pn"),
+    ).where(F.col("__pn").isNotNull())
+    seg = F.col("__pn") - F.col("__p")
+    in_a = F.col("__ca") > 0
+    in_b = F.col("__cb") > 0
+    g = staged.groupBy(*keys) if keys else staged.groupBy()
+    return g.agg(
+        F.sum(F.when(in_a & ~in_b, seg).otherwise(0.0)).alias("only_a"),
+        F.sum(F.when(~in_a & in_b, seg).otherwise(0.0)).alias("only_b"),
+        F.sum(F.when(in_a & in_b, seg).otherwise(0.0)).alias("both"),
+        F.sum(F.when(in_a, seg).otherwise(0.0)).alias("total_a"),
+        F.sum(F.when(in_b, seg).otherwise(0.0)).alias("total_b"),
+    )

@@ -30,6 +30,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ffn_polars_spark.registry import register
 from ffn_polars_spark.sim.rand import uniform
@@ -715,3 +716,59 @@ def theil_sen_slope(
         F.count(F.lit(1)).alias("n_pairs_used"),
         F.max("__n").cast("long").alias("n_points"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="weighted_quantile")
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Weight-aware quantiles per group: the smallest value whose
+    cumulative weight reaches ``q · Σw`` (the left-continuous / Type-1
+    weighted quantile — a weight acts exactly like that many repeats of
+    the row) — what "median price" MEANS on a tape where a 10-lot
+    should count ten times a 1-lot, and the volume-weighted sibling of
+    [[group_quantiles]].
+
+    One ordered window per group for the cumulative weight + one
+    conditional-min aggregate per quantile — all quantiles share the
+    single exchange. With integer weights the cumulative is exact, so
+    the crossing row is engine-independent even at ties (a float-weight
+    cumulative can straddle the target by 1 ulp at a boundary — use
+    integer or fixed-point weights where auditability matters). NULL
+    weights/values are excluded; non-positive weights rejected by
+    filter. Returns ``(*group_by, total_weight, n, p50_w, p90_w, ...)``
+    named per [[group_quantiles]]'s convention.
+    """
+    gcols = list(group_by) if group_by else []
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.where(v.isNotNull() & w.isNotNull() & (w > 0)).select(
+        *gcols, v.alias("__v"), w.alias("__w")
+    )
+    win = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy("__v")
+    staged = base.withColumn(
+        "__cw", F.sum("__w").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("__tw", F.sum("__w").over(win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )))
+    g = staged.groupBy(*gcols) if gcols else staged.groupBy()
+    aggs = [
+        F.first("__tw").alias("total_weight"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cw") >= F.lit(float(q)) * F.col("__tw"),
+                    F.col("__v"),
+                )
+            ).alias(_qname(q) + "_w")
+        )
+    return g.agg(*aggs)

@@ -9935,6 +9935,416 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     )
 
 
+@query(
+    "abc_analysis",
+    """
+WITH per AS (
+  SELECT l_partkey AS k, sum(CAST(l_quantity AS DOUBLE)) AS v
+  FROM lineitem GROUP BY l_partkey),
+cum AS (
+  SELECT k, v,
+         sum(v) OVER (ORDER BY -v, k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM per),
+tot AS (SELECT sum(v) AS t FROM per)
+SELECT k AS part, v AS value,
+       floor(v / tot.t * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor(c / tot.t * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
+       CASE WHEN (c - v) / tot.t < 0.8 THEN 'A'
+            WHEN (c - v) / tot.t < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum CROSS JOIN tot""",
+)
+def q_abc_analysis(spark, sf_dir):
+    """ABC/Pareto classification of parts by units moved: one aggregate
+    to key cardinality + ranged_cumsum over the contribution ordering;
+    integer-valued quantities keep the cumulative exact, so the class
+    boundary comparison is engine-independent."""
+    from ffn_polars_spark.operators.quality import abc_analysis
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = abc_analysis(
+        li.select(F.col("l_partkey").alias("part"), "l_quantity"),
+        "part", "l_quantity",
+    )
+    return out.select(
+        "part", "value", r6("share").alias("share"),
+        r6("cum_share").alias("cum_share"), "abc_class",
+    )
+
+
+@query(
+    "weighted_quantile",
+    TICKS_SQL
+    + """, s AS (
+  SELECT event_type, price,
+         sum(volume) OVER (PARTITION BY event_type ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(volume) OVER (PARTITION BY event_type) AS tw
+  FROM ticks)
+SELECT event_type, CAST(max(tw) AS DOUBLE) AS total_weight,
+       CAST(count(*) AS BIGINT) AS n,
+       min(CASE WHEN cw >= 0.5 * tw THEN price END) AS p50_w,
+       min(CASE WHEN cw >= 0.9 * tw THEN price END) AS p90_w
+FROM s GROUP BY event_type""",
+)
+def q_weighted_quantile(spark, sf_dir):
+    """Volume-weighted price quantiles per ticker (Type-1 weighted
+    median/p90): one cumulative-weight window + one conditional-min
+    aggregate; integer weights keep the crossing row exact."""
+    from ffn_polars_spark.operators.sketch import weighted_quantile
+
+    t = ticks(spark, sf_dir)
+    out = weighted_quantile(
+        t, "price", "volume", group_by=["event_type"], quantiles=(0.5, 0.9)
+    )
+    return out.select("event_type", "total_weight", "n", "p50_w", "p90_w")
+
+
+@query(
+    "time_to_convert",
+    TICKS_SQL
+    + """, u AS (
+  SELECT user_id, CAST(user_id % 3 AS VARCHAR) AS cohort, event_type,
+         ts_ns // 1000 AS ts_us
+  FROM ticks),
+s AS (
+  SELECT user_id, cohort, event_type, ts_us,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+  FROM u),
+pu AS (
+  SELECT user_id, min(cohort) AS cohort,
+         min(CASE WHEN event_type = 'view' THEN CAST(ts_us AS DOUBLE) END) AS t0,
+         min(CASE WHEN event_type = 'purchase' AND seen = 1
+                  THEN CAST(ts_us AS DOUBLE) END) AS t1
+  FROM s GROUP BY user_id),
+conv AS (SELECT * FROM pu WHERE t0 IS NOT NULL)
+SELECT cohort, CAST(count(*) AS BIGINT) AS n_started,
+       CAST(count(t1) AS BIGINT) AS n_converted,
+       floor(CAST(count(t1) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate,
+       quantile_cont(t1 - t0, 0.5) AS p50_delta,
+       quantile_cont(t1 - t0, 0.9) AS p90_delta
+FROM conv GROUP BY cohort""",
+)
+def q_time_to_convert(spark, sf_dir):
+    """View-to-purchase conversion latency per user-cohort: a running
+    seen-flag window enforces event order, exact interpolated latency
+    quantiles summarize — microsecond deltas stay exact in doubles."""
+    from ffn_polars_spark.operators.funnel import time_to_convert
+
+    t = ticks(spark, sf_dir).select(
+        "user_id",
+        (F.col("user_id") % 3).cast("string").alias("cohort"),
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    out = time_to_convert(
+        t, "user_id", "event_type", "ts_us", "view", "purchase",
+        by="cohort", quantiles=(0.5, 0.9),
+    )
+    return out.select(
+        "cohort", "n_started", "n_converted",
+        r6("conversion_rate").alias("conversion_rate"),
+        "p50_delta", "p90_delta",
+    )
+
+
+@query(
+    "seasonal_outliers",
+    f"""
+WITH e AS (
+  SELECT event_type, event_id, value,
+         CAST(floor((epoch_us(ts) * 1000 % 86400000000000) / 3600000000000) AS INT) AS phase
+  FROM events),
+pm AS (
+  SELECT event_type, phase, avg(value) AS pm, count(value) AS pn
+  FROM e GROUP BY event_type, phase),
+gm AS (
+  SELECT event_type, sum(pm * pn) / sum(pn) AS gm
+  FROM pm GROUP BY event_type),
+idx AS (
+  SELECT pm.event_type, pm.phase,
+         CASE WHEN gm.gm <> 0 THEN pm.pm / gm.gm END AS si
+  FROM pm JOIN gm USING (event_type)),
+adj AS (
+  SELECT e.event_type,
+         {R("CASE WHEN idx.si <> 0 THEN e.value / idx.si END")} AS va
+  FROM e JOIN idx ON e.event_type = idx.event_type AND e.phase = idx.phase),
+m AS (SELECT event_type, quantile_cont(va, 0.5) AS med
+      FROM adj GROUP BY event_type),
+d AS (SELECT adj.event_type, m.med, abs(adj.va - m.med) AS absdev
+      FROM adj JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       floor(max(d.med) * 1000000.0 + 0.5) / 1000000.0 AS median,
+       floor(max(md.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad,
+       CAST(sum(CASE WHEN d.absdev > 3.0 * 1.4826 * md.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type) GROUP BY d.event_type""",
+)
+def q_seasonal_outliers(spark, sf_dir):
+    """Composition: deseasonalize event values (hour-of-day index), then
+    run the median/MAD robust screen on the ADJUSTED values — anomalies
+    the raw screen hides inside the daily cycle. The stage handoff is
+    r6-quantized on both engines so the fence comparisons are exact."""
+    from ffn_polars_spark.operators.pipeline import seasonal_adjust
+    from ffn_polars_spark.operators.sketch import robust_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    t = ticks(spark, sf_dir).select("event_type", "event_id", "ts_ns").join(
+        ev.select("event_id", "value"), "event_id"
+    )
+    adj = seasonal_adjust(
+        t, "value", "ts_ns", by="event_type",
+        period_ns=86_400_000_000_000, buckets=24,
+    )
+    quant = adj.select(
+        "event_type", r6("value_adjusted").alias("va")
+    ).where(F.col("va").isNotNull())
+    out = robust_outliers(quant, "va", group_by=["event_type"], k=3.0)
+    return out.select(
+        "event_type", "n", r6("median").alias("median"),
+        r6("mad").alias("mad"), "n_outliers",
+    )
+
+
+@query(
+    "simpson_check",
+    f"""
+WITH base AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+         CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+per AS (
+  SELECT g AS stratum, CAST(count(*) AS BIGINT) AS n,
+         covar_pop(x, y) AS covariance, var_pop(x) AS vx
+  FROM base GROUP BY g),
+pool AS (
+  SELECT '__pooled__' AS stratum, CAST(count(*) AS BIGINT) AS n,
+         covar_pop(x, y) AS covariance, var_pop(x) AS vx
+  FROM base),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM pool)
+SELECT stratum, n,
+       {R("covariance")} AS covariance,
+       CASE WHEN vx > 0 THEN {R("covariance / vx")} END AS slope
+FROM u""",
+)
+def q_simpson_check(spark, sf_dir):
+    """Simpson's-paradox screen on the quantity-price association per
+    return flag vs pooled — two closed-form moment aggregates, nothing
+    at row cardinality afterwards."""
+    from ffn_polars_spark.operators.evaluation import simpson_check
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = simpson_check(li, "l_quantity", "l_extendedprice", "l_returnflag")
+    return out.select(
+        "stratum", "n", r6("covariance").alias("covariance"),
+        r6("slope").alias("slope"),
+    )
+
+
+@query(
+    "feature_auc_screen",
+    """
+WITH lab AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         CAST(epoch_us(o_orderdate) / 86400000000.0 AS DOUBLE) AS d_days,
+         CAST(o_totalprice AS DOUBLE) AS d_price,
+         CAST(o_custkey % 100 AS DOUBLE) AS d_cust
+  FROM orders),
+long AS (
+  SELECT 'days' AS feature, d_days AS v, y FROM lab
+  UNION ALL SELECT 'price', d_price, y FROM lab
+  UNION ALL SELECT 'cust', d_cust, y FROM lab),
+rk AS (
+  SELECT feature, v, y,
+         rank() OVER (PARTITION BY feature ORDER BY v)
+           + (count(*) OVER (PARTITION BY feature, v) - 1) / 2.0 AS r
+  FROM long WHERE v IS NOT NULL),
+agg AS (
+  SELECT feature,
+         sum(CASE WHEN y = 1 THEN r END) AS sr,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+  FROM rk GROUP BY feature)
+SELECT feature,
+       CASE WHEN n1 > 0 AND n0 > 0
+            THEN floor((sr - n1 * (n1 + 1.0) / 2.0) / (n1 * n0)
+                       * 1000000.0 + 0.5) / 1000000.0 END AS auc,
+       CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg
+FROM agg""",
+)
+def q_feature_auc_screen(spark, sf_dir):
+    """Single-feature ROC AUCs against the order-finished label in one
+    pass: explode-unpivot + shared midrank machinery; order date should
+    dominate (old orders finish), customer bucket should sit at 0.5."""
+    from ffn_polars_spark.operators.evaluation import feature_auc_screen
+
+    orders = read_table(spark, sf_dir, "orders")
+    pre = orders.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86400000000.0)).alias(
+            "days"
+        ),
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_custkey") % 100).cast("double").alias("cust"),
+    )
+    out = feature_auc_screen(pre, "y", ["days", "price", "cust"])
+    return out.select("feature", r6("auc").alias("auc"), "n_pos", "n_neg")
+
+
+@query(
+    "self_excitation",
+    TICKS_SQL
+    + f""", g AS (
+  SELECT event_type,
+         CAST(ts_ns AS DOUBLE) AS ts,
+         CAST(ts_ns AS DOUBLE)
+           - lag(CAST(ts_ns AS DOUBLE)) OVER ({W}) AS gap
+  FROM ticks),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN gap < 1000000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS sh,
+         CAST(count(gap) AS BIGINT) AS ng,
+         max(ts) - min(ts) AS span
+  FROM g GROUP BY event_type),
+c AS (
+  SELECT event_type, n,
+         CASE WHEN span > 0 THEN CAST(n - 1 AS DOUBLE) / span END AS lam,
+         CASE WHEN ng > 0 THEN CAST(sh AS DOUBLE) / CAST(ng AS DOUBLE) END AS fo,
+         span
+  FROM a),
+e AS (
+  SELECT event_type, n, lam, fo,
+         1.0 - exp(-lam * 1000000000.0) AS fe
+  FROM c)
+SELECT event_type, n, {R("lam * 1000000000.0")} AS lam_per_s,
+       {R("fo")} AS frac_observed, {R("fe")} AS frac_expected,
+       CASE WHEN fe > 0 THEN {R("fo / fe")} END AS excitation_ratio
+FROM e""",
+)
+def q_self_excitation(spark, sf_dir):
+    """Hawkes-style self-excitation at the 1-second timescale per ticker:
+    observed short-gap fraction vs the Poisson expectation at the key's
+    own rate — one lag window + one closed-form aggregate."""
+    from ffn_polars_spark.functions.tick_activity import self_excitation
+
+    t = ticks(spark, sf_dir)
+    out = self_excitation(
+        t, ts_col="ts_ns", by="event_type", tau=1_000_000_000.0,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_type", "n",
+        r6(F.col("lam") * F.lit(1_000_000_000.0)).alias("lam_per_s"),
+        r6("frac_observed").alias("frac_observed"),
+        r6("frac_expected").alias("frac_expected"),
+        r6("excitation_ratio").alias("excitation_ratio"),
+    )
+
+
+@query(
+    "ols2_by_group",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, ts_ns, event_id, volume,
+         price / lag(price) OVER ({W}) - 1 AS r,
+         price_b / lag(price_b) OVER ({W}) - 1 AS rb
+  FROM ticks),
+b AS (SELECT * FROM rr WHERE r IS NOT NULL AND rb IS NOT NULL
+                         AND volume IS NOT NULL),
+m AS (
+  SELECT event_type,
+         var_pop(rb) AS s11, var_pop(volume) AS s22,
+         covar_pop(rb, volume) AS s12,
+         covar_pop(rb, r) AS s1y, covar_pop(volume, r) AS s2y,
+         var_pop(r) AS syy, avg(r) AS my, avg(rb) AS m1, avg(volume) AS m2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY event_type),
+c AS (
+  SELECT event_type, n, syy, s1y, s2y, my, m1, m2,
+         s11 * s22 - s12 * s12 AS det,
+         (s22 * s1y - s12 * s2y) AS n1, (s11 * s2y - s12 * s1y) AS n2
+  FROM m)
+SELECT event_type,
+       CASE WHEN det > 0
+            THEN {R("my - (n1 / det) * m1 - (n2 / det) * m2")} END AS alpha,
+       CASE WHEN det > 0 THEN {R("n1 / det")} END AS beta1,
+       CASE WHEN det > 0 THEN {R("n2 / det")} END AS beta2,
+       CASE WHEN det > 0 AND syy > 0
+            THEN {R("((n1 / det) * s1y + (n2 / det) * s2y) / syy")} END AS r2,
+       n
+FROM c""",
+)
+def q_ols2_by_group(spark, sf_dir):
+    """Two-factor OLS per ticker (own return on the B-leg return and
+    volume): the 2x2 normal equations solved in closed form from ONE
+    moment aggregate — no iterative solver, nothing at row cardinality
+    after the aggregate."""
+    from ffn_polars_spark.operators.evaluation import ols2_by_group
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "volume",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+        ffn.eod.to_returns("price_b", over=TICK_OVER).alias("rb"),
+    )
+    out = ols2_by_group(pre, "r", "rb", "volume", by="event_type")
+    return out.select(
+        "event_type", r6("alpha").alias("alpha"), r6("beta1").alias("beta1"),
+        r6("beta2").alias("beta2"), r6("r2").alias("r2"), "n",
+    )
+
+
+@query(
+    "interval_diff",
+    TICKS_SQL
+    + """, ab AS (
+  SELECT ts_ns // 1000 AS s, ts_ns // 1000 + 300000000 AS e,
+         CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS tag
+  FROM ticks WHERE event_type IN ('purchase', 'view')),
+ev AS (
+  SELECT CAST(s AS DOUBLE) AS p, CASE WHEN tag = 'a' THEN 1 ELSE 0 END AS da,
+         CASE WHEN tag = 'b' THEN 1 ELSE 0 END AS db FROM ab
+  UNION ALL
+  SELECT CAST(e AS DOUBLE), CASE WHEN tag = 'a' THEN -1 ELSE 0 END,
+         CASE WHEN tag = 'b' THEN -1 ELSE 0 END FROM ab),
+per AS (SELECT p, sum(da) AS da, sum(db) AS db FROM ev GROUP BY p),
+st AS (
+  SELECT p,
+         sum(da) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(db) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         lead(p) OVER (ORDER BY p) AS pn
+  FROM per),
+seg AS (SELECT pn - p AS len, ca > 0 AS ia, cb > 0 AS ib
+        FROM st WHERE pn IS NOT NULL)
+SELECT sum(CASE WHEN ia AND NOT ib THEN len ELSE 0.0 END) AS only_a,
+       sum(CASE WHEN ib AND NOT ia THEN len ELSE 0.0 END) AS only_b,
+       sum(CASE WHEN ia AND ib THEN len ELSE 0.0 END) AS both,
+       sum(CASE WHEN ia THEN len ELSE 0.0 END) AS total_a,
+       sum(CASE WHEN ib THEN len ELSE 0.0 END) AS total_b
+FROM seg""",
+)
+def q_interval_diff(spark, sf_dir):
+    """Interval-set difference between purchase-activity windows and
+    view-activity windows (5 min each, half-open): boundary sweep with
+    per-set counters — no join between the interval sets; microsecond
+    arithmetic keeps every segment sum exact."""
+    from ffn_polars_spark.operators.ranges import interval_diff
+
+    t = ticks(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    win = lambda typ: t.where(F.col("event_type") == typ).select(
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + F.lit(300000000)).alias("e"),
+    )
+    out = interval_diff(win("purchase"), win("view"), "s", "e")
+    return out.select("only_a", "only_b", "both", "total_a", "total_b")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -9971,6 +10381,15 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 
 _PRIORITY = [
     # --- brand-new this session
+    "ols2_by_group",
+    "interval_diff",
+    "simpson_check",
+    "feature_auc_screen",
+    "self_excitation",
+    "abc_analysis",
+    "weighted_quantile",
+    "time_to_convert",
+    "seasonal_outliers",
     "embedding_remove_pc",
     "langid_agreement",
     "streaming_kmv_distinct",

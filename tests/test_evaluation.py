@@ -1396,3 +1396,66 @@ def test_forecast_mase_perfect_seasonality(spark):
     ).collect()[0]
     assert r["mase"] == 0.0
     assert r["mae_seasonal"] == 0.0 and r["mae_naive"] == 8.0
+
+
+def test_simpson_check_detects_reversal(spark):
+    from ffn_polars_spark.operators.evaluation import simpson_check
+
+    # within each stratum y DECREASES in x; pooled y INCREASES in x
+    # (the strata are offset so the between-group trend dominates)
+    rows = (
+        [("g1", float(x), 10.0 - x) for x in range(5)]
+        + [("g2", float(x) + 20.0, 40.0 - x) for x in range(5)]
+    )
+    out = {r["stratum"]: r for r in simpson_check(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y", "g"
+    ).collect()}
+    assert out["g1"]["slope"] < 0 and out["g2"]["slope"] < 0
+    assert out["__pooled__"]["slope"] > 0
+    assert out["__pooled__"]["n"] == 10
+
+
+def test_feature_auc_screen_ranks_features(spark):
+    from ffn_polars_spark.operators.evaluation import feature_auc_screen
+
+    # f_good separates perfectly; f_noise is constant -> AUC 0.5 (all ties)
+    rows = [(1, float(i), 7.0) for i in range(5, 10)] + [
+        (0, float(i), 7.0) for i in range(5)
+    ]
+    out = {r["feature"]: r for r in feature_auc_screen(
+        spark.createDataFrame(rows, ["y", "f_good", "f_noise"]),
+        "y", ["f_good", "f_noise"],
+    ).collect()}
+    assert out["f_good"]["auc"] == 1.0
+    assert abs(out["f_noise"]["auc"] - 0.5) < 1e-12
+    assert out["f_good"]["n_pos"] == 5 and out["f_good"]["n_neg"] == 5
+
+
+def test_ols2_recovers_planted_coefficients(spark):
+    from ffn_polars_spark.operators.evaluation import ols2_by_group
+
+    # y = 2 + 3*x1 - 0.5*x2 exactly -> perfect recovery, r2 = 1
+    rows = [
+        ("g", float(x1), float(x2), 2.0 + 3.0 * x1 - 0.5 * x2)
+        for x1 in range(5) for x2 in range(4)
+    ]
+    r = ols2_by_group(
+        spark.createDataFrame(rows, ["g", "x1", "x2", "y"]),
+        "y", "x1", "x2", by="g",
+    ).collect()[0]
+    assert abs(r["alpha"] - 2.0) < 1e-9
+    assert abs(r["beta1"] - 3.0) < 1e-9
+    assert abs(r["beta2"] + 0.5) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-9
+
+
+def test_ols2_collinear_regressors_null(spark):
+    from ffn_polars_spark.operators.evaluation import ols2_by_group
+
+    # x2 = 2*x1: det = 0 -> all coefficients NULL
+    rows = [("g", float(i), 2.0 * i, float(i * 3)) for i in range(10)]
+    r = ols2_by_group(
+        spark.createDataFrame(rows, ["g", "x1", "x2", "y"]),
+        "y", "x1", "x2", by="g",
+    ).collect()[0]
+    assert r["beta1"] is None and r["beta2"] is None and r["alpha"] is None

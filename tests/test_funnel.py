@@ -155,3 +155,39 @@ def test_transition_entropy_deterministic_and_uniform(spark):
     # overall = sum H(x) * n_x / n_total = ha * 3/4
     assert abs(out["__overall__"]["entropy"] - ha * 3 / 4) < 1e-12
     assert out["__overall__"]["n"] == 4
+
+
+def test_time_to_convert_order_enforced(spark):
+    from ffn_polars_spark.operators.funnel import time_to_convert
+
+    rows = [
+        # u1 converts 5s after first view (second purchase ignored)
+        ("u1", "view", 10.0), ("u1", "purchase", 15.0), ("u1", "purchase", 20.0),
+        # u2 purchased BEFORE viewing: started but not converted
+        ("u2", "purchase", 5.0), ("u2", "view", 9.0),
+        # u3 never viewed: not started at all
+        ("u3", "purchase", 1.0),
+    ]
+    r = time_to_convert(
+        spark.createDataFrame(rows, ["u", "t", "ts"]),
+        "u", "t", "ts", "view", "purchase", quantiles=(0.5,),
+    ).collect()[0]
+    assert r["n_started"] == 2
+    assert r["n_converted"] == 1
+    assert abs(r["conversion_rate"] - 0.5) < 1e-12
+    assert r["p50_delta"] == 5.0
+
+
+def test_time_to_convert_same_instant_counts(spark):
+    from ffn_polars_spark.operators.funnel import time_to_convert
+
+    # conversion at the exact timestamp of the source event counts
+    # (the seen-flag window is inclusive of the current row's instant
+    # when the source sorts first; here view sorts before purchase in
+    # arrival order via distinct timestamps)
+    rows = [("u1", "view", 10.0), ("u1", "purchase", 10.5)]
+    r = time_to_convert(
+        spark.createDataFrame(rows, ["u", "t", "ts"]),
+        "u", "t", "ts", "view", "purchase", quantiles=(0.5,),
+    ).collect()[0]
+    assert r["n_converted"] == 1 and r["p50_delta"] == 0.5

@@ -122,3 +122,36 @@ def test_radius_join_cross_cell_boundary(spark):
     ).collect()
     assert len(out) == 1
     assert abs(out[0]["distance"] - (0.08) ** 0.5) < 1e-12
+
+
+def test_interval_diff_partition(spark):
+    from ffn_polars_spark.operators.ranges import interval_diff
+
+    # A = [0,10); B = [5,20): only_a [0,5)=5, both [5,10)=5, only_b [10,20)=10
+    a = spark.createDataFrame([(0.0, 10.0)], ["s", "e"])
+    b = spark.createDataFrame([(5.0, 20.0)], ["s", "e"])
+    r = interval_diff(a, b, "s", "e").collect()[0]
+    assert r["only_a"] == 5.0 and r["both"] == 5.0 and r["only_b"] == 10.0
+    assert r["total_a"] == 10.0 and r["total_b"] == 15.0
+
+
+def test_interval_diff_half_open_touching(spark):
+    from ffn_polars_spark.operators.ranges import interval_diff
+
+    # A ends exactly where B starts: zero overlap under [s, e)
+    a = spark.createDataFrame([(0.0, 5.0)], ["s", "e"])
+    b = spark.createDataFrame([(5.0, 8.0)], ["s", "e"])
+    r = interval_diff(a, b, "s", "e").collect()[0]
+    assert r["both"] == 0.0 and r["only_a"] == 5.0 and r["only_b"] == 3.0
+
+
+def test_interval_diff_self_overlapping_sets(spark):
+    from ffn_polars_spark.operators.ranges import interval_diff
+
+    # A overlaps itself ([0,10) u [5,15) = [0,15)); counters, not flags,
+    # keep the sweep correct
+    a = spark.createDataFrame([(0.0, 10.0), (5.0, 15.0)], ["s", "e"])
+    b = spark.createDataFrame([(12.0, 20.0)], ["s", "e"])
+    r = interval_diff(a, b, "s", "e").collect()[0]
+    assert r["total_a"] == 15.0
+    assert r["both"] == 3.0 and r["only_a"] == 12.0 and r["only_b"] == 5.0

@@ -305,3 +305,46 @@ def test_weighted_sample_matches_python_replay_and_biases_heavy(spark):
     # zero/negative weights are excluded entirely
     dfz = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)], ["doc_id", "w"])
     assert [r.doc_id for r in weighted_sample(dfz, 3, weight_col="w").collect()] == [3]
+
+
+def test_weighted_quantile_repeats_equivalence(spark):
+    from ffn_polars_spark.operators.sketch import weighted_quantile
+
+    # weight w must act exactly like w repeated rows
+    rows = [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 8)]
+    r = weighted_quantile(
+        spark.createDataFrame(rows, ["g", "v", "w"]), "v", "w",
+        group_by=["g"], quantiles=(0.5, 0.9),
+    ).collect()[0]
+    # expanded sample: 1,2,3x8 (10 values) -> type-1 p50 = 3, p90 = 3
+    assert r["p50_w"] == 3.0 and r["p90_w"] == 3.0
+    assert r["total_weight"] == 10.0 and r["n"] == 3
+
+
+def test_weighted_quantile_crossing_boundary(spark):
+    from ffn_polars_spark.operators.sketch import weighted_quantile
+
+    # cum weights 4, 8; p50 target = 4 -> first value crossing is v=1
+    rows = [("a", 1.0, 4), ("a", 2.0, 4)]
+    r = weighted_quantile(
+        spark.createDataFrame(rows, ["g", "v", "w"]), "v", "w",
+        group_by=["g"], quantiles=(0.5,),
+    ).collect()[0]
+    assert r["p50_w"] == 1.0
+
+
+def test_abc_analysis_classes(spark):
+    from ffn_polars_spark.operators.quality import abc_analysis
+
+    # values 70, 20, 6, 4 of 100: cum-before 0, .7, .9, .96
+    rows = (
+        [("k1", 70.0)] + [("k2", 20.0)] + [("k3", 6.0)] + [("k4", 4.0)]
+    )
+    out = {r["k"]: r for r in abc_analysis(
+        spark.createDataFrame(rows, ["k", "v"]), "k", "v"
+    ).collect()}
+    assert out["k1"]["abc_class"] == "A"      # starts at 0
+    assert out["k2"]["abc_class"] == "A"      # starts at .70 < .80
+    assert out["k3"]["abc_class"] == "B"      # starts at .90 < .95
+    assert out["k4"]["abc_class"] == "C"      # starts at .96
+    assert abs(out["k2"]["cum_share"] - 0.9) < 1e-12

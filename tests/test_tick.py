@@ -301,3 +301,25 @@ def test_twap_vs_vwap_burst_immunity(spark):
     # 10 live [0,10), 50 live [10,20): twap = 30
     assert abs(r["twap"] - 30.0) < 1e-12
     assert r["total_time"] == 20.0
+
+
+def test_self_excitation_bursty_vs_regular(spark):
+    from ffn_polars_spark.functions.tick_activity import self_excitation
+
+    # regular: gaps all 10s with tau=1s -> frac_observed 0, ratio 0
+    reg = [("R", float(i * 10_000_000_000)) for i in range(10)]
+    # bursty: pairs 0.1s apart every 20s -> half the gaps are short
+    bur = []
+    for i in range(5):
+        t0 = i * 20_000_000_000
+        bur += [("B", float(t0)), ("B", float(t0 + 100_000_000))]
+    df = spark.createDataFrame(reg + bur, ["tk", "ts"])
+    out = {r["tk"]: r for r in self_excitation(
+        df, ts_col="ts", by="tk", tau=1_000_000_000.0
+    ).collect()}
+    assert out["R"]["frac_observed"] == 0.0
+    assert out["R"]["excitation_ratio"] == 0.0
+    # bursty: 5 within-pair gaps of 9 are < 1s; Poisson expectation is
+    # tiny at this rate -> ratio >> 1
+    assert abs(out["B"]["frac_observed"] - 5 / 9) < 1e-12
+    assert out["B"]["excitation_ratio"] > 3.0

@@ -547,3 +547,52 @@ def twap(
         tot.alias("total_time"),
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
     )
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="adf_stat")
+def adf_stat(
+    df: DataFrame,
+    value_col: str,
+    order_by: Union[str, list] = "ts_ns",
+    by: Optional[Union[str, list]] = None,
+) -> DataFrame:
+    """Dickey–Fuller unit-root t-statistic (no-constant form): regress
+    ``Δxₜ`` on ``x_{t−1}`` and report ``t = β̂/se(β̂)`` with
+    ``se² = (SSR/(n−1)) / Σx_{t−1}²`` — the significance number
+    [[half_life]]'s point estimate lacks (β near 0 with a huge t is a
+    random walk you can trust; β very negative with |t| > ~2.9 rejects
+    the unit root — critical values are the caller's lookup, the
+    statistic is the engine's job). The stationarity gate for
+    [[pairs_spread]] residuals.
+
+    One lag window per key + one closed-form moment aggregate (SSR
+    expands algebraically: ``Σd² − 2βΣdx + β²Σx²``). Returns
+    ``(*by, beta, t_stat, n)``.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in ocols])
+    x = F.col(value_col).cast("double")
+    staged = df.select(
+        *gcols, x.alias("__x"), F.lag(x).over(w).alias("__xp")
+    ).where(F.col("__xp").isNotNull())
+    d = F.col("__x") - F.col("__xp")
+    g = staged.groupBy(*gcols) if gcols else staged.groupBy()
+    agg = g.agg(
+        F.sum(d * F.col("__xp")).alias("__sdx"),
+        F.sum(F.col("__xp") * F.col("__xp")).alias("__sxx"),
+        F.sum(d * d).alias("__sdd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    beta = F.when(F.col("__sxx") > 0, F.col("__sdx") / F.col("__sxx"))
+    ssr = (
+        F.col("__sdd")
+        - F.lit(2.0) * beta * F.col("__sdx")
+        + beta * beta * F.col("__sxx")
+    )
+    se2 = F.when(
+        (F.col("n") > 1) & (F.col("__sxx") > 0),
+        (ssr / (F.col("n") - 1).cast("double")) / F.col("__sxx"),
+    )
+    t = F.when(se2 > 0, beta / F.sqrt(se2))
+    return agg.select(*gcols, beta.alias("beta"), t.alias("t_stat"), "n")

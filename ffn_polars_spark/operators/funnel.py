@@ -462,3 +462,50 @@ def time_to_convert(
         qn = f"{q * 100:g}".replace(".", "_")
         aggs.append(F.percentile(delta, F.lit(float(q))).alias(f"p{qn}_delta"))
     return g.agg(*aggs)
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="session_paths")
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    max_events: int = 5,
+    top_k: int = 20,
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Most common session openings: each user's first ``max_events``
+    event types in time order, joined with ``->``, counted, top-k — the
+    whole-journey complement to [[event_ngrams]] (which counts motifs
+    anywhere) and the empirical prior [[transition_matrix]] factorizes
+    away. Ties in the top-k cut break on the path string, so every
+    engine returns the same list.
+
+    One ordered collect per user (``sort_array`` over (ts, type)
+    structs — deterministic regardless of shuffle order), one path
+    aggregate at path cardinality, one WindowGroupLimit cut. Returns
+    ``(path, n_users, rank)``.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    pair = F.struct(*order_cols, F.col(type_col).alias("__t"))
+    per_user = df.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(pair)).alias("__evs")
+    )
+    path = F.concat_ws(
+        "->",
+        F.transform(
+            F.slice(F.col("__evs"), 1, int(max_events)), lambda s: s["__t"]
+        ),
+    )
+    counts = per_user.select(path.alias("path")).groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("n_users").desc(), F.col("path").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(top_k)))
+    )

@@ -700,3 +700,57 @@ def abc_analysis(
         cum_share.alias("cum_share"),
         cls.alias("abc_class"),
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="qq_data")
+def qq_data(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    a: str,
+    b: str,
+    quantiles=None,
+) -> DataFrame:
+    """Quantile–quantile frame between two samples: the exact
+    interpolated quantiles of side ``a`` against side ``b`` at a shared
+    probability grid (percentiles 5..95 by default) — the
+    WHERE-does-the-distribution-shift view that [[ks_drift]] (max gap)
+    and [[wasserstein_distance]] (integrated gap) reduce to scalars; a
+    QQ row far off the diagonal localizes the drift to a quantile band.
+
+    Two exact-percentile aggregates (one per side, each one shuffle of
+    that side's values) joined on the probability — output cardinality
+    = grid size. Returns ``(q, quantile_a, quantile_b, diff)``.
+    """
+    qs = list(quantiles) if quantiles is not None else [
+        round(0.05 * i, 2) for i in range(1, 20)
+    ]
+    side = F.col(side_col)
+    v = F.col(value_col).cast("double")
+
+    def one(tag, name):
+        vals = df.where(side == tag).select(v.alias("__v"))
+        aggs = [
+            F.percentile("__v", F.lit(float(q))).alias(f"__q{i}")
+            for i, q in enumerate(qs)
+        ]
+        wide = vals.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(float(q)).alias("q"),
+                    F.col(f"__q{i}").alias(name),
+                )
+                for i, q in enumerate(qs)
+            ]
+        )
+        return wide.select(F.explode(pairs).alias("__e")).select(
+            F.col("__e.q").alias("q"), F.col(f"__e.{name}").alias(name)
+        )
+
+    qa = one(a, "quantile_a")
+    qb = one(b, "quantile_b")
+    return qa.join(qb, "q").select(
+        "q", "quantile_a", "quantile_b",
+        (F.col("quantile_a") - F.col("quantile_b")).alias("diff"),
+    )

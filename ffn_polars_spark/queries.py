@@ -10345,6 +10345,165 @@ def q_interval_diff(spark, sf_dir):
     return out.select("only_a", "only_b", "both", "total_a", "total_b")
 
 
+@query(
+    "qq_data",
+    TICKS_SQL
+    + """, sa AS (
+  SELECT quantile_cont(price, 0.05) AS q0,
+         quantile_cont(price, 0.10) AS q1,
+         quantile_cont(price, 0.15) AS q2,
+         quantile_cont(price, 0.20) AS q3,
+         quantile_cont(price, 0.25) AS q4,
+         quantile_cont(price, 0.30) AS q5,
+         quantile_cont(price, 0.35) AS q6,
+         quantile_cont(price, 0.40) AS q7,
+         quantile_cont(price, 0.45) AS q8,
+         quantile_cont(price, 0.50) AS q9,
+         quantile_cont(price, 0.55) AS q10,
+         quantile_cont(price, 0.60) AS q11,
+         quantile_cont(price, 0.65) AS q12,
+         quantile_cont(price, 0.70) AS q13,
+         quantile_cont(price, 0.75) AS q14,
+         quantile_cont(price, 0.80) AS q15,
+         quantile_cont(price, 0.85) AS q16,
+         quantile_cont(price, 0.90) AS q17,
+         quantile_cont(price, 0.95) AS q18
+  FROM ticks WHERE event_type = 'purchase'),
+sb AS (
+  SELECT quantile_cont(price, 0.05) AS q0,
+         quantile_cont(price, 0.10) AS q1,
+         quantile_cont(price, 0.15) AS q2,
+         quantile_cont(price, 0.20) AS q3,
+         quantile_cont(price, 0.25) AS q4,
+         quantile_cont(price, 0.30) AS q5,
+         quantile_cont(price, 0.35) AS q6,
+         quantile_cont(price, 0.40) AS q7,
+         quantile_cont(price, 0.45) AS q8,
+         quantile_cont(price, 0.50) AS q9,
+         quantile_cont(price, 0.55) AS q10,
+         quantile_cont(price, 0.60) AS q11,
+         quantile_cont(price, 0.65) AS q12,
+         quantile_cont(price, 0.70) AS q13,
+         quantile_cont(price, 0.75) AS q14,
+         quantile_cont(price, 0.80) AS q15,
+         quantile_cont(price, 0.85) AS q16,
+         quantile_cont(price, 0.90) AS q17,
+         quantile_cont(price, 0.95) AS q18
+  FROM ticks WHERE event_type = 'view'),
+la AS (
+  SELECT u.* FROM sa a, (VALUES
+    (0.05, a.q0),
+    (0.10, a.q1),
+    (0.15, a.q2),
+    (0.20, a.q3),
+    (0.25, a.q4),
+    (0.30, a.q5),
+    (0.35, a.q6),
+    (0.40, a.q7),
+    (0.45, a.q8),
+    (0.50, a.q9),
+    (0.55, a.q10),
+    (0.60, a.q11),
+    (0.65, a.q12),
+    (0.70, a.q13),
+    (0.75, a.q14),
+    (0.80, a.q15),
+    (0.85, a.q16),
+    (0.90, a.q17),
+    (0.95, a.q18)) AS u(q, quantile_a)),
+lb AS (
+  SELECT u.* FROM sb b, (VALUES
+    (0.05, b.q0),(0.10, b.q1),(0.15, b.q2),(0.20, b.q3),(0.25, b.q4),(0.30, b.q5),(0.35, b.q6),(0.40, b.q7),(0.45, b.q8),(0.50, b.q9),(0.55, b.q10),(0.60, b.q11),(0.65, b.q12),(0.70, b.q13),(0.75, b.q14),(0.80, b.q15),(0.85, b.q16),(0.90, b.q17),(0.95, b.q18)) AS u(q, quantile_b))
+SELECT la.q,
+       floor(quantile_a * 1000000.0 + 0.5) / 1000000.0 AS quantile_a,
+       floor(quantile_b * 1000000.0 + 0.5) / 1000000.0 AS quantile_b,
+       floor((quantile_a - quantile_b) * 1000000.0 + 0.5) / 1000000.0 AS diff
+FROM la JOIN lb ON la.q = lb.q""",
+)
+def q_qq_data(spark, sf_dir):
+    """QQ frame between the purchase and view price distributions at the
+    5..95 percentile grid — two exact-percentile aggregates joined on
+    the probability; localizes the drift the scalar gates summarize."""
+    from ffn_polars_spark.operators.quality import qq_data
+
+    t = ticks(spark, sf_dir)
+    out = qq_data(t, "price", "event_type", "purchase", "view")
+    return out.select(
+        "q", r6("quantile_a").alias("quantile_a"),
+        r6("quantile_b").alias("quantile_b"), r6("diff").alias("diff"),
+    )
+
+
+@query(
+    "session_paths",
+    TICKS_SQL
+    + """, pu AS (
+  SELECT user_id,
+         array_to_string(
+           (list(event_type ORDER BY ts_ns, event_id))[1:5], '->') AS path
+  FROM ticks GROUP BY user_id),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM pu GROUP BY path),
+rk AS (
+  SELECT path, n_users,
+         row_number() OVER (ORDER BY n_users DESC, path ASC) AS rank
+  FROM c)
+SELECT path, n_users, rank FROM rk WHERE rank <= 20""",
+)
+def q_session_paths(spark, sf_dir):
+    """Top-20 five-event session openings: one deterministic ordered
+    collect per user (sort_array over structs), one path aggregate, one
+    WindowGroupLimit cut."""
+    from ffn_polars_spark.operators.funnel import session_paths
+
+    t = ticks(spark, sf_dir)
+    out = session_paths(
+        t, "user_id", "event_type", "ts_ns",
+        max_events=5, top_k=20, tiebreak_col="event_id",
+    )
+    return out.select("path", "n_users", "rank")
+
+
+@query(
+    "adf_stat",
+    TICKS_SQL
+    + f""", l AS (
+  SELECT event_type, price AS x,
+         lag(price) OVER ({W}) AS xp
+  FROM ticks),
+b AS (SELECT event_type, x - xp AS d, xp FROM l WHERE xp IS NOT NULL),
+m AS (
+  SELECT event_type,
+         sum(d * xp) AS sdx, sum(xp * xp) AS sxx, sum(d * d) AS sdd,
+         CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY event_type),
+c AS (
+  SELECT event_type, n, sdx, sxx, sdd,
+         CASE WHEN sxx > 0 THEN sdx / sxx END AS beta
+  FROM m),
+e AS (
+  SELECT event_type, n, beta,
+         CASE WHEN n > 1 AND sxx > 0
+              THEN ((sdd - 2.0 * beta * sdx + beta * beta * sxx)
+                    / CAST(n - 1 AS DOUBLE)) / sxx END AS se2
+  FROM c)
+SELECT event_type, {R("beta")} AS beta,
+       CASE WHEN se2 > 0 THEN {R("beta / sqrt(se2)")} END AS t_stat, n
+FROM e""",
+)
+def q_adf_stat(spark, sf_dir):
+    """No-constant Dickey-Fuller unit-root t on the tick price level per
+    ticker: one lag window, one closed-form moment aggregate (SSR
+    expanded algebraically)."""
+    from ffn_polars_spark.functions.tick_price import adf_stat
+
+    t = ticks(spark, sf_dir)
+    out = adf_stat(t, "price", order_by=["ts_ns", "event_id"], by="event_type")
+    return out.select(
+        "event_type", r6("beta").alias("beta"),
+        r6("t_stat").alias("t_stat"), "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -10381,6 +10540,9 @@ def q_interval_diff(spark, sf_dir):
 
 _PRIORITY = [
     # --- brand-new this session
+    "qq_data",
+    "session_paths",
+    "adf_stat",
     "ols2_by_group",
     "interval_diff",
     "simpson_check",

@@ -191,3 +191,34 @@ def test_time_to_convert_same_instant_counts(spark):
         "u", "t", "ts", "view", "purchase", quantiles=(0.5,),
     ).collect()[0]
     assert r["n_converted"] == 1 and r["p50_delta"] == 0.5
+
+
+def test_session_paths_orders_and_truncates(spark):
+    from ffn_polars_spark.operators.funnel import session_paths
+
+    rows = (
+        [("u1", t, e) for t, e in [(1, "a"), (2, "b"), (3, "c")]]
+        + [("u2", t, e) for t, e in [(5, "a"), (6, "b"), (7, "c")]]
+        + [("u3", t, e) for t, e in [(1, "x"), (2, "y")]]
+    )
+    out = session_paths(
+        spark.createDataFrame(rows, ["u", "ts", "t"]), "u", "t", "ts",
+        max_events=2, top_k=10,
+    ).collect()
+    got = {r["path"]: r for r in out}
+    assert got["a->b"]["n_users"] == 2 and got["a->b"]["rank"] == 1
+    assert got["x->y"]["n_users"] == 1
+    assert "a->b->c" not in got  # truncated at max_events
+
+
+def test_session_paths_top_k_ties_break_on_path(spark):
+    from ffn_polars_spark.operators.funnel import session_paths
+
+    rows = [("u1", 1, "a"), ("u2", 1, "b"), ("u3", 1, "c")]
+    out = session_paths(
+        spark.createDataFrame(rows, ["u", "ts", "t"]), "u", "t", "ts",
+        max_events=3, top_k=2,
+    ).collect()
+    assert [r["path"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "a", "b",
+    ]

@@ -283,3 +283,31 @@ def test_heaps_law_on_synthetic_growth(spark):
     assert r["vocab"] == 21
     # V ~ N/2 asymptotically -> beta near 1 on the log-log fit
     assert 0.7 < r["beta"] <= 1.05
+
+
+def test_qq_data_identical_sides_zero_diff(spark):
+    from ffn_polars_spark.operators.quality import qq_data
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(i)) for i in range(100)
+    ]
+    out = qq_data(
+        spark.createDataFrame(rows, ["side", "v"]), "v", "side", "a", "b",
+        quantiles=(0.25, 0.5, 0.75),
+    ).collect()
+    assert len(out) == 3
+    assert all(r["diff"] == 0.0 for r in out)
+
+
+def test_qq_data_constant_shift(spark):
+    from ffn_polars_spark.operators.quality import qq_data
+
+    rows = [("a", float(i) + 10.0) for i in range(50)] + [
+        ("b", float(i)) for i in range(50)
+    ]
+    out = qq_data(
+        spark.createDataFrame(rows, ["side", "v"]), "v", "side", "a", "b",
+        quantiles=(0.1, 0.5, 0.9),
+    ).collect()
+    # a location shift moves EVERY quantile by the same amount
+    assert all(abs(r["diff"] - 10.0) < 1e-9 for r in out)

@@ -323,3 +323,29 @@ def test_self_excitation_bursty_vs_regular(spark):
     # tiny at this rate -> ratio >> 1
     assert abs(out["B"]["frac_observed"] - 5 / 9) < 1e-12
     assert out["B"]["excitation_ratio"] > 3.0
+
+
+def test_adf_stat_random_walk_vs_reverting(spark):
+    from ffn_polars_spark.functions.tick_price import adf_stat
+
+    # strongly mean-reverting alternation: beta near -2, large |t|
+    rows = [("M", i, 1.0 if i % 2 == 0 else -1.0) for i in range(50)]
+    r = adf_stat(
+        spark.createDataFrame(rows, ["tk", "ts", "x"]), "x",
+        order_by="ts", by="tk",
+    ).collect()[0]
+    assert abs(r["beta"] + 2.0) < 1e-12
+    # perfect fit: SSR = 0 -> se2 = 0 -> t NULL (degenerate, documented)
+    assert r["t_stat"] is None
+
+    # a noisy reverting series has finite negative t
+    import math
+    rows2 = [
+        ("N", i, math.sin(i * 1.7) + (0.1 if i % 3 == 0 else -0.05))
+        for i in range(60)
+    ]
+    r2 = adf_stat(
+        spark.createDataFrame(rows2, ["tk", "ts", "x"]), "x",
+        order_by="ts", by="tk",
+    ).collect()[0]
+    assert r2["beta"] < 0 and r2["t_stat"] < -2.0

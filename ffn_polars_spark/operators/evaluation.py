@@ -1249,3 +1249,180 @@ def ols2_by_group(
         *keys, alpha.alias("alpha"), b1g.alias("beta1"), b2g.alias("beta2"),
         r2.alias("r2"), "n",
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="effective_sample_size")
+def effective_sample_size(
+    df: DataFrame,
+    value_col: str,
+    order_by: Union[str, Sequence[str]] = "ts_ns",
+    by: Union[str, Sequence[str], None] = None,
+    lags: int = 5,
+) -> DataFrame:
+    """Autocorrelation-adjusted effective sample size per group:
+    ``n_eff = n / (1 + 2·Σ_{l=1..L} ρ_l)`` (ρ̂_l = γ_l/γ₀, the same
+    1/n-convention autocovariances as [[newey_west_tstat]]) — the
+    honest denominator for any mean/SE on serially correlated data;
+    n_eff ≪ n is the quantitative reading of "these rows aren't
+    independent observations". The factor is floored at 1 (negative
+    autocorrelation can only help, it never multiplies information).
+
+    One broadcast mean join + ONE ordered window for all L lag columns
+    + one closed-form aggregate. Returns ``(keys, n, n_eff,
+    autocorr_sum)``.
+    """
+    keys = _keys(by)
+    ocols = [order_by] if isinstance(order_by, str) else list(order_by)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(*keys, *ocols, v.alias("__v"))
+    g0 = base.groupBy(*keys) if keys else base.groupBy()
+    means = g0.agg(F.avg("__v").alias("__mu"))
+    joined = (
+        base.join(F.broadcast(means), keys)
+        if keys
+        else base.crossJoin(F.broadcast(means))
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(*ocols)
+    u = F.col("__v") - F.col("__mu")
+    L = int(lags)
+    staged = joined.select(
+        *keys,
+        u.alias("__u"),
+        *[F.lag(u, l).over(w).alias(f"__u{l}") for l in range(1, L + 1)],
+    )
+    g1 = staged.groupBy(*keys) if keys else staged.groupBy()
+    agg = g1.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__u") * F.col("__u")).alias("__g0"),
+        *[
+            F.sum(F.col("__u") * F.col(f"__u{l}")).alias(f"__g{l}")
+            for l in range(1, L + 1)
+        ],
+    )
+    rho_sum = None
+    for l in range(1, L + 1):
+        term = F.col(f"__g{l}") / F.col("__g0")
+        rho_sum = term if rho_sum is None else rho_sum + term
+    factor = F.greatest(F.lit(1.0), F.lit(1.0) + F.lit(2.0) * rho_sum)
+    n_eff = F.when(
+        F.col("__g0") > 0, F.col("n").cast("double") / factor
+    ).otherwise(F.col("n").cast("double"))
+    return agg.select(
+        *keys, "n", n_eff.alias("n_eff"),
+        F.when(F.col("__g0") > 0, rho_sum).alias("autocorr_sum"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="rate_ratio_test")
+def rate_ratio_test(
+    df: DataFrame,
+    variant_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    exposure_col: Optional[str] = None,
+) -> DataFrame:
+    """Poisson rate-ratio test per group: are events arriving faster in
+    the ``variant_col=1`` arm? ``z = ln(r₁/r₀) / √(1/c₁ + 1/c₀)`` with
+    rates per unit exposure (``exposure_col``; without one each arm
+    gets UNIT exposure — equal observation windows — so the rate IS
+    the count and the ratio is c₁/c₀) — the COUNT-metric
+    A/B test beside [[proportion_ztest]]'s rate-of-rows test: sessions
+    per user, errors per host, trades per minute.
+
+    One hash aggregate of two counts and two exposures; z is NULL when
+    either count is 0 (the log-ratio variance is undefined — exact
+    Poisson tests take over at small counts). Returns ``(keys, rate_1,
+    rate_0, rate_ratio, z, n_1, n_0)``.
+    """
+    keys = _keys(by)
+    varc = F.col(variant_col).cast("int")
+    expo = (
+        F.col(exposure_col).cast("double") if exposure_col else F.lit(0.0)
+    )
+    base = df.where(varc.isNotNull()).select(
+        *keys, varc.alias("__v"), expo.alias("__e")
+    )
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    agg = g.agg(
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0)).cast("long").alias("n_1"),
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0)).cast("long").alias("n_0"),
+        (
+            F.sum(F.when(F.col("__v") == 1, F.col("__e")))
+            if exposure_col
+            else F.lit(1.0)
+        ).alias("__e1"),
+        (
+            F.sum(F.when(F.col("__v") == 0, F.col("__e")))
+            if exposure_col
+            else F.lit(1.0)
+        ).alias("__e0"),
+    )
+    c1 = F.col("n_1").cast("double")
+    c0 = F.col("n_0").cast("double")
+    r1 = F.when(F.col("__e1") > 0, c1 / F.col("__e1"))
+    r0 = F.when(F.col("__e0") > 0, c0 / F.col("__e0"))
+    ratio = F.when(r0 > 0, r1 / r0)
+    z = F.when(
+        (F.col("n_1") > 0) & (F.col("n_0") > 0) & (ratio > 0),
+        F.log(ratio) / F.sqrt(F.lit(1.0) / c1 + F.lit(1.0) / c0),
+    )
+    return agg.select(
+        *keys, r1.alias("rate_1"), r0.alias("rate_0"),
+        ratio.alias("rate_ratio"), z.alias("z"), "n_1", "n_0",
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="tail_dependence")
+def tail_dependence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Union[str, Sequence[str], None] = None,
+    q: float = 0.95,
+) -> DataFrame:
+    """Upper-tail dependence between two series per group:
+    ``λ_U(q) = P(Y > Q_y(q) | X > Q_x(q))`` against the independence
+    benchmark ``1 − q`` — "when X blows out, does Y blow out WITH it?",
+    the co-crash measure a whole-sample [[spearman_corr]] hides (two
+    series can be mildly correlated on average and perfectly coupled
+    in the tail, which is what kills a hedge). ``λ/(1−q) ≫ 1`` flags
+    tail coupling.
+
+    Per-group exact quantiles (group-cardinality frame, broadcast
+    back) + one counting aggregate — two passes, closed form. Returns
+    ``(keys, lambda_u, benchmark, lift, n_tail_x, n)``.
+    """
+    keys = _keys(by)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *keys, x.alias("__x"), y.alias("__y")
+    )
+    g0 = base.groupBy(*keys) if keys else base.groupBy()
+    cuts = g0.agg(
+        F.percentile("__x", F.lit(float(q))).alias("__qx"),
+        F.percentile("__y", F.lit(float(q))).alias("__qy"),
+    )
+    joined = (
+        base.join(F.broadcast(cuts), keys)
+        if keys
+        else base.crossJoin(F.broadcast(cuts))
+    )
+    in_x = F.col("__x") > F.col("__qx")
+    in_both = in_x & (F.col("__y") > F.col("__qy"))
+    g1 = joined.groupBy(*keys) if keys else joined.groupBy()
+    agg = g1.agg(
+        F.sum(F.when(in_x, 1).otherwise(0)).cast("long").alias("n_tail_x"),
+        F.sum(F.when(in_both, 1).otherwise(0)).cast("long").alias("__nb"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lam = F.when(
+        F.col("n_tail_x") > 0,
+        F.col("__nb").cast("double") / F.col("n_tail_x").cast("double"),
+    )
+    bench = F.lit(1.0 - float(q))
+    return agg.select(
+        *keys, lam.alias("lambda_u"), bench.alias("benchmark"),
+        (lam / bench).alias("lift"), "n_tail_x", "n",
+    )

@@ -10504,6 +10504,143 @@ def q_adf_stat(spark, sf_dir):
     )
 
 
+@query(
+    "effective_sample_size",
+    TICKS_SQL
+    + f""", rr AS (
+  SELECT event_type, ts_ns, event_id,
+         price / lag(price) OVER ({W}) - 1 AS r
+  FROM ticks),
+b AS (SELECT * FROM rr WHERE r IS NOT NULL),
+mu AS (SELECT event_type, avg(r) AS mu FROM b GROUP BY event_type),
+u AS (
+  SELECT b.event_type, b.ts_ns, b.event_id, b.r - mu.mu AS u
+  FROM b JOIN mu ON b.event_type = mu.event_type),
+l AS (
+  SELECT event_type, u,
+         lag(u, 1) OVER ({W}) AS u1, lag(u, 2) OVER ({W}) AS u2,
+         lag(u, 3) OVER ({W}) AS u3, lag(u, 4) OVER ({W}) AS u4,
+         lag(u, 5) OVER ({W}) AS u5
+  FROM u),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(u * u) AS g0, sum(u * u1) AS g1, sum(u * u2) AS g2,
+         sum(u * u3) AS g3, sum(u * u4) AS g4, sum(u * u5) AS g5
+  FROM l GROUP BY event_type),
+c AS (
+  SELECT event_type, n, g0,
+         g1 / g0 + g2 / g0 + g3 / g0 + g4 / g0 + g5 / g0 AS rs
+  FROM g)
+SELECT event_type, n,
+       CASE WHEN g0 > 0
+            THEN {R("CAST(n AS DOUBLE) / greatest(1.0, 1.0 + 2.0 * rs)")}
+            ELSE CAST(n AS DOUBLE) END AS n_eff,
+       CASE WHEN g0 > 0 THEN {R("rs")} END AS autocorr_sum
+FROM c""",
+)
+def q_effective_sample_size(spark, sf_dir):
+    """Autocorrelation-adjusted effective n of tick returns per ticker
+    (5 lags, shared-exchange lag stack) — the honest denominator for
+    any SE on serially correlated data."""
+    from ffn_polars_spark.operators.evaluation import effective_sample_size
+
+    t = ticks(spark, sf_dir)
+    pre = t.select(
+        "event_type", "ts_ns", "event_id",
+        ffn.eod.to_returns("price", over=TICK_OVER).alias("r"),
+    )
+    out = effective_sample_size(
+        pre, "r", order_by=["ts_ns", "event_id"], by="event_type", lags=5
+    )
+    return out.select(
+        "event_type", "n", r6("n_eff").alias("n_eff"),
+        r6("autocorr_sum").alias("autocorr_sum"),
+    )
+
+
+@query(
+    "rate_ratio_test",
+    TICKS_SQL
+    + f""", lab AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS v FROM ticks),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0
+  FROM lab GROUP BY event_type),
+c AS (
+  SELECT event_type, n_1, n_0,
+         CAST(n_1 AS DOUBLE) / 1.0 AS r1,
+         CAST(n_0 AS DOUBLE) / 1.0 AS r0
+  FROM agg)
+SELECT event_type, {R("r1")} AS rate_1, {R("r0")} AS rate_0,
+       CASE WHEN r0 > 0 THEN {R("r1 / r0")} END AS rate_ratio,
+       CASE WHEN n_1 > 0 AND n_0 > 0 AND r1 / r0 > 0
+            THEN {R("ln(r1 / r0) / sqrt(1.0 / CAST(n_1 AS DOUBLE) + 1.0 / CAST(n_0 AS DOUBLE))")}
+       END AS z,
+       n_1, n_0
+FROM c""",
+)
+def q_rate_ratio_test(spark, sf_dir):
+    """Poisson rate-ratio z-test per ticker (odd- vs even-user event
+    rates at unit exposure) — one hash aggregate, closed-form log-ratio
+    variance."""
+    from ffn_polars_spark.operators.evaluation import rate_ratio_test
+
+    t = ticks(spark, sf_dir)
+    lab = t.select(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("v")
+    )
+    out = rate_ratio_test(lab, "v", by="event_type")
+    return out.select(
+        "event_type", r6("rate_1").alias("rate_1"), r6("rate_0").alias("rate_0"),
+        r6("rate_ratio").alias("rate_ratio"), r6("z").alias("z"), "n_1", "n_0",
+    )
+
+
+@query(
+    "tail_dependence",
+    TICKS_SQL
+    + f""", b AS (
+  SELECT event_type, price AS x, price_b AS y FROM ticks),
+cuts AS (
+  SELECT event_type, quantile_cont(x, 0.95) AS qx, quantile_cont(y, 0.95) AS qy
+  FROM b GROUP BY event_type),
+j AS (
+  SELECT b.event_type, b.x > cuts.qx AS ix,
+         b.x > cuts.qx AND b.y > cuts.qy AS ib
+  FROM b JOIN cuts ON b.event_type = cuts.event_type),
+a AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN ix THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_x,
+         CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN n_tail_x > 0
+            THEN {R("CAST(nb AS DOUBLE) / CAST(n_tail_x AS DOUBLE)")}
+       END AS lambda_u,
+       CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE) AS benchmark,
+       CASE WHEN n_tail_x > 0
+            THEN {R("CAST(nb AS DOUBLE) / CAST(n_tail_x AS DOUBLE) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE))")}
+       END AS lift,
+       n_tail_x, n
+FROM a""",
+)
+def q_tail_dependence(spark, sf_dir):
+    """Upper-tail co-exceedance of the two tape price legs at q=0.95 per
+    ticker — exact per-group quantile cuts broadcast back, one counting
+    aggregate; lift >> 1 flags tail coupling."""
+    from ffn_polars_spark.operators.evaluation import tail_dependence
+
+    t = ticks(spark, sf_dir)
+    out = tail_dependence(t, "price", "price_b", by="event_type", q=0.95)
+    return out.select(
+        "event_type", r6("lambda_u").alias("lambda_u"),
+        "benchmark", r6("lift").alias("lift"), "n_tail_x", "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -10517,16 +10654,15 @@ def q_adf_stat(spark, sf_dir):
 #   r5    | 48 core SURVEY §2 ops + 3 canaries            | re-verify core
 #         |                                               | after the r4
 #         |                                               | ts_ns_col rewrite
-#   r6    | exactly 50: 9 never-driver-green oracles      | only entries with
-#         | (resample x2, sim_market_day, streaming x6)   | no current driver
-#         | + 3 r5-green canaries + the 26 newest         | evidence, plus
-#         | round-6 entries (drift gates, entropy,        | regression
-#         | microstructure estimators, sampling/scrub,    | canaries INSIDE
-#         | splits/risk) + 12 highest-complexity earlier  | the window
-#         | round-6 entries (stateful streaming, SCD2,    |
-#         | round-trips, sketches); the simpler-oracle    |
-#         | remainder of the round-6 block sits just      |
-#         | behind and front-loads r7                     |
+#   r6    | strictly newest-first: every entry added      | a brand-new entry
+#         | this round that has never seen a driver row   | has ZERO driver
+#         | (final count ~60: evaluation/stat tests,      | evidence — it
+#         | spatial, linalg, graph, interval algebra,     | always outranks a
+#         | drift gates, streaming KMV), then the 9       | stale-but-green
+#         | never-driver-green r5 oracles (resample x2,   | one; canaries
+#         | sim_market_day, streaming x6), then r5-green  | ride behind
+#         | canaries; older blocks keep their order at    |
+#         | the back and front-load r7                    |
 #   r7+   | alternate halves: odd rounds front-load the   | no verdict older
 #         | core-§2 half (r5's front), even rounds the    | than 2 rounds
 #         | pipeline/dedup/ann/streaming half (r6's),     |
@@ -10540,6 +10676,9 @@ def q_adf_stat(spark, sf_dir):
 
 _PRIORITY = [
     # --- brand-new this session
+    "effective_sample_size",
+    "rate_ratio_test",
+    "tail_dependence",
     "qq_data",
     "session_paths",
     "adf_stat",

@@ -1459,3 +1459,77 @@ def test_ols2_collinear_regressors_null(spark):
         "y", "x1", "x2", by="g",
     ).collect()[0]
     assert r["beta1"] is None and r["beta2"] is None and r["alpha"] is None
+
+
+def test_effective_sample_size_iid_near_n(spark):
+    from ffn_polars_spark.operators.evaluation import effective_sample_size
+
+    # alternating series: rho_1 strongly negative -> factor floors at 1,
+    # n_eff = n (negative autocorrelation never inflates the SE here)
+    rows = [("g", i, 1.0 if i % 2 == 0 else -1.0) for i in range(40)]
+    r = effective_sample_size(
+        spark.createDataFrame(rows, ["g", "t", "v"]), "v",
+        order_by="t", by="g", lags=2,
+    ).collect()[0]
+    assert r["n"] == 40 and r["n_eff"] == 40.0
+    assert r["autocorr_sum"] < 0
+
+
+def test_effective_sample_size_persistent_series_shrinks(spark):
+    from ffn_polars_spark.operators.evaluation import effective_sample_size
+
+    # long runs of equal values: strong positive autocorrelation
+    rows = [("g", i, 1.0 if (i // 10) % 2 == 0 else -1.0) for i in range(60)]
+    r = effective_sample_size(
+        spark.createDataFrame(rows, ["g", "t", "v"]), "v",
+        order_by="t", by="g", lags=5,
+    ).collect()[0]
+    assert r["n_eff"] < r["n"] / 2
+
+
+def test_rate_ratio_test_hand_computed(spark):
+    import math
+
+    from ffn_polars_spark.operators.evaluation import rate_ratio_test
+
+    rows = [(1,)] * 40 + [(0,)] * 10
+    r = rate_ratio_test(
+        spark.createDataFrame(rows, ["v"]), "v"
+    ).collect()[0]
+    assert r["n_1"] == 40 and r["n_0"] == 10
+    assert abs(r["rate_ratio"] - 4.0) < 1e-12
+    assert abs(r["z"] - math.log(4.0) / math.sqrt(1 / 40 + 1 / 10)) < 1e-12
+
+
+def test_rate_ratio_test_with_exposure(spark):
+    from ffn_polars_spark.operators.evaluation import rate_ratio_test
+
+    # arm 1: 10 events over exposure 5; arm 0: 10 events over exposure 20
+    rows = [(1, 0.5)] * 10 + [(0, 2.0)] * 10
+    r = rate_ratio_test(
+        spark.createDataFrame(rows, ["v", "w"]), "v", exposure_col="w"
+    ).collect()[0]
+    assert abs(r["rate_1"] - 2.0) < 1e-12
+    assert abs(r["rate_0"] - 0.5) < 1e-12
+    assert abs(r["rate_ratio"] - 4.0) < 1e-12
+
+
+def test_tail_dependence_coupled_vs_independent(spark):
+    from ffn_polars_spark.operators.evaluation import tail_dependence
+
+    # y = x: perfect tail coupling -> lambda_u = 1
+    rows = [("c", float(i), float(i)) for i in range(100)]
+    r = tail_dependence(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "x", "y",
+        by="g", q=0.9,
+    ).collect()[0]
+    assert r["lambda_u"] == 1.0
+    assert abs(r["lift"] - 1.0 / r["benchmark"]) < 1e-9
+
+    # y anti-aligned with x: no co-exceedance -> lambda_u = 0
+    rows2 = [("a", float(i), float(99 - i)) for i in range(100)]
+    r2 = tail_dependence(
+        spark.createDataFrame(rows2, ["g", "x", "y"]), "x", "y",
+        by="g", q=0.9,
+    ).collect()[0]
+    assert r2["lambda_u"] == 0.0

@@ -596,3 +596,48 @@ def adf_stat(
     )
     t = F.when(se2 > 0, beta / F.sqrt(se2))
     return agg.select(*gcols, beta.alias("beta"), t.alias("t_stat"), "n")
+
+
+@register(namespace="tick", kind="df", context="dataframe", alias="price_clustering")
+def price_clustering(
+    df: DataFrame,
+    price_col: str,
+    by: Optional[Union[str, list]] = None,
+    tick_scale: float = 100.0,
+) -> DataFrame:
+    """Round-number clustering of the final price digit: the
+    distribution of ``floor(price·scale + 0.5) mod 10`` against the
+    uniform 1/10 — human quoting and coarse tick grids pile prices on
+    0s and 5s (a microstructure classic: clustering widens effective
+    spreads and fingerprints the quoting population), while a clean
+    continuous tape is flat. Emits one row per (keys, digit) with the
+    count, observed frequency, and the chi-square contribution
+    ``n·(p̂−0.1)²/0.1`` ([[benford_digits]]' convention — sum per group
+    for the test statistic; dof = 9).
+
+    Pure projection + two hash aggregates; the half-up fixed-point
+    cents conversion is the engine-exact one used throughout. Returns
+    ``(*by, digit, n, freq, chi2_term)``.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    cents = F.floor(
+        F.col(price_col).cast("double") * F.lit(float(tick_scale)) + F.lit(0.5)
+    ).cast("long")
+    base = df.where(F.col(price_col).isNotNull()).select(
+        *keys, (cents % 10).cast("int").alias("digit")
+    )
+    counts = base.groupBy(*keys, "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    tot = F.sum("n").over(w)
+    freq = F.col("n").cast("double") / tot.cast("double")
+    chi2 = (
+        tot.cast("double")
+        * (freq - F.lit(0.1))
+        * (freq - F.lit(0.1))
+        / F.lit(0.1)
+    )
+    return counts.select(
+        *keys, "digit", "n", freq.alias("freq"), chi2.alias("chi2_term")
+    )

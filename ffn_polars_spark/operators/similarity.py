@@ -813,3 +813,104 @@ def embedding_covariance(
         .join(F.broadcast(dj), "j")
         .select("i", "j", "cov", corr.alias("corr"))
     )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="centroid_outliers")
+def centroid_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Label-noise screen on an embedded dataset: each vector's cosine
+    similarity to ITS OWN label's centroid, flagged by the median/MAD
+    robust rule (outlier when ``cos < med − k·1.4826·MAD``, one-sided —
+    only far-from-centroid is suspicious) — the standard first pass for
+    mislabeled / out-of-place examples before they poison a classifier
+    or a curated split. Composes [[embedding_centroids]] with
+    [[robust_outliers]]' fence.
+
+    The centroid frame is labels × dim (broadcast); the per-vector dot
+    products come from one posexplode + one hash aggregate at vector
+    cardinality. Similarities are r6-quantized BEFORE the median/MAD
+    stage (the fixed-point handoff that makes the fence comparisons
+    engine-exact). Returns ``(id, label, cos_sim, med, mad,
+    is_outlier)``.
+    """
+    cents = embedding_centroids(df, label_col, vec_col)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select(
+        "__id", "label", "dim", F.col("__v").cast("double").alias("__v")
+    )
+    j = ex.join(F.broadcast(cents), ["label", "dim"])
+    per = j.groupBy("__id", "label").agg(
+        F.sum(F.col("__v") * F.col("mu")).alias("__dot"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__vv"),
+        F.sum(F.col("mu") * F.col("mu")).alias("__mm"),
+    )
+    den = F.sqrt(F.col("__vv")) * F.sqrt(F.col("__mm"))
+    cos = F.when(den > 0, F.col("__dot") / den)
+    cos_q = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    scored = per.select("__id", "label", cos_q.alias("cos_sim"))
+    med_f = scored.groupBy("label").agg(
+        F.percentile("cos_sim", F.lit(0.5)).alias("med")
+    )
+    dev = scored.join(F.broadcast(med_f), "label").withColumn(
+        "__ad", F.abs(F.col("cos_sim") - F.col("med"))
+    )
+    mad_f = dev.groupBy("label").agg(
+        F.percentile("__ad", F.lit(0.5)).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad_f), "label")
+    fence = F.col("med") - F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    return out.select(
+        F.col("__id").alias(id_col), "label", "cos_sim", "med", "mad",
+        (F.col("cos_sim") < fence).alias("is_outlier"),
+    )
+
+
+@register(namespace="eod", kind="df", context="dataframe", alias="conflict_pairs")
+def conflict_pairs(
+    df: DataFrame,
+    label_col: str = "label",
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 100_000,
+    allow_bruteforce: bool = False,
+) -> DataFrame:
+    """Annotation-inconsistency detector: pairs of near-identical
+    embeddings (cosine ≥ threshold) that carry DIFFERENT labels — the
+    same content labeled two ways is either label noise or a genuinely
+    ambiguous example, and both belong on a review queue before
+    training. [[centroid_outliers]] finds points far from their label;
+    this finds points too CLOSE to another label's points.
+
+    Pair generation is [[embedding_cosine_pairs]] (same O(n²) guard —
+    use the LSH path's candidates at scale); the label join adds two
+    broadcast-sized probes on the id. Returns ``(id_a, id_b, cosine,
+    label_a, label_b)``.
+    """
+    pairs = embedding_cosine_pairs(
+        df, threshold=threshold, vec_col=vec_col, id_col=id_col,
+        max_rows=max_rows, allow_bruteforce=allow_bruteforce,
+    )
+    labs = df.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lab")
+    )
+    la = labs.select(
+        F.col("__id").alias("id_a"), F.col("__lab").alias("label_a")
+    )
+    lb = labs.select(
+        F.col("__id").alias("id_b"), F.col("__lab").alias("label_b")
+    )
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("label_a") != F.col("label_b"))
+        .select("id_a", "id_b", "cosine", "label_a", "label_b")
+    )

@@ -10641,6 +10641,194 @@ def q_tail_dependence(spark, sf_dir):
     )
 
 
+@query(
+    "centroid_outliers",
+    f"""
+WITH ex AS (
+  SELECT vec_id, label, CAST(t.u[2] AS BIGINT) - 1 AS dim,
+         CAST(t.u[1] AS DOUBLE) AS v
+  FROM embeddings,
+       unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS t(u)),
+cents AS (
+  SELECT label, dim, avg(v) AS mu FROM ex GROUP BY label, dim),
+per AS (
+  SELECT ex.vec_id, ex.label,
+         sum(ex.v * cents.mu) AS dot, sum(ex.v * ex.v) AS vv,
+         sum(cents.mu * cents.mu) AS mm
+  FROM ex JOIN cents ON ex.label = cents.label AND ex.dim = cents.dim
+  GROUP BY ex.vec_id, ex.label),
+scored AS (
+  SELECT vec_id, label,
+         CASE WHEN sqrt(vv) * sqrt(mm) > 0
+              THEN floor(dot / (sqrt(vv) * sqrt(mm)) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS cos_sim
+  FROM per),
+med_f AS (SELECT label, quantile_cont(cos_sim, 0.5) AS med
+          FROM scored GROUP BY label),
+dev AS (
+  SELECT scored.vec_id, scored.label, scored.cos_sim, med_f.med,
+         abs(scored.cos_sim - med_f.med) AS ad
+  FROM scored JOIN med_f ON scored.label = med_f.label),
+mad_f AS (SELECT label, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY label)
+SELECT dev.vec_id, dev.label, dev.cos_sim,
+       {R("dev.med")} AS med, {R("mad_f.mad")} AS mad,
+       dev.cos_sim < dev.med - 3.0 * 1.4826 * mad_f.mad AS is_outlier
+FROM dev JOIN mad_f ON dev.label = mad_f.label""",
+)
+def q_centroid_outliers(spark, sf_dir):
+    """Label-noise screen: cosine to own-label centroid with a one-sided
+    median/MAD fence — r6-quantized similarities make the fence
+    comparison engine-exact; the centroid frame broadcasts."""
+    from ffn_polars_spark.operators.similarity import centroid_outliers
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb, "label", "embedding", "vec_id", k=3.0)
+    return out.select(
+        "vec_id", "label", "cos_sim", r6("med").alias("med"),
+        r6("mad").alias("mad"), "is_outlier",
+    )
+
+
+@query(
+    "conflict_pairs",
+    f"""
+WITH aug AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label + 1
+  FROM embeddings WHERE vec_id < 50),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {R("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")} AS cosine,
+         a.label AS label_a, b.label AS label_b
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine, label_a, label_b
+FROM pairs
+WHERE cosine >= 0.95 AND label_a <> label_b""",
+)
+def q_conflict_pairs(spark, sf_dir):
+    """Annotation-inconsistency detector on a corpus with planted
+    conflicts (50 exact-duplicate vectors re-labeled): near-identical
+    embeddings carrying different labels surface for review."""
+    from ffn_polars_spark.operators.similarity import conflict_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        (F.col("label") + 1).alias("label"),
+    )
+    aug = emb.unionByName(planted)
+    out = conflict_pairs(aug, "label", threshold=0.95)
+    return out.select("id_a", "id_b", "cosine", "label_a", "label_b")
+
+
+@query(
+    "price_clustering",
+    TICKS_SQL
+    + f""", d AS (
+  SELECT event_type,
+         CAST(CAST(floor(price * 100.0 + 0.5) AS BIGINT) % 10 AS INT) AS digit
+  FROM ticks),
+c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY event_type, digit),
+t AS (SELECT event_type, digit, n,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c)
+SELECT event_type, digit, n,
+       {R("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS freq,
+       {R("CAST(tot AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - 0.1) * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - 0.1) / 0.1")} AS chi2_term
+FROM t""",
+)
+def q_price_clustering(spark, sf_dir):
+    """Final-cent-digit clustering per ticker vs the uniform 1/10 —
+    projection + two hash aggregates, benford_digits' chi-square
+    convention."""
+    from ffn_polars_spark.functions.tick_price import price_clustering
+
+    t = ticks(spark, sf_dir)
+    out = price_clustering(t, "price", by="event_type", tick_scale=100.0)
+    return out.select(
+        "event_type", "digit", "n", r6("freq").alias("freq"),
+        r6("chi2_term").alias("chi2_term"),
+    )
+
+
+@query(
+    "vocab_gini",
+    f"""
+WITH tok AS (
+  SELECT lang, unnest({TOKS_SQL}) AS token FROM documents),
+cnt AS (
+  SELECT lang, token, CAST(count(*) AS DOUBLE) AS v
+  FROM tok WHERE token <> '' GROUP BY lang, token),
+ranked AS (
+  SELECT lang, v,
+         row_number() OVER (PARTITION BY lang ORDER BY v ASC, token ASC) AS i
+  FROM cnt)
+SELECT lang,
+       {R("CASE WHEN sum(v) > 0 THEN 2.0 * sum(i * v) / (count(*) * sum(v)) - (count(*) + 1.0) / count(*) END")} AS gini,
+       count(*) AS n,
+       {R("sum(v)")} AS total
+FROM ranked GROUP BY lang""",
+)
+def q_vocab_gini(spark, sf_dir):
+    """Vocabulary-frequency inequality per language (Gini over token
+    counts): the concentration reading of the Zipf curve — one token
+    aggregate, then gini_by_group's rank identity on the vocab frame."""
+    from ffn_polars_spark.operators.quality import gini_by_group
+    from ffn_polars_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    cnt = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = gini_by_group(cnt, "v", group_col="lang", id_col="token")
+    return out.select(
+        F.col("lang"), r6("gini").alias("gini"), "n", r6("total").alias("total")
+    )
+
+
+@query(
+    "duplicate_rate_by_source",
+    f"""
+WITH fp AS (SELECT doc_id, source, md5({NORM_SQL}) AS fingerprint
+            FROM documents),
+g AS (SELECT fingerprint, min(doc_id) AS canonical_id
+      FROM fp GROUP BY fingerprint),
+j AS (
+  SELECT fp.source, fp.doc_id <> g.canonical_id AS is_dup
+  FROM fp JOIN g ON fp.fingerprint = g.fingerprint)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates,
+       {R("CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_rate
+FROM j GROUP BY source""",
+)
+def q_duplicate_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate rate — the curation dashboard's first
+    column: dedup_exact's md5 grouping rolled up by source."""
+    from ffn_polars_spark.operators.dedup import dedup_exact
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = dedup_exact(docs).select("doc_id", "is_duplicate")
+    j = docs.select("doc_id", "source").join(d, "doc_id")
+    out = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicates"),
+    )
+    return out.select(
+        "source", "n", "n_duplicates",
+        r6(
+            F.col("n_duplicates").cast("double") / F.col("n").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering — the rotation schedule.
 #
@@ -10676,6 +10864,11 @@ def q_tail_dependence(spark, sf_dir):
 
 _PRIORITY = [
     # --- brand-new this session
+    "price_clustering",
+    "vocab_gini",
+    "duplicate_rate_by_source",
+    "centroid_outliers",
+    "conflict_pairs",
     "effective_sample_size",
     "rate_ratio_test",
     "tail_dependence",

@@ -459,3 +459,37 @@ def test_embedding_remove_pc_kills_dominant_direction(spark):
     for vid in (1, 2, 3, 4):
         assert abs(got[(vid, 0)]) < 1e-2
         assert abs(abs(got[(vid, 1)]) - 0.5) < 1e-2
+
+
+def test_centroid_outliers_flags_the_planted_point(spark):
+    from ffn_polars_spark.operators.similarity import centroid_outliers
+
+    # label 0: a tight cluster along e0, plus one vector pointing the
+    # OPPOSITE way — the classic mislabel
+    rows = [(i, [1.0, 0.05 * (i % 3 - 1), 0.0], 0) for i in range(20)]
+    rows.append((99, [-1.0, 0.0, 0.0], 0))
+    out = {r["vec_id"]: r for r in centroid_outliers(
+        spark.createDataFrame(rows, ["vec_id", "embedding", "label"]),
+        k=3.0,
+    ).collect()}
+    assert out[99]["is_outlier"] is True
+    assert out[99]["cos_sim"] < 0
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+
+
+def test_conflict_pairs_finds_cross_label_duplicates(spark):
+    from ffn_polars_spark.operators.similarity import conflict_pairs
+
+    rows = [
+        (1, [1.0, 0.0], "a"), (2, [1.0, 0.0], "b"),   # same vec, diff label
+        (3, [0.0, 1.0], "a"), (4, [0.0, 1.0], "a"),   # same vec, SAME label
+        (5, [0.6, 0.8], "c"),
+    ]
+    out = conflict_pairs(
+        spark.createDataFrame(rows, ["vec_id", "embedding", "label"]),
+        "label", threshold=0.99,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert {r["label_a"], r["label_b"]} == {"a", "b"}

@@ -349,3 +349,18 @@ def test_adf_stat_random_walk_vs_reverting(spark):
         order_by="ts", by="tk",
     ).collect()[0]
     assert r2["beta"] < 0 and r2["t_stat"] < -2.0
+
+
+def test_price_clustering_planted_round_numbers(spark):
+    from ffn_polars_spark.functions.tick_price import price_clustering
+
+    # 90 prices on a round cent (digit 0) + one price at each of
+    # 100.01..100.10 — the last of which is digit 0 again, so 91 total
+    rows = [("A", 100.10)] * 90 + [("A", 100.01 + 0.01 * d) for d in range(10)]
+    out = {r["digit"]: r for r in price_clustering(
+        spark.createDataFrame(rows, ["tk", "p"]), "p", by="tk"
+    ).collect()}
+    assert out[0]["n"] == 91
+    assert abs(out[0]["freq"] - 0.91) < 1e-12
+    assert out[0]["chi2_term"] > 50  # massive clustering signal
+    assert abs(sum(r["freq"] for r in out.values()) - 1.0) < 1e-12

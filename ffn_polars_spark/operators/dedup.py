@@ -74,6 +74,37 @@ class pinned_scope:
         return False
 
 
+class _CheckpointPin:
+    """Adapter so a ``localCheckpoint``-backed frame can ride
+    ``_ACTIVE_PINS``: ``DataFrame.unpersist()`` is a CacheManager no-op for
+    checkpointed frames — their data lives in a persisted RDD referenced by
+    the plan's ``LogicalRDD`` node, which this releases directly. The frame
+    stays usable after release (the logical plan re-derives it); only the
+    materialized blocks are freed."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        release_checkpoint(self._df)
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """RDD-level unpersist of a localCheckpointed frame (see
+    :class:`_CheckpointPin`). Safe on any frame — a plan without a
+    LogicalRDD root is left untouched."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def pin_checkpoint(df: DataFrame) -> DataFrame:
+    """Track a localCheckpointed frame for the next ``release_pins()``."""
+    _ACTIVE_PINS.append(_CheckpointPin(df))
+    return df
+
+
 def _pinned(df: DataFrame) -> DataFrame:
     """Persist a small derived frame that several plan branches re-read
     (signatures, shingle arrays): Spark reuses identical *exchanges* but not
@@ -695,13 +726,18 @@ def connected_components(
             )
         )
         changed = new_labels.where(F.col("__new") != F.col("comp")).count()
+        prev = labels
         labels = new_labels.select(
             "node", F.col("__new").alias("comp")
-        ).localCheckpoint()
+        ).localCheckpoint()  # eager: prev's blocks are dead now
+        release_checkpoint(prev)
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    # the final checkpoint backs the returned frame; release_pins() frees
+    # its blocks once the caller has materialized (the frame stays usable —
+    # the logical plan re-derives it)
+    return pin_checkpoint(labels)
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="dedup_assign_canonical")

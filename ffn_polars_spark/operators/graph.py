@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ffn_polars_spark.operators.dedup import (
+    _pinned,
+    pin_checkpoint,
+    release_checkpoint,
+)
 from ffn_polars_spark.registry import register
 
 
@@ -45,9 +50,18 @@ def pagerank(
     Each iteration localCheckpoints the rank frame (flat lineage — the
     iterative-Spark failure mode connected_components documents) and
     costs one edge join + one aggregate + one dangling-mass scalar.
+
+    Cache hygiene: the edge frame and the FINAL rank checkpoint ride the
+    dedup pin registry (released by ``release_pins()`` — the catalog
+    wrapper calls it between queries), ``nodes`` is unpersisted as soon
+    as the initial ranks materialize, and every superseded per-round
+    checkpoint is unpersisted inside the loop (the next round's eager
+    checkpoint has already copied the data). A long-lived session
+    calling graph ops repeatedly holds at most one round of state.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.persist()
+    e = _pinned(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -63,10 +77,12 @@ def pagerank(
             F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
             (F.lit(1.0) / F.lit(float(n))).alias("rank"),
         )
-        .localCheckpoint()
+        .localCheckpoint()  # eager: nodes is consumed here
     )
+    nodes.unpersist()
     d = float(damping)
     for _ in range(int(iterations)):
+        prev = ranks
         dang = ranks.where(F.col("out_degree") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
@@ -97,8 +113,12 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: prev's blocks are dead now
         )
+        release_checkpoint(prev)
+    # the final checkpoint backs the returned (lazy) frame — register it
+    # as a pin so release_pins() frees it once the caller materializes
+    pin_checkpoint(ranks)
     return ranks.select("node", "rank", "out_degree")
 
 
@@ -118,31 +138,56 @@ def triangle_count(
 
     The edge aggregation is the distributed step; the wedge join runs
     on the canonical edge frame with both sides shuffled on the shared
-    node key. The ordered-triple canonicalization means every wedge
-    and every closure is checked exactly once (no 6× duplication +
-    dedup). At production scale the standard refinement is ordering by
-    (degree, node) instead of node value — same triangle set, wedge
-    lists bounded by O(m^1.5) even on power-law graphs; value order is
-    used here because it needs no second pass over the edges. Returns
-    ``(node, degree, n_triangles, clustering)`` for every node of the
-    graph, clustering NULL below degree 2.
+    node key. Triples are canonicalized by the DEGREE order
+    ``a ≺ b ≺ c`` where ``x ≺ y ⇔ (deg(x), x) < (deg(y), y)`` — the
+    standard compact-forward refinement: every edge is oriented toward
+    its higher-degree endpoint, so a node's forward adjacency list is
+    bounded by O(√m) regardless of its degree, the total wedge count is
+    O(m^1.5) even on power-law graphs, and every wedge and closure is
+    still checked exactly once (no 6× duplication + dedup). A star's
+    hub — the node-value ordering's worst case, d(d−1)/2 wedges on one
+    key — generates ZERO wedges here because all its edges point AWAY
+    from the low-degree leaves into the hub
+    (tests/test_skew.py::test_triangle_wedges_degree_ordered_star).
+    Costs one extra m×n join to attach degrees before orienting; the
+    oriented frame rides the dedup pin registry (released between
+    catalog queries by ``release_pins()``). Returns ``(node, degree,
+    n_triangles, clustering)`` for every node of the graph, clustering
+    NULL below degree 2.
     """
     raw = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
         F.col(src) != F.col(dst)
     )
-    und = raw.select(
-        F.least("__s", "__d").alias("u"), F.greatest("__s", "__d").alias("v")
-    ).distinct()
-    und = und.persist()
+    und = _pinned(
+        raw.select(
+            F.least("__s", "__d").alias("u"), F.greatest("__s", "__d").alias("v")
+        ).distinct()
+    )
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    # orient each edge toward its (degree, node)-larger endpoint: the
+    # forward out-degree of ANY node is O(sqrt(m)), which bounds every
+    # wedge list the join below builds
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    u_first = F.struct(F.col("__du"), F.col("u")) < F.struct(
+        F.col("__dv"), F.col("v")
+    )
+    fwd = _pinned(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    e1 = fwd.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = fwd.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = fwd.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     corners = (
         tri.select(F.col("a").alias("node"))

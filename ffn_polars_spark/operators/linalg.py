@@ -222,7 +222,14 @@ def embedding_remove_pc(
                     continue
                 x = np.array(grp.tolist(), dtype=np.float64)
                 q = np.floor(x * _QM + 0.5) / _QM
-                w = vq[:length]
+                # ragged corpora: a vector longer than the PC (possible
+                # when the dominant length drove the Gram) projects onto
+                # zero loadings beyond the PC's width
+                if length <= len(vq):
+                    w = vq[:length]
+                else:
+                    w = np.zeros(length)
+                    w[: len(vq)] = vq
                 dp = q @ w  # exact order-free sum (2^-25 grid products)
                 resid = q - dp[:, None] * w[None, :]
                 n, d = resid.shape

@@ -493,3 +493,77 @@ def test_conflict_pairs_finds_cross_label_duplicates(spark):
     r = out[0]
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert {r["label_a"], r["label_b"]} == {"a", "b"}
+
+
+def test_gram_frame_ragged_and_null_vectors(spark):
+    """gram_frame must reproduce the exploded-self-join semantics on a
+    ragged corpus: pair (i, j) sums over exactly the vectors long enough
+    to have both components; null vectors drop."""
+    from ffn_polars_spark.operators.linalg import gram_frame
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 1.0]),          # shorter
+        (3, None),                # dropped
+        (4, [2.0]),               # shorter still
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    g = {(r["__i"], r["__j"]): r["__s"] for r in gram_frame(df, "embedding").collect()}
+    # (0,0): 1 + 1 + 4 = 6; (0,1): 1*2 + 1*1 = 3; (2,2): 9 (only vec 1)
+    assert g[(0, 0)] == 6.0
+    assert g[(0, 1)] == 3.0 and g[(1, 0)] == 3.0
+    assert g[(2, 2)] == 9.0
+    assert g[(0, 2)] == 3.0  # only vec 1 reaches j=2
+    assert len(g) == 9  # full 3x3 (missing pairs are genuinely absent rows)
+
+
+def test_gram_frame_empty_input(spark):
+    from ffn_polars_spark.operators.linalg import gram_frame
+
+    df = spark.createDataFrame([], "vec_id INT, embedding ARRAY<DOUBLE>")
+    assert gram_frame(df, "embedding").count() == 0
+
+
+def test_embedding_remove_pc_ragged_matches_reconstruction(spark):
+    """Ragged corpus: every vector's residuals must equal q − (q·v)·v
+    computed against the returned PC (short vectors use the PC prefix —
+    the Gram's width is the corpus MAX length, so the PC is always at
+    least as long as any vector)."""
+    import math
+
+    from ffn_polars_spark.operators.linalg import (
+        embedding_remove_pc,
+        embedding_top_pc,
+    )
+
+    rows = [
+        (1, [4.0, 0.5]), (2, [4.0, -0.5]), (3, [-4.0, 0.5]), (4, [-4.0, -0.5]),
+        (9, [1.0, 0.0, 7.0]),  # longer than the other vectors
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    pc = {r["component"]: r["loading"] for r in embedding_top_pc(df).collect()}
+    out = {(r["vec_id"], r["component"]): r["residual"]
+           for r in embedding_remove_pc(df).collect()}
+    assert len(out) == 4 * 2 + 3
+    for vid, vec in rows:
+        q = [math.floor(x * 1024.0 + 0.5) / 1024.0 for x in vec]
+        dp = sum(qi * pc[i] for i, qi in enumerate(q))
+        for i, qi in enumerate(q):
+            assert abs(out[(vid, i)] - (qi - dp * pc[i])) < 1e-12
+
+
+def test_embedding_covariance_ragged_counts(spark):
+    """Per-pair n must equal the number of vectors long enough for BOTH
+    components (the exploded-self-join contract)."""
+    from ffn_polars_spark.operators.similarity import embedding_covariance
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0]), (3, [6.0, 7.0, 8.0])]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = {(r["i"], r["j"]): r for r in embedding_covariance(df).collect()}
+    release_pins()
+    assert len(out) == 6  # upper triangle of 3x3
+    # cov(0,0) over all 3; cov(2,2) over vecs 1 and 3 only
+    import statistics
+    assert abs(out[(0, 0)]["cov"] - statistics.pvariance([1.0, 4.0, 6.0])) < 1e-9
+    assert abs(out[(2, 2)]["cov"] - statistics.pvariance([3.0, 8.0])) < 1e-9

@@ -10892,18 +10892,20 @@ _PRIORITY = [
     "streaming_topk",
     "streaming_psi",
     "streaming_cusum",
-    # --- [15..19] code changed this round: Gram mapInPandas rewrite
-    # (linalg/similarity), graph pin-release + degree-ordered wedges
+    # --- [15..20] code changed this round: Gram mapInPandas rewrite
+    # (linalg/similarity), graph pin-release + degree-ordered wedges,
+    # ann_topk BLAS gate
     "embedding_covariance",
     "embedding_top_pc",
     "embedding_remove_pc",
     "pagerank",
     "triangle_count",
-    # --- [20..22] canaries from driver-green blocks
+    "ann_topk",
+    # --- [21..23] canaries from driver-green blocks
     "to_returns",
     "calc_realized_volatility",
     "pricing_summary",
-    # --- [23..49] oldest never-driver-checked entries
+    # --- [24..49] oldest never-driver-checked entries
     "scd2_build",
     "scd2_asof_join",
     "cdc_merge",
@@ -10930,10 +10932,10 @@ _PRIORITY = [
     "bollinger",
     "hurst_exponent",
     "variance_ratio",
-    "portfolio_returns",
     # ======== driver window (50) ends here ========
     # --- remaining never-driver-checked entries, in catalog order;
     # these front-load the round-8 window
+    "portfolio_returns",
     "skew_profile",
     "shingle_novelty",
     "information_value",

@@ -37,7 +37,7 @@ CANARIES = {"to_returns", "calc_realized_volatility", "pricing_summary"}
 # pin-release + degree-ordered wedge join) — re-verified even though green.
 CODE_CHANGED_R7 = {
     "embedding_covariance", "embedding_top_pc", "embedding_remove_pc",
-    "pagerank", "triangle_count",
+    "pagerank", "triangle_count", "ann_topk",
 }
 
 

@@ -567,3 +567,37 @@ def test_embedding_covariance_ragged_counts(spark):
     import statistics
     assert abs(out[(0, 0)]["cov"] - statistics.pvariance([1.0, 4.0, 6.0])) < 1e-9
     assert abs(out[(2, 2)]["cov"] - statistics.pvariance([3.0, 8.0])) < 1e-9
+
+
+def test_ann_topk_arrow_path_matches_jvm(spark):
+    """The BLAS batch-scoring path must produce exactly the JVM crossJoin
+    path's rows — same rounded cosines, same tie-breaks (planted exact
+    duplicates force rounded ties at the boundary)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.similarity import (
+        _ann_score_topk_arrow,
+        ann_topk,
+    )
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((300, 8))
+    rows = [(i, base[i].tolist()) for i in range(300)]
+    # planted duplicates of vector 7 -> cosine 1.0 ties, id tiebreak matters
+    rows += [(1000 + j, base[7].tolist()) for j in range(5)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    qs = df.where(F.col("vec_id") < 3)
+
+    jvm = ann_topk(df, qs, k=10, max_pairs=0)  # guard off -> JVM path
+    scored = _ann_score_topk_arrow(df, qs, 10, "embedding", "vec_id", "vec_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    arrow = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
+    a = sorted(map(tuple, jvm.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b

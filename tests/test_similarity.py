@@ -601,3 +601,23 @@ def test_ann_topk_arrow_path_matches_jvm(spark):
     a = sorted(map(tuple, jvm.collect()))
     b = sorted(map(tuple, arrow.collect()))
     assert a == b
+
+
+def test_cosine_pairs_arrow_path_matches_jvm(spark):
+    """The chunked BLAS pair scan must reproduce the JVM join's rows
+    exactly (rounded cosines, id_a < id_b ordering, threshold fence)."""
+    from ffn_polars_spark.operators.similarity import (
+        _cosine_pairs_arrow,
+        embedding_cosine_pairs,
+    )
+
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 8))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    rows += [(500 + j, base[j].tolist()) for j in range(5)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    jvm = sorted(map(tuple, embedding_cosine_pairs(df, threshold=0.6).collect()))
+    arrow = sorted(map(tuple, _cosine_pairs_arrow(df, 0.6, "embedding", "vec_id", "int").collect()))
+    assert len(jvm) > 5
+    assert jvm == arrow

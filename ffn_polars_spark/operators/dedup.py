@@ -52,8 +52,13 @@ _ACTIVE_PINS: list = []
 def release_pins() -> int:
     """Unpersist every frame pinned since the last release; returns the count.
 
-    Call after materializing an operator's result (collect/write). Safe to
-    call early — unpersisted pins recompute, they don't break correctness."""
+    Call after materializing an operator's result (collect/write). Cache-
+    backed pins (:func:`_pinned`) are safe to release early — they recompute
+    from lineage. Checkpoint-backed pins (:func:`pin_checkpoint`; the frames
+    returned by pagerank / connected_components) are **one-shot**: local
+    checkpointing truncated their lineage, so once their blocks are freed the
+    frame cannot be re-materialized — any later action on it raises. Only
+    release after every consumer has collected/written what it needs."""
     n = len(_ACTIVE_PINS)
     while _ACTIVE_PINS:
         _ACTIVE_PINS.pop().unpersist()
@@ -62,7 +67,11 @@ def release_pins() -> int:
 
 class pinned_scope:
     """``with pinned_scope(): run_and_materialize()`` — releases every frame
-    pinned inside the block on exit (pins from before the block are kept)."""
+    pinned inside the block on exit (pins from before the block are kept).
+
+    Materialize results *inside* the block: a checkpoint-backed frame
+    (pagerank / connected_components) that escapes the scope is unusable
+    after ``__exit__`` frees its blocks (see :func:`release_pins`)."""
 
     def __enter__(self):
         self._mark = len(_ACTIVE_PINS)
@@ -78,9 +87,12 @@ class _CheckpointPin:
     """Adapter so a ``localCheckpoint``-backed frame can ride
     ``_ACTIVE_PINS``: ``DataFrame.unpersist()`` is a CacheManager no-op for
     checkpointed frames — their data lives in a persisted RDD referenced by
-    the plan's ``LogicalRDD`` node, which this releases directly. The frame
-    stays usable after release (the logical plan re-derives it); only the
-    materialized blocks are freed."""
+    the plan's ``LogicalRDD`` node, which this releases directly.
+
+    Releasing is **destructive**: localCheckpoint truncated the lineage, so
+    after the blocks are freed the frame cannot be recomputed — a later
+    action raises ``SparkException: Checkpoint block not found``. Treat the
+    frame as one-shot across a :func:`release_pins` boundary."""
 
     def __init__(self, df: DataFrame):
         self._df = df
@@ -100,7 +112,10 @@ def release_checkpoint(df: DataFrame) -> None:
 
 
 def pin_checkpoint(df: DataFrame) -> DataFrame:
-    """Track a localCheckpointed frame for the next ``release_pins()``."""
+    """Track a localCheckpointed frame for the next ``release_pins()``.
+
+    The frame is one-shot: it is usable until the next ``release_pins()``
+    and dead after (see :class:`_CheckpointPin`)."""
     _ACTIVE_PINS.append(_CheckpointPin(df))
     return df
 

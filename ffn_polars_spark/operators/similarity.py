@@ -222,6 +222,7 @@ def embedding_cosine_pairs(
         and n_rows is not None
         and n_rows * (n_rows - 1) // 2 >= 10_000_000
         and id_t in ("tinyint", "smallint", "int", "bigint")
+        and _fits_driver_corpus_budget(df, vec_col, n_rows)
     ):
         return _cosine_pairs_arrow(
             _spread_vecs(df), float(threshold), vec_col, id_col, id_t
@@ -242,67 +243,126 @@ def embedding_cosine_pairs(
     )
 
 
+def _fits_driver_corpus_budget(
+    df: DataFrame, vec_col: str, n_rows: int, budget_doubles: int = 32_000_000
+) -> bool:
+    """Gate for :func:`_cosine_pairs_arrow`'s driver-side corpus collect,
+    independent of the caller's ``max_rows``: ``n_rows × d`` must fit a fixed
+    ~256 MB budget (32M doubles). A caller who raises ``max_rows`` previously
+    just permitted a bigger *distributed* scan — without this gate they would
+    silently opt into a driver collect that can OOM (1e6 rows at d=1024 is
+    ~8 GB). The dim probe is bounded (one non-null row)."""
+    probe = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .where(F.col(vec_col).isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if not probe:
+        return False
+    return n_rows * max(int(probe[0]["d"]), 1) <= budget_doubles
+
+
+def _unit_rows_by_dim(ids, vecs, id_dtype="int64"):
+    """Group (id, vector) rows by vector length → {d: (ids, unit_matrix)}.
+    ``id_dtype=None`` keeps ids at numpy's inferred dtype (string ids).
+
+    Ragged corpora are legal input: the JVM path's ``zip_with`` null-pads
+    mismatched lengths, producing null dots that the threshold/inequality
+    fences drop — so only equal-length pairs ever score. Grouping by dim
+    reproduces that exactly while keeping every matmul rectangular (a single
+    ``np.array`` over ragged lists is an inhomogeneous-shape error on
+    numpy ≥ 1.24)."""
+    import numpy as np
+
+    by_dim: dict = {}
+    for i, v in zip(ids, vecs):
+        if i is None or v is None:
+            continue  # JVM: null id/vec -> null comparison/dot -> dropped
+        by_dim.setdefault(len(v), ([], []))
+        g = by_dim[len(v)]
+        g[0].append(i)
+        g[1].append(np.asarray(v, dtype=np.float64))
+    out = {}
+    for d, (gids, gvecs) in by_dim.items():
+        M = np.vstack(gvecs) if gvecs else np.empty((0, d))
+        n = np.sqrt((M * M).sum(axis=1, keepdims=True))
+        n[n == 0] = 1.0
+        out[d] = (np.array(gids, dtype=id_dtype), M / n)
+    return out
+
+
 def _cosine_pairs_arrow(
     df: DataFrame, threshold: float, vec_col: str, id_col: str, id_t: str
 ) -> DataFrame:
     """Chunked BLAS evaluation of the exact pair scan: the unit-normalized
-    corpus (guard-bounded at ≤ max_rows × d doubles, ~50 MB at the 100k
-    ceiling) is closure-captured; each Arrow batch of rows scores against
-    corpus column-chunks (bounded scratch: rows_per_batch × chunk doubles)
-    and emits only the (id_a < id_b, rounded cosine ≥ threshold) survivors.
-    Same 1-ulp accumulation-order class vs the JVM fold as the DuckDB
-    oracle's own list_cosine_similarity, absorbed by the 6-decimal round.
+    corpus (bounded by :func:`_fits_driver_corpus_budget` at ≤ 32M doubles
+    ~256 MB, independent of the caller's max_rows) is closure-captured; each
+    Arrow batch of rows scores against corpus column-chunks (bounded scratch:
+    rows_per_batch × chunk doubles) and emits only the (id_a < id_b, rounded
+    cosine ≥ threshold) survivors. Ragged corpora and null ids follow the
+    JVM path's semantics (only equal-length non-null pairs score — see
+    :func:`_unit_rows_by_dim`).
+
+    Rounding contract: HALF_UP is emulated as ``sign·floor(|v|·1e6+0.5)/1e6``,
+    which is the same published 6-decimal precision as Spark's ``F.round``
+    but not guaranteed bit-identical — the ``|v|·1e6`` multiply can land a
+    half-ulp boundary on the other side and flip the 6th decimal. The same
+    1-ulp class as the accumulation-order difference vs the JVM fold; both
+    are inside the oracle comparison's tolerance in practice.
     """
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull()).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    C = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    cn = np.sqrt((C * C).sum(axis=1, keepdims=True))
-    cn[cn == 0] = 1.0
-    Cu = C / cn
+    rows = (
+        df.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        .collect()
+    )
+    corpus = _unit_rows_by_dim([r[0] for r in rows], [r[1] for r in rows])
     thr = float(threshold)
 
     src = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).where(F.col("__v").isNotNull())
+    ).where(F.col("__v").isNotNull() & F.col("__id").isNotNull())
 
     def part(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            bids = pdf["__id"].to_numpy(dtype=np.int64)
-            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-            xn = np.sqrt((X * X).sum(axis=1, keepdims=True))
-            xn[xn == 0] = 1.0
-            Xu = X / xn
-            # scratch bound: rows x chunk <= 16M doubles (~128 MB) so 32
-            # concurrent workers stay in memory — the first cut bounded by
-            # VECTOR WIDTH instead and thrashed (1.6 GB per batch, measured
-            # 102 s where this version takes ~4 s)
-            chunk = max(1, 16_000_000 // max(len(Xu), 1))
-            for lo in range(0, len(Cu), chunk):
-                hi = min(lo + chunk, len(Cu))
-                S = Xu @ Cu[lo:hi].T
-                # candidate-sparse rounding: pre-filter on the raw dot with
-                # a 1e-6 guard band, round only the survivors (full-matrix
-                # rounding costs three pair-cardinality temporaries)
-                mask = (S >= thr - 1e-6) & (bids[:, None] < ids[None, lo:hi])
-                bi, cj = np.nonzero(mask)
-                if not len(bi):
+            for d, (bids, Xu) in _unit_rows_by_dim(
+                pdf["__id"].tolist(), pdf["__v"].tolist()
+            ).items():
+                if d not in corpus or not len(Xu):
                     continue
-                vals = S[bi, cj]
-                r = np.sign(vals) * np.floor(np.abs(vals) * 1e6 + 0.5) / 1e6
-                keep = r >= thr
-                if keep.any():
-                    yield pd.DataFrame(
-                        {
-                            "id_a": bids[bi[keep]],
-                            "id_b": ids[lo + cj[keep]],
-                            "cosine": r[keep],
-                        }
-                    )
+                ids, Cu = corpus[d]
+                # scratch bound: rows x chunk <= 16M doubles (~128 MB) so 32
+                # concurrent workers stay in memory — the first cut bounded
+                # by VECTOR WIDTH instead and thrashed (1.6 GB per batch,
+                # measured 102 s where this version takes ~4 s)
+                chunk = max(1, 16_000_000 // max(len(Xu), 1))
+                for lo in range(0, len(Cu), chunk):
+                    hi = min(lo + chunk, len(Cu))
+                    S = Xu @ Cu[lo:hi].T
+                    # candidate-sparse rounding: pre-filter on the raw dot
+                    # with a 1e-6 guard band, round only the survivors
+                    # (full-matrix rounding costs three pair-cardinality
+                    # temporaries)
+                    mask = (S >= thr - 1e-6) & (bids[:, None] < ids[None, lo:hi])
+                    bi, cj = np.nonzero(mask)
+                    if not len(bi):
+                        continue
+                    vals = S[bi, cj]
+                    r = np.sign(vals) * np.floor(np.abs(vals) * 1e6 + 0.5) / 1e6
+                    keep = r >= thr
+                    if keep.any():
+                        yield pd.DataFrame(
+                            {
+                                "id_a": bids[bi[keep]],
+                                "id_b": ids[lo + cj[keep]],
+                                "cosine": r[keep],
+                            }
+                        )
 
     return src.mapInPandas(part, f"id_a {id_t}, id_b {id_t}, cosine DOUBLE")
 
@@ -497,21 +557,33 @@ def _ann_score_topk_arrow(
     each Arrow batch in numpy, score all queries with one matmul, keep the
     per-query top-k of the batch under the global ordering key.
 
-    Rounding matches Spark's ``F.round`` (HALF_UP, away from zero) so the
-    emitted ``cosine`` values are the same published precision the JVM path
-    produces; the underlying dot differs from the interpreted fold only in
-    accumulation order (the same 1-ulp class as the DuckDB oracle's own
-    ``list_cosine_similarity``, absorbed by the 6-decimal rounding).
+    Rounding emulates Spark's ``F.round`` (HALF_UP, away from zero) at the
+    same published 6-decimal precision, with the documented 1-ulp caveat
+    (see :func:`_cosine_pairs_arrow`); the underlying dot additionally
+    differs from the interpreted fold in accumulation order (the same 1-ulp
+    class as the DuckDB oracle's own ``list_cosine_similarity``). Ragged
+    vectors and null ids follow the JVM path's drop semantics
+    (:func:`_unit_rows_by_dim`).
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(qid, vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
-    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qn = np.sqrt((Q * Q).sum(axis=1, keepdims=True))
-    qn[qn == 0] = 1.0
-    Qu = Q / qn
+    q_rows = (
+        queries.select(qid, vec_col)
+        .where(F.col(vec_col).isNotNull() & F.col(qid).isNotNull())
+        .collect()
+    )
+    # Queries grouped by vector width: an item only ever scores against
+    # queries of the same width (JVM zip_with null-pads mismatches into null
+    # cosines that the self-match/threshold fences drop). Keeps each matmul
+    # rectangular on ragged input. Query ids keep their native dtype
+    # (string query ids are legal here, unlike the int-gated pair scan).
+    qgroups = {
+        d: (ids.tolist(), Qu)
+        for d, (ids, Qu) in _unit_rows_by_dim(
+            [r[0] for r in q_rows], [r[1] for r in q_rows], id_dtype=None
+        ).items()
+    }
     kk = int(k)
 
     id_type = items.schema[id_col].dataType.simpleString()
@@ -520,44 +592,48 @@ def _ann_score_topk_arrow(
 
     src = items.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).where(F.col("__v").isNotNull())
+    ).where(F.col("__v").isNotNull() & F.col("__id").isNotNull())
 
     def part(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["__id"].to_numpy()
-            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-            xn = np.sqrt((X * X).sum(axis=1, keepdims=True))
-            xn[xn == 0] = 1.0
-            Xu = X / xn
-            # scratch bound: rows x query-chunk <= 16M doubles (~128 MB) —
-            # per-query top-k is independent, so chunking the query axis
-            # is free (see _cosine_pairs_arrow for the measured lesson)
-            qchunk = max(1, 16_000_000 // max(len(Xu), 1))
             frames = []
-            for qlo in range(0, len(Qu), qchunk):
-                qhi = min(qlo + qchunk, len(Qu))
-                S = Xu @ Qu[qlo:qhi].T  # (n_items, chunk)
-                # F.round HALF_UP, away from zero
-                R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
-                for j in range(qhi - qlo):
-                    qv = q_ids[qlo + j]
-                    keep = ids != qv  # self-match exclusion
-                    cand_ids, cand = ids[keep], R[keep, j]
-                    if not len(cand):
-                        continue
-                    # global key: cosine desc, item_id asc — locally identical
-                    order = np.lexsort((cand_ids, -cand))[:kk]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qv,
-                                "item_id": cand_ids[order],
-                                "cosine": cand[order],
-                            }
+            for d, (ids, Xu) in _unit_rows_by_dim(
+                pdf["__id"].tolist(), pdf["__v"].tolist(), id_dtype=None
+            ).items():
+                if d not in qgroups or not len(Xu):
+                    continue
+                q_ids, Qu = qgroups[d]
+                # scratch bound: rows x query-chunk <= 16M doubles (~128 MB)
+                # — per-query top-k is independent, so chunking the query
+                # axis is free (see _cosine_pairs_arrow for the measured
+                # lesson)
+                qchunk = max(1, 16_000_000 // max(len(Xu), 1))
+                for qlo in range(0, len(Qu), qchunk):
+                    qhi = min(qlo + qchunk, len(Qu))
+                    S = Xu @ Qu[qlo:qhi].T  # (n_items, chunk)
+                    # F.round HALF_UP, away from zero (same 1-ulp caveat as
+                    # _cosine_pairs_arrow's docstring)
+                    R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+                    for j in range(qhi - qlo):
+                        qv = q_ids[qlo + j]
+                        keep = ids != qv  # self-match exclusion
+                        cand_ids, cand = ids[keep], R[keep, j]
+                        if not len(cand):
+                            continue
+                        # global key: cosine desc, item_id asc — locally
+                        # identical
+                        order = np.lexsort((cand_ids, -cand))[:kk]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": qv,
+                                    "item_id": cand_ids[order],
+                                    "cosine": cand[order],
+                                }
+                            )
                         )
-                    )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

@@ -621,3 +621,75 @@ def test_cosine_pairs_arrow_path_matches_jvm(spark):
     arrow = sorted(map(tuple, _cosine_pairs_arrow(df, 0.6, "embedding", "vec_id", "int").collect()))
     assert len(jvm) > 5
     assert jvm == arrow
+
+
+def test_cosine_pairs_arrow_ragged_and_null_matches_jvm(spark):
+    """Ragged vector widths and null ids/vectors must not crash the BLAS
+    path (np.array over ragged lists is an inhomogeneous-shape error on
+    numpy>=1.24) and must reproduce the JVM path's drop semantics: only
+    equal-length non-null pairs score."""
+    from ffn_polars_spark.operators.similarity import (
+        _cosine_pairs_arrow,
+        embedding_cosine_pairs,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    rows += [(100 + i, rng.standard_normal(5).tolist()) for i in range(40)]
+    rows += [(200, rows[3][1]), (201, rows[45][1])]  # dup in each width group
+    rows += [(300, None), (None, rng.standard_normal(8).tolist())]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    jvm = sorted(map(tuple, embedding_cosine_pairs(df, threshold=0.6).collect()))
+    arrow = sorted(
+        map(tuple, _cosine_pairs_arrow(df, 0.6, "embedding", "vec_id", "int").collect())
+    )
+    assert len(jvm) >= 2  # the planted dups survive in both width groups
+    assert jvm == arrow
+
+
+def test_ann_topk_arrow_ragged_and_null(spark):
+    """The BLAS top-k path must tolerate ragged widths and null ids: items
+    whose width differs from every query produce no pairs (JVM: null cosine,
+    filtered), equal-width items still rank, and null ids drop."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.similarity import _ann_score_topk_arrow
+
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+    rows += [(100 + i, rng.standard_normal(5).tolist()) for i in range(20)]
+    rows += [(300, None), (None, rng.standard_normal(8).tolist())]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    qs = df.where(F.col("vec_id").isin(0, 1))  # width-8 queries
+
+    scored = _ann_score_topk_arrow(df, qs, 5, "embedding", "vec_id", "vec_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    got_items = {r["item_id"] for r in out}
+    assert len(out) == 10  # 2 queries x k=5, from the 49 valid width-8 items
+    assert all(i < 100 for i in got_items)  # no width-5, no null-id items
+
+
+def test_cosine_pairs_driver_budget_gate(spark):
+    """_fits_driver_corpus_budget caps the Arrow collect independently of
+    max_rows: over-budget corpora fall back to the JVM join."""
+    from ffn_polars_spark.operators.similarity import _fits_driver_corpus_budget
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [2.0] * 64)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    assert _fits_driver_corpus_budget(df, "embedding", 100_000)
+    assert not _fits_driver_corpus_budget(df, "embedding", 1_000_000)
+    empty = df.where("vec_id > 99")
+    assert not _fits_driver_corpus_budget(empty, "embedding", 10)

@@ -140,7 +140,11 @@ def main() -> None:
     # watermark passes lookback + delay — per-row cost is 1-2 orders above
     # a stateless aggregation, so offer rps/10 per side and give the
     # watermark time to start evicting (min 90 s window).
-    ij_rps = max(rps // 10, 50_000)
+    # rps/10 per side, floored at 50k ONLY when the run itself offers more
+    # than that — a low-rps smoke run (--rps 5000) must stay low, not get
+    # silently inflated to 100k rows/s total through the most state-heavy
+    # query (and its state-plateau bound with it).
+    ij_rps = min(max(rps // 10, 50_000), rps)
     lhs = make_stream(spark, ij_rps).select(
         F.col("ticker").alias("l_key"),
         F.col("price").alias("l_price"),

@@ -506,19 +506,33 @@ def imbalance_bars(
     thr = float(threshold)
 
     def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized reset walk: cum-since-boundary == P - P[boundary]
+        # (prefix sums), so each bar's close is the first index whose
+        # |P - base| reaches the threshold — found with blocked numpy
+        # scans (O(rows + bars·block) total, no interpreted per-row loop).
+        # With integer-valued flows the subtraction is exact, so this is
+        # bit-identical to the sequential accumulate (which the oracle's
+        # per-bar boundary search replays the same way); with irrational
+        # float flows the two formulations sit in the same 1-ulp class.
         pdf = pdf.sort_values("__ts", kind="mergesort")
-        flow = pdf["__flow"].to_numpy(dtype=np.float64)
-        bars = np.empty(len(flow), dtype=np.int64)
-        cum, bar = 0.0, 1
-        for i, f in enumerate(flow):
-            if i == 0:
-                cum = f
-            elif abs(cum) >= thr:
-                bar += 1
-                cum = f
-            else:
-                cum += f
-            bars[i] = bar
+        P = np.cumsum(pdf["__flow"].to_numpy(dtype=np.float64))
+        n = len(P)
+        bars = np.empty(n, dtype=np.int64)
+        start, base, bar, block = 0, 0.0, 1, 8192
+        while start < n:
+            j = -1
+            for lo in range(start, n, block):
+                hits = np.nonzero(np.abs(P[lo : lo + block] - base) >= thr)[0]
+                if len(hits):
+                    j = lo + int(hits[0])
+                    break
+            if j < 0:  # tail never reaches the threshold: last partial bar
+                bars[start:] = bar
+                break
+            bars[start : j + 1] = bar
+            bar += 1
+            base = P[j]
+            start = j + 1
         out = pdf.copy()
         out["__bar"] = bars
         return out

@@ -316,3 +316,51 @@ def test_pairs_spread_recovers_hedge(spark):
     assert abs(beta - 2.0) < 0.01
     assert np.allclose(z, (want - want.mean()) / want.std(ddof=1), atol=1e-9)
     assert abs(z.mean()) < 1e-9 and abs(z.std(ddof=1) - 1) < 1e-9
+
+
+def test_imbalance_bars_block_scan_matches_sequential_walk(spark):
+    """The vectorized prefix-sum boundary scan must reproduce the
+    sequential reset walk bar-for-bar on integer-valued flows (where both
+    are exact), including many-tiny-bars regimes that force the blocked
+    scan to restart constantly."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_bars import imbalance_bars
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in ("A", "B"):
+        prices = np.round(100 + np.cumsum(rng.integers(-2, 3, 400)) * 0.5, 1)
+        vols = rng.integers(1, 30, 400).astype(float)
+        rows += [(k, t, float(p), float(v)) for t, (p, v) in enumerate(zip(prices, vols))]
+    df = spark.createDataFrame(rows, ["k", "ts", "p", "v"])
+    for thr in (5.0, 40.0, 1e9):  # tiny bars, normal bars, one giant bar
+        got = {
+            (r.k, r.bar_id): r
+            for r in imbalance_bars(df, "ts", "p", "v", threshold=thr, by=["k"]).collect()
+        }
+        # reference: pure sequential walk
+        want = {}
+        for k in ("A", "B"):
+            sub = sorted([r for r in rows if r[0] == k], key=lambda r: r[1])
+            prev_p, sgn, cum, bar = None, 0.0, 0.0, 1
+            for i, (_, ts, p, v) in enumerate(sub):
+                s0 = 0.0 if prev_p is None else float(np.sign(p - prev_p))
+                if s0 != 0.0:
+                    sgn = s0
+                prev_p = p
+                flow = sgn * v
+                if i == 0:
+                    cum = flow
+                elif abs(cum) >= thr:
+                    bar += 1
+                    cum = flow
+                else:
+                    cum += flow
+                ent = want.setdefault((k, bar), {"n": 0, "imb": 0.0})
+                ent["n"] += 1
+                ent["imb"] += flow
+        assert set(got) == set(want)
+        for key, ent in want.items():
+            assert got[key].n_ticks == ent["n"]
+            assert abs(got[key].imbalance - ent["imb"]) < 1e-9

@@ -24,11 +24,11 @@ from pyspark.sql import functions as F
 
 from ffn_polars_spark.operators.dedup import normalized_text
 from ffn_polars_spark.operators.text import (
+    EN_STOPWORDS,
     language_vote,
-    mean_word_length,
     punct_ratio,
-    stopword_ratio,
     token_count,
+    tokens,
 )
 from ffn_polars_spark.registry import register
 
@@ -49,15 +49,30 @@ def clean_corpus(
     per exact-content fingerprint). Every document appears in the output
     with its decision — the caller filters on ``keep`` (auditable drops).
 
-    Plan: one projection computes all text features + the md5 fingerprint;
-    the only shuffle is the fingerprint groupBy (min-id per group, joined
-    back — AQE broadcasts it when the duplicate-group table is small).
+    Plan: a first projection stages the token array ONCE (the quality
+    features and the 4-language vote are interpreted higher-order functions
+    with no common-subexpression elimination — building them from the raw
+    text column re-ran the regex split 15× per row, measured 2.9× slower
+    at sf0.1); a second projection computes all features + the md5
+    fingerprint over the staged attribute. The only shuffle is the
+    fingerprint groupBy (min-id per group, joined back — AQE broadcasts it
+    when the duplicate-group table is small).
     """
     t = F.col(text_col)
-    n_tok = token_count(t)
-    mwl = mean_word_length(t)
-    pr = punct_ratio(t)
-    sr = stopword_ratio(t)
+    staged = df.select(F.col(id_col), t.alias("__txt"), tokens(t).alias("__toks"))
+    txt, toks = F.col("__txt"), F.col("__toks")
+    n_tok = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mwl = F.when(n_tok > 0, total_chars / n_tok.cast("double")).otherwise(F.lit(0.0))
+    pr = punct_ratio(txt)
+    sw_matches = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    sr = F.when(n_tok > 0, sw_matches.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
     score = (
         F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
@@ -65,11 +80,11 @@ def clean_corpus(
         + F.when(sr >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
     )
 
-    base = df.select(
+    base = staged.select(
         F.col(id_col),
-        language_vote(t).getField("lang").alias("lang_pred"),
+        language_vote(txt, toks=toks).getField("lang").alias("lang_pred"),
         F.round(score, 6).alias("quality_score"),
-        F.md5(normalized_text(t)).alias("__fp"),
+        F.md5(normalized_text(txt)).alias("__fp"),
     )
     groups = base.groupBy("__fp").agg(F.min(id_col).alias("canonical_id"))
     out = base.join(groups, "__fp").select(

@@ -132,7 +132,7 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def language_vote(text: Column) -> Column:
+def language_vote(text: Column, toks: Optional[Column] = None) -> Column:
     """Arg-max language struct ``(n, r, lang)`` for the marker-count
     heuristic: higher marker count wins, ties keep the lexicographically
     smaller code. A pure column expression so composed pipelines can
@@ -144,8 +144,14 @@ def language_vote(text: Column) -> Column:
     Each count expression appears exactly ONCE in the plan; a WHEN/ELSE
     fold would copy every earlier struct into both branches of each step
     (exponential expression blowup — measured 20× slower on this exact
-    operator, each copy re-tokenizing the document)."""
-    toks = tokens(text)
+    operator, each copy re-tokenizing the document).
+
+    Pass ``toks`` (a *bound* token-array attribute staged in a previous
+    projection) when composing with other token features: the per-language
+    filters are interpreted HOFs with no common-subexpression elimination,
+    so an inline ``tokens(text)`` re-runs the regex split once per language
+    (4× here; 15× across a composed pipeline like ``clean_corpus``)."""
+    toks = toks if toks is not None else tokens(text)
 
     def marker_count(markers):
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -167,10 +173,13 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Counts marker-token occurrences per language (duplicates included) and
     takes the arg-max, ties broken by language code — a greatest-of-structs
-    comparison, fully native, no shuffle.
+    comparison, fully native, no shuffle. The token array is staged once
+    (the `best` struct is referenced twice and holds four interpreted
+    filters — inlining ``tokens()`` evaluated the split 8×).
     """
-    best = language_vote(F.col(text_col))
-    return df.select(
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    best = language_vote(F.lit(""), toks=F.col("__toks"))
+    return staged.select(
         F.col(id_col),
         best.getField("lang").alias("lang_pred"),
         best.getField("n").alias("marker_hits"),
@@ -508,16 +517,25 @@ def duplicate_spans(
     both linear in corpus token count. Documents shorter than ``width``
     tokens have no spans and are absent from the output.
 
+    The distinct (doc, span) frame is PINNED (``_pinned``, caller releases
+    via ``release_pins``): its three consumers (the span-frequency groupBy,
+    the join, and the per-doc rollup) cannot share the distinct exchange —
+    column pruning gives each branch a different canonical subtree — so
+    unpinned they re-scan and re-shingle the corpus per branch (same
+    measured 2.3× win as [[tfidf_topterms]]).
+
     Returns ``(id, n_spans, dup_spans, dup_frac)`` — distinct spans in the
     document, how many of them are duplicated, and the fraction.
     """
-    from ffn_polars_spark.operators.dedup import shingles_from_tokens
+    from ffn_polars_spark.operators.dedup import _pinned, shingles_from_tokens
 
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    spans = base.select(
-        F.col(id_col),
-        F.explode(shingles_from_tokens(F.col("__toks"), width)).alias("span"),
-    ).distinct()
+    spans = _pinned(
+        base.select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("__toks"), width)).alias("span"),
+        ).distinct()
+    )
     dfreq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("__nd"))
     return (
         spans.join(dfreq, "span")
@@ -646,13 +664,24 @@ def tfidf_topterms(
     1-row corpus count, and a per-doc rank window over ≤ |distinct terms
     in doc| rows — nothing after the first aggregate scales with corpus
     token count.
+
+    The (doc, term) aggregate is PINNED (``_pinned`` — MEMORY_AND_DISK,
+    released by the caller via ``release_pins``): Catalyst cannot reuse
+    the exchange between the tf and df branches because column pruning
+    rewrites the df branch's inner aggregate (count pruned → different
+    canonical subtree), so without the pin both branches re-scan,
+    re-tokenize, and re-shuffle the full corpus — measured 13.4 s vs
+    5.8 s at sf1. The pinned frame is distinct (doc, term) pairs, far
+    smaller than the token stream.
     """
     from pyspark.sql.window import Window
+
+    from ffn_polars_spark.operators.dedup import _pinned
 
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _pinned(toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n = df.select(F.count(F.lit(1)).alias("__n"))
     scored = (

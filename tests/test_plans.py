@@ -622,3 +622,36 @@ def test_embedding_remove_pc_projection_pass_no_shuffle(spark):
     plan = explain_str(out)
     assert "Join" not in plan
     assert count_exchanges(out) == 0
+
+
+def test_clean_corpus_single_token_materialization(spark):
+    # clean_corpus composes quality features + the 4-language vote + the
+    # fingerprint: all token features must read ONE staged token array —
+    # inlining tokens() into the interpreted HOFs put 15 copies of the
+    # regex split in the plan (round-8 find; measured 10.45 -> 6.55 s at
+    # sf1). Physical plans list a node once in the tree and once in the
+    # detail section, so "<= 2" means one distinct split expression.
+    df = QUERY_FNS["clean_corpus"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("split(") <= 2
+
+
+def test_language_id_single_token_materialization(spark):
+    # the best-language struct is referenced twice (lang + n) and holds
+    # four interpreted filters — unstaged, the split evaluated 8x
+    df = QUERY_FNS["language_id"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("split(") <= 2
+
+
+def test_ivf_assigns_cells_from_raw_vector(spark):
+    # cell assignment is norm-invariant, and feeding unit vectors to the
+    # assign UDF costs two O(d^2) interpreted normalizes over the item
+    # table (the join's inferred isnotnull(__cell) re-runs the UDF below
+    # the exchange) — the UDF argument must be the raw embedding column
+    df = QUERY_FNS["ann_topk_ivf"](spark, SF)
+    plan = explain_str(df)
+    import re
+
+    for m in re.finditer(r"_cells\(([^)#]*)", plan):
+        assert "transform" not in m.group(1), m.group(0)

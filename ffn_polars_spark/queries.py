@@ -3302,6 +3302,85 @@ def q_streaming_interval_join(spark, sf_dir):
 
 
 @query(
+    "streaming_preagg_interval_join",
+    TICKS_SQL
+    + f""", wm AS (
+  SELECT least(
+           (SELECT max(ts_ns) FROM ticks WHERE event_type = 'purchase'),
+           (SELECT max(ts_ns) FROM ticks WHERE event_type = 'click')
+         ) - 60000000000 AS wm_ns),
+pb AS (
+  SELECT user_id % 10 AS ubkt,
+         (ts_ns - ts_ns % {_HOUR_NS}) AS bar_ns,
+         count(*) AS n_purch, sum(price) AS buy_flow
+  FROM ticks WHERE event_type = 'purchase' GROUP BY 1, 2),
+cb AS (
+  SELECT user_id % 10 AS ubkt,
+         (ts_ns - ts_ns % {_HOUR_NS}) AS bar_ns,
+         count(*) AS n_clicks, sum(price) AS click_flow
+  FROM ticks WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.ubkt, CAST(p.bar_ns // 1000000000 AS BIGINT) AS l_bar_start_s,
+       p.n_purch, {R("p.buy_flow")} AS buy_flow,
+       CAST(c.bar_ns // 1000000000 AS BIGINT) AS r_bar_start_s,
+       c.n_clicks, {R("c.click_flow")} AS click_flow
+FROM pb p JOIN cb c
+  ON p.ubkt = c.ubkt
+ AND c.bar_ns + {_HOUR_NS} BETWEEN p.bar_ns + {_HOUR_NS} - {2 * _HOUR_NS}
+                               AND p.bar_ns + {_HOUR_NS}
+WHERE p.bar_ns + {_HOUR_NS} <= (SELECT wm_ns FROM wm)
+  AND c.bar_ns + {_HOUR_NS} <= (SELECT wm_ns FROM wm)""",
+)
+def q_streaming_preagg_interval_join(spark, sf_dir):
+    """Pre-aggregated stream-stream interval join (chained stateful
+    operators: windowed agg per side -> bar-level join) — the measured
+    state mitigation for [[streaming_interval_join]] (15.8x its tick-tick
+    throughput at full offered rate in tools/stream_bench). Purchase-flow
+    bars join click-flow bars of the same user bucket within a 2-hour
+    lookback. Drained append-mode; the oracle replays the bars, the
+    interval condition on bar ends, AND the append-mode finalization
+    cutoff (global watermark = min of the two sides' max event time,
+    minus the 1-minute delay — bars still open at end of input never
+    emit, exactly as on a live stream)."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        streaming_preagg_interval_join,
+    )
+
+    configure(spark)
+    stage = _stage_stream_dir(sf_dir, "events", "ffn_stream")
+    price = F.lit(100.0) + F.col("value") / F.lit(10.0)
+    purch = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .where(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 10).alias("ubkt"), "event_time",
+                price.alias("__price"))
+    )
+    clicks = (
+        read_tick_stream(spark, stage, ts_col="ts")
+        .where(F.col("event_type") == "click")
+        .select((F.col("user_id") % 10).alias("cbkt"), "event_time",
+                price.alias("__price"))
+    )
+    out = streaming_preagg_interval_join(
+        purch, clicks, "ubkt", "cbkt",
+        left_aggs={"n_purch": F.count(F.lit(1)), "__bf": F.sum("__price")},
+        right_aggs={"n_clicks": F.count(F.lit(1)), "__cf": F.sum("__price")},
+        bar="1 hour", lookback="2 hours", delay_threshold="1 minute",
+    )
+    drained = run_available_now(out, output_mode="append")
+    return drained.select(
+        "ubkt",
+        F.unix_timestamp("l_bar_start").alias("l_bar_start_s"),
+        "n_purch",
+        r6(F.col("__bf")).alias("buy_flow"),
+        F.unix_timestamp("r_bar_start").alias("r_bar_start_s"),
+        "n_clicks",
+        r6(F.col("__cf")).alias("click_flow"),
+    )
+
+
+@query(
     "streaming_session_stats",
     """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),

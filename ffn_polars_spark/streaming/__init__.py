@@ -252,6 +252,82 @@ def streaming_interval_join(
     return l.join(r, cond, how)
 
 
+def streaming_preagg_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_aggs: dict,
+    right_aggs: dict,
+    bar: str = "1 second",
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    lookback: str = "1 hour",
+    delay_threshold: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream interval join over PRE-AGGREGATED bars — the measured
+    mitigation for :func:`streaming_interval_join`'s state cost.
+
+    A raw tick-tick interval join buffers BOTH streams' rows in the state
+    store until the watermark passes ``lookback + delay_threshold``; its
+    per-row cost is 1–2 orders above a stateless aggregation (measured
+    ~43k rows/s vs 1–4M rows/s for everything else in tools/stream_bench).
+    When the consumer joins *windowed context* rather than individual rows
+    — quote context for a trade stream, cross-venue flow comparison — the
+    right shape is: windowed aggregation on EACH side first (stateless-ish,
+    map-side partial aggregates, one state row per key × bar), then the
+    interval join over bar rows, whose state is smaller than the tick
+    state by the ticks-per-bar factor. Spark ≥ 3.5 supports this chaining
+    of stateful operators in append mode; the ``window().end`` column
+    carries event-time semantics through the aggregate, so the join's
+    watermark eviction works exactly as in the raw-tick join.
+
+    ``left_aggs`` / ``right_aggs``: ``{output_name: aggregate Column}``
+    computed per (key, bar) — e.g. ``{"l_vwap": (F.sum(price*vol) /
+    F.sum(vol))}``. Names must be disjoint across the two sides.
+
+    Each left bar matches right bars of the same key whose bar END falls
+    in ``[left_end - lookback, left_end]`` (bars are half-open
+    ``[start, end)``; comparing ends is comparing bar identities, and a
+    bar joins itself — the contemporaneous bar — first). Returns
+    ``(left_on, l_bar_start, *left_aggs, r_bar_start, *right_aggs)``.
+    """
+    l = (
+        left.withWatermark(left_ts, delay_threshold)
+        .groupBy(F.window(left_ts, bar).alias("__lw"), F.col(left_on))
+        .agg(*[c.alias(n) for n, c in left_aggs.items()])
+        .select(
+            F.col(left_on),
+            F.col("__lw.start").alias("l_bar_start"),
+            F.col("__lw.end").alias("l_bar_end"),
+            *left_aggs.keys(),
+        )
+    )
+    r = (
+        right.withWatermark(right_ts, delay_threshold)
+        .groupBy(F.window(right_ts, bar).alias("__rw"), F.col(right_on))
+        .agg(*[c.alias(n) for n, c in right_aggs.items()])
+        .select(
+            F.col(right_on),
+            F.col("__rw.start").alias("r_bar_start"),
+            F.col("__rw.end").alias("r_bar_end"),
+            *right_aggs.keys(),
+        )
+    )
+    cond = (
+        (F.col(left_on) == F.col(right_on))
+        & (F.col("r_bar_end") >= F.col("l_bar_end") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_bar_end") <= F.col("l_bar_end"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(left_on),
+        "l_bar_start",
+        *left_aggs.keys(),
+        "r_bar_start",
+        *right_aggs.keys(),
+    )
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",

@@ -519,3 +519,82 @@ def test_stateful_kmv_distinct_exact_below_k(spark, tmp_path_factory):
     final = sorted(out, key=lambda r: r["n_events"])[-1]
     # below k the sketch is an exact distinct count
     assert final["n_seen"] == 10 and final["kmv_estimate"] == 10.0
+
+
+def test_streaming_preagg_interval_join_matches_batch(spark, tick_dir):
+    """Windowed-agg -> stream-stream interval join (chained stateful
+    operators): the drained bar join must equal the batch twin computed
+    with the same window aggregates + interval condition."""
+    from ffn_polars_spark.streaming import streaming_preagg_interval_join
+
+    left = (
+        read_tick_stream(spark, tick_dir, ts_col="ts")
+        .where(F.col("ticker") == "A")
+        .select(F.lit(1).alias("k"), "event_time", "price", "volume")
+    )
+    right = (
+        read_tick_stream(spark, tick_dir, ts_col="ts")
+        .where(F.col("ticker") == "B")
+        .select(F.lit(1).alias("k2"), "event_time", "price", "volume")
+    )
+    out = run_available_now(
+        streaming_preagg_interval_join(
+            left,
+            right,
+            "k",
+            "k2",
+            left_aggs={"l_vol": F.sum("volume"), "l_hi": F.max("price")},
+            right_aggs={"r_vol": F.sum("volume"), "r_lo": F.min("price")},
+            bar="1 minute",
+            lookback="2 minutes",
+        ),
+        output_mode="append",
+    )
+    got = {
+        (r.k, r.l_bar_start, r.r_bar_start): (r.l_vol, r.l_hi, r.r_vol, r.r_lo)
+        for r in out.collect()
+    }
+
+    batch = spark.read.parquet(tick_dir).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+    def bars(tick, key, prefix):
+        return (
+            batch.where(F.col("ticker") == tick)
+            .groupBy(F.window("event_time", "1 minute").alias("w"), F.lit(1).alias(key))
+            .agg(
+                F.sum("volume").alias(f"{prefix}_vol"),
+                (F.max if prefix == "l" else F.min)("price").alias(
+                    f"{prefix}_hi" if prefix == "l" else f"{prefix}_lo"
+                ),
+            )
+            .select(
+                key,
+                F.col("w.start").alias(f"{prefix}_bar_start"),
+                F.col("w.end").alias(f"{prefix}_bar_end"),
+                f"{prefix}_vol",
+                f"{prefix}_hi" if prefix == "l" else f"{prefix}_lo",
+            )
+        )
+
+    # append-mode finalization contract: a bar emits once the watermark
+    # (max event time - delay_threshold, 1 minute default) passes its END —
+    # the last bars of a bounded drain stay open and are withheld, exactly
+    # as they would be on a live stream. The batch twin applies the cutoff.
+    cutoff = batch.agg(
+        (F.max("event_time") - F.expr("INTERVAL 1 minute")).alias("c")
+    ).collect()[0]["c"]
+    lb, rb = bars("A", "k", "l"), bars("B", "k2", "r")
+    want = {
+        (r.k, r.l_bar_start, r.r_bar_start): (r.l_vol, r.l_hi, r.r_vol, r.r_lo)
+        for r in lb.join(
+            rb,
+            (F.col("k") == F.col("k2"))
+            & (F.col("r_bar_end") >= F.col("l_bar_end") - F.expr("INTERVAL 2 minutes"))
+            & (F.col("r_bar_end") <= F.col("l_bar_end")),
+        )
+        .where((F.col("l_bar_end") <= F.lit(cutoff)) & (F.col("r_bar_end") <= F.lit(cutoff)))
+        .collect()
+    }
+    assert got == want and len(got) > 5

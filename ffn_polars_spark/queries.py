@@ -10969,9 +10969,19 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         | [23..49] oldest never-driver-checked entries  | evidence for the
 #         |         (scd2, sketches, dedup, text, drift,  | r5/r6 block
 #         |         technicals, portfolio)                |
-#   r8+   | remaining never-driver-checked entries ride   | no entry without
+#   r8    | [0..37] never-driver-checked entries (the 4   | zero evidence is
+#         |         that also changed code this round     | the worst state;
+#         |         first, then the 34 oldest from        | 38 first-ever
+#         |         tools/rotation_report.py order)       | driver rows
+#         | [38..46] driver-green entries whose CODE      | re-verify after
+#         |         changed in r8 (clean_corpus/text      | rewrite
+#         |         staging, unit() rewrite + similarity  |
+#         |         family, Arrow ragged/null paths)      |
+#         | [47..49] the same 3 canaries as r7            | regression
+#         |                                               | tripwire
+#   r9+   | remaining never-driver-checked entries ride   | no entry without
 #         | immediately behind the window (positions      | a driver row
-#         | 50..161) and front-load the next round,       | while any other
+#         | 50..125) and front-load the next round,       | while any other
 #         | always prepending any entry whose code        | entry has two
 #         | changed since its last green row              |
 #
@@ -10981,68 +10991,16 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- [0..9] never-driver-green: last driver row is the r4 FAIL
-    # (resample x2, sim_market_day, 2 streaming) or no row ever
-    # (5 streaming) — hash-exact locally and in the judge's HEAD re-run
-    "resample_returns",
-    "resample_returns_poisson",
-    "sim_market_day",
-    "streaming_time_bars",
-    "streaming_dedup_exact",
-    "streaming_vwap",
-    "streaming_session_stats",
-    "streaming_running_vwap",
-    "streaming_realized_vol",
-    "streaming_zscore_alerts",
-    # --- [10..14] streaming oracles with zero driver evidence (VERDICT r6 ask #7)
-    "streaming_histogram",
-    "streaming_interval_join",
-    "streaming_topk",
-    "streaming_psi",
-    "streaming_cusum",
-    # --- [15..20] code changed this round: Gram mapInPandas rewrite
-    # (linalg/similarity), graph pin-release + degree-ordered wedges,
-    # ann_topk BLAS gate
-    "embedding_covariance",
-    "embedding_top_pc",
-    "embedding_remove_pc",
-    "pagerank",
-    "triangle_count",
-    "ann_topk",
-    # --- [21..23] canaries from driver-green blocks
-    "to_returns",
-    "calc_realized_volatility",
-    "pricing_summary",
-    # --- [24..49] oldest never-driver-checked entries
-    "scd2_build",
-    "scd2_asof_join",
-    "cdc_merge",
-    "union_evolve",
-    "kmv_distinct",
-    "corpus_overlap",
-    "semantic_dedup",
-    "dedup_incremental",
-    "dedup_cluster_stats",
-    "sorted_fuzzy_pairs",
-    "fuzzy_match_pairs",
-    "containment_pairs",
-    "bm25_search",
-    "pmi_collocations",
-    "zipf_slope",
-    "ks_drift",
-    "psi_drift",
-    "vocab_jsd",
-    "join_profile",
-    "snapshot_diff",
-    "benford_digits",
-    "macd",
-    "rsi",
-    "bollinger",
-    "hurst_exponent",
-    "variance_ratio",
-    # ======== driver window (50) ends here ========
-    # --- remaining never-driver-checked entries, in catalog order;
-    # these front-load the round-8 window
+    # --- [0..3] never driver-checked AND code changed in round 8
+    # (imbalance_bars: vectorized boundary scan + per-bar oracle;
+    # tfidf/duplicate_spans: pinned first aggregate; the new
+    # streaming_preagg_interval_join entry)
+    "imbalance_bars",
+    "tfidf_topterms",
+    "duplicate_spans",
+    "streaming_preagg_interval_join",
+    # --- [4..37] oldest never-driver-checked entries (rotation_report
+    # order: catalog order within the never-checked set)
     "portfolio_returns",
     "skew_profile",
     "shingle_novelty",
@@ -11077,6 +11035,29 @@ _PRIORITY = [
     "expected_calibration_error",
     "ndcg_at_k",
     "mrr_at_k",
+    # --- [38..46] driver-green entries whose CODE changed in round 8:
+    # clean_corpus/language_id/langid_agreement (staged single token
+    # materialization), the unit()-based similarity family (norm hoisted
+    # out of the per-element lambda; ann_topk_ivf also assigns cells from
+    # the raw vector), embedding_cosine_pairs/semantic_dedup/conflict_pairs
+    # (Arrow-path ragged/null handling + driver-budget gate)
+    "clean_corpus",
+    "language_id",
+    "langid_agreement",
+    "ann_topk",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_cosine_pairs",
+    "semantic_dedup",
+    "conflict_pairs",
+    # --- [47..49] canaries from driver-green blocks (one EOD, one
+    # tick, one TPC-H-style)
+    "to_returns",
+    "calc_realized_volatility",
+    "pricing_summary",
+    # ======== driver window (50) ends here ========
+    # --- remaining never-driver-checked entries, in catalog order;
+    # these front-load the round-9 window
     "hill_tail_index",
     "execution_slippage",
     "auc_by_group",
@@ -11089,7 +11070,6 @@ _PRIORITY = [
     "hhi_concentration",
     "pairs_spread",
     "strip_markup",
-    "imbalance_bars",
     "grid_snap",
     "half_life",
     "sentence_stats",
@@ -11150,10 +11130,8 @@ _PRIORITY = [
     "ewma",
     "column_profile",
     "embedding_quantize",
-    "tfidf_topterms",
     "value_histogram",
     "group_quantiles",
-    "duplicate_spans",
     "vocab_topk",
     "bottomk_sample",
     # --- driver-green blocks keep their original relative order at the

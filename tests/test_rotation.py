@@ -29,15 +29,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 # Evidence files the current _PRIORITY ordering was computed from.
-ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 7)]
+ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 8)]
 
 # Window entries that are NOT justified by never-checked/stale-FAIL status:
 CANARIES = {"to_returns", "calc_realized_volatility", "pricing_summary"}
-# entries whose code changed in round 7 (Gram mapInPandas rewrite, graph
-# pin-release + degree-ordered wedge join) — re-verified even though green.
-CODE_CHANGED_R7 = {
-    "embedding_covariance", "embedding_top_pc", "embedding_remove_pc",
-    "pagerank", "triangle_count", "ann_topk",
+# entries whose code changed in round 8 — re-verified even though green:
+# clean_corpus/language_id/langid_agreement (staged token materialization),
+# the unit()-based similarity family (norm hoisted out of the per-element
+# lambda; ann_topk_ivf raw-vector cell assignment), and the Arrow-path
+# ragged/null + driver-budget hardening (embedding_cosine_pairs,
+# semantic_dedup, conflict_pairs).
+CODE_CHANGED = {
+    "clean_corpus", "language_id", "langid_agreement",
+    "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
+    "embedding_cosine_pairs", "semantic_dedup", "conflict_pairs",
 }
 
 
@@ -79,9 +84,10 @@ def test_priority_names_all_registered(catalog_order):
 
 
 def test_stale_and_never_green_block_leads(catalog_order):
-    """Positions 0..9 are exactly the 10 entries whose last driver row is
-    the r4 FAIL or that have never been driver-checked at all (as of the
-    evidence snapshot the rotation was built from)."""
+    """Positions 0..9 are entries in the worst evidence state — a stale
+    driver FAIL or never driver-checked at all (as of the evidence snapshot
+    the rotation was built from; with the all-green r7 evidence that means
+    never-checked)."""
     checked, last = _evidence(ROTATION_BUILT_FOR_EVIDENCE)
     stale_fail = {n for n, (_, ok) in last.items() if not ok}
     never = set(catalog_order) - checked
@@ -101,7 +107,7 @@ def test_window_front_is_justified(catalog_order):
     checked, last = _evidence(ROTATION_BUILT_FOR_EVIDENCE)
     never = set(catalog_order) - checked
     stale_fail = {n for n, (_, ok) in last.items() if not ok}
-    allowed = never | stale_fail | CANARIES | CODE_CHANGED_R7
+    allowed = never | stale_fail | CANARIES | CODE_CHANGED
     window = catalog_order[:WINDOW]
     unjustified = [n for n in window if n not in allowed]
     assert unjustified == [], (

@@ -944,16 +944,21 @@ def embedding_normalize(
     any engine that folds a list sequentially reproduces it bit-for-bit;
     zero vectors get a NULL unit vector (norm 0.0) rather than an ANSI
     divide-by-zero. Pure projection: no shuffle, no UDF, linear scan.
+    The norm is bound once per row via the same 1-element transform
+    wrapper as :func:`unit` (an inlined norm re-evaluates the fold per
+    element — O(d²) interpreted; output bit-identical).
 
     Returns ``(id, norm, uvec)``.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(v, lambda x: x / nrm)
+    unit_bound = F.element_at(
+        F.transform(F.array(nrm), lambda n: F.transform(v, lambda x: x / n)), 1
+    )
     return df.select(
         F.col(id_col),
         nrm.alias("norm"),
-        F.when(nrm > 0, unit).alias("uvec"),
+        F.when(nrm > 0, unit_bound).alias("uvec"),
     )
 
 

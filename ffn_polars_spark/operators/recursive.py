@@ -13,6 +13,16 @@ same contract as the stateful streaming operators. The closed-form
 ``Σ α(1-α)^(t-i)x_i`` rewrite would stay JVM-side but needs ``(1-α)^(-i)``
 powers that overflow past a few thousand rows; the sequential scan is exact
 at any length.
+
+Why the inner per-key loop stays interpreted (unlike imbalance_bars' r8
+numpy block scan): the oracle contract pins the exact ``y_t = α·x_t +
+(1-α)·y_{t-1}`` fp sequence, and no bit-exact vectorization of a damped
+linear recurrence exists — blockwise renormalized forms accumulate in a
+different order (ulp drift) and ``(1-α)^k`` underflows within a block;
+pandas' own ``ewm(adjust=False)`` divides by ``(1-α)+α`` which is not
+always exactly 1.0. imbalance_bars could vectorize because integer-valued
+flows make its prefix-sum subtraction exact; EWMA has no such exactness.
+The loop is a per-key constant, not a scale term (keys distribute).
 """
 
 from __future__ import annotations

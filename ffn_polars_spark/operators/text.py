@@ -1162,10 +1162,12 @@ def sentence_stats(
     ``[.!?]+``-delimited fragment containing at least one word token, so
     stray punctuation runs never count.
 
-    Pure in-row projection — sentence and word arrays are built and
-    reduced inside ONE expression tree (no explode, no shuffle at all);
-    the scan is the plan. Returns
-    ``(id, n_sentences, avg_sentence_words, max_sentence_words)``.
+    Pure in-row projection — no explode, no shuffle; the scan is the
+    plan. The words-per-sentence array is STAGED in a first projection:
+    its five downstream references (size ×3 via the when-guards, the
+    sum fold, array_max) are interpreted HOFs with no CSE, so building
+    it inline re-ran the sentence+word tokenization per reference.
+    Returns ``(id, n_sentences, avg_sentence_words, max_sentence_words)``.
     """
     wp_all = F.transform(
         F.split(F.col(text_col), r"[.!?]+"),
@@ -1173,12 +1175,16 @@ def sentence_stats(
             F.filter(F.split(s, r"\s+"), lambda t: t != F.lit(""))
         ),
     )
-    wp = F.filter(wp_all, lambda c: c > F.lit(0))
+    staged = df.select(
+        F.col(id_col),
+        F.filter(wp_all, lambda c: c > F.lit(0)).alias("__wp"),
+    )
+    wp = F.col("__wp")
     n = F.size(wp)
     total = F.aggregate(
         wp, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.cast("long").alias("n_sentences"),
         F.when(n > 0, total.cast("double") / n.cast("double")).alias(

@@ -11056,8 +11056,10 @@ _PRIORITY = [
     "calc_realized_volatility",
     "pricing_summary",
     # ======== driver window (50) ends here ========
-    # --- remaining never-driver-checked entries, in catalog order;
-    # these front-load the round-9 window
+    # --- remaining never-driver-checked entries; sentence_stats first
+    # (its code changed late in r8: staged words-per-sentence array),
+    # then catalog order — these front-load the round-9 window
+    "sentence_stats",
     "hill_tail_index",
     "execution_slippage",
     "auc_by_group",
@@ -11072,7 +11074,6 @@ _PRIORITY = [
     "strip_markup",
     "grid_snap",
     "half_life",
-    "sentence_stats",
     "rolling_sharpe",
     "topk_per_group",
     "csv_roundtrip",

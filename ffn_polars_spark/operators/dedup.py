@@ -217,9 +217,21 @@ def dedup_exact(
     One hash-partitioned shuffle; the min-id resolution is a broadcast-able
     aggregate joined back (Catalyst broadcasts it when small, AQE converts at
     runtime otherwise).
+
+    The (id, fingerprint) frame is ``_pinned`` (caller releases via
+    ``release_pins``): its two consumers (the group aggregate and the join
+    back) cannot share a subtree — and the join's inferred
+    ``isnotnull(fingerprint)`` additionally pushes the md5+normalize
+    expression into each branch's scan filter — so unpinned, the corpus
+    was scanned and normalize-hashed up to four times (round-8 plan
+    audit). The pinned frame is two narrow columns at doc cardinality,
+    nothing like corpus width.
     """
-    with_fp = df.select(
-        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    with_fp = _pinned(
+        df.select(
+            F.col(id_col),
+            F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+        )
     )
     groups = with_fp.groupBy("fingerprint").agg(
         F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")

@@ -80,11 +80,19 @@ def clean_corpus(
         + F.when(sr >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
     )
 
-    base = staged.select(
-        F.col(id_col),
-        language_vote(txt, toks=toks).getField("lang").alias("lang_pred"),
-        F.round(score, 6).alias("quality_score"),
-        F.md5(normalized_text(txt)).alias("__fp"),
+    from ffn_polars_spark.operators.dedup import _pinned
+
+    # _pinned: base feeds both the fingerprint groupBy and the join back —
+    # the branches can't share a subtree, so unpinned, every text feature
+    # (vote, quality, md5) evaluated twice over the corpus (round-8 plan
+    # audit). base is four narrow columns at doc cardinality.
+    base = _pinned(
+        staged.select(
+            F.col(id_col),
+            language_vote(txt, toks=toks).getField("lang").alias("lang_pred"),
+            F.round(score, 6).alias("quality_score"),
+            F.md5(normalized_text(txt)).alias("__fp"),
+        )
     )
     groups = base.groupBy("__fp").agg(F.min(id_col).alias("canonical_id"))
     out = base.join(groups, "__fp").select(
@@ -339,13 +347,21 @@ def pack_sequences(
 
     Scale: the prefix sum is the blocked two-pass cumsum (no global
     single-partition window); chunk explosion is in-row (a document spans at
-    most ``ceil(n/seq_len)+1`` sequences). One data-sized shuffle.
+    most ``ceil(n/seq_len)+1`` sequences). One data-sized shuffle. The
+    (id, n_tokens) frame is ``_pinned`` (caller releases via
+    ``release_pins``): the two-pass cumsum necessarily reads it twice,
+    and unpinned each pass — plus the pushed ``n_tokens > 0`` filter —
+    re-tokenized the corpus (6 split copies in the round-8 plan audit);
+    the pinned frame is two narrow columns, nothing like corpus width.
     """
     from ffn_polars_spark.core import blocked_cumsum
+    from ffn_polars_spark.operators.dedup import _pinned
 
-    t = df.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
-    ).where(F.col("n_tokens") > 0)
+    t = _pinned(
+        df.select(
+            F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+        ).where(F.col("n_tokens") > 0)
+    )
     c = blocked_cumsum(t, id_col, F.col("n_tokens"), "__cum", block=block)
     L = F.lit(int(seq_len))
     c = c.withColumn("__start", F.col("__cum").cast("long") - F.col("n_tokens"))

@@ -125,12 +125,26 @@ def bm25_search(
     Plumbing (100 TB): the exploded corpus tokens are semi-filtered by the
     broadcast query frame BEFORE any shuffle, so per-term tf and df
     aggregates see only matching postings; doc length rides along with
-    each posting (computed once per row, pre-explode); the corpus-wide
-    N/avglen scalar is a 1-row broadcast from a single-column scan. No
-    stage ever materializes the non-matching corpus.
+    each posting; the corpus-wide N/avglen scalar is a 1-row broadcast
+    from a single-column scan. No stage ever materializes the
+    non-matching corpus.
+
+    Round-8 audit fix (hash-identical output): the per-(doc, term) tf
+    aggregate is ``_pinned`` so the df branch reads it instead of
+    re-scanning and re-tokenizing the corpus (column pruning rewrites
+    the second branch's inner aggregate, so exchange reuse never fires —
+    the tfidf_topterms finding). The pinned frame is matching postings
+    only, bounded by |query terms| × docs.
+
+    The token array IS deliberately staged before the explode (unlike the
+    round-6 Generate-pathology shapes): expressions alongside a generator
+    end up in the Project ABOVE it and re-evaluate per exploded OUTPUT
+    row, so an inline ``__len`` tokenized per token — measured 27.7 s vs
+    1.5 s at sf1. ``size(<staged attribute>)`` per output row is O(1).
 
     Returns ``(doc_id, score, n_terms)`` for docs matching ≥1 term.
     """
+    from ffn_polars_spark.operators.dedup import _pinned
     from ffn_polars_spark.operators.text import tokens
 
     terms = [t for t in {w.lower() for w in query} if t]
@@ -158,9 +172,11 @@ def bm25_search(
         F.avg("__len").alias("__avglen"),
     )
 
-    tf = matched.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).cast("double").alias("__tf"),
-        F.first("__len").alias("__len"),
+    tf = _pinned(
+        matched.groupBy(id_col, "token").agg(
+            F.count(F.lit(1)).cast("double").alias("__tf"),
+            F.first("__len").alias("__len"),
+        )
     )
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("__df"))
     scored = (

@@ -910,7 +910,10 @@ def embedding_quantize(
     engine ``round()`` so the quantized values are bit-reproducible across
     engines — the same portability idiom as the md5 uniforms. Zero vectors
     quantize to zeros (scale emitted as 0.0). Pure projection: no shuffle,
-    no UDF, linear in corpus size.
+    no UDF, linear in corpus size. The scale is bound once per row via
+    the 1-element transform wrapper (see :func:`unit` — an inline scale
+    re-evaluated the O(d) max-abs scan per element, O(d²) interpreted;
+    output bit-identical).
 
     Returns ``(id, scale, qvec)``; dequantize as ``q_i · scale``.
     """
@@ -918,8 +921,14 @@ def embedding_quantize(
     v = F.col(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = maxabs / F.lit(qmax)
-    q = F.transform(
-        v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    q = F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                v, lambda x: F.floor(x.cast("double") / s + F.lit(0.5)).cast("int")
+            ),
+        ),
+        1,
     )
     zeros = F.transform(v, lambda x: F.lit(0))
     return df.select(

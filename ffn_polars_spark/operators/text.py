@@ -1326,10 +1326,14 @@ def flesch_readability(
     splitting). The graded-readability signal quality classifiers use
     beside [[text_quality]]'s ratio features.
 
-    Pure in-row projection — one expression tree per row, no explode,
-    no shuffle; the parquet scan is the whole plan. Counts are exact
-    longs; NULL score when a document has no words or no sentences.
-    Returns ``(id, n_words, n_sentences, n_syllables, flesch)``.
+    Pure in-row projection — no explode, no shuffle; the parquet scan is
+    the whole plan. The three counts are STAGED in a first projection:
+    ``words`` alone has four downstream references (n_words, the score's
+    two ratios, the null guard) and each inline reference re-ran its
+    tokenize (10 splits in the unstaged plan — the round-8 audit class).
+    Counts are exact longs; NULL score when a document has no words or
+    no sentences. Returns ``(id, n_words, n_sentences, n_syllables,
+    flesch)``.
     """
     text = F.col(text_col)
     words = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
@@ -1343,18 +1347,24 @@ def flesch_readability(
         )
     )
     syllables = F.size(F.regexp_extract_all(text, F.lit(r"[aeiouyAEIOUY]+"), F.lit(0)))
-    wd = words.cast("double")
-    sd = sentences.cast("double")
-    yd = syllables.cast("double")
-    score = (
-        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
-    )
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        words.cast("long").alias("n_words"),
-        sentences.cast("long").alias("n_sentences"),
-        syllables.cast("long").alias("n_syllables"),
-        F.when((words > 0) & (sentences > 0), score).alias("flesch"),
+        words.alias("__w"),
+        sentences.alias("__s"),
+        syllables.alias("__y"),
+    )
+    w, s, y = F.col("__w"), F.col("__s"), F.col("__y")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+        - F.lit(84.6) * (y.cast("double") / w.cast("double"))
+    )
+    return staged.select(
+        F.col(id_col),
+        w.cast("long").alias("n_words"),
+        s.cast("long").alias("n_sentences"),
+        y.cast("long").alias("n_syllables"),
+        F.when((w > 0) & (s > 0), score).alias("flesch"),
     )
 
 

@@ -9982,11 +9982,18 @@ def q_langid_agreement(spark, sf_dir):
     language_id heuristic's predictions and the corpus gold labels —
     chance-corrected agreement that stays honest on the gold labels
     (zh, it) the heuristic cannot emit."""
+    from ffn_polars_spark.operators.dedup import _pinned
     from ffn_polars_spark.operators.evaluation import cohens_kappa
     from ffn_polars_spark.operators.text import language_id
 
     docs = read_table(spark, sf_dir, "documents")
-    pred = language_id(docs).select("doc_id", "lang_pred")
+    # PINNED: cohens_kappa fans out into three branches (po + the two
+    # marginals of the full-outer join), each re-scanning documents and
+    # re-running the 4-language vote — and the join's inferred
+    # isnotnull(lang_pred) pushes the whole vote expression into the scan
+    # filter, doubling it again (17 token splits in the unpinned plan).
+    # The prediction frame is two columns at doc cardinality.
+    pred = _pinned(language_id(docs).select("doc_id", "lang_pred"))
     lab = docs.select("doc_id", F.col("lang").alias("gold")).join(
         pred, "doc_id"
     )

@@ -10976,14 +10976,15 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         | [23..49] oldest never-driver-checked entries  | evidence for the
 #         |         (scd2, sketches, dedup, text, drift,  | r5/r6 block
 #         |         technicals, portfolio)                |
-#   r8    | [0..37] never-driver-checked entries (the 4   | zero evidence is
-#         |         that also changed code this round     | the worst state;
-#         |         first, then the 34 oldest from        | 38 first-ever
-#         |         tools/rotation_report.py order)       | driver rows
-#         | [38..46] driver-green entries whose CODE      | re-verify after
+#   r8    | [0..5]  never-driver-checked entries that     | zero evidence is
+#         |         also changed code this round          | the worst state;
+#         | [6..31] the 26 oldest never-checked from      | 32 first-ever
+#         |         tools/rotation_report.py order        | driver rows
+#         | [32..46] driver-green entries whose CODE      | re-verify after
 #         |         changed in r8 (clean_corpus/text      | rewrite
 #         |         staging, unit() rewrite + similarity  |
-#         |         family, Arrow ragged/null paths)      |
+#         |         family, Arrow ragged/null paths, the  |
+#         |         plan-audit pinned-frame sweep)        |
 #         | [47..49] the same 3 canaries as r7            | regression
 #         |                                               | tripwire
 #   r9+   | remaining never-driver-checked entries ride   | no entry without
@@ -10998,15 +10999,18 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- [0..3] never driver-checked AND code changed in round 8
+    # --- [0..5] never driver-checked AND code changed in round 8
     # (imbalance_bars: vectorized boundary scan + per-bar oracle;
     # tfidf/duplicate_spans: pinned first aggregate; the new
-    # streaming_preagg_interval_join entry)
+    # streaming_preagg_interval_join entry; embedding_quantize: bound
+    # per-row scale; sentence_stats: staged words-per-sentence array)
     "imbalance_bars",
     "tfidf_topterms",
     "duplicate_spans",
     "streaming_preagg_interval_join",
-    # --- [4..37] oldest never-driver-checked entries (rotation_report
+    "embedding_quantize",
+    "sentence_stats",
+    # --- [6..31] oldest never-driver-checked entries (rotation_report
     # order: catalog order within the never-checked set)
     "portfolio_returns",
     "skew_profile",
@@ -11034,20 +11038,11 @@ _PRIORITY = [
     "bipower_variation",
     "rv_signature",
     "zorder_key",
-    "seasonal_adjust",
-    "pr_at_k",
-    "ic_decay",
-    "cusum_changepoints",
-    "quantile_transform",
-    "expected_calibration_error",
-    "ndcg_at_k",
-    "mrr_at_k",
-    # --- [38..46] driver-green entries whose CODE changed in round 8:
-    # clean_corpus/language_id/langid_agreement (staged single token
-    # materialization), the unit()-based similarity family (norm hoisted
-    # out of the per-element lambda; ann_topk_ivf also assigns cells from
-    # the raw vector), embedding_cosine_pairs/semantic_dedup/conflict_pairs
-    # (Arrow-path ragged/null handling + driver-budget gate)
+    # --- [32..46] driver-green entries whose CODE changed in round 8:
+    # the staged-token / unit()-rewrite / Arrow-hardening set, plus the
+    # plan-audit sweep's pinned-frame fixes (bm25 postings, dedup_exact
+    # fingerprints, pack_sequences token counts, clean_corpus base,
+    # corpus_overlap's merged-sketch union)
     "clean_corpus",
     "language_id",
     "langid_agreement",
@@ -11057,16 +11052,29 @@ _PRIORITY = [
     "embedding_cosine_pairs",
     "semantic_dedup",
     "conflict_pairs",
+    "bm25_search",
+    "dedup_exact",
+    "flesch_readability",
+    "pack_sequences",
+    "corpus_overlap",
+    "duplicate_rate_by_source",
     # --- [47..49] canaries from driver-green blocks (one EOD, one
     # tick, one TPC-H-style)
     "to_returns",
     "calc_realized_volatility",
     "pricing_summary",
     # ======== driver window (50) ends here ========
-    # --- remaining never-driver-checked entries; sentence_stats first
-    # (its code changed late in r8: staged words-per-sentence array),
-    # then catalog order — these front-load the round-9 window
-    "sentence_stats",
+    # --- never-checked entries displaced from the window by the
+    # late-round code-changed block — they lead the round-9 window
+    "seasonal_adjust",
+    "pr_at_k",
+    "ic_decay",
+    "cusum_changepoints",
+    "quantile_transform",
+    "expected_calibration_error",
+    "ndcg_at_k",
+    "mrr_at_k",
+    # --- remaining never-driver-checked entries, in catalog order
     "hill_tail_index",
     "execution_slippage",
     "auc_by_group",
@@ -11137,7 +11145,6 @@ _PRIORITY = [
     "ewm_volatility",
     "ewma",
     "column_profile",
-    "embedding_quantize",
     "value_histogram",
     "group_quantiles",
     "vocab_topk",

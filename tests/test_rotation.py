@@ -43,6 +43,9 @@ CODE_CHANGED = {
     "clean_corpus", "language_id", "langid_agreement",
     "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
     "embedding_cosine_pairs", "semantic_dedup", "conflict_pairs",
+    # plan-audit sweep (late r8): pinned-frame / staged-scalar fixes
+    "bm25_search", "dedup_exact", "flesch_readability",
+    "pack_sequences", "corpus_overlap", "duplicate_rate_by_source",
 }
 
 

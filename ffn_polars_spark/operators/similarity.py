@@ -1208,7 +1208,14 @@ def centroid_outliers(
     den = F.sqrt(F.col("__vv")) * F.sqrt(F.col("__mm"))
     cos = F.when(den > 0, F.col("__dot") / den)
     cos_q = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-    scored = per.select("__id", "label", cos_q.alias("cos_sim"))
+    # _pinned: the median, MAD, and fence branches each consume scored —
+    # unpinned, each branch re-ran the whole scan → posexplode → centroid
+    # join → per-vector aggregate (8 scans of the embedding table in the
+    # round-8 plan audit). scored is three narrow columns at vector
+    # cardinality; caller releases via release_pins.
+    from ffn_polars_spark.operators.dedup import _pinned
+
+    scored = _pinned(per.select("__id", "label", cos_q.alias("cos_sim")))
     med_f = scored.groupBy("label").agg(
         F.percentile("cos_sim", F.lit(0.5)).alias("med")
     )

@@ -82,6 +82,14 @@ def audit(spark, sf_dir: str, names, threshold: int):
             continue
         live = _strip_cached_subtrees(plan)
         counts = {m: len(p.findall(live)) for m, p in MARKERS.items()}
+        # rescan detector: the same source file scanned repeatedly in the
+        # LIVE plan — a multi-pass shape and a pin candidate when the
+        # passes re-derive expensive columns (median/MAD's two passes are
+        # legitimate; five scans of documents.parquet rarely are)
+        scans = re.findall(r"InMemoryFileIndex\(1 paths\)\[([^\]]+)\]", live)
+        if scans:
+            top = max((scans.count(s) for s in set(scans)))
+            counts["rescan"] = top
         hot = {m: c for m, c in counts.items() if c >= threshold}
         if hot:
             flagged.append((name, hot))

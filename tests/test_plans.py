@@ -655,3 +655,26 @@ def test_ivf_assigns_cells_from_raw_vector(spark):
 
     for m in re.finditer(r"_cells\(([^)#]*)", plan):
         assert "transform" not in m.group(1), m.group(0)
+
+
+def test_audit_sweep_pins_engaged(spark):
+    # the round-8 plan-audit fixes pin the first aggregate / derived frame
+    # of multi-branch shapes; if a refactor drops the pin, the branches
+    # silently go back to re-scanning the corpus. InMemoryTableScan in the
+    # executed plan is the cheap observable that the pin engaged.
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    for name in ("dedup_exact", "bm25_search", "tfidf_topterms",
+                  "duplicate_spans", "pack_sequences", "clean_corpus",
+                  "langid_agreement", "centroid_outliers"):
+        plan = explain_str(QUERY_FNS[name](spark, SF))
+        release_pins()
+        assert "InMemoryTableScan" in plan, f"{name}: pin not engaged"
+
+
+def test_flesch_counts_staged_once(spark):
+    # words/sentences/syllables are staged scalars — inline references
+    # re-tokenized per use (10 splits before the round-8 fix)
+    df = QUERY_FNS["flesch_readability"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("split(") <= 6  # tree + details listing of 3 exprs

@@ -475,6 +475,16 @@ def imbalance_bars(
     is exact and engine-replayable (the oracle walks the same reset
     recurrence in a recursive CTE).
 
+    Float caveat (discrete, not 1-ulp): the scan computes the running
+    imbalance as a prefix-sum difference ``P[i] - P[boundary]``. With
+    FRACTIONAL volumes this can round differently from a sequential
+    ``cum += flow`` walk, and a difference at the threshold flips a
+    *boundary decision* — shifting where a bar closes, a discrete
+    segmentation change rather than a last-ulp value change. This
+    operator and its oracle share the prefix-sum form, so they always
+    agree with each other; quantize volumes first if bit-parity with a
+    sequential-walk implementation is required.
+
     Returns ``(*by, bar_id, bar_start_ts, bar_end_ts, open, high, low,
     close, volume, imbalance, n_ticks)``.
     """
@@ -512,8 +522,14 @@ def imbalance_bars(
         # scans (O(rows + bars·block) total, no interpreted per-row loop).
         # With integer-valued flows the subtraction is exact, so this is
         # bit-identical to the sequential accumulate (which the oracle's
-        # per-bar boundary search replays the same way); with irrational
-        # float flows the two formulations sit in the same 1-ulp class.
+        # per-bar boundary search replays the same way). With fractional
+        # float flows the caveat is DISCRETE, not just 1-ulp-in-values:
+        # P[i]-base and the sequential cum+=f walk can round differently,
+        # and a rounding difference AT the threshold flips a boundary
+        # decision — changing bar segmentation, not merely a value in the
+        # last ulp. The operator and its SQL oracle share this prefix-sum
+        # formulation so they agree with each other; quantize flows before
+        # calling if replaying a sequential-walk implementation matters.
         pdf = pdf.sort_values("__ts", kind="mergesort")
         P = np.cumsum(pdf["__flow"].to_numpy(dtype=np.float64))
         n = len(P)

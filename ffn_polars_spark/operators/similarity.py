@@ -263,14 +263,12 @@ def _fits_driver_corpus_budget(
     ~256 MB budget (32M doubles). A caller who raises ``max_rows`` previously
     just permitted a bigger *distributed* scan — without this gate they would
     silently opt into a driver collect that can OOM (1e6 rows at d=1024 is
-    ~8 GB). The dim probe is bounded (one non-null row)."""
-    probe = (
-        df.select(F.size(F.col(vec_col)).alias("d"))
-        .where(F.col(vec_col).isNotNull())
-        .limit(1)
-        .collect()
-    )
-    if not probe:
+    ~8 GB). The dim probe is a bounded one-row aggregate over the *widest*
+    vector — ``limit(1)`` picks an arbitrary row, and on a mixed-width corpus
+    a short probed vector would understate the collect size, weakening the
+    very OOM guard this gate exists for."""
+    probe = df.groupBy().agg(F.max(F.size(F.col(vec_col))).alias("d")).collect()
+    if not probe or probe[0]["d"] is None:
         return False
     return n_rows * max(int(probe[0]["d"]), 1) <= budget_doubles
 

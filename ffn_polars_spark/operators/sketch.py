@@ -60,7 +60,6 @@ def bottomk_sample(
     return out.limit(int(k)).drop("__h")
 
 
-@register(namespace="eod", kind="df", context="dataframe", alias="kmv_distinct")
 def _kmv_sketch(
     df: DataFrame, value_col: str, k: int, tag: str, seed: int
 ) -> DataFrame:
@@ -84,6 +83,7 @@ def _kmv_sketch(
     return survivors.groupBy().agg(ks.alias("__ks"))
 
 
+@register(namespace="eod", kind="df", context="dataframe", alias="kmv_distinct")
 def kmv_distinct(
     df: DataFrame,
     value_col: str,

@@ -284,7 +284,10 @@ def streaming_preagg_interval_join(
 
     ``left_aggs`` / ``right_aggs``: ``{output_name: aggregate Column}``
     computed per (key, bar) — e.g. ``{"l_vwap": (F.sum(price*vol) /
-    F.sum(vol))}``. Names must be disjoint across the two sides.
+    F.sum(vol))}``. Names must be disjoint across the two sides. The join
+    keys need NOT be: both sides are aliased to internal names before the
+    join, so ``left_on == right_on`` (the natural call — ``'ticker'`` on
+    both streams) is supported; the output carries the key as ``left_on``.
 
     Each left bar matches right bars of the same key whose bar END falls
     in ``[left_end - lookback, left_end]`` (bars are half-open
@@ -297,7 +300,7 @@ def streaming_preagg_interval_join(
         .groupBy(F.window(left_ts, bar).alias("__lw"), F.col(left_on))
         .agg(*[c.alias(n) for n, c in left_aggs.items()])
         .select(
-            F.col(left_on),
+            F.col(left_on).alias("__lk"),
             F.col("__lw.start").alias("l_bar_start"),
             F.col("__lw.end").alias("l_bar_end"),
             *left_aggs.keys(),
@@ -308,19 +311,22 @@ def streaming_preagg_interval_join(
         .groupBy(F.window(right_ts, bar).alias("__rw"), F.col(right_on))
         .agg(*[c.alias(n) for n, c in right_aggs.items()])
         .select(
-            F.col(right_on),
+            F.col(right_on).alias("__rk"),
             F.col("__rw.start").alias("r_bar_start"),
             F.col("__rw.end").alias("r_bar_end"),
             *right_aggs.keys(),
         )
     )
+    # internal __lk/__rk key aliases: with left_on == right_on (the natural
+    # same-name call) a raw F.col(left_on) == F.col(right_on) condition is
+    # an AMBIGUOUS_REFERENCE error
     cond = (
-        (F.col(left_on) == F.col(right_on))
+        (F.col("__lk") == F.col("__rk"))
         & (F.col("r_bar_end") >= F.col("l_bar_end") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_bar_end") <= F.col("l_bar_end"))
     )
     return l.join(r, cond, "inner").select(
-        F.col(left_on),
+        F.col("__lk").alias(left_on),
         "l_bar_start",
         *left_aggs.keys(),
         "r_bar_start",

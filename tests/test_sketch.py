@@ -348,3 +348,16 @@ def test_abc_analysis_classes(spark):
     assert out["k3"]["abc_class"] == "B"      # starts at .90 < .95
     assert out["k4"]["abc_class"] == "C"      # starts at .96
     assert abs(out["k2"]["cum_share"] - 0.9) < 1e-12
+
+
+def test_kmv_distinct_registry_binding():
+    """The public registry name must resolve to kmv_distinct itself, not a
+    private helper (regression: the decorator once sat on _kmv_sketch,
+    silently rebinding the namespace-dispatch name to a different
+    signature)."""
+    from ffn_polars_spark.operators import sketch
+    from ffn_polars_spark.registry import FFN_DF_REGISTRY, FFN_REGISTRY
+
+    assert FFN_DF_REGISTRY["kmv_distinct"] is sketch.kmv_distinct
+    for reg in (FFN_DF_REGISTRY, FFN_REGISTRY):
+        assert "_kmv_sketch" not in reg

@@ -598,3 +598,34 @@ def test_streaming_preagg_interval_join_matches_batch(spark, tick_dir):
         .collect()
     }
     assert got == want and len(got) > 5
+
+
+def test_streaming_preagg_interval_join_same_key_name(spark, tick_dir):
+    """left_on == right_on (the natural call — 'ticker' on both streams)
+    must work: the internal __lk/__rk aliases prevent the
+    AMBIGUOUS_REFERENCE a raw same-name equality condition raises."""
+    from ffn_polars_spark.streaming import streaming_preagg_interval_join
+
+    left = read_tick_stream(spark, tick_dir, ts_col="ts").select(
+        "ticker", "event_time", "volume"
+    )
+    right = read_tick_stream(spark, tick_dir, ts_col="ts").select(
+        "ticker", "event_time", "price"
+    )
+    out = run_available_now(
+        streaming_preagg_interval_join(
+            left,
+            right,
+            "ticker",
+            "ticker",
+            left_aggs={"l_vol": F.sum("volume")},
+            right_aggs={"r_hi": F.max("price")},
+            bar="1 minute",
+            lookback="2 minutes",
+        ),
+        output_mode="append",
+    ).collect()
+    assert len(out) > 5
+    assert {r.ticker for r in out} <= {"A", "B", "C"}
+    # contemporaneous bar joins itself: every left bar has a same-start match
+    assert any(r.l_bar_start == r.r_bar_start for r in out)

@@ -34,12 +34,92 @@ import weakref
 
 _COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
 
+# Row-count-preserving logical nodes: a plan made only of these above a
+# parquet relation has exactly the relation's row count, so the count can be
+# answered from parquet footers with no Spark job at all.
+_COUNT_PRESERVING = {
+    "Project",
+    "SubqueryAlias",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+}
+
+# Count-REDUCING nodes: rows out <= rows in, so footer totals remain a valid
+# UPPER bound below them (used by _guard_pair_budget to prove a budget passes
+# without any job; never to raise, which would need a lower bound).
+_COUNT_REDUCING = {
+    "Filter",
+    "GlobalLimit",
+    "LocalLimit",
+    "Sample",
+    "Deduplicate",
+}
+
+# Footer counting is a driver-side read per file: past this many files the
+# bounded limit-probe job is the cheaper guard.
+_FOOTER_FILE_CAP = 64
+
+
+def _bare_scan_row_count(df: DataFrame, allow_reducing: bool = False):
+    """Exact row count from parquet footers when ``df`` is a bare file scan
+    (only count-preserving nodes — Project/alias/sort/repartition — above a
+    local parquet relation). Driver-side metadata only: NO Spark job, so the
+    scale guards on catalog-shaped inputs (a fresh ``read.parquet`` per call)
+    cost zero cluster work. Returns None whenever anything is uncertain —
+    non-parquet or remote files, a Filter/Limit/Join anywhere in the plan,
+    too many files — and the caller falls back to the bounded probe.
+
+    With ``allow_reducing=True`` the walk also steps over Filter/Limit/Sample
+    nodes and the result is an UPPER bound on the row count rather than the
+    exact count — sufficient to prove a pair budget passes, never to fail it.
+    """
+    try:
+        allowed = (
+            _COUNT_PRESERVING | _COUNT_REDUCING
+            if allow_reducing
+            else _COUNT_PRESERVING
+        )
+        # analyzed, NOT optimized: the analyzed plan already exists (PySpark
+        # analyzes eagerly on schema access) while optimizedPlan() runs the
+        # full rule stack — measured 0.4 s per fresh DataFrame, i.e. more
+        # than the probe job this path replaces. Both plans expose the same
+        # Filter/Project/LogicalRelation shells this walk steps over.
+        node = df._jdf.queryExecution().analyzed()
+        while node.getClass().getSimpleName() in allowed:
+            children = node.children()
+            if children.size() != 1:
+                return None
+            node = children.head()
+        if node.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = df.inputFiles()
+        if not files or len(files) > _FOOTER_FILE_CAP:
+            return None
+        if not all(
+            f.startswith("file:") and f.endswith(".parquet") for f in files
+        ):
+            return None
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(unquote(urlparse(f).path)).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
 
 def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
-    """min-ish(n_rows, cap+1) — bounded probe first, exact count only as escape.
+    """min-ish(n_rows, cap+1) — footers, then bounded probe, then exact count.
 
-    Always starts with a ``limit(min(cap, _PROBE_CAP)+1).count()`` probe, whose
-    cost is O(_PROBE_CAP) regardless of input size.  Three outcomes:
+    Bare parquet scans (the catalog-shaped common case) are answered from
+    parquet footers via :func:`_bare_scan_row_count` — exact, driver-side,
+    zero Spark jobs. Otherwise a ``limit(min(cap, _PROBE_CAP)+1).count()``
+    probe runs, whose cost is O(_PROBE_CAP) regardless of input size. Three
+    probe outcomes:
 
     - probe didn't saturate its limit → it IS the exact row count; return (and
       cache) it.  This is the common case even for huge caps (e.g. a 1e8 item
@@ -55,6 +135,13 @@ def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
     except TypeError:  # un-weakref-able df (never in practice)
         n = None
     if n is not None:
+        return n
+    n = _bare_scan_row_count(df)
+    if n is not None:
+        try:
+            _COUNT_CACHE[df] = n
+        except TypeError:
+            pass
         return n
     lim = min(cap, _PROBE_CAP)
     probe = df.select(col).limit(lim + 1).count()
@@ -89,7 +176,23 @@ def _guard_pair_budget(
     Returns ``(n_items, n_queries)`` as observed by the bounded probes
     (None where a side was never counted) so callers can pick an execution
     strategy without re-probing.
+
+    Zero-job fast path: when BOTH sides are (possibly filtered/limited)
+    parquet scans, footer totals give UPPER bounds on each side; if the
+    bound product already fits the budget the guard passes without running
+    a single Spark job — the common catalog shape (a fresh read + a pushed
+    filter per call) pays nothing. Bounds are only ever used to PASS:
+    failing the budget still requires real probes, so an over-wide bound
+    can never spuriously reject a legal call. The returned counts may
+    therefore overestimate a filtered side — callers use them for
+    conservative gates (strategy switches, driver-collect budgets), where
+    an overestimate is the safe direction.
     """
+    if max_pairs > 0:
+        ub_q = _bare_scan_row_count(queries, allow_reducing=True)
+        ub_i = _bare_scan_row_count(items, allow_reducing=True)
+        if ub_q is not None and ub_i is not None and ub_q * ub_i <= max_pairs:
+            return (ub_i, ub_q)
     K0 = 65_536
     n_q = _count_at_most(queries, qid, K0)
     if n_q == 0:

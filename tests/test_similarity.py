@@ -693,3 +693,66 @@ def test_cosine_pairs_driver_budget_gate(spark):
     assert not _fits_driver_corpus_budget(df, "embedding", 1_000_000)
     empty = df.where("vec_id > 99")
     assert not _fits_driver_corpus_budget(empty, "embedding", 10)
+
+
+def test_bare_scan_row_count_footer_path(spark, tmp_path):
+    """Parquet footer counting: exact on bare scans (count-preserving nodes
+    only), an upper bound over Filter/Limit with allow_reducing, and None —
+    falling back to the probe — for anything that can grow rows or for
+    non-parquet sources."""
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.operators.similarity import _bare_scan_row_count
+
+    d = str(tmp_path / "t.parquet")
+    spark.range(137).selectExpr("id AS vec_id").write.parquet(d)
+    df = spark.read.parquet(d)
+
+    assert _bare_scan_row_count(df) == 137
+    assert _bare_scan_row_count(df.select(F.col("vec_id").alias("x"))) == 137
+    # filter/limit: None without allow_reducing, footer UPPER bound with it
+    filt = df.where("vec_id < 5")
+    assert _bare_scan_row_count(filt) is None
+    assert _bare_scan_row_count(filt, allow_reducing=True) == 137
+    assert _bare_scan_row_count(df.limit(3), allow_reducing=True) == 137
+    # row-increasing / non-file shapes: never answered from footers
+    assert _bare_scan_row_count(df.join(filt, "vec_id"), allow_reducing=True) is None
+    assert _bare_scan_row_count(df.groupBy().count(), allow_reducing=True) is None
+    assert _bare_scan_row_count(spark.range(10), allow_reducing=True) is None
+
+
+def test_guard_pair_budget_zero_jobs_on_parquet_scans(spark, tmp_path, monkeypatch):
+    """When both sides are (filtered) parquet scans whose footer-bound
+    product fits the budget, the guard must pass WITHOUT running a count
+    job; tripping the budget must still use real probes (an upper bound
+    can prove a pass, never a failure)."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from ffn_polars_spark.operators.similarity import _guard_pair_budget
+
+    d = str(tmp_path / "emb.parquet")
+    spark.range(100).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0f) AS embedding"
+    ).write.parquet(d)
+    df = spark.read.parquet(d)
+    q = df.where("vec_id < 5")
+
+    counts = []
+    orig = dfmod.DataFrame.count
+    monkeypatch.setattr(
+        dfmod.DataFrame, "count", lambda self: (counts.append(1), orig(self))[1]
+    )
+    n_i, n_q = _guard_pair_budget(df, "vec_id", q, "vec_id", 100 * 100)
+    assert not counts, "footer-bounded guard must not run count jobs"
+    assert n_i == 100 and n_q == 100  # upper bound for the filtered side
+
+    # bare-scan sides over budget: footers give EXACT counts, so the guard
+    # still raises with zero jobs
+    with pytest.raises(ValueError):
+        _guard_pair_budget(df, "vec_id", df, "vec_id", 10)
+    assert not counts
+    # a FILTERED side over budget cannot be failed on an upper bound:
+    # the guard must fall back to a real probe before deciding
+    n_i, n_q = _guard_pair_budget(df, "vec_id", q, "vec_id", 600)
+    assert counts, "over-bound filtered side must re-probe with real counts"
+    assert n_q == 5, "probe must observe the true filtered count"

@@ -4058,6 +4058,18 @@ def q_weekday_returns(spark, sf_dir):
     )
 
 
+def _mat(sql: str, *ctes: str) -> str:
+    """Add DuckDB's MATERIALIZED hint to the named CTEs of a recursive
+    oracle. DuckDB re-evaluates a plain (inlined) CTE on every iteration of
+    a recursive CTE that probes it, turning an O(n) sequential walk into
+    O(n x iterations) — the seven recursive-walk oracles cost 92 s at
+    sf0.01 without the hint and 14 s with it, with byte-identical output
+    (the hint changes evaluation strategy, not semantics)."""
+    for c in ctes:
+        sql = sql.replace(f"{c} AS (", f"{c} AS MATERIALIZED (", 1)
+    return sql
+
+
 # EWMA oracle constants: repr() so the SQL literal parses back to the exact
 # binary64 the Python scan uses (1.0 - 0.1 rounds to the same double as the
 # literal 0.9; spelling both out keeps that invariant auditable).
@@ -4067,7 +4079,8 @@ _EWMA_B = 1.0 - _EWMA_A
 
 @query(
     "ewma",
-    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _mat(
+        TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", rn AS (
   SELECT event_type, ts_ns, price,
          row_number() OVER (PARTITION BY event_type ORDER BY ts_ns) AS rn
@@ -4078,6 +4091,8 @@ walk AS (
   SELECT r.event_type, r.ts_ns, r.rn, {_EWMA_A!r} * r.price + {_EWMA_B!r} * w.y
   FROM walk w JOIN rn r ON r.event_type = w.event_type AND r.rn = w.rn + 1)
 SELECT event_type, ts_ns, {R("y")} AS price_ewma FROM walk""",
+        "ticks", "rn",
+    ),
 )
 def q_ewma(spark, sf_dir):
     """Recursive EWMA (alpha=0.1) per ticker: the Arrow-batched per-key scan
@@ -4093,7 +4108,8 @@ def q_ewma(spark, sf_dir):
 
 @query(
     "ewm_volatility",
-    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _mat(
+        TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", r0 AS (
   SELECT event_type, ts_ns, price / lag(price) OVER ({W}) - 1 AS r
   FROM ticks),
@@ -4107,6 +4123,8 @@ walk AS (
   SELECT x.event_type, x.ts_ns, x.rn, {_EWMA_B!r} * w.v + {_EWMA_A!r} * (x.r * x.r)
   FROM walk w JOIN rn x ON x.event_type = w.event_type AND x.rn = w.rn + 1)
 SELECT event_type, ts_ns, {R("sqrt(v)")} AS r_ewmvol FROM walk""",
+        "ticks", "r0", "rn",
+    ),
 )
 def q_ewm_volatility(spark, sf_dir):
     """RiskMetrics exponentially weighted volatility over simple returns
@@ -4132,7 +4150,8 @@ _MACD_BF, _MACD_BS, _MACD_BG = 1.0 - _MACD_AF, 1.0 - _MACD_AS, 1.0 - _MACD_AG
 
 @query(
     "macd",
-    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _mat(
+        TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", rn AS (
   SELECT event_type, ts_ns, price,
          row_number() OVER (PARTITION BY event_type ORDER BY ts_ns) AS rn
@@ -4152,6 +4171,8 @@ walk AS (
 SELECT event_type, ts_ns, {R("ef - es")} AS macd, {R("sig")} AS macd_signal,
        {R("(ef - es) - sig")} AS macd_hist
 FROM walk""",
+        "ticks", "rn",
+    ),
 )
 def q_macd(spark, sf_dir):
     """MACD(12,26,9) per ticker: three EMA recurrences in one Arrow scan
@@ -4174,7 +4195,8 @@ _RSI_B = 1.0 - _RSI_A
 
 @query(
     "rsi",
-    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _mat(
+        TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", d0 AS (
   SELECT event_type, ts_ns, price - lag(price) OVER ({W}) AS d
   FROM ticks),
@@ -4196,6 +4218,8 @@ SELECT event_type, ts_ns,
        CASE WHEN al > 0 THEN {R("100.0 - 100.0 / (1.0 + ag / al)")}
             WHEN ag > 0 THEN 100.0 END AS price_rsi
 FROM walk""",
+        "ticks", "d0", "rn",
+    ),
 )
 def q_rsi(spark, sf_dir):
     """Wilder RSI(14) per ticker (EWMA-seeded, see operator docstring):
@@ -7228,7 +7252,8 @@ def q_ic_decay(spark, sf_dir):
 
 @query(
     "cusum_changepoints",
-    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _mat(
+        TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", f AS (
   SELECT event_type, ts_ns, price,
          row_number() OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) AS rn
@@ -7257,6 +7282,8 @@ SELECT event_type, ts_ns, sp AS cusum_pos, sn AS cusum_neg,
        CASE WHEN alarm THEN 1 ELSE 0 END AS alarm,
        seg AS segment_id
 FROM walk""",
+        "ticks", "f",
+    ),
 )
 def q_cusum_changepoints(spark, sf_dir):
     """Two-sided CUSUM mean-shift monitor on the price tape (target 105,
@@ -7498,7 +7525,8 @@ walk AS (
 
 @query(
     "streaming_cusum",
-    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _mat(
+        TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + _CUSUM_WALK_SQL
     + """
 SELECT event_type, count(*) AS n_events,
@@ -7506,6 +7534,8 @@ SELECT event_type, count(*) AS n_events,
        arg_max(CASE WHEN alarm THEN 0.0 ELSE sp END, rn) AS cusum_pos,
        arg_max(CASE WHEN alarm THEN 0.0 ELSE sn END, rn) AS cusum_neg
 FROM walk GROUP BY event_type""",
+        "ticks", "f",
+    ),
 )
 def q_streaming_cusum(spark, sf_dir):
     """Streaming two-sided CUSUM (applyInPandasWithState) — the online
@@ -8585,7 +8615,8 @@ def q_ols_residual_diagnostics(spark, sf_dir):
 
 @query(
     "debounce",
-    TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    _mat(
+        TICKS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + """, f AS (
   SELECT event_type, ts_ns,
          row_number() OVER (PARTITION BY event_type ORDER BY ts_ns, event_id) AS rn
@@ -8600,6 +8631,8 @@ walk AS (
               THEN x.ts_ns ELSE w.last_kept END
   FROM walk w JOIN f x ON x.event_type = w.event_type AND x.rn = w.rn + 1)
 SELECT event_type, ts_ns, kept FROM walk""",
+        "ticks", "f",
+    ),
 )
 def q_debounce(spark, sf_dir):
     """Cooldown dedup (120 s anchored to the last KEPT event) per ticker:
@@ -10987,9 +11020,22 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         |         plan-audit pinned-frame sweep)        |
 #         | [47..49] the same 3 canaries as r7            | regression
 #         |                                               | tripwire
-#   r9+   | remaining never-driver-checked entries ride   | no entry without
-#         | immediately behind the window (positions      | a driver row
-#         | 50..125) and front-load the next round,       | while any other
+#   r9    | [0..44] the 45 oldest never-driver-checked    | 45 first-ever
+#         |         entries (rotation_report order); the  | driver rows --
+#         |         slow-oracle entry ewma rides inside   | closes the gap
+#         |         after its oracle speedup              | to 37
+#         | [45..47] entries whose CODE changed in r9     | re-verify after
+#         |         (kmv_distinct registry binding,       | rewrite
+#         |         ann_topk footer-count guard,          |
+#         |         preagg join key aliasing)             |
+#         | [48..49] 2 canaries (to_returns EOD,          | regression
+#         |         pricing_summary TPC-H; the tick       | tripwire
+#         |         family is represented by the window's |
+#         |         own first-evers: vpin, lee_ready,     |
+#         |         kyle_lambda, roll_spread, ...)        |
+#   r10   | remaining 37 never-driver-checked entries     | no entry without
+#         | ride immediately behind the window            | a driver row
+#         | (positions 50..86) and front-load r10,        | while any other
 #         | always prepending any entry whose code        | entry has two
 #         | changed since its last green row              |
 #
@@ -10999,73 +11045,10 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- [0..5] never driver-checked AND code changed in round 8
-    # (imbalance_bars: vectorized boundary scan + per-bar oracle;
-    # tfidf/duplicate_spans: pinned first aggregate; the new
-    # streaming_preagg_interval_join entry; embedding_quantize: bound
-    # per-row scale; sentence_stats: staged words-per-sentence array)
-    "imbalance_bars",
-    "tfidf_topterms",
-    "duplicate_spans",
-    "streaming_preagg_interval_join",
-    "embedding_quantize",
-    "sentence_stats",
-    # --- [6..31] oldest never-driver-checked entries (rotation_report
-    # order: catalog order within the never-checked set)
-    "portfolio_returns",
-    "skew_profile",
-    "shingle_novelty",
-    "information_value",
-    "ols_residual_diagnostics",
-    "paired_ttest",
-    "doc_perplexity",
-    "json_extract_stats",
-    "temporal_cooccurrence",
-    "theil_sen_slope",
-    "pareto_front",
-    "mutual_information",
-    "groupk_sample",
-    "market_basket",
-    "attribution",
-    "luhn_validate",
-    "bootstrap_ci",
-    "pruning_stats",
-    "bucketed_join",
-    "triple_barrier_label",
-    "walkforward_split",
-    "volume_curve",
-    "kelly_fraction",
-    "bipower_variation",
-    "rv_signature",
-    "zorder_key",
-    # --- [32..46] driver-green entries whose CODE changed in round 8:
-    # the staged-token / unit()-rewrite / Arrow-hardening set, plus the
-    # plan-audit sweep's pinned-frame fixes (bm25 postings, dedup_exact
-    # fingerprints, pack_sequences token counts, clean_corpus base,
-    # corpus_overlap's merged-sketch union)
-    "clean_corpus",
-    "language_id",
-    "langid_agreement",
-    "ann_topk",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "embedding_cosine_pairs",
-    "semantic_dedup",
-    "conflict_pairs",
-    "bm25_search",
-    "dedup_exact",
-    "flesch_readability",
-    "pack_sequences",
-    "corpus_overlap",
-    "duplicate_rate_by_source",
-    # --- [47..49] canaries from driver-green blocks (one EOD, one
-    # tick, one TPC-H-style)
-    "to_returns",
-    "calc_realized_volatility",
-    "pricing_summary",
-    # ======== driver window (50) ends here ========
-    # --- never-checked entries displaced from the window by the
-    # late-round code-changed block — they lead the round-9 window
+    # --- [0..44] the 45 oldest never-driver-checked entries
+    # --- (tools/rotation_report.py order: catalog order within the
+    # --- never-checked set); ewma pulled forward alongside its r9
+    # --- oracle speedup so the changed oracle gets its first row now
     "seasonal_adjust",
     "pr_at_k",
     "ic_decay",
@@ -11074,7 +11057,6 @@ _PRIORITY = [
     "expected_calibration_error",
     "ndcg_at_k",
     "mrr_at_k",
-    # --- remaining never-driver-checked entries, in catalog order
     "hill_tail_index",
     "execution_slippage",
     "auc_by_group",
@@ -11111,6 +11093,23 @@ _PRIORITY = [
     "kyle_lambda",
     "roll_spread",
     "amihud_illiquidity",
+    "ewma",
+    # --- [45..47] driver-green entries whose CODE changed in round 9:
+    # --- kmv_distinct (registry binding moved to the public function),
+    # --- ann_topk (footer-count zero-job scale guard),
+    # --- streaming_preagg_interval_join (internal __lk/__rk key aliases)
+    "kmv_distinct",
+    "ann_topk",
+    "streaming_preagg_interval_join",
+    # --- [48..49] canaries from driver-green blocks (one EOD, one
+    # --- TPC-H-style; tick-family regression signal comes from the
+    # --- window's own tick first-evers: vpin, lee_ready, kyle_lambda,
+    # --- roll_spread, corwin_schultz, amihud_illiquidity)
+    "to_returns",
+    "pricing_summary",
+    # ======== driver window (50) ends here ========
+    # --- remaining 37 never-driver-checked entries, in catalog order --
+    # --- they ride directly behind the window and lead the r10 front
     "cap_per_group",
     "scrub_spans",
     "weighted_sample",
@@ -11143,7 +11142,6 @@ _PRIORITY = [
     "monthly_returns",
     "drawdown_details",
     "ewm_volatility",
-    "ewma",
     "column_profile",
     "value_histogram",
     "group_quantiles",

@@ -56,10 +56,46 @@ HEADLINE = [
 ]
 
 
+def _fetch_stages(web_url: str, app_id: str):
+    """COMPLETE stages from the UI REST API as {stageId: summary-dict}."""
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"{web_url}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+    ) as r:
+        stages = json.loads(r.read().decode())
+    return {s["stageId"]: s for s in stages}
+
+
+def _stage_breakdown(spark, fn, sf_dir, web_url: str, app_id: str):
+    """One instrumented run of ``fn``: returns the run's new stages, heaviest
+    first, so a future bench regression is localizable to a stage without a
+    rerun. executorRunTime is summed task time (CPU-parallel), so it can
+    exceed the wall-clock query time."""
+    before = set(_fetch_stages(web_url, app_id))
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    after = _fetch_stages(web_url, app_id)
+    new = [s for sid, s in after.items() if sid not in before]
+    new.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+    return [
+        {
+            "stage": s["stageId"],
+            "name": s.get("name", "")[:100],
+            "run_ms": s.get("executorRunTime", 0),
+            "tasks": s.get("numCompleteTasks", 0),
+            "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 2),
+        }
+        for s in new[:5]
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
+    # the stage-metrics pass reads the UI REST API; enable the UI unless the
+    # caller explicitly disabled it (SPARK_GRAFT_UI=false skips the pass)
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark(app_name="ffn-polars-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,6 +149,21 @@ def main() -> None:
     med = {name: round(median(v), 3) for name, v in samples.items() if v}
     mins = {name: round(min(v), 3) for name, v in samples.items() if v}
 
+    # Per-stage breakdown for the 3 most expensive queries (one extra
+    # untimed run each, outside every timed region): localizes a future
+    # regression to a stage without a rerun.
+    stage_metrics = {}
+    web_url = spark.sparkContext.uiWebUrl
+    if web_url:
+        app_id = spark.sparkContext.applicationId
+        for name in sorted(mins, key=mins.get, reverse=True)[:3]:
+            try:
+                stage_metrics[name] = _stage_breakdown(
+                    spark, QUERY_FNS[name], sf_dir, web_url, app_id
+                )
+            except Exception:  # noqa: BLE001 — metrics must never break bench
+                pass
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(mins.values()), 3),
@@ -122,6 +173,8 @@ def main() -> None:
         "queries_median": med,
         "runs": n_runs,
     }
+    if stage_metrics:
+        out["stage_metrics"] = stage_metrics
     if errors:
         # A partial total is silently incomparable across rounds (it sums a
         # smaller query set and looks *better*); flag it explicitly.

@@ -73,7 +73,9 @@ def get_spark(app_name: str = "ffn-polars-spark", cpus: Optional[int] = None) ->
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test startup cost); bench.py turns it on via the
+        # env knob to read per-stage metrics from the UI REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .getOrCreate()
     )
     return configure(session)

@@ -1,0 +1,163 @@
+"""Driver-side parquet scan metadata: row counts, row groups, effective
+parallelism — no Spark jobs.
+
+Two scale problems share one root: deciding anything from a DataFrame's
+*byte-split* count. Spark splits a file scan into ``max(defaultParallelism,
+size/maxPartitionBytes)`` byte ranges, but a parquet ROW GROUP is the atomic
+read unit — every row group is read entirely by the one task whose range
+contains its midpoint. A 124 MB file written as a single row group (the
+pyarrow/pandas default up to 64M rows) therefore reports ~30 scan partitions
+while ONE task reads every row: any CPU-heavy projection chained on that scan
+runs single-threaded no matter how many cores the cluster has, and a
+"partitions are plentiful, skip the spread" heuristic is exactly wrong.
+Measured on dedup_minhash_lsh at 500k docs: 29 tasks at 0.7 s, one at 61 s.
+
+These helpers answer, from file footers (driver-side metadata only, no jobs):
+
+- :func:`bare_scan_row_count` — exact row count of a bare scan, or an upper
+  bound across Filter/Limit with ``allow_reducing`` (the ANN scale guards).
+- :func:`scan_row_groups` — total row groups across the scan's files: the
+  TRUE upper bound on scan-stage parallelism.
+- :func:`effective_scan_parallelism` — min(split count, row groups); what a
+  spread decision must compare against the core count.
+
+Everything returns None when uncertain (non-parquet, remote files, a plan
+node the walk doesn't know) — callers fall back to their job-based paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Row-count-preserving logical nodes: a plan made only of these above a
+# parquet relation has exactly the relation's row count, so the count can be
+# answered from parquet footers with no Spark job at all.
+_COUNT_PRESERVING = {
+    "Project",
+    "SubqueryAlias",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+}
+
+# Count-REDUCING nodes: rows out <= rows in, so footer totals remain a valid
+# UPPER bound below them (used by the pair-budget guards to prove a budget
+# passes without any job; never to raise, which would need a lower bound).
+_COUNT_REDUCING = {
+    "Filter",
+    "GlobalLimit",
+    "LocalLimit",
+    "Sample",
+    "Deduplicate",
+}
+
+# Footer reading is a driver-side open per file: past this many files the
+# caller's job-based fallback is the cheaper path.
+_FOOTER_FILE_CAP = 64
+
+
+def _scan_files(df: DataFrame, allow_reducing: bool = False):
+    """Local parquet files under ``df``'s plan, or None.
+
+    Walks the ANALYZED plan (already computed eagerly by PySpark on schema
+    access; optimizedPlan() runs the full rule stack — measured 0.4 s per
+    fresh DataFrame, more than the jobs these helpers replace) through
+    count-preserving (and, optionally, count-reducing) shells down to a
+    LogicalRelation, then lists its files. None whenever anything is
+    uncertain: non-parquet or remote files, an unknown node, too many files.
+    """
+    try:
+        allowed = (
+            _COUNT_PRESERVING | _COUNT_REDUCING
+            if allow_reducing
+            else _COUNT_PRESERVING
+        )
+        node = df._jdf.queryExecution().analyzed()
+        while node.getClass().getSimpleName() in allowed:
+            children = node.children()
+            if children.size() != 1:
+                return None
+            node = children.head()
+        if node.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = df.inputFiles()
+        if not files or len(files) > _FOOTER_FILE_CAP:
+            return None
+        if not all(
+            f.startswith("file:") and f.endswith(".parquet") for f in files
+        ):
+            return None
+        from urllib.parse import unquote, urlparse
+
+        return [unquote(urlparse(f).path) for f in files]
+    except Exception:
+        return None
+
+
+def bare_scan_row_count(df: DataFrame, allow_reducing: bool = False):
+    """Exact row count from parquet footers when ``df`` is a bare file scan;
+    with ``allow_reducing=True`` an UPPER bound across Filter/Limit/Sample
+    (sufficient to prove a pair budget passes, never to fail it). None when
+    the plan shape or file layout makes footers unusable."""
+    files = _scan_files(df, allow_reducing)
+    if files is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def scan_row_groups(df: DataFrame):
+    """Total parquet row groups across a (possibly filtered) scan's files —
+    the true ceiling on scan-stage parallelism — or None when unknown."""
+    files = _scan_files(df, allow_reducing=True)
+    if files is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        return None
+
+
+def effective_scan_parallelism(df: DataFrame) -> int:
+    """How many tasks can actually carry rows of ``df``'s scan.
+
+    ``df.rdd.getNumPartitions()`` counts byte-range splits; row groups cap
+    how many of those splits receive any rows. For non-scan plans (post-
+    shuffle frames) row groups are unknowable and the partition count is
+    already real, so it is returned as-is."""
+    parts = df.rdd.getNumPartitions()
+    rg = scan_row_groups(df)
+    return min(parts, rg) if rg else parts
+
+
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Repartition by ``key`` when the scan's EFFECTIVE parallelism is below
+    half the cluster's slots — the guard every CPU-heavy per-row projection
+    (shingle/minhash building, tokenize-and-score text pipelines) puts
+    between itself and the raw scan.
+
+    At real scale, inputs written with sane row-group sizes make this a
+    no-op (condition false, no shuffle). Single-row-group files — the
+    pyarrow/pandas writer default — would otherwise serialize the whole
+    projection onto one core regardless of cluster size; one shuffle of the
+    input is strictly cheaper than a parallelism-1 pipeline."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    threshold = max(2, target // 2)
+    # footer short-circuit: when row groups alone already bound parallelism
+    # below the threshold, skip df.rdd.getNumPartitions() entirely (it
+    # converts the plan to an RDD — the most expensive driver-side step
+    # here, and its answer cannot raise a row-group-bounded minimum)
+    rg = scan_row_groups(df)
+    if rg is not None and rg < threshold:
+        return df.repartition(target, key)
+    parts = df.rdd.getNumPartitions()
+    if (min(parts, rg) if rg else parts) < threshold:
+        return df.repartition(target, key)
+    return df

@@ -27,17 +27,23 @@ from ffn_polars_spark.registry import register
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition by ``key`` when the input has far fewer partitions than
-    the cluster has slots.
+    """Repartition by ``key`` when the scan's EFFECTIVE parallelism is below
+    half the cluster's slots.
 
-    Per-document hashing is CPU-bound; a corpus that arrives as one or two
-    parquet files would otherwise pin the whole projection to as many cores.
-    At real scale inputs already have many partitions and this is a no-op.
+    Per-document hashing is CPU-bound; a corpus whose files cannot feed
+    enough tasks would otherwise pin the whole projection to that many
+    cores. "Effective" is the operative word (r9): the byte-split count
+    this guard once compared is a lie on single-ROW-GROUP parquet files
+    (the pyarrow/pandas writer default) — a 124 MB file reports ~30 scan
+    partitions while one task reads every row, because a row group is
+    parquet's atomic read unit. Measured on dedup_minhash_lsh at 500k
+    docs: 29 tasks at 0.7 s, one at 61 s — the whole pipeline was
+    single-threaded behind a healthy-looking partition count. At real
+    scale, inputs with sane row-group sizes make this a no-op.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target, key)
-    return df
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
+    return spread_scan(df, key)
 
 
 # Frames pinned by _pinned since the last release_pins() call. Operators

@@ -58,6 +58,9 @@ def clean_corpus(
     fingerprint groupBy (min-id per group, joined back — AQE broadcasts it
     when the duplicate-group table is small).
     """
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
+    df = spread_scan(df, id_col)
     t = F.col(text_col)
     staged = df.select(F.col(id_col), t.alias("__txt"), tokens(t).alias("__toks"))
     txt, toks = F.col("__txt"), F.col("__toks")

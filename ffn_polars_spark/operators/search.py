@@ -31,7 +31,12 @@ from ffn_polars_spark.registry import register
 
 
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Distinct (doc, token) pairs — token presence, not counts."""
+    """Distinct (doc, token) pairs — token presence, not counts. The spread
+    guard keeps the tokenize off a single core on under-parallelized scans
+    (see operators/_scanmeta.spread_scan)."""
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
+    df = spread_scan(df, id_col)
     return (
         df.select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")

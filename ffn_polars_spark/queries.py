@@ -11025,9 +11025,9 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         |         slow-oracle entry ewma rides inside   | closes the gap
 #         |         after its oracle speedup              | to 37
 #         | [45..47] entries whose CODE changed in r9     | re-verify after
-#         |         (kmv_distinct registry binding,       | rewrite
-#         |         ann_topk footer-count guard,          |
-#         |         preagg join key aliasing)             |
+#         |         (ann_topk footer-count guard, preagg  | rewrite
+#         |         join key aliasing, triangle_count     |
+#         |         single-pass corners)                  |
 #         | [48..49] 2 canaries = the spread-sweep's      | regression
 #         |         headline entries (text_quality,       | tripwire +
 #         |         dedup_minhash_lsh); EOD/tick signal   | r9 re-check
@@ -11094,12 +11094,16 @@ _PRIORITY = [
     "amihud_illiquidity",
     "ewma",
     # --- [45..47] driver-green entries whose CODE changed in round 9:
-    # --- kmv_distinct (registry binding moved to the public function),
     # --- ann_topk (footer-count zero-job scale guard),
-    # --- streaming_preagg_interval_join (internal __lk/__rk key aliases)
-    "kmv_distinct",
+    # --- streaming_preagg_interval_join (internal __lk/__rk key aliases),
+    # --- triangle_count (single-pass corner explode + pinned degrees).
+    # --- kmv_distinct's r9 change was decorator-placement only — the
+    # --- catalog entry imports the function directly, so its executed
+    # --- code is byte-identical; the registry binding is pinned by
+    # --- tests/test_sketch.py::test_kmv_distinct_registry_binding
     "ann_topk",
     "streaming_preagg_interval_join",
+    "triangle_count",
     # --- [48..49] canaries doubling as round-9 spread-sweep re-checks:
     # --- the two headline entries of the families the r9 conditional
     # --- scan-spread touched (text pipelines, dedup). EOD/tick/TPC-H

@@ -40,11 +40,13 @@ ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 9)]
 # never-checked rotation, the round's primary goal.
 CANARIES = {"text_quality", "dedup_minhash_lsh"}
 # entries whose code changed in round 9 — re-verified even though green:
-# kmv_distinct (registry binding moved to the public function), ann_topk
-# (footer-count zero-job scale guard), streaming_preagg_interval_join
-# (internal __lk/__rk join-key aliases).
+# ann_topk (footer-count zero-job scale guard),
+# streaming_preagg_interval_join (internal __lk/__rk join-key aliases),
+# triangle_count (single-pass corner explode + pinned degree frame).
+# kmv_distinct's r9 change was decorator placement only (executed code
+# byte-identical; registry binding pinned by a unit test).
 CODE_CHANGED = {
-    "kmv_distinct", "ann_topk", "streaming_preagg_interval_join",
+    "ann_topk", "streaming_preagg_interval_join", "triangle_count",
 }
 
 

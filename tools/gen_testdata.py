@@ -42,7 +42,16 @@ SOURCES = ["web", "books", "wiki", "code", "news"]
 
 
 def _write(outdir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
+    # Realistic row groups (~64k rows), NOT pyarrow's one-giant-group
+    # default: a parquet row group is Spark's atomic read unit, so a
+    # single-row-group file serializes every scan onto one task no matter
+    # the cluster size. The engine defends against that layout anyway
+    # (operators/_scanmeta.spread_scan — exercised by the canonical
+    # driver-written testdata, which ships single-group), but a GENERATOR
+    # should produce what sane pipelines produce.
+    pq.write_table(
+        table, os.path.join(outdir, f"{name}.parquet"), row_group_size=65536
+    )
 
 
 def generate(outdir: str, sf: float, seed: int = 42) -> None:

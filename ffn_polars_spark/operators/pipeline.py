@@ -315,7 +315,9 @@ def shard_by_tokens(
     document larger than ``budget`` still lands in exactly one shard.
     """
     from ffn_polars_spark.core import blocked_cumsum
+    from ffn_polars_spark.operators._scanmeta import spread_scan
 
+    df = spread_scan(df, id_col)
     t = df.select(
         F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
     )
@@ -358,8 +360,10 @@ def pack_sequences(
     the pinned frame is two narrow columns, nothing like corpus width.
     """
     from ffn_polars_spark.core import blocked_cumsum
+    from ffn_polars_spark.operators._scanmeta import spread_scan
     from ffn_polars_spark.operators.dedup import _pinned
 
+    df = spread_scan(df, id_col)
     t = _pinned(
         df.select(
             F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")

@@ -550,7 +550,15 @@ def dedup_minhash_lsh(
     df = _spread(df, id_col)
     # One pinned pass builds the shingle + hash arrays; signatures, the
     # bucket self-join, and verification all derive from it.
-    arrays = _pinned(_doc_shingle_arrays(df, text_col, id_col, n, hash_fn))
+    # Pin ONLY (__id, __h64): signatures permute the hashes and the exact
+    # verify intersects them, so the shingle STRINGS never need to leave
+    # the projection — pinning them stored corpus-width text (~7x the
+    # memory; the sf100 pin GC-thrashed an 8 GB heap) for no consumer.
+    arrays = _pinned(
+        _doc_shingle_arrays(df, text_col, id_col, n, hash_fn).select(
+            "__id", "__h64"
+        )
+    )
     sig = _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
 
     band_structs = [
@@ -589,10 +597,13 @@ def dedup_minhash_lsh(
         return cands
 
     # Exact-Jaccard verification on candidates only: join each side's in-row
-    # shingle array (two hash joins keyed on doc id — candidate-proportional)
-    # and intersect the arrays in place. No inverted index, no re-explode.
-    a = arrays.select(F.col("__id").alias("id_a"), F.col("__shd").alias("__sha"))
-    b = arrays.select(F.col("__id").alias("id_b"), F.col("__shd").alias("__shb"))
+    # HASH array (two hash joins keyed on doc id — candidate-proportional)
+    # and intersect in place. Intersecting the 64-bit shingle hashes instead
+    # of the shingle strings is value-identical up to a 2^-64 collision
+    # (distinct strings hashing equal) and keeps the pinned frame longs-only;
+    # the oracle twin intersects the same hashes, so parity is exact.
+    a = arrays.select(F.col("__id").alias("id_a"), F.col("__h64").alias("__sha"))
+    b = arrays.select(F.col("__id").alias("id_b"), F.col("__h64").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     union = F.size("__sha") + F.size("__shb") - inter
     # floor(x*1e6+0.5)/1e6, not F.round: identical IEEE ops in any engine,

@@ -2057,11 +2057,15 @@ def _minhash_oracle_sql(
         )
         for b in range(bands)
     )
-    jac = "len(list_intersect(a.shd, b.shd)) / CAST(len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)) AS DOUBLE)"
+    # verify intersects the 64-bit shingle HASHES (h64), mirroring the
+    # engine's longs-only pinned frame — value-identical to the string
+    # intersect up to a 2^-64 collision, and exactly what the engine does
+    jac = "len(list_intersect(a.h64, b.h64)) / CAST(len(a.h64) + len(b.h64) - len(list_intersect(a.h64, b.h64)) AS DOUBLE)"
     return (
         _shingle_cte(n)
         + f""", hs AS (
-  SELECT doc_id, shd, list_transform(shd, s -> {_H('s')} % {_MERSENNE}) AS h FROM sh
+  SELECT doc_id, list_transform(shd, s -> {_H('s')}) AS h64,
+         list_transform(shd, s -> {_H('s')} % {_MERSENNE}) AS h FROM sh
 ), sig AS (
   SELECT doc_id,
          {mh}

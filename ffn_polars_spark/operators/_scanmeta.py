@@ -124,6 +124,21 @@ def scan_row_groups(df: DataFrame):
         return None
 
 
+def scan_bytes(df: DataFrame):
+    """Total on-disk bytes of a (possibly filtered) scan's parquet files —
+    an UPPER bound on what the scan reads — or None when unknown. Used to
+    size derived-frame estimates (pin-or-recompute decisions)."""
+    files = _scan_files(df, allow_reducing=True)
+    if files is None:
+        return None
+    try:
+        import os
+
+        return sum(os.path.getsize(f) for f in files)
+    except Exception:
+        return None
+
+
 def effective_scan_parallelism(df: DataFrame) -> int:
     """How many tasks can actually carry rows of ``df``'s scan.
 

@@ -145,6 +145,43 @@ def _pinned(df: DataFrame) -> DataFrame:
     _ACTIVE_PINS.append(df)
     return df
 
+def _executor_heap_bytes(spark) -> int:
+    """Executor heap this session's tasks actually run under: the
+    spark.executor.memory conf when set (a real cluster), else the local
+    JVM's max heap (local mode, where driver == executor)."""
+    try:
+        mem = spark.conf.get("spark.executor.memory", None)
+        if mem:
+            units = {"k": 10, "m": 20, "g": 30, "t": 40}
+            m = mem.strip().lower()
+            return int(float(m[:-1])) << units.get(m[-1], 0)
+    except Exception:
+        pass
+    try:
+        return int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:
+        return 8 << 30
+
+
+def _pinned_if_fits(df: DataFrame, est_bytes) -> DataFrame:
+    """Pin unless the frame's size estimate exceeds ~30% of the executor
+    heap. A cache bigger than the storage pool doesn't just evict — the
+    COLUMNAR batch building during unroll GC-thrashes the heap (measured:
+    the token-scale span pin at 5M docs killed an 8 GB heap even with
+    longs-only columns). Past the cap, recomputing the derivation per
+    consumer branch is strictly cheaper than fighting the memory manager;
+    below it, the pin saves the per-branch re-derivation exactly as
+    :func:`_pinned` documents. ``est_bytes=None`` (unknown) pins — the
+    historical behavior."""
+    if est_bytes is not None:
+        cap = 0.3 * _executor_heap_bytes(df.sparkSession)
+        if est_bytes > cap:
+            return df
+    return _pinned(df)
+
+
 # Mersenne prime 2^31 - 1: (a*h + b) mod P stays within long range for
 # a, b, h < P (product < 2^62) — the classic universal-hash family for
 # minhash permutations.

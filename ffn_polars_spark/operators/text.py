@@ -523,6 +523,7 @@ def duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Cross-document duplicated-span statistics (substring-level dedup).
 
@@ -542,25 +543,48 @@ def duplicate_spans(
     both linear in corpus token count. Documents shorter than ``width``
     tokens have no spans and are absent from the output.
 
-    The distinct (doc, span) frame is PINNED (``_pinned``, caller releases
-    via ``release_pins``): its three consumers (the span-frequency groupBy,
-    the join, and the per-doc rollup) cannot share the distinct exchange —
-    column pruning gives each branch a different canonical subtree — so
-    unpinned they re-scan and re-shingle the corpus per branch (same
-    measured 2.3× win as [[tfidf_topterms]]).
+    The distinct (doc, span-HASH) frame is PINNED (``_pinned``, caller
+    releases via ``release_pins``): its three consumers (the span-frequency
+    groupBy, the join, and the per-doc rollup) cannot share the distinct
+    exchange — column pruning gives each branch a different canonical
+    subtree — so unpinned they re-scan and re-shingle the corpus per branch
+    (same measured 2.3× win as [[tfidf_topterms]]). Spans ride as 64-bit
+    HASHES end to end (``hash_fn`` as in the dedup family): the counts are
+    value-identical up to a 2⁻⁶⁴ collision, the oracle twin hashes the same
+    way, and the pin stays longs-only — the string-span pin GC-thrashed an
+    8 GB heap at 5M docs (the minhash lesson).
 
     Returns ``(id, n_spans, dup_spans, dup_frac)`` — distinct spans in the
     document, how many of them are duplicated, and the fraction.
     """
-    from ffn_polars_spark.operators.dedup import _pinned, shingles_from_tokens
+    from ffn_polars_spark.operators._scanmeta import scan_bytes
+    from ffn_polars_spark.operators.dedup import (
+        _hash64,
+        _pinned_if_fits,
+        shingles_from_tokens,
+    )
 
+    # distinct (doc, span-hash) is TOKEN-scale: ~16 B per token ~= 3x the
+    # on-disk text bytes. Pin only when that fits the storage pool
+    # (adaptive: the unconditional pin GC-thrashed an 8 GB heap at 5M docs
+    # even longs-only); past the cap the two consumers re-derive instead.
+    est = scan_bytes(df)
+    est = 3 * est if est is not None else None
     df = _spread_docs(df, id_col)
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    spans = _pinned(
+    # the hash transform stays INSIDE the Generate's projection (round-6
+    # rule: interpreted array builds belong in the explode itself)
+    spans = _pinned_if_fits(
         base.select(
             F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("__toks"), width)).alias("span"),
-        ).distinct()
+            F.explode(
+                F.transform(
+                    shingles_from_tokens(F.col("__toks"), width),
+                    lambda sp: _hash64(sp, hash_fn),
+                )
+            ).alias("span"),
+        ).distinct(),
+        est,
     )
     dfreq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("__nd"))
     return (
@@ -590,6 +614,7 @@ def scrub_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Remove cross-document duplicated spans from the text — the *apply*
     step behind [[duplicate_spans]] (which only measures): substring-level
@@ -627,8 +652,15 @@ def scrub_spans(
     )
     win = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.col("word")] + [F.lead("word", i).over(win) for i in range(1, w)]
+    from ffn_polars_spark.operators.dedup import _hash64
+
+    # spans exist only as a join key between the document-frequency pass
+    # and the coverage flags — carry the 64-bit hash, not the width-word
+    # string (value-identical up to a 2^-64 collision, mirrored by the
+    # oracle; longs-only keeps corpus-scale state off the heap)
     span = F.when(
-        F.lead("word", w - 1).over(win).isNotNull(), F.concat_ws(" ", *leads)
+        F.lead("word", w - 1).over(win).isNotNull(),
+        _hash64(F.concat_ws(" ", *leads), hash_fn),
     )
     spans = words.withColumn("__span", span)
     dup = (
@@ -709,6 +741,11 @@ def tfidf_topterms(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
+    # unconditional pin, measured: the (doc, term) aggregate
+    # dictionary-encodes in the columnar cache (term cardinality is
+    # vocabulary-sized), so even the 5M-doc corpus pin fits an 8 GB heap
+    # and beats the recompute path 120 s vs 148 s — unlike the
+    # high-cardinality span-hash pin, which is adaptive (_pinned_if_fits)
     tf = _pinned(toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n = df.select(F.count(F.lit(1)).alias("__n"))

@@ -3619,7 +3619,7 @@ sp AS (
            || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS span
   FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
   QUALIFY lead(w, 4) OVER win IS NOT NULL),
-spd AS (SELECT DISTINCT doc_id, span FROM sp),
+spd AS (SELECT DISTINCT doc_id, {_H('span')} AS span FROM sp),
 dfreq AS (SELECT span, count(*) AS nd FROM spd GROUP BY span),
 agg AS (SELECT spd.doc_id, count(*) AS n_spans,
                CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
@@ -3635,7 +3635,7 @@ def q_duplicate_spans(spark, sf_dir):
     from ffn_polars_spark.operators.text import duplicate_spans
 
     docs = read_table(spark, sf_dir, "documents")
-    return duplicate_spans(docs, width=5, min_docs=2)
+    return duplicate_spans(docs, width=5, min_docs=2, hash_fn="md5")
 
 
 @query(
@@ -5339,7 +5339,7 @@ def q_weighted_sample(spark, sf_dir):
 
 @query(
     "scrub_spans",
-    """
+    f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS word,
@@ -5355,13 +5355,14 @@ sp AS (
   FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
 ),
 dup AS (
-  SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp WHERE span IS NOT NULL)
+  SELECT span FROM (
+    SELECT DISTINCT doc_id, {_H('span')} AS span FROM sp WHERE span IS NOT NULL)
   GROUP BY span HAVING count(*) >= 2
 ),
 fl AS (
   SELECT sp.doc_id, sp.pos, sp.word,
          CASE WHEN dup.span IS NOT NULL THEN 1 ELSE 0 END AS ds
-  FROM sp LEFT JOIN dup ON sp.span = dup.span
+  FROM sp LEFT JOIN dup ON {_H('sp.span')} = dup.span
 ),
 cov AS (
   SELECT doc_id, pos, word,
@@ -5385,7 +5386,7 @@ def q_scrub_spans(spark, sf_dir):
     from ffn_polars_spark.operators.text import scrub_spans
 
     docs = read_table(spark, sf_dir, "documents")
-    return scrub_spans(docs, width=5, min_docs=2)
+    return scrub_spans(docs, width=5, min_docs=2, hash_fn="md5")
 
 
 @query(

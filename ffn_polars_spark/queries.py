@@ -11096,7 +11096,6 @@ _PRIORITY = [
     "gini_by_group",
     "kyle_lambda",
     "roll_spread",
-    "amihud_illiquidity",
     "ewma",
     # --- [45..47] driver-green entries whose CODE changed in round 9:
     # --- ann_topk (footer-count zero-job scale guard),
@@ -11109,6 +11108,10 @@ _PRIORITY = [
     "ann_topk",
     "streaming_preagg_interval_join",
     "triangle_count",
+    # duplicate_spans: r9 hash-keyed spans + adaptive pin — the one sweep
+    # entry whose result-defining computation changed (oracle mirrors the
+    # hashes; verified exact locally, but semantic changes get driver rows)
+    "duplicate_spans",
     # --- [48..49] canaries doubling as round-9 spread-sweep re-checks:
     # --- the two headline entries of the families the r9 conditional
     # --- scan-spread touched (text pipelines, dedup). EOD/tick/TPC-H
@@ -11122,8 +11125,9 @@ _PRIORITY = [
     "text_quality",
     "dedup_minhash_lsh",
     # ======== driver window (50) ends here ========
-    # --- remaining 37 never-driver-checked entries, in catalog order --
+    # --- remaining never-driver-checked entries, in catalog order --
     # --- they ride directly behind the window and lead the r10 front
+    "amihud_illiquidity",
     "cap_per_group",
     "scrub_spans",
     "weighted_sample",

@@ -47,6 +47,9 @@ CANARIES = {"text_quality", "dedup_minhash_lsh"}
 # byte-identical; registry binding pinned by a unit test).
 CODE_CHANGED = {
     "ann_topk", "streaming_preagg_interval_join", "triangle_count",
+    # r9 late: span keys became 64-bit hashes (oracle mirrored) + the
+    # adaptive pin — a result-defining change, so it takes a window slot
+    "duplicate_spans",
 }
 
 

@@ -474,7 +474,7 @@ def simhash_bucket(vec: Column, hyperplanes: List[List[float]]) -> Column:
 def dedup_embedding_lsh(
     df: DataFrame,
     threshold: float = 0.95,
-    planes: int = 12,
+    planes: Optional[int] = None,
     tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -483,16 +483,47 @@ def dedup_embedding_lsh(
     """Embedding near-dup pairs at scale: ``tables`` independent
     random-hyperplane bucketings generate candidates (equi-join per table,
     union'd via explode), exact cosine verifies. Two shuffles total
-    (bucket join + distinct), both on high-cardinality keys."""
+    (bucket join + distinct), both on high-cardinality keys.
+
+    ``planes`` AUTO-SCALES with corpus size by default (r9): a fixed plane
+    count fixes the bucket count at 2^planes, so occupancy grows linearly
+    with rows and candidate pairs QUADRATICALLY — measured 253 s at 200k
+    vectors with the old fixed 12 planes (78M candidate dots). Auto mode
+    targets ~16 vectors per bucket: ``planes = max(12, ceil(log2(n/16)))``
+    with ``n`` from parquet footers (zero jobs; a bounded probe otherwise),
+    keeping candidates ~linear in rows. The recall trade is explicit: more
+    planes lower the per-table collision probability for BORDERLINE pairs
+    (cos ≈ threshold) — raise ``tables`` to compensate — while true
+    near-duplicates (cos ≥ 0.99) stay >0.99 recall at 4 tables through
+    planes ≈ 17. Pass ``planes`` explicitly to pin the old behavior."""
+    if planes is None:
+        n = _bare_scan_row_count(df)
+        if n is None:
+            n = _count_at_most(df, id_col, 1 << 24)
+        import math
+
+        planes = max(12, math.ceil(math.log2(max(int(n), 1) / 16 or 1)))
+    from ffn_polars_spark.operators._scanmeta import scan_bytes
+    from ffn_polars_spark.operators.dedup import _pinned_if_fits
+
     dim = len(df.select(vec_col).first()[0])
     # unit vectors: bucket signs are normalization-invariant and the verify
-    # step becomes a plain dot product
-    tagged = _spread_vecs(df).select(
-        F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__v")
+    # step becomes a plain dot product. Pinned (size-gated): the bucket
+    # build and BOTH verify joins read this frame, and an unpinned unit()
+    # is an interpreted expression Catalyst re-inlines downstream — the old
+    # shape carried __v THROUGH the bucket self-join, re-evaluating the
+    # O(d) fold per EMITTED PAIR (measured 118 µs/pair; 253 s at 200k
+    # vectors). est ≈ 3x the on-disk column bytes (float32 -> unit doubles).
+    tagged = _pinned_if_fits(
+        _spread_vecs(df).select(
+            F.col(id_col).alias("__id"), unit(F.col(vec_col)).alias("__v")
+        ),
+        (lambda b: 3 * b if b is not None else None)(scan_bytes(df)),
     )
+    # id-only buckets: the self-join emits 16-byte id pairs, never vectors
     buckets = _bucketize(tagged, "__id", "__v", [
         _hyperplanes(dim, planes, seed + t) for t in range(tables)
-    ])
+    ]).select("__id", "__tbl", "__bkt")
 
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (
@@ -502,17 +533,23 @@ def dedup_embedding_lsh(
             & (F.col("l.__bkt") == F.col("r.__bkt"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__v").alias("__va"),
-            F.col("r.__v").alias("__vb"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cands.select(
-        "id_a", "id_b", F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
+    # candidate-proportional verify: attach unit vectors by id (the minhash
+    # verify shape), then one dot per DISTINCT candidate pair
+    a = tagged.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = tagged.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="ann_topk")

@@ -51,12 +51,27 @@ _COUNT_REDUCING = {
     "Deduplicate",
 }
 
+# Exchange-INTRODUCING nodes: row counts pass through them unchanged (they
+# stay in _COUNT_PRESERVING/_COUNT_REDUCING for the row-count helpers), but
+# they repartition the data, so scan row groups no longer bound the frame's
+# parallelism below them. The parallelism helpers stop (return None) here.
+_EXCHANGE_NODES = {
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+    "Deduplicate",
+}
+
 # Footer reading is a driver-side open per file: past this many files the
 # caller's job-based fallback is the cheaper path.
 _FOOTER_FILE_CAP = 64
 
 
-def _scan_files(df: DataFrame, allow_reducing: bool = False):
+def _scan_files(
+    df: DataFrame,
+    allow_reducing: bool = False,
+    stop_at_exchange: bool = False,
+):
     """Local parquet files under ``df``'s plan, or None.
 
     Walks the ANALYZED plan (already computed eagerly by PySpark on schema
@@ -65,6 +80,13 @@ def _scan_files(df: DataFrame, allow_reducing: bool = False):
     count-preserving (and, optionally, count-reducing) shells down to a
     LogicalRelation, then lists its files. None whenever anything is
     uncertain: non-parquet or remote files, an unknown node, too many files.
+
+    ``stop_at_exchange`` (the parallelism helpers): Repartition*/Sort/
+    Deduplicate preserve row counts but re-distribute rows, so below them
+    scan row groups no longer bound the frame's parallelism — a user who
+    already repartitioned over a single-row-group file has REAL parallelism
+    equal to the shuffle partition count, and treating the node as
+    transparent would make spread_scan add a redundant second shuffle.
     """
     try:
         allowed = (
@@ -74,6 +96,10 @@ def _scan_files(df: DataFrame, allow_reducing: bool = False):
         )
         node = df._jdf.queryExecution().analyzed()
         while node.getClass().getSimpleName() in allowed:
+            if stop_at_exchange and (
+                node.getClass().getSimpleName() in _EXCHANGE_NODES
+            ):
+                return None
             children = node.children()
             if children.size() != 1:
                 return None
@@ -112,8 +138,10 @@ def bare_scan_row_count(df: DataFrame, allow_reducing: bool = False):
 
 def scan_row_groups(df: DataFrame):
     """Total parquet row groups across a (possibly filtered) scan's files —
-    the true ceiling on scan-stage parallelism — or None when unknown."""
-    files = _scan_files(df, allow_reducing=True)
+    the true ceiling on scan-stage parallelism — or None when unknown.
+    Returns None below any exchange-introducing node (Repartition*/Sort/
+    Deduplicate): after a shuffle the row-group bound no longer applies."""
+    files = _scan_files(df, allow_reducing=True, stop_at_exchange=True)
     if files is None:
         return None
     try:
@@ -145,7 +173,12 @@ def effective_scan_parallelism(df: DataFrame) -> int:
     ``df.rdd.getNumPartitions()`` counts byte-range splits; row groups cap
     how many of those splits receive any rows. For non-scan plans (post-
     shuffle frames) row groups are unknowable and the partition count is
-    already real, so it is returned as-is."""
+    already real, so it is returned as-is. Streaming frames have no RDD to
+    count — report the cluster's slot count (micro-batch sources parallelize
+    by their own partitioning; never a reason to inject a shuffle)."""
+    sc = df.sparkSession.sparkContext
+    if df.isStreaming:
+        return sc.defaultParallelism
     parts = df.rdd.getNumPartitions()
     rg = scan_row_groups(df)
     return min(parts, rg) if rg else parts
@@ -161,7 +194,14 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     no-op (condition false, no shuffle). Single-row-group files — the
     pyarrow/pandas writer default — would otherwise serialize the whole
     projection onto one core regardless of cluster size; one shuffle of the
-    input is strictly cheaper than a parallelism-1 pipeline."""
+    input is strictly cheaper than a parallelism-1 pipeline.
+
+    Streaming frames pass through untouched: ``df.rdd`` raises on a
+    streaming plan, the footer walk cannot see a streaming source, and the
+    ~20 pure-projection text operators that call this must stay
+    streaming-composable."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     threshold = max(2, target // 2)

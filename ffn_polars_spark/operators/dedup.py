@@ -148,13 +148,29 @@ def _pinned(df: DataFrame) -> DataFrame:
 def _executor_heap_bytes(spark) -> int:
     """Executor heap this session's tasks actually run under: the
     spark.executor.memory conf when set (a real cluster), else the local
-    JVM's max heap (local mode, where driver == executor)."""
+    JVM's max heap (local mode, where driver == executor).
+
+    The conf string follows Spark's ``byteStringAsMb`` grammar: optional
+    one-letter (k/m/g/t) or two-letter (kb/mb/gb/tb) binary suffix, and a
+    UNIT-LESS value means MiB (``"8192"`` is 8 GiB, not 8192 bytes).
+    Mis-parsing here fails toward over-estimating the heap, which lets
+    :func:`_pinned_if_fits` pin frames that GC-thrash real executors — the
+    exact defect class the cap exists to prevent — so unparseable strings
+    fall through to the local JVM heap rather than guessing."""
     try:
         mem = spark.conf.get("spark.executor.memory", None)
         if mem:
-            units = {"k": 10, "m": 20, "g": 30, "t": 40}
-            m = mem.strip().lower()
-            return int(float(m[:-1])) << units.get(m[-1], 0)
+            import re
+
+            m = re.fullmatch(
+                r"\s*(\d+(?:\.\d+)?)\s*([kmgt]b?|b)?\s*", mem.lower()
+            )
+            if m:
+                shifts = {"b": 0, "k": 10, "m": 20, "g": 30, "t": 40}
+                unit = m.group(2)
+                # Spark reads a bare number as MiB (byteStringAsMb)
+                shift = shifts[unit[0]] if unit else 20
+                return int(float(m.group(1)) * (1 << shift))
     except Exception:
         pass
     try:

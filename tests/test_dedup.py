@@ -213,3 +213,43 @@ def test_connected_components_bounded_lineage(spark):
     assert len(plan.splitlines()) < 25, plan
     # and it still converges to the chain's minimum label
     assert {r["comp"] for r in out.collect()} == {0}
+
+
+def test_executor_heap_bytes_parses_spark_memory_grammar():
+    """spark.executor.memory follows Spark's byteStringAsMb grammar:
+    one-letter (k/m/g/t) and two-letter (kb/mb/gb/tb) binary suffixes, and a
+    UNIT-LESS value means MiB ('8192' is 8 GiB, not 8192 bytes). Mis-parsing
+    over-estimates the executor heap and lets _pinned_if_fits pin frames
+    that GC-thrash real executors."""
+    from ffn_polars_spark.operators.dedup import _executor_heap_bytes
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _Stub:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+        # no sparkContext: the JVM fallback must not be reached for any
+        # string the grammar accepts
+
+    assert _executor_heap_bytes(_Stub("4g")) == 4 << 30
+    assert _executor_heap_bytes(_Stub("4gb")) == 4 << 30
+    assert _executor_heap_bytes(_Stub("512m")) == 512 << 20
+    assert _executor_heap_bytes(_Stub("512mb")) == 512 << 20
+    assert _executor_heap_bytes(_Stub("1024k")) == 1 << 20
+    assert _executor_heap_bytes(_Stub("1024kb")) == 1 << 20
+    assert _executor_heap_bytes(_Stub("2t")) == 2 << 40
+    assert _executor_heap_bytes(_Stub("2tb")) == 2 << 40
+    assert _executor_heap_bytes(_Stub("123b")) == 123
+    assert _executor_heap_bytes(_Stub(" 8G ")) == 8 << 30  # case/space
+    assert _executor_heap_bytes(_Stub("1.5g")) == int(1.5 * (1 << 30))
+    # unit-less = MiB (Spark byteStringAsMb), NOT bytes
+    assert _executor_heap_bytes(_Stub("8192")) == 8192 << 20
+    # unparseable: fall through to the (absent) JVM probe -> safe default,
+    # never a silent wrong number
+    assert _executor_heap_bytes(_Stub("lots")) == 8 << 30
+    assert _executor_heap_bytes(_Stub(None)) == 8 << 30

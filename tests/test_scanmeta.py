@@ -60,3 +60,73 @@ def test_file_cap_falls_back(tmp_path, spark, monkeypatch):
     assert bare_scan_row_count(df) is None
     assert scan_row_groups(df) is None
     assert _FOOTER_FILE_CAP >= 3  # module default untouched by the patch
+
+
+def test_scan_row_groups_stops_at_exchange(multi):
+    # Row COUNTING stays transparent through Repartition/Sort (covered
+    # above: bare_scan_row_count(multi.repartition(4)) == 240), but the
+    # PARALLELISM bound must not: a shuffle re-distributes rows, so the
+    # scan's row-group ceiling no longer applies below it.
+    assert scan_row_groups(multi) == 6
+    assert scan_row_groups(multi.repartition(4, "id")) is None
+    assert scan_row_groups(multi.orderBy("id")) is None
+    assert scan_row_groups(multi.repartition(4)) is None
+
+
+def test_spread_scan_skips_already_repartitioned(spark, tmp_path):
+    from ffn_polars_spark.operators._scanmeta import (
+        effective_scan_parallelism,
+        spread_scan,
+    )
+
+    # single-row-group file: the raw scan's effective parallelism is 1
+    f = str(tmp_path / "one.parquet")
+    pq.write_table(pa.table({"id": list(range(2000))}), f, row_group_size=2000)
+    df = spark.read.parquet(f)
+    assert scan_row_groups(df) == 1
+    assert effective_scan_parallelism(df) == 1
+    spread = spread_scan(df, "id")
+    assert spread is not df  # raw scan DOES get the spread shuffle
+
+    # ...but a frame the user already repartitioned has REAL parallelism
+    # equal to its shuffle partition count: no redundant second shuffle.
+    pre = df.repartition(4, "id")
+    assert effective_scan_parallelism(pre) == 4
+    assert spread_scan(pre, "id") is pre
+
+
+def test_spread_scan_streaming_passthrough(spark):
+    from ffn_polars_spark.operators._scanmeta import (
+        effective_scan_parallelism,
+        spread_scan,
+    )
+
+    sdf = spark.readStream.format("rate").load()
+    assert sdf.isStreaming
+    # df.rdd raises on streaming plans — the helpers must not touch it
+    assert spread_scan(sdf, "value") is sdf
+    assert (
+        effective_scan_parallelism(sdf)
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_streaming_text_operator_composes(spark):
+    # ~20 pure-projection text operators wrap their input in spread_scan;
+    # they must stay streaming-composable (regression: df.rdd at compose
+    # time raised AnalysisException on any streaming input).
+    from pyspark.sql import functions as SF
+
+    from ffn_polars_spark.operators.text import text_quality
+
+    sdf = (
+        spark.readStream.format("rate")
+        .load()
+        .select(
+            SF.col("value").alias("doc_id"),
+            SF.lit("hello streaming world").alias("text"),
+        )
+    )
+    out = text_quality(sdf)
+    assert out.isStreaming
+    assert "quality_score" in out.columns or len(out.columns) > 2

@@ -3685,9 +3685,14 @@ def q_bottomk_sample(spark, sf_dir):
     return bottomk_sample(docs, 50, id_col="doc_id")
 
 
-@query(
-    "semantic_dedup",
-    f"""
+# Shared oracle for BOTH semantic_dedup entries: exact cosine pairs (the
+# brute-force ground truth) -> recursive-CTE connected components ->
+# min-label canonical. The lsh entry may reuse it because its planted pairs
+# are scaled copies — identical hyperplane signs in every table, so LSH
+# recall on them is structurally 1.0 (pinned by
+# tests/test_similarity.py::test_dedup_embedding_lsh_scaled_copy_always_collides)
+# and exact-cosine verification removes every non-pair candidate.
+_SEMANTIC_DEDUP_ORACLE = f"""
 WITH RECURSIVE allv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   UNION ALL
@@ -3708,8 +3713,26 @@ comp AS (SELECT node, min(lbl) AS c FROM walk GROUP BY node)
 SELECT d.vec_id,
        coalesce(comp.c, d.vec_id) AS canonical_id,
        d.vec_id <> coalesce(comp.c, d.vec_id) AS is_duplicate
-FROM allv d LEFT JOIN comp ON d.vec_id = comp.node""",
-)
+FROM allv d LEFT JOIN comp ON d.vec_id = comp.node"""
+
+
+def _embeddings_with_scaled_copies(spark, sf_dir):
+    """The planted-near-dup corpus both semantic_dedup entries run on: every
+    vector unioned with a x2.0-scaled copy under id+100000 (power-of-two
+    scaling is bit-exact in both engines; cosine is scale-invariant)."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
+@query("semantic_dedup", _SEMANTIC_DEDUP_ORACLE)
 def q_semantic_dedup(spark, sf_dir):
     """Embedding-space dedup end to end: exact cosine pairs (>= 0.9) ->
     connected components -> canonical per semantic cluster; the oracle
@@ -3721,21 +3744,35 @@ def q_semantic_dedup(spark, sf_dir):
     bit-exact in BOTH engines (mantissa untouched) and cosine is
     scale-invariant, so every copy MUST land in its original's cluster —
     the pair generator, the transitive closure, and the canonical-min
-    assignment are all exercised non-vacuously. The catalog uses the
-    guarded brute-force pair path so the oracle is exact; the library
-    default is the LSH-banded candidate generator."""
+    assignment are all exercised non-vacuously. This entry uses the
+    guarded brute-force pair path (the oracle is exact by construction);
+    its twin ``semantic_dedup_lsh`` drives the library-default LSH path
+    against the SAME oracle."""
     from ffn_polars_spark.operators.similarity import semantic_dedup
 
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    return semantic_dedup(
+        _embeddings_with_scaled_copies(spark, sf_dir),
+        threshold=0.9,
+        method="bruteforce",
     )
-    copies = emb.select(
-        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+
+
+@query("semantic_dedup_lsh", _SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_lsh(spark, sf_dir):
+    """The library-DEFAULT semantic-dedup path: banded random-hyperplane
+    candidates (dedup_embedding_lsh, auto-scaled planes) + exact cosine
+    verify -> connected components -> canonical. Same planted corpus and
+    same exact-SQL oracle as ``semantic_dedup``; the comparison is valid
+    because (a) every planted pair is a positively-scaled copy — identical
+    bucket signs in all tables, recall structurally 1.0 — and (b) the max
+    cosine between DISTINCT canonical vectors is ~0.51, far under the 0.9
+    threshold, so exact verification leaves no room for false extras.
+    Any hash mismatch here means the LSH candidate generator itself broke."""
+    from ffn_polars_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings_with_scaled_copies(spark, sf_dir), threshold=0.9, method="lsh"
     )
-    return semantic_dedup(emb.unionByName(copies), threshold=0.9, method="bruteforce")
 
 
 @query(
@@ -11037,11 +11074,16 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         |         headline entries (text_quality,       | tripwire +
 #         |         dedup_minhash_lsh); EOD/tick signal   | r9 re-check
 #         |         comes from the window's first-evers   |
-#   r10   | remaining 37 never-driver-checked entries     | no entry without
-#         | ride immediately behind the window            | a driver row
-#         | (positions 50..86) and front-load r10,        | while any other
-#         | always prepending any entry whose code        | entry has two
-#         | changed since its last green row              |
+#   r10   | [0..38] ALL 39 remaining never-driver-checked | zero catalog
+#         |         entries (the 38 r9 riders + the new   | entries without
+#         |         semantic_dedup_lsh entry)             | a driver row,
+#         | [39]    semantic_dedup (query body refactored | ever, after this
+#         |         into the shared planted-copies        | round
+#         |         helper -> re-check slot)              |
+#         | [40..49] 10 canaries spanning every headline  | regression
+#         |         family, weighted toward scans whose   | tripwire
+#         |         prefix the r10 _scanmeta hardening    |
+#         |         touched (text/dedup/similarity/search)|
 #
 # Invariants: names absent from _PRIORITY keep their original relative order
 # at the back; names in _PRIORITY but not registered are ignored — the list
@@ -11049,84 +11091,10 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- [0..44] the 45 oldest never-driver-checked entries
-    # --- (tools/rotation_report.py order: catalog order within the
-    # --- never-checked set); ewma pulled forward alongside its r9
-    # --- oracle speedup so the changed oracle gets its first row now
-    "seasonal_adjust",
-    "pr_at_k",
-    "ic_decay",
-    "cusum_changepoints",
-    "quantile_transform",
-    "expected_calibration_error",
-    "ndcg_at_k",
-    "mrr_at_k",
-    "hill_tail_index",
-    "execution_slippage",
-    "auc_by_group",
-    "calibration_bins",
-    "spearman_ic",
-    "jensen_alpha",
-    "tail_ratio",
-    "lee_ready",
-    "realized_spread",
-    "hhi_concentration",
-    "pairs_spread",
-    "strip_markup",
-    "grid_snap",
-    "half_life",
-    "rolling_sharpe",
-    "topk_per_group",
-    "csv_roundtrip",
-    "orc_roundtrip",
-    "oov_rate",
-    "drawdown_at_risk",
-    "weekday_returns",
-    "portfolio_turnover",
-    "intraday_profile",
-    "lead_lag_corr",
-    "return_stats",
-    "streak_stats",
-    "omega_ratio",
-    "capture_ratios",
-    "doc_entropy",
-    "corwin_schultz",
-    "vpin",
-    "centroid_similarity",
-    "gini_by_group",
-    "kyle_lambda",
-    "roll_spread",
-    "ewma",
-    # --- [45..47] driver-green entries whose CODE changed in round 9:
-    # --- ann_topk (footer-count zero-job scale guard),
-    # --- streaming_preagg_interval_join (internal __lk/__rk key aliases),
-    # --- triangle_count (single-pass corner explode + pinned degrees).
-    # --- kmv_distinct's r9 change was decorator-placement only — the
-    # --- catalog entry imports the function directly, so its executed
-    # --- code is byte-identical; the registry binding is pinned by
-    # --- tests/test_sketch.py::test_kmv_distinct_registry_binding
-    "ann_topk",
-    "streaming_preagg_interval_join",
-    "triangle_count",
-    # duplicate_spans: r9 hash-keyed spans + adaptive pin — the one sweep
-    # entry whose result-defining computation changed (oracle mirrors the
-    # hashes; verified exact locally, but semantic changes get driver rows)
-    "duplicate_spans",
-    # --- [48..49] canaries doubling as round-9 spread-sweep re-checks:
-    # --- the two headline entries of the families the r9 conditional
-    # --- scan-spread touched (text pipelines, dedup). EOD/tick/TPC-H
-    # --- regression signal comes from the window's own first-evers
-    # --- (ewma, jensen_alpha, vpin, lee_ready, kyle_lambda, ...) and the
-    # --- driver bench (pricing_summary, to_returns run every round
-    # --- there); the rest of the 25-entry green spread sweep is
-    # --- re-verified by the full local 301/301 run recorded in
-    # --- CORRECTNESS_LOCAL.md (semantics-preserving prefix: a
-    # --- conditional repartition cannot change any operator's output)
-    "text_quality",
-    "dedup_minhash_lsh",
-    # ======== driver window (50) ends here ========
-    # --- remaining never-driver-checked entries, in catalog order --
-    # --- they ride directly behind the window and lead the r10 front
+    # --- [0..38] ALL remaining never-driver-checked entries (39 = the 38
+    # --- riders from the r9 schedule, in the same rotation_report order,
+    # --- + semantic_dedup_lsh, the entry added in r10 for the LSH pair
+    # --- generator). After this round every catalog entry has a driver row.
     "amihud_illiquidity",
     "cap_per_group",
     "scrub_spans",
@@ -11165,6 +11133,30 @@ _PRIORITY = [
     "group_quantiles",
     "vocab_topk",
     "bottomk_sample",
+    # new in r10: the LSH-path semantic dedup twin (never checked by
+    # definition; the round's one post-r9 weak spot goes under the gate)
+    "semantic_dedup_lsh",
+    # --- [39] driver-green entry whose CODE changed in r10:
+    # --- semantic_dedup's query body was refactored into the shared
+    # --- _embeddings_with_scaled_copies helper (output identical, but
+    # --- executed code changed -> re-check slot)
+    "semantic_dedup",
+    # --- [40..49] canaries from driver-green blocks: regression tripwires
+    # --- spanning every headline family, weighted toward operators whose
+    # --- UPSTREAM prefix was touched by the r10 _scanmeta hardening
+    # --- (exchange-stop + streaming passthrough change which plans get the
+    # --- conditional spread: text/dedup/similarity/search scans)
+    "text_quality",
+    "clean_corpus",
+    "tfidf_topterms",
+    "bm25_search",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "to_returns",
+    "pricing_summary",
+    "calc_realized_volatility",
+    # ======== driver window (50) ends here ========
     # --- driver-green blocks keep their original relative order at the
     # back (invariant above); no need to enumerate them here
 ]

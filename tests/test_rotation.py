@@ -29,28 +29,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 # Evidence files the current _PRIORITY ordering was computed from.
-ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 9)]
+ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 10)]
 
 # Window entries that are NOT justified by never-checked/stale-FAIL status.
-# r9 canaries double as the spread-sweep re-checks: the conditional
-# scan-spread (operators/_scanmeta.py) touched ~25 green text/dedup
-# entries as a semantics-preserving prefix; its two headline entries ride
-# in the window, the rest are re-verified by the full local 301/301 run
-# (CORRECTNESS_LOCAL.md) — re-windowing all of them would starve the
-# never-checked rotation, the round's primary goal.
-CANARIES = {"text_quality", "dedup_minhash_lsh"}
-# entries whose code changed in round 9 — re-verified even though green:
-# ann_topk (footer-count zero-job scale guard),
-# streaming_preagg_interval_join (internal __lk/__rk join-key aliases),
-# triangle_count (single-pass corner explode + pinned degree frame).
-# kmv_distinct's r9 change was decorator placement only (executed code
-# byte-identical; registry binding pinned by a unit test).
-CODE_CHANGED = {
-    "ann_topk", "streaming_preagg_interval_join", "triangle_count",
-    # r9 late: span keys became 64-bit hashes (oracle mirrored) + the
-    # adaptive pin — a result-defining change, so it takes a window slot
-    "duplicate_spans",
+# r10 canaries: with the never-checked backlog down to 39 entries there is
+# window room for a 10-canary regression sweep spanning every headline
+# family, weighted toward operators whose upstream prefix the r10
+# _scanmeta hardening touched (exchange-stop + streaming passthrough
+# change which plans receive the conditional scan-spread:
+# text/dedup/similarity/search scan chains).
+CANARIES = {
+    "text_quality",
+    "clean_corpus",
+    "tfidf_topterms",
+    "bm25_search",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "to_returns",
+    "pricing_summary",
+    "calc_realized_volatility",
 }
+# entries whose code changed in round 10 — re-verified even though green:
+# semantic_dedup's query body was refactored into the shared
+# _embeddings_with_scaled_copies helper (output identical; executed code
+# changed, so it takes a re-check slot). The new semantic_dedup_lsh entry
+# needs no slot here: it is never-driver-checked by definition.
+CODE_CHANGED = {"semantic_dedup"}
 
 
 def _evidence(files):

@@ -756,3 +756,76 @@ def test_guard_pair_budget_zero_jobs_on_parquet_scans(spark, tmp_path, monkeypat
     n_i, n_q = _guard_pair_budget(df, "vec_id", q, "vec_id", 600)
     assert counts, "over-bound filtered side must re-probe with real counts"
     assert n_q == 5, "probe must observe the true filtered count"
+
+
+def test_dedup_embedding_lsh_recall_auto_planes(spark, embdf):
+    """The LSH pair generator must find every exact pair (recall 1.0 vs the
+    guarded brute-force generator) with ZERO false extras — exact cosine
+    verification filters every candidate, so any extra is a bug, and a miss
+    means the banding lost a true near-duplicate."""
+    from ffn_polars_spark.operators.similarity import dedup_embedding_lsh
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(embdf, threshold=0.95).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup_embedding_lsh(embdf, threshold=0.95).collect()
+    }
+    assert set(got) == set(exact)          # recall 1.0, zero extras
+    for k in exact:
+        assert got[k] == pytest.approx(exact[k], abs=1e-6)
+
+
+def test_dedup_embedding_lsh_explicit_planes(spark, embdf):
+    """Pinning planes (the pre-auto-scaling behavior) keeps parity with the
+    exact generator on the planted corpus, across both a coarse and a fine
+    banding."""
+    from ffn_polars_spark.operators.similarity import dedup_embedding_lsh
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(embdf, threshold=0.95).collect()
+    }
+    for planes, tables in ((8, 4), (12, 4)):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup_embedding_lsh(
+                embdf, threshold=0.95, planes=planes, tables=tables
+            ).collect()
+        }
+        assert got == exact, f"planes={planes} tables={tables}"
+
+
+def test_dedup_embedding_lsh_scaled_copy_always_collides(spark, embdf):
+    """A vector and its positively-scaled copy have identical hyperplane
+    signs in EVERY table, so LSH recall on such pairs is structurally 1.0
+    regardless of seed or plane count — the invariant the catalog's
+    semantic_dedup_lsh entry relies on for its exact-SQL oracle."""
+    from ffn_polars_spark.operators.similarity import dedup_embedding_lsh
+
+    copies = embdf.select(
+        (F.col("vec_id") + F.lit(1000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    both = embdf.unionByName(copies)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_lsh(both, threshold=0.999, planes=17, tables=1, seed=7).collect()
+    }
+    for r in embdf.select("vec_id").collect():
+        assert (r["vec_id"], r["vec_id"] + 1000) in got
+
+
+def test_semantic_dedup_lsh_matches_bruteforce(spark, embdf):
+    """semantic_dedup's default method='lsh' end-to-end output (pairs ->
+    components -> canonical) must equal the method='bruteforce' output on
+    the planted corpus."""
+    from ffn_polars_spark.operators.similarity import semantic_dedup
+
+    bf = sorted(
+        semantic_dedup(embdf, threshold=0.95, method="bruteforce").collect()
+    )
+    lsh = sorted(semantic_dedup(embdf, threshold=0.95, method="lsh").collect())
+    assert lsh == bf
+    assert any(r["is_duplicate"] for r in lsh)  # non-vacuous

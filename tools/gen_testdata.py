@@ -32,6 +32,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 BASE = datetime(2023, 1, 2, 9, 30, 0)
+# Relational (orders/lineitem) dates follow the canonical driver data's
+# 1995–2001 era, NOT the events era: pricing_summary filters
+# l_shipdate <= 1998-09-02, and with 2023 ship dates that entry (and any
+# other date-filtered relational query) passes VACUOUSLY (0 rows == 0
+# rows) on generated data — CI would never notice the filter or the agg
+# breaking. ~6.5 years also gives the calendar ops (CAGR/MTD/YTD on the
+# orders-derived price series) real multi-year structure.
+REL_BASE = datetime(1995, 1, 2)
+REL_SPAN_DAYS = 2400
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -102,7 +111,10 @@ def generate(outdir: str, sf: float, seed: int = 42) -> None:
         "p_retailprice": np.round(rng.uniform(900.0, 2000.0, n_part), 2),
     }))
 
-    o_dates = [BASE + timedelta(days=int(d)) for d in rng.integers(0, 365 * 2, n_ord)]
+    o_dates = [
+        REL_BASE + timedelta(days=int(d))
+        for d in rng.integers(0, REL_SPAN_DAYS, n_ord)
+    ]
     _write(outdir, "orders", pa.table({
         "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
         "o_custkey": pa.array(rng.integers(1, n_cust + 1, n_ord), pa.int64()),
@@ -112,7 +124,10 @@ def generate(outdir: str, sf: float, seed: int = 42) -> None:
         "o_orderpriority": [PRIORITIES[i % 5] for i in range(n_ord)],
     }))
 
-    l_ship = [BASE + timedelta(days=int(d)) for d in rng.integers(0, 365 * 2, n_li)]
+    l_ship = [
+        REL_BASE + timedelta(days=int(d))
+        for d in rng.integers(0, REL_SPAN_DAYS, n_li)
+    ]
     _write(outdir, "lineitem", pa.table({
         "l_orderkey": pa.array(rng.integers(1, n_ord + 1, n_li), pa.int64()),
         "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),

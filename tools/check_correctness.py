@@ -120,6 +120,19 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed session warmup (same as bench.py): JVM codegen + the Python
+    # worker spawn + pandas import otherwise land in the FIRST entry's
+    # wall-clock (~7 s attributed to whatever the rotation put first).
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(1000, numPartitions=8).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

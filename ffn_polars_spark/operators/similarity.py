@@ -471,11 +471,38 @@ def simhash_bucket(vec: Column, hyperplanes: List[List[float]]) -> Column:
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="dedup_embedding_lsh")
+def lsh_tables_for_recall(
+    planes: int, threshold: float, target_recall: float = 0.95,
+    min_tables: int = 4, max_tables: int = 16,
+) -> int:
+    """Table count that keeps banded-SRP recall for a pair AT the cosine
+    threshold >= ``target_recall``.
+
+    Sign-random-projection theory: a pair with cosine ``c`` collides in one
+    ``planes``-bit table with probability ``p = (1 - acos(c)/pi)^planes``,
+    so recall over ``T`` independent tables is ``1 - (1-p)^T`` and the
+    smallest sufficient T is ``ln(1-target) / ln(1-p)``. Clamped to
+    [min_tables, max_tables]: the cap bounds the candidate-generation cost
+    at very high plane counts (recall at the exact boundary degrades
+    gracefully there; pairs even slightly above the threshold recover fast
+    since p grows ~exponentially in cosine)."""
+    import math
+
+    c = min(max(float(threshold), -1.0), 1.0)
+    p = (1.0 - math.acos(c) / math.pi) ** int(planes)
+    if p >= 1.0:
+        return min_tables
+    if p <= 0.0:
+        return max_tables
+    t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+    return max(min_tables, min(max_tables, t))
+
+
 def dedup_embedding_lsh(
     df: DataFrame,
     threshold: float = 0.95,
     planes: Optional[int] = None,
-    tables: int = 4,
+    tables: Optional[int] = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -491,11 +518,16 @@ def dedup_embedding_lsh(
     vectors with the old fixed 12 planes (78M candidate dots). Auto mode
     targets ~16 vectors per bucket: ``planes = max(12, ceil(log2(n/16)))``
     with ``n`` from parquet footers (zero jobs; a bounded probe otherwise),
-    keeping candidates ~linear in rows. The recall trade is explicit: more
-    planes lower the per-table collision probability for BORDERLINE pairs
-    (cos ≈ threshold) — raise ``tables`` to compensate — while true
-    near-duplicates (cos ≥ 0.99) stay >0.99 recall at 4 tables through
-    planes ≈ 17. Pass ``planes`` explicitly to pin the old behavior."""
+    keeping candidates ~linear in rows.
+
+    ``tables`` AUTO-COMPENSATES the recall trade (r10): more planes lower
+    the per-table collision probability for BORDERLINE pairs (cos ≈
+    threshold), so auto mode sizes the table count from SRP theory
+    (:func:`lsh_tables_for_recall`) to keep recall at the threshold
+    cosine >= 0.95, capped at 16 tables (tests/test_similarity.py pins
+    the measured recall curve). True near-duplicates (cos >= 0.99) are
+    far safer at every setting. Pass ``planes``/``tables`` explicitly to
+    pin any fixed banding (the pre-r9 behavior was planes=12, tables=4)."""
     if planes is None:
         n = _bare_scan_row_count(df)
         if n is None:
@@ -503,6 +535,8 @@ def dedup_embedding_lsh(
         import math
 
         planes = max(12, math.ceil(math.log2(max(int(n), 1) / 16 or 1)))
+    if tables is None:
+        tables = lsh_tables_for_recall(planes, threshold)
     from ffn_polars_spark.operators._scanmeta import scan_bytes
     from ffn_polars_spark.operators.dedup import _pinned_if_fits
 

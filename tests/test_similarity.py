@@ -829,3 +829,60 @@ def test_semantic_dedup_lsh_matches_bruteforce(spark, embdf):
     lsh = sorted(semantic_dedup(embdf, threshold=0.95, method="lsh").collect())
     assert lsh == bf
     assert any(r["is_duplicate"] for r in lsh)  # non-vacuous
+
+
+def test_lsh_tables_for_recall_math():
+    """SRP math: T = ceil(ln(1-target)/ln(1-p)), p = (1-acos(c)/pi)^planes,
+    clamped to [4, 16]; monotone non-decreasing in planes."""
+    import math
+
+    from ffn_polars_spark.operators.similarity import lsh_tables_for_recall
+
+    p12 = (1 - math.acos(0.95) / math.pi) ** 12
+    want = math.ceil(math.log(0.05) / math.log(1 - p12))
+    assert lsh_tables_for_recall(12, 0.95) == max(4, min(16, want))
+    ts = [lsh_tables_for_recall(pl, 0.95) for pl in range(12, 20)]
+    assert ts == sorted(ts)                # more planes never fewer tables
+    assert all(4 <= t <= 16 for t in ts)   # clamped
+    assert lsh_tables_for_recall(64, 0.999999) == 4   # p ~ 1 -> floor
+    assert lsh_tables_for_recall(4096, 0.5) == 16     # p ~ 0 -> cap
+
+
+@pytest.mark.parametrize("n,planes", [(1000, 12), (1000, 13), (1000, 14)])
+def test_dedup_embedding_lsh_boundary_recall_curve(spark, n, planes):
+    """The auto-`tables` contract: pairs at cos just above the threshold
+    (the borderline zone auto-planes endangers) keep recall >= 0.95 when
+    tables is left to auto mode, across the plane counts auto-scaling
+    picks at 65k/130k/260k-vector corpora. Planted construction: for unit
+    u and unit w orthogonal to u, v = c*u + sqrt(1-c^2)*w has cosine(u,v)
+    exactly c (here c = 0.97 against threshold 0.95)."""
+    from ffn_polars_spark.operators.similarity import dedup_embedding_lsh
+
+    rng = np.random.default_rng(planes)  # distinct corpus per plane count
+    dim, c = 64, 0.97
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    n_pairs = 100
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    for j in range(n_pairs):
+        u = base[j]
+        w = rng.standard_normal(dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = c * u + np.sqrt(1 - c * c) * w
+        rows.append((10_000 + j, v.tolist()))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_lsh(
+            df, threshold=0.95, planes=planes, tables=None
+        ).collect()
+    }
+    found = sum((j, 10_000 + j) in got for j in range(n_pairs))
+    assert found / n_pairs >= 0.95, f"planes={planes}: recall {found/n_pairs}"

@@ -90,10 +90,20 @@ def pagerank(
     has_dangling = (
         ranks.where(F.col("out_degree") == 0).limit(1).count() > 0
     )
+    # Entity-sized rank frames (node count known exactly from the init
+    # count) broadcast into the edge join and the rank-carrier join:
+    # checkpoint-backed frames carry no stats, so Catalyst/AQE never
+    # discovers the broadcast on its own and every round pays three
+    # exchanges on a frame that fits in one task. Web-scale graphs
+    # (nodes > ~100k) keep the shuffle plan — the broadcast would not fit.
+    small = n <= 100_000
     for _ in range(int(iterations)):
         prev = ranks
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(
+                F.broadcast(ranks) if small else ranks,
+                e["src"] == ranks["node"],
+            )
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_degree").cast("double")).alias("__c"),
@@ -101,7 +111,9 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        stepped = ranks.drop("rank").join(contribs, "node", "left")
+        stepped = ranks.drop("rank").join(
+            F.broadcast(contribs) if small else contribs, "node", "left"
+        )
         if has_dangling:
             dang = ranks.where(F.col("out_degree") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")

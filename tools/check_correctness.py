@@ -132,6 +132,31 @@ def main():
     spark.range(1000, numPartitions=8).select(_warm(col("id"))).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the structured-streaming machinery (streaming planner, state
+    # store provider, memory sink): the first streaming entry otherwise
+    # pays ~2 s of one-time spin-up.
+    try:
+        import tempfile
+        import uuid as _uuid
+
+        _wdir = tempfile.mkdtemp(prefix="ffn_warm_stream_")
+        spark.range(10).withColumn("k", col("id") % 2).write.mode(
+            "overwrite"
+        ).parquet(_wdir + "/in")
+        _wq = (
+            spark.readStream.schema("id long, k long")
+            .parquet(_wdir + "/in")
+            .groupBy("k")
+            .count()
+            .writeStream.format("memory")
+            .queryName("w" + _uuid.uuid4().hex[:8])
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _wq.awaitTermination()
+    except Exception:
+        pass
 
     con = duckdb.connect()
     for t in TABLES:

@@ -280,3 +280,114 @@ def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
             off = F.lit(0)
         out = out.withColumn(k, F.sum(v).over(w) + off)
     return out.drop("__pid")
+
+
+def blocked_keyed_lag(
+    df,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    lag_cols: dict,
+    num_blocks: Optional[int] = None,
+):
+    """``F.lag(col, 1) OVER (PARTITION BY keys ORDER BY order)`` WITHOUT the
+    key-cardinality parallelism floor — the per-key-sequence sibling of
+    :func:`ranged_cumsum`.
+
+    A plain per-key window caps its parallelism at the number of distinct
+    keys: a 100M-row tape with 5 tickers sorts five 20M-row partitions on
+    five cores while the rest of the cluster idles, and the wall grows
+    linearly with the data (measured: calc_realized_volatility 9.7x at the
+    sf100 decade, all of it in the 5-task sort). Here each key's sequence
+    is sliced into contiguous ORDER-RANGE blocks and the window runs per
+    (block, key) — parallelism = blocks x keys, chosen from the cluster,
+    not the data — then the per-(block, key) boundary rows (a frame bounded
+    by blocks x keys, never by data) carry the previous slice's last values
+    across the seam.
+
+    Block ids derive from the first order column's VALUE (equi-width
+    intervals over its min/max — one single-column aggregate job), NOT from
+    ``repartitionByRange``: value-derived blocks make the window's own
+    (block, keys) hash exchange the only data-sized shuffle — the same
+    exchange count as the plain window — where a range partitioning would
+    add a full sampling pass plus a second shuffle (measured: 16.3 s vs
+    21.0 s window at sf100 with the sampling pass, 12-13 s without).
+    Non-numeric order columns fall back to the range-partition strategy.
+
+    Value-identical to the plain window: a lag MOVES values, no arithmetic
+    happens, and every row's predecessor is either in its own slice (the
+    local window) or the last row of the previous slice of its key (the
+    boundary join patches exactly the slice-first rows, by row number, so
+    genuine NULL values in the lagged column are never re-patched).
+    Requires ``order_cols`` to be unique per key — the same contract as any
+    deterministic use of ``F.lag``.
+
+    ``lag_cols`` maps output name -> existing column name to lag. Returns
+    the frame with the lag columns appended (internal columns dropped).
+    Intended for LOW-cardinality keys: past ~cluster-core cardinality the
+    plain window already parallelizes and is strictly cheaper.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    p = num_blocks or df.sparkSession.sparkContext.defaultParallelism
+    blk = None
+    o0 = F.col(order[0])
+    try:
+        dtype = dict(df.dtypes)[order[0]]
+    except Exception:
+        dtype = ""
+    if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
+        mm = df.agg(F.min(o0).alias("lo"), F.max(o0).alias("hi")).first()
+        lo, hi = mm["lo"], mm["hi"]
+        if lo is not None and hi is not None and hi > lo:
+            width = max(1, -(-(int(hi) - int(lo) + 1) // int(p)))
+            blk = ((o0 - F.lit(int(lo))) / F.lit(width)).cast("long")
+    if blk is not None:
+        rb = df.withColumn("__blk", blk)
+    else:
+        # fallback: physical contiguity from a range partitioning (one
+        # sampling pass + one extra shuffle; correct for any orderable type)
+        rb = df.repartitionByRange(
+            int(p), *[F.col(c) for c in keys + order]
+        ).withColumn("__blk", F.spark_partition_id())
+    w = Window.partitionBy("__blk", *keys).orderBy(*[F.col(c) for c in order])
+    local = rb.select(
+        "*",
+        F.row_number().over(w).alias("__rn"),
+        *[F.lag(F.col(src), 1).over(w).alias(f"__lag_{out}") for out, src in lag_cols.items()],
+    )
+    # last row of each (block, key) slice: struct-max on the unique order
+    # prefix; .getField picks the data column off the winning row (NULLs in
+    # the data column ride along — the struct itself is never null)
+    bounds = rb.groupBy("__blk", *keys).agg(
+        F.min(F.struct(*[F.col(c) for c in order])).alias("__first_o"),
+        *[
+            F.max(F.struct(*[F.col(c) for c in order], F.col(src).alias("__v")))
+            .getField("__v")
+            .alias(f"__last_{out}")
+            for out, src in lag_cols.items()
+        ],
+    )
+    wb = Window.partitionBy(*keys).orderBy("__first_o")
+    prev = bounds.select(
+        "__blk",
+        *keys,
+        *[
+            F.lag(F.col(f"__last_{out}"), 1).over(wb).alias(f"__prev_{out}")
+            for out in lag_cols
+        ],
+    )
+    # blocks x keys rows: tiny next to the tape; AQE broadcasts it when it
+    # fits, and a mis-gated high-cardinality call degrades to one extra
+    # small shuffle rather than a driver-side failure
+    out_df = local.join(prev, ["__blk", *keys], "left")
+    for out in lag_cols:
+        out_df = out_df.withColumn(
+            out,
+            F.when(F.col("__rn") == 1, F.col(f"__prev_{out}")).otherwise(
+                F.col(f"__lag_{out}")
+            ),
+        )
+    drop = ["__blk", "__rn"] + [f"__lag_{o}" for o in lag_cols] + [
+        f"__prev_{o}" for o in lag_cols
+    ]
+    return out_df.drop(*drop)

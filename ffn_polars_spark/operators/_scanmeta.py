@@ -216,3 +216,20 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     if (min(parts, rg) if rg else parts) < threshold:
         return df.repartition(target, key)
     return df
+
+
+def sampled_key_cardinality(df: DataFrame, keys, sample_rows: int = 100_000):
+    """Bounded estimate of a key set's cardinality: distinct keys within the
+    first ``sample_rows`` rows (one limit-bounded job — the limit is pushed
+    into the scan, so at most ~sample_rows rows of the key columns are
+    read). Used by sequence operators to decide whether a per-key window
+    would hit the key-count parallelism floor. UNDER-estimates on
+    key-clustered files — callers must degrade gracefully (extra shuffle,
+    never a failure) when the estimate is wrong. None when unanswerable
+    (streaming input)."""
+    if df.isStreaming:
+        return None
+    try:
+        return df.select(*keys).limit(int(sample_rows)).distinct().count()
+    except Exception:
+        return None

@@ -364,3 +364,93 @@ def test_price_clustering_planted_round_numbers(spark):
     assert abs(out[0]["freq"] - 0.91) < 1e-12
     assert out[0]["chi2_term"] > 50  # massive clustering signal
     assert abs(sum(r["freq"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_blocked_keyed_lag_matches_window_lag(spark):
+    """blocked_keyed_lag must be VALUE-IDENTICAL to F.lag over
+    (PARTITION BY key ORDER BY ts): cross-slice seams patched from the
+    previous slice's last row, genuine NULL values never re-patched, keys
+    confined to one slice unaffected."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.core import blocked_keyed_lag
+
+    random.seed(11)
+    rows = []
+    for k in ("a", "b", "c"):
+        for t in range(500):
+            # sprinkle genuine NULLs into the value column
+            v = None if (t % 97 == 3) else float(t) + random.random()
+            rows.append((k, t, v))
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+
+    w = Window.partitionBy("k").orderBy("ts")
+    want = {
+        (r["k"], r["ts"]): r["lv"]
+        for r in df.select("k", "ts", F.lag("v", 1).over(w).alias("lv")).collect()
+    }
+    # num_blocks > 1 forces cross-slice seams on this small frame
+    got = {
+        (r["k"], r["ts"]): r["lv"]
+        for r in blocked_keyed_lag(df, ["k"], ["ts"], {"lv": "v"}, num_blocks=8)
+        .select("k", "ts", "lv")
+        .collect()
+    }
+    assert got == want
+
+
+def test_blocked_keyed_lag_multiple_columns(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.core import blocked_keyed_lag
+
+    df = spark.createDataFrame(
+        [("x", t, float(t), t * 10) for t in range(200)],
+        "k string, ts long, a double, b long",
+    )
+    w = Window.partitionBy("k").orderBy("ts")
+    want = df.select(
+        "ts", F.lag("a").over(w).alias("la"), F.lag("b").over(w).alias("lb")
+    ).collect()
+    got = (
+        blocked_keyed_lag(df, ["k"], ["ts"], {"la": "a", "lb": "b"}, num_blocks=6)
+        .select("ts", "la", "lb")
+        .collect()
+    )
+    assert sorted(want) == sorted(got)
+
+
+def test_realized_volatility_blocked_matches_window(spark):
+    """The forced-blocked plan agrees with the plain window plan to
+    double-rounding tolerance (association order differs; values don't)."""
+    import math
+    import random
+
+    from ffn_polars_spark.functions.tick_price import calc_realized_volatility
+
+    random.seed(5)
+    rows = [
+        (k, t, 100.0 + random.gauss(0, 2))
+        for k in ("p", "q", "r")
+        for t in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_ns long, price double")
+    a = {
+        r["event_type"]: r["price_realized_volatility"]
+        for r in calc_realized_volatility(
+            df, "price", order_by="ts_ns", by=["event_type"], seq_parallelism="window"
+        ).collect()
+    }
+    b = {
+        r["event_type"]: r["price_realized_volatility"]
+        for r in calc_realized_volatility(
+            df, "price", order_by="ts_ns", by=["event_type"], seq_parallelism="blocked"
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12), (k, a[k], b[k])

@@ -357,8 +357,13 @@ def blocked_keyed_lag(
     )
     # last row of each (block, key) slice: struct-max on the unique order
     # prefix; .getField picks the data column off the winning row (NULLs in
-    # the data column ride along — the struct itself is never null)
-    bounds = rb.groupBy("__blk", *keys).agg(
+    # the data column ride along — the struct itself is never null).
+    # Derived from the WINDOW OUTPUT, not the raw frame: both consumers of
+    # the tape then hang off the same (block, keys) exchange (ReusedExchange
+    # in the physical plan) and the input relation is scanned exactly once —
+    # aggregating the raw frame instead re-scans the whole tape for a
+    # blocks x keys-row result.
+    bounds = local.groupBy("__blk", *keys).agg(
         F.min(F.struct(*[F.col(c) for c in order])).alias("__first_o"),
         *[
             F.max(F.struct(*[F.col(c) for c in order], F.col(src).alias("__v")))

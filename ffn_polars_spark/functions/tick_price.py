@@ -79,14 +79,16 @@ def calc_realized_volatility(
     20M-row partitions on five cores; measured 9.7x at the sf100 decade):
 
     * ``"auto"`` (default): scans whose footer row count (no jobs) divided
-      by a sampled key cardinality exceeds ~10M rows PER KEY — and whose
+      by a sampled key cardinality exceeds ~50M rows PER KEY — and whose
       key count sits below the cluster's slot count — route the lag
       through :func:`core.blocked_keyed_lag` (order-range slices +
       boundary stitch; parallelism from the cluster, not the key count).
-      Everything else keeps the window: the blocked plan's fixed costs
-      (order min/max job, key probe, boundary join) measured 2.7x SLOWER
-      at 2M rows/key and 1.25x faster at 20M rows/key, so the crossover,
-      not the total size, is the gate.
+      Everything else keeps the window. The gate is the MEASURED
+      crossover in rows per key, not total size (sf100 tape, local[32],
+      hot cache, min-of-runs): at 2M rows/key the blocked plan's fixed
+      costs lose 2.7x; at 20M rows/key the window still wins 12.9 s vs
+      16.4 s; at 100M rows/key the window's single-task sort takes
+      57.0 s vs 8.2 s blocked — 7x, growing with every further decade.
     * ``"window"`` / ``"blocked"``: force the respective plan.
 
     Both plans produce the same returns (a lag moves values, no
@@ -106,13 +108,13 @@ def calc_realized_volatility(
             )
 
             n = bare_scan_row_count(df, allow_reducing=True)
-            if n is not None and n >= 10_000_000:
+            if n is not None and n >= 50_000_000:
                 cores = df.sparkSession.sparkContext.defaultParallelism
                 k = sampled_key_cardinality(df, by)
                 use_blocked = (
                     k is not None
                     and k <= max(8, cores)
-                    and n / max(k, 1) >= 10_000_000
+                    and n / max(k, 1) >= 50_000_000
                 )
     if use_blocked:
         from ffn_polars_spark.core import blocked_keyed_lag

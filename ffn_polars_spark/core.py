@@ -358,11 +358,13 @@ def blocked_keyed_lag(
     # last row of each (block, key) slice: struct-max on the unique order
     # prefix; .getField picks the data column off the winning row (NULLs in
     # the data column ride along — the struct itself is never null).
-    # Derived from the WINDOW OUTPUT, not the raw frame: both consumers of
-    # the tape then hang off the same (block, keys) exchange (ReusedExchange
-    # in the physical plan) and the input relation is scanned exactly once —
-    # aggregating the raw frame instead re-scans the whole tape for a
-    # blocks x keys-row result.
+    # Column pruning rewrites this branch down to scan -> map-side partial
+    # aggregate -> blocks x keys-row exchange (the window never evaluates
+    # here), so the seam costs one extra PRUNED scan and a tiny shuffle —
+    # never a second data-sized exchange. Pinning the tape to share the
+    # scan would violate the pin policy (corpus-width cache); the pruned
+    # re-scan is the cheaper, spill-free trade. Plan shape gated by
+    # tests/test_plans.py::test_blocked_keyed_lag_plan_shape.
     bounds = local.groupBy("__blk", *keys).agg(
         F.min(F.struct(*[F.col(c) for c in order])).alias("__first_o"),
         *[

@@ -727,3 +727,39 @@ def test_spread_scan_noop_on_healthy_scan(spark, tmp_path):
     wide = spark.range(0, n, numPartitions=target)
     assert effective_scan_parallelism(wide) == target
     assert spread_scan(wide, "id") is wide
+
+
+def test_blocked_keyed_lag_plan_shape(spark, tmp_path):
+    """The blocked lag's physical plan: the tape's data-sized exchange is
+    the (block, keys) window exchange; the seam branch prunes down to a
+    scan + partial aggregate + blocks x keys-row exchange (never a second
+    data-sized shuffle of full rows); the seam join broadcasts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ffn_polars_spark.core import blocked_keyed_lag
+
+    f = str(tmp_path / "tape.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": ["a", "b"] * 500,
+                "ts": list(range(1000)),
+                "v": [float(i) for i in range(1000)],
+            }
+        ),
+        f,
+    )
+    df = spark.read.parquet(f)
+    out = blocked_keyed_lag(df, ["k"], ["ts"], {"lv": "v"}, num_blocks=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the seam join must not sort-merge the tape
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly the two branch scans (window + pruned bounds), no more
+    assert plan.count("FileScan") == 2
+    # the window partitions by (block, keys) — the parallelism carrier
+    assert "windowspecdefinition(__blk" in plan
+    # the bounds branch aggregates map-side BEFORE its exchange: a partial
+    # aggregate on (block, keys) must appear (keys= grouping with __blk)
+    assert "partial" in plan.lower()

@@ -130,3 +130,12 @@ def test_streaming_text_operator_composes(spark):
     out = text_quality(sdf)
     assert out.isStreaming
     assert "quality_score" in out.columns or len(out.columns) > 2
+
+
+def test_sampled_key_cardinality(multi, spark):
+    from ffn_polars_spark.operators._scanmeta import sampled_key_cardinality
+
+    df = multi.withColumn("k", F.col("id") % 3)
+    assert sampled_key_cardinality(df, ["k"]) == 3
+    sdf = spark.readStream.format("rate").load()
+    assert sampled_key_cardinality(sdf, ["value"]) is None

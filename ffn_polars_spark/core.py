@@ -282,6 +282,75 @@ def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
     return out.drop("__pid")
 
 
+def _order_blocked(df, keys, order, num_blocks=None):
+    """Attach a contiguous-slice id ``__blk`` for the blocked sequence
+    primitives: equi-width intervals over the first order column's min/max
+    (one single-column aggregate job — a numeric order makes the window's
+    own (block, keys) hash exchange the only data-sized shuffle), falling
+    back to a range partitioning (sampling pass + extra shuffle) for
+    non-numeric orders."""
+    p = num_blocks or df.sparkSession.sparkContext.defaultParallelism
+    blk = None
+    o0 = F.col(order[0])
+    try:
+        dtype = dict(df.dtypes)[order[0]]
+    except Exception:
+        dtype = ""
+    if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
+        mm = df.agg(F.min(o0).alias("lo"), F.max(o0).alias("hi")).first()
+        lo, hi = mm["lo"], mm["hi"]
+        if lo is not None and hi is not None and hi > lo:
+            width = max(1, -(-(int(hi) - int(lo) + 1) // int(p)))
+            blk = ((o0 - F.lit(int(lo))) / F.lit(width)).cast("long")
+    if blk is not None:
+        return df.withColumn("__blk", blk)
+    return df.repartitionByRange(
+        int(p), *[F.col(c) for c in keys + order]
+    ).withColumn("__blk", F.spark_partition_id())
+
+
+def blocked_keyed_index(
+    df,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out: str = "gidx",
+    num_blocks: Optional[int] = None,
+):
+    """``row_number() OVER (PARTITION BY keys ORDER BY order)`` WITHOUT the
+    key-cardinality parallelism floor — the indexing member of the blocked
+    sequence family (:func:`blocked_keyed_lag` covers lag-1; this primitive
+    unlocks arbitrary lag-k/lead-k as an equi-join on ``(keys, out - k)``,
+    which shuffles on a HIGH-cardinality composite key and therefore keeps
+    full cluster parallelism at any key count).
+
+    Each key's sequence is sliced into contiguous order-range blocks
+    (:func:`_order_blocked`); a local row number runs per (block, keys) —
+    parallelism = blocks x keys — and per-key running slice offsets,
+    derived from a blocks x keys-row aggregate (bounded by the cluster and
+    the key count, never the data), lift local numbers to global ones.
+    Deterministic and value-identical to the plain window for order columns
+    unique per key."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    rb = _order_blocked(df, keys, order, num_blocks)
+    w = Window.partitionBy("__blk", *keys).orderBy(*[F.col(c) for c in order])
+    local = rb.select("*", F.row_number().over(w).alias("__rn"))
+    sizes = local.groupBy("__blk", *keys).agg(F.max("__rn").alias("__n"))
+    wo = (
+        Window.partitionBy(*keys)
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "__blk", *keys, F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(offsets, ["__blk", *keys])
+        .withColumn(out, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__blk", "__rn", "__off")
+    )
+
+
 def blocked_keyed_lag(
     df,
     key_cols: Sequence[str],
@@ -328,27 +397,7 @@ def blocked_keyed_lag(
     """
     keys = list(key_cols)
     order = list(order_cols)
-    p = num_blocks or df.sparkSession.sparkContext.defaultParallelism
-    blk = None
-    o0 = F.col(order[0])
-    try:
-        dtype = dict(df.dtypes)[order[0]]
-    except Exception:
-        dtype = ""
-    if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
-        mm = df.agg(F.min(o0).alias("lo"), F.max(o0).alias("hi")).first()
-        lo, hi = mm["lo"], mm["hi"]
-        if lo is not None and hi is not None and hi > lo:
-            width = max(1, -(-(int(hi) - int(lo) + 1) // int(p)))
-            blk = ((o0 - F.lit(int(lo))) / F.lit(width)).cast("long")
-    if blk is not None:
-        rb = df.withColumn("__blk", blk)
-    else:
-        # fallback: physical contiguity from a range partitioning (one
-        # sampling pass + one extra shuffle; correct for any orderable type)
-        rb = df.repartitionByRange(
-            int(p), *[F.col(c) for c in keys + order]
-        ).withColumn("__blk", F.spark_partition_id())
+    rb = _order_blocked(df, keys, order, num_blocks)
     w = Window.partitionBy("__blk", *keys).orderBy(*[F.col(c) for c in order])
     local = rb.select(
         "*",

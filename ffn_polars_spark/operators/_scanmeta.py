@@ -233,3 +233,32 @@ def sampled_key_cardinality(df: DataFrame, keys, sample_rows: int = 100_000):
         return df.select(*keys).limit(int(sample_rows)).distinct().count()
     except Exception:
         return None
+
+
+def use_blocked_sequence_plan(
+    df: DataFrame,
+    keys,
+    seq_parallelism: str = "auto",
+    rows_per_key: int = 50_000_000,
+):
+    """Shared policy for the per-key sequence operators (realized
+    volatility, autocorrelation, ...): route the lag through the blocked
+    primitives (core.blocked_keyed_lag / blocked_keyed_index) only past the
+    MEASURED crossover — a sampled key cardinality below the cluster's slot
+    count AND a footer row count of >= ``rows_per_key`` rows per key
+    (sf100 tape, local[32], hot cache: the plain window wins until ~20M
+    rows/key and loses 7x at 100M rows/key). ``seq_parallelism`` is the
+    operator's knob: "auto" applies the policy, "blocked"/"window" force a
+    plan."""
+    if not keys:
+        return False
+    if seq_parallelism == "blocked":
+        return True
+    if seq_parallelism != "auto" or df.isStreaming:
+        return False
+    n = bare_scan_row_count(df, allow_reducing=True)
+    if n is None or n < rows_per_key:
+        return False
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    k = sampled_key_cardinality(df, keys)
+    return k is not None and k <= max(8, cores) and n / max(k, 1) >= rows_per_key

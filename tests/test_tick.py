@@ -454,3 +454,62 @@ def test_realized_volatility_blocked_matches_window(spark):
     assert set(a) == set(b)
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-12), (k, a[k], b[k])
+
+
+def test_blocked_keyed_index_matches_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.core import blocked_keyed_index
+
+    rows = [(k, t * 3 + hash(k) % 3) for k in ("a", "b", "c") for t in range(400)]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    w = Window.partitionBy("k").orderBy("ts")
+    want = {
+        (r["k"], r["ts"]): r["rn"]
+        for r in df.select("k", "ts", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        (r["k"], r["ts"]): r["gidx"]
+        for r in blocked_keyed_index(df, ["k"], ["ts"], num_blocks=7).collect()
+    }
+    assert got == want
+
+
+def test_autocorr_blocked_matches_window(spark):
+    """The blocked (index + self-join) autocorrelation plan must reproduce
+    the window plan's full output frame — including NULL values excluded
+    from n, short groups completing with n=0/acf NULL, and r6-rounded acf
+    equality."""
+    import random
+
+    from ffn_polars_spark.functions.tick_price import autocorr
+
+    random.seed(3)
+    rows = []
+    for k in ("a", "b"):
+        prev = 0.0
+        for t in range(600):
+            prev = 0.6 * prev + random.gauss(0, 1)
+            v = None if t % 53 == 7 else prev
+            rows.append((k, t, v))
+    rows.append(("tiny", 0, 1.0))  # group shorter than max_lag
+    rows.append(("tiny", 1, 2.0))
+    df = spark.createDataFrame(rows, "k string, ts long, x double")
+
+    def as_map(res):
+        return {
+            (r["k"], r["lag"]): (r["n"], r["acf"]) for r in res.collect()
+        }
+
+    w = as_map(autocorr(df, "x", by="k", order_by="ts", max_lag=3,
+                        seq_parallelism="window"))
+    b = as_map(autocorr(df, "x", by="k", order_by="ts", max_lag=3,
+                        seq_parallelism="blocked"))
+    assert set(w) == set(b)
+    for key in w:
+        assert w[key][0] == b[key][0], (key, w[key], b[key])  # n exact
+        if w[key][1] is None:
+            assert b[key][1] is None, key
+        else:
+            assert abs(w[key][1] - b[key][1]) <= 1e-6, (key, w[key], b[key])

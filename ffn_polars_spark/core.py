@@ -351,6 +351,82 @@ def blocked_keyed_index(
     )
 
 
+def blocked_keyed_cumsum(
+    df,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    vals: dict,
+    num_blocks: Optional[int] = None,
+):
+    """``sum(val) OVER (PARTITION BY keys ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` WITHOUT the key-cardinality parallelism floor — the
+    running-sum member of the blocked sequence family
+    (:func:`blocked_keyed_lag`, :func:`blocked_keyed_index`).
+
+    Per-(block, keys) local running sums + per-key running slice-total
+    offsets (a blocks x keys-row frame, the same stitch as
+    :func:`blocked_keyed_index`). For integer-valued and decimal columns
+    the result is EXACTLY the window's; for general floating-point values
+    the slice/offset association can differ from the sequential window sum
+    by ~1 ulp — callers that threshold the cumsum (bar assignment) should
+    treat epsilon-boundary flips as inherent to float accumulation, not a
+    plan property.
+
+    ``vals`` maps output name -> column name (or Column) to sum. Returns
+    the frame plus the running-sum columns (internal columns dropped)."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    rb = _order_blocked(df, keys, order, num_blocks)
+    w = (
+        Window.partitionBy("__blk", *keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = rb.select(
+        "*",
+        *[
+            F.sum(to_col(src)).over(w).alias(f"__loc_{out}")
+            for out, src in vals.items()
+        ],
+    )
+    # slice total = the LAST row's running value (struct-max on the unique
+    # order prefix — NOT max(loc), which is wrong for negative addends)
+    totals = local.groupBy("__blk", *keys).agg(
+        *[
+            F.max(
+                F.struct(
+                    *[F.col(c) for c in order], F.col(f"__loc_{out}").alias("__v")
+                )
+            )
+            .getField("__v")
+            .alias(f"__tot_{out}")
+            for out in vals
+        ]
+    )
+    wo = (
+        Window.partitionBy(*keys)
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__blk",
+        *keys,
+        *[
+            F.coalesce(F.sum(F.col(f"__tot_{out}")).over(wo), F.lit(0)).alias(
+                f"__off_{out}"
+            )
+            for out in vals
+        ],
+    )
+    out_df = local.join(offsets, ["__blk", *keys])
+    for out in vals:
+        out_df = out_df.withColumn(
+            out, F.col(f"__loc_{out}") + F.col(f"__off_{out}")
+        )
+    drop = ["__blk"] + [f"__loc_{o}" for o in vals] + [f"__off_{o}" for o in vals]
+    return out_df.drop(*drop)
+
+
 def blocked_keyed_lag(
     df,
     key_cols: Sequence[str],

@@ -98,20 +98,47 @@ def volume_bars(
     volume: str,
     by: Optional[list] = None,
     volume_per_bar: float = 10_000.0,
+    seq_parallelism: str = "auto",
 ) -> DataFrame:
     """Bars that close when cumulative volume crosses ``volume_per_bar``.
 
     Bar key = ``floor((cumsum(v) - v) / threshold)`` — the bar a tick OPENS
     in, so every bar's volume is >= threshold except the last.
+
+    ``seq_parallelism``: the running volume is a per-key sequence op, so
+    past ~50M sampled rows per key it routes through
+    ``core.blocked_keyed_cumsum`` (the per-key window otherwise caps
+    parallelism at the ticker count — see
+    ``_scanmeta.use_blocked_sequence_plan``). Exact for integer-valued
+    volumes; float volumes accumulate with a different association than
+    the sequential window (an inherent epsilon at bar boundaries).
     """
     by = list(by or [])
-    over = Over(order_by=ts, partition_by=by or None)
-    cum = F.sum(volume).over(over.w_cum("volume_bars"))
-    pre = df.withColumn(
-        "bar_id",
-        ((cum - to_col(volume)) / F.lit(float(volume_per_bar))).cast("long"),
-    )
+    pre = _cum_minus_self(df, ts, volume, by, seq_parallelism, "volume_bars")
+    pre = pre.withColumn(
+        "bar_id", (F.col("__cumx") / F.lit(float(volume_per_bar))).cast("long")
+    ).drop("__cumx")
     return pre.groupBy(*(by + ["bar_id"])).agg(*_ohlcv_aggs(price, volume, ts))
+
+
+def _cum_minus_self(df, ts, val_col, by, seq_parallelism, op):
+    """``cumsum(val) - val`` per key in ``ts`` order (the open-boundary
+    running total the threshold-bar family keys on) as ``__cumx``, routed
+    through the blocked cumsum past the key-parallelism crossover."""
+    v = to_col(val_col) if isinstance(val_col, str) else val_col
+    from ffn_polars_spark.operators._scanmeta import use_blocked_sequence_plan
+
+    if by and use_blocked_sequence_plan(df, by, seq_parallelism):
+        from ffn_polars_spark.core import blocked_keyed_cumsum
+
+        staged = df.withColumn("__v", v)
+        out = blocked_keyed_cumsum(staged, by, [ts], {"__cum": "__v"})
+        return out.withColumn("__cumx", F.col("__cum") - F.col("__v")).drop(
+            "__cum", "__v"
+        )
+    over = Over(order_by=ts, partition_by=by or None)
+    cum = F.sum(v).over(over.w_cum(op))
+    return df.withColumn("__cumx", cum - v)
 
 
 @register(kind="df", context="dataframe")
@@ -122,15 +149,17 @@ def dollar_bars(
     volume: str,
     by: Optional[list] = None,
     dollars_per_bar: float = 1_000_000.0,
+    seq_parallelism: str = "auto",
 ) -> DataFrame:
-    """Bars that close when cumulative traded value crosses ``dollars_per_bar``."""
+    """Bars that close when cumulative traded value crosses
+    ``dollars_per_bar``. Same ``seq_parallelism`` routing (and float
+    accumulation caveat) as :func:`volume_bars`."""
     by = list(by or [])
-    over = Over(order_by=ts, partition_by=by or None)
     dv = to_col(price) * to_col(volume)
-    cum = F.sum(dv).over(over.w_cum("dollar_bars"))
-    pre = df.withColumn(
-        "bar_id", ((cum - dv) / F.lit(float(dollars_per_bar))).cast("long")
-    )
+    pre = _cum_minus_self(df, ts, dv, by, seq_parallelism, "dollar_bars")
+    pre = pre.withColumn(
+        "bar_id", (F.col("__cumx") / F.lit(float(dollars_per_bar))).cast("long")
+    ).drop("__cumx")
     return pre.groupBy(*(by + ["bar_id"])).agg(*_ohlcv_aggs(price, volume, ts))
 
 

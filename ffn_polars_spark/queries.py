@@ -11080,10 +11080,12 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         | [39]    semantic_dedup (query body refactored | ever, after this
 #         |         into the shared planted-copies        | round
 #         |         helper -> re-check slot)              |
-#         | [40..49] 10 canaries spanning every headline  | regression
-#         |         family, weighted toward scans whose   | tripwire
+#         | [40..47] 8 canaries spanning the headline     | regression
+#         |         families, weighted toward scans whose | tripwire
 #         |         prefix the r10 _scanmeta hardening    |
 #         |         touched (text/dedup/similarity/search)|
+#         | [48..49] volume_bars + dollar_bars (r10 code  | re-verify after
+#         |         change: shared _cum_minus_self router)| rewrite
 #
 # Invariants: names absent from _PRIORITY keep their original relative order
 # at the back; names in _PRIORITY but not registered are ignored — the list
@@ -11153,9 +11155,15 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
-    "to_returns",
-    "pricing_summary",
     "calc_realized_volatility",
+    # --- volume_bars/dollar_bars: r10 code change (the threshold-bar
+    # --- cumsum moved into the shared _cum_minus_self router for the
+    # --- blocked-cumsum path; sf0.01 executes the identical window plan,
+    # --- but changed code takes driver slots). Their slots come from the
+    # --- to_returns/pricing_summary canaries, which the driver bench
+    # --- re-exercises every round anyway (r9 precedent).
+    "volume_bars",
+    "dollar_bars",
     # ======== driver window (50) ends here ========
     # --- driver-green blocks keep their original relative order at the
     # back (invariant above); no need to enumerate them here

@@ -33,11 +33,13 @@ ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 10)]
 
 # Window entries that are NOT justified by never-checked/stale-FAIL status.
 # r10 canaries: with the never-checked backlog down to 39 entries there is
-# window room for a 10-canary regression sweep spanning every headline
-# family, weighted toward operators whose upstream prefix the r10
+# window room for an 8-canary regression sweep spanning the headline
+# families, weighted toward operators whose upstream prefix the r10
 # _scanmeta hardening touched (exchange-stop + streaming passthrough
 # change which plans receive the conditional scan-spread:
-# text/dedup/similarity/search scan chains).
+# text/dedup/similarity/search scan chains). to_returns/pricing_summary
+# signal comes from the driver bench, which runs them every round (r9
+# precedent) — their slots went to the volume_bars/dollar_bars re-checks.
 CANARIES = {
     "text_quality",
     "clean_corpus",
@@ -46,8 +48,6 @@ CANARIES = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
-    "to_returns",
-    "pricing_summary",
     "calc_realized_volatility",
 }
 # entries whose code changed in round 10 — re-verified even though green:
@@ -55,7 +55,9 @@ CANARIES = {
 # _embeddings_with_scaled_copies helper (output identical; executed code
 # changed, so it takes a re-check slot). The new semantic_dedup_lsh entry
 # needs no slot here: it is never-driver-checked by definition.
-CODE_CHANGED = {"semantic_dedup"}
+# volume_bars/dollar_bars: the r10 threshold-bar cumsum router
+# (_cum_minus_self) — identical sf0.01 plan, but changed executed code.
+CODE_CHANGED = {"semantic_dedup", "volume_bars", "dollar_bars"}
 
 
 def _evidence(files):

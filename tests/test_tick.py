@@ -513,3 +513,44 @@ def test_autocorr_blocked_matches_window(spark):
             assert b[key][1] is None, key
         else:
             assert abs(w[key][1] - b[key][1]) <= 1e-6, (key, w[key], b[key])
+
+
+def test_blocked_keyed_cumsum_matches_window(spark):
+    """Running-sum parity vs the w_cum window, including NEGATIVE addends
+    (the slice total must be the last row's running value, not the max)
+    and long-typed exactness."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ffn_polars_spark.core import blocked_keyed_cumsum
+
+    random.seed(9)
+    rows = [
+        (k, t, float(random.randint(-50, 100)), random.randint(-5, 10))
+        for k in ("a", "b", "c")
+        for t in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double, n long")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["k"], r["ts"]): (r["cv"], r["cn"])
+        for r in df.select(
+            "k", "ts", F.sum("v").over(w).alias("cv"), F.sum("n").over(w).alias("cn")
+        ).collect()
+    }
+    got = {
+        (r["k"], r["ts"]): (r["cv"], r["cn"])
+        for r in blocked_keyed_cumsum(
+            df, ["k"], ["ts"], {"cv": "v", "cn": "n"}, num_blocks=8
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][1] == want[key][1], key            # long: exact
+        assert abs(got[key][0] - want[key][0]) < 1e-9, key  # double: ulp-tight

@@ -109,7 +109,10 @@ def volume_bars(
     past ~50M sampled rows per key it routes through
     ``core.blocked_keyed_cumsum`` (the per-key window otherwise caps
     parallelism at the ticker count — see
-    ``_scanmeta.use_blocked_sequence_plan``). Exact for integer-valued
+    ``_scanmeta.use_blocked_sequence_plan``). Measured (sf100 tape,
+    local[32], min-of-runs): 30.1 s window vs 37.8 s blocked at 20M
+    rows/key; 101.1 s window vs 24.4 s blocked (4.1x) at 100M rows/key —
+    the shared gate's third validated crossover. Exact for integer-valued
     volumes; float volumes accumulate with a different association than
     the sequential window (an inherent epsilon at bar boundaries).
     """

@@ -9,8 +9,11 @@ this package's two-phase dataframe-operator pattern.
 
 Scale notes: time/tick bars group by a derived bar key — one hash exchange,
 no ordered window. Volume/dollar bars need a running total per ticker (an
-ordered window partitioned by the group keys); per-key tapes are modest even
-at 100 TB total, so the per-key window parallelizes across keys.
+ordered window partitioned by the group keys); past ~50M rows per key the
+per-key window's key-count parallelism floor routes them through
+``core.blocked_keyed_cumsum`` instead (measured crossover in
+:func:`volume_bars`'s docstring; policy in
+``_scanmeta.use_blocked_sequence_plan``).
 """
 
 from __future__ import annotations

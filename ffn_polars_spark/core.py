@@ -333,21 +333,26 @@ def blocked_keyed_index(
     keys = list(key_cols)
     order = list(order_cols)
     rb = _order_blocked(df, keys, order, num_blocks)
+    # internal names carry a __bki_ prefix so a caller's ``out`` (any name
+    # not starting with __bki_) can never collide with a column this
+    # function drops
     w = Window.partitionBy("__blk", *keys).orderBy(*[F.col(c) for c in order])
-    local = rb.select("*", F.row_number().over(w).alias("__rn"))
-    sizes = local.groupBy("__blk", *keys).agg(F.max("__rn").alias("__n"))
+    local = rb.select("*", F.row_number().over(w).alias("__bki_rn"))
+    sizes = local.groupBy("__blk", *keys).agg(F.max("__bki_rn").alias("__bki_n"))
     wo = (
         Window.partitionBy(*keys)
         .orderBy("__blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = sizes.select(
-        "__blk", *keys, F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off")
+        "__blk",
+        *keys,
+        F.coalesce(F.sum("__bki_n").over(wo), F.lit(0)).alias("__bki_off"),
     )
     return (
         local.join(offsets, ["__blk", *keys])
-        .withColumn(out, (F.col("__off") + F.col("__rn")).cast("long"))
-        .drop("__blk", "__rn", "__off")
+        .withColumn(out, (F.col("__bki_off") + F.col("__bki_rn")).cast("long"))
+        .drop("__blk", "__bki_rn", "__bki_off")
     )
 
 
@@ -477,7 +482,7 @@ def blocked_keyed_lag(
     w = Window.partitionBy("__blk", *keys).orderBy(*[F.col(c) for c in order])
     local = rb.select(
         "*",
-        F.row_number().over(w).alias("__rn"),
+        F.row_number().over(w).alias("__bkl_rn"),
         *[F.lag(F.col(src), 1).over(w).alias(f"__lag_{out}") for out, src in lag_cols.items()],
     )
     # last row of each (block, key) slice: struct-max on the unique order
@@ -515,11 +520,11 @@ def blocked_keyed_lag(
     for out in lag_cols:
         out_df = out_df.withColumn(
             out,
-            F.when(F.col("__rn") == 1, F.col(f"__prev_{out}")).otherwise(
+            F.when(F.col("__bkl_rn") == 1, F.col(f"__prev_{out}")).otherwise(
                 F.col(f"__lag_{out}")
             ),
         )
-    drop = ["__blk", "__rn"] + [f"__lag_{o}" for o in lag_cols] + [
+    drop = ["__blk", "__bkl_rn"] + [f"__lag_{o}" for o in lag_cols] + [
         f"__prev_{o}" for o in lag_cols
     ]
     return out_df.drop(*drop)

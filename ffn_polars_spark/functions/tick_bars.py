@@ -84,9 +84,25 @@ def tick_bars(
     volume: Optional[str] = None,
     by: Optional[list] = None,
     ticks_per_bar: int = 100,
+    seq_parallelism: str = "auto",
 ) -> DataFrame:
-    """Bars of exactly ``ticks_per_bar`` consecutive ticks per group."""
+    """Bars of exactly ``ticks_per_bar`` consecutive ticks per group.
+
+    ``seq_parallelism``: the per-key row number routes through
+    ``core.blocked_keyed_index`` past ~50M sampled rows per key (policy
+    in ``_scanmeta.use_blocked_sequence_plan``); row numbering is exact
+    either way, so the bar assignment is identical."""
     by = list(by or [])
+    from ffn_polars_spark.operators._scanmeta import use_blocked_sequence_plan
+
+    if by and use_blocked_sequence_plan(df, by, seq_parallelism):
+        from ffn_polars_spark.core import blocked_keyed_index
+
+        pre = blocked_keyed_index(df, by, [ts], out="__rn").withColumn(
+            "bar_id",
+            ((F.col("__rn") - F.lit(1)) / F.lit(int(ticks_per_bar))).cast("long"),
+        ).drop("__rn")
+        return pre.groupBy(*(by + ["bar_id"])).agg(*_ohlcv_aggs(price, volume, ts))
     over = Over(order_by=ts, partition_by=by or None)
     rn = F.row_number().over(over.w_ordered("tick_bars")) - 1
     pre = df.withColumn("bar_id", (rn / F.lit(int(ticks_per_bar))).cast("long"))

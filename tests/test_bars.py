@@ -242,3 +242,18 @@ def test_corwin_schultz_zero_spread_and_positive(spark):
     want = max(2 * (math.exp(alpha) - 1) / (1 + math.exp(alpha)), 0.0)
     got = corwin_schultz(df, by=["k"]).collect()[0]
     assert abs(got.cs_spread - want) < 1e-12 and got.n_pairs == 1
+
+
+def test_tick_bars_blocked_matches_window(spark):
+    """Forced-blocked tick bars equal the window plan exactly (row numbers
+    are integers — no association tolerance needed)."""
+    from ffn_polars_spark.functions.tick_bars import tick_bars
+
+    rows = [(k, t, 100.0 + (t % 7), float(t % 5 + 1))
+            for k in ("a", "b") for t in range(500)]
+    df = spark.createDataFrame(rows, "k string, ts long, price double, volume double")
+    w = sorted(tick_bars(df, "ts", "price", "volume", by=["k"], ticks_per_bar=64,
+                         seq_parallelism="window").collect())
+    b = sorted(tick_bars(df, "ts", "price", "volume", by=["k"], ticks_per_bar=64,
+                         seq_parallelism="blocked").collect())
+    assert w == b

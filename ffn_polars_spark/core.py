@@ -413,20 +413,30 @@ def blocked_keyed_cumsum(
         .orderBy("__blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # offsets stay NULLABLE: a NULL offset means "no non-null value in any
+    # previous slice" — pre-coalescing it to 0 would break the window's
+    # null contract below
     offsets = totals.select(
         "__blk",
         *keys,
         *[
-            F.coalesce(F.sum(F.col(f"__tot_{out}")).over(wo), F.lit(0)).alias(
-                f"__off_{out}"
-            )
+            F.sum(F.col(f"__tot_{out}")).over(wo).alias(f"__off_{out}")
             for out in vals
         ],
     )
     out_df = local.join(offsets, ["__blk", *keys])
     for out in vals:
+        loc, off = F.col(f"__loc_{out}"), F.col(f"__off_{out}")
+        # the window's running sum SKIPS nulls and is NULL only while no
+        # non-null value has occurred; a NULL local (all-null slice prefix)
+        # with a non-null offset must therefore carry the offset forward,
+        # not null the result (hypothesis-found: an all-null slice between
+        # valued slices)
         out_df = out_df.withColumn(
-            out, F.col(f"__loc_{out}") + F.col(f"__off_{out}")
+            out,
+            F.when(loc.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(loc, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
         )
     drop = ["__blk"] + [f"__loc_{o}" for o in vals] + [f"__off_{o}" for o in vals]
     return out_df.drop(*drop)

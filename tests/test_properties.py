@@ -391,3 +391,84 @@ def test_round6_ops_are_partition_invariant(spark):
             5, "doc_id" if "doc_id" in base.columns else "ts"
         )).collect())
         assert a == b == c, fn
+
+
+# ---------------------------------------------------------------------------
+# Blocked sequence family (core.blocked_keyed_lag / _index / _cumsum):
+# window-plan parity must hold for ANY tape — random key sets, random
+# (unique-per-key) order values, NULL values, and adversarial block counts
+# (1 block, more blocks than rows).
+# ---------------------------------------------------------------------------
+
+tapes = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),                      # key
+        st.integers(min_value=-1000, max_value=1000),          # order (deduped below)
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # value
+    ),
+    min_size=2,
+    max_size=60,
+)
+blockcounts = st.integers(min_value=1, max_value=70)
+
+
+def _tape_frame(spark, rows):
+    # unique order per key (the documented F.lag determinism contract)
+    seen, uniq = set(), []
+    for k, t, v in rows:
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        uniq.append((k, t, None if v is None else float(v)))
+    return spark.createDataFrame(uniq, "k string, ts long, v double")
+
+
+@given(rows=tapes, nb=blockcounts)
+@SET
+def test_blocked_lag_parity_property(spark, rows, nb):
+    from pyspark.sql import Window
+
+    from ffn_polars_spark.core import blocked_keyed_lag
+
+    df = _tape_frame(spark, rows)
+    w = Window.partitionBy("k").orderBy("ts")
+    want = sorted(
+        (r["k"], r["ts"], r["lv"])
+        for r in df.select("k", "ts", F.lag("v").over(w).alias("lv")).collect()
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["lv"])
+        for r in blocked_keyed_lag(df, ["k"], ["ts"], {"lv": "v"}, num_blocks=nb)
+        .select("k", "ts", "lv")
+        .collect()
+    )
+    assert got == want
+
+
+@given(rows=tapes, nb=blockcounts)
+@SET
+def test_blocked_index_and_cumsum_parity_property(spark, rows, nb):
+    from pyspark.sql import Window
+
+    from ffn_polars_spark.core import blocked_keyed_cumsum, blocked_keyed_index
+
+    df = _tape_frame(spark, rows)
+    w = Window.partitionBy("k").orderBy("ts")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(
+        (r["k"], r["ts"], r["rn"], r["cv"])
+        for r in df.select(
+            "k",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v").over(wc).alias("cv"),
+        ).collect()
+    )
+    idx = blocked_keyed_index(df, ["k"], ["ts"], out="rn", num_blocks=nb)
+    cum = blocked_keyed_cumsum(idx, ["k"], ["ts"], {"cv": "v"}, num_blocks=nb)
+    got = sorted(
+        (r["k"], r["ts"], r["rn"], r["cv"])
+        for r in cum.select("k", "ts", "rn", "cv").collect()
+    )
+    # v is integer-valued (floats of ints) -> cumsum parity is EXACT
+    assert got == want

@@ -139,3 +139,22 @@ def test_sampled_key_cardinality(multi, spark):
     assert sampled_key_cardinality(df, ["k"]) == 3
     sdf = spark.readStream.format("rate").load()
     assert sampled_key_cardinality(sdf, ["value"]) is None
+
+
+def test_use_blocked_sequence_plan_no_probe_below_threshold(
+    multi, spark, monkeypatch
+):
+    """Below the 50M-row footer gate the key-cardinality probe must NOT
+    run — small frames pay zero jobs for the auto decision."""
+    import ffn_polars_spark.operators._scanmeta as sm
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("key probe ran below the footer gate")
+
+    monkeypatch.setattr(sm, "sampled_key_cardinality", boom)
+    df = multi.withColumn("k", F.col("id") % 3)
+    assert sm.use_blocked_sequence_plan(df, ["k"], "auto") is False
+    # forced modes never probe either
+    assert sm.use_blocked_sequence_plan(df, ["k"], "blocked") is True
+    assert sm.use_blocked_sequence_plan(df, ["k"], "window") is False
+    assert sm.use_blocked_sequence_plan(df, [], "blocked") is False

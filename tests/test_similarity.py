@@ -886,3 +886,14 @@ def test_dedup_embedding_lsh_boundary_recall_curve(spark, n, planes):
     }
     found = sum((j, 10_000 + j) in got for j in range(n_pairs))
     assert found / n_pairs >= 0.95, f"planes={planes}: recall {found/n_pairs}"
+
+
+def test_lsh_tables_for_recall_monotone_in_threshold():
+    """Lower thresholds mean lower per-table collision probability at the
+    boundary, so the sufficient table count never DECREASES as the
+    threshold drops (within the clamp)."""
+    from ffn_polars_spark.operators.similarity import lsh_tables_for_recall
+
+    for planes in (12, 14, 16):
+        ts = [lsh_tables_for_recall(planes, th) for th in (0.99, 0.95, 0.9, 0.85)]
+        assert ts == sorted(ts), (planes, ts)

@@ -470,7 +470,6 @@ def simhash_bucket(vec: Column, hyperplanes: List[List[float]]) -> Column:
     return bucket
 
 
-@register(namespace="eod", kind="df", context="dataframe", alias="dedup_embedding_lsh")
 def lsh_tables_for_recall(
     planes: int, threshold: float, target_recall: float = 0.95,
     min_tables: int = 4, max_tables: int = 16,
@@ -498,6 +497,7 @@ def lsh_tables_for_recall(
     return max(min_tables, min(max_tables, t))
 
 
+@register(namespace="eod", kind="df", context="dataframe", alias="dedup_embedding_lsh")
 def dedup_embedding_lsh(
     df: DataFrame,
     threshold: float = 0.95,

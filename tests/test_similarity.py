@@ -897,3 +897,18 @@ def test_lsh_tables_for_recall_monotone_in_threshold():
     for planes in (12, 14, 16):
         ts = [lsh_tables_for_recall(planes, th) for th in (0.99, 0.95, 0.9, 0.85)]
         assert ts == sorted(ts), (planes, ts)
+
+
+def test_dedup_embedding_lsh_registry_binding():
+    """The public registry alias must resolve to dedup_embedding_lsh itself,
+    not a scalar helper (regression: in r10 the @register decorator was
+    accidentally left on lsh_tables_for_recall when it was inserted above
+    the operator, rebinding the namespace-dispatch name to a function that
+    cannot accept a DataFrame — same defect class as the kmv_distinct
+    binding pinned in tests/test_sketch.py)."""
+    from ffn_polars_spark.operators import similarity
+    from ffn_polars_spark.registry import FFN_DF_REGISTRY, FFN_REGISTRY
+
+    assert FFN_DF_REGISTRY["dedup_embedding_lsh"] is similarity.dedup_embedding_lsh
+    for reg in (FFN_DF_REGISTRY, FFN_REGISTRY):
+        assert "lsh_tables_for_recall" not in reg

@@ -299,7 +299,17 @@ def _order_blocked(df, keys, order, num_blocks=None):
     if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
         mm = df.agg(F.min(o0).alias("lo"), F.max(o0).alias("hi")).first()
         lo, hi = mm["lo"], mm["hi"]
-        if lo is not None and hi is not None and hi > lo:
+        # (hi - lo) must fit in int64: the executor-side (o0 - lo) runs in
+        # non-ANSI long arithmetic and would WRAP silently on a wider span
+        # (e.g. order keys spanning both halves of the int64 range), giving
+        # non-monotone block ids and a wrong stitch order. Python ints don't
+        # overflow, so check here and fall back to repartitionByRange.
+        if (
+            lo is not None
+            and hi is not None
+            and hi > lo
+            and int(hi) - int(lo) < (1 << 63)
+        ):
             width = max(1, -(-(int(hi) - int(lo) + 1) // int(p)))
             blk = ((o0 - F.lit(int(lo))) / F.lit(width)).cast("long")
     if blk is not None:

@@ -253,6 +253,13 @@ def use_blocked_sequence_plan(
     if not keys:
         return False
     if seq_parallelism == "blocked":
+        if df.isStreaming:
+            raise ValueError(
+                "seq_parallelism='blocked' is batch-only: the blocked plan "
+                "needs a min/max bounds job and a repartition, neither of "
+                "which is supported on a streaming DataFrame. Use "
+                "seq_parallelism='window' (or 'auto') for streaming frames."
+            )
         return True
     if seq_parallelism != "auto" or df.isStreaming:
         return False

@@ -150,9 +150,11 @@ def _executor_heap_bytes(spark) -> int:
     spark.executor.memory conf when set (a real cluster), else the local
     JVM's max heap (local mode, where driver == executor).
 
-    The conf string follows Spark's ``byteStringAsMb`` grammar: optional
-    one-letter (k/m/g/t) or two-letter (kb/mb/gb/tb) binary suffix, and a
-    UNIT-LESS value means MiB (``"8192"`` is 8 GiB, not 8192 bytes).
+    The conf string follows Spark's ``byteStringAsMb`` grammar: an INTEGER
+    with an optional one-letter (k/m/g/t/p) or two-letter (kb/mb/gb/tb/pb)
+    binary suffix, and a UNIT-LESS value means MiB (``"8192"`` is 8 GiB,
+    not 8192 bytes). Fractional values are rejected exactly as Spark
+    rejects them (fall through to the JVM heap, never a guess).
     Mis-parsing here fails toward over-estimating the heap, which lets
     :func:`_pinned_if_fits` pin frames that GC-thrash real executors — the
     exact defect class the cap exists to prevent — so unparseable strings
@@ -163,10 +165,10 @@ def _executor_heap_bytes(spark) -> int:
             import re
 
             m = re.fullmatch(
-                r"\s*(\d+(?:\.\d+)?)\s*([kmgt]b?|b)?\s*", mem.lower()
+                r"\s*(\d+)\s*([kmgtp]b?|b)?\s*", mem.lower()
             )
             if m:
-                shifts = {"b": 0, "k": 10, "m": 20, "g": 30, "t": 40}
+                shifts = {"b": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}
                 unit = m.group(2)
                 # Spark reads a bare number as MiB (byteStringAsMb)
                 shift = shifts[unit[0]] if unit else 20

@@ -244,9 +244,14 @@ def test_executor_heap_bytes_parses_spark_memory_grammar():
     assert _executor_heap_bytes(_Stub("1024kb")) == 1 << 20
     assert _executor_heap_bytes(_Stub("2t")) == 2 << 40
     assert _executor_heap_bytes(_Stub("2tb")) == 2 << 40
+    assert _executor_heap_bytes(_Stub("1p")) == 1 << 50
+    assert _executor_heap_bytes(_Stub("1pb")) == 1 << 50
     assert _executor_heap_bytes(_Stub("123b")) == 123
     assert _executor_heap_bytes(_Stub(" 8G ")) == 8 << 30  # case/space
-    assert _executor_heap_bytes(_Stub("1.5g")) == int(1.5 * (1 << 30))
+    # fractional values are NOT in Spark's byteStringAsMb grammar (Spark
+    # throws on "1.5g"); parse failure falls through to the JVM probe ->
+    # safe default, matching the fail-safe direction
+    assert _executor_heap_bytes(_Stub("1.5g")) == 8 << 30
     # unit-less = MiB (Spark byteStringAsMb), NOT bytes
     assert _executor_heap_bytes(_Stub("8192")) == 8192 << 20
     # unparseable: fall through to the (absent) JVM probe -> safe default,

@@ -472,3 +472,38 @@ def test_blocked_index_and_cumsum_parity_property(spark, rows, nb):
     )
     # v is integer-valued (floats of ints) -> cumsum parity is EXACT
     assert got == want
+
+
+def test_order_blocked_int64_span_overflow_falls_back(spark):
+    """An order column spanning more than the int64 range must NOT take the
+    equi-width numeric block path: the executor-side (o0 - lo) runs in
+    non-ANSI long arithmetic and wraps silently, producing non-monotone
+    block ids and a wrong stitch order. The guard falls back to
+    repartitionByRange; block ids stay monotone in the order column and
+    the blocked lag stays value-identical to the window."""
+    from pyspark.sql import Window
+
+    from ffn_polars_spark.core import _order_blocked, blocked_keyed_lag
+
+    lo, hi = -(1 << 63), (1 << 63) - 1
+    rows = [("a", lo, 1.0), ("a", -5, 2.0), ("a", 5, 3.0), ("a", hi, 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+
+    ob = _order_blocked(df, ["k"], ["ts"], num_blocks=4)
+    blks = [r["__blk"] for r in ob.orderBy("ts").collect()]
+    assert blks == sorted(blks), blks  # monotone in the order column
+
+    w = Window.partitionBy("k").orderBy("ts")
+    want = [
+        (r["ts"], r["lv"])
+        for r in df.select("ts", F.lag("v").over(w).alias("lv"))
+        .orderBy("ts")
+        .collect()
+    ]
+    got = [
+        (r["ts"], r["lv"])
+        for r in blocked_keyed_lag(df, ["k"], ["ts"], {"lv": "v"}, num_blocks=4)
+        .orderBy("ts")
+        .collect()
+    ]
+    assert got == want

@@ -158,3 +158,20 @@ def test_use_blocked_sequence_plan_no_probe_below_threshold(
     assert sm.use_blocked_sequence_plan(df, ["k"], "blocked") is True
     assert sm.use_blocked_sequence_plan(df, ["k"], "window") is False
     assert sm.use_blocked_sequence_plan(df, [], "blocked") is False
+
+
+def test_use_blocked_sequence_plan_streaming_blocked_raises(spark):
+    """Forcing seq_parallelism='blocked' on a streaming frame must raise a
+    clear ValueError up front — _order_blocked's bounds aggregate and
+    repartition would otherwise fail deep inside the plan with an opaque
+    streaming-unsupported error."""
+    import pytest as _pytest
+
+    import ffn_polars_spark.operators._scanmeta as sm
+
+    sdf = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="batch-only"):
+        sm.use_blocked_sequence_plan(sdf, ["value"], "blocked")
+    # auto/window stay the safe no-op on streaming frames
+    assert sm.use_blocked_sequence_plan(sdf, ["value"], "auto") is False
+    assert sm.use_blocked_sequence_plan(sdf, ["value"], "window") is False

@@ -85,6 +85,7 @@ def tick_bars(
     by: Optional[list] = None,
     ticks_per_bar: int = 100,
     seq_parallelism: str = "auto",
+    rows_hint: Optional[int] = None,
 ) -> DataFrame:
     """Bars of exactly ``ticks_per_bar`` consecutive ticks per group.
 
@@ -95,7 +96,9 @@ def tick_bars(
     by = list(by or [])
     from ffn_polars_spark.operators._scanmeta import use_blocked_sequence_plan
 
-    if by and use_blocked_sequence_plan(df, by, seq_parallelism):
+    if by and use_blocked_sequence_plan(
+        df, by, seq_parallelism, rows_hint=rows_hint
+    ):
         from ffn_polars_spark.core import blocked_keyed_index
 
         pre = blocked_keyed_index(df, by, [ts], out="__rn").withColumn(
@@ -118,6 +121,7 @@ def volume_bars(
     by: Optional[list] = None,
     volume_per_bar: float = 10_000.0,
     seq_parallelism: str = "auto",
+    rows_hint: Optional[int] = None,
 ) -> DataFrame:
     """Bars that close when cumulative volume crosses ``volume_per_bar``.
 
@@ -136,21 +140,23 @@ def volume_bars(
     the sequential window (an inherent epsilon at bar boundaries).
     """
     by = list(by or [])
-    pre = _cum_minus_self(df, ts, volume, by, seq_parallelism, "volume_bars")
+    pre = _cum_minus_self(df, ts, volume, by, seq_parallelism, "volume_bars", rows_hint)
     pre = pre.withColumn(
         "bar_id", (F.col("__cumx") / F.lit(float(volume_per_bar))).cast("long")
     ).drop("__cumx")
     return pre.groupBy(*(by + ["bar_id"])).agg(*_ohlcv_aggs(price, volume, ts))
 
 
-def _cum_minus_self(df, ts, val_col, by, seq_parallelism, op):
+def _cum_minus_self(df, ts, val_col, by, seq_parallelism, op, rows_hint=None):
     """``cumsum(val) - val`` per key in ``ts`` order (the open-boundary
     running total the threshold-bar family keys on) as ``__cumx``, routed
     through the blocked cumsum past the key-parallelism crossover."""
     v = to_col(val_col) if isinstance(val_col, str) else val_col
     from ffn_polars_spark.operators._scanmeta import use_blocked_sequence_plan
 
-    if by and use_blocked_sequence_plan(df, by, seq_parallelism):
+    if by and use_blocked_sequence_plan(
+        df, by, seq_parallelism, rows_hint=rows_hint
+    ):
         from ffn_polars_spark.core import blocked_keyed_cumsum
 
         staged = df.withColumn("__v", v)
@@ -172,13 +178,14 @@ def dollar_bars(
     by: Optional[list] = None,
     dollars_per_bar: float = 1_000_000.0,
     seq_parallelism: str = "auto",
+    rows_hint: Optional[int] = None,
 ) -> DataFrame:
     """Bars that close when cumulative traded value crosses
     ``dollars_per_bar``. Same ``seq_parallelism`` routing (and float
     accumulation caveat) as :func:`volume_bars`."""
     by = list(by or [])
     dv = to_col(price) * to_col(volume)
-    pre = _cum_minus_self(df, ts, dv, by, seq_parallelism, "dollar_bars")
+    pre = _cum_minus_self(df, ts, dv, by, seq_parallelism, "dollar_bars", rows_hint)
     pre = pre.withColumn(
         "bar_id", (F.col("__cumx") / F.lit(float(dollars_per_bar))).cast("long")
     ).drop("__cumx")

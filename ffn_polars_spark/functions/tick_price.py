@@ -67,6 +67,7 @@ def calc_realized_volatility(
     order_by: ColumnOrName,
     by: Optional[list] = None,
     seq_parallelism: str = "auto",
+    rows_hint: Optional[int] = None,
 ) -> DataFrame:
     """Realized volatility (non-annualized): ``sqrt(Σ (log p_t − log p_{t−1})²)``
     per group, with the lag restarting at group boundaries (the contract
@@ -101,7 +102,9 @@ def calc_realized_volatility(
     if by and isinstance(order_by, str):
         from ffn_polars_spark.operators._scanmeta import use_blocked_sequence_plan
 
-        use_blocked = use_blocked_sequence_plan(df, by, seq_parallelism)
+        use_blocked = use_blocked_sequence_plan(
+            df, by, seq_parallelism, rows_hint=rows_hint
+        )
     if use_blocked:
         from ffn_polars_spark.core import blocked_keyed_lag
 
@@ -128,6 +131,7 @@ def autocorr(
     order_by: Union[str, list] = "ts_ns",
     max_lag: int = 3,
     seq_parallelism: str = "auto",
+    rows_hint: Optional[int] = None,
 ) -> DataFrame:
     """Serial autocorrelation of a per-key series at lags ``1..max_lag``:
     ``corr(x_t, x_{t-k})`` — the return-predictability / microstructure-
@@ -166,7 +170,9 @@ def autocorr(
 
     from ffn_polars_spark.operators._scanmeta import use_blocked_sequence_plan
 
-    if gcols and use_blocked_sequence_plan(df, gcols, seq_parallelism):
+    if gcols and use_blocked_sequence_plan(
+        df, gcols, seq_parallelism, rows_hint=rows_hint
+    ):
         from ffn_polars_spark.core import blocked_keyed_index
 
         base = df.select(*gcols, *ocols, x.alias("__x"))

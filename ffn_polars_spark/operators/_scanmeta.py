@@ -240,6 +240,7 @@ def use_blocked_sequence_plan(
     keys,
     seq_parallelism: str = "auto",
     rows_per_key: int = 50_000_000,
+    rows_hint=None,
 ):
     """Shared policy for the per-key sequence operators (realized
     volatility, autocorrelation, ...): route the lag through the blocked
@@ -249,7 +250,15 @@ def use_blocked_sequence_plan(
     (sf100 tape, local[32], hot cache: the plain window wins until ~20M
     rows/key and loses 7x at 100M rows/key). ``seq_parallelism`` is the
     operator's knob: "auto" applies the policy, "blocked"/"window" force a
-    plan."""
+    plan.
+
+    ``rows_hint``: caller-supplied total row count, used ONLY when the
+    frame is not a bare parquet scan (footer counts return None there —
+    joins, caches, in-memory frames). Parquet footers win when available
+    (they are measured truth; a stale hint on a bare scan is ignored).
+    Without either, non-parquet frames keep the window plan — the safe
+    direction, but a 100M-rows/key derived frame then needs this hint or
+    ``seq_parallelism="blocked"`` to escape the key-parallelism floor."""
     if not keys:
         return False
     if seq_parallelism == "blocked":
@@ -264,6 +273,8 @@ def use_blocked_sequence_plan(
     if seq_parallelism != "auto" or df.isStreaming:
         return False
     n = bare_scan_row_count(df, allow_reducing=True)
+    if n is None and rows_hint is not None:
+        n = int(rows_hint)
     if n is None or n < rows_per_key:
         return False
     cores = df.sparkSession.sparkContext.defaultParallelism

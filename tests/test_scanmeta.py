@@ -175,3 +175,70 @@ def test_use_blocked_sequence_plan_streaming_blocked_raises(spark):
     # auto/window stay the safe no-op on streaming frames
     assert sm.use_blocked_sequence_plan(sdf, ["value"], "auto") is False
     assert sm.use_blocked_sequence_plan(sdf, ["value"], "window") is False
+
+
+def test_use_blocked_sequence_plan_rows_hint_for_derived_frames(
+    spark, tmp_path
+):
+    """Non-parquet-backed frames (joins, in-memory, caches) have no footer
+    row count, so the auto gate always kept the window plan even at 100M
+    rows/key. rows_hint supplies the caller's count for exactly that case;
+    parquet footers still win when available (measured truth beats a stale
+    hint)."""
+    import ffn_polars_spark.operators._scanmeta as sm
+
+    mem = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(40)], "k string, ts long, v double"
+    )
+    # no hint: unknown row count -> window plan (the historical behavior)
+    assert sm.use_blocked_sequence_plan(mem, ["k"], "auto") is False
+    # a 100M-rows/key hint routes blocked without seq_parallelism="blocked"
+    assert (
+        sm.use_blocked_sequence_plan(mem, ["k"], "auto", rows_hint=100_000_000)
+        is True
+    )
+    # below the crossover the hint keeps the window plan
+    assert (
+        sm.use_blocked_sequence_plan(mem, ["k"], "auto", rows_hint=1_000_000)
+        is False
+    )
+    # footer counts beat the hint on a bare parquet scan: a tiny file with
+    # an (absurd) huge hint must NOT route blocked
+    p = str(tmp_path / "tiny.parquet")
+    mem.write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    assert (
+        sm.use_blocked_sequence_plan(scan, ["k"], "auto", rows_hint=10**9)
+        is False
+    )
+
+
+def test_realized_volatility_rows_hint_blocked_parity(spark):
+    """End-to-end: the rows_hint route produces the same realized vol as
+    the window plan on a derived frame (values equal within float
+    association tolerance)."""
+    import math
+
+    from ffn_polars_spark.functions.tick_price import calc_realized_volatility
+
+    rows = [("s", i, 100.0 + (i % 7) - 3 + 0.25 * (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, ts long, price double")
+    win = {
+        r["k"]: r["price_realized_volatility"]
+        for r in calc_realized_volatility(
+            df, "price", order_by="ts", by=["k"], seq_parallelism="window"
+        ).collect()
+    }
+    blk = {
+        r["k"]: r["price_realized_volatility"]
+        for r in calc_realized_volatility(
+            df,
+            "price",
+            order_by="ts",
+            by=["k"],
+            rows_hint=10_000_000_000,
+        ).collect()
+    }
+    assert win.keys() == blk.keys()
+    for k in win:
+        assert math.isclose(win[k], blk[k], rel_tol=1e-9), (k, win[k], blk[k])

@@ -126,22 +126,28 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
     return df
 
 
-def _pinned(df: DataFrame) -> DataFrame:
+def _pinned(df: DataFrame, eager: bool = True) -> DataFrame:
     """Persist a small derived frame that several plan branches re-read
     (signatures, shingle arrays): Spark reuses identical *exchanges* but not
     arbitrary subtrees, so self-joins and verification would otherwise
     recompute the full derivation per branch. MEMORY_AND_DISK keeps the 100 TB
     path safe (spills instead of OOM).
 
-    Materialized eagerly: a lazy persist lets the two sides of the downstream
-    self-join race to fill the cache — both branches then run the full
-    (Arrow-kernel) derivation concurrently, which measured bimodally between
-    1x and 6x the eager wall-clock. count() costs one extra pass over the
-    already-small pinned frame and makes the plan deterministic.
+    Materialized eagerly by default: a lazy persist lets the two sides of a
+    downstream self-join race to fill the cache — both branches then run the
+    full (Arrow-kernel) derivation concurrently, which measured bimodally
+    between 1x and 6x the eager wall-clock. count() costs one extra pass over
+    the already-small pinned frame and makes the plan deterministic.
+
+    ``eager=False`` is for pins whose FIRST reader is itself a single
+    eagerly-materialized job (e.g. minhash's shingle arrays, read first by
+    the bucket pin's own count): that one job fills the cache serially, so
+    the race cannot happen and the extra count stage is pure overhead.
 
     Tracked in ``_ACTIVE_PINS`` for :func:`release_pins`."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
+    if eager:
+        df.count()
     _ACTIVE_PINS.append(df)
     return df
 
@@ -609,10 +615,16 @@ def dedup_minhash_lsh(
     # verify intersects them, so the shingle STRINGS never need to leave
     # the projection — pinning them stored corpus-width text (~7x the
     # memory; the sf100 pin GC-thrashed an 8 GB heap) for no consumer.
+    # eager=False: the bucket pin's count below is this frame's first reader
+    # and is itself a single job — it fills this cache serially on the way
+    # to the band hashes, so the eager count's extra stage (measured 5.0 s
+    # of task-time at sf0.1, the old slowest-headline fat) buys nothing.
+    # The verify joins read the then-warm cache.
     arrays = _pinned(
         _doc_shingle_arrays(df, text_col, id_col, n, hash_fn).select(
             "__id", "__h64"
-        )
+        ),
+        eager=False,
     )
     sig = _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
 

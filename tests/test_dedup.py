@@ -258,3 +258,32 @@ def test_executor_heap_bytes_parses_spark_memory_grammar():
     # never a silent wrong number
     assert _executor_heap_bytes(_Stub("lots")) == 8 << 30
     assert _executor_heap_bytes(_Stub(None)) == 8 << 30
+
+
+def test_minhash_single_guard_count_action(spark, corpus, monkeypatch):
+    """Building dedup_minhash_lsh's plan must trigger exactly ONE eager
+    materialization action (the bucket pin's count). The shingle-array pin
+    is lazy — its cache fills serially inside that same action, so a second
+    count pass over the corpus-sized derivation (the old slowest-headline
+    fat: ~5 s of task-time at sf0.1) is a regression."""
+    # Spark 4 splits the API: the runtime frames are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides count()
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from ffn_polars_spark.operators.dedup import dedup_minhash_lsh, release_pins
+
+    release_pins()
+    calls = []
+    orig = DataFrame.count
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    out = dedup_minhash_lsh(corpus, threshold=0.5, hash_fn="md5")
+    assert len(calls) == 1, f"expected 1 construction count, got {len(calls)}"
+    monkeypatch.undo()
+    # the plan still executes correctly from the lazily-pinned arrays
+    assert out.count() > 0
+    release_pins()

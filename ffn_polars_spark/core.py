@@ -253,12 +253,24 @@ def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
         .collect()
     )
     by_pid = {r["__pid"]: r for r in totals}
+    # offset per partition = running sum of PREVIOUS partition totals, kept
+    # NULLABLE: None until some earlier partition held a non-null value.
+    # The window's running sum skips NULLs and is NULL only while no
+    # non-null value has occurred, so a row whose partition-local running
+    # sum is NULL (all-NULL prefix in its range partition) must CARRY a
+    # non-null offset forward, not null the result — and must stay NULL
+    # when every earlier partition was all-NULL too (hypothesis-found,
+    # the same seam contract as blocked_keyed_cumsum).
     offsets = {k: {} for k in vals}
     acc = {k: 0.0 for k in vals}
+    seen = {k: False for k in vals}
     for pid in sorted(by_pid):
         for k in vals:
-            offsets[k][pid] = acc[k]
-            acc[k] += by_pid[pid][k] or 0
+            offsets[k][pid] = acc[k] if seen[k] else None
+            tot = by_pid[pid][k]
+            if tot is not None:
+                seen[k] = True
+                acc[k] += tot
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order)
@@ -267,18 +279,25 @@ def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
     out = parts
     for k, v in vals.items():
         if offsets[k]:
-            off = F.coalesce(
-                F.element_at(
-                    F.create_map(
-                        *[F.lit(x) for kv in offsets[k].items() for x in kv]
-                    ),
-                    F.col("__pid"),
+            off = F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x).cast("double") if i % 2 else F.lit(x)
+                        for kv in offsets[k].items()
+                        for i, x in enumerate(kv)
+                    ]
                 ),
-                F.lit(0),
+                F.col("__pid"),
             )
         else:
-            off = F.lit(0)
-        out = out.withColumn(k, F.sum(v).over(w) + off)
+            off = F.lit(None).cast("double")
+        loc = F.sum(v).over(w)
+        out = out.withColumn(
+            k,
+            F.when(loc.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(loc, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
+        )
     return out.drop("__pid")
 
 

@@ -136,8 +136,15 @@ def volume_bars(
     local[32], min-of-runs): 30.1 s window vs 37.8 s blocked at 20M
     rows/key; 101.1 s window vs 24.4 s blocked (4.1x) at 100M rows/key —
     the shared gate's third validated crossover. Exact for integer-valued
-    volumes; float volumes accumulate with a different association than
-    the sequential window (an inherent epsilon at bar boundaries).
+    and DECIMAL volumes; float volumes accumulate with a different
+    association than the sequential window — a bar assignment can flip
+    only when the running total sits within ~1 ulp of an exact bar
+    boundary, never in the interior (pinned by
+    tests/test_properties.py::test_volume_bars_blocked_flips_only_at_float_boundaries).
+    Two exact routes when that matters: cast the volume to ``decimal``
+    (money-denominated data usually is — decimal sums are exact in any
+    association order, plan-invariant by test), or force
+    ``seq_parallelism="window"`` for scale-independent reproducibility.
     """
     by = list(by or [])
     pre = _cum_minus_self(df, ts, volume, by, seq_parallelism, "volume_bars", rows_hint)
@@ -182,7 +189,9 @@ def dollar_bars(
 ) -> DataFrame:
     """Bars that close when cumulative traded value crosses
     ``dollars_per_bar``. Same ``seq_parallelism`` routing (and float
-    accumulation caveat) as :func:`volume_bars`."""
+    accumulation caveat) as :func:`volume_bars`; for money-denominated
+    exactness cast ``price``/``volume`` so their product is a decimal —
+    the running dollar total then accumulates exactly under either plan."""
     by = list(by or [])
     dv = to_col(price) * to_col(volume)
     pre = _cum_minus_self(df, ts, dv, by, seq_parallelism, "dollar_bars", rows_hint)

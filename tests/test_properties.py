@@ -507,3 +507,157 @@ def test_order_blocked_int64_span_overflow_falls_back(spark):
         .collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Threshold-bar float epsilon (volume_bars/dollar_bars): the blocked cumsum's
+# association order can differ from the sequential window by ~1 ulp. The
+# documented contract is that a bar assignment can flip ONLY when the running
+# total sits exactly at (within float epsilon of) a bar boundary — never in
+# the interior — and that integer/decimal volumes are exact at any block
+# count.
+# ---------------------------------------------------------------------------
+
+float_vols = st.lists(
+    st.floats(min_value=0.0078125, max_value=1024.0, allow_nan=False, width=32),
+    min_size=3,
+    max_size=80,
+)
+
+
+@given(vols=float_vols, nb=blockcounts)
+@SET
+def test_volume_bars_blocked_flips_only_at_float_boundaries(spark, vols, nb):
+    from ffn_polars_spark.core import blocked_keyed_cumsum
+
+    thresh = 50.0
+    rows = [("k", i, float(v)) for i, v in enumerate(vols)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+
+    # sequential (window-plan-equivalent) reference, computed exactly as
+    # IEEE-754 left-to-right accumulation in Python doubles
+    cum, ref = 0.0, {}
+    for i, v in enumerate(vols):
+        ref[i] = cum  # open-boundary running total (cumsum - self)
+        cum += float(v)
+
+    out = blocked_keyed_cumsum(df, ["k"], ["ts"], {"cv": "v"}, num_blocks=nb)
+    got = {
+        r["ts"]: r["cv"] - float(vols[r["ts"]]) for r in out.collect()
+    }
+    total = sum(abs(float(v)) for v in vols) or 1.0
+    flips = 0
+    for i in range(len(vols)):
+        # the association difference is bounded: a handful of ulps of the
+        # running magnitude, never a material divergence
+        assert abs(got[i] - ref[i]) <= 1e-9 * total, (i, got[i], ref[i])
+        bar_ref = math.floor(ref[i] / thresh)
+        bar_got = math.floor(got[i] / thresh)
+        if bar_got != bar_ref:
+            flips += 1
+            # a flip is legal ONLY at a float boundary: the reference total
+            # must sit within epsilon of an exact bar multiple
+            dist = abs(ref[i] / thresh - round(ref[i] / thresh))
+            assert dist <= 1e-9, (
+                f"bar flip away from a boundary at row {i}: "
+                f"ref={ref[i]} got={got[i]} dist={dist}"
+            )
+    # interior flips are impossible; boundary flips are rare by measure
+    assert flips <= len(vols)
+
+
+int_vols = st.lists(
+    st.integers(min_value=1, max_value=10_000), min_size=3, max_size=80
+)
+
+
+@given(vols=int_vols, nb=blockcounts)
+@SET
+def test_volume_bars_blocked_exact_for_integer_volumes(spark, vols, nb):
+    """Integer-valued volumes accumulate exactly in doubles (every partial
+    sum here is < 2^53), so the blocked route's bar assignment is
+    bit-identical to the sequential window at ANY block count."""
+    from ffn_polars_spark.core import blocked_keyed_cumsum
+
+    rows = [("k", i, float(v)) for i, v in enumerate(vols)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    cum, ref = 0.0, {}
+    for i, v in enumerate(vols):
+        ref[i] = cum
+        cum += float(v)
+    out = blocked_keyed_cumsum(df, ["k"], ["ts"], {"cv": "v"}, num_blocks=nb)
+    for r in out.collect():
+        assert r["cv"] - float(vols[r["ts"]]) == ref[r["ts"]]
+
+
+def test_dollar_bars_decimal_route_plan_invariant(spark):
+    """The documented exact route for money-denominated bars: cast the
+    volume (or price*volume) to DECIMAL before the bars call and the
+    window and blocked plans produce IDENTICAL bars — decimal sums are
+    exact in any association order, so the float boundary caveat
+    disappears."""
+    from decimal import Decimal
+
+    from ffn_polars_spark.functions.tick_bars import volume_bars
+
+    rows = [
+        ("k", i, 100.0 + i, Decimal(str((i * 7919) % 1000 + 1)) / 100)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, price double, v decimal(12,2)"
+    )
+    win = sorted(
+        map(tuple, volume_bars(
+            df, "ts", "price", "v", by=["k"], volume_per_bar=37.0,
+            seq_parallelism="window",
+        ).collect())
+    )
+    blk = sorted(
+        map(tuple, volume_bars(
+            df, "ts", "price", "v", by=["k"], volume_per_bar=37.0,
+            seq_parallelism="blocked",
+        ).collect())
+    )
+    assert len(win) == len(blk) > 5  # non-vacuous: several bars closed
+    for a, b in zip(win, blk):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                # double-typed derived aggregates (vwap) may differ by a
+                # ulp with aggregation order — that is partial-aggregation
+                # association, not bar assignment
+                assert y == pytest.approx(x, rel=1e-12), (a, b)
+            else:
+                # bar ids, OHLC arg-extremes, counts, and the DECIMAL
+                # volume sums are exactly plan-invariant
+                assert x == y, (a, b)
+
+
+@given(rows=tapes)
+@SET
+def test_ranged_cumsum_parity_property(spark, rows):
+    """ranged_cumsum (global-order running sum without a single-partition
+    window) must equal the plain unpartitioned window for any tape —
+    including NULL values and NULL runs at partition seams. Values are
+    integer-valued floats, so parity is exact."""
+    from pyspark.sql import Window
+
+    from ffn_polars_spark.core import ranged_cumsum
+
+    # global ordering: (ts, k) is unique after the per-key dedup
+    df = _tape_frame(spark, rows)
+    w = (
+        Window.orderBy("ts", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = sorted(
+        (r["k"], r["ts"], r["cv"])
+        for r in df.select("k", "ts", F.sum("v").over(w).alias("cv")).collect()
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["cv"])
+        for r in ranged_cumsum(df, ["ts", "k"], {"cv": F.col("v")})
+        .select("k", "ts", "cv")
+        .collect()
+    )
+    assert got == want

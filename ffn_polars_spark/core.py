@@ -222,7 +222,9 @@ def blocked_cumsum(
     )
 
 
-def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
+def ranged_cumsum(
+    df, order_cols, vals: dict, persist: bool = True, return_totals: bool = False
+):
     """Cumulative sums over an arbitrary global ordering WITHOUT a
     single-partition window — the general-ordering sibling of
     :func:`blocked_cumsum` (which wants a dense monotone long id).
@@ -237,7 +239,10 @@ def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
     ``vals`` maps output column name -> input Column to sum. The input is
     persisted by default so the totals pass and the output share one
     materialization. Returns the sorted frame plus the cumulative columns
-    (internal ``__pid`` dropped).
+    (internal ``__pid`` dropped); with ``return_totals=True`` returns
+    ``(frame, {out_name: grand_total})`` — the grand totals fall out of
+    the offsets pass for free, saving callers that need them (Pareto
+    shares, ECDF normalizers) a second full aggregate over the output.
     """
     order = [to_col(c) if isinstance(c, str) else c for c in order_cols]
     parts = (
@@ -298,7 +303,10 @@ def ranged_cumsum(df, order_cols, vals: dict, persist: bool = True):
                 F.coalesce(loc, F.lit(0)) + F.coalesce(off, F.lit(0))
             ),
         )
-    return out.drop("__pid")
+    out = out.drop("__pid")
+    if return_totals:
+        return out, {k: (acc[k] if seen[k] else None) for k in vals}
+    return out
 
 
 def _order_blocked(df, keys, order, num_blocks=None):

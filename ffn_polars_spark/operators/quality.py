@@ -682,12 +682,17 @@ def abc_analysis(
         F.sum(F.col(value_col).cast("double")).alias("__v")
     )
     per = per.withColumn("__negv", -F.col("__v"))
-    cum = ranged_cumsum(per, ["__negv", "__k"], {"__cum": F.col("__v")})
-    tot = cum.agg(F.sum("__v").alias("__tot"))
-    j = cum.crossJoin(F.broadcast(tot))
-    share = F.col("__v") / F.col("__tot")
-    cum_share = F.col("__cum") / F.col("__tot")
-    prev_share = (F.col("__cum") - F.col("__v")) / F.col("__tot")
+    cum, totals = ranged_cumsum(
+        per, ["__negv", "__k"], {"__cum": F.col("__v")}, return_totals=True
+    )
+    # grand total falls out of the cumsum's own offsets pass — a second
+    # full aggregate over `cum` plus a crossJoin(broadcast) was the
+    # plan audit's one avoidable exchange pair here
+    tot = F.lit(totals["__cum"]).cast("double")
+    j = cum
+    share = F.col("__v") / tot
+    cum_share = F.col("__cum") / tot
+    prev_share = (F.col("__cum") - F.col("__v")) / tot
     cls = (
         F.when(prev_share < F.lit(float(t_a)), "A")
         .when(prev_share < F.lit(float(t_b)), "B")

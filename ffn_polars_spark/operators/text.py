@@ -967,14 +967,21 @@ def bigram_logprob(
     pairs = doc_bigram_pairs(df, text_col, id_col)
     bc = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("__c"))
     left = bc.groupBy("prev").agg(F.sum("__c").alias("__cl"))
-    scored = pairs.join(bc, ["prev", "token"]).join(left, "prev")
+    # join the two VOCAB-sized count tables first into one (prev, token)
+    # logprob lookup, then join the corpus-sized pairs frame ONCE: the old
+    # pairs⋈bc⋈left chain reshuffled the big pairs frame a second time on
+    # `prev` (the plan audit's one avoidable data-sized exchange here).
+    # log(c/cl) per DISTINCT bigram instead of per occurrence is the same
+    # value and strictly less work.
+    lookup = bc.join(left, "prev").select(
+        "prev", "token", F.log(F.col("__c") / F.col("__cl")).alias("__lp")
+    )
+    scored = pairs.join(lookup, ["prev", "token"])
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                -F.avg(F.log(F.col("__c") / F.col("__cl"))), 6
-            ).alias("neg_logprob"),
+            F.round(-F.avg(F.col("__lp")), 6).alias("neg_logprob"),
         )
     )
 

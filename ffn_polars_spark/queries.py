@@ -11086,6 +11086,18 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         |         touched (text/dedup/similarity/search)|
 #         | [48..49] volume_bars + dollar_bars (r10 code  | re-verify after
 #         |         change: shared _cum_minus_self router)| rewrite
+#   r11   | [0..31] ALL 32 r4-era stalest green rows    | staleness
+#         |         (rotation_report order): prob-mom,    | refresh — no
+#         |         asof family, TPC-H joins, winnow/     | never-checked
+#         |         split/shard/multimodal/session        | or stale-FAIL
+#         |         families                              | entries remain
+#         | [32..43] entries whose CODE changed in r11    | re-verify after
+#         |         (registry rebind, lazy minhash pin,   | rewrite
+#         |         abc/bigram exchange cuts, rows_hint   |
+#         |         threading, ranged_cumsum NULL-carry   |
+#         |         fix representatives)                  |
+#         | [44..49] the 6 stalest r5 rows (EOD family)   | refresh +
+#         |                                               | canaries
 #
 # Invariants: names absent from _PRIORITY keep their original relative order
 # at the back; names in _PRIORITY but not registered are ignored — the list
@@ -11093,77 +11105,76 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- [0..38] ALL remaining never-driver-checked entries (39 = the 38
-    # --- riders from the r9 schedule, in the same rotation_report order,
-    # --- + semantic_dedup_lsh, the entry added in r10 for the LSH pair
-    # --- generator). After this round every catalog entry has a driver row.
-    "amihud_illiquidity",
-    "cap_per_group",
-    "scrub_spans",
-    "weighted_sample",
-    "feature_scale",
-    "rolling_median",
-    "autocorr",
-    "calc_var_cvar",
-    "label_stats",
-    "time_split",
-    "kfold_assign",
-    "rolling_beta",
-    "winsorize",
-    "detect_gaps",
-    "partitioned_roundtrip",
-    "jsonl_roundtrip",
-    "bigram_logprob",
-    "transition_matrix",
-    "pivot_wide",
-    "keyword_search",
-    "inverted_index",
-    "quantile_bin",
-    "cohort_retention",
-    "funnel_stages",
-    "embedding_normalize",
-    "chunk_documents",
-    "corr_matrix",
-    "robust_outliers",
-    "corpus_rollup",
-    "unigram_logprob",
-    "monthly_returns",
-    "drawdown_details",
-    "ewm_volatility",
-    "column_profile",
-    "value_histogram",
-    "group_quantiles",
-    "vocab_topk",
-    "bottomk_sample",
-    # new in r10: the LSH-path semantic dedup twin (never checked by
-    # definition; the round's one post-r9 weak spot goes under the gate)
+    # --- r11 window: with zero never-checked and zero stale-FAIL entries
+    # --- (all 302 have green driver rows after r10), the window's job is
+    # --- (a) refreshing the STALEST green rows and (b) re-verifying
+    # --- everything r11's code changes touched.
+    # --- [0..31] ALL 32 entries whose latest driver row is r4-era — the
+    # --- staleness tail from rotation_report (order preserved):
+    "calc_prob_mom",
+    "time_weighted_spread",
+    "infer_nperiods",
+    "infer_freq",
+    "asof_join_backward",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "asof_join_interp",
+    "revenue_by_nation",
+    "top_customers",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "dedup_canonical",
+    "text_token_count",
+    "interval_join",
+    "rollup_bars",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "deterministic_split",
+    "group_split",
+    "shard_by_tokens",
+    "pii_scrub",
+    "corpus_stats",
+    "stratified_sample",
+    "domain_mix",
+    "decontaminate",
+    "repetition_stats",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "session_stats",
+    # --- [32..43] entries whose EXECUTED CODE changed in r11, re-checked
+    # --- even though green:
+    # ---   semantic_dedup_lsh: the @register rebind (ADVICE high) — the
+    # ---     alias now resolves to the operator again;
+    # ---   dedup_minhash_lsh: lazy shingle-array pin (one guard count);
+    # ---   abc_analysis: grand total from ranged_cumsum's offsets pass;
+    # ---   bigram_logprob: vocab-lookup join shape (one fewer data-sized
+    # ---     exchange);
+    # ---   volume/dollar/tick bars + realized vol + autocorr: rows_hint
+    # ---     threading through the blocked-plan gate;
+    # ---   wasserstein_distance/scrub_spans/p_adjust_bh: representatives
+    # ---     of the ranged_cumsum NULL-carry fix (offsets stay nullable).
     "semantic_dedup_lsh",
-    # --- [39] driver-green entry whose CODE changed in r10:
-    # --- semantic_dedup's query body was refactored into the shared
-    # --- _embeddings_with_scaled_copies helper (output identical, but
-    # --- executed code changed -> re-check slot)
-    "semantic_dedup",
-    # --- [40..49] canaries from driver-green blocks: regression tripwires
-    # --- spanning every headline family, weighted toward operators whose
-    # --- UPSTREAM prefix was touched by the r10 _scanmeta hardening
-    # --- (exchange-stop + streaming passthrough change which plans get the
-    # --- conditional spread: text/dedup/similarity/search scans)
-    "text_quality",
-    "clean_corpus",
-    "tfidf_topterms",
-    "bm25_search",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk",
-    "calc_realized_volatility",
-    # --- volume_bars/dollar_bars: r10 code change (the threshold-bar
-    # --- cumsum moved into the shared _cum_minus_self router for the
-    # --- blocked-cumsum path; sf0.01 executes the identical window plan,
-    # --- but changed code takes driver slots). Their slots come from the
-    # --- to_returns/pricing_summary canaries, which the driver bench
-    # --- re-exercises every round anyway (r9 precedent).
+    "abc_analysis",
+    "bigram_logprob",
     "volume_bars",
     "dollar_bars",
+    "tick_bars",
+    "calc_realized_volatility",
+    "autocorr",
+    "wasserstein_distance",
+    "scrub_spans",
+    "p_adjust_bh",
+    # --- [44..49] the 6 stalest r5-era rows, doubling as green-block
+    # --- canaries (EOD family regression tripwire):
+    "to_log_returns",
+    "to_excess_returns",
+    "to_price_index",
+    "rebase",
+    "to_drawdown_series",
+    "deannualize",
     # ======== driver window (50) ends here ========
     # --- driver-green blocks keep their original relative order at the
     # back (invariant above); no need to enumerate them here

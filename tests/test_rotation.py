@@ -29,7 +29,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 # Evidence files the current _PRIORITY ordering was computed from.
-ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 10)]
+ROTATION_BUILT_FOR_EVIDENCE = [
+    f"CORRECTNESS_r{i:02d}.json" for i in range(1, 11)
+]
 
 # Window entries that are NOT justified by never-checked/stale-FAIL status.
 # r10 canaries: with the never-checked backlog down to 39 entries there is
@@ -40,24 +42,34 @@ ROTATION_BUILT_FOR_EVIDENCE = [f"CORRECTNESS_r0{i}.json" for i in range(1, 10)]
 # text/dedup/similarity/search scan chains). to_returns/pricing_summary
 # signal comes from the driver bench, which runs them every round (r9
 # precedent) — their slots went to the volume_bars/dollar_bars re-checks.
-CANARIES = {
-    "text_quality",
-    "clean_corpus",
-    "tfidf_topterms",
-    "bm25_search",
+# r11: with every catalog entry driver-green after r10, there is no
+# never-checked backlog to spend slots on — the window's non-code-changed
+# slots all go to STALENESS REFRESH (the oldest green rows), which double
+# as green-block canaries. No separately-declared canary set this round.
+CANARIES: set = set()
+# entries whose code changed in round 11 — re-verified even though green:
+# semantic_dedup_lsh (the @register alias rebind, ADVICE high),
+# dedup_minhash_lsh (lazy shingle-array pin), abc_analysis (grand total
+# from ranged_cumsum offsets), bigram_logprob (vocab-lookup join shape),
+# the five blocked-gate consumers (rows_hint threading), and three
+# representatives of the ranged_cumsum NULL-carry fix.
+CODE_CHANGED = {
+    "semantic_dedup_lsh",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk",
+    "abc_analysis",
+    "bigram_logprob",
+    "volume_bars",
+    "dollar_bars",
+    "tick_bars",
     "calc_realized_volatility",
+    "autocorr",
+    "wasserstein_distance",
+    "scrub_spans",
+    "p_adjust_bh",
 }
-# entries whose code changed in round 10 — re-verified even though green:
-# semantic_dedup's query body was refactored into the shared
-# _embeddings_with_scaled_copies helper (output identical; executed code
-# changed, so it takes a re-check slot). The new semantic_dedup_lsh entry
-# needs no slot here: it is never-driver-checked by definition.
-# volume_bars/dollar_bars: the r10 threshold-bar cumsum router
-# (_cum_minus_self) — identical sf0.01 plan, but changed executed code.
-CODE_CHANGED = {"semantic_dedup", "volume_bars", "dollar_bars"}
+# r11 staleness-refresh cutoff: every non-code-changed window entry must
+# have a last driver row at or below this round (the r4/r5 staleness tail).
+STALE_REFRESH_MAX_ROUND = 5
 
 
 def _evidence(files):
@@ -98,20 +110,29 @@ def test_priority_names_all_registered(catalog_order):
 
 
 def test_stale_and_never_green_block_leads(catalog_order):
-    """Positions 0..9 are entries in the worst evidence state — a stale
-    driver FAIL or never driver-checked at all (as of the evidence snapshot
-    the rotation was built from; with the all-green r7 evidence that means
-    never-checked)."""
+    """Positions 0..9 are entries in the worst evidence state: a stale
+    driver FAIL, never driver-checked — or, when neither exists (the r11
+    regime: all 302 entries green), the OLDEST green rows in the catalog
+    (their last driver round equals the catalog-wide minimum)."""
     checked, last = _evidence(ROTATION_BUILT_FOR_EVIDENCE)
     stale_fail = {n for n, (_, ok) in last.items() if not ok}
     never = set(catalog_order) - checked
     block = set(catalog_order[:10])
-    assert block <= (stale_fail | never), (
-        f"window front has driver-green entries: {block - (stale_fail | never)}"
-    )
-    assert stale_fail <= block, (
-        f"stale-FAIL entries outside positions 0..9: {stale_fail - block}"
-    )
+    if stale_fail or never:
+        assert block <= (stale_fail | never), (
+            f"window front has driver-green entries: "
+            f"{block - (stale_fail | never)}"
+        )
+        assert stale_fail <= block, (
+            f"stale-FAIL entries outside positions 0..9: {stale_fail - block}"
+        )
+    else:
+        oldest = min(rnd for rnd, _ in last.values())
+        not_oldest = {n for n in block if last[n][0] != oldest}
+        assert not_oldest == set(), (
+            f"window front entries newer than the staleness tail "
+            f"(r{oldest}): {not_oldest}"
+        )
 
 
 def test_window_front_is_justified(catalog_order):
@@ -121,7 +142,10 @@ def test_window_front_is_justified(catalog_order):
     checked, last = _evidence(ROTATION_BUILT_FOR_EVIDENCE)
     never = set(catalog_order) - checked
     stale_fail = {n for n, (_, ok) in last.items() if not ok}
-    allowed = never | stale_fail | CANARIES | CODE_CHANGED
+    stale_refresh = {
+        n for n, (rnd, _) in last.items() if rnd <= STALE_REFRESH_MAX_ROUND
+    }
+    allowed = never | stale_fail | CANARIES | CODE_CHANGED | stale_refresh
     window = catalog_order[:WINDOW]
     unjustified = [n for n in window if n not in allowed]
     assert unjustified == [], (

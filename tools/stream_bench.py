@@ -2,7 +2,13 @@
 streaming operators, on a rate source (no disk I/O in the loop).
 
 Usage:
-    python tools/stream_bench.py [duration_seconds] [rows_per_second]
+    python tools/stream_bench.py [duration_seconds] [rows_per_second] [n_tickers]
+
+``n_tickers`` (default 1000) scales the KEYED STATE a full decade at a
+time (1k -> 10k -> 100k keys) while the offered row rate stays fixed —
+the streaming analogue of the batch families' sf10 -> sf100 data decades:
+state per operator is keys x open-windows (bars), keys (vwap/topk), or
+rate x horizon (stream-stream joins, key-count independent).
 
 Drives two queries for `duration_seconds` (default 30) at `rows_per_second`
 offered load (default 500_000) on local[32]:
@@ -28,7 +34,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N_TICKERS = 1_000
+N_TICKERS = 1_000  # overridden by argv[3]
 
 
 def make_stream(spark, rows_per_second: int):
@@ -84,8 +90,11 @@ def drive(name: str, result_df, duration_s: float, output_mode: str = "update") 
 
 
 def main() -> None:
+    global N_TICKERS
     duration = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
     rps = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    if len(sys.argv) > 3:
+        N_TICKERS = int(sys.argv[3])
 
     from ffn_polars_spark.sources import get_spark
     from ffn_polars_spark.streaming import (

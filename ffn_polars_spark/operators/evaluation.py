@@ -423,9 +423,14 @@ def mutual_information(
     normalized variant ``MI / min(Hx, Hy)`` ∈ [0, 1].
 
     One broadcast stats join for the bin edges, one (keys, i, j) joint
-    aggregate (output bins² per group), marginals re-aggregated from the
-    joint frame — the table is scanned once. Rows with NULL in either
-    column are excluded. Returns ``(keys, mi, mi_normalized, n)``."""
+    aggregate (output bins² per group) — then EVERYTHING (MI, both
+    marginal entropies, n) reads that tiny frame in a single pass:
+    marginal counts come from windows over the joint histogram, and the
+    per-row entropy contribution is weighted by ``n_ij / n_i`` so it sums
+    to ``-p_i ln p_i`` exactly once per bin (the r11 rewrite — the old
+    shape re-derived the DATA-SIZED joint aggregate once per marginal
+    branch, 3 extra table scans at the plan audit). Rows with NULL in
+    either column are excluded. Returns ``(keys, mi, mi_normalized, n)``."""
     keys = _keys(by)
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -462,32 +467,26 @@ def mutual_information(
     nn = F.sum("__nij").over(w_all).cast("double")
     ni = F.sum("__nij").over(w_i).cast("double")
     nj = F.sum("__nij").over(w_j).cast("double")
-    pij = F.col("__nij").cast("double") / nn
+    nij = F.col("__nij").cast("double")
+    pij = nij / nn
+    pi, pj = ni / nn, nj / nn
+    # the (nij/ni) weight distributes bin i's entropy term across its
+    # joint rows so the group sum is Σᵢ -pᵢ ln pᵢ exactly (Σⱼ nij = ni);
+    # same for j — no marginal re-aggregation, no second table scan
     terms = joint.select(
         *keys,
         (pij * F.log(pij * nn * nn / (ni * nj))).alias("__t"),
+        (-(pi) * F.log(pi) * (nij / ni)).alias("__thx"),
+        (-(pj) * F.log(pj) * (nij / nj)).alias("__thy"),
         nn.alias("__nn"),
     )
     mi_g = terms.groupBy(*keys) if keys else terms.groupBy()
-    mi_df = mi_g.agg(
-        F.sum("__t").alias("mi"), F.max("__nn").cast("long").alias("n")
+    out = mi_g.agg(
+        F.sum("__t").alias("mi"),
+        F.sum("__thx").alias("__hx"),
+        F.sum("__thy").alias("__hy"),
+        F.max("__nn").cast("long").alias("n"),
     )
-    margs_i = joint.groupBy(*(keys + ["__i"])).agg(F.sum("__nij").alias("__c"))
-    margs_j = joint.groupBy(*(keys + ["__j"])).agg(F.sum("__nij").alias("__c"))
-
-    def entropy(m):
-        w_tot = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-        p = F.col("__c").cast("double") / F.sum("__c").over(w_tot).cast("double")
-        staged = m.withColumn("__h", -p * F.log(p))
-        gg = staged.groupBy(*keys) if keys else staged.groupBy()
-        return gg.agg(F.sum("__h").alias("__H"))
-
-    hx = entropy(margs_i).withColumnRenamed("__H", "__hx")
-    hy = entropy(margs_j).withColumnRenamed("__H", "__hy")
-    out = (
-        mi_df.join(F.broadcast(hx), on=keys) if keys else mi_df.crossJoin(F.broadcast(hx))
-    )
-    out = out.join(F.broadcast(hy), on=keys) if keys else out.crossJoin(F.broadcast(hy))
     hmin = F.least(F.col("__hx"), F.col("__hy"))
     return out.select(
         *keys,
@@ -759,10 +758,18 @@ def chi_square(
     chi2, dof, n)`` with ``dof = (|X|−1)(|Y|−1)``; NULL chi2 when
     dof = 0 (a degenerate single-row/column grid).
     """
+    from ffn_polars_spark.operators.dedup import _pinned
+
     keys = _keys(by)
-    cells = df.groupBy(
-        *keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
-    ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    # PIN the contingency cells: the row-marginal, column-marginal, and
+    # grid-completion branches all read them, and each would otherwise
+    # re-run the DATA-SIZED category aggregate (3 extra table scans at
+    # the r11 plan audit). Output is category-grid-sized — tiny.
+    cells = _pinned(
+        df.groupBy(
+            *keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
     rx = cells.groupBy(*keys, "__x").agg(F.sum("__o").alias("__rx"))
     cy = cells.groupBy(*keys, "__y").agg(F.sum("__o").alias("__cy"))
     grid = rx.join(cy, keys) if keys else rx.crossJoin(cy)

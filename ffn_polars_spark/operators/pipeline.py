@@ -470,21 +470,26 @@ def label_stats(
     entropy says "this dataset is one class plus noise" faster than any
     histogram).
 
-    One label-keyed count aggregate (map-side partials; label cardinality
-    rows thereafter) and a 1-row broadcast of the total and entropy.
-    NULL labels count as their own class.
+    One label-keyed count aggregate (map-side partials), then the total
+    and entropy come from windows over the LABEL-CARDINALITY frame —
+    a single-partition window is fine there because its input is bounded
+    by the class count, never the data (the old crossJoin-chain shape
+    re-ran the data-sized count aggregate once per derived branch; the
+    r11 plan audit counted 3 extra table scans). NULL labels count as
+    their own class.
 
     Returns ``(label, n, frac, entropy_bits)`` — entropy repeated per row
     for a self-contained report.
     """
+    from pyspark.sql import Window
+
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(F.sum("n").alias("__tot"))
-    withp = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "__p", F.col("n") / F.col("__tot")
+    w = Window.partitionBy(F.lit(1))
+    staged = counts.withColumn("__p", F.col("n") / F.sum("n").over(w))
+    out = staged.withColumn(
+        "__h", -F.sum(F.col("__p") * F.log2("__p")).over(w)
     )
-    h = withp.agg((-F.sum(F.col("__p") * F.log2("__p"))).alias("__h"))
-    j = withp.crossJoin(F.broadcast(h))
-    return j.select(
+    return out.select(
         label_col,
         "n",
         F.round(F.col("__p"), 6).alias("frac"),

@@ -1008,9 +1008,16 @@ def pmi_collocations(
 
     Returns ``(prev, token, n, pmi)``.
     """
+    from ffn_polars_spark.operators.dedup import _pinned
+
     pairs = doc_bigram_pairs(df, text_col, id_col)
     bc = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("n"))
-    bc = bc.where(F.col("n") >= F.lit(int(min_count)))
+    # PIN the filtered bigram-count table: four branches (both marginals,
+    # the total, and the scored join) read it, and each would otherwise
+    # re-run the CORPUS-sized pair aggregate (the r11 plan audit's finding
+    # here — 3 extra table scans). Vocabulary-sized and
+    # dictionary-encodable, the same measured trade as tfidf's pin.
+    bc = _pinned(bc.where(F.col("n") >= F.lit(int(min_count))))
     left = bc.groupBy("prev").agg(F.sum("n").alias("__cl"))
     right = bc.groupBy("token").agg(F.sum("n").alias("__cr"))
     tot = bc.agg(F.sum("n").alias("__N"))
@@ -1491,8 +1498,11 @@ def heaps_law(
         .agg(F.count(F.lit(1)).cast("long").alias("__nv"))
     )
     docs = per_doc.join(first_seen, "__d", "left").fillna(0, subset=["__nv"])
-    cum = ranged_cumsum(
-        docs, ["__d"], {"__N": F.col("__nt"), "__V": F.col("__nv")}
+    cum, totals = ranged_cumsum(
+        docs,
+        ["__d"],
+        {"__N": F.col("__nt"), "__V": F.col("__nv")},
+        return_totals=True,
     )
     pts = cum.where((F.col("__N") > 0) & (F.col("__V") > 0)).select(
         F.log("__N").alias("__x"), F.log("__V").alias("__y")
@@ -1504,15 +1514,15 @@ def heaps_law(
         F.avg("__y").alias("__my"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    tots = cum.agg(
-        F.max("__N").cast("long").alias("total_tokens"),
-        F.max("__V").cast("long").alias("vocab"),
-    )
+    # per-doc increments are non-negative, so the cumsum maxima ARE the
+    # grand totals — which ranged_cumsum's offsets pass already computed
+    # driver-side: a second full aggregate over `cum` + crossJoin was the
+    # plan audit's avoidable exchange pair here (r11)
     beta = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx"))
-    return agg.crossJoin(F.broadcast(tots)).select(
+    return agg.select(
         beta.alias("beta"),
         F.exp(F.col("__my") - beta * F.col("__mx")).alias("k"),
         "n_docs",
-        "total_tokens",
-        "vocab",
+        F.lit(int(totals["__N"] or 0)).cast("long").alias("total_tokens"),
+        F.lit(int(totals["__V"] or 0)).cast("long").alias("vocab"),
     )

@@ -290,13 +290,20 @@ def topk_churn(
     distribution-level [[psi_drift]].
 
     Built from [[topk_per_group]]'s WindowGroupLimit idiom, so the
-    wire carries O(periods·k) after the per-period aggregate; the
-    consecutive-period alignment is a dense_rank over the DISTINCT
-    periods (a frame of period cardinality) and the overlap join is
-    equi on (period index, key) between two O(periods·k) frames.
-    Ties in the top-k cut are broken by ``key_col`` ascending —
-    deterministic on every engine. Returns ``(period, n_curr, n_prev,
-    n_common, jaccard)``, one row per period that HAS a predecessor.
+    wire carries O(periods·k) after the per-period aggregate; each
+    period's top-k then collapses to ONE row holding its key SET
+    (``collect_set``, bounded by k) and the consecutive-period overlap
+    is a single ``lag`` + ``array_intersect`` over the periods-sized
+    frame. The r11 rewrite replaced a five-branch self-join shape that
+    re-derived the DATA-SIZED per-period aggregate once per branch
+    (18 exchanges at the plan audit — the catalog's max) with exactly
+    one data-sized aggregate + one top-k window + one periods-sized
+    aggregate + one tiny single-partition window (the lag frame is
+    period-cardinality, never data). Ties in the top-k cut are broken
+    by ``key_col`` ascending — deterministic on every engine. Returns
+    ``(period, n_curr, n_prev, n_common, jaccard)``, one row per period
+    that HAS a predecessor (the previous DISTINCT period in sort order,
+    exactly as the old dense_rank alignment defined it).
     """
     from pyspark.sql import Window
 
@@ -312,31 +319,17 @@ def topk_churn(
     tops = per.withColumn("__rk", F.row_number().over(w)).where(
         F.col("__rk") <= F.lit(int(k))
     )
-    idx = (
-        per.select("__p")
-        .distinct()
-        .withColumn("__i", F.dense_rank().over(Window.orderBy("__p")))
-    )
-    cur = tops.join(F.broadcast(idx), "__p").select("__p", "__i", "__k")
-    prv = cur.select(
-        (F.col("__i") + F.lit(1)).alias("__i"), F.col("__k").alias("__kp")
-    )
-    sizes = cur.groupBy("__p", "__i").agg(F.count(F.lit(1)).alias("n_curr"))
-    prev_sizes = sizes.select(
-        (F.col("__i") + F.lit(1)).alias("__i"), F.col("n_curr").alias("n_prev")
-    )
-    common = (
-        cur.join(prv, (cur["__i"] == prv["__i"]) & (cur["__k"] == prv["__kp"]))
-        .groupBy(cur["__i"].alias("__i"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        sizes.join(prev_sizes, "__i")
-        .join(common, "__i", "left")
-        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
-    )
-    uni = F.col("n_curr") + F.col("n_prev") - F.col("n_common")
+    sets = tops.groupBy("__p").agg(F.collect_set("__k").alias("__ks"))
+    prev = F.lag("__ks").over(Window.orderBy("__p"))
+    out = sets.withColumn("__prev", prev).where(F.col("__prev").isNotNull())
+    n_curr = F.size("__ks").cast("long")
+    n_prev = F.size("__prev").cast("long")
+    n_common = F.size(F.array_intersect("__ks", "__prev")).cast("long")
+    uni = n_curr + n_prev - n_common
     return out.select(
-        F.col("__p").alias("period"), "n_curr", "n_prev", "n_common",
-        (F.col("n_common").cast("double") / uni.cast("double")).alias("jaccard"),
+        F.col("__p").alias("period"),
+        n_curr.alias("n_curr"),
+        n_prev.alias("n_prev"),
+        n_common.alias("n_common"),
+        (n_common.cast("double") / uni.cast("double")).alias("jaccard"),
     )

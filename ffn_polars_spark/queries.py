@@ -11096,8 +11096,9 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         |         abc/bigram exchange cuts, rows_hint   |
 #         |         threading, ranged_cumsum NULL-carry   |
 #         |         fix representatives)                  |
-#         | [44..49] the 6 stalest r5 rows (EOD family)   | refresh +
-#         |                                               | canaries
+#         | [44..49] the r11 plan-audit sweep entries     | re-verify after
+#         |         (topk_churn/MI/label_stats/heaps_law/ | rewrite
+#         |         pmi/chi_square exchange cuts)         |
 #
 # Invariants: names absent from _PRIORITY keep their original relative order
 # at the back; names in _PRIORITY but not registered are ignored — the list
@@ -11167,14 +11168,17 @@ _PRIORITY = [
     "wasserstein_distance",
     "scrub_spans",
     "p_adjust_bh",
-    # --- [44..49] the 6 stalest r5-era rows, doubling as green-block
-    # --- canaries (EOD family regression tripwire):
-    "to_log_returns",
-    "to_excess_returns",
-    "to_price_index",
-    "rebase",
-    "to_drawdown_series",
-    "deannualize",
+    # --- [44..49] the r11 plan-audit sweep: entries whose executed code
+    # --- changed when their derived-branch re-derivations were cut
+    # --- (topk_churn 18->3 exchanges, mutual_information 11->3,
+    # --- label_stats 7->2, heaps_law 13->11, pmi_collocations 11->7
+    # --- pinned-bc, chi_square 8->5 pinned-cells):
+    "topk_churn",
+    "mutual_information",
+    "label_stats",
+    "heaps_law",
+    "pmi_collocations",
+    "chi_square",
     # ======== driver window (50) ends here ========
     # --- driver-green blocks keep their original relative order at the
     # back (invariant above); no need to enumerate them here

@@ -66,6 +66,13 @@ CODE_CHANGED = {
     "wasserstein_distance",
     "scrub_spans",
     "p_adjust_bh",
+    # the r11 plan-audit sweep (derived-branch re-derivation cuts):
+    "topk_churn",
+    "mutual_information",
+    "label_stats",
+    "heaps_law",
+    "pmi_collocations",
+    "chi_square",
 }
 # r11 staleness-refresh cutoff: every non-code-changed window entry must
 # have a last driver row at or below this round (the r4/r5 staleness tail).

@@ -512,7 +512,7 @@ def wasserstein_distance(
             F.sum(F.when(side == b, 1).otherwise(0)).alias("__cb"),
         )
     )
-    cum = ranged_cumsum(
+    cum, totals = ranged_cumsum(
         per,
         ["__x"],
         {
@@ -520,18 +520,31 @@ def wasserstein_distance(
             "__ccb": F.col("__cb"),
             "__rk": F.lit(1),
         },
+        return_totals=True,
     )
-    tot = cum.agg(
-        F.sum("__ca").alias("__na"),
-        F.sum("__cb").alias("__nb"),
-        F.count(F.lit(1)).alias("__nv"),
-    )
+    # per-side totals and the distinct-value count ARE the cumsums' grand
+    # totals, which ranged_cumsum's offsets pass computed driver-side — a
+    # second full aggregate over `cum` + crossJoin was the plan audit's
+    # avoidable exchange pair here (r11). Attached as literal columns to
+    # the pair rows so the degenerate cases (empty input, a single
+    # distinct value -> no consecutive pairs) keep emitting all-NULL
+    # through the final first()-over-empty aggregate, exactly as before.
+    def _long_lit(v):
+        return (
+            F.lit(None).cast("long") if v is None else F.lit(int(v)).cast("long")
+        )
+
     left = cum.select("__x", "__cca", "__ccb", "__rk")
     right = cum.select(
         F.col("__x").alias("__xn"), (F.col("__rk") - 1).alias("__rk")
     )
-    pairs = left.join(right, "__rk")
-    contrib = pairs.crossJoin(F.broadcast(tot)).select(
+    pairs = left.join(right, "__rk").select(
+        "*",
+        _long_lit(totals["__cca"]).alias("__na"),
+        _long_lit(totals["__ccb"]).alias("__nb"),
+        _long_lit(totals["__rk"]).alias("__nv"),
+    )
+    contrib = pairs.select(
         F.when(
             (F.col("__na") > 0) & (F.col("__nb") > 0),
             F.abs(

@@ -111,16 +111,27 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    matched_ts = F.last(
-        F.when(~F.col("__is_left"), F.col(on)), ignorenulls=True
-    ).over(w)
-    out = unioned.withColumn("__asof_ts" + suffix, matched_ts)
+    # Carry the matched right ROW as one struct (non-null whenever a right
+    # row exists), not per-column last-non-null values: the matched row's
+    # value must come over even when it is NULL — a per-column
+    # ignorenulls carry would silently substitute an EARLIER row's value
+    # for a NULL-valued match, diverging from Polars join_asof / DuckDB
+    # ASOF JOIN semantics (hypothesis-found, r11). One window expression
+    # instead of N+1, too.
+    row_struct = F.when(
+        ~F.col("__is_left"),
+        F.struct(
+            F.col(on).alias("__ts"),
+            *[F.col(_RPREF + c).alias(c) for c in right_cols],
+        ),
+    )
+    out = unioned.withColumn(
+        "__asof_row", F.last(row_struct, ignorenulls=True).over(w)
+    )
+    out = out.withColumn("__asof_ts" + suffix, F.col("__asof_row.__ts"))
     for c in right_cols:
-        out = out.withColumn(
-            _RPREF + c, F.last(_RPREF + c, ignorenulls=True).over(w)
-        )
-
-    out = out.where(F.col("__is_left")).drop("__is_left")
+        out = out.withColumn(_RPREF + c, F.col(f"__asof_row.{c}"))
+    out = out.where(F.col("__is_left")).drop("__is_left", "__asof_row")
 
     within = (
         F.lit(True)

@@ -661,3 +661,85 @@ def test_ranged_cumsum_parity_property(spark, rows):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# As-of join family: parity with a naive Python reference for ANY tape —
+# including NULL-valued right rows (the matched row's value comes over even
+# when NULL; an ignorenulls carry once substituted an earlier row's value,
+# hypothesis-found r11) and tolerance nulling. Right timestamps are unique
+# per key (the operator's documented determinism contract).
+# ---------------------------------------------------------------------------
+
+asof_tapes = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right: (key, ts, value-or-None)
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=100),
+            st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+)
+
+
+def _asof_ref(left, right, strategy, tolerance):
+    """Naive per-row reference: closest right row per strategy, matched
+    row's value verbatim (NULL included), tolerance nulls the match."""
+    out = []
+    for k, t in left:
+        cands = [(rt, v) for rk, rt, v in right if rk == k]
+        back = max((c for c in cands if c[0] <= t), default=None)
+        fwd = min((c for c in cands if c[0] >= t), default=None)
+        if strategy == "backward":
+            m = back
+        elif strategy == "forward":
+            m = fwd
+        else:  # nearest: backward wins ties
+            if back is None:
+                m = fwd
+            elif fwd is None:
+                m = back
+            else:
+                m = back if (t - back[0]) <= (fwd[0] - t) else fwd
+        if m is not None and tolerance is not None and abs(m[0] - t) > tolerance:
+            m = None
+        out.append((k, t, None if m is None else m[1]))
+    return sorted(out, key=lambda r: (r[0], r[1]))
+
+
+@given(tape=asof_tapes, strategy=st.sampled_from(["backward", "forward", "nearest"]))
+@SET
+def test_asof_join_parity_property(spark, tape, strategy):
+    from ffn_polars_spark.operators.asof import asof_join
+
+    left_rows, right_rows, tol = tape
+    # unique right ts per key (the determinism contract); keep first
+    seen = set()
+    right_rows = [
+        r for r in right_rows
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    ldf = spark.createDataFrame(left_rows, "k string, ts long")
+    rdf = spark.createDataFrame(
+        [(k, t, None if v is None else float(v)) for k, t, v in right_rows],
+        "k string, ts long, v double",
+    )
+    got = sorted(
+        ((r["k"], r["ts"], None if r["v"] is None else int(r["v"])) for r in
+         asof_join(ldf, rdf, on="ts", by="k", strategy=strategy,
+                   tolerance=tol).collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+    want = _asof_ref(left_rows, right_rows, strategy, tol)
+    assert got == want

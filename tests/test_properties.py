@@ -743,3 +743,37 @@ def test_asof_join_parity_property(spark, tape, strategy):
     )
     want = _asof_ref(left_rows, right_rows, strategy, tol)
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    cooldown=st.integers(min_value=0, max_value=50),
+)
+@SET
+def test_debounce_parity_property(spark, events, cooldown):
+    """debounce == the sequential Python walk for any event tape: keep iff
+    >= cooldown since the LAST KEPT event of the key (reset-recurrence —
+    not expressible as a fixed-grid dedup)."""
+    from ffn_polars_spark.operators.recursive import debounce
+
+    df = spark.createDataFrame(events, "k string, ts long")
+    got = {
+        (r["k"], r["ts"]): r["kept"]
+        for r in debounce(df, "ts", cooldown, by=["k"]).collect()
+    }
+    want = {}
+    last_kept: dict = {}
+    for k, t in sorted(events, key=lambda e: (e[0], e[1])):
+        keep = k not in last_kept or t - last_kept[k] >= cooldown
+        if keep:
+            last_kept[k] = t
+        want[(k, t)] = keep
+    assert got == want

@@ -777,3 +777,90 @@ def test_debounce_parity_property(spark, events, cooldown):
             last_kept[k] = t
         want[(k, t)] = keep
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10, max_value=10), min_size=1, max_size=40
+    ),
+    threshold=st.integers(min_value=1, max_value=20),
+    drift=st.integers(min_value=0, max_value=3),
+)
+@SET
+def test_cusum_changepoints_parity_property(spark, vals, threshold, drift):
+    """cusum_changepoints == the sequential Page-CUSUM walk for any
+    integer-valued series (integer arithmetic in float64 -> threshold
+    comparisons exact, so the parity is bit-level)."""
+    from ffn_polars_spark.operators.recursive import cusum_changepoints
+
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts long, x double")
+    got = sorted(
+        (r["ts"], r["cusum_pos"], r["cusum_neg"], r["alarm"], r["segment_id"])
+        for r in cusum_changepoints(
+            df, "ts", "x", target=0.0, threshold=float(threshold),
+            drift=float(drift), by=["k"],
+        ).collect()
+    )
+    # operator conventions (pinned by its recursive-CTE oracle):
+    # segment_id starts at 1; alarm on STRICT crossing (> threshold)
+    sp = sn = 0.0
+    seg = 1
+    want = []
+    for i, v in enumerate(vals):
+        sp = max(0.0, sp + (v - 0.0) - drift)
+        sn = max(0.0, sn - (v - 0.0) - drift)
+        alarm = sp > threshold or sn > threshold
+        want.append((i, sp, sn, alarm, seg))
+        if alarm:
+            sp = sn = 0.0
+            seg += 1
+    assert got == want
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(min_value=90, max_value=110),  # price
+            st.integers(min_value=1, max_value=9),     # volume
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    threshold=st.integers(min_value=1, max_value=30),
+)
+@SET
+def test_imbalance_bars_parity_property(spark, ticks, threshold):
+    """imbalance_bars' bar assignment == the sequential AFML walk for any
+    integer tape: tick-rule signs (last non-zero carried through flats),
+    signed volume accumulates, bar closes when |imbalance| >= threshold."""
+    from ffn_polars_spark.functions.tick_bars import imbalance_bars
+
+    rows = [("k", i, float(p), float(v)) for i, (p, v) in enumerate(ticks)]
+    df = spark.createDataFrame(rows, "k string, ts long, price double, vol double")
+    out = imbalance_bars(
+        df, "ts", "price", "vol", threshold=float(threshold), by=["k"]
+    ).collect()
+    # reference walk -> per-bar (n_ticks, volume) in bar order
+    sign = 0
+    imb = 0.0
+    bars, cur = [], [0, 0.0]
+    prev_p = None
+    for p, v in ticks:
+        if prev_p is not None and p != prev_p:
+            sign = 1 if p > prev_p else -1
+        prev_p = p
+        imb += sign * v
+        cur[0] += 1
+        cur[1] += v
+        if abs(imb) >= threshold:
+            bars.append(tuple(cur))
+            cur = [0, 0.0]
+            imb = 0.0
+    if cur[0]:
+        bars.append(tuple(cur))
+    got = [
+        (r["n_ticks"], r["volume"])
+        for r in sorted(out, key=lambda r: r["bar_id"])
+    ]
+    assert got == bars

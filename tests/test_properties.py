@@ -864,3 +864,52 @@ def test_imbalance_bars_parity_property(spark, ticks, threshold):
         for r in sorted(out, key=lambda r: r["bar_id"])
     ]
     assert got == bars
+
+
+@given(ps=prices)
+@SET
+def test_macd_rsi_parity_property(spark, ps):
+    """macd and rsi == the sequential Python IEEE recurrences, bit-for-bit
+    (the Arrow walk performs the same multiply-add sequence; Python floats
+    are the same IEEE doubles)."""
+    from ffn_polars_spark.operators.recursive import macd, rsi
+
+    df = _frame(spark, ps)
+    got_m = {
+        r["i"]: (r["macd"], r["macd_signal"], r["macd_hist"])
+        for r in macd(df, "p", "i").collect()
+    }
+    a_f, a_s, a_g = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+    ef = es = sig = None
+    for i, x in enumerate(ps):
+        x = float(x)
+        if i == 0:
+            ef = es = x
+            sig = 0.0
+        else:
+            ef = a_f * x + (1.0 - a_f) * ef
+            es = a_s * x + (1.0 - a_s) * es
+            sig = a_g * (ef - es) + (1.0 - a_g) * sig
+        m = ef - es
+        assert got_m[i] == (m, sig, m - sig), i
+
+    got_r = {r["i"]: r["p_rsi"] for r in rsi(df, "p", "i", n=14).collect()}
+    a = 1.0 / 14.0
+    ag = al = None
+    assert got_r[0] is None  # no change yet
+    for i in range(1, len(ps)):
+        d = float(ps[i]) - float(ps[i - 1])
+        g = d if d > 0.0 else 0.0
+        l = -d if d < 0.0 else 0.0
+        if i == 1:
+            ag, al = g, l
+        else:
+            ag = a * g + (1.0 - a) * ag
+            al = a * l + (1.0 - a) * al
+        if al > 0.0:
+            want = 100.0 - 100.0 / (1.0 + ag / al)
+        elif ag > 0.0:
+            want = 100.0
+        else:
+            want = None
+        assert got_r[i] == want, i

@@ -913,3 +913,44 @@ def test_macd_rsi_parity_property(spark, ps):
         else:
             want = None
         assert got_r[i] == want, i
+
+
+@given(
+    ps=st.lists(
+        st.integers(min_value=80, max_value=120), min_size=2, max_size=35
+    ),
+    horizon=st.integers(min_value=1, max_value=10),
+)
+@SET
+def test_triple_barrier_parity_property(spark, ps, horizon):
+    """triple_barrier_label == the naive first-touch walk: +1 if the upper
+    barrier is touched first within `horizon` future rows, -1 if the
+    lower, 0 at the time barrier; ties (one future price crossing BOTH
+    barriers is impossible, but equal offsets aren't) resolved exactly as
+    the operator defines (upper checked at the same offset wins only if
+    its touch index is strictly smaller — mirror the operator's
+    first-index comparison)."""
+    from ffn_polars_spark.functions.tick_bars import triple_barrier_label
+
+    up, dn = 0.02, 0.02
+    rows = [("k", i, float(p)) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "k string, ts long, price double")
+    out = {
+        r["ts"]: (r["label"], r["first_hit"])
+        for r in triple_barrier_label(
+            df, "price", "ts", horizon=horizon, up_pct=up, down_pct=dn,
+            by=["k"],
+        ).collect()
+    }
+    for i, p0 in enumerate(ps):
+        fut = ps[i + 1 : i + 1 + horizon]
+        ub, db = p0 * (1 + up), p0 * (1 - dn)
+        i_up = next((j + 1 for j, q in enumerate(fut) if q >= ub), None)
+        i_dn = next((j + 1 for j, q in enumerate(fut) if q <= db), None)
+        if i_up is not None and (i_dn is None or i_up <= i_dn):
+            want = (1, i_up)
+        elif i_dn is not None:
+            want = (-1, i_dn)
+        else:
+            want = (0, None)
+        assert out[i] == want, (i, out[i], want)

@@ -954,3 +954,49 @@ def test_triple_barrier_parity_property(spark, ps, horizon):
         else:
             want = (0, None)
         assert out[i] == want, (i, out[i], want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_connected_components_parity_property(spark, edges):
+    """connected_components == union-find on any random edge list
+    (self-loops, duplicates, arbitrary diameters): same partition of
+    nodes, canonical label = min node id of the component."""
+    from ffn_polars_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["comp"] for r in connected_components(df).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {}
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min.setdefault(r, []).append(n)
+    for r, ns in comp_min.items():
+        m = min(ns)
+        for n in ns:
+            want[n] = m
+    assert got == want

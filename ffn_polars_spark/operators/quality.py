@@ -253,14 +253,29 @@ def ks_drift(
             F.sum(F.when(side == b, 1).otherwise(0)).alias("__cb"),
         )
     )
-    cum = ranged_cumsum(
-        per, [value_col], {"__cca": F.col("__ca"), "__ccb": F.col("__cb")}
+    cum, totals = ranged_cumsum(
+        per,
+        [value_col],
+        {"__cca": F.col("__ca"), "__ccb": F.col("__cb")},
+        return_totals=True,
     )
-    tot = cum.agg(
-        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
-    )
+
+    # per-side totals are the cumsums' grand totals — already computed
+    # driver-side by the offsets pass; the old aggregate branch re-read
+    # `cum` and crossJoined it back (r11 plan audit). Literal columns on
+    # the cum rows keep the empty-input semantics (first()-over-empty is
+    # still NULL).
+    def _long_lit(v):
+        return (
+            F.lit(None).cast("long") if v is None else F.lit(int(v)).cast("long")
+        )
+
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum.select(
+            "*",
+            _long_lit(totals["__cca"]).alias("__na"),
+            _long_lit(totals["__ccb"]).alias("__nb"),
+        )
         .agg(
             F.max(
                 F.abs(

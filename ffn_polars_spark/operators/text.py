@@ -1370,10 +1370,16 @@ def doc_perplexity(
     vocabularies), one per-doc aggregate. Empty documents get NULL.
     Returns ``(id, n_tokens, cross_entropy, perplexity)``."""
     df = _spread_docs(df, id_col)
+    from ffn_polars_spark.operators.dedup import _pinned
+
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
     ).where(F.col("__w") != "")
-    vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    # PIN the vocabulary counts: both the totals branch and the per-token
+    # scoring join read them, and each would otherwise re-run the
+    # corpus-sized tokenize+aggregate (r11 plan audit: 3 corpus scans
+    # down to 2 — the scoring join's own toks scan remains, by design).
+    vocab = _pinned(toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c")))
     totals = vocab.agg(
         F.sum("__c").alias("__N"), F.count(F.lit(1)).alias("__V")
     )

@@ -11141,9 +11141,13 @@ _PRIORITY = [
     "decontaminate",
     "repetition_stats",
     "multimodal_metadata",
-    "multimodal_frame_sample",
-    "multimodal_features",
     "session_stats",
+    # multimodal_frame_sample/multimodal_features yield their refresh
+    # slots to late-r11 code-changed entries (multimodal_metadata stays
+    # as the family representative; all three are exact in the local 302
+    # battery):
+    "ks_drift",
+    "doc_perplexity",
     # --- [32..43] entries whose EXECUTED CODE changed in r11, re-checked
     # --- even though green:
     # ---   semantic_dedup_lsh: the @register rebind (ADVICE high) — the

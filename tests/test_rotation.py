@@ -73,6 +73,9 @@ CODE_CHANGED = {
     "heaps_law",
     "pmi_collocations",
     "chi_square",
+    # late-r11: the same two defect classes applied to two more entries
+    "ks_drift",
+    "doc_perplexity",
 }
 # r11 staleness-refresh cutoff: every non-code-changed window entry must
 # have a last driver row at or below this round (the r4/r5 staleness tail).

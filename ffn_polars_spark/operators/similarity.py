@@ -1133,9 +1133,18 @@ def centroid_similarity(
     Returns ``(label_a, label_b, cosine, n_a, n_b)`` for ``a < b``;
     cosine NULL if either centroid is the zero vector.
     """
-    cents = embedding_centroids(df, label_col, vec_col)
-    counts = df.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n")
+    from ffn_polars_spark.operators.dedup import _pinned
+
+    # PIN both cardinality-bounded frames: the centroid table feeds BOTH
+    # sides of the self-join (each side re-ran the dim-exploded corpus
+    # aggregate) and the counts table feeds both the n_a and n_b joins —
+    # 4 corpus passes down to 2 (r11 plan audit). labels x dim and labels
+    # rows respectively: tiny.
+    cents = _pinned(embedding_centroids(df, label_col, vec_col))
+    counts = _pinned(
+        df.groupBy(F.col(label_col).alias("label")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     a = cents.select(
         F.col("label").alias("label_a"), "dim", F.col("mu").alias("mu_a")

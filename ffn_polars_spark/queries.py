@@ -11145,7 +11145,9 @@ _PRIORITY = [
     # multimodal_frame_sample/multimodal_features yield their refresh
     # slots to late-r11 code-changed entries (multimodal_metadata stays
     # as the family representative; all three are exact in the local 302
-    # battery):
+    # battery). centroid_similarity's late pin change is represented by
+    # the same-class entries already in the window (pmi/chi_square/
+    # doc_perplexity pins) + its own local exact gate:
     "ks_drift",
     "doc_perplexity",
     # --- [32..43] entries whose EXECUTED CODE changed in r11, re-checked

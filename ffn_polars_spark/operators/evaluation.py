@@ -181,13 +181,11 @@ def benford_digits(
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
     pos = df.where(x > 0).select(*keys, digit.alias("digit"))
     per_digit = pos.groupBy(*(keys + ["digit"])).agg(F.count(F.lit(1)).alias("n"))
-    g = per_digit.groupBy(*keys) if keys else per_digit.groupBy()
-    totals = g.agg(F.sum("n").alias("__total"))
-    j = (
-        per_digit.join(F.broadcast(totals), on=keys)
-        if keys
-        else per_digit.crossJoin(F.broadcast(totals))
-    )
+    # group totals via a window over the keys x 9-digit frame — the old
+    # aggregate+join branch re-ran the data-sized digit aggregate (r11
+    # plan audit's derived-branch class)
+    w_tot = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    j = per_digit.withColumn("__total", F.sum("n").over(w_tot))
     obs = F.col("n").cast("double") / F.col("__total").cast("double")
     exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
     chi2 = F.col("__total").cast("double") * F.pow(obs - exp, F.lit(2.0)) / exp

@@ -336,8 +336,12 @@ def psi_drift(
             F.sum(F.when(side == b, 1).otherwise(0)).alias("__cb"),
         )
     )
-    tot = counts.agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
-    j = counts.crossJoin(F.broadcast(tot))
+    # side totals via a window over the <= nbins-row bin frame — the old
+    # aggregate+crossJoin branch re-ran the data-sized bin aggregate
+    wt = Window.partitionBy(F.lit(1))
+    j = counts.withColumn("__na", F.sum("__ca").over(wt)).withColumn(
+        "__nb", F.sum("__cb").over(wt)
+    )
     e = F.lit(float(eps))
     p = F.greatest(F.col("__ca") / F.col("__na").cast("double"), e)
     q = F.greatest(F.col("__cb") / F.col("__nb").cast("double"), e)

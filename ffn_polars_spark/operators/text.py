@@ -1178,6 +1178,13 @@ def vocab_jsd(
             F.sum(F.when(F.col("__s") == b, 1).otherwise(0)).alias("__cb"),
         )
     )
+    from ffn_polars_spark.operators.dedup import _pinned
+
+    # PIN the vocab-sided counts: the totals branch re-ran the corpus
+    # tokenize+aggregate (r11 plan audit). Vocabulary-sized longs — the
+    # tfidf measured-pin precedent; a single-partition window would hold
+    # the whole vocabulary in one task, so the pin is the scale-safe form.
+    counts = _pinned(counts)
     tot = counts.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )

@@ -117,11 +117,18 @@ def corr_matrix(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("__key").orderBy("__bucket")
-    r = b.select(
-        "__key",
-        "__bucket",
-        (F.col("__p") / F.lag("__p").over(w) - F.lit(1.0)).alias("__ret"),
-    ).where(F.col("__ret").isNotNull())
+    from ffn_polars_spark.operators.dedup import _pinned
+
+    # PIN the bucket-returns frame: both self-join sides read it, and
+    # each would otherwise re-run the data-sized bucket aggregate + lag
+    # window (r11 derived-branch class). keys x buckets rows — small.
+    r = _pinned(
+        b.select(
+            "__key",
+            "__bucket",
+            (F.col("__p") / F.lag("__p").over(w) - F.lit(1.0)).alias("__ret"),
+        ).where(F.col("__ret").isNotNull())
+    )
     a = r.select(
         F.col("__key").alias("key_a"), F.col("__bucket").alias("__bucket"),
         F.col("__ret").alias("__ret_a"),

@@ -266,8 +266,14 @@ def ranged_cumsum(
     # non-null offset forward, not null the result — and must stay NULL
     # when every earlier partition was all-NULL too (hypothesis-found,
     # the same seam contract as blocked_keyed_cumsum).
+    # The accumulator keeps the NATIVE Python type of the partition
+    # totals (int stays int, Decimal stays Decimal — arbitrary
+    # precision), so the return_totals grand totals are exact beyond
+    # 2^53 for long/decimal columns; only the per-row OFFSET column is
+    # cast to double (the map literal below), which is a column-path
+    # width choice, not a totals-precision one.
     offsets = {k: {} for k in vals}
-    acc = {k: 0.0 for k in vals}
+    acc = {k: 0 for k in vals}
     seen = {k: False for k in vals}
     for pid in sorted(by_pid):
         for k in vals:

@@ -742,60 +742,53 @@ def chi_square(
     by: Union[str, Sequence[str], None] = None,
 ) -> DataFrame:
     """Pearson chi-square test of independence between two categorical
-    columns per group: ``χ² = Σ (O−E)²/E`` over the FULL |X|×|Y|
-    contingency grid with ``E = rowΣ·colΣ/n`` — including observed-zero
-    cells (their ``(0−E)²/E`` term is what textbook/scipy values
-    contain, so the grid is completed with a distinct-×-distinct join
-    rather than read off the observed cells). The categorical
-    independence screen beside the binned [[mutual_information]].
+    columns per group, via the textbook identity
+    ``χ² = n·(Σ O²/(rowΣ·colΣ)) − n`` over the OBSERVED cells — which
+    is algebraically equal to ``Σ (O−E)²/E`` over the FULL |X|×|Y|
+    grid including observed-zero cells (a zero cell's ``O²/(r·c)``
+    term vanishes while its ``E`` contribution is absorbed by the
+    ``−n``), so the statistic matches textbook/scipy values with no
+    grid-completion join at all. The categorical independence screen
+    beside the binned [[mutual_information]].
 
-    One subject-level aggregate to cell cardinality, then joins on
-    grid-sized frames (|X|·|Y| per group — marginals and the grid
-    completion never touch row-cardinality data again). Counts are
-    exact longs; only the final E divisions round. Returns ``(keys,
-    chi2, dof, n)`` with ``dof = (|X|−1)(|Y|−1)``; NULL chi2 when
-    dof = 0 (a degenerate single-row/column grid).
+    One subject-level aggregate to cell cardinality, two KEYED windows
+    over the cell-sized frame for the marginals (no unkeyed window, no
+    self-join, no pin — the r12 rewrite: the previous shape pinned the
+    cells frame unconditionally, but cells are distinct(x)·distinct(y)
+    per group, data-dependent, and could approach row count for
+    id-like inputs, bypassing the `_pinned_if_fits` heap gate), then
+    one group-level aggregate. Counts are exact longs; only the final
+    divisions round (the ``n·Σ − n`` cancellation costs ~1 ulp·n —
+    absorbed by any sane rounding of a test statistic). Returns
+    ``(keys, chi2, dof, n)`` with ``dof = (|X|−1)(|Y|−1)``; NULL chi2
+    when dof = 0 (a degenerate single-row/column grid).
     """
-    from ffn_polars_spark.operators.dedup import _pinned
-
     keys = _keys(by)
-    # PIN the contingency cells: the row-marginal, column-marginal, and
-    # grid-completion branches all read them, and each would otherwise
-    # re-run the DATA-SIZED category aggregate (3 extra table scans at
-    # the r11 plan audit). Output is category-grid-sized — tiny.
-    cells = _pinned(
-        df.groupBy(
-            *keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
-        ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
-    )
-    rx = cells.groupBy(*keys, "__x").agg(F.sum("__o").alias("__rx"))
-    cy = cells.groupBy(*keys, "__y").agg(F.sum("__o").alias("__cy"))
-    grid = rx.join(cy, keys) if keys else rx.crossJoin(cy)
-    full = grid.join(cells, keys + ["__x", "__y"], "left").fillna(
-        0, subset=["__o"]
-    )
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    n = F.sum("__o").over(w)
-    e = F.col("__rx").cast("double") * F.col("__cy").cast("double") / n.cast("double")
-    term = (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e) / e
-    staged = full.select(
+    cells = df.groupBy(
+        *keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    wx = Window.partitionBy(*keys, "__x")
+    wy = Window.partitionBy(*keys, "__y")
+    rx = F.sum("__o").over(wx).cast("double")
+    cy = F.sum("__o").over(wy).cast("double")
+    o = F.col("__o").cast("double")
+    staged = cells.select(
         *keys,
-        term.alias("__t"),
-        F.col("__o").alias("__o"),
-        F.col("__x").alias("__x"),
-        F.col("__y").alias("__y"),
+        (o * o / (rx * cy)).alias("__t"),
+        "__o", "__x", "__y",
     )
     g = staged.groupBy(*keys) if keys else staged.groupBy()
     agg = g.agg(
-        F.sum("__t").alias("__chi2"),
+        F.sum("__t").alias("__s"),
         F.sum("__o").cast("long").alias("n"),
         F.countDistinct("__x").alias("__nx"),
         F.countDistinct("__y").alias("__ny"),
     )
     dof = (F.col("__nx") - 1) * (F.col("__ny") - 1)
+    nn = F.col("n").cast("double")
     return agg.select(
         *keys,
-        F.when(dof > 0, F.col("__chi2")).alias("chi2"),
+        F.when(dof > 0, nn * F.col("__s") - nn).alias("chi2"),
         dof.cast("long").alias("dof"),
         "n",
     )

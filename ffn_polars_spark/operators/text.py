@@ -1008,16 +1008,26 @@ def pmi_collocations(
 
     Returns ``(prev, token, n, pmi)``.
     """
-    from ffn_polars_spark.operators.dedup import _pinned
+    from ffn_polars_spark.operators._scanmeta import scan_bytes
+    from ffn_polars_spark.operators.dedup import _pinned_if_fits
 
     pairs = doc_bigram_pairs(df, text_col, id_col)
     bc = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("n"))
     # PIN the filtered bigram-count table: four branches (both marginals,
     # the total, and the scored join) read it, and each would otherwise
     # re-run the CORPUS-sized pair aggregate (the r11 plan audit's finding
-    # here — 3 extra table scans). Vocabulary-sized and
-    # dictionary-encodable, the same measured trade as tfidf's pin.
-    bc = _pinned(bc.where(F.col("n") >= F.lit(int(min_count))))
+    # here — 3 extra table scans). Usually vocabulary-sized and
+    # dictionary-encodable (the same measured trade as tfidf's pin) — but
+    # at min_count=1 on id-like text the distinct-bigram count approaches
+    # the TOKEN count, so the pin is heap-gated like scrub_spans' span
+    # pin: est ≈ 3x the on-disk text bytes bounds the worst case (two
+    # dictionary-encoded terms + a long per bigram ≈ token-scale); past
+    # the cap the four consumers re-derive instead of GC-thrashing.
+    est = scan_bytes(df)
+    bc = _pinned_if_fits(
+        bc.where(F.col("n") >= F.lit(int(min_count))),
+        3 * est if est is not None else None,
+    )
     left = bc.groupBy("prev").agg(F.sum("n").alias("__cl"))
     right = bc.groupBy("token").agg(F.sum("n").alias("__cr"))
     tot = bc.agg(F.sum("n").alias("__N"))
@@ -1530,12 +1540,18 @@ def heaps_law(
     # per-doc increments are non-negative, so the cumsum maxima ARE the
     # grand totals — which ranged_cumsum's offsets pass already computed
     # driver-side: a second full aggregate over `cum` + crossJoin was the
-    # plan audit's avoidable exchange pair here (r11)
+    # plan audit's avoidable exchange pair here (r11). Empty input keeps
+    # the pre-r11 degenerate contract: totals come back None and the
+    # literals stay NULL (matching the old max-over-empty semantics),
+    # never a fabricated 0.
+    def _long_lit(v):
+        return (F.lit(int(v)) if v is not None else F.lit(None)).cast("long")
+
     beta = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx"))
     return agg.select(
         beta.alias("beta"),
         F.exp(F.col("__my") - beta * F.col("__mx")).alias("k"),
         "n_docs",
-        F.lit(int(totals["__N"] or 0)).cast("long").alias("total_tokens"),
-        F.lit(int(totals["__V"] or 0)).cast("long").alias("vocab"),
+        _long_lit(totals["__N"]).alias("total_tokens"),
+        _long_lit(totals["__V"]).alias("vocab"),
     )

@@ -307,10 +307,13 @@ def topk_churn(
     one data-sized aggregate + one top-k window + one periods-sized
     aggregate + one tiny single-partition window (the lag frame is
     period-cardinality, never data). Ties in the top-k cut are broken
-    by ``key_col`` ascending — deterministic on every engine. Returns
-    ``(period, n_curr, n_prev, n_common, jaccard)``, one row per period
-    that HAS a predecessor (the previous DISTINCT period in sort order,
-    exactly as the old dense_rank alignment defined it).
+    by ``key_col`` ascending — deterministic on every engine. NULL keys
+    are EXCLUDED before the top-k window (filtered explicitly, not
+    silently dropped by ``collect_set``): a NULL key identifies nothing,
+    so it neither occupies a top-k slot nor counts toward the set
+    sizes. Returns ``(period, n_curr, n_prev, n_common, jaccard)``, one
+    row per period that HAS a predecessor (the previous DISTINCT period
+    in sort order, exactly as the old dense_rank alignment defined it).
     """
     from pyspark.sql import Window
 
@@ -319,6 +322,7 @@ def topk_churn(
         if weight_col
         else F.count(F.lit(1)).cast("double")
     )
+    df = df.where(F.col(key_col).isNotNull())
     per = df.groupBy(
         F.col(period_col).alias("__p"), F.col(key_col).alias("__k")
     ).agg(wt.alias("__w"))

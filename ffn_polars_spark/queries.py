@@ -8991,7 +8991,7 @@ def q_mann_whitney_u(spark, sf_dir):
     + f""", per AS (
   SELECT ts_ns // 86400000000000 AS p, user_id AS k,
          CAST(count(*) AS DOUBLE) AS w
-  FROM ticks GROUP BY p, k),
+  FROM ticks WHERE user_id IS NOT NULL GROUP BY p, k),
 tops AS (
   SELECT p, k FROM (
     SELECT p, k,
@@ -9069,36 +9069,28 @@ WITH cells AS (
   SELECT year(o_orderdate) AS yr, o_orderpriority AS x, o_orderstatus AS y,
          CAST(count(*) AS BIGINT) AS o
   FROM orders GROUP BY yr, x, y),
-rx AS (SELECT yr, x, sum(o) AS r FROM cells GROUP BY yr, x),
-cy AS (SELECT yr, y, sum(o) AS c FROM cells GROUP BY yr, y),
-grid AS (SELECT rx.yr, rx.x, cy.y, rx.r, cy.c
-         FROM rx JOIN cy ON rx.yr = cy.yr),
-fl AS (SELECT g.yr, g.x, g.y, g.r, g.c, coalesce(cells.o, 0) AS o
-       FROM grid g LEFT JOIN cells
-         ON cells.yr = g.yr AND cells.x = g.x AND cells.y = g.y),
-tm AS (SELECT yr, CAST(sum(o) AS DOUBLE) AS n FROM fl GROUP BY yr),
 term AS (
-  SELECT fl.yr,
-         (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / tm.n)
-           * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / tm.n)
-           / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / tm.n) AS t,
-         o, x, y
-  FROM fl JOIN tm ON fl.yr = tm.yr),
+  SELECT yr, o, x, y,
+         CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+           / (CAST(sum(o) OVER (PARTITION BY yr, x) AS DOUBLE)
+              * CAST(sum(o) OVER (PARTITION BY yr, y) AS DOUBLE)) AS t
+  FROM cells),
 agg AS (
-  SELECT yr, sum(t) AS chi2, CAST(sum(o) AS BIGINT) AS n,
+  SELECT yr, sum(t) AS s, CAST(sum(o) AS BIGINT) AS n,
          count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
   FROM term GROUP BY yr)
 SELECT yr,
        CASE WHEN (nx - 1) * (ny - 1) > 0
-            THEN floor(chi2 * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
+            THEN floor((CAST(n AS DOUBLE) * s - CAST(n AS DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
        CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof, n
 FROM agg""",
 )
 def q_chi_square(spark, sf_dir):
     """Pearson chi-square of order priority vs status per order year —
-    the full |X|x|Y| grid is completed with zero cells (distinct-cross
-    join on grid-sized frames) so the statistic matches the textbook
-    value exactly."""
+    computed by the identity chi2 = n*(sum O^2/(r*c)) - n over observed
+    cells, which equals the full-grid (O-E)^2/E textbook statistic
+    (zero cells contribute only through the -n term)."""
     from ffn_polars_spark.operators.evaluation import chi_square
 
     orders = read_table(spark, sf_dir, "orders")

@@ -25,6 +25,15 @@ where medians still swing ~1.8x. ``queries_median`` is included as the
 noise indicator: median >> min means the run was taken during an episode.
 A scan + pandas_udf warmup runs untimed first so the Python-worker spawn
 (~5s) never lands in any timed region.
+
+Canary (round-12): a FIXED inline scan+agg over lineitem — independent of
+every catalog entry, its plan can never change with engine edits — runs
+interleaved alongside the headline set. ``canary_s`` (its min) measures
+the BOX, not the code: round-over-round, a headline total that moved with
+the canary is environment noise; one that moved against a flat canary is
+a real regression. ``value_canary_normalized`` = value *
+(CANARY_BASELINE_S / canary_s) is the mechanically comparable total
+(see BASELINE.md "Canary normalization").
 """
 
 from __future__ import annotations
@@ -57,6 +66,27 @@ HEADLINE = [
     "text_quality",
     "clean_corpus",
 ]
+
+
+# Quiet-box canary cost, pinned from a clean min-of-5 at sf0.1 on the
+# reference box (round 12). If the hardware or Spark version changes, re-pin
+# and note it in BASELINE.md; do NOT re-pin to absorb a code regression —
+# the canary is catalog-independent, so code changes cannot move it.
+CANARY_BASELINE_S = 0.247  # min-of-5 at sf0.1, quiet box, round 12
+
+
+def _canary(spark, sf_dir):
+    """Fixed scan+agg whose plan never changes: full lineitem scan, four
+    numeric aggregates. No catalog code involved — measures the box."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return df.agg(
+        F.sum("l_extendedprice").alias("s1"),
+        F.sum("l_quantity").alias("s2"),
+        F.avg("l_discount").alias("a1"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 def _fetch_stages(web_url: str, app_id: str):
@@ -130,7 +160,11 @@ def main() -> None:
     # (round 3 lost every number to a single AnalysisException on the first
     # query).  An erroring query is skipped for the rest of the run and
     # reported under "errors".
+    canary_samples: list = []
     for _ in range(n_runs):
+        t0 = time.time()
+        _canary(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        canary_samples.append(time.time() - t0)
         for name in HEADLINE:
             if name in errors:
                 continue
@@ -175,6 +209,7 @@ def main() -> None:
     if stage_metrics:
         print(json.dumps({"stage_metrics": stage_metrics}))
 
+    canary_s = round(min(canary_samples), 3)
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(mins.values()), 3),
@@ -183,7 +218,14 @@ def main() -> None:
         "sf": sf,
         "queries_median": med,
         "runs": n_runs,
+        "canary_s": canary_s,
+        "canary_median_s": round(median(canary_samples), 3),
     }
+    if CANARY_BASELINE_S:
+        out["canary_baseline_s"] = CANARY_BASELINE_S
+        out["value_canary_normalized"] = round(
+            sum(mins.values()) * CANARY_BASELINE_S / canary_s, 3
+        )
     if errors:
         # A partial total is silently incomparable across rounds (it sums a
         # smaller query set and looks *better*); flag it explicitly.

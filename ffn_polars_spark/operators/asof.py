@@ -163,6 +163,15 @@ def interp_asof_join(
     timestamp — ``np.interp`` semantics (clamped to boundary values outside
     the right table's range). Reproduces the reference simulator's quote
     lookup (sim/trades.py:52-76) as one windowed pass per direction.
+
+    Brackets are matched by ROW, values verbatim: each direction carries
+    the nearest right row as one struct (``last(struct, ignorenulls)``)
+    so a NULL-valued bracket endpoint comes over as NULL (the whole
+    interpolation is then NULL, exactly as the engine-replayable ASOF
+    twin computes it) — never an earlier row's value substituted at the
+    wrong timestamp, which is what the previous per-column
+    ``last(value, ignorenulls)`` carry did (the same defect class as the
+    r11 asof_join fix, hypothesis-found in r12).
     """
     by = _normalize(by)
     value_cols = _normalize(value_cols)
@@ -187,30 +196,33 @@ def interp_asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    right_marker = F.when(~F.col("__is_left"), F.col(on))
-    out = unioned.withColumn("__t0", F.last(right_marker, ignorenulls=True).over(wb))
-    out = out.withColumn("__t1", F.last(right_marker, ignorenulls=True).over(wf))
-    for c in value_cols:
-        v = F.when(~F.col("__is_left"), F.col(_RPREF + c))
-        out = out.withColumn("__v0_" + c, F.last(v, ignorenulls=True).over(wb))
-        out = out.withColumn("__v1_" + c, F.last(v, ignorenulls=True).over(wf))
+    row_struct = F.when(
+        ~F.col("__is_left"),
+        F.struct(
+            F.col(on).alias("__ts"),
+            *[F.col(_RPREF + c).alias(c) for c in value_cols],
+        ),
+    )
+    out = unioned.withColumn("__b", F.last(row_struct, ignorenulls=True).over(wb))
+    out = out.withColumn("__f", F.last(row_struct, ignorenulls=True).over(wf))
 
     out = out.where(F.col("__is_left")).drop("__is_left")
 
-    t, t0, t1 = F.col(on), F.col("__t0"), F.col("__t1")
+    t = F.col(on)
+    t0, t1 = F.col("__b.__ts"), F.col("__f.__ts")
     frac = (t.cast("double") - t0.cast("double")) / (
         t1.cast("double") - t0.cast("double")
     )
     for c in value_cols:
-        v0, v1 = F.col("__v0_" + c), F.col("__v1_" + c)
+        v0, v1 = F.col("__b." + c), F.col("__f." + c)
         interp = (
             F.when(t0.isNull(), v1)  # before first right row -> clamp left edge
             .when(t1.isNull(), v0)  # after last right row -> clamp right edge
             .when(t1 == t0, v0)  # exact hit / duplicate ts
             .otherwise(v0.cast("double") + (v1.cast("double") - v0.cast("double")) * frac)
         )
-        out = out.withColumn(c + suffix, interp).drop("__v0_" + c, "__v1_" + c)
-    return out.drop("__t0", "__t1")
+        out = out.withColumn(c + suffix, interp)
+    return out.drop("__b", "__f")
 
 
 @register(namespace="eod", kind="df", context="dataframe", alias="grid_snap")

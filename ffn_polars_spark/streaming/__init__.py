@@ -511,11 +511,14 @@ def stateful_realized_volatility(
         state.update((last_ts, last_lp, sum_sq, n))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
+        # no returns yet -> NULL, matching the batch twin's contract
+        # (calc_realized_volatility: sum over an empty return set is NULL,
+        # not 0 — property-battery find, r12)
         yield pd.DataFrame(
             {
                 key: [key_tuple[0]],
                 "n_returns": [n],
-                "realized_volatility": [math.sqrt(sum_sq)],
+                "realized_volatility": [math.sqrt(sum_sq) if n else None],
             }
         )
 

@@ -718,10 +718,46 @@ def _asof_ref(left, right, strategy, tolerance):
     return sorted(out, key=lambda r: (r[0], r[1]))
 
 
-@given(tape=asof_tapes, strategy=st.sampled_from(["backward", "forward", "nearest"]))
+def _interp_ref(left, right):
+    """np.interp-style reference, brackets matched by ROW with values
+    verbatim: clamp outside the right range, exact hit takes the row's
+    value (NULL included), and a NULL-valued bracket endpoint nulls the
+    whole interpolation — the engine-replayable ASOF-twin semantics."""
+    out = []
+    for k, t in left:
+        cands = sorted((rt, v) for rk, rt, v in right if rk == k)
+        back = max(((rt, v) for rt, v in cands if rt <= t), default=None)
+        fwd = min(((rt, v) for rt, v in cands if rt >= t), default=None)
+        if back is None and fwd is None:
+            val = None
+        elif back is None:
+            val = None if fwd[1] is None else float(fwd[1])
+        elif fwd is None:
+            val = None if back[1] is None else float(back[1])
+        elif fwd[0] == back[0]:
+            val = None if back[1] is None else float(back[1])
+        elif back[1] is None or fwd[1] is None:
+            val = None
+        else:
+            frac = (float(t) - float(back[0])) / (float(fwd[0]) - float(back[0]))
+            val = float(back[1]) + (float(fwd[1]) - float(back[1])) * frac
+        out.append((k, t, val))
+    return sorted(out, key=lambda r: (r[0], r[1]))
+
+
+@given(
+    tape=asof_tapes,
+    mode=st.sampled_from(
+        ["backward", "forward", "nearest", "tolerance", "interp"]
+    ),
+)
 @SET
-def test_asof_join_parity_property(spark, tape, strategy):
-    from ffn_polars_spark.operators.asof import asof_join
+def test_asof_join_parity_property(spark, tape, mode):
+    """All five as-of modes vs the naive per-row reference: the three
+    strategies with the tape's drawn tolerance, a forced-finite-tolerance
+    mode (the asof_join_tolerance catalog entry's shape), and linear
+    interpolation (NULL-valued right rows = NULL bracket endpoints)."""
+    from ffn_polars_spark.operators.asof import asof_join, interp_asof_join
 
     left_rows, right_rows, tol = tape
     # unique right ts per key (the determinism contract); keep first
@@ -735,6 +771,26 @@ def test_asof_join_parity_property(spark, tape, strategy):
         [(k, t, None if v is None else float(v)) for k, t, v in right_rows],
         "k string, ts long, v double",
     )
+    if mode == "interp":
+        got = sorted(
+            ((r["k"], r["ts"], r["v"]) for r in
+             interp_asof_join(ldf, rdf, on="ts", value_cols="v",
+                              by="k").collect()),
+            key=lambda r: (r[0], r[1]),
+        )
+        want = _interp_ref(left_rows, right_rows)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:2] == w[:2]
+            if w[2] is None:
+                assert g[2] is None
+            else:
+                assert g[2] == pytest.approx(w[2], rel=1e-12, abs=1e-12)
+        return
+    if mode == "tolerance":
+        strategy, tol = "backward", (5 if tol is None else tol)
+    else:
+        strategy = mode
     got = sorted(
         ((r["k"], r["ts"], None if r["v"] is None else int(r["v"])) for r in
          asof_join(ldf, rdf, on="ts", by="k", strategy=strategy,
@@ -1000,3 +1056,215 @@ def test_connected_components_parity_property(spark, edges):
         for n in ns:
             want[n] = m
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming ops vs their batch twins: random tapes — including
+# out-of-order (late) and duplicate rows INSIDE each micro-batch — chunked
+# into time-contiguous files, drained one file per trigger through
+# run_available_now, must reproduce the batch operator / sequential
+# reference exactly. This is the hand-written per-group-state seam class
+# where the r10/r11 batteries caught two real bugs (ranged_cumsum NULL
+# carry, asof row carry).
+# ---------------------------------------------------------------------------
+
+# fewer examples than SET: each example writes parquet files and drains a
+# real streaming query (~2-4 s)
+SET_STREAM = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_NS = 1_000_000_000
+
+# per-file tick chunks: (key, ts-offset-within-file, int price, int volume).
+# Rows are written in GENERATED order (arbitrary — late rows inside the
+# batch); file q's timestamps sit in [q*1000, q*1000+50] so files are
+# time-contiguous and the file source's oldest-first order preserves the
+# per-key event order ACROSS batches (the sequence ops' documented
+# delivery contract). Integer prices/volumes keep every sum exact in
+# float64, so stream-vs-batch parity is bit-level where the float ops
+# match.
+stream_tapes = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=1, max_value=200),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _write_chunks(spark, chunks, cols, dedup_key_ts=False):
+    """Write each chunk as one parquet file (in order); returns the dir.
+    dedup_key_ts drops all-but-first rows per (key, ts) ACROSS the tape —
+    sequence ops need a deterministic per-key order, and a batch window
+    ordered by ts breaks ties nondeterministically."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ffn_prop_stream_")
+    seen: set = set()
+    out_chunks = []
+    for q, chunk in enumerate(chunks):
+        rows = []
+        for (k, toff, p, v) in chunk:
+            t = (q * 1000 + toff) * _NS
+            if dedup_key_ts:
+                if (k, t) in seen:
+                    continue
+                seen.add((k, t))
+            rows.append((k, t, float(p), float(v))[: len(cols)])
+        if rows:
+            spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            out_chunks.append(rows)
+    return d, out_chunks
+
+
+def _final_updates(rows, key, monotone):
+    """Last update per key from an update-mode drain = the row with the
+    largest value of the monotone cumulative column."""
+    best = {}
+    for r in rows:
+        k = r[key]
+        if k not in best or r[monotone] >= best[k][monotone]:
+            best[k] = r
+    return best
+
+
+@given(chunks=stream_tapes)
+@SET_STREAM
+def test_stateful_running_vwap_matches_batch_property(spark, chunks):
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_running_vwap,
+    )
+
+    d, written = _write_chunks(
+        spark, chunks, ["ticker", "ts", "price", "volume"]
+    )
+    if not written:
+        return
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_running_vwap(stream, "ticker", "price", "volume"),
+        output_mode="update",
+    ).collect()
+    got = _final_updates(out, "ticker", "cum_volume")
+    batch = {
+        r["ticker"]: r
+        for r in spark.read.parquet(d)
+        .groupBy("ticker")
+        .agg(
+            ffn.tick.calc_vwap("price", "volume").alias("vwap"),
+            F.sum("volume").cast("double").alias("vol"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k]["cum_volume"] == batch[k]["vol"]
+        assert got[k]["running_vwap"] == pytest.approx(
+            batch[k]["vwap"], rel=1e-12
+        )
+
+
+@given(chunks=stream_tapes)
+@SET_STREAM
+def test_stateful_realized_volatility_matches_batch_property(spark, chunks):
+    from ffn_polars_spark.functions.tick_price import calc_realized_volatility
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_realized_volatility,
+    )
+
+    d, written = _write_chunks(
+        spark, chunks, ["ticker", "ts", "price"], dedup_key_ts=True
+    )
+    if not written:
+        return
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_realized_volatility(stream, "ticker", "ts", "price"),
+        output_mode="update",
+    ).collect()
+    got = _final_updates(out, "ticker", "n_returns")
+    batch = {
+        r["ticker"]: r
+        for r in calc_realized_volatility(
+            spark.read.parquet(d), "price", order_by="ts", by=["ticker"]
+        ).collect()
+    }
+    # sequential reference for n_returns (the batch op emits only the stat)
+    n_ref: dict = {}
+    for rows in written:
+        for k, t, p in sorted(rows, key=lambda r: (r[0], r[1])):
+            n_ref[k] = n_ref.get(k, 0) + 1
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k]["n_returns"] == (n_ref[k] - 1 if n_ref[k] else 0)
+        want_rv = batch[k]["price_realized_volatility"]
+        if want_rv is None:
+            assert got[k]["realized_volatility"] is None
+        else:
+            assert got[k]["realized_volatility"] == pytest.approx(
+                want_rv, rel=1e-9, abs=1e-12
+            )
+
+
+@given(chunks=stream_tapes, threshold=st.sampled_from([0.5, 1.5]))
+@SET_STREAM
+def test_stateful_zscore_alerts_matches_sequential_property(
+    spark, chunks, threshold
+):
+    """No batch operator exists for the prior-distribution alert count (the
+    semantics are genuinely sequential), so the twin is the sequential
+    Python walk with the SAME float expressions the vectorized in-batch
+    prefix scan evaluates — integer-valued inputs make every sum exact, so
+    the alert decisions are bit-identical."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_zscore_alerts,
+    )
+
+    min_obs = 3
+    d, written = _write_chunks(
+        spark, chunks, ["ticker", "ts", "price"], dedup_key_ts=True
+    )
+    if not written:
+        return
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_zscore_alerts(
+            stream, "ticker", "ts", "price",
+            threshold=threshold, min_obs=min_obs,
+        ),
+        output_mode="update",
+    ).collect()
+    got = _final_updates(out, "ticker", "n_events")
+
+    want: dict = {}
+    state: dict = {}
+    for rows in written:
+        for k, t, x in sorted(rows, key=lambda r: (r[0], r[1])):
+            n, sx, sq, na = state.get(k, (0, 0.0, 0.0, 0))
+            if n >= min_obs and n > 1:
+                m = sx / n
+                var = (sq - sx * sx / n) / (n - 1)
+                if var > 0 and abs(x - m) > threshold * math.sqrt(var):
+                    na += 1
+            state[k] = (n + 1, sx + x, sq + x * x, na)
+    for k, (n, sx, sq, na) in state.items():
+        want[k] = (n, na)
+    assert {k: (r["n_events"], r["n_alerts"]) for k, r in got.items()} == want

@@ -253,47 +253,60 @@ def extract_image_features(
     unrecognized formats): ``"null"`` (default) emits the row with null
     feature columns — one bad blob in a 100 TB corpus must not fail the
     whole job — while ``"raise"`` propagates the decode error.
+
+    Parallelism guard (r12 scale-decade find): the Python stage chains on
+    the scan's partitioning, and a single-row-group parquet file (the
+    pyarrow/pandas writer default) feeds ONE task no matter how many
+    byte-splits it reports — the 50k-doc decade point ran the whole
+    decode single-threaded. Same ``spread_scan`` gate as the text
+    pipelines: no-op whenever the scan's effective parallelism already
+    covers half the cluster's slots (measured 2.7x at the 50k-doc point).
+    The per-batch loop builds columns with a plain zip over the two input
+    columns (measured 4.3x over the previous ``iterrows``+dict-per-row
+    shape at 5M docs, 18.3 s -> 4.3 s — pandas row boxing, not decode,
+    dominated).
     """
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise'; got {on_error!r}")
 
-    _NULL_IMG = {"width": None, "height": None, "channels": None, "mean_intensity": None}
+    _NULL_IMG = (None, None, None, None)
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col]) if row[content_col] is not None else b""
+            ids = pdf[id_col].tolist()
+            n_bytes, shas, feats = [], [], []
+            for raw in pdf[content_col]:
+                data = bytes(raw) if raw is not None else b""
+                n_bytes.append(len(data))
+                shas.append(hashlib.sha256(data).hexdigest())
                 try:
-                    feats = decode_image(data, fake=fake)
+                    f = decode_image(data, fake=fake)
+                    feats.append(
+                        (f["width"], f["height"], f["channels"], f["mean_intensity"])
+                    )
                 except Exception:
                     if on_error == "raise":
                         raise
-                    feats = dict(_NULL_IMG)
-                out.append(
-                    {
-                        "doc_id": row[id_col],
-                        "n_bytes": len(data),
-                        "sha256": hashlib.sha256(data).hexdigest(),
-                        **feats,
-                    }
-                )
+                    feats.append(_NULL_IMG)
+            w, h, ch, mi = zip(*feats) if feats else ((), (), (), ())
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "n_bytes",
-                    "sha256",
-                    "width",
-                    "height",
-                    "channels",
-                    "mean_intensity",
-                ],
+                {
+                    "doc_id": ids,
+                    "n_bytes": n_bytes,
+                    "sha256": shas,
+                    "width": w,
+                    "height": h,
+                    "channels": ch,
+                    "mean_intensity": mi,
+                }
             )
 
-    return df.select(id_col, content_col).mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
+    staged = spread_scan(df.select(id_col, content_col), id_col)
+    return staged.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(

@@ -763,3 +763,41 @@ def test_blocked_keyed_lag_plan_shape(spark, tmp_path):
     # the bounds branch aggregates map-side BEFORE its exchange: a partial
     # aggregate on (block, keys) must appear (keys= grouping with __blk)
     assert "partial" in plan.lower()
+
+
+def _arrow_eval_nodes(plan: str):
+    """Detail sections of every ArrowEvalPython node: list of Arguments
+    strings (one per node)."""
+    import re
+
+    return re.findall(
+        r"\(\d+\) ArrowEvalPython\nInput[^\n]*\nArguments: ([^\n]*)", plan
+    )
+
+
+def test_minhash_kernel_fence_one_udf_per_arrow_node(spark):
+    """The minhash signature kernel relies on asNondeterministic() to stop
+    CollapseProject from inlining the UDF into each element_at band
+    projection (_arrow_kernels.py): without the fence one ArrowEvalPython
+    node would carry num_hashes copies of _sig — the kernel re-run per
+    band column. Spark-version-sensitive idiom, so pin it: every
+    ArrowEvalPython node in the plan must evaluate exactly ONE _sig call.
+    (Multiple nodes are fine — the lazily-pinned signature frame appears
+    once per consumer branch in the STATIC plan; the persist makes it one
+    execution at runtime.)"""
+    plan = explain_str(QUERY_FNS["dedup_minhash_lsh"](spark, SF))
+    nodes = _arrow_eval_nodes(plan)
+    assert nodes, "minhash kernel must evaluate via ArrowEvalPython"
+    for args in nodes:
+        assert args.count("_sig(") == 1, args
+
+
+def test_winnow_kernel_fence_single_arrow_node(spark):
+    """Same fence for the winnow rolling-hash kernel: exactly one
+    ArrowEvalPython node evaluating exactly one _fps call — the
+    InferFiltersFromGenerate/CollapseProject duplication around the
+    downstream explode is what asNondeterministic() prevents."""
+    plan = explain_str(QUERY_FNS["winnow_fingerprints"](spark, SF))
+    nodes = _arrow_eval_nodes(plan)
+    assert len(nodes) == 1, plan.count("ArrowEvalPython")
+    assert nodes[0].count("_fps(") == 1, nodes[0]

@@ -581,6 +581,7 @@ def dedup_minhash_lsh(
     seed: int = 42,
     verify="exact",
     hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -590,6 +591,19 @@ def dedup_minhash_lsh(
     midpoint ≈ 0.50): half the signature compute of 128/32 at the same band
     width, with near-identical recall above ~0.7 similarity (the dedup
     regime); pass 128/32 when hunting pairs near 0.4.
+
+    ``max_bucket`` (default None = uncapped, bit-identical to the oracle
+    twin) drops band buckets holding more than that many docs before the
+    self-join — the same hot-key valve as winnow's ``max_fp_df``. A
+    DEGENERATE bucket (e.g. a boilerplate/empty-text signature shared by
+    k docs) emits C(k,2) pairs: at 100 TB one million-doc bucket is 5×10¹¹
+    candidates from a single key, all landing on one join task. Docs in a
+    dropped bucket can still pair through their other ``bands − 1``
+    buckets, so for true near-dups (most bands collide) the recall cost is
+    ~0; set it around 10³–10⁴ when running web-scale corpora with
+    boilerplate. Exact-duplicate GROUPS larger than the cap should be
+    collapsed by [[dedup_exact]] first (cheaper and lossless) — the
+    standard pipeline order.
 
     ``verify``: ``"exact"`` (default; also accepts ``True``) joins candidates
     back to the in-row shingle arrays and emits exact ``jaccard``;
@@ -648,6 +662,15 @@ def dedup_minhash_lsh(
             "__id", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh")
         )
     )
+    if max_bucket is not None:
+        # hot-bucket valve: a keyed window over the PINNED bucket table
+        # (never the corpus), so the count costs one bucket-sized exchange
+        from pyspark.sql.window import Window
+
+        w_b = Window.partitionBy("__band", "__bh")
+        buckets = buckets.withColumn(
+            "__bn", F.count(F.lit(1)).over(w_b)
+        ).where(F.col("__bn") <= int(max_bucket)).drop("__bn")
 
     l, r = buckets.alias("l"), buckets.alias("r")
     cands = (

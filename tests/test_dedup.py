@@ -287,3 +287,38 @@ def test_minhash_single_guard_count_action(spark, corpus, monkeypatch):
     # the plan still executes correctly from the lazily-pinned arrays
     assert out.count() > 0
     release_pins()
+
+
+def test_minhash_max_bucket_cap(spark):
+    """The hot-bucket valve: identical docs share every band bucket, so a
+    bucket-size cap below the clone-group size drops ALL their buckets
+    (no pairs emitted), while distinct-but-near docs keep pairing through
+    their other bands. Default (None) is uncapped — bit-identical to the
+    oracle twin."""
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    # 6 identical clones (degenerate bucket of 6 in all 16 bands) plus
+    # 2 near-dup docs that share most shingles but not all bands
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(6)]
+    rows.append((10, base + " lambda mu nu xi omicron"))
+    rows.append((11, base + " lambda mu nu xi pi"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(df, threshold=0.5).collect()
+    }
+    release_pins()
+    # all 15 clone pairs present uncapped
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= uncapped
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(df, threshold=0.5, max_bucket=5).collect()
+    }
+    release_pins()
+    # clone-group buckets (size 6 > 5) are dropped entirely...
+    assert not any(a < 6 and b < 6 for a, b in capped)
+    # ...but the near-dup pair still pairs through its own buckets
+    assert (10, 11) in capped

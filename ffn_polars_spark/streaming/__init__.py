@@ -499,15 +499,22 @@ def stateful_realized_volatility(
             last_ts, last_lp, sum_sq, n = state.get
         else:
             last_ts, last_lp, sum_sq, n = None, None, 0.0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts)
-            for _, row in pdf.iterrows():
-                lp = math.log(float(row[price]))
+        # Concatenate BEFORE sorting: a large group arrives as several
+        # Arrow chunks in arbitrary order, and sorting each chunk
+        # separately would chain returns across a seam where chunk 2
+        # holds timestamps earlier than chunk 1 (the in-batch analogue of
+        # the cross-batch delivery contract; r12 hardening).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            batch = batch.sort_values(ts, kind="stable")
+            for t_val, p_val in zip(batch[ts], batch[price]):
+                lp = math.log(float(p_val))
                 if last_lp is not None:
                     r = lp - last_lp
                     sum_sq += r * r
                     n += 1
-                last_ts, last_lp = int(row[ts]), lp
+                last_ts, last_lp = int(t_val), lp
         state.update((last_ts, last_lp, sum_sq, n))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
@@ -615,8 +622,16 @@ def stateful_zscore_alerts(
             n, sum_x, sum_sq, n_alerts = 0, 0.0, 0.0, 0
         import numpy as np
 
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts)
+        # concat-then-sort: see stateful_realized_volatility — per-chunk
+        # sorting breaks the in-batch time order when a group spans
+        # multiple Arrow chunks (r12 hardening)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks) if len(chunks) > 1 else chunks[0]]
+            if chunks
+            else []
+        ):
+            pdf = pdf.sort_values(ts, kind="stable")
             x = pdf[value].to_numpy(dtype=np.float64)
             if not len(x):
                 continue

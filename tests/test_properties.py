@@ -1268,3 +1268,113 @@ def test_stateful_zscore_alerts_matches_sequential_property(
     for k, (n, sx, sq, na) in state.items():
         want[k] = (n, na)
     assert {k: (r["n_events"], r["n_alerts"]) for k, r in got.items()} == want
+
+
+# ---------------------------------------------------------------------------
+# r12 rewrite defenses: the operators whose shapes changed this round hold
+# against naive full-formula references for ANY input.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from(["x1", "x2", "x3"]),
+            st.sampled_from(["y1", "y2", "y3", "y4"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_chi_square_identity_matches_full_grid_property(spark, rows):
+    """The r12 identity rewrite (chi2 = n * sum O^2/(r*c) - n over OBSERVED
+    cells) must equal the textbook full-grid sum((O-E)^2/E) INCLUDING
+    observed-zero cells, computed naively in Python, for any contingency
+    table — including degenerate single-row/column groups (NULL chi2)."""
+    from ffn_polars_spark.operators.evaluation import chi_square
+
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in chi_square(df, "x", "y", by="g").collect()}
+
+    from collections import Counter
+
+    by_g: dict = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, Counter())[(x, y)] += 1
+    for g, cells in by_g.items():
+        xs = sorted({x for x, _ in cells})
+        ys = sorted({y for _, y in cells})
+        n = sum(cells.values())
+        rsum = {x: sum(v for (xx, _), v in cells.items() if xx == x) for x in xs}
+        csum = {y: sum(v for (_, yy), v in cells.items() if yy == y) for y in ys}
+        chi2 = 0.0
+        for x in xs:
+            for y in ys:  # FULL grid, zero cells included
+                o = cells.get((x, y), 0)
+                e = rsum[x] * csum[y] / n
+                chi2 += (o - e) * (o - e) / e
+        dof = (len(xs) - 1) * (len(ys) - 1)
+        assert got[g]["dof"] == dof
+        assert got[g]["n"] == n
+        if dof == 0:
+            assert got[g]["chi2"] is None
+        else:
+            assert got[g]["chi2"] == pytest.approx(chi2, rel=1e-9, abs=1e-9)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # period
+            st.one_of(st.none(), st.sampled_from(["u1", "u2", "u3", "u4"])),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@SET
+def test_topk_churn_null_keys_excluded_property(spark, rows, k):
+    """The r12 NULL-key contract: NULL keys neither occupy top-k slots nor
+    count toward set sizes — parity with a Python reference that drops
+    them up front, for any tape and k."""
+    from ffn_polars_spark.operators.wide import topk_churn
+
+    df = spark.createDataFrame(rows, "p int, u string")
+    got = {
+        r["period"]: (r["n_curr"], r["n_prev"], r["n_common"])
+        for r in topk_churn(df, "p", "u", k=k).collect()
+    }
+
+    from collections import Counter
+
+    per: dict = {}
+    for p, u in rows:
+        if u is None:
+            continue
+        per.setdefault(p, Counter())[u] += 1
+    tops = {
+        p: set(
+            sorted(cnt, key=lambda u: (-cnt[u], u))[:k]
+        )
+        for p, cnt in per.items()
+    }
+    periods = sorted(tops)
+    want = {}
+    for prev_p, p in zip(periods, periods[1:]):
+        cur, prv = tops[p], tops[prev_p]
+        want[p] = (len(cur), len(prv), len(cur & prv))
+    assert got == want
+
+
+def test_heaps_law_empty_input_nulls(spark):
+    """Degenerate contract restored in r12: empty input emits NULL totals
+    (the old max-over-empty semantics), never a fabricated 0."""
+    from ffn_polars_spark.operators.text import heaps_law
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    row = heaps_law(df).collect()[0]
+    assert row["total_tokens"] is None and row["vocab"] is None
+    assert row["beta"] is None

@@ -234,8 +234,34 @@ def main() -> None:
     r5["state_bounded"] = r5["state_rows"] is not None and r5["state_rows"] <= N_TICKERS
     print(json.dumps(r5), flush=True)
 
+    # the two sequence-dependent stateful ops (r12-hardened concat-then-
+    # sort in-batch path): rvol carries (last_ts, last_log_price, Σr², n)
+    # per key, zscore (n, Σx, Σx², n_alerts) — both lifetime one-row-per-key
+    from ffn_polars_spark.streaming import (
+        stateful_realized_volatility,
+        stateful_zscore_alerts,
+    )
+
+    rvol = stateful_realized_volatility(
+        make_stream(spark, rps).withColumn(
+            "ts", F.col("value")
+        ), "ticker", "ts", "price",
+    )
+    r7 = drive("stateful_realized_volatility", rvol, duration, output_mode="update")
+    r7["state_bounded"] = r7["state_rows"] is not None and r7["state_rows"] <= N_TICKERS
+    print(json.dumps(r7), flush=True)
+
+    zs = stateful_zscore_alerts(
+        make_stream(spark, rps).withColumn(
+            "ts", F.col("value")
+        ), "ticker", "ts", "price",
+    )
+    r8 = drive("stateful_zscore_alerts", zs, duration, output_mode="update")
+    r8["state_bounded"] = r8["state_rows"] is not None and r8["state_rows"] <= N_TICKERS
+    print(json.dumps(r8), flush=True)
+
     if not all(
-        r["state_bounded"] for r in (r1, r2, r3, r4, r5, r6)
+        r["state_bounded"] for r in (r1, r2, r3, r4, r5, r6, r7, r8)
     ):
         sys.exit("FAIL: state-store growth exceeded the bounded-state contract")
 

@@ -741,8 +741,16 @@ def stateful_cusum(
             sp, sn, seg, n, n_alarms = 0.0, 0.0, 1, 0, 0
         import numpy as np
 
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts)
+        # concat-then-sort: see stateful_realized_volatility — per-chunk
+        # sorting breaks the in-batch time order when a group spans
+        # multiple Arrow chunks (r12 hardening)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks) if len(chunks) > 1 else chunks[0]]
+            if chunks
+            else []
+        ):
+            pdf = pdf.sort_values(ts, kind="stable")
             x = pdf[value].to_numpy(dtype=np.float64)
             for xi in x:
                 e = xi - tgt

@@ -1378,3 +1378,50 @@ def test_heaps_law_empty_input_nulls(spark):
     row = heaps_law(df).collect()[0]
     assert row["total_tokens"] is None and row["vocab"] is None
     assert row["beta"] is None
+
+
+@given(chunks=stream_tapes, threshold=st.sampled_from([5.0, 20.0]))
+@SET_STREAM
+def test_stateful_cusum_matches_sequential_property(spark, chunks, threshold):
+    """The fourth hand-written state op: random multi-file tapes through
+    one-file-per-trigger drains must reproduce the batch Page-CUSUM walk
+    (integer-valued inputs in float64 -> threshold comparisons exact, so
+    the alarm count, segment resets, and final s+/s- are bit-level)."""
+    from ffn_polars_spark.streaming import (
+        read_tick_stream,
+        run_available_now,
+        stateful_cusum,
+    )
+
+    target, drift = 100.0, 0.5
+    d, written = _write_chunks(
+        spark, chunks, ["ticker", "ts", "price"], dedup_key_ts=True
+    )
+    if not written:
+        return
+    stream = read_tick_stream(spark, d, ts_col="ts", max_files_per_trigger=1)
+    out = run_available_now(
+        stateful_cusum(
+            stream, "ticker", "ts", "price",
+            target=target, threshold=threshold, drift=drift,
+        ),
+        output_mode="update",
+    ).collect()
+    got = _final_updates(out, "ticker", "n_events")
+
+    state: dict = {}
+    for rows in written:
+        for k, t, xv in sorted(rows, key=lambda r: (r[0], r[1])):
+            sp, sn, n, na = state.get(k, (0.0, 0.0, 0, 0))
+            e = xv - target
+            sp = max(0.0, sp + e - drift)
+            sn = max(0.0, sn - e - drift)
+            if sp > threshold or sn > threshold:
+                na += 1
+                sp, sn = 0.0, 0.0
+            state[k] = (sp, sn, n + 1, na)
+    want = {k: (n, na, sp, sn) for k, (sp, sn, n, na) in state.items()}
+    assert {
+        k: (r["n_events"], r["n_alarms"], r["cusum_pos"], r["cusum_neg"])
+        for k, r in got.items()
+    } == want

@@ -189,7 +189,7 @@ def _executor_heap_bytes(spark) -> int:
         return 8 << 30
 
 
-def _pinned_if_fits(df: DataFrame, est_bytes) -> DataFrame:
+def _pinned_if_fits(df: DataFrame, est_bytes, eager: bool = True) -> DataFrame:
     """Pin unless the frame's size estimate exceeds ~30% of the executor
     heap. A cache bigger than the storage pool doesn't just evict — the
     COLUMNAR batch building during unroll GC-thrashes the heap (measured:
@@ -198,12 +198,22 @@ def _pinned_if_fits(df: DataFrame, est_bytes) -> DataFrame:
     consumer branch is strictly cheaper than fighting the memory manager;
     below it, the pin saves the per-branch re-derivation exactly as
     :func:`_pinned` documents. ``est_bytes=None`` (unknown) pins — the
-    historical behavior."""
+    historical behavior. ``eager`` passes through to :func:`_pinned`."""
     if est_bytes is not None:
         cap = 0.3 * _executor_heap_bytes(df.sparkSession)
         if est_bytes > cap:
             return df
-    return _pinned(df)
+    return _pinned(df, eager=eager)
+
+
+def _token_scale_est(df: DataFrame):
+    """Size estimate for a token-scale derived frame (shingle rows, span
+    hashes): ~3x the on-disk text bytes, the scrub_spans-measured ratio.
+    None (→ pin) when the plan has no readable parquet footers."""
+    from ffn_polars_spark.operators._scanmeta import scan_bytes
+
+    b = scan_bytes(df)
+    return 3 * b if b is not None else None
 
 
 # Mersenne prime 2^31 - 1: (a*h + b) mod P stays within long range for
@@ -375,7 +385,8 @@ def ngram_jaccard_pairs(
         # anti-join, not broadcast(hot) blindly: hot-shingle count is small by
         # construction (corpus-frequency tail), so AQE broadcasts it anyway
         sh = sh.join(hot, "__sh", "left_anti")
-    sh = _pinned(sh)
+    # token-scale STRING shingles: heap-gate like scrub_spans' span pin
+    sh = _pinned_if_fits(sh, _token_scale_est(df))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -424,7 +435,11 @@ def decontaminate(
     exchange is the per-document hit/size aggregate.  Both branches read the
     same pinned shingle frame, so tokenization runs once.
     """
-    sh = _pinned(_doc_shingles(_spread(df, id_col), text_col, id_col, n))
+    # token-scale STRING shingles: heap-gate like scrub_spans' span pin
+    sh = _pinned_if_fits(
+        _doc_shingles(_spread(df, id_col), text_col, id_col, n),
+        _token_scale_est(df),
+    )
     hold_sh = (
         _doc_shingles(holdout, holdout_text_col or text_col, id_col, n)
         .select("__sh")
@@ -633,11 +648,17 @@ def dedup_minhash_lsh(
     # and is itself a single job — it fills this cache serially on the way
     # to the band hashes, so the eager count's extra stage (measured 5.0 s
     # of task-time at sf0.1, the old slowest-headline fat) buys nothing.
-    # The verify joins read the then-warm cache.
-    arrays = _pinned(
+    # The verify joins read the then-warm cache. Heap-gated (r12): the
+    # arrays are longs-only (~8 B/shingle ≈ 2x the on-disk text bytes in
+    # cache), but still token-scale — past the 30%-heap cap the verify
+    # joins re-derive instead of GC-thrashing, exactly the
+    # _pinned_if_fits trade.
+    est = _token_scale_est(df)
+    arrays = _pinned_if_fits(
         _doc_shingle_arrays(df, text_col, id_col, n, hash_fn).select(
             "__id", "__h64"
         ),
+        (2 * est) // 3 if est is not None else None,
         eager=False,
     )
     sig = _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
@@ -983,7 +1004,8 @@ def containment_pairs(
             F.col("__df") > max_shingle_df
         ).select("__sh")
         sh = sh.join(hot, "__sh", "left_anti")
-    sh = _pinned(sh)
+    # token-scale STRING shingles: heap-gate like scrub_spans' span pin
+    sh = _pinned_if_fits(sh, _token_scale_est(df))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1138,7 +1160,11 @@ def shingle_novelty(
     per-shingle minimum). Returns ``(id, n_shingles, n_novel,
     novelty)``; documents with no shingles are absent.
     """
-    sh = _pinned(_doc_shingles(_spread(df, id_col), text_col, id_col, n))
+    # token-scale STRING shingles: heap-gate like scrub_spans' span pin
+    sh = _pinned_if_fits(
+        _doc_shingles(_spread(df, id_col), text_col, id_col, n),
+        _token_scale_est(df),
+    )
     first = sh.groupBy("__sh").agg(F.min("__id").alias("__first"))
     joined = sh.join(first, "__sh")
     agg = joined.groupBy("__id").agg(

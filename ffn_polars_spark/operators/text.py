@@ -302,7 +302,11 @@ def winnow_overlap_pairs(
     surviving containment scores are unchanged. Pass ``max_fp_df=None``
     only for small corpora / exact-baseline verification.
     """
-    from ffn_polars_spark.operators.dedup import _pinned, _spread
+    from ffn_polars_spark.operators.dedup import (
+        _pinned_if_fits,
+        _spread,
+        _token_scale_est,
+    )
 
     fps = winnow_fingerprints(_spread(df, id_col), k, window, text_col, id_col)
     if max_fp_df is not None:
@@ -313,8 +317,11 @@ def winnow_overlap_pairs(
             .select("fp")
         )
         fps = fps.join(hot, "fp", "left_anti")
-    # pinned: feeds three branches (sizes + both self-join sides)
-    fps = _pinned(fps)
+    # pinned (heap-gated, r12): feeds three branches (sizes + both
+    # self-join sides), but the fingerprint rows are token-scale
+    # (~1 per window position) — past the 30%-heap cap the branches
+    # re-derive instead of GC-thrashing
+    fps = _pinned_if_fits(fps, _token_scale_est(df))
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a, b = fps.alias("a"), fps.alias("b")
     pair_id = lambda side: F.col(f"{side}.{id_col}")  # noqa: E731

@@ -68,8 +68,11 @@ def main() -> None:
     if len(never) > window:
         print(f"   ... and {len(never) - window} more (front-load the round after)")
     budget = window - len(stale_fail) - min(len(never), window)
+    # print the tail to the WINDOW budget, not a fixed 15 — round 12's
+    # whole-tail refresh needed all 47 names and had to re-derive them
+    # by hand from the evidence files
     print(f"\n3. oldest green rows (staleness tail; window slots left ≈ {max(budget, 0)}):")
-    for n in green[:15]:
+    for n in green[: max(budget, 0) or 15]:
         print(f"   {n}  (green r{last[n][0]})")
     print(
         "\nRemember: prepend entries whose CODE changed since their last"

@@ -221,7 +221,9 @@ def main() -> None:
         "canary_s": canary_s,
         "canary_median_s": round(median(canary_samples), 3),
     }
-    if CANARY_BASELINE_S:
+    # canary_s can round to 0.0 on a tiny SF dir — never let the
+    # normalization ZeroDivisionError kill the whole bench record
+    if CANARY_BASELINE_S and canary_s > 0:
         out["canary_baseline_s"] = CANARY_BASELINE_S
         out["value_canary_normalized"] = round(
             sum(mins.values()) * CANARY_BASELINE_S / canary_s, 3

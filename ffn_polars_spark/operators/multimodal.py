@@ -426,31 +426,46 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction over Arrow batches (``mapInPandas``) — same
     plumbing shape as :func:`extract_image_features`, with the same
-    ``on_error`` null-row contract for undecodable records."""
+    ``on_error`` null-row contract for undecodable records, the same
+    ``spread_scan`` parallelism guard, and the same column-zip batch loop
+    (the iterrows row boxing measured 4.3x the decode on the image twin).
+    """
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise'; got {on_error!r}")
 
-    _NULL_AUDIO = {"duration_s": None, "sample_rate": None, "rms": None}
+    _NULL_AUDIO = (None, None, None)
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col]) if row[content_col] is not None else b""
+            ids = pdf[id_col].tolist()
+            n_bytes, feats = [], []
+            for raw in pdf[content_col]:
+                data = bytes(raw) if raw is not None else b""
+                n_bytes.append(len(data))
                 try:
-                    feats = decode_audio(data, fake=fake)
+                    f = decode_audio(data, fake=fake)
+                    feats.append((f["duration_s"], f["sample_rate"], f["rms"]))
                 except Exception:
                     if on_error == "raise":
                         raise
-                    feats = dict(_NULL_AUDIO)
-                out.append({"doc_id": row[id_col], "n_bytes": len(data), **feats})
+                    feats.append(_NULL_AUDIO)
+            dur, sr, rms = zip(*feats) if feats else ((), (), ())
             yield pd.DataFrame(
-                out, columns=["doc_id", "n_bytes", "duration_s", "sample_rate", "rms"]
+                {
+                    "doc_id": ids,
+                    "n_bytes": n_bytes,
+                    "duration_s": dur,
+                    "sample_rate": sr,
+                    "rms": rms,
+                }
             )
 
-    return df.select(id_col, content_col).mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
+    staged = spread_scan(df.select(id_col, content_col), id_col)
+    return staged.mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -482,23 +497,28 @@ def resize_images(
         )
 
     size = int(target) * int(target) * 3
+    tgt = int(target)
 
     def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col]) if row[content_col] is not None else b""
-                resized = (data * (size // max(len(data), 1) + 1))[:size]
-                out.append(
-                    {
-                        "doc_id": row[id_col],
-                        "width": int(target),
-                        "height": int(target),
-                        "content": resized,
-                    }
-                )
-            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "content"])
+            ids = pdf[id_col].tolist()
+            content = [
+                ((bytes(raw) if raw is not None else b"")
+                 * (size // max(len(raw) if raw is not None else 0, 1) + 1))[:size]
+                for raw in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [tgt] * len(ids),
+                    "height": [tgt] * len(ids),
+                    "content": content,
+                }
+            )
 
-    return df.select(id_col, content_col).mapInPandas(_resize, RESIZED_SCHEMA)
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
+    staged = spread_scan(df.select(id_col, content_col), id_col)
+    return staged.mapInPandas(_resize, RESIZED_SCHEMA)

@@ -253,16 +253,19 @@ def grid_snap(
     span = df.groupBy(*keys).agg(
         F.min(F.col(ts_col)).alias("__lo"), F.max(F.col(ts_col)).alias("__hi")
     )
-    grid = span.select(
+    # ceil/floor to step multiples in pure long arithmetic — epoch-ns
+    # exceeds double's mantissa, so no float division. A key whose span
+    # straddles NO step multiple (ceil > floor, e.g. ts 1..1 at step 2)
+    # gets no grid rows — Spark's sequence() raises on a descending range
+    # with a positive step, so the filter must come first
+    # (hypothesis-found, r12).
+    span = span.withColumn(
+        "__g0", F.expr(f"((__lo + {step} - 1) div {step}) * {step}")
+    ).withColumn("__g1", F.expr(f"(__hi div {step}) * {step}"))
+    grid = span.where(F.col("__g0") <= F.col("__g1")).select(
         *keys,
         F.explode(
-            F.sequence(
-                # ceil/floor to step multiples in pure long arithmetic —
-                # epoch-ns exceeds double's mantissa, so no float division
-                F.expr(f"((__lo + {step} - 1) div {step}) * {step}"),
-                F.expr(f"(__hi div {step}) * {step}"),
-                F.lit(step),
-            )
+            F.sequence(F.col("__g0"), F.col("__g1"), F.lit(step))
         ).alias("__ts"),
         F.lit(1).alias("__is_grid"),
     )

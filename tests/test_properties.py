@@ -1425,3 +1425,99 @@ def test_stateful_cusum_matches_sequential_property(spark, chunks, threshold):
         k: (r["n_events"], r["n_alarms"], r["cusum_pos"], r["cusum_neg"])
         for k, r in got.items()
     } == want
+
+
+@given(
+    ticks_tape=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=120),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    step=st.integers(min_value=1, max_value=10),
+)
+@SET
+def test_grid_snap_locf_parity_property(spark, ticks_tape, step):
+    """grid_snap == the naive LOCF walk for any tape and step: grid points
+    are the step multiples inside each key's [min ts, max ts], each takes
+    the value of the last tick at-or-before it (exactly-aligned ticks
+    included)."""
+    from ffn_polars_spark.operators.asof import grid_snap
+
+    # unique (key, ts): the operator's deterministic-order contract
+    seen = set()
+    rows = [
+        r for r in ticks_tape
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    df = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in rows], "k string, ts long, v double"
+    )
+    got = {
+        (r["k"], r["grid_ts"]): r["v"]
+        for r in grid_snap(df, "ts", "v", step=step, by="k").collect()
+    }
+    want = {}
+    per: dict = {}
+    for k, t, v in rows:
+        per.setdefault(k, []).append((t, v))
+    for k, pts in per.items():
+        pts.sort()
+        lo, hi = pts[0][0], pts[-1][0]
+        g = ((lo + step - 1) // step) * step
+        while g <= hi:
+            last = max((p for p in pts if p[0] <= g), key=lambda p: p[0])
+            want[(k, g)] = float(last[1])
+            g += step
+    assert got == want
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=15),  # length (0 allowed)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_interval_union_sweep_parity_property(spark, intervals):
+    """interval_union == the sequential sweep-line merge for any interval
+    set: touching intervals merge, a zero-length point strictly past the
+    running max end starts its own island; integer endpoints keep the
+    covered/max-island sums exact in float64."""
+    from ffn_polars_spark.operators.ranges import interval_union
+
+    rows = [(k, s, s + ln) for k, s, ln in intervals]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        r["k"]: (r["covered"], r["n_islands"], r["max_island"], r["n_intervals"])
+        for r in interval_union(df, "s", "e", by="k").collect()
+    }
+    want = {}
+    per: dict = {}
+    for k, s, e in rows:
+        per.setdefault(k, []).append((s, e))
+    for k, iv in per.items():
+        iv.sort()
+        islands = []
+        cur_s = cur_e = None
+        for s, e in iv:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        lens = [float(ie - is_) for is_, ie in islands]
+        want[k] = (
+            float(sum(lens)), len(islands), max(lens), len(iv)
+        )
+    assert got == want

@@ -1521,3 +1521,74 @@ def test_interval_union_sweep_parity_property(spark, intervals):
             float(sum(lens)), len(islands), max(lens), len(iv)
         )
     assert got == want
+
+
+@given(
+    rets=st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=1, max_size=50
+    )
+)
+@SET
+def test_streak_stats_parity_property(spark, rets):
+    """streak_stats == the sequential run-length walk for any return tape:
+    sign runs (+/-/0), NULL max when a sign never occurs, n_runs counts
+    flat runs too."""
+    from ffn_polars_spark.functions.eod_risk import streak_stats
+
+    rows = [("k", i, float(v)) for i, v in enumerate(rets)]
+    df = spark.createDataFrame(rows, "k string, i long, r double")
+    row = streak_stats(df, "r", order_by="i", by="k").collect()[0]
+
+    signs = [1 if v > 0 else (-1 if v < 0 else 0) for v in rets]
+    runs = []
+    for s in signs:
+        if runs and runs[-1][0] == s:
+            runs[-1][1] += 1
+        else:
+            runs.append([s, 1])
+    wins = [n for s, n in runs if s == 1]
+    losses = [n for s, n in runs if s == -1]
+    assert row["n_runs"] == len(runs)
+    assert row["max_win_streak"] == (max(wins) if wins else None)
+    assert row["max_loss_streak"] == (max(losses) if losses else None)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    gap=st.integers(min_value=1, max_value=100),
+)
+@SET
+def test_session_stats_parity_property(spark, events, gap):
+    """session_stats == the sequential gap walk for any event tape: a new
+    session starts when the inter-event gap strictly exceeds `gap`;
+    durations are max-min within session."""
+    from ffn_polars_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(events, "user_id string, ts long")
+    got = sorted(
+        (r["user_id"], r["n_events"], r["duration"])
+        for r in session_stats(df, "ts", "user_id", gap=gap).collect()
+    )
+    per: dict = {}
+    for u, t in events:
+        per.setdefault(u, []).append(t)
+    want = []
+    for u, ts in per.items():
+        ts.sort()
+        sessions = [[ts[0]]]
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > gap:
+                sessions.append([cur])
+            else:
+                sessions[-1].append(cur)
+        for s in sessions:
+            want.append((u, len(s), s[-1] - s[0]))
+    assert got == sorted(want)

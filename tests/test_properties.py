@@ -1592,3 +1592,51 @@ def test_session_stats_parity_property(spark, events, gap):
         for s in sessions:
             want.append((u, len(s), s[-1] - s[0]))
     assert got == sorted(want)
+
+
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),  # duration
+            st.booleans(),                           # event observed
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_kaplan_meier_parity_property(spark, subjects):
+    """kaplan_meier == the textbook product-limit walk for any censored
+    cohort: S(t) multiplies (1 - d/n) over event times only, censored
+    subjects shrink the risk set without moving the curve, and rows are
+    emitted only at times with >= 1 event."""
+    from ffn_polars_spark.operators.survival import kaplan_meier
+
+    rows = [("k", float(d), 1 if e else 0) for d, e in subjects]
+    df = spark.createDataFrame(rows, "k string, dur double, ev int")
+    got = {
+        r["t"]: (r["n_at_risk"], r["n_events"], r["n_censored"], r["survival"])
+        for r in kaplan_meier(df, "dur", "ev", by="k").collect()
+    }
+
+    from collections import Counter
+
+    d_at = Counter()
+    c_at = Counter()
+    for d, e in subjects:
+        (d_at if e else c_at)[d] += 1
+    times = sorted(set(d_at) | set(c_at))
+    n = len(subjects)
+    s = 1.0
+    want = {}
+    for t in times:
+        d, c = d_at.get(t, 0), c_at.get(t, 0)
+        if d:
+            s *= 1.0 - d / n
+            want[float(t)] = (n, d, c, s)
+        n -= d + c
+    assert set(got) == set(want)
+    for t, (nr, d, c, sv) in want.items():
+        gr = got[t]
+        assert (gr[0], gr[1], gr[2]) == (nr, d, c)
+        assert gr[3] == pytest.approx(sv, rel=1e-12, abs=1e-12)

@@ -11099,6 +11099,20 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 #         |         (chi_square identity rewrite,         | rewrite
 #         |         asof_join_interp row-carry fix,       |
 #         |         topk_churn NULL-key filter)           |
+#   r13   | [0..36] ALL 37 r6-era green rows              | staleness
+#         |         (rotation_report order): evaluation/  | refresh — the
+#         |         stats family, ranges, portfolio,      | r12 verdict's
+#         |         sessions, drift                       | #1 ask
+#         | [37..49] the 13 OLDEST r7-era green rows      | staleness
+#         |         (rotation_report order): resample     | refresh — after
+#         |         pair, dedup_cluster_stats,            | r13 no entry is
+#         |         sim_market_day, 9 streaming entries   | older than r7
+#         | Code changed in r13 (chi_square >=0 clamp,    | value-identical
+#         | grid_snap negative-ts floor-div, ann_topk     | on driver data;
+#         | guard cost) rides OUTSIDE the window: each    | locally oracle-
+#         | change is value-identical on the driver's     | verified + new
+#         | non-negative/non-degenerate sf0.01 data and   | property tests
+#         | was locally re-verified via check_correctness |
 #
 # Invariants: names absent from _PRIORITY keep their original relative order
 # at the back; names in _PRIORITY but not registered are ignored — the list
@@ -11106,74 +11120,61 @@ def q_duplicate_rate_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # --- r12 window: the judge's #1 ask — refresh the ENTIRE r4/r5
-    # --- staleness tail. [0..46] = the 2 r4 rows (multimodal frame/
-    # --- features, last externally verified seven rounds ago) + all 45
-    # --- r5-era EOD/tick/bars/wide rows, in rotation_report order:
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "to_log_returns",
-    "to_excess_returns",
-    "to_price_index",
-    "rebase",
-    "to_drawdown_series",
-    "deannualize",
-    "annualize",
-    "calc_total_return",
-    "calc_cagr",
-    "year_frac",
-    "calc_mtd",
-    "calc_ytd",
-    "calc_max_drawdown",
-    "ulcer_index",
-    "ulcer_performance_index",
-    "calc_calmar_ratio",
-    "calc_sharpe",
-    "sortino_ratio",
-    "calc_risk_return_ratio",
-    "calc_information_ratio",
-    "calc_trade_rate",
-    "calc_inter_trade_time",
-    "calc_burstiness",
-    "calc_volume_rate",
-    "tick_rule",
-    "apply_tick_rule_to_volume",
-    "calc_order_flow_imbalance",
-    "calc_tick_imbalance",
-    "calc_traded_value",
-    "calc_vwap",
-    "calc_micro_returns",
-    "calc_price_volatility_ratio",
-    "calc_price_impact",
-    "time_bars",
-    "bar_volatility",
-    "quote_to_trade_ratio",
-    "idle_time",
-    "detect_bursts",
-    "volume_profile",
-    "melt_wide",
-    "salted_agg",
-    "rolling_stats",
-    "rolling_corr",
-    "quote_analytics",
-    "effective_spread",
-    # --- [47..49] entries whose EXECUTED CODE changed in r12, re-checked
-    # --- even though green (the remaining r12 code changes are either
-    # --- value-identical by construction — ranged_cumsum totals keep
-    # --- their native int type, dedup_minhash_lsh's max_bucket defaults
-    # --- off — or degenerate-input-only — heaps_law/streaming rvol empty
-    # --- NULLs, pmi's heap-gated pin — and all were locally
-    # --- oracle-verified this round):
-    # ---   chi_square: identity rewrite n*(sum O^2/(r*c)) - n, windows
-    # ---     over the cell frame, pin + grid completion removed (oracle
-    # ---     rewritten to the same formula);
-    # ---   asof_join_interp: bracket endpoints carried as matched ROWs
-    # ---     (NULL values come over verbatim, hypothesis-found);
-    # ---   topk_churn: NULL keys filtered before the top-k window
-    # ---     (oracle filter added).
-    "chi_square",
-    "asof_join_interp",
-    "topk_churn",
+    # --- r13 window: the r12 verdict's #1 ask — retire the r6/r7
+    # --- staleness tail. [0..36] = ALL 37 r6-era green rows, in
+    # --- rotation_report order:
+    "debounce",
+    "impact_decay",
+    "kaplan_meier",
+    "event_ngrams",
+    "rank_portfolio",
+    "mann_whitney_u",
+    "twap",
+    "cohens_kappa",
+    "interval_union",
+    "radius_join",
+    "newey_west_tstat",
+    "event_study",
+    "rrf_fuse",
+    "proportion_ztest",
+    "cell_stats",
+    "transition_entropy",
+    "forecast_mase",
+    "lateness_stats",
+    "column_overlap",
+    "streaming_kmv_distinct",
+    "weighted_quantile",
+    "time_to_convert",
+    "seasonal_outliers",
+    "simpson_check",
+    "feature_auc_screen",
+    "self_excitation",
+    "ols2_by_group",
+    "interval_diff",
+    "qq_data",
+    "session_paths",
+    "adf_stat",
+    "effective_sample_size",
+    "rate_ratio_test",
+    "tail_dependence",
+    "centroid_outliers",
+    "price_clustering",
+    "vocab_gini",
+    # --- [37..49] = the 13 OLDEST r7-era green rows (rotation_report
+    # --- order); after this window no catalog entry is older than r7:
+    "resample_returns",
+    "resample_returns_poisson",
+    "dedup_cluster_stats",
+    "sim_market_day",
+    "streaming_time_bars",
+    "streaming_dedup_exact",
+    "streaming_vwap",
+    "streaming_histogram",
+    "streaming_interval_join",
+    "streaming_session_stats",
+    "streaming_running_vwap",
+    "streaming_realized_vol",
+    "streaming_zscore_alerts",
     # ======== driver window (50) ends here ========
     # --- driver-green blocks keep their original relative order at the
     # back (invariant above); no need to enumerate them here

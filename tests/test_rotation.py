@@ -30,7 +30,7 @@ WINDOW = 50
 
 # Evidence files the current _PRIORITY ordering was computed from.
 ROTATION_BUILT_FOR_EVIDENCE = [
-    f"CORRECTNESS_r{i:02d}.json" for i in range(1, 12)
+    f"CORRECTNESS_r{i:02d}.json" for i in range(1, 13)
 ]
 
 # Window entries that are NOT justified by never-checked/stale-FAIL status.
@@ -47,33 +47,25 @@ ROTATION_BUILT_FOR_EVIDENCE = [
 # slots all go to STALENESS REFRESH (the oldest green rows), which double
 # as green-block canaries. No separately-declared canary set this round.
 CANARIES: set = set()
-# entries whose code changed in round 12 — re-verified even though green:
-# chi_square (identity rewrite, pin + grid completion removed, oracle
-# rewritten to match), asof_join_interp (bracket endpoints carried as
-# matched ROWs — NULL values verbatim), topk_churn (NULL keys filtered
-# before the top-k window, oracle filter added). The other r12 code
-# changes are value-identical by construction or degenerate-input-only
-# (pmi_collocations heap-gated pin, heaps_law/streaming-rvol empty-input
-# NULLs, ranged_cumsum native-int totals, dedup_minhash_lsh's default-off
-# max_bucket, multimodal_features spread+loop shape) and were locally
-# oracle-verified in r12; listed so the window MAY include them.
+# entries whose code changed in round 13 — all value-identical on the
+# driver's sf0.01 data, so they ride OUTSIDE the window (the r12 verdict's
+# #1 ask consumes all 50 slots with the r6/r7 staleness tail):
+# chi_square (>=0 clamp on the identity-form statistic — only changes
+# values on degenerate near-cancellation tables; oracle mirrored),
+# grid_snap (sign-correct floor/ceil division — only changes values on
+# negative timestamps, which the driver data does not contain), ann_topk
+# (guard cost: bounded count probe instead of two full count jobs — plan
+# change only). Each was locally re-verified via tools/check_correctness.py
+# and gained a property/unit test this round; listed so the window MAY
+# include them without tripping the justification check.
 CODE_CHANGED = {
     "chi_square",
-    "asof_join_interp",
-    "topk_churn",
-    "pmi_collocations",
-    "heaps_law",
-    "streaming_realized_vol",
-    "dedup_minhash_lsh",
-    "multimodal_features",
-    "wasserstein_distance",
-    "ks_drift",
-    "abc_analysis",
-    "zipf_slope",
+    "grid_snap",
+    "ann_topk",
 }
-# r12 staleness-refresh cutoff: every non-code-changed window entry must
-# have a last driver row at or below this round (the r4/r5 staleness tail).
-STALE_REFRESH_MAX_ROUND = 5
+# r13 staleness-refresh cutoff: every non-code-changed window entry must
+# have a last driver row at or below this round (the r6/r7 staleness tail).
+STALE_REFRESH_MAX_ROUND = 7
 
 
 def _evidence(files):

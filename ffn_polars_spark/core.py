@@ -315,6 +315,24 @@ def ranged_cumsum(
     return out
 
 
+def _default_block_count(session) -> int:
+    """Block count for the blocked-sequence primitives when the caller
+    didn't pass one: the cluster's slot count, or — under Spark Connect,
+    where no client-side SparkContext exists — the shuffle-partition conf.
+    Any positive count is CORRECT (it only tunes parallelism), so the
+    Connect path must also tolerate non-numeric conf values like "auto"
+    (auto-optimized shuffle deployments) rather than raise from inside the
+    fallback itself."""
+    try:
+        return session.sparkContext.defaultParallelism
+    except Exception:
+        conf = session.conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            return max(1, int(conf))
+        except (TypeError, ValueError):
+            return 200
+
+
 def _order_blocked(df, keys, order, num_blocks=None):
     """Attach a contiguous-slice id ``__blk`` for the blocked sequence
     primitives: equi-width intervals over the first order column's min/max
@@ -322,7 +340,7 @@ def _order_blocked(df, keys, order, num_blocks=None):
     own (block, keys) hash exchange the only data-sized shuffle), falling
     back to a range partitioning (sampling pass + extra shuffle) for
     non-numeric orders."""
-    p = num_blocks or df.sparkSession.sparkContext.defaultParallelism
+    p = num_blocks or _default_block_count(df.sparkSession)
     blk = None
     o0 = F.col(order[0])
     try:

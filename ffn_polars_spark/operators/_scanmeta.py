@@ -183,7 +183,14 @@ def effective_scan_parallelism(df: DataFrame) -> int:
         # Report the shuffle-partition conf as the parallelism proxy —
         # the callers use this to decide whether to ADD a shuffle, and
         # without partition introspection a no-op is the safe answer.
-        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            return max(1, int(conf))
+        except (TypeError, ValueError):
+            # some deployments set this conf to the string "auto"
+            # (auto-optimized shuffle) — the safe-fallback path itself
+            # must not raise; degrade to the stock default
+            return 200
     if df.isStreaming:
         return sc.defaultParallelism
     parts = df.rdd.getNumPartitions()

@@ -254,14 +254,21 @@ def grid_snap(
         F.min(F.col(ts_col)).alias("__lo"), F.max(F.col(ts_col)).alias("__hi")
     )
     # ceil/floor to step multiples in pure long arithmetic — epoch-ns
-    # exceeds double's mantissa, so no float division. A key whose span
-    # straddles NO step multiple (ceil > floor, e.g. ts 1..1 at step 2)
-    # gets no grid rows — Spark's sequence() raises on a descending range
-    # with a positive step, so the filter must come first
-    # (hypothesis-found, r12).
+    # exceeds double's mantissa, so no float division. pmod-based rather
+    # than `div`-based: `div` truncates toward zero, so for NEGATIVE
+    # timestamps the old ((lo + step - 1) div step) * step ceil emitted
+    # grid points outside the key's span (lo=hi=-4, step=2 gave -2) and
+    # missed in-span multiples; pmod(x, step) is non-negative for
+    # positive step, making lo + pmod(-lo, step) the true smallest
+    # multiple >= lo and hi - pmod(hi, step) the true largest multiple
+    # <= hi for any sign (property-tested over negative tapes). A key
+    # whose span straddles NO step multiple (ceil > floor, e.g. ts 1..1
+    # at step 2) gets no grid rows — Spark's sequence() raises on a
+    # descending range with a positive step, so the filter must come
+    # first (hypothesis-found, r12).
     span = span.withColumn(
-        "__g0", F.expr(f"((__lo + {step} - 1) div {step}) * {step}")
-    ).withColumn("__g1", F.expr(f"(__hi div {step}) * {step}"))
+        "__g0", F.expr(f"__lo + pmod(-__lo, {step})")
+    ).withColumn("__g1", F.expr(f"__hi - pmod(__hi, {step})"))
     grid = span.where(F.col("__g0") <= F.col("__g1")).select(
         *keys,
         F.explode(

@@ -759,7 +759,10 @@ def chi_square(
     id-like inputs, bypassing the `_pinned_if_fits` heap gate), then
     one group-level aggregate. Counts are exact longs; only the final
     divisions round (the ``n·Σ − n`` cancellation costs ~1 ulp·n —
-    absorbed by any sane rounding of a test statistic). Returns
+    absorbed by any sane rounding of a test statistic, and clamped at 0
+    so a near-independent table with large n can never cancel to a
+    negative statistic the textbook nonnegative-sum form could not
+    produce). Returns
     ``(keys, chi2, dof, n)`` with ``dof = (|X|−1)(|Y|−1)``; NULL chi2
     when dof = 0 (a degenerate single-row/column grid).
     """
@@ -788,7 +791,14 @@ def chi_square(
     nn = F.col("n").cast("double")
     return agg.select(
         *keys,
-        F.when(dof > 0, nn * F.col("__s") - nn).alias("chi2"),
+        # clamp at 0: the identity form computes chi2 as a floating-point
+        # difference, so a near-independent table with large n can cancel
+        # to a tiny NEGATIVE value (e.g. -1e-10) that the textbook
+        # sum-of-nonnegative form could never produce and that downstream
+        # p-value code may assume is >= 0 (oracle mirrors the clamp)
+        F.when(dof > 0, F.greatest(F.lit(0.0), nn * F.col("__s") - nn)).alias(
+            "chi2"
+        ),
         dof.cast("long").alias("dof"),
         "n",
     )

@@ -220,7 +220,15 @@ def _spread_vecs(df: DataFrame) -> DataFrame:
     key-partitioned layout."""
     from ffn_polars_spark.operators._scanmeta import effective_scan_parallelism
 
-    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        # Spark Connect: no client-side SparkContext, and without partition
+        # introspection the under-parallelized-scan condition cannot be
+        # detected — pass through rather than add an unconditional shuffle
+        # (same contract as _scanmeta.spread_scan; smoked by
+        # tests/test_connect.py).
+        return df
     if effective_scan_parallelism(df) < max(2, target // 2):
         return df.repartition(target)
     return df

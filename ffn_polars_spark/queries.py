@@ -9081,7 +9081,7 @@ agg AS (
   FROM term GROUP BY yr)
 SELECT yr,
        CASE WHEN (nx - 1) * (ny - 1) > 0
-            THEN floor((CAST(n AS DOUBLE) * s - CAST(n AS DOUBLE))
+            THEN floor(greatest(0.0, CAST(n AS DOUBLE) * s - CAST(n AS DOUBLE))
                        * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
        CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof, n
 FROM agg""",

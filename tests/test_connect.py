@@ -18,7 +18,12 @@ only — they already degrade to None/job-based fallbacks), and the
 ``sparkContext``-based parallelism probes (spread_scan /
 effective_scan_parallelism) fall back to pass-through / the
 shuffle-partition conf under Connect (guards added with this module).
-The operators below exercise the pure DataFrame/Column path.
+r13 extends the guard set to the last two unguarded sparkContext
+dereferences — similarity's ``_spread_vecs`` (pass-through) and the
+blocked-sequence family's ``_order_blocked`` (shuffle-partition conf,
+tolerant of non-numeric values like "auto") — and smokes one
+representative op per family below. The operators below exercise the
+pure DataFrame/Column path.
 """
 
 from __future__ import annotations
@@ -141,3 +146,41 @@ def test_arrow_kernel_family(cspark):
     pairs = dedup_minhash_lsh(df, threshold=0.5).collect()
     release_pins()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_similarity_family_spread_guard(cspark):
+    """r13 guard: _spread_vecs dereferences sparkContext only behind
+    try/except — under Connect it passes through and ann_topk still
+    returns exact top-k."""
+    from ffn_polars_spark.operators.similarity import ann_topk
+
+    items = cspark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    queries = cspark.createDataFrame([(100, [1.0, 0.0])], ["vec_id", "embedding"])
+    got = [
+        r["item_id"]
+        for r in ann_topk(items, queries, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # cosine with (1,0) is i/sqrt(i^2+1): increasing in i
+    assert got == [5, 4]
+
+
+def test_blocked_sequence_family_order_blocked_guard(cspark):
+    """r13 guard: _order_blocked sizes its blocks from the
+    shuffle-partition conf under Connect (no sparkContext) and the global
+    index stays value-identical to the plain window."""
+    from ffn_polars_spark.core import blocked_keyed_index
+
+    rows = [("a", t) for t in [5, 1, 9, 3]] + [("b", t) for t in [2, 8]]
+    df = cspark.createDataFrame(rows, "k string, ts long")
+    got = {
+        (r["k"], r["ts"]): r["gidx"]
+        for r in blocked_keyed_index(df, ["k"], ["ts"]).collect()
+    }
+    assert got == {
+        ("a", 1): 1, ("a", 3): 2, ("a", 5): 3, ("a", 9): 4,
+        ("b", 2): 1, ("b", 8): 2,
+    }

@@ -1322,6 +1322,9 @@ def test_chi_square_identity_matches_full_grid_property(spark, rows):
             assert got[g]["chi2"] is None
         else:
             assert got[g]["chi2"] == pytest.approx(chi2, rel=1e-9, abs=1e-9)
+            # the r13 clamp contract: the identity form's floating-point
+            # cancellation must never surface as a negative statistic
+            assert got[g]["chi2"] >= 0.0
 
 
 @given(
@@ -1431,7 +1434,12 @@ def test_stateful_cusum_matches_sequential_property(spark, chunks, threshold):
     ticks_tape=st.lists(
         st.tuples(
             st.sampled_from(["a", "b"]),
-            st.integers(min_value=0, max_value=120),
+            # NEGATIVE timestamps included: r12's `div`-based ceil/floor
+            # truncated toward zero, emitting grid points outside a
+            # negative key span and missing in-span multiples
+            # (ADVICE r12) — the Python reference's `//` is true floor
+            # division, so it is sign-correct by construction
+            st.integers(min_value=-120, max_value=120),
             st.integers(min_value=-9, max_value=9),
         ),
         min_size=1,
@@ -1441,10 +1449,10 @@ def test_stateful_cusum_matches_sequential_property(spark, chunks, threshold):
 )
 @SET
 def test_grid_snap_locf_parity_property(spark, ticks_tape, step):
-    """grid_snap == the naive LOCF walk for any tape and step: grid points
-    are the step multiples inside each key's [min ts, max ts], each takes
-    the value of the last tick at-or-before it (exactly-aligned ticks
-    included)."""
+    """grid_snap == the naive LOCF walk for any tape and step (negative
+    timestamps included): grid points are the step multiples inside each
+    key's [min ts, max ts], each takes the value of the last tick
+    at-or-before it (exactly-aligned ticks included)."""
     from ffn_polars_spark.operators.asof import grid_snap
 
     # unique (key, ts): the operator's deterministic-order contract

@@ -242,3 +242,52 @@ def test_realized_volatility_rows_hint_blocked_parity(spark):
     assert win.keys() == blk.keys()
     for k in win:
         assert math.isclose(win[k], blk[k], rel_tol=1e-9), (k, win[k], blk[k])
+
+
+class _ConnectLikeSession:
+    """Stub of a Spark Connect session: no sparkContext attribute, a conf
+    whose shuffle-partitions value may be non-numeric ("auto" on
+    deployments with auto-optimized shuffle)."""
+
+    class _Conf:
+        def __init__(self, value):
+            self._value = value
+
+        def get(self, key, default=None):
+            return self._value
+
+    def __init__(self, conf_value):
+        self.conf = self._Conf(conf_value)
+
+    @property
+    def sparkContext(self):
+        raise Exception("SparkContext is not available in Spark Connect")
+
+
+class _ConnectLikeFrame:
+    isStreaming = False
+
+    def __init__(self, conf_value):
+        self.sparkSession = _ConnectLikeSession(conf_value)
+
+
+@pytest.mark.parametrize(
+    "conf_value, want", [("8", 8), ("auto", 200), (None, 200), ("0", 1)]
+)
+def test_effective_scan_parallelism_connect_conf_fallback(conf_value, want):
+    """ADVICE r12: the Connect fallback itself must not raise when the
+    shuffle-partitions conf is non-numeric — degrade to the stock 200."""
+    from ffn_polars_spark.operators._scanmeta import effective_scan_parallelism
+
+    assert effective_scan_parallelism(_ConnectLikeFrame(conf_value)) == want
+
+
+def test_order_blocked_connect_conf_fallback():
+    """_order_blocked's block-count fallback under a Connect-like session
+    (no sparkContext, conf = "auto") must not raise — any positive count
+    is value-identical, so it degrades to the stock 200."""
+    from ffn_polars_spark.core import _default_block_count
+
+    assert _default_block_count(_ConnectLikeSession("auto")) == 200
+    assert _default_block_count(_ConnectLikeSession("16")) == 16
+    assert _default_block_count(_ConnectLikeSession(None)) == 200

@@ -34,6 +34,42 @@ import weakref
 
 _COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
 
+# Second-level cache keyed by PLAN SEMANTICS: callers that rebuild the same
+# logical plan from fresh objects per call (a query loop, a bench harness)
+# miss the identity cache every time. semanticHash() normalizes expression
+# ids, and the stored representative frame is re-confirmed with
+# sameSemantics() before a hit counts, so a 32-bit hash collision can never
+# surface a wrong count. Only EXACT counts are stored. Same staleness
+# contract as the identity cache: counts live for the session, so a table
+# whose files grow mid-session may be under-counted — these counts feed
+# spread/strategy choices and scale-guard budgets, never query results.
+_SEM_COUNT_CACHE: dict = {}
+_SEM_COUNT_CAP = 256
+
+
+def _sem_cache_get(df: DataFrame):
+    try:
+        h = df.semanticHash()
+    except Exception:
+        return None, None
+    entry = _SEM_COUNT_CACHE.get(h)
+    if entry is not None:
+        rep, n = entry
+        try:
+            if df.sameSemantics(rep):
+                return h, n
+        except Exception:
+            pass
+    return h, None
+
+
+def _sem_cache_put(h, df: DataFrame, n: int) -> None:
+    if h is None:
+        return
+    if len(_SEM_COUNT_CACHE) >= _SEM_COUNT_CAP:
+        _SEM_COUNT_CACHE.clear()
+    _SEM_COUNT_CACHE[h] = (df, n)
+
 # Footer-based scan metadata (shared with the dedup/text spread guards);
 # re-exported under the historical name — the scale-guard tests and callers
 # in this module predate the shared module.
@@ -73,6 +109,9 @@ def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
         except TypeError:
             pass
         return n
+    sem_h, n = _sem_cache_get(df)
+    if n is not None:
+        return n
     lim = min(cap, _PROBE_CAP)
     probe = df.select(col).limit(lim + 1).count()
     if probe <= lim:
@@ -81,6 +120,7 @@ def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
             _COUNT_CACHE[df] = probe
         except TypeError:
             pass
+        _sem_cache_put(sem_h, df, probe)
         return probe
     if cap <= _PROBE_CAP:
         return probe  # saturated a budget-sized limit: over budget
@@ -89,6 +129,7 @@ def _count_at_most(df: DataFrame, col: str, cap: int) -> int:
         _COUNT_CACHE[df] = n
     except TypeError:
         pass
+    _sem_cache_put(sem_h, df, n)
     return n
 
 
@@ -661,7 +702,25 @@ def ann_topk(
                 F.col(qid).alias("query_id"), unit(F.col(vec_col)).alias("__qu")
             )
         )
-        it = _spread_vecs(items).select(
+        # skip the parallelism spread when the job is provably tiny: the
+        # interpreted dot fold costs ~6 µs/pair, so below ~25k pairs the
+        # spread's extra exchange + AQE round (~0.14 s measured) costs more
+        # than the single-task compute it parallelizes. n_i/n_q may be
+        # footer UPPER bounds (a filtered query side reports the unfiltered
+        # total) — when the ITEM side alone is small, one bounded probe
+        # (limit(25k//n_i + 1), a handful of rows) refines the query side;
+        # at scale n_i is large and no probe ever runs. Overestimates err
+        # toward spreading, the safe direction.
+        tiny = False
+        if n_i is not None and 0 < n_i <= 25_000:
+            if n_q is not None and n_i * n_q <= 25_000:
+                tiny = True
+            else:
+                cap_q = 25_000 // n_i
+                if cap_q > 0:
+                    tiny = _count_at_most(queries, qid, cap_q) <= cap_q
+        it_src = items if tiny else _spread_vecs(items)
+        it = it_src.select(
             F.col(id_col).alias("item_id"), unit(F.col(vec_col)).alias("__iu")
         )
         scored = (

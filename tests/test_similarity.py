@@ -227,6 +227,9 @@ def test_guard_probes_are_limit_bounded(spark, monkeypatch):
     the guard triggers has to sit under a GlobalLimit (a bounded probe that
     reads at most cap+1 rows at any data scale). Guards ran full count()
     scans in round 4 — this pins the round-5 fix."""
+    from ffn_polars_spark.operators.similarity import _SEM_COUNT_CACHE
+
+    _SEM_COUNT_CACHE.clear()  # isolate from identical plans cached earlier
     import pyspark.sql.classic.dataframe as dfmod
 
     recorded = []
@@ -262,8 +265,13 @@ def test_guard_probes_are_limit_bounded(spark, monkeypatch):
 
 
 def test_count_at_most_bounded_and_cached(spark):
-    from ffn_polars_spark.operators.similarity import _PROBE_CAP, _count_at_most
+    from ffn_polars_spark.operators.similarity import (
+        _PROBE_CAP,
+        _SEM_COUNT_CACHE,
+        _count_at_most,
+    )
 
+    _SEM_COUNT_CACHE.clear()  # isolate from identical plans cached earlier
     df = spark.range(1000).selectExpr("id AS vec_id")
     # bounded probe saturates at cap+1, never reports more
     assert _count_at_most(df, "vec_id", 10) == 11
@@ -285,6 +293,9 @@ def test_count_at_most_large_cap_stays_probe_bounded(spark, monkeypatch):
     the exact answer. Round 5's guard ran an unbounded count whenever
     max_pairs // n_q exceeded 1M (i.e. the common small-query-side case) —
     this pins the round-6 fix."""
+    from ffn_polars_spark.operators.similarity import _SEM_COUNT_CACHE
+
+    _SEM_COUNT_CACHE.clear()  # isolate from identical plans cached earlier
     import pyspark.sql.classic.dataframe as dfmod
 
     from ffn_polars_spark.operators.similarity import _PROBE_CAP
@@ -314,6 +325,9 @@ def test_count_at_most_saturated_probe_escapes_to_exact(spark, monkeypatch):
     """When the probe saturates (> _PROBE_CAP rows) and the budget is still
     larger, the guard falls back to one exact cached count — correctness of
     the returned value over a saturating input."""
+    from ffn_polars_spark.operators.similarity import _SEM_COUNT_CACHE
+
+    _SEM_COUNT_CACHE.clear()  # isolate from identical plans cached earlier
     from ffn_polars_spark.operators import similarity as sim
 
     monkeypatch.setattr(sim, "_PROBE_CAP", 50)
@@ -322,6 +336,10 @@ def test_count_at_most_saturated_probe_escapes_to_exact(spark, monkeypatch):
     assert sim._count_at_most(df, "vec_id", 10_000) == 1000
     assert sim._COUNT_CACHE.get(df) == 1000
     # saturating probe with cap <= probe cap still reports over-budget
+    # (clear the semantic cache again: df2 shares df's plan semantics, and
+    # a cache hit would return the exact 1000 — correct for callers, but
+    # this assertion exercises the saturation path itself)
+    _SEM_COUNT_CACHE.clear()
     df2 = spark.range(1000).selectExpr("id AS vec_id")
     assert sim._count_at_most(df2, "vec_id", 40) == 41
 
@@ -912,3 +930,56 @@ def test_dedup_embedding_lsh_registry_binding():
     assert FFN_DF_REGISTRY["dedup_embedding_lsh"] is similarity.dedup_embedding_lsh
     for reg in (FFN_DF_REGISTRY, FFN_REGISTRY):
         assert "lsh_tables_for_recall" not in reg
+
+
+def test_semantic_count_cache_and_tiny_spread_skip(spark, monkeypatch):
+    """r13 guard-cost trim: (1) an identical logical plan rebuilt from
+    FRESH objects hits the semantic count cache — no second probe job;
+    (2) a provably-tiny pair job (<= 25k) skips the _spread_vecs
+    repartition; a large one still spreads."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from ffn_polars_spark.operators import similarity as S
+
+    S._SEM_COUNT_CACHE.clear()
+
+    counts = []
+    orig = dfmod.DataFrame.count
+
+    def counting(self):
+        counts.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "count", counting)
+
+    def build():
+        df = spark.range(400).selectExpr(
+            "id AS vec_id", "array(cast(id AS float), 1.0f) AS embedding"
+        )
+        return df, df.where("vec_id < 3")
+
+    items, q = build()
+    got1 = S.ann_topk(items, q, k=2)
+    n_probe_first = len(counts)
+    assert n_probe_first >= 1  # the refine probe ran once
+
+    items2, q2 = build()  # fresh objects, same plan semantics
+    got2 = S.ann_topk(items2, q2, k=2)
+    assert len(counts) == n_probe_first, "semantic cache missed: re-probed"
+
+    # tiny job (400 x 3 = 1200 pairs): no round-robin repartition in the plan
+    assert "Repartition" not in got2._jdf.queryExecution().optimizedPlan().toString()
+    monkeypatch.undo()
+    rows = {r["query_id"] for r in got2.collect()}
+    assert rows == {0, 1, 2}
+
+    # a single-partition parallelize source with an over-threshold pair
+    # count must still spread (single-row-group-style input)
+    big_items = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(300)], ["vec_id", "embedding"]
+    ).coalesce(1)
+    big_q = spark.createDataFrame(
+        [(1000 + i, [1.0, float(i)]) for i in range(100)], ["vec_id", "embedding"]
+    )
+    got3 = S.ann_topk(big_items, big_q, k=2)  # 300*100 = 30k > 25k
+    assert "Repartition" in got3._jdf.queryExecution().optimizedPlan().toString()

@@ -881,8 +881,10 @@ def newey_west_tstat(
     1/n convention). Two passes sharing structure: a group-mean frame
     (group cardinality) broadcast back, then ONE ordered window
     producing all L lag columns (a single exchange, one WindowExec)
-    and one closed-form aggregate. t is NULL when σ² ≤ 0 or n = 0.
-    Returns ``(keys, mean, se_nw, t_nw, n)``.
+    and one closed-form aggregate. A lag with no valid pairs (n ≤ l)
+    contributes γ_l = 0, so short groups still get the naive-variance
+    t rather than NULL (hypothesis-found, r13). t is NULL when
+    σ² ≤ 0 or n = 0. Returns ``(keys, mean, se_nw, t_nw, n)``.
     """
     keys = _keys(by)
     ocols = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -920,8 +922,11 @@ def newey_west_tstat(
     nn = F.col("n").cast("double")
     var_nw = F.col("__g0") / nn
     for l in range(1, L + 1):
+        # a group with n <= l rows has NO valid lag-l pairs: sum() over the
+        # all-NULL lag column is NULL, and without the coalesce it poisoned
+        # the whole variance (hypothesis-found, r13) — an empty γ_l is 0
         var_nw = var_nw + F.lit(2.0 * (1.0 - l / (L + 1.0))) * (
-            F.col(f"__g{l}") / nn
+            F.coalesce(F.col(f"__g{l}"), F.lit(0.0)) / nn
         )
     se = F.when(var_nw > 0, F.sqrt(var_nw / nn))
     return agg.select(

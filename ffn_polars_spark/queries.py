@@ -9350,11 +9350,11 @@ g AS (
 v AS (
   SELECT event_type, mu, n,
          g0 / CAST(n AS DOUBLE)
-           + 2.0 * (1.0 - 1.0 / 6.0) * (g1 / CAST(n AS DOUBLE))
-           + 2.0 * (1.0 - 2.0 / 6.0) * (g2 / CAST(n AS DOUBLE))
-           + 2.0 * (1.0 - 3.0 / 6.0) * (g3 / CAST(n AS DOUBLE))
-           + 2.0 * (1.0 - 4.0 / 6.0) * (g4 / CAST(n AS DOUBLE))
-           + 2.0 * (1.0 - 5.0 / 6.0) * (g5 / CAST(n AS DOUBLE)) AS var_nw
+           + 2.0 * (1.0 - 1.0 / 6.0) * (coalesce(g1, 0.0) / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 2.0 / 6.0) * (coalesce(g2, 0.0) / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 3.0 / 6.0) * (coalesce(g3, 0.0) / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 4.0 / 6.0) * (coalesce(g4, 0.0) / CAST(n AS DOUBLE))
+           + 2.0 * (1.0 - 5.0 / 6.0) * (coalesce(g5, 0.0) / CAST(n AS DOUBLE)) AS var_nw
   FROM g)
 SELECT event_type, {R("mu")} AS mean,
        CASE WHEN var_nw > 0

@@ -1648,3 +1648,357 @@ def test_kaplan_meier_parity_property(spark, subjects):
         gr = got[t]
         assert (gr[0], gr[1], gr[2]) == (nr, d, c)
         assert gr[3] == pytest.approx(sv, rel=1e-12, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery: the hand-derived closed forms in operators/evaluation.py
+# and functions/tick_price.py hold against INDEPENDENT textbook references
+# (pure Python/numpy, derived along a different algebraic route wherever one
+# exists) for any tape — ties, single-element groups, and degenerate
+# constant groups included. scipy/statsmodels are not installed in this
+# container, so the references are re-derivations, not library calls; the
+# Mann-Whitney reference in particular uses the O(n^2) pairwise-count
+# DEFINITION of U rather than the engine's rank-sum identity.
+# ---------------------------------------------------------------------------
+
+
+_mw_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.sampled_from([0.0, 1.0, 1.5, 2.0, 2.0, 3.0, 5.0]),  # force ties
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_mw_rows)
+@SET
+def test_mann_whitney_u_pairwise_definition_property(spark, rows):
+    """u equals the pairwise-count DEFINITION U1 = #(pos>neg) + 0.5*#(pos=neg)
+    (a different formulation than the engine's rank-sum identity), and z
+    matches the tie-corrected normal approximation recomputed from scratch."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.evaluation import mann_whitney_u
+
+    df = spark.createDataFrame(rows, "g string, v double, y int")
+    got = {r["g"]: r for r in mann_whitney_u(df, "v", "y", by="g").collect()}
+
+    per: dict = {}
+    for g, v, y in rows:
+        per.setdefault(g, []).append((v, y))
+    for g, pts in per.items():
+        pos = [v for v, y in pts if y == 1]
+        neg = [v for v, y in pts if y == 0]
+        r = got[g]
+        assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+        if not pos or not neg:
+            assert r["u"] is None and r["z"] is None
+            continue
+        u1 = sum(
+            1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+        )
+        assert r["u"] == pytest.approx(u1, abs=1e-9)
+        n1, n2 = len(pos), len(neg)
+        n = n1 + n2
+        t3t = sum(t**3 - t for t in Counter(v for v, _ in pts).values())
+        var = (
+            n1 * n2 / 12.0 * ((n + 1) - (t3t / (n * (n - 1)) if n > 1 else 0.0))
+        )
+        if var > 0:
+            z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+            assert r["z"] == pytest.approx(z, rel=1e-9, abs=1e-9)
+        else:
+            assert r["z"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    lags=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_newey_west_tstat_direct_recompute_property(spark, rows, lags):
+    """(mean, se_nw, t_nw) match a direct numpy recomputation of the
+    Bartlett-weighted HAC variance for any tape and lag count — including
+    single-element groups (se NULL) and constant groups (var 0)."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.evaluation import newey_west_tstat
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, i long, v double")
+    got = {
+        r["g"]: r
+        for r in newey_west_tstat(df, "v", order_by="i", by="g", lags=lags).collect()
+    }
+    per: dict = {}
+    for g, i, v in data:
+        per.setdefault(g, []).append((i, v))
+    for g, pts in per.items():
+        x = np.array([v for _, v in sorted(pts)], dtype=np.float64)
+        n = len(x)
+        u = x - x.mean()
+        var = float(np.dot(u, u)) / n
+        for l in range(1, lags + 1):
+            gl = float(np.dot(u[l:], u[:-l])) / n if l < n else 0.0
+            var += 2.0 * (1.0 - l / (lags + 1.0)) * gl
+        r = got[g]
+        assert r["n"] == n
+        assert r["mean"] == pytest.approx(float(x.mean()), rel=1e-9, abs=1e-12)
+        if var > 0:
+            assert r["se_nw"] == pytest.approx(math.sqrt(var / n), rel=1e-9)
+            assert r["t_nw"] == pytest.approx(
+                float(x.mean()) / math.sqrt(var / n), rel=1e-9, abs=1e-9
+            )
+        else:
+            assert r["se_nw"] is None and r["t_nw"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=16),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SET
+def test_adf_stat_lstsq_reference_property(spark, rows):
+    """(beta, t_stat) match a numpy least-squares regression of diff(x) on
+    lag(x) with residuals computed DIRECTLY (not via the engine's expanded
+    moment identity), for any tape — zero-lag and constant tapes included."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import adf_stat
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, i long, v double")
+    got = {r["g"]: r for r in adf_stat(df, "v", order_by="i", by="g").collect()}
+    per: dict = {}
+    for g, i, v in data:
+        per.setdefault(g, []).append((i, v))
+    for g, pts in per.items():
+        x = np.array([v for _, v in sorted(pts)], dtype=np.float64)
+        if len(x) < 2:
+            assert g not in got  # a 1-row group has no lagged row at all
+            continue
+        xp = x[:-1]
+        d = np.diff(x)
+        r = got[g]
+        assert r["n"] == len(d)
+        sxx = float(np.dot(xp, xp))
+        if sxx <= 0:
+            assert r["beta"] is None and r["t_stat"] is None
+            continue
+        beta = float(np.dot(d, xp)) / sxx
+        assert r["beta"] == pytest.approx(beta, rel=1e-9, abs=1e-12)
+        resid = d - beta * xp
+        n = len(d)
+        if n > 1:
+            se2 = float(np.dot(resid, resid)) / (n - 1) / sxx
+            if se2 > 0:
+                assert r["t_stat"] == pytest.approx(
+                    beta / math.sqrt(se2), rel=1e-7, abs=1e-9
+                )
+            else:
+                assert r["t_stat"] is None
+        else:
+            assert r["t_stat"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_cohens_kappa_confusion_matrix_property(spark, rows):
+    """(kappa, po, pe, n) match the direct confusion-matrix computation for
+    any label tape — including the pe=1 degenerate (both raters constant
+    and identical -> NULL kappa)."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.evaluation import cohens_kappa
+
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = {r["g"]: r for r in cohens_kappa(df, "a", "b", by="g").collect()}
+    per: dict = {}
+    for g, a, b in rows:
+        per.setdefault(g, []).append((a, b))
+    for g, pts in per.items():
+        n = len(pts)
+        po = sum(1 for a, b in pts if a == b) / n
+        ca = Counter(a for a, _ in pts)
+        cb = Counter(b for _, b in pts)
+        pe = sum(ca[k] * cb.get(k, 0) for k in ca) / (n * n)
+        r = got[g]
+        assert r["n"] == n
+        assert r["po"] == pytest.approx(po, abs=1e-12)
+        assert r["pe"] == pytest.approx(pe, rel=1e-12, abs=1e-12)
+        if pe < 1.0:
+            assert r["kappa"] == pytest.approx((po - pe) / (1.0 - pe), rel=1e-9, abs=1e-12)
+        else:
+            assert r["kappa"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=1),  # success
+            st.integers(min_value=0, max_value=1),  # variant
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_proportion_ztest_direct_property(spark, rows):
+    """(rate_1, rate_0, lift, z) match the pooled-variance two-proportion
+    z-test recomputed directly — empty arms and all-success/all-failure
+    pools (var 0) produce the documented NULLs."""
+    from ffn_polars_spark.operators.evaluation import proportion_ztest
+
+    df = spark.createDataFrame(rows, "g string, s int, v int")
+    got = {r["g"]: r for r in proportion_ztest(df, "s", "v", by="g").collect()}
+    per: dict = {}
+    for g, s, v in rows:
+        per.setdefault(g, []).append((s, v))
+    for g, pts in per.items():
+        s1 = sum(s for s, v in pts if v == 1)
+        n1 = sum(1 for _, v in pts if v == 1)
+        s0 = sum(s for s, v in pts if v == 0)
+        n0 = sum(1 for _, v in pts if v == 0)
+        r = got[g]
+        assert (r["n_1"], r["n_0"]) == (n1, n0)
+        assert r["rate_1"] == (pytest.approx(s1 / n1) if n1 else None)
+        assert r["rate_0"] == (pytest.approx(s0 / n0) if n0 else None)
+        if n1 and n0:
+            p1, p0 = s1 / n1, s0 / n0
+            pooled = (s1 + s0) / (n1 + n0)
+            var = pooled * (1 - pooled) * (1 / n1 + 1 / n0)
+            assert r["lift"] == pytest.approx(p1 - p0, abs=1e-12)
+            if var > 0:
+                assert r["z"] == pytest.approx((p1 - p0) / math.sqrt(var), rel=1e-9, abs=1e-12)
+            else:
+                assert r["z"] is None
+        else:
+            assert r["lift"] is None and r["z"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 0.25, 0.5, 1.0, 2.0, 3.0]),
+            st.sampled_from([0.0, 1.0, 1.5, 4.0]),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    bins=st.integers(min_value=2, max_value=6),
+)
+@SET
+def test_mutual_information_histogram_property(spark, rows, bins):
+    """(mi, mi_normalized, n) match a from-scratch histogram MI — the
+    reference replays the engine's exact binning arithmetic (same float
+    ops, so boundary bins agree bit-for-bit) but derives MI, Hx, Hy from
+    plain joint/marginal counts. Degenerate single-value axes (bin width
+    0) collapse to bin 0 with MI = 0."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.evaluation import mutual_information
+
+    df = spark.createDataFrame([(x, y) for x, y in rows], "x double, y double")
+    r = mutual_information(df, "x", "y", bins=bins).collect()[0]
+
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    xlo, xhi = min(xs), max(xs)
+    ylo, yhi = min(ys), max(ys)
+
+    def bin_(c, lo, hi):
+        w = hi - lo
+        if w > 0:
+            return min(int(math.floor((c - lo) / w * bins)), bins - 1)
+        return 0
+
+    joint = Counter((bin_(x, xlo, xhi), bin_(y, ylo, yhi)) for x, y in rows)
+    n = len(rows)
+    ci = Counter()
+    cj = Counter()
+    for (i, j), c in joint.items():
+        ci[i] += c
+        cj[j] += c
+    mi = sum(
+        (c / n) * math.log((c / n) / ((ci[i] / n) * (cj[j] / n)))
+        for (i, j), c in joint.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in ci.values())
+    hy = -sum((c / n) * math.log(c / n) for c in cj.values())
+    assert r["n"] == n
+    assert r["mi"] == pytest.approx(mi, rel=1e-9, abs=1e-12)
+    hmin = min(hx, hy)
+    if hmin > 0:
+        assert r["mi_normalized"] == pytest.approx(mi / hmin, rel=1e-9, abs=1e-12)
+    else:
+        assert r["mi_normalized"] is None
+
+
+@given(
+    ps=st.lists(
+        st.one_of(
+            st.none(),
+            st.sampled_from([0.001, 0.01, 0.02, 0.02, 0.05, 0.2, 0.5, 0.9, 1.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_p_adjust_bh_sequential_reference_property(spark, ps):
+    """p_adj matches the sequential BH walk (sort ascending, tail running
+    min of p*m/j, clip at 1) for any p tape — ties get equal adjustments,
+    NULL p-values pass through with NULL rank/adjustment and do not count
+    toward m."""
+    from ffn_polars_spark.operators.evaluation import p_adjust_bh
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "i long, p double"
+    )
+    got = p_adjust_bh(df, "p").collect()
+
+    valid = sorted(p for p in ps if p is not None)
+    m = len(valid)
+    raw = [p * m / (j + 1) for j, p in enumerate(valid)]
+    adj = raw[:]
+    for j in range(m - 2, -1, -1):
+        adj[j] = min(adj[j], adj[j + 1])
+    adj = [min(a, 1.0) for a in adj]
+    want_by_p: dict = {}
+    for p, a in zip(valid, adj):
+        # equal p => equal adjustment (the operator's documented tie rule)
+        want_by_p[p] = a
+    for r in got:
+        if ps[r["i"]] is None:
+            assert r["p_rank"] is None and r["p_adj"] is None
+        else:
+            assert r["p_adj"] == pytest.approx(want_by_p[ps[r["i"]]], rel=1e-12)
+    ranks = sorted(r["p_rank"] for r in got if r["p_rank"] is not None)
+    assert ranks == list(range(1, m + 1))

@@ -1316,7 +1316,10 @@ def effective_sample_size(
     )
     rho_sum = None
     for l in range(1, L + 1):
-        term = F.col(f"__g{l}") / F.col("__g0")
+        # n <= l rows -> no valid lag-l pairs -> sum() over the all-NULL
+        # column is NULL and would poison the factor (same class as the
+        # r13 newey_west_tstat fix): an empty autocovariance is 0
+        term = F.coalesce(F.col(f"__g{l}"), F.lit(0.0)) / F.col("__g0")
         rho_sum = term if rho_sum is None else rho_sum + term
     factor = F.greatest(F.lit(1.0), F.lit(1.0) + F.lit(2.0) * rho_sum)
     n_eff = F.when(

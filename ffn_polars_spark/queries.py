@@ -10712,7 +10712,9 @@ g AS (
   FROM l GROUP BY event_type),
 c AS (
   SELECT event_type, n, g0,
-         g1 / g0 + g2 / g0 + g3 / g0 + g4 / g0 + g5 / g0 AS rs
+         coalesce(g1, 0.0) / g0 + coalesce(g2, 0.0) / g0
+           + coalesce(g3, 0.0) / g0 + coalesce(g4, 0.0) / g0
+           + coalesce(g5, 0.0) / g0 AS rs
   FROM g)
 SELECT event_type, n,
        CASE WHEN g0 > 0

@@ -2002,3 +2002,390 @@ def test_p_adjust_bh_sequential_reference_property(spark, ps):
             assert r["p_adj"] == pytest.approx(want_by_p[ps[r["i"]]], rel=1e-12)
     ranks = sorted(r["p_rank"] for r in got if r["p_rank"] is not None)
     assert ranks == list(range(1, m + 1))
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 2: the remaining hand-derived closed forms with
+# only example tests — forecast_mase, effective_sample_size (shares the
+# newey-west lag-stack shape and had the same short-group NULL-poisoning),
+# rate_ratio_test, tail_dependence, ols2_by_group, weighted_quantile,
+# transition_entropy, self_excitation — each against an independent
+# sequential/numpy reference.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from([0.0, 1.0, 1.5, 2.0, 3.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    season=st.integers(min_value=1, max_value=8),
+)
+@SET
+def test_forecast_mase_sequential_property(spark, rows, season):
+    """(mase, mae_seasonal, mae_naive, n) match the sequential walk: each
+    MAE averages over its own valid rows; NULL when a lag has no rows or
+    the naive MAE is 0 (constant series)."""
+    from ffn_polars_spark.operators.evaluation import forecast_mase
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, i long, v double")
+    got = {
+        r["g"]: r
+        for r in forecast_mase(df, "v", order_by="i", by="g", season=season).collect()
+    }
+    per: dict = {}
+    for g, i, v in data:
+        per.setdefault(g, []).append((i, v))
+    for g, pts in per.items():
+        x = [v for _, v in sorted(pts)]
+        es = [abs(x[t] - x[t - season]) for t in range(season, len(x))]
+        e1 = [abs(x[t] - x[t - 1]) for t in range(1, len(x))]
+        r = got[g]
+        assert r["n"] == len(x)
+        if es:
+            assert r["mae_seasonal"] == pytest.approx(sum(es) / len(es), abs=1e-12)
+        else:
+            assert r["mae_seasonal"] is None
+        if e1:
+            assert r["mae_naive"] == pytest.approx(sum(e1) / len(e1), abs=1e-12)
+        else:
+            assert r["mae_naive"] is None
+        if e1 and sum(e1) > 0 and es:
+            assert r["mase"] == pytest.approx(
+                (sum(es) / len(es)) / (sum(e1) / len(e1)), rel=1e-9
+            )
+        else:
+            assert r["mase"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    lags=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_effective_sample_size_direct_property(spark, rows, lags):
+    """(n, n_eff, autocorr_sum) match the direct recomputation — a lag
+    with no valid pairs contributes rho_l = 0 (the r13 newey-west fix
+    class), the factor floors at 1, and a zero-variance group keeps
+    n_eff = n."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.evaluation import effective_sample_size
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, i long, v double")
+    got = {
+        r["g"]: r
+        for r in effective_sample_size(
+            df, "v", order_by="i", by="g", lags=lags
+        ).collect()
+    }
+    per: dict = {}
+    for g, i, v in data:
+        per.setdefault(g, []).append((i, v))
+    for g, pts in per.items():
+        x = np.array([v for _, v in sorted(pts)], dtype=np.float64)
+        n = len(x)
+        u = x - x.mean()
+        g0 = float(np.dot(u, u))
+        r = got[g]
+        assert r["n"] == n
+        if g0 <= 0:
+            assert r["n_eff"] == pytest.approx(float(n))
+            assert r["autocorr_sum"] is None
+            continue
+        rs = sum(
+            (float(np.dot(u[l:], u[:-l])) if l < n else 0.0) / g0
+            for l in range(1, lags + 1)
+        )
+        assert r["autocorr_sum"] == pytest.approx(rs, rel=1e-9, abs=1e-12)
+        assert r["n_eff"] == pytest.approx(n / max(1.0, 1.0 + 2.0 * rs), rel=1e-9)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=1),  # variant
+            st.integers(min_value=1, max_value=5),  # exposure
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    with_exposure=st.booleans(),
+)
+@SET
+def test_rate_ratio_test_direct_property(spark, rows, with_exposure):
+    """(rate_1, rate_0, rate_ratio, z) match the Poisson log-ratio test
+    recomputed directly, with and without an exposure column; empty arms
+    give the documented NULLs."""
+    from ffn_polars_spark.operators.evaluation import rate_ratio_test
+
+    df = spark.createDataFrame(rows, "g string, v int, e int")
+    out = rate_ratio_test(
+        df, "v", by="g", exposure_col="e" if with_exposure else None
+    )
+    got = {r["g"]: r for r in out.collect()}
+    per: dict = {}
+    for g, v, e in rows:
+        per.setdefault(g, []).append((v, e))
+    for g, pts in per.items():
+        c1 = sum(1 for v, _ in pts if v == 1)
+        c0 = sum(1 for v, _ in pts if v == 0)
+        e1 = sum(e for v, e in pts if v == 1) if with_exposure else 1.0
+        e0 = sum(e for v, e in pts if v == 0) if with_exposure else 1.0
+        r = got[g]
+        assert (r["n_1"], r["n_0"]) == (c1, c0)
+        r1 = c1 / e1 if e1 > 0 else None
+        r0 = c0 / e0 if e0 > 0 else None
+        assert r["rate_1"] == (pytest.approx(r1) if r1 is not None else None)
+        assert r["rate_0"] == (pytest.approx(r0) if r0 is not None else None)
+        if r1 is not None and r0 is not None and r0 > 0:
+            ratio = r1 / r0
+            assert r["rate_ratio"] == pytest.approx(ratio, rel=1e-12)
+            if c1 > 0 and c0 > 0 and ratio > 0:
+                z = math.log(ratio) / math.sqrt(1.0 / c1 + 1.0 / c0)
+                assert r["z"] == pytest.approx(z, rel=1e-9, abs=1e-12)
+            else:
+                assert r["z"] is None
+        else:
+            assert r["rate_ratio"] is None and r["z"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=16),
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=16),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.5, 0.75, 0.9, 0.95]),
+)
+@SET
+def test_tail_dependence_direct_property(spark, rows, q):
+    """(lambda_u, lift, n_tail_x, n) match the direct conditional-count
+    computation on numpy's linear-interpolation percentile (the same
+    Type-7 convention as F.percentile); an empty x-tail gives NULLs."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.evaluation import tail_dependence
+
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = tail_dependence(df, "x", "y", q=q).collect()[0]
+    xs = np.array([x for x, _ in rows])
+    ys = np.array([y for _, y in rows])
+    qx = float(np.percentile(xs, q * 100, method="linear"))
+    qy = float(np.percentile(ys, q * 100, method="linear"))
+    tail = (xs > qx)
+    both = tail & (ys > qy)
+    assert r["n"] == len(rows)
+    assert r["n_tail_x"] == int(tail.sum())
+    if tail.sum() > 0:
+        lam = both.sum() / tail.sum()
+        assert r["lambda_u"] == pytest.approx(lam, rel=1e-12)
+        assert r["lift"] == pytest.approx(lam / (1.0 - q), rel=1e-9)
+    else:
+        assert r["lambda_u"] is None and r["lift"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=16),
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=16),
+            st.floats(min_value=-3, max_value=3, allow_nan=False, width=16),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@SET
+def test_ols2_by_group_lstsq_property(spark, rows):
+    """(alpha, beta1, beta2, r2) match numpy lstsq on the interceptful
+    design matrix whenever the normal-equation determinant is well away
+    from 0 (near-singular designs are skipped — the closed form and lstsq
+    legitimately diverge there, and the operator NULLs at det <= 0)."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.evaluation import ols2_by_group
+
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    r = ols2_by_group(df, "y", "x1", "x2").collect()[0]
+    y = np.array([a for a, _, _ in rows])
+    x1 = np.array([b for _, b, _ in rows])
+    x2 = np.array([c for _, _, c in rows])
+    s11, s22 = float(np.var(x1)), float(np.var(x2))
+    s12 = float(np.mean((x1 - x1.mean()) * (x2 - x2.mean())))
+    det = s11 * s22 - s12 * s12
+    assert r["n"] == len(rows)
+    if det <= 1e-9 * max(s11 * s22, 1e-30):
+        return  # near-singular: skip (operator may NULL or be ill-conditioned)
+    A = np.column_stack([np.ones(len(y)), x1, x2])
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert r["alpha"] == pytest.approx(coef[0], rel=1e-5, abs=1e-7)
+    assert r["beta1"] == pytest.approx(coef[1], rel=1e-5, abs=1e-7)
+    assert r["beta2"] == pytest.approx(coef[2], rel=1e-5, abs=1e-7)
+    syy = float(np.var(y))
+    if syy > 0:
+        pred = A @ coef
+        r2 = 1.0 - float(np.var(y - pred)) / syy
+        assert r["r2"] == pytest.approx(r2, rel=1e-5, abs=1e-7)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from([1.0, 2.0, 2.0, 3.0, 5.0, 8.0]),  # values, ties
+            st.integers(min_value=1, max_value=5),  # integer weights
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9]),
+)
+@SET
+def test_weighted_quantile_repeat_expansion_property(spark, rows, q):
+    """The Type-1 weighted quantile equals the plain Type-1 quantile of
+    the weight-expanded multiset (a weight of w acts exactly like w
+    repeats) for any tape, ties included."""
+    from ffn_polars_spark.operators.sketch import weighted_quantile
+
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    out = weighted_quantile(df, "v", "w", group_by=["g"], quantiles=(q,))
+    qcol = [c for c in out.columns if c.endswith("_w") and c != "total_weight"][0]
+    got = {r["g"]: r for r in out.collect()}
+    per: dict = {}
+    for g, v, w in rows:
+        per.setdefault(g, []).extend([v] * w)
+    for g, expanded in per.items():
+        expanded.sort()
+        W = len(expanded)
+        # Type-1: smallest value whose cumulative count >= q*W
+        import math as _m
+
+        idx = max(1, _m.ceil(q * W - 1e-12))
+        want = expanded[idx - 1]
+        r = got[g]
+        assert r["total_weight"] == pytest.approx(float(W))
+        assert r[qcol] == pytest.approx(want), (g, expanded, q)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@SET
+def test_transition_entropy_sequential_property(spark, rows):
+    """Per-from-state entropy and the __overall__ conditional entropy
+    rate match the direct computation over sequentially-built transition
+    counts."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.funnel import transition_entropy
+
+    data = [(u, t, i, i) for i, (u, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "u string, t string, ts long, id long")
+    got = {
+        r["from_type"]: r
+        for r in transition_entropy(
+            df, user_col="u", type_col="t", ts_col="ts", tiebreak_col="id"
+        ).collect()
+    }
+    seqs: dict = {}
+    for u, t, ts, _ in sorted(data, key=lambda r: (r[0], r[2])):
+        seqs.setdefault(u, []).append(t)
+    trans = Counter()
+    for u, seq in seqs.items():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    if not trans:
+        assert got == {} or set(got) == {"__overall__"}
+        return
+    outs: dict = {}
+    for (a, b), c in trans.items():
+        outs.setdefault(a, Counter())[b] = c
+    total = sum(trans.values())
+    rate = 0.0
+    for a, cnt in outs.items():
+        n = sum(cnt.values())
+        h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        r = got[a]
+        assert r["n"] == n and r["n_out"] == len(cnt)
+        assert r["entropy"] == pytest.approx(h, rel=1e-9, abs=1e-12)
+        rate += h * n / total
+    r = got["__overall__"]
+    assert r["n"] == total
+    assert r["entropy"] == pytest.approx(rate, rel=1e-9, abs=1e-12)
+
+
+@given(
+    tape=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    tau=st.sampled_from([1.0, 5.0, 20.0]),
+)
+@SET
+def test_self_excitation_sequential_property(spark, tape, tau):
+    """(n, lam, frac_observed, frac_expected, excitation_ratio) match the
+    sequential walk under the Poisson-null closed form; <2 events or zero
+    span give the documented NULLs."""
+    from ffn_polars_spark.functions.tick_activity import self_excitation
+
+    seen = set()
+    rows = [
+        r for r in tape if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    got = {
+        r["k"]: r
+        for r in self_excitation(df, ts_col="ts", by="k", tau=tau).collect()
+    }
+    per: dict = {}
+    for k, t in rows:
+        per.setdefault(k, []).append(t)
+    for k, ts in per.items():
+        ts.sort()
+        n = len(ts)
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        span = ts[-1] - ts[0]
+        r = got[k]
+        assert r["n"] == n
+        if span <= 0 or n < 2:
+            assert r["lam"] is None and r["excitation_ratio"] is None
+            continue
+        lam = (n - 1) / span
+        assert r["lam"] == pytest.approx(lam, rel=1e-12)
+        fo = sum(1 for g in gaps if g < tau) / len(gaps)
+        fe = 1.0 - math.exp(-lam * tau)
+        assert r["frac_observed"] == pytest.approx(fo, abs=1e-12)
+        assert r["frac_expected"] == pytest.approx(fe, rel=1e-9)
+        if fe > 0:
+            assert r["excitation_ratio"] == pytest.approx(fo / fe, rel=1e-9, abs=1e-12)
+        else:
+            assert r["excitation_ratio"] is None

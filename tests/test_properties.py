@@ -2585,3 +2585,231 @@ def test_qq_data_numpy_percentile_property(spark, rows, qs):
                 assert r[col] == pytest.approx(want, rel=1e-9, abs=1e-12)
             else:
                 assert r[col] is None
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 4: the microstructure / tail closed forms
+# (autocorr, amihud, roll, kyle, half_life, hill) vs direct numpy walks.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from([1.0, 2.0, 2.0, 3.0, 5.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    max_lag=st.integers(min_value=1, max_value=4),
+)
+@SET
+def test_autocorr_population_moments_property(spark, rows, max_lag):
+    """acf at every lag matches the population correlation over the
+    aligned (x_t, x_{t-k}) pairs, rounded to 6 dp; short groups emit
+    n=0 / NULL rows for out-of-range lags; constant overlaps are NULL."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import autocorr
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, i long, v double")
+    got = {
+        (r["g"], r["lag"]): r
+        for r in autocorr(df, "v", by="g", order_by="i", max_lag=max_lag).collect()
+    }
+    per: dict = {}
+    for g, i, v in data:
+        per.setdefault(g, []).append((i, v))
+    for g, pts in per.items():
+        x = np.array([v for _, v in sorted(pts)])
+        for k in range(1, max_lag + 1):
+            r = got[(g, k)]
+            later, earlier = x[k:], x[:-k] if k <= len(x) else np.array([])
+            if k >= len(x):
+                assert r["n"] == 0 and r["acf"] is None
+                continue
+            assert r["n"] == len(later)
+            den = float(np.std(later)) * float(np.std(earlier))
+            if den != 0:
+                cov = float(np.mean((later - later.mean()) * (earlier - earlier.mean())))
+                assert r["acf"] == pytest.approx(round(cov / den, 6), abs=2e-6)
+            else:
+                assert r["acf"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from([1.0, 2.0, 4.0, 8.0]),   # price > 0
+            st.sampled_from([0.0, 1.0, 3.0]),        # volume (0 allowed)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_amihud_roll_kyle_sequential_property(spark, rows):
+    """amihud_illiquidity, roll_spread, and kyle_lambda all match their
+    direct sequential definitions on the same tape — lag restarts at key
+    boundaries, zero-dollar events skipped, non-negative serial
+    covariance gives NULL roll, zero signed-volume variance gives NULL
+    lambda."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import (
+        amihud_illiquidity,
+        kyle_lambda,
+        roll_spread,
+    )
+
+    data = [(g, i, p, v) for i, (g, p, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, i long, p double, v double")
+    am = {r["g"]: r for r in amihud_illiquidity(df, "p", "v", by="g", order_by="i").collect()}
+    ro = {r["g"]: r for r in roll_spread(df, "p", by="g", order_by="i").collect()}
+    ky = {r["g"]: r for r in kyle_lambda(df, "p", "v", by="g", order_by="i").collect()}
+
+    per: dict = {}
+    for g, i, p, v in data:
+        per.setdefault(g, []).append((i, p, v))
+    for g, pts in per.items():
+        pts.sort()
+        ps = [p for _, p, _ in pts]
+        vs = [v for _, _, v in pts]
+        # amihud
+        illiq = [
+            abs(ps[t] / ps[t - 1] - 1) / (ps[t] * vs[t])
+            for t in range(1, len(ps))
+            if ps[t] * vs[t] > 0
+        ]
+        r = am[g]
+        assert r["n_obs"] == len(illiq)
+        if illiq:
+            assert r["amihud"] == pytest.approx(1e6 * sum(illiq) / len(illiq), rel=1e-9)
+        else:
+            assert r["amihud"] is None
+        # roll: dp_t vs dp_{t-1}, sample covariance
+        dp = [ps[t] - ps[t - 1] for t in range(1, len(ps))]
+        pairs = [(dp[t], dp[t - 1]) for t in range(1, len(dp))]
+        r = ro[g]
+        assert r["n_obs"] == len(pairs)
+        if len(pairs) >= 2:
+            a = np.array([x for x, _ in pairs])
+            b = np.array([y for _, y in pairs])
+            cov = float(np.sum((a - a.mean()) * (b - b.mean()))) / (len(pairs) - 1)
+            assert r["serial_cov"] == pytest.approx(cov, rel=1e-9, abs=1e-12)
+            if cov < 0:
+                assert r["roll_spread"] == pytest.approx(2 * math.sqrt(-cov), rel=1e-9)
+            else:
+                assert r["roll_spread"] is None
+        else:
+            assert r["roll_spread"] is None
+        # kyle: dp vs signed volume (tick-rule direction, first row 0)
+        sv = []
+        for t in range(len(ps)):
+            if t == 0:
+                d = 0
+            elif ps[t] > ps[t - 1]:
+                d = 1
+            elif ps[t] < ps[t - 1]:
+                d = -1
+            else:
+                d = 0
+            sv.append(d * vs[t])
+        kp = [(ps[t] - ps[t - 1], sv[t]) for t in range(1, len(ps))]
+        # the operator aggregates over ALL rows (dp NULL on first row is
+        # skipped by covar_samp pairwise-deletion; var_samp(sv) uses all)
+        r = ky[g]
+        svall = np.array(sv, dtype=np.float64)
+        if len(svall) >= 2 and float(np.var(svall, ddof=1)) > 0:
+            if len(kp) >= 2:
+                a = np.array([x for x, _ in kp])
+                b = np.array([y for _, y in kp])
+                cov = float(np.sum((a - a.mean()) * (b - b.mean()))) / (len(kp) - 1)
+                assert r["kyle_lambda"] == pytest.approx(
+                    cov / float(np.var(svall, ddof=1)), rel=1e-9, abs=1e-12
+                )
+        else:
+            assert r["kyle_lambda"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=16),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SET
+def test_half_life_ar1_property(spark, rows):
+    """(beta, rho, half_life) match the AR(1) population-moment fit;
+    half_life is NULL outside 0 < rho < 1 and beta NULL on constant
+    lagged series."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import half_life
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, i long, v double")
+    got = {r["g"]: r for r in half_life(df, "v", order_by="i", by="g").collect()}
+    per: dict = {}
+    for g, i, v in data:
+        per.setdefault(g, []).append((i, v))
+    for g, pts in per.items():
+        x = np.array([v for _, v in sorted(pts)])
+        if len(x) < 2:
+            assert g not in got
+            continue
+        xp, d = x[:-1], np.diff(x)
+        r = got[g]
+        assert r["n"] == len(d)
+        vp = float(np.var(xp))
+        if vp <= 0:
+            assert r["beta"] is None
+            continue
+        beta = float(np.mean((d - d.mean()) * (xp - xp.mean()))) / vp
+        assert r["beta"] == pytest.approx(beta, rel=1e-9, abs=1e-12)
+        rho = 1.0 + beta
+        assert r["rho"] == pytest.approx(rho, rel=1e-9, abs=1e-12)
+        if 0 < rho < 1:
+            assert r["half_life"] == pytest.approx(-math.log(2) / math.log(rho), rel=1e-9)
+        else:
+            assert r["half_life"] is None
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.5, max_value=100, allow_nan=False, width=16),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@SET
+def test_hill_tail_index_order_statistics_property(spark, vals, k):
+    """(hill, alpha, x_k1, n_tail) match the order-statistics definition
+    H = mean(ln x_(i) - ln x_(k+1)) over the top k; NULL when fewer than
+    k+1 positive values or all top-k equal."""
+    from ffn_polars_spark.operators.sketch import hill_tail_index
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    r = hill_tail_index(df, "v", k=k, tie_col="i").collect()[0]
+    s = sorted(vals, reverse=True)
+    if len(s) < k + 1:
+        assert r["hill"] is None and r["alpha"] is None
+        return
+    xk1 = s[k]
+    hill = sum(math.log(x) for x in s[:k]) / k - math.log(xk1)
+    assert r["x_k1"] == pytest.approx(xk1)
+    assert r["n_tail"] == k
+    assert r["hill"] == pytest.approx(hill, rel=1e-9, abs=1e-12)
+    if hill > 0:
+        assert r["alpha"] == pytest.approx(1.0 / hill, rel=1e-9)
+    else:
+        assert r["alpha"] is None

@@ -62,6 +62,14 @@ CODE_CHANGED = {
     "chi_square",
     "grid_snap",
     "ann_topk",
+    # r13 battery finds, all locally oracle-re-verified: newey_west_tstat
+    # and effective_sample_size (short-group lag sums NULL-poisoned the
+    # variance/autocorr factor — both ALSO sit in the window's r6 block),
+    # kyle_lambda (ANSI DIVIDE_BY_ZERO in F.corr on constant groups —
+    # r2 now from guarded moments)
+    "newey_west_tstat",
+    "effective_sample_size",
+    "kyle_lambda",
 }
 # r13 staleness-refresh cutoff: every non-code-changed window entry must
 # have a last driver row at or below this round (the r6/r7 staleness tail).

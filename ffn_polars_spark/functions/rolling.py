@@ -67,7 +67,11 @@ def rolling_zscore(self: ColumnOrName, window: int, *, over: Over) -> Column:
     """(x - rolling_mean) / rolling_std over the trailing window."""
     c = to_col(self)
     w = _frame(over, "rolling_zscore", window)
-    z = (c - F.avg(c).over(w)) / F.stddev_samp(c).over(w)
+    # guard the zero-variance window: under ANSI mode even a DOUBLE
+    # division by zero throws DIVIDE_BY_ZERO, so a constant window
+    # crashed the query instead of yielding NULL (r13 corr-audit find)
+    sd = F.stddev_samp(c).over(w)
+    z = F.when(sd > 0, (c - F.avg(c).over(w)) / sd)
     return _full_only(z, F.count(c).over(w), window)
 
 
@@ -77,10 +81,20 @@ def rolling_zscore(self: ColumnOrName, window: int, *, over: Over) -> Column:
 def rolling_corr(
     self: ColumnOrName, other: ColumnOrName, window: int, *, over: Over
 ) -> Column:
-    """Rolling Pearson correlation of two columns over the trailing window."""
+    """Rolling Pearson correlation of two columns over the trailing window.
+    NULL on a zero-variance (constant) window — computed from guarded
+    moments rather than ``F.corr``, whose internal division throws an ANSI
+    DIVIDE_BY_ZERO outright on a degenerate window (r13 corr-audit find).
+    Pairwise-deletion parity with ``corr``: each side's stddev is
+    restricted to rows where the OTHER side is non-null."""
     a, b = to_col(self), to_col(other)
     w = _frame(over, "rolling_corr", window)
-    return _full_only(F.corr(a, b).over(w), F.count(a).over(w), window)
+    den = (
+        F.stddev_samp(F.when(b.isNotNull(), a)).over(w)
+        * F.stddev_samp(F.when(a.isNotNull(), b)).over(w)
+    )
+    corr = F.when(den > 0, F.covar_samp(a, b).over(w) / den)
+    return _full_only(corr, F.count(a).over(w), window)
 
 
 @register(namespace="eod", context="series")

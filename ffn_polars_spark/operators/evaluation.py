@@ -146,8 +146,12 @@ def spearman_corr(
     signal evaluation (information coefficient: rank of a signal vs rank
     of the forward return) and of monotone-dependence checks where Pearson
     is fooled by nonlinearity. Rows where either side is NULL are dropped
-    (ranks must cover a common sample). Two window passes + one ``corr``
-    aggregate. Returns ``(keys, spearman, n)``."""
+    (ranks must cover a common sample). Two window passes + one moment
+    aggregate. NULL on a constant side (all-tied midranks have zero
+    variance — computed from guarded moments rather than ``F.corr``,
+    whose internal division throws an ANSI DIVIDE_BY_ZERO outright on
+    the degenerate group; r13 corr-audit find). Returns
+    ``(keys, spearman, n)``."""
     keys = _keys(by)
     both = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     ranked = both.select(
@@ -156,8 +160,9 @@ def spearman_corr(
         _midrank(keys, y_col).alias("__ry"),
     )
     g = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    den = F.stddev_samp("__rx") * F.stddev_samp("__ry")
     return g.agg(
-        F.corr("__rx", "__ry").alias("spearman"),
+        F.when(den > 0, F.covar_samp("__rx", "__ry") / den).alias("spearman"),
         F.count(F.lit(1)).alias("n"),
     )
 

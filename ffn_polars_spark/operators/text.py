@@ -1104,7 +1104,12 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     cov = F.covar_samp("__lr", "__lf")
     varr = F.var_samp("__lr")
-    corr = F.corr("__lr", "__lf")
+    # guarded-moment r2, not F.corr: a corpus where every token has the
+    # SAME count (e.g. all tokens unique -> all log-freqs 0) makes the
+    # frequency side constant, and F.corr's internal division throws an
+    # ANSI DIVIDE_BY_ZERO instead of yielding NULL (r13 corr-audit find)
+    den = F.stddev_samp("__lr") * F.stddev_samp("__lf")
+    corr = F.when(den > 0, cov / den)
     slope = F.when(varr > 0, cov / varr)
     return ranked.agg(
         slope.alias("zipf_slope"),

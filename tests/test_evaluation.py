@@ -1533,3 +1533,15 @@ def test_tail_dependence_coupled_vs_independent(spark):
         by="g", q=0.9,
     ).collect()[0]
     assert r2["lambda_u"] == 0.0
+
+
+def test_spearman_constant_side_null(spark):
+    """r13 corr-audit: an all-tied side (constant midranks) must yield
+    NULL spearman, not an ANSI DIVIDE_BY_ZERO crash."""
+    from ffn_polars_spark.operators.evaluation import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], ["x", "y"]
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["spearman"] is None and r["n"] == 5

@@ -135,3 +135,29 @@ def test_rolling_median_ignores_outlier(spark):
     }
     assert out[3] is None              # window not yet full
     assert all(out[i] == 10.0 for i in range(4, 20))  # spike never wins
+
+
+def test_rolling_corr_and_zscore_constant_window_null(spark):
+    """r13 corr-audit: a constant (zero-variance) window must yield NULL,
+    not an ANSI DIVIDE_BY_ZERO crash — F.corr's and the bare zscore
+    division's internal guards both throw under ANSI mode."""
+    import ffn_polars_spark as ffn
+    from ffn_polars_spark import Over
+
+    over = Over(order_by="i")
+    df = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(6)], ["i", "a", "b"]
+    )
+    rows = df.select(
+        "i",
+        ffn.eod.rolling_corr("a", "b", 3, over=over).alias("c"),
+        ffn.eod.rolling_zscore("a", 3, over=over).alias("z"),
+    ).collect()
+    full = [r for r in rows if r["i"] >= 2]
+    assert full and all(r["c"] is None for r in full)
+    assert all(r["z"] is None for r in full)
+    # non-degenerate windows still produce real values
+    got = df.select(
+        ffn.eod.rolling_corr("b", "b", 3, over=over).alias("c")
+    ).collect()
+    assert any(r["c"] is not None and abs(r["c"] - 1.0) < 1e-9 for r in got)

@@ -70,6 +70,14 @@ CODE_CHANGED = {
     "newey_west_tstat",
     "effective_sample_size",
     "kyle_lambda",
+    # r13 corr-audit (same ANSI DIVIDE_BY_ZERO class as kyle_lambda, all
+    # guarded-moment rewrites, value-identical where defined, locally
+    # oracle-re-verified): spearman_ic, zipf_slope, rolling_corr +
+    # rolling_stats (rolling_zscore's bare division)
+    "spearman_ic",
+    "zipf_slope",
+    "rolling_corr",
+    "rolling_stats",
 }
 # r13 staleness-refresh cutoff: every non-code-changed window entry must
 # have a last driver row at or below this round (the r6/r7 staleness tail).

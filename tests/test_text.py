@@ -397,3 +397,18 @@ def test_vocab_jsd_bounds_and_hand_computed(spark):
         ["doc_id", "text", "side"],
     )
     assert abs(vocab_jsd(extra, "side", "x", "y").collect()[0].jsd) < 1e-12
+
+
+def test_zipf_slope_all_unique_tokens_null_r2(spark):
+    """r13 corr-audit: a corpus where every token appears exactly once has
+    constant log-frequency — r2 must be NULL, not an ANSI
+    DIVIDE_BY_ZERO crash; the slope itself is 0 (flat fit)."""
+    from ffn_polars_spark.operators.text import zipf_slope
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    r = zipf_slope(df).collect()[0]
+    assert r["vocab_size"] == 5
+    assert r["r2"] is None
+    assert r["zipf_slope"] == 0.0

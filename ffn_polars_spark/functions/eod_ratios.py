@@ -58,12 +58,16 @@ def calc_sharpe(
 ) -> Column:
     """Sharpe ratio: ``mean(excess) / stddev_samp(excess)`` (× sqrt(n) if
     annualized). Excess returns follow #6 semantics (float rf deannualized,
-    str rf a column). Reference: ratios.py:66-86.
+    str rf a column). Reference: ratios.py:66-86. NULL on a constant
+    series (zero excess-return deviation): the unguarded division threw
+    an ANSI DIVIDE_BY_ZERO (r13 audit), and NULL matches both the DuckDB
+    oracle's zero-div convention and sortino's documented contract.
     """
     from ffn_polars_spark.functions.eod_returns import to_excess_returns
 
     excess = to_excess_returns(self, rf, n)
-    sharpe = F.avg(excess) / F.stddev_samp(excess)
+    sd = F.stddev_samp(excess)
+    sharpe = F.when(sd != 0.0, F.avg(excess) / sd)
     if annualize:
         sharpe = sharpe * F.lit(math.sqrt(n))
     return sharpe
@@ -86,10 +90,14 @@ def calc_risk_return_ratio(self: ColumnOrName) -> Column:
 @guard_input("benchmark", expected_dtype="double")
 def calc_information_ratio(self: ColumnOrName, benchmark: ColumnOrName) -> Column:
     """Information ratio: ``mean(r - b) / stddev_samp(r - b)``, with NaN/null
-    results coalesced to 0.0. Reference: ratios.py:100-114.
+    results coalesced to 0.0. Reference: ratios.py:100-114. A zero
+    tracking-error deviation (r tracks b exactly) coalesces to 0.0 like
+    every other undefined case — the unguarded division threw an ANSI
+    DIVIDE_BY_ZERO there (r13 audit).
     """
     diff = to_col(self) - to_col(benchmark)
-    ir = F.avg(diff) / F.stddev_samp(diff)
+    sd = F.stddev_samp(diff)
+    ir = F.when(sd != 0.0, F.avg(diff) / sd)
     return F.coalesce(F.nanvl(ir, F.lit(0.0)), F.lit(0.0))
 
 

@@ -61,10 +61,14 @@ def burstiness_agg(itt: ColumnOrName) -> Column:
     """Aggregate half of #27: coefficient of variation of the deltas.
 
     Null when fewer than 2 deltas exist (sample stddev undefined — the
-    contract asserted by reference tests/expr/test_tick.py:342-378).
+    contract asserted by reference tests/expr/test_tick.py:342-378) and
+    when the mean delta is 0 (every event on one timestamp: the CV is
+    undefined, and the unguarded division threw an ANSI DIVIDE_BY_ZERO —
+    r13 audit; NULL matches the DuckDB oracle's zero-div convention).
     """
     c = to_col(itt)
-    return F.stddev_samp(c) / F.avg(c)
+    mu = F.avg(c)
+    return F.when(mu != 0.0, F.stddev_samp(c) / mu)
 
 
 @register(namespace="tick", context="dataframe")

@@ -36,9 +36,12 @@ def calc_micro_returns(self: ColumnOrName, *, over: Over) -> Column:
 @guard_input("self", expected_dtype="double")
 def calc_price_volatility_ratio(self: ColumnOrName) -> Column:
     """Coefficient of variation: ``stddev_samp(p) / mean(p)``. Reference:
-    price.py:22-33."""
+    price.py:22-33. NULL on a zero mean price (the CV is undefined, and
+    the unguarded division threw an ANSI DIVIDE_BY_ZERO — r13 audit;
+    NULL matches the DuckDB oracle's zero-div convention)."""
     c = to_col(self)
-    return F.stddev_samp(c) / F.avg(c)
+    mu = F.avg(c)
+    return F.when(mu != 0.0, F.stddev_samp(c) / mu)
 
 
 @register(namespace="tick", context="scalar")

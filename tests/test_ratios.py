@@ -202,3 +202,38 @@ def test_capture_ratios_hand_computed(spark):
     )
     b = capture_ratios(bull, "r", "rb", by="k").collect()[0]
     assert b.down_capture is None and b.n_down == 0
+
+
+def test_constant_series_ratios_null_not_ansi_crash(spark):
+    """r13 ANSI zero-div audit: constant series make the deviation 0.0 and
+    the unguarded mean/std divisions threw DIVIDE_BY_ZERO under ANSI mode.
+    Contract: sharpe/risk_return NULL, information ratio 0.0 (its
+    documented undefined-case coalesce), burstiness and the price CV NULL
+    when their denominators are 0."""
+    import ffn_polars_spark as ffn
+    from ffn_polars_spark import Over
+
+    df = spark.createDataFrame(
+        [(i, 5.0, 5.0) for i in range(6)], ["i", "p", "b"]
+    )
+    row = df.agg(
+        ffn.eod.calc_sharpe("p").alias("sharpe"),
+        ffn.eod.calc_risk_return_ratio("p").alias("rrr"),
+        ffn.eod.calc_information_ratio("p", "b").alias("ir"),
+        ffn.tick.calc_price_volatility_ratio("p").alias("pvr"),
+    ).collect()[0]
+    assert row["sharpe"] is None
+    assert row["rrr"] is None
+    assert row["ir"] == 0.0
+    # constant positive prices: std 0 over nonzero mean -> CV 0, defined
+    assert row["pvr"] == 0.0
+
+    # zero-mean price tape: CV undefined -> NULL
+    zm = spark.createDataFrame([(1.0,), (-1.0,)], ["p"])
+    assert zm.agg(ffn.tick.calc_price_volatility_ratio("p")).collect()[0][0] is None
+
+    # all events on one timestamp: mean delta 0 -> burstiness NULL
+    from ffn_polars_spark.functions.tick_activity import calc_burstiness
+
+    ts = spark.createDataFrame([(100,), (100,), (100,)], ["ts_ns"])
+    assert calc_burstiness(ts, "ts_ns").collect()[0][0] is None

@@ -78,6 +78,14 @@ CODE_CHANGED = {
     "zipf_slope",
     "rolling_corr",
     "rolling_stats",
+    # r13 ANSI zero-div audit, second sweep (bare mean/std divisions on
+    # constant/degenerate series — NULL-guarded to match the DuckDB
+    # oracle's zero-div convention; all locally oracle-re-verified):
+    "calc_sharpe",
+    "calc_risk_return_ratio",
+    "calc_information_ratio",
+    "calc_burstiness",
+    "calc_price_volatility_ratio",
 }
 # r13 staleness-refresh cutoff: every non-code-changed window entry must
 # have a last driver row at or below this round (the r6/r7 staleness tail).

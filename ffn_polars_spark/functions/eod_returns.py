@@ -122,10 +122,13 @@ def to_price_index(self: ColumnOrName, start: float = 100, *, over: Over) -> Col
 def rebase(self: ColumnOrName, value: float = 100, *, over: Over) -> Column:
     """Rebase a price series to a given start value: ``p / p_first * value``.
 
-    Reference: expr/eod/returns.py:140-149.
+    Reference: expr/eod/returns.py:140-149. NULL when the first price is
+    0 (a price-contract violation, but the bare division throws an ANSI
+    DIVIDE_BY_ZERO instead of degrading — r13 audit).
     """
     w = over.w_cum("rebase")
-    return to_col(self) / F.first(self).over(w) * F.lit(float(value))
+    first = F.first(self).over(w)
+    return F.when(first != 0.0, to_col(self) / first * F.lit(float(value)))
 
 
 # ---------------------------------------------------------------------------
@@ -280,9 +283,12 @@ def portfolio_returns(
     return (
         pre.groupBy("ts")
         .agg(
-            (F.sum(F.col("__w") * F.col("__r")) / F.sum("__w")).alias(
-                "portfolio_return"
-            ),
+            # NULL on zero total present-asset weight (ANSI zero-div
+            # audit, r13)
+            F.when(
+                F.sum("__w") != 0.0,
+                F.sum(F.col("__w") * F.col("__r")) / F.sum("__w"),
+            ).alias("portfolio_return"),
             F.count(F.lit(1)).alias("n_assets"),
         )
     )

@@ -114,7 +114,11 @@ def time_weighted_spread(
     pre = df.withColumn("__w", dt).withColumn("__ws", spread * F.col("__w"))
     g = pre.groupBy(*by) if by else pre.groupBy()
     out = f"{ask}_twa_spread"
-    return g.agg((F.sum("__ws") / F.sum("__w")).alias(out))
+    # NULL on zero total dwell time (all quotes at one timestamp; ANSI
+    # zero-div audit, r13)
+    return g.agg(
+        F.when(F.sum("__w") != 0.0, F.sum("__ws") / F.sum("__w")).alias(out)
+    )
 
 
 time_weighted_spread._alias_suffix = "twa_spread"

@@ -40,7 +40,11 @@ def calc_trade_rate(self: ColumnOrName, per: str = "ms") -> Column:
     scale = _scale(per)
     c = to_col(self)
     span = (F.max(c) - F.min(c)).cast("double") / F.lit(float(scale))
-    return F.count(F.lit(1)).cast("double") / span
+    # NULL on a zero span (single-event or single-timestamp groups — the
+    # overwhelmingly common sparse-key case at scale): the rate is
+    # undefined, and the bare division throws an ANSI DIVIDE_BY_ZERO
+    # (r13 audit; NULL matches the DuckDB oracle's zero-div convention)
+    return F.when(span != 0.0, F.count(F.lit(1)).cast("double") / span)
 
 
 def inter_trade_times(ts: ColumnOrName, per: str = "s", *, over: Over) -> Column:
@@ -163,9 +167,10 @@ def intraday_profile(
         "hour",
         "n_trades",
         "volume",
-        (F.col("volume") / F.sum("volume").over(share_w)).alias(
-            "volume_share"
-        ),
+        F.when(
+            F.sum("volume").over(share_w) != 0.0,
+            F.col("volume") / F.sum("volume").over(share_w),
+        ).alias("volume_share"),
         "mean_abs_r",
         "realized_vol",
     )

@@ -46,11 +46,13 @@ def _ohlcv_aggs(price: str, volume: Optional[str], ts: str) -> list:
         F.max(ts).alias("bar_end_ts"),
     ]
     if volume is not None:
-        aggs.append(F.sum(volume).cast("double").alias("volume"))
+        tot = F.sum(volume).cast("double")
+        aggs.append(tot.alias("volume"))
+        # NULL vwap on a zero-volume bar (ANSI zero-div audit, r13)
         aggs.append(
-            (F.sum(to_col(price) * to_col(volume)) / F.sum(volume).cast("double")).alias(
-                "vwap"
-            )
+            F.when(
+                tot != 0.0, F.sum(to_col(price) * to_col(volume)) / tot
+            ).alias("vwap")
         )
     return aggs
 
@@ -306,7 +308,10 @@ def idle_time(
     span = F.max(ts) - F.min(ts)
     return g.agg(
         F.sum(F.when(F.col("__gap") > thr, 1).otherwise(0)).alias("n_idle_gaps"),
-        (idle.cast("double") / span.cast("double")).alias("idle_frac"),
+        # NULL on a zero span (single-event groups; ANSI zero-div audit, r13)
+        F.when(
+            span != 0, idle.cast("double") / span.cast("double")
+        ).alias("idle_frac"),
     )
 
 
@@ -400,11 +405,12 @@ def rollup_bars(
         F.max("bar_end_ts").alias("bar_end_ts"),
     ]
     if has_volume:
-        aggs.append(F.sum("volume").cast("double").alias("volume"))
+        tot = F.sum("volume").cast("double")
+        aggs.append(tot.alias("volume"))
+        # NULL vwap on a zero-volume coarse bar (ANSI zero-div audit, r13)
         aggs.append(
-            (
-                F.sum(F.col("vwap") * F.col("volume"))
-                / F.sum("volume").cast("double")
+            F.when(
+                tot != 0.0, F.sum(F.col("vwap") * F.col("volume")) / tot
             ).alias("vwap")
         )
     return bars.groupBy(*by, coarse).agg(*aggs)

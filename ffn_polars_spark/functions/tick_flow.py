@@ -31,7 +31,9 @@ def calc_volume_rate(self: ColumnOrName, ts: ColumnOrName, per: str = "s") -> Co
         raise ValueError(f"Unsupported time unit: {per}")
     t = to_col(ts)
     span = (F.max(t) - F.min(t)).cast("double") / F.lit(float(scale))
-    return F.sum(self).cast("double") / span
+    # NULL on a zero span — same contract and ANSI rationale as
+    # calc_trade_rate (r13 audit)
+    return F.when(span != 0.0, F.sum(self).cast("double") / span)
 
 
 @register(namespace="tick", context="scalar")
@@ -59,9 +61,11 @@ def calc_traded_value(self: ColumnOrName, volume: ColumnOrName) -> Column:
 @guard_input("volume", expected_dtype="double")
 def calc_vwap(self: ColumnOrName, volume: ColumnOrName) -> Column:
     """Volume-weighted average price: ``sum(p*v) / sum(v)``. Reference:
-    flow.py:84-103."""
+    flow.py:84-103. NULL on zero total volume (undefined weighting; the
+    bare division throws an ANSI DIVIDE_BY_ZERO — r13 audit)."""
     v = to_col(volume)
-    return F.sum(to_col(self) * v) / F.sum(v).cast("double")
+    tot = F.sum(v).cast("double")
+    return F.when(tot != 0.0, F.sum(to_col(self) * v) / tot)
 
 
 @register(namespace="tick", kind="df", context="dataframe", alias="execution_slippage")
@@ -100,7 +104,9 @@ def execution_slippage(
         .withColumn("__d", tick_rule(p, over=over).cast("double"))
     )
     w_b = Window.partitionBy(*(keys + ["__bucket"]))
-    vwap = F.sum(p * v).over(w_b) / F.sum(v).over(w_b)
+    vwap = F.when(
+        F.sum(v).over(w_b) != 0.0, F.sum(p * v).over(w_b) / F.sum(v).over(w_b)
+    )
     slip = F.when(vwap != 0, F.col("__d") * (p - vwap) / vwap)
     return (
         pre.withColumn("vwap", vwap)

@@ -51,10 +51,13 @@ def calc_price_volatility_ratio(self: ColumnOrName) -> Column:
 def calc_price_impact(self: ColumnOrName, volume: ColumnOrName, ts: ColumnOrName) -> Column:
     """Price impact: ``(last(p) - first(p)) / sum(volume)``.
 
+    NULL on zero total volume (undefined impact; the bare division throws
+    an ANSI DIVIDE_BY_ZERO — r13 audit).
     ``ts`` makes first/last explicit (order-free struct min/max). Reference:
     price.py:36-55.
     """
-    return (last_by(self, ts) - first_by(self, ts)) / F.sum(volume).cast("double")
+    tot = F.sum(volume).cast("double")
+    return F.when(tot != 0.0, (last_by(self, ts) - first_by(self, ts)) / tot)
 
 
 def realized_volatility_agg(log_returns: ColumnOrName) -> Column:

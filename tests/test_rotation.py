@@ -86,6 +86,24 @@ CODE_CHANGED = {
     "calc_information_ratio",
     "calc_burstiness",
     "calc_price_volatility_ratio",
+    # r13 ANSI zero-div audit, third sweep (zero span / zero total
+    # volume / zero total weight on sparse or degenerate groups — the
+    # COMMON case at scale; all locally oracle-re-verified):
+    "calc_trade_rate",
+    "calc_volume_rate",
+    "calc_vwap",
+    "calc_price_impact",
+    "time_bars",
+    "tick_bars",
+    "volume_bars",
+    "dollar_bars",
+    "imbalance_bars",
+    "idle_time",
+    "intraday_profile",
+    "execution_slippage",
+    "quote_analytics",
+    "rebase",
+    "portfolio_returns",
 }
 # r13 staleness-refresh cutoff: every non-code-changed window entry must
 # have a last driver row at or below this round (the r6/r7 staleness tail).

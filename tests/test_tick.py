@@ -554,3 +554,34 @@ def test_blocked_keyed_cumsum_matches_window(spark):
     for key in want:
         assert got[key][1] == want[key][1], key            # long: exact
         assert abs(got[key][0] - want[key][0]) < 1e-9, key  # double: ulp-tight
+
+
+def test_sparse_and_zero_volume_groups_null_not_ansi_crash(spark):
+    """r13 ANSI zero-div audit, third sweep: single-event groups (zero
+    span) and zero-volume groups are the COMMON sparse-key case at scale
+    and must yield NULL, not a DIVIDE_BY_ZERO crash."""
+    import ffn_polars_spark as ffn
+    from ffn_polars_spark.functions.tick_bars import idle_time, time_bars
+
+    one = spark.createDataFrame([(100, 1.0, 0.0)], ["ts_ns", "p", "v"])
+    row = one.agg(
+        ffn.tick.calc_trade_rate("ts_ns").alias("tr"),
+        ffn.tick.calc_volume_rate("v", "ts_ns").alias("vr"),
+        ffn.tick.calc_vwap("p", "v").alias("vw"),
+        ffn.tick.calc_price_impact("p", "v", "ts_ns").alias("pi"),
+    ).collect()[0]
+    assert row["tr"] is None and row["vr"] is None
+    assert row["vw"] is None and row["pi"] is None
+
+    # zero-volume bar: vwap NULL, volume 0 — bar still emitted
+    zv = spark.createDataFrame(
+        [(1_000_000_000, 10.0, 0.0), (2_000_000_000, 11.0, 0.0)],
+        ["ts_ns", "price", "volume"],
+    )
+    bars = time_bars(zv, ts="ts_ns", price="price", volume="volume",
+                     bar_ns=60_000_000_000).collect()
+    assert len(bars) == 1 and bars[0]["vwap"] is None and bars[0]["volume"] == 0.0
+
+    # single-event key: idle_frac NULL (zero span)
+    idle = idle_time(one, ts="ts_ns", threshold_ns=10).collect()[0]
+    assert idle["idle_frac"] is None and idle["n_idle_gaps"] == 0

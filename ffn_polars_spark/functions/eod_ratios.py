@@ -375,7 +375,10 @@ def jensen_alpha(
     rr, bb = F.when(ok, r), F.when(ok, b)
     g = df.groupBy(*keys) if keys else df.groupBy()
     agg = g.agg(
-        (F.covar_pop(rr, bb) / F.var_pop(bb)).alias("__beta"),
+        # NULL beta on a constant benchmark (ANSI zero-div audit, r13)
+        F.when(F.var_pop(bb) > 0, F.covar_pop(rr, bb) / F.var_pop(bb)).alias(
+            "__beta"
+        ),
         F.avg(rr).alias("__mr"),
         F.avg(bb).alias("__mb"),
         F.count(F.when(ok, 1)).alias("n_obs"),

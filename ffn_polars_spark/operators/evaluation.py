@@ -607,7 +607,10 @@ def ols_residual_diagnostics(
     both = df.where(ok)
     g = both.groupBy(*keys) if keys else both.groupBy()
     fit = g.agg(
-        (F.covar_pop(y, x) / F.var_pop(x)).alias("__beta"),
+        # NULL beta on a constant regressor (ANSI zero-div audit, r13)
+        F.when(F.var_pop(x) > 0, F.covar_pop(y, x) / F.var_pop(x)).alias(
+            "__beta"
+        ),
         F.avg(y).alias("__my"),
         F.avg(x).alias("__mx"),
     ).withColumn("__alpha", F.col("__my") - F.col("__beta") * F.col("__mx"))

@@ -343,8 +343,15 @@ def psi_drift(
         "__nb", F.sum("__cb").over(wt)
     )
     e = F.lit(float(eps))
-    p = F.greatest(F.col("__ca") / F.col("__na").cast("double"), e)
-    q = F.greatest(F.col("__cb") / F.col("__nb").cast("double"), e)
+    # NULL-propagating guard on an EMPTY side (total 0): the bare 0/0
+    # throws an ANSI DIVIDE_BY_ZERO, and greatest() SKIPS NULLs (it
+    # would silently treat a missing side as eps) — so guard first, then
+    # floor, so psi comes out NULL when either side has no rows at all
+    # (r13 audit)
+    p_raw = F.when(F.col("__na") > 0, F.col("__ca") / F.col("__na").cast("double"))
+    q_raw = F.when(F.col("__nb") > 0, F.col("__cb") / F.col("__nb").cast("double"))
+    p = F.when(p_raw.isNotNull(), F.greatest(p_raw, e))
+    q = F.when(q_raw.isNotNull(), F.greatest(q_raw, e))
     return j.agg(
         F.sum((p - q) * F.log(p / q)).alias("psi"),
         F.first("__na").alias("n_a"),

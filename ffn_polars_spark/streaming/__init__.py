@@ -91,9 +91,11 @@ def _ohlcv_window_aggs(price: str, volume: Optional[str]) -> list:
         F.count(F.lit(1)).alias("n_ticks"),
     ]
     if volume is not None:
-        aggs.append(F.sum(volume).cast("double").alias("volume"))
+        tot = F.sum(volume).cast("double")
+        aggs.append(tot.alias("volume"))
+        # NULL vwap on a zero-volume bar (ANSI zero-div audit, r13)
         aggs.append(
-            (F.sum(F.col(price) * F.col(volume)) / F.sum(volume).cast("double")).alias(
+            F.when(tot != 0.0, F.sum(F.col(price) * F.col(volume)) / tot).alias(
                 "vwap"
             )
         )
@@ -146,9 +148,12 @@ def streaming_vwap(
     return (
         w.groupBy(F.window("event_time", bar).alias("bar"), *by)
         .agg(
-            (F.sum(F.col(price) * F.col(volume)) / F.sum(volume).cast("double")).alias(
-                f"{price}_vwap"
-            ),
+            # NULL vwap on a zero-volume bar (ANSI zero-div audit, r13)
+            F.when(
+                F.sum(volume).cast("double") != 0.0,
+                F.sum(F.col(price) * F.col(volume))
+                / F.sum(volume).cast("double"),
+            ).alias(f"{price}_vwap"),
             F.count(F.lit(1)).alias("n_ticks"),
         )
         .select(

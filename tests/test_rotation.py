@@ -104,6 +104,14 @@ CODE_CHANGED = {
     "quote_analytics",
     "rebase",
     "portfolio_returns",
+    # r13 ANSI zero-div audit, fourth sweep (constant regressor /
+    # empty-PSI-side / zero-volume streaming bars; oracle-re-verified):
+    "ols_residual_diagnostics",
+    "jensen_alpha",
+    "psi_drift",
+    "streaming_vwap",
+    "streaming_time_bars",
+    "streaming_preagg_interval_join",
 }
 # r13 staleness-refresh cutoff: every non-code-changed window entry must
 # have a last driver row at or below this round (the r6/r7 staleness tail).

@@ -2813,3 +2813,227 @@ def test_hill_tail_index_order_statistics_property(spark, vals, k):
         assert r["alpha"] == pytest.approx(1.0 / hill, rel=1e-9)
     else:
         assert r["alpha"] is None
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 5: distribution-shape panels (variance ratio,
+# hurst, omega, capture, tail ratio, benford, gini, hhi) vs direct
+# references.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rets=st.lists(
+        st.sampled_from([-2.0, -1.0, 0.0, 1.0, 3.0]),
+        min_size=1,
+        max_size=30,
+    ),
+    qs=st.sampled_from([(2,), (2, 4), (2, 4, 8)]),
+)
+@SET
+def test_variance_ratio_overlapping_sums_property(spark, rets, qs):
+    """VR(q) matches Var(overlapping q-sums)/(q*Var(r)) with sample
+    variances over exactly the full-window positions; degenerate inputs
+    (constant r, too-short series) yield the documented NULLs."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.eod_risk import variance_ratio
+
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rets)], "i long, r double"
+    )
+    got = {
+        r["q"]: r
+        for r in variance_ratio(df, "r", order_by="i", qs=qs).collect()
+    }
+    x = np.array(rets)
+    v1 = float(np.var(x, ddof=1)) if len(x) >= 2 else None
+    for q in qs:
+        sums = [float(x[t - q + 1 : t + 1].sum()) for t in range(q - 1, len(x))]
+        r = got[q]
+        assert r["n_obs"] == len(sums)
+        if v1 and v1 > 0 and len(sums) >= 2:
+            vq = float(np.var(np.array(sums), ddof=1))
+            assert r["vr"] == pytest.approx(vq / (q * v1), rel=1e-9, abs=1e-12)
+        else:
+            assert r["vr"] is None
+
+
+@given(
+    rets=st.lists(
+        st.sampled_from([-2.0, -1.0, 0.5, 1.0, 3.0]),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SET
+def test_hurst_exponent_aggregated_variance_property(spark, rets):
+    """H matches the closed-form regression slope/2 of ln Var(r_q) on
+    ln q over the surviving (positive-variance, >=2-point) horizons."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.eod_risk import hurst_exponent
+
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rets)], "i long, r double"
+    )
+    r = hurst_exponent(df, "r", order_by="i", qs=(2, 4, 8)).collect()[0]
+    x = np.array(rets)
+    pts = []
+    for q in (1, 2, 4, 8):
+        sums = [float(x[t - q + 1 : t + 1].sum()) for t in range(q - 1, len(x))]
+        if len(sums) >= 2:
+            vq = float(np.var(np.array(sums), ddof=1))
+            if vq > 0:
+                pts.append((math.log(q), math.log(vq)))
+    assert r["n_qs"] == len(pts)
+    if len(pts) >= 2:
+        xs = np.array([a for a, _ in pts])
+        ys = np.array([b for _, b in pts])
+        vx = float(np.var(xs, ddof=1))
+        if vx > 0:
+            cov = float(np.sum((xs - xs.mean()) * (ys - ys.mean()))) / (len(pts) - 1)
+            assert r["hurst"] == pytest.approx(cov / vx / 2.0, rel=1e-9, abs=1e-12)
+        else:
+            assert r["hurst"] is None
+    else:
+        assert r["hurst"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([-3.0, -1.0, 0.0, 0.5, 2.0]),  # r
+            st.sampled_from([-2.0, 0.0, 1.0]),             # bench
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    tau=st.sampled_from([0.0, 0.5]),
+)
+@SET
+def test_omega_capture_tail_direct_property(spark, rows, tau):
+    """omega_ratio, capture_ratios, and tail_ratio all match their direct
+    definitions on one tape — no-loss-mass, regime-never-occurs, and
+    zero-lower-percentile cases yield the documented NULLs."""
+    import numpy as np
+
+    import ffn_polars_spark as ffn
+    from ffn_polars_spark.functions.eod_ratios import capture_ratios
+
+    df = spark.createDataFrame(rows, "r double, b double")
+    row = df.agg(
+        ffn.eod.omega_ratio("r", threshold=tau).alias("om"),
+        ffn.eod.tail_ratio("r").alias("tr"),
+    ).collect()[0]
+    rs = [a for a, _ in rows]
+    gains = sum(max(a - tau, 0.0) for a in rs)
+    losses = sum(max(tau - a, 0.0) for a in rs)
+    if losses > 0:
+        assert row["om"] == pytest.approx(gains / losses, rel=1e-9, abs=1e-12)
+    else:
+        assert row["om"] is None
+    hi = float(np.percentile(np.array(rs), 95, method="linear"))
+    lo = float(np.percentile(np.array(rs), 5, method="linear"))
+    if lo != 0.0:
+        assert row["tr"] == pytest.approx(abs(hi) / abs(lo), rel=1e-9, abs=1e-12)
+    else:
+        assert row["tr"] is None
+
+    cap = capture_ratios(df, "r", "b").collect()[0]
+    for cond, col, ncol in (
+        (lambda b: b > 0, "up_capture", "n_up"),
+        (lambda b: b < 0, "down_capture", "n_down"),
+    ):
+        sel = [(a, b) for a, b in rows if cond(b)]
+        assert cap[ncol] == len(sel)
+        if sel:
+            mr = sum(a for a, _ in sel) / len(sel)
+            mb = sum(b for _, b in sel) / len(sel)
+            if mb != 0:
+                assert cap[col] == pytest.approx(mr / mb, rel=1e-9, abs=1e-12)
+            else:
+                assert cap[col] is None
+        else:
+            assert cap[col] is None
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([0.5, 1.0, 3.0, 19.0, 42.0, 123.0, 0.007, 900.0]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_benford_digits_direct_property(spark, vals):
+    """Per-digit counts, observed/expected frequencies, and chi2 terms
+    match the direct first-significant-digit walk."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.evaluation import benford_digits
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    want = Counter(int(f"{v:e}"[0]) for v in vals)
+    assert set(got) == set(want)
+    total = sum(want.values())
+    for d, n in want.items():
+        r = got[d]
+        assert r["n"] == n
+        obs = n / total
+        exp = math.log10(1 + 1 / d)
+        assert r["observed_freq"] == pytest.approx(obs, rel=1e-12)
+        assert r["expected_freq"] == pytest.approx(exp, rel=1e-12)
+        assert r["chi2_term"] == pytest.approx(
+            total * (obs - exp) ** 2 / exp, rel=1e-9
+        )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.sampled_from([0.0, 1.0, 2.0, 5.0, 5.0, 10.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_gini_and_hhi_direct_property(spark, rows):
+    """gini_by_group matches the rank-identity walk (ties in value give
+    the same sum under any total order) and hhi_concentration matches
+    the direct share-of-squares; zero totals yield NULL."""
+    from collections import defaultdict
+
+    from ffn_polars_spark.operators.quality import gini_by_group, hhi_concentration
+
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "source string, doc_id long, v double")
+    gini = {r["source"]: r for r in gini_by_group(df, "v").collect()}
+    per = defaultdict(list)
+    for g, i, v in data:
+        per[g].append(v)
+    for g, vs in per.items():
+        vs.sort()
+        n, tot = len(vs), sum(vs)
+        r = gini[g]
+        assert r["n"] == n and r["total"] == pytest.approx(tot)
+        if tot > 0:
+            want = 2 * sum((i + 1) * v for i, v in enumerate(vs)) / (n * tot) - (n + 1) / n
+            assert r["gini"] == pytest.approx(want, rel=1e-9, abs=1e-12)
+        else:
+            assert r["gini"] is None
+
+    # hhi: entity = doc_id (each row an entity), grouped by source
+    hhi = {r["source"]: r for r in hhi_concentration(df, "v", "doc_id", "source").collect()}
+    for g, vs in per.items():
+        tot = sum(vs)
+        r = hhi[g]
+        assert r["n_entities"] == len(vs)
+        if tot != 0:
+            want = sum(v * v for v in vs) / (tot * tot)
+            assert r["hhi"] == pytest.approx(want, rel=1e-9, abs=1e-12)
+        else:
+            assert r["hhi"] is None

@@ -141,6 +141,19 @@ def first_by(value: ColumnOrName, ts: ColumnOrName) -> Column:
     return F.min(F.struct(to_col(ts).alias("k"), to_col(value).alias("v"))).getField("v")
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """``num / den``, NULL when ``den`` is exactly 0.
+
+    Under Spark 4's default ANSI mode any division by an exactly-0.0
+    data-derived denominator THROWS (DIVIDE_BY_ZERO) — double included —
+    so every operator dividing by a value a degenerate corpus can zero
+    (first price, vector norm, group total) must route through this.
+    NULL matches the DuckDB oracles' zero-division convention, keeping
+    the twin queries bit-exact on canonical data.
+    """
+    return F.when(den != 0, num / den)
+
+
 def last_by_if(cond: Column, value: ColumnOrName, ts: ColumnOrName) -> Column:
     """Aggregate: value at the max ts among rows where ``cond`` holds."""
     return F.max(

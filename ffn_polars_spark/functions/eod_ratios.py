@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ffn_polars_spark.core import ColumnOrName, Over, to_col
+from ffn_polars_spark.core import ColumnOrName, Over, safe_div, to_col
 from ffn_polars_spark.registry import register
 from ffn_polars_spark.utils import auto_alias, guard_input
 
@@ -264,7 +264,8 @@ def calc_calmar_ratio(
     out = f"{price}_calmar_ratio"
     g = pre.groupBy(*by) if by else pre.groupBy()
     return g.agg(cagr, mdd).select(
-        *[F.col(k) for k in by], (F.col("__cagr") / F.col("__mdd")).alias(out)
+        *[F.col(k) for k in by],
+        safe_div(F.col("__cagr"), F.col("__mdd")).alias(out),
     )
 
 

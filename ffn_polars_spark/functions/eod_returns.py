@@ -22,6 +22,7 @@ from ffn_polars_spark.core import (
     first_by,
     last_by,
     last_by_if,
+    safe_div,
     to_col,
 )
 from ffn_polars_spark.config import SECONDS_PER_YEAR
@@ -39,7 +40,7 @@ def to_returns(self: ColumnOrName, *, over: Over) -> Column:
     Reference: expr/eod/returns.py:11-21.
     """
     w = over.w_ordered("to_returns")
-    return self / F.lag(self, 1).over(w) - 1
+    return safe_div(to_col(self), F.lag(self, 1).over(w)) - 1
 
 
 @register(namespace="eod", context="series")
@@ -48,7 +49,7 @@ def to_returns(self: ColumnOrName, *, over: Over) -> Column:
 def to_log_returns(self: ColumnOrName, *, over: Over) -> Column:
     """Log returns: ``ln(p_t / p_{t-1})``. Reference: expr/eod/returns.py:24-34."""
     w = over.w_ordered("to_log_returns")
-    return F.log(self / F.lag(self, 1).over(w))
+    return F.log(safe_div(to_col(self), F.lag(self, 1).over(w)))
 
 
 @register(namespace="eod", context="scalar")
@@ -60,7 +61,7 @@ def calc_total_return(self: ColumnOrName, ts: ColumnOrName) -> Column:
     ``ts`` orders the series (the reference reads implicit row order,
     expr/eod/returns.py:152-161).
     """
-    return last_by(self, ts) / first_by(self, ts) - 1
+    return safe_div(last_by(self, ts), first_by(self, ts)) - 1
 
 
 @register(namespace="eod", context="scalar")
@@ -77,7 +78,13 @@ def calc_cagr(self: ColumnOrName, date_col: ColumnOrName) -> Column:
     # floor: the reference's year_frac truncates the span to whole seconds
     # (Duration.total_seconds), and calc_cagr composes it (returns.py:104).
     yf = F.floor(F.max(secs) - F.min(secs)) / F.lit(SECONDS_PER_YEAR)
-    return F.pow(last_by(self, date_col) / first_by(self, date_col), F.lit(1.0) / yf) - 1
+    return (
+        F.pow(
+            safe_div(last_by(self, date_col), first_by(self, date_col)),
+            safe_div(F.lit(1.0), yf),
+        )
+        - 1
+    )
 
 
 @register(namespace="eod", context="elementwise")
@@ -159,7 +166,7 @@ def calc_ytd(self: ColumnOrName, date_col: ColumnOrName = "Date") -> Column:
     first_of_year = F.max(
         F.struct(y.alias("y"), (-e).alias("e"), to_col(self).alias("v"))
     ).getField("v")
-    return latest / first_of_year - 1
+    return safe_div(latest, first_of_year) - 1
 
 
 def calc_mtd_agg(
@@ -173,7 +180,7 @@ def calc_mtd_agg(
     """
     d = to_col(date_col)
     cond = (F.month(d) != F.month(latest_date)) | (F.year(d) != F.year(latest_date))
-    return last_by(price, d) / last_by_if(cond, price, d) - 1
+    return safe_div(last_by(price, d), last_by_if(cond, price, d)) - 1
 
 
 @register(namespace="eod", context="dataframe")
@@ -237,8 +244,8 @@ def monthly_returns(
     )
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("year", "month")
     prev = F.lag("__end").over(w)
-    ret = F.when(prev.isNotNull(), F.col("__end") / prev - 1).otherwise(
-        F.col("__end") / F.col("__first") - 1
+    ret = F.when(prev.isNotNull(), safe_div(F.col("__end"), prev) - 1).otherwise(
+        safe_div(F.col("__end"), F.col("__first")) - 1
     )
     return ends.select(
         *by, "year", "month", F.round(ret, 6).alias("month_return")

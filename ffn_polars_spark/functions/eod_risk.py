@@ -15,7 +15,7 @@ from typing import Optional, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ffn_polars_spark.core import ColumnOrName, Over, to_col
+from ffn_polars_spark.core import ColumnOrName, Over, safe_div, to_col
 from ffn_polars_spark.registry import register
 from ffn_polars_spark.utils import auto_alias, guard_input
 
@@ -32,7 +32,7 @@ def to_drawdown_series(self: ColumnOrName, *, over: Over) -> Column:
     w = over.w_cum("to_drawdown_series")
     filled = F.last(self, ignorenulls=True).over(w)
     hwm = F.max(filled).over(w)
-    return filled / hwm - 1
+    return safe_div(filled, hwm) - 1
 
 
 def drawdown_pct_series(price: ColumnOrName, *, over: Over) -> Column:
@@ -41,7 +41,7 @@ def drawdown_pct_series(price: ColumnOrName, *, over: Over) -> Column:
     w = over.w_cum("ulcer_index")
     p = to_col(price)
     hwm = F.max(p).over(w)
-    return (p - hwm) / hwm * 100
+    return safe_div(p - hwm, hwm) * 100
 
 
 def ulcer_index_agg(dd_pct: ColumnOrName) -> Column:
@@ -133,7 +133,7 @@ def ulcer_performance_index(
     )
     out = f"{price}_ulcer_performance_index"
     g = pre.groupBy(*by) if by else pre.groupBy()
-    return g.agg((F.avg("__excess") / ulcer_index_agg("__ddpct")).alias(out))
+    return g.agg(safe_div(F.avg("__excess"), ulcer_index_agg("__ddpct")).alias(out))
 
 
 ulcer_performance_index._alias_suffix = "ulcer_performance_index"

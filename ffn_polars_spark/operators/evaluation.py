@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ffn_polars_spark.core import safe_div
 from ffn_polars_spark.registry import register
 
 
@@ -569,8 +570,11 @@ def information_value(
     w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
     tp = F.sum("__np").over(w_all)
     tn = F.sum("__nn").over(w_all)
-    p_pos = F.greatest(F.col("__np") / tp, F.lit(float(eps)))
-    p_neg = F.greatest(F.col("__nn") / tn, F.lit(float(eps)))
+    # A group with zero total positives (or negatives) has an undefined
+    # share; safe_div yields NULL there and F.greatest skips NULLs, so the
+    # share degrades to the same eps clamp as an empty bin (no ANSI throw).
+    p_pos = F.greatest(safe_div(F.col("__np"), tp), F.lit(float(eps)))
+    p_neg = F.greatest(safe_div(F.col("__nn"), tn), F.lit(float(eps)))
     woe = F.log(p_pos / p_neg)
     return staged.select(
         *keys, "bin",

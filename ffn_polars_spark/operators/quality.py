@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ffn_polars_spark.core import safe_div
 from ffn_polars_spark.registry import register
 
 
@@ -729,9 +730,11 @@ def abc_analysis(
     # plan audit's one avoidable exchange pair here
     tot = F.lit(totals["__cum"]).cast("double")
     j = cum
-    share = F.col("__v") / tot
-    cum_share = F.col("__cum") / tot
-    prev_share = (F.col("__cum") - F.col("__v")) / tot
+    # all-zero corpus → grand total 0.0 → NULL shares (and class "C" via
+    # the otherwise branch) instead of an ANSI divide-by-zero throw
+    share = safe_div(F.col("__v"), tot)
+    cum_share = safe_div(F.col("__cum"), tot)
+    prev_share = safe_div(F.col("__cum") - F.col("__v"), tot)
     cls = (
         F.when(prev_share < F.lit(float(t_a)), "A")
         .when(prev_share < F.lit(float(t_b)), "B")

@@ -224,7 +224,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # NULL for zero-norm (all-zero) vectors: cosine is undefined there,
+    # and ANSI mode would otherwise throw DIVIDE_BY_ZERO.
+    den = norm(a) * norm(b)
+    return F.when(den != 0, dot(a, b) / den)
 
 
 def unit(a: Column) -> Column:
@@ -243,7 +246,13 @@ def unit(a: Column) -> Column:
     n = norm(a)
     return F.element_at(
         F.transform(
-            F.array(n), lambda nn: F.transform(a, lambda x: x.cast("double") / nn)
+            F.array(n),
+            # NULL elements for a zero-norm vector (undefined direction) —
+            # downstream dots then yield NULL similarity instead of an
+            # ANSI DIVIDE_BY_ZERO throw.
+            lambda nn: F.transform(
+                a, lambda x: F.when(nn != 0, x.cast("double") / nn)
+            ),
         ),
         1,
     )

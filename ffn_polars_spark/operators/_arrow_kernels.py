@@ -14,6 +14,28 @@ _MERSENNE = (1 << 31) - 1
 _SHIFTS = np.arange(64, dtype=np.uint64)[None, :]
 
 
+def _stack_valid(vs, dim):
+    """Stack a batch of vectors into ``(V, valid)`` where ``valid`` masks
+    rows that are usable: non-NULL, the expected length, and all-finite
+    (a NULL array element arrives as None and becomes NaN).
+
+    Invalid rows get a zero placeholder so the single BLAS matmul shape
+    holds; callers must emit None for ``~valid`` rows. Without this, one
+    NULL embedding in a 100 TB corpus kills the whole LSH/IVF stage with
+    a ragged np.stack."""
+    n = len(vs)
+    V = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vs):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape == (dim,) and np.isfinite(a).all():
+            V[i] = a
+            valid[i] = True
+    return V, valid
+
+
 def make_minhash_udf(coeffs):
     """(array<long> pre-modded hashes) -> array<long> permutation minima."""
     A = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
@@ -76,10 +98,10 @@ def make_bucket_udf(planes_per_table):
 
     @pandas_udf("array<long>")
     def _buckets(vs: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        V, valid = _stack_valid(vs, M.shape[1])  # (n, dim)
         bits = (V @ M.T >= 0).astype(np.int64).reshape(len(V), T, P)  # (n, T, P)
         ids = bits @ weights  # (n, T)
-        return pd.Series(list(ids))
+        return pd.Series([r if ok else None for r, ok in zip(ids, valid)])
 
     return _buckets
 
@@ -97,7 +119,7 @@ def make_cell_assign_udf(centroids, nprobe):
 
     @pandas_udf("array<int>")
     def _cells(vs: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        V, valid = _stack_valid(vs, C.shape[1])  # (n, dim)
         sims = V @ C.T  # (n, nlist)
         p = min(nprobe, sims.shape[1])
         if p == 1:
@@ -107,7 +129,9 @@ def make_cell_assign_udf(centroids, nprobe):
             row = np.arange(len(V))[:, None]
             order = np.argsort(-sims[row, idx], axis=1, kind="stable")
             idx = idx[row, order]
-        return pd.Series([r.astype(np.int32) for r in idx])
+        return pd.Series(
+            [r.astype(np.int32) if ok else None for r, ok in zip(idx, valid)]
+        )
 
     return _cells
 

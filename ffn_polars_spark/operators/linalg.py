@@ -89,6 +89,11 @@ def gram_frame(df: DataFrame, vec_col: str, grid: float = _QM) -> DataFrame:
                 if length == 0:
                     continue
                 x = np.array(grp.tolist(), dtype=np.float64)
+                # a NULL array element arrives as None -> NaN and would
+                # poison every moment it touches; drop non-finite rows
+                x = x[np.isfinite(x).all(axis=1)]
+                if not len(x):
+                    continue
                 q = np.floor(x * g + 0.5) / g
                 gram = q.T @ q
                 prev = accs.get(length)

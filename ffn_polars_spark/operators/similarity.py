@@ -204,6 +204,17 @@ def _guard_pair_budget(
     return (n_i, n_q)
 
 
+def _probe_dim(df: DataFrame, vec_col: str):
+    """Vector width from the first NON-NULL row, or None when every vector
+    is NULL (a plain ``first()[0]`` crashes on a leading NULL embedding)."""
+    row = (
+        df.select(F.col(vec_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .first()
+    )
+    return len(row[0]) if row is not None else None
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double accumulation, left-to-right (deterministic)."""
     return F.aggregate(
@@ -598,7 +609,14 @@ def dedup_embedding_lsh(
     from ffn_polars_spark.operators._scanmeta import scan_bytes
     from ffn_polars_spark.operators.dedup import _pinned_if_fits
 
-    dim = len(df.select(vec_col).first()[0])
+    dim = _probe_dim(df, vec_col)
+    if dim is None:  # every vector NULL -> no candidates, empty pair frame
+        empty = df.where(F.lit(False))
+        return empty.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        )
     # unit vectors: bucket signs are normalization-invariant and the verify
     # step becomes a plain dot product. Pinned (size-gated): the bucket
     # build and BOTH verify joins read this frame, and an unpinned unit()
@@ -863,7 +881,15 @@ def ann_topk_lsh(
     ``first()`` probe job the function otherwise runs to size the
     hyperplanes."""
     qid = query_id_col or id_col
-    dim = dim or len(items.select(vec_col).first()[0])
+    dim = dim or _probe_dim(items, vec_col)
+    if dim is None:  # every item vector NULL -> nothing to rank
+        empty = items.where(F.lit(False))
+        return empty.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("item_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        )
     planes_per_table = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
 
     it = _bucketize(

@@ -160,6 +160,50 @@ def test_information_value_one_class(spark):
     assert len(out) > 0  # degraded, not crashed
 
 
+def test_lsh_kernels_null_vectors(spark):
+    """NULL vectors and NULL array elements reach the Arrow bucket/cell
+    kernels as None/NaN rows; they must bucket to NULL (dropping out of
+    the candidate joins), not crash the stage with a ragged np.stack."""
+    from ffn_polars_spark.operators._arrow_kernels import (
+        make_bucket_udf,
+        make_cell_assign_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.5, None]), (4, [0.0, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    b = make_bucket_udf([[[1.0, 0.0]], [[0.0, 1.0]]])
+    c = make_cell_assign_udf([[1.0, 0.0], [0.0, 1.0]], nprobe=1)
+    rows = {r["vec_id"]: r for r in df.select("vec_id", b("v").alias("b"), c("v").alias("c")).collect()}
+    assert rows[1]["b"] is None and rows[1]["c"] is None  # NULL vector
+    assert rows[3]["b"] is None and rows[3]["c"] is None  # NULL element
+    assert rows[2]["b"] is not None and rows[4]["c"] is not None
+
+
+def test_lsh_dedup_all_null_vectors(spark):
+    from ffn_polars_spark.operators.similarity import dedup_embedding_lsh
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = dedup_embedding_lsh(df)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cosine"}
+
+
+def test_gram_frame_skips_null_elements(spark):
+    from ffn_polars_spark.operators.linalg import gram_frame
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [2.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {(r["__i"], r["__j"]): r["__s"] for r in gram_frame(df, "embedding").collect()}
+    # only row 2 contributes: S = [[4, 0], [0, 0]]
+    assert rows[(0, 0)] == 4.0 and rows[(1, 1)] == 0.0
+
+
 def test_abc_analysis_zero_total(spark):
     from ffn_polars_spark.operators.quality import abc_analysis
 

@@ -254,15 +254,16 @@ def unit(a: Column) -> Column:
     norm into the per-element lambda re-evaluated the whole aggregate per
     element — O(d²) per row, measured 2.3× slower at d=64 (and growing
     with d). Output is bit-identical (same fp ops, fewer evaluations)."""
-    n = norm(a)
+    # Zero-norm guard: the bound norm scalar NULL-ifies at 0 — x / NULL
+    # is NULL (only division by exact 0 throws under ANSI), so a zero
+    # vector degrades to NULL unit elements and NULL downstream dots,
+    # with bit-identical x/nn for every real vector. The branch tests a
+    # bound scalar, never re-evaluating the fold.
     return F.element_at(
         F.transform(
-            F.array(n),
-            # NULL elements for a zero-norm vector (undefined direction) —
-            # downstream dots then yield NULL similarity instead of an
-            # ANSI DIVIDE_BY_ZERO throw.
+            F.array(norm(a)),
             lambda nn: F.transform(
-                a, lambda x: F.when(nn != 0, x.cast("double") / nn)
+                a, lambda x: x.cast("double") / F.when(nn != 0, nn)
             ),
         ),
         1,

@@ -278,10 +278,15 @@ def ks_drift(
             _long_lit(totals["__ccb"]).alias("__nb"),
         )
         .agg(
+            # NULL ks when either side is empty (ECDF undefined; the bare
+            # division throws under ANSI) — same guard as wasserstein's
             F.max(
-                F.abs(
-                    F.col("__cca") / F.col("__na").cast("double")
-                    - F.col("__ccb") / F.col("__nb").cast("double")
+                F.when(
+                    (F.col("__na") > 0) & (F.col("__nb") > 0),
+                    F.abs(
+                        F.col("__cca") / F.col("__na").cast("double")
+                        - F.col("__ccb") / F.col("__nb").cast("double")
+                    ),
                 )
             ).alias("ks_stat"),
             F.first("__na").alias("n_a"),

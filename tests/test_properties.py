@@ -3037,3 +3037,368 @@ def test_gini_and_hhi_direct_property(spark, rows):
             assert r["hhi"] == pytest.approx(want, rel=1e-9, abs=1e-12)
         else:
             assert r["hhi"] is None
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 6: ranking metrics, drift distances, rank
+# correlation, graph ops, rolling panels, and quote-aware classification
+# vs independent references (numpy ECDFs, pandas rolling/rank, naive
+# O(n^2)/sequential walks). Domains are degenerate-biased: ties, empty
+# sides, constant windows, zero variance.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 1.0, 1.0, 2.5, 7.0]),  # value (tie-heavy)
+            st.sampled_from(["a", "a", "b"]),             # side (b can be empty)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_ks_wasserstein_ecdf_property(spark, rows):
+    """ks_drift and wasserstein_distance match the numpy ECDF sup-gap and
+    integrated gap; an empty side yields NULL statistics (not a throw)."""
+    from ffn_polars_spark.operators.quality import ks_drift, wasserstein_distance
+
+    df = spark.createDataFrame(rows, "v double, s string")
+    ks = ks_drift(df, "v", "s", "a", "b").collect()[0]
+    w1 = wasserstein_distance(df, "v", "s", "a", "b").collect()[0]
+
+    xa = sorted(v for v, s in rows if s == "a")
+    xb = sorted(v for v, s in rows if s == "b")
+    xs = sorted(set(xa) | set(xb))
+    assert ks["n_a"] == len(xa) and ks["n_b"] == len(xb)
+    assert w1["n_values"] == (len(xs) if xs else None) or len(xs) <= 1
+    if xa and xb:
+        gaps = [
+            abs(
+                sum(1 for v in xa if v <= x) / len(xa)
+                - sum(1 for v in xb if v <= x) / len(xb)
+            )
+            for x in xs
+        ]
+        assert ks["ks_stat"] == pytest.approx(max(gaps), rel=1e-9, abs=1e-12)
+        want_w1 = sum(
+            g * (xs[i + 1] - xs[i]) for i, g in enumerate(gaps[:-1])
+        )
+        if len(xs) >= 2:
+            assert w1["w1"] == pytest.approx(want_w1, rel=1e-9, abs=1e-12)
+        else:
+            assert w1["w1"] is None  # single distinct value: no gaps
+    else:
+        assert ks["ks_stat"] is None
+        assert w1["w1"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 1.0, 1.0, 3.0]),   # x, tie-heavy
+            st.sampled_from([-1.0, 0.0, 2.0, 2.0]),  # y
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@SET
+def test_spearman_corr_pandas_property(spark, rows):
+    """spearman_corr (Pearson on midranks) matches pandas' tie-adjusted
+    Spearman; a constant side yields NULL."""
+    import pandas as pd
+
+    from ffn_polars_spark.operators.evaluation import spearman_corr
+
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = spearman_corr(df, "x", "y").collect()[0]
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    # Spearman = Pearson on midranks; pandas .corr(method="spearman")
+    # imports scipy (absent here), so rank with pandas and correlate with
+    # numpy sample moments
+    rx = pdf["x"].rank(method="average").to_numpy()
+    ry = pdf["y"].rank(method="average").to_numpy()
+    assert got["n"] == len(rows)
+    if pdf["x"].nunique() > 1 and pdf["y"].nunique() > 1:
+        n = len(rows)
+        cov = float(((rx - rx.mean()) * (ry - ry.mean())).sum()) / (n - 1)
+        den = float(rx.std(ddof=1)) * float(ry.std(ddof=1))
+        assert got["spearman"] == pytest.approx(cov / den, rel=1e-9, abs=1e-12)
+    else:
+        assert got["spearman"] is None
+
+
+@given(
+    rels=st.lists(st.sampled_from([0, 0, 1, 2]), min_size=1, max_size=15),
+    scores=st.lists(st.sampled_from([0.1, 0.5, 0.5, 0.9]), min_size=15, max_size=15),
+    k=st.sampled_from([1, 3, 10]),
+)
+@SET
+def test_ranking_metrics_naive_property(spark, rels, scores, k):
+    """ndcg_at_k / mrr_at_k / pr_at_k match a plain Python ranking walk
+    under score ties broken by a unique id column."""
+    import math as m
+
+    from ffn_polars_spark.operators.evaluation import mrr_at_k, ndcg_at_k, pr_at_k
+
+    rows = [("q", float(scores[i]), int(r), i) for i, r in enumerate(rels)]
+    df = spark.createDataFrame(rows, "q string, score double, rel int, id long")
+
+    order = sorted(rows, key=lambda t: (-t[1], t[3]))  # score desc, id asc
+    ideal = sorted(rows, key=lambda t: (-t[2], t[3]))  # rel desc, id asc
+
+    nd = ndcg_at_k(df, "q", "score", "rel", k=k, tie_col="id").collect()[0]
+    dcg = sum(t[2] / m.log2(i + 2) for i, t in enumerate(order[:k]))
+    idcg = sum(t[2] / m.log2(i + 2) for i, t in enumerate(ideal[:k]))
+    if idcg > 0:
+        assert nd["ndcg"] == pytest.approx(dcg / idcg, rel=1e-9, abs=1e-12)
+    else:
+        assert nd["ndcg"] is None
+
+    mr = mrr_at_k(df, "q", "score", "rel", k=k, tie_col="id").collect()[0]
+    first = next((i + 1 for i, t in enumerate(order[:k]) if t[2] > 0), None)
+    if first is not None:
+        assert mr["first_rel_rank"] == first
+        assert mr["rr"] == pytest.approx(1.0 / first, rel=1e-9, abs=1e-12)
+    else:
+        assert mr["first_rel_rank"] is None and mr["rr"] == 0.0
+
+    pr = {
+        r["k"]: r
+        for r in pr_at_k(
+            df, "score", "rel", ks=(1, 3, 10), tie_col="id"
+        ).collect()
+    }
+    n = len(rows)
+    npos = sum(1 for t in rows if t[2] > 0)
+    cuts = sorted({c for c in (1, 3, 10) if c <= n} | ({n} if n < 10 else set()))
+    assert set(pr) == set(cuts)
+    for c in cuts:
+        tp = sum(1 for t in order[:c] if t[2] > 0)
+        assert pr[c]["precision"] == pytest.approx(tp / c, rel=1e-9, abs=1e-12)
+        if npos > 0:
+            assert pr[c]["recall"] == pytest.approx(tp / npos, rel=1e-9, abs=1e-12)
+        else:
+            assert pr[c]["recall"] is None
+        assert pr[c]["n_pos"] == npos
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_pagerank_numpy_replay_property(spark, edges):
+    """pagerank matches a plain-Python replay of the damped recurrence
+    (dedup edges, dangling mass redistributed uniformly, 15 rounds)."""
+    from ffn_polars_spark.operators.graph import pagerank
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r for r in pagerank(df, iterations=15).collect()}
+    release_pins()
+
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    outdeg = {u: sum(1 for a, _ in e if a == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    d = 0.85
+    for _ in range(15):
+        dang = sum(r[u] for u in nodes if outdeg[u] == 0)
+        nxt = {}
+        for v in nodes:
+            inc = sum(r[u] / outdeg[u] for u, w in e if w == v)
+            nxt[v] = (1.0 - d) / n + d * (inc + dang / n)
+        r = nxt
+    for u in nodes:
+        assert got[u]["out_degree"] == outdeg[u]
+        assert got[u]["rank"] == pytest.approx(r[u], rel=1e-9, abs=1e-12)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_pareto_front_dominance_property(spark, pts):
+    """pareto_front's sweep matches the O(n^2) dominance definition on
+    exact-duplicate-collapsed points."""
+    from ffn_polars_spark.operators.quality import pareto_front
+
+    rows = [(float(x), float(y), i) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "x double, y double, id long")
+    got = {(r["x"], r["y"]) for r in pareto_front(df, "x", "y", id_col="id").collect()}
+
+    uniq = sorted({(x, y) for x, y, _ in rows})
+    want = {
+        (x, y)
+        for x, y in uniq
+        if not any(
+            (a >= x and b >= y) and (a > x or b > y) for a, b in uniq
+        )
+    }
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=14,
+    )
+)
+@SET
+def test_triangle_count_naive_property(spark, edges):
+    """triangle_count matches itertools triangle enumeration: per-node
+    counts, degrees, and the clustering coefficient contract."""
+    from itertools import combinations
+
+    from ffn_polars_spark.operators.graph import triangle_count
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r for r in triangle_count(df).collect()}
+    release_pins()
+
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = sorted({u for e in und for u in e})
+    adj = {u: {v for a, b in und for v in (a, b) if u in (a, b) and v != u} for u in nodes}
+    tri = {u: 0 for u in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1; tri[b] += 1; tri[c] += 1
+    if not und:
+        assert got == {}
+        return
+    assert set(got) == set(nodes)
+    for u in nodes:
+        d = len(adj[u])
+        assert got[u]["degree"] == d
+        assert got[u]["n_triangles"] == tri[u]
+        if d >= 2:
+            assert got[u]["clustering"] == pytest.approx(
+                2.0 * tri[u] / (d * (d - 1)), rel=1e-9, abs=1e-12
+            )
+        else:
+            assert got[u]["clustering"] is None
+
+
+@given(
+    ys=st.lists(st.sampled_from([0.0, 0.0, 1.0, -2.0, 5.0]), min_size=1, max_size=20),
+    window=st.sampled_from([2, 3, 5]),
+)
+@SET
+def test_rolling_ops_pandas_property(spark, ys, window):
+    """rolling_{median,sharpe,zscore,beta,corr} match per-window numpy
+    recomputation (full windows only, constant windows NULL)."""
+    import math as m
+
+    import numpy as np
+
+    import ffn_polars_spark as ffn
+
+    xs = [float(i % 3) for i in range(len(ys))]  # tie-heavy regressor
+    df = spark.createDataFrame(
+        [(i, y, x) for i, (y, x) in enumerate(zip(ys, xs))],
+        "i long, y double, x double",
+    )
+    over = Over(order_by="i")
+    out = df.select(
+        "i",
+        ffn.eod.rolling_median("y", window, over=over).alias("med"),
+        ffn.eod.rolling_sharpe("y", window, over=over, n=252).alias("sh"),
+        ffn.eod.rolling_zscore("y", window, over=over).alias("z"),
+        ffn.eod.rolling_beta("y", "x", window, over=over).alias("beta"),
+        ffn.eod.rolling_corr("y", "x", window, over=over).alias("corr"),
+    ).orderBy("i").collect()
+
+    for j, r in enumerate(out):
+        if j < window - 1:
+            for c in ("med", "sh", "z", "beta", "corr"):
+                assert r[c] is None
+            continue
+        wy = np.array(ys[j - window + 1 : j + 1])
+        wx = np.array(xs[j - window + 1 : j + 1])
+        assert r["med"] == pytest.approx(
+            float(np.percentile(wy, 50, method="linear")), rel=1e-9, abs=1e-12
+        )
+        sd = float(np.std(wy, ddof=1))
+        if sd > 0:
+            assert r["sh"] == pytest.approx(
+                m.sqrt(252.0) * float(wy.mean()) / sd, rel=1e-9, abs=1e-12
+            )
+            assert r["z"] == pytest.approx(
+                (ys[j] - float(wy.mean())) / sd, rel=1e-9, abs=1e-12
+            )
+        else:
+            assert r["sh"] is None and r["z"] is None
+        vx = float(np.var(wx))  # population
+        if vx != 0:
+            cov_pop = float(((wy - wy.mean()) * (wx - wx.mean())).mean())
+            assert r["beta"] == pytest.approx(cov_pop / vx, rel=1e-9, abs=1e-12)
+        else:
+            assert r["beta"] is None
+        den = float(np.std(wy, ddof=1)) * float(np.std(wx, ddof=1))
+        if den > 0:
+            cov_s = float(((wy - wy.mean()) * (wx - wx.mean())).sum()) / (window - 1)
+            assert r["corr"] == pytest.approx(cov_s / den, rel=1e-9, abs=1e-12)
+        else:
+            assert r["corr"] is None
+
+
+@given(
+    trades=st.lists(
+        st.tuples(st.integers(0, 20), st.sampled_from([9.0, 10.0, 10.0, 11.0])),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    quotes=st.lists(
+        st.tuples(st.integers(0, 20), st.sampled_from([(9.5, 10.5), (10.0, 10.0), (8.0, 12.0)])),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SET
+def test_lee_ready_sequential_property(spark, trades, quotes):
+    """lee_ready matches the sequential walk: mid from the latest quote
+    at-or-before each trade, tick-rule fallback at the mid / before any
+    quote (first trade 0)."""
+    from ffn_polars_spark.functions.tick_direction import lee_ready
+
+    tdf = spark.createDataFrame(
+        [(int(t), float(p)) for t, p in trades], "ts_ns long, price double"
+    )
+    qdf = spark.createDataFrame(
+        [(int(t), float(a), float(b)) for t, (b, a) in quotes],
+        "ts_ns long, ask double, bid double",
+    )
+    got = {
+        r["ts_ns"]: r
+        for r in lee_ready(tdf, qdf).select("ts_ns", "mid", "lr_direction").collect()
+    }
+
+    qs = sorted((t, (b + a) / 2.0) for t, (b, a) in quotes)
+    seq = sorted(trades)
+    prev_p = None
+    for t, p in seq:
+        mids = [m for qt, m in qs if qt <= t]
+        mid = mids[-1] if mids else None
+        tick = 0 if prev_p is None else (1 if p > prev_p else (-1 if p < prev_p else 0))
+        want = tick if (mid is None or p == mid) else (1 if p > mid else -1)
+        if mid is None:
+            assert got[t]["mid"] is None
+        else:
+            assert got[t]["mid"] == pytest.approx(mid, rel=1e-12)
+        assert got[t]["lr_direction"] == want
+        prev_p = p

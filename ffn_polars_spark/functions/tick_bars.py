@@ -501,18 +501,26 @@ def corwin_schultz(
     )
     h, l = to_col(high).cast("double"), to_col(low).cast("double")
     h2, l2 = F.lead(h).over(w), F.lead(l).over(w)
-    beta = F.pow(F.log(h / l), F.lit(2)) + F.pow(F.log(h2 / l2), F.lit(2))
-    gamma = F.pow(F.log(F.greatest(h, h2) / F.least(l, l2)), F.lit(2))
+    # a non-positive low makes the log ratios undefined (and the bare
+    # division throws under ANSI) — such pairs are dropped, not zeroed
+    ok = (l > 0) & (l2 > 0)
+    beta = F.when(
+        ok, F.pow(F.log(h / l), F.lit(2)) + F.pow(F.log(h2 / l2), F.lit(2))
+    )
+    gamma = F.when(
+        ok, F.pow(F.log(F.greatest(h, h2) / F.least(l, l2)), F.lit(2))
+    )
     k = 3.0 - 2.0 * 2.0 ** 0.5
     alpha = (F.sqrt(F.lit(2.0) * beta) - F.sqrt(beta)) / F.lit(k) - F.sqrt(
         gamma / F.lit(k)
     )
     s = F.lit(2.0) * (F.exp(alpha) - F.lit(1.0)) / (F.lit(1.0) + F.exp(alpha))
-    # guard on the lead's existence: greatest() skips NULLs, so an
-    # unguarded clamp would turn the (pairless) last bar into a spurious
-    # zero-spread observation instead of dropping it
+    # guard on the lead's existence AND a defined spread: greatest()
+    # skips NULLs, so an unguarded clamp would turn the (pairless) last
+    # bar — or an undefined pair — into a spurious zero-spread
+    # observation instead of dropping it
     pre = df.withColumn(
-        "__s", F.when(h2.isNotNull(), F.greatest(s, F.lit(0.0)))
+        "__s", F.when(h2.isNotNull() & s.isNotNull(), F.greatest(s, F.lit(0.0)))
     )
     g = pre.groupBy(*by) if by else pre.groupBy()
     return g.agg(

@@ -3402,3 +3402,499 @@ def test_lee_ready_sequential_property(spark, trades, quotes):
             assert got[t]["mid"] == pytest.approx(mid, rel=1e-12)
         assert got[t]["lr_direction"] == want
         prev_p = p
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 7: calibration, CAPM attribution, microstructure
+# estimators, scaling transforms, sessions/baskets vs direct references.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 0.2, 0.2, 0.7, 1.0]),  # score, tie-heavy
+            st.sampled_from([0, 1]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    bins=st.sampled_from([1, 4]),
+)
+@SET
+def test_calibration_ece_binning_property(spark, rows, bins):
+    """calibration_bins + expected_calibration_error match the Python
+    binning walk, including the zero-width (constant-score) range."""
+    from ffn_polars_spark.operators.evaluation import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {
+        r["bin"]: r for r in calibration_bins(df, "score", "label", bins=bins).collect()
+    }
+    lo = min(s for s, _ in rows)
+    hi = max(s for s, _ in rows)
+    width = hi - lo
+    want = {}
+    for s, y in rows:
+        b = min(int((s - lo) / width * bins), bins - 1) if width > 0 else 0
+        want.setdefault(b, []).append((s, y))
+    assert set(got) == set(want)
+    for b, members in want.items():
+        assert got[b]["n"] == len(members)
+        assert got[b]["mean_score"] == pytest.approx(
+            sum(s for s, _ in members) / len(members), rel=1e-9, abs=1e-12
+        )
+        assert got[b]["pos_rate"] == pytest.approx(
+            sum(y for _, y in members) / len(members), rel=1e-9, abs=1e-12
+        )
+
+    e = expected_calibration_error(df, "score", "label", bins=bins).collect()[0]
+    gaps = {
+        b: abs(
+            sum(y for _, y in m) / len(m) - sum(s for s, _ in m) / len(m)
+        )
+        for b, m in want.items()
+    }
+    n_tot = len(rows)
+    ece = sum(gaps[b] * len(want[b]) for b in want) / n_tot
+    assert e["ece"] == pytest.approx(ece, rel=1e-9, abs=1e-12)
+    assert e["mce"] == pytest.approx(max(gaps.values()), rel=1e-9, abs=1e-12)
+    assert e["n"] == n_tot
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([None, -0.02, 0.0, 0.01, 0.05]),  # r
+            st.sampled_from([None, 0.0, 0.01, 0.01, -0.03]),  # bench
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_jensen_kelly_moments_property(spark, rows):
+    """jensen_alpha's beta/alpha/treynor and kelly_fraction match numpy
+    population/sample moments under NULL-pair alignment; constant
+    benchmarks and zero variances yield the documented NULLs."""
+    import numpy as np
+
+    import ffn_polars_spark as ffn
+    from ffn_polars_spark.functions.eod_ratios import jensen_alpha
+
+    df = spark.createDataFrame(rows, "r double, b double")
+    got = jensen_alpha(df, "r", "b", rf=0.0, n=252).collect()[0]
+    ok = [(a, c) for a, c in rows if a is not None and c is not None]
+    assert got["n_obs"] == len(ok)
+    if ok:
+        ra = np.array([a for a, _ in ok])
+        bb = np.array([c for _, c in ok])
+        vb = float(np.var(bb))  # population
+        if vb > 0:
+            beta = float(((ra - ra.mean()) * (bb - bb.mean())).mean()) / vb
+            assert got["beta"] == pytest.approx(beta, rel=1e-9, abs=1e-12)
+            alpha = (float(ra.mean()) - beta * float(bb.mean())) * 252.0
+            assert got["alpha"] == pytest.approx(alpha, rel=1e-9, abs=1e-12)
+            # treynor divides by beta, so near-zero betas amplify the
+            # single-pass vs two-pass co-moment fp difference by ~1/beta;
+            # check it against Spark's OWN beta (internal consistency),
+            # which is itself pinned to numpy above
+            if got["beta"] == 0.0:
+                assert got["treynor_ratio"] is None
+            else:
+                assert got["treynor_ratio"] == pytest.approx(
+                    float(ra.mean()) * 252.0 / got["beta"], rel=1e-9
+                )
+        else:
+            assert got["beta"] is None and got["alpha"] is None
+    else:
+        assert got["beta"] is None
+
+    kf = df.agg(ffn.eod.kelly_fraction("r").alias("k")).collect()[0]
+    rs = [a for a, _ in rows if a is not None]
+    if len(rs) >= 2:
+        var = float(np.var(np.array(rs), ddof=1))
+        if var > 0:
+            assert kf["k"] == pytest.approx(
+                float(np.mean(rs)) / var, rel=1e-9, abs=1e-12
+            )
+        else:
+            assert kf["k"] is None
+    else:
+        assert kf["k"] is None
+
+
+@given(
+    bars=st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 9.0, 10.0, 10.0, 12.0]),  # low (0 = degenerate)
+            st.sampled_from([0.0, 1.0, 2.0]),               # high premium
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_corwin_schultz_pair_walk_property(spark, bars):
+    """corwin_schultz matches the per-pair closed form; non-positive lows
+    drop the pair (never a spurious zero-spread), last bar drops."""
+    import math as m
+
+    from ffn_polars_spark.functions.tick_bars import corwin_schultz
+
+    rows = [(i, lo + prem, lo) for i, (lo, prem) in enumerate(bars)]
+    df = spark.createDataFrame(rows, "bar_ts long, high double, low double")
+    got = corwin_schultz(df).collect()[0]
+
+    k = 3.0 - 2.0 * m.sqrt(2.0)
+    spreads = []
+    for (h, l), (h2, l2) in zip(
+        [(h, l) for _, h, l in rows], [(h, l) for _, h, l in rows][1:]
+    ):
+        if l <= 0 or l2 <= 0:
+            continue
+        beta = m.log(h / l) ** 2 + m.log(h2 / l2) ** 2
+        gamma = m.log(max(h, h2) / min(l, l2)) ** 2
+        alpha = (m.sqrt(2 * beta) - m.sqrt(beta)) / k - m.sqrt(gamma / k)
+        s = 2 * (m.exp(alpha) - 1) / (1 + m.exp(alpha))
+        spreads.append(max(s, 0.0))
+    assert got["n_pairs"] == len(spreads)
+    if spreads:
+        assert got["cs_spread"] == pytest.approx(
+            sum(spreads) / len(spreads), rel=1e-9, abs=1e-12
+        )
+    else:
+        assert got["cs_spread"] is None
+
+
+@given(
+    ps=st.lists(
+        st.sampled_from([0.0, 5.0, 10.0, 10.0, 20.0]),  # price (0 = log-undefined)
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_bipower_variation_walk_property(spark, ps):
+    """bipower_variation's RV/BV/jump_share match the sequential log-return
+    walk; non-positive prices NULL their returns and drop from the sums."""
+    import math as m
+
+    from ffn_polars_spark.functions.tick_price import bipower_variation
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "i long, price double"
+    )
+    got = bipower_variation(df, "price", order_by="i").collect()[0]
+
+    logs = [m.log(p) if p > 0 else None for p in ps]
+    rets = [None] + [
+        (logs[i] - logs[i - 1])
+        if logs[i] is not None and logs[i - 1] is not None
+        else None
+        for i in range(1, len(ps))
+    ]
+    valid = [r for r in rets if r is not None]
+    rv = sum(r * r for r in valid)
+    bv_terms = [
+        abs(rets[i]) * abs(rets[i - 1])
+        for i in range(1, len(rets))
+        if rets[i] is not None and rets[i - 1] is not None
+    ]
+    bv = (m.pi / 2.0) * sum(bv_terms)
+    assert got["n"] == len(valid)
+    assert got["rv"] == pytest.approx(rv, rel=1e-9, abs=1e-12) or (
+        got["rv"] is None and not valid
+    )
+    if valid:
+        assert got["bv"] == pytest.approx(bv, rel=1e-9, abs=1e-12) or (
+            got["bv"] is None and not bv_terms
+        )
+        if rv > 0:
+            assert got["jump_share"] == pytest.approx(
+                max(rv - bv, 0.0) / rv if got["bv"] is not None else 1.0,
+                rel=1e-9,
+                abs=1e-12,
+            ) or got["bv"] is None
+        else:
+            assert got["jump_share"] is None
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([0.0, 0.0, 1.0, 5.0, -3.0, 100.0]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_scaling_transforms_numpy_property(spark, vals):
+    """winsorize / feature_scale / quantile_transform match numpy
+    percentiles, moments, and the Hazen midrank positions."""
+    import numpy as np
+    import pandas as pd
+
+    from ffn_polars_spark.operators.sketch import (
+        feature_scale,
+        quantile_transform,
+        winsorize,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    x = np.array(vals)
+
+    wz = {r["id"]: r["v_winsorized"] for r in winsorize(df, "v", lower=0.1, upper=0.9).collect()}
+    lo = float(np.percentile(x, 10, method="linear"))
+    hi = float(np.percentile(x, 90, method="linear"))
+    for i, v in rows:
+        assert wz[i] == pytest.approx(min(max(v, lo), hi), rel=1e-9, abs=1e-12)
+
+    fs = {r["id"]: r for r in feature_scale(df, "v").collect()}
+    mu = float(x.mean())
+    sd = float(x.std(ddof=1)) if len(x) >= 2 else None
+    rng = float(x.max() - x.min())
+    for i, v in rows:
+        if sd and sd > 0:
+            assert fs[i]["v_zscore"] == pytest.approx((v - mu) / sd, abs=1.5e-6)
+        else:
+            assert fs[i]["v_zscore"] is None
+        if rng != 0:
+            assert fs[i]["v_minmax"] == pytest.approx(
+                (v - float(x.min())) / rng, abs=1.5e-6
+            )
+        else:
+            assert fs[i]["v_minmax"] is None
+
+    qt = {r["id"]: r["v_quantile"] for r in quantile_transform(df, "v").collect()}
+    mid = pd.Series(vals).rank(method="average")
+    n = len(vals)
+    for i, v in rows:
+        assert qt[i] == pytest.approx((float(mid[i]) - 0.5) / n, rel=1e-9, abs=1e-12)
+
+
+@given(
+    trades=st.lists(
+        st.tuples(
+            st.sampled_from([9.0, 10.0, 10.0, 11.0]),  # price
+            st.sampled_from([1.0, 4.0, 10.0]),          # volume
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    vpb=st.sampled_from([5.0, 12.0]),
+)
+@SET
+def test_vpin_bucket_walk_property(spark, trades, vpb):
+    """vpin matches the sequential volume-bucket walk: tick-rule signs,
+    whole-trade bucket assignment on the pre-trade cumulative volume."""
+    from ffn_polars_spark.functions.tick_bars import vpin
+
+    rows = [(i, p, v) for i, (p, v) in enumerate(trades)]
+    df = spark.createDataFrame(rows, "ts long, price double, volume double")
+    got = vpin(df, "ts", "price", "volume", volume_per_bucket=vpb).collect()[0]
+
+    cum = 0.0
+    prev_p = None
+    buckets = {}
+    for _, p, v in rows:
+        d = 0 if prev_p is None else (1 if p > prev_p else (-1 if p < prev_p else 0))
+        b = int(cum // vpb)
+        imb, vol = buckets.get(b, (0.0, 0.0))
+        buckets[b] = (imb + d * v, vol + v)
+        cum += v
+        prev_p = p
+    tox = [abs(i) / v for i, v in buckets.values() if v > 0]
+    assert got["n_buckets"] == len(buckets)
+    assert got["total_volume"] == pytest.approx(cum, rel=1e-12)
+    if tox:
+        assert got["vpin"] == pytest.approx(sum(tox) / len(tox), rel=1e-9, abs=1e-12)
+    else:
+        assert got["vpin"] is None
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 40),                       # ts
+            st.sampled_from(["ad", "email", "web"]),  # channel
+            st.sampled_from([0, 0, 0, 1]),            # is conversion
+            st.sampled_from([0.0, 5.0, 10.0]),        # value
+        ),
+        min_size=1,
+        max_size=18,
+        unique_by=lambda t: t[0],
+    ),
+    gap=st.sampled_from([5, 100]),
+)
+@SET
+def test_attribution_session_walk_property(spark, events, gap):
+    """attribution matches the sequential sessionize + first/last-touch
+    walk, including convert-on-open (NULL last_touch) sessions."""
+    from ffn_polars_spark.operators.sessions import attribution
+
+    rows = [("u", t, c, bool(k), v) for t, c, k, v in events]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, channel string, conv boolean, value double"
+    )
+    got = {
+        r["session_id"]: r
+        for r in attribution(df, "ts", "key", "channel", "conv", "value", gap).collect()
+    }
+
+    seq = sorted(events)
+    sessions = []
+    for i, (t, c, k, v) in enumerate(seq):
+        if i == 0 or t - seq[i - 1][0] > gap:
+            sessions.append([])
+        sessions[-1].append((t, c, k, v))
+    assert set(got) == set(range(len(sessions)))
+    for sid, ev in enumerate(sessions):
+        r = got[sid]
+        assert r["first_touch"] == ev[0][1]
+        conv_ts = next((t for t, _, k, _ in ev if k), None)
+        if conv_ts is not None:
+            pre = [(t, c) for t, c, _, _ in ev if t < conv_ts]
+            assert r["last_touch"] == (pre[-1][1] if pre else None)
+        else:
+            assert r["last_touch"] is None
+        assert r["conversion_value"] == pytest.approx(
+            sum(v for _, _, k, v in ev if k), rel=1e-12
+        )
+        assert r["n_events"] == len(ev)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_market_basket_naive_property(spark, pairs):
+    """market_basket matches the itertools pair walk: distinct
+    (basket, item) first, exact counts, support/confidence/lift."""
+    from itertools import combinations
+
+    from ffn_polars_spark.operators.funnel import market_basket
+
+    df = spark.createDataFrame(pairs, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in market_basket(df, "basket", "item").collect()
+    }
+
+    bi = set(pairs)
+    baskets = {}
+    for b, i in bi:
+        baskets.setdefault(b, set()).add(i)
+    n_b = len(baskets)
+    singles = {}
+    for b, items in baskets.items():
+        for i in items:
+            singles[i] = singles.get(i, 0) + 1
+    co = {}
+    for items in baskets.values():
+        for x, y in combinations(sorted(items), 2):
+            co[(x, y)] = co.get((x, y), 0) + 1
+    assert set(got) == set(co)
+    for (x, y), n_co in co.items():
+        r = got[(x, y)]
+        assert r["n_co"] == n_co
+        assert r["support"] == pytest.approx(n_co / n_b, rel=1e-12)
+        assert r["confidence_a"] == pytest.approx(n_co / singles[x], rel=1e-12)
+        assert r["confidence_b"] == pytest.approx(n_co / singles[y], rel=1e-12)
+        assert r["lift"] == pytest.approx(
+            n_co * n_b / (singles[x] * singles[y]), rel=1e-12
+        )
+
+
+@given(
+    trades=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.sampled_from([0.0, 9.0, 10.0, 10.0, 11.0]),  # price (0 degenerate)
+            st.sampled_from([0.0, 1.0, 5.0]),               # volume (0 degenerate)
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_execution_slippage_walk_property(spark, trades):
+    """execution_slippage matches the sequential walk: one bucket here
+    (bucket_ns wide), tick-rule signs, vwap NULL on zero bucket volume,
+    slippage NULL on zero vwap."""
+    from ffn_polars_spark.functions.tick_flow import execution_slippage
+
+    rows = [(t, p, v) for t, p, v in trades]
+    df = spark.createDataFrame(rows, "ts_ns long, price double, volume double")
+    got = {
+        r["ts_ns"]: r
+        for r in execution_slippage(
+            df, "price", "volume", "ts_ns", bucket_ns=1_000_000
+        ).collect()
+    }
+
+    seq = sorted(rows)
+    tot_v = sum(v for _, _, v in seq)
+    vwap = sum(p * v for _, p, v in seq) / tot_v if tot_v != 0 else None
+    prev_p = None
+    for t, p, v in seq:
+        d = 0 if prev_p is None else (1 if p > prev_p else (-1 if p < prev_p else 0))
+        r = got[t]
+        if vwap is None:
+            assert r["vwap"] is None and r["slippage"] is None
+        else:
+            assert r["vwap"] == pytest.approx(vwap, rel=1e-12)
+            if vwap != 0:
+                assert r["slippage"] == pytest.approx(
+                    d * (p - vwap) / vwap, rel=1e-9, abs=1e-12
+                )
+            else:
+                assert r["slippage"] is None
+        prev_p = p
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(st.integers(0, 100), st.sampled_from([5.0, 10.0, 10.0, 20.0])),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_rv_signature_grid_walk_property(spark, ticks):
+    """rv_signature matches the last-tick grid-sampling walk at each
+    interval (log returns over bucket closes)."""
+    import math as m
+
+    from ffn_polars_spark.functions.tick_price import rv_signature
+
+    df = spark.createDataFrame(list(ticks), "ts long, price double")
+    intervals = [7, 25]
+    got = {
+        r["interval_ns"]: r
+        for r in rv_signature(df, "price", "ts", intervals=intervals).collect()
+    }
+    seq = sorted(ticks)
+    for iv in intervals:
+        closes = {}
+        for t, p in seq:
+            closes[t // iv] = p  # last tick in bucket wins (ts-sorted)
+        cs = [closes[b] for b in sorted(closes)]
+        rets = [m.log(cs[i] / cs[i - 1]) for i in range(1, len(cs))]
+        r = got[iv]
+        assert r["n_buckets"] == len(cs)
+        if rets:
+            assert r["rv"] == pytest.approx(
+                sum(x * x for x in rets), rel=1e-9, abs=1e-12
+            )
+        else:
+            assert r["rv"] is None

@@ -1211,14 +1211,20 @@ def vocab_jsd(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
     j = counts.crossJoin(F.broadcast(tot))
-    p = F.col("__ca") / F.col("__na").cast("double")
-    q = F.col("__cb") / F.col("__nb").cast("double")
+    # an empty side (zero tokens) has no distribution: NULL share -> the
+    # p>0 / q>0 branches fall through to the 0.0 coalesce instead of the
+    # bare division throwing an ANSI DIVIDE_BY_ZERO (same class as
+    # ks_drift's empty-side guard)
+    p = F.when(F.col("__na") > 0, F.col("__ca") / F.col("__na").cast("double"))
+    q = F.when(F.col("__nb") > 0, F.col("__cb") / F.col("__nb").cast("double"))
     m = (p + q) / F.lit(2.0)
     term = F.coalesce(
         F.when(p > 0, F.lit(0.5) * p * F.log(p / m)), F.lit(0.0)
     ) + F.coalesce(F.when(q > 0, F.lit(0.5) * q * F.log(q / m)), F.lit(0.0))
     return j.agg(
-        F.sum(term).alias("jsd"),
+        F.when(
+            (F.min("__na") > 0) & (F.min("__nb") > 0), F.sum(term)
+        ).alias("jsd"),
         F.first("__na").alias("n_tokens_a"),
         F.first("__nb").alias("n_tokens_b"),
         F.count(F.lit(1)).alias("vocab_union"),

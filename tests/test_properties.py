@@ -3898,3 +3898,323 @@ def test_rv_signature_grid_walk_property(spark, ticks):
             )
         else:
             assert r["rv"] is None
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 8: the text/corpus scoring family vs plain
+# Python Counter/regex references — entropy, Zipf, JSD, unigram/bigram
+# LM scores, PMI, OOV, Flesch, BM25. Documents are degenerate-biased:
+# empty strings, whitespace-only, punctuation-only, heavy repetition.
+# ---------------------------------------------------------------------------
+
+_W8_DOCS = ["", "   ", "the the the", "a b", "the quick fox.", "b b a!?",
+            "x", "the a", "fox fox quick the"]
+
+
+def _pytok(text):
+    import re
+
+    t = text.lower().strip()
+    return [w for w in re.split(r"\s+", t) if w != ""]
+
+
+@given(docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8))
+@SET
+def test_doc_entropy_counter_property(spark, docs):
+    """doc_entropy (word and char units) matches the Counter identity
+    H = ln N - sum(c ln c)/N; empty docs are absent."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import doc_entropy
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for unit in ("word", "char"):
+        got = {r["doc_id"]: r for r in doc_entropy(df, unit=unit).collect()}
+        for i, d in rows:
+            units = _pytok(d) if unit == "word" else [c for c in d if c != ""]
+            if not units:
+                assert i not in got
+                continue
+            c = Counter(units)
+            n = sum(c.values())
+            h = m.log(n) - sum(v * m.log(v) for v in c.values()) / n
+            assert got[i]["entropy"] == pytest.approx(h, rel=1e-9, abs=1e-12)
+            assert got[i]["n_units"] == n
+            assert got[i]["n_distinct"] == len(c)
+
+
+@given(docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8))
+@SET
+def test_zipf_slope_rank_regression_property(spark, docs):
+    """zipf_slope matches the (freq desc, token asc)-ranked OLS of ln f
+    on ln rank with numpy sample moments."""
+    import math as m
+    from collections import Counter
+
+    import numpy as np
+
+    from ffn_polars_spark.operators.text import zipf_slope
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = zipf_slope(df).collect()
+    c = Counter(t for d in docs for t in _pytok(d))
+    if not c:
+        assert got == [] or got[0]["vocab_size"] in (0, None)
+        return
+    r = got[0]
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    lr = np.array([m.log(i + 1) for i in range(len(ranked))])
+    lf = np.array([m.log(f) for _, f in ranked])
+    assert r["vocab_size"] == len(ranked)
+    if len(ranked) >= 2 and float(np.var(lr, ddof=1)) > 0:
+        cov = float(((lr - lr.mean()) * (lf - lf.mean())).sum()) / (len(lr) - 1)
+        var = float(np.var(lr, ddof=1))
+        assert r["zipf_slope"] == pytest.approx(cov / var, rel=1e-9, abs=1e-12)
+        assert r["zipf_intercept"] == pytest.approx(
+            float(lf.mean()) - cov / var * float(lr.mean()), rel=1e-9, abs=1e-12
+        )
+        den = float(np.std(lr, ddof=1)) * float(np.std(lf, ddof=1))
+        if den > 0:
+            assert r["r2"] == pytest.approx((cov / den) ** 2, rel=1e-9, abs=1e-12)
+        else:
+            assert r["r2"] is None
+    else:
+        assert r["zipf_slope"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(_W8_DOCS), st.sampled_from(["a", "a", "b"])),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_vocab_jsd_counter_property(spark, rows):
+    """vocab_jsd matches the Counter-based JSD; an empty token side
+    yields NULL (not 0, not a throw)."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import vocab_jsd
+
+    df = spark.createDataFrame(
+        [(i, d, s) for i, (d, s) in enumerate(rows)],
+        "doc_id long, text string, side string",
+    )
+    got = vocab_jsd(df, "side", "a", "b").collect()[0]
+    ca = Counter(t for d, s in rows if s == "a" for t in _pytok(d))
+    cb = Counter(t for d, s in rows if s == "b" for t in _pytok(d))
+    na, nb = sum(ca.values()), sum(cb.values())
+    if na == 0 or nb == 0:
+        assert got["jsd"] is None
+        return
+    jsd = 0.0
+    for t in set(ca) | set(cb):
+        p = ca.get(t, 0) / na
+        q = cb.get(t, 0) / nb
+        mm = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * m.log(p / mm)
+        if q > 0:
+            jsd += 0.5 * q * m.log(q / mm)
+    assert got["jsd"] == pytest.approx(jsd, rel=1e-9, abs=1e-12)
+    assert got["n_tokens_a"] == na and got["n_tokens_b"] == nb
+    assert got["vocab_union"] == len(set(ca) | set(cb))
+
+
+@given(docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8))
+@SET
+def test_unigram_bigram_logprob_counter_property(spark, docs):
+    """unigram_logprob and bigram_logprob match the Counter-based MLE
+    scores (docs with no tokens / no bigrams omitted; 6-digit rounding)."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import bigram_logprob, unigram_logprob
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {i: _pytok(d) for i, d in rows}
+    tf = Counter(t for ts in toks.values() for t in ts)
+    n = sum(tf.values())
+
+    got_u = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    for i, ts in toks.items():
+        if not ts:
+            assert i not in got_u
+            continue
+        want = m.log(n) - sum(m.log(tf[t]) for t in ts) / len(ts)
+        assert got_u[i]["n_tokens"] == len(ts)
+        assert got_u[i]["neg_logprob"] == pytest.approx(round(want, 6), abs=1.5e-6)
+
+    bc = Counter(
+        (ts[j - 1], ts[j]) for ts in toks.values() for j in range(1, len(ts))
+    )
+    cl = Counter()
+    for (a, _), cnt in bc.items():
+        cl[a] += cnt
+    got_b = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    for i, ts in toks.items():
+        pairs = [(ts[j - 1], ts[j]) for j in range(1, len(ts))]
+        if not pairs:
+            assert i not in got_b
+            continue
+        want = -sum(m.log(bc[p] / cl[p[0]]) for p in pairs) / len(pairs)
+        assert got_b[i]["n_bigrams"] == len(pairs)
+        assert got_b[i]["neg_logprob"] == pytest.approx(round(want, 6), abs=1.5e-6)
+
+
+@given(
+    docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8),
+    min_count=st.sampled_from([1, 2]),
+)
+@SET
+def test_pmi_collocations_counter_property(spark, docs, min_count):
+    """pmi_collocations matches the Counter PMI over min_count-filtered
+    bigrams with marginals computed on the FILTERED table."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = pmi_collocations(df, k=50, min_count=min_count).collect()
+
+    toks = {i: _pytok(d) for i, d in enumerate(docs)}
+    bc = Counter(
+        (ts[j - 1], ts[j]) for ts in toks.values() for j in range(1, len(ts))
+    )
+    bc = {p: c for p, c in bc.items() if c >= min_count}
+    cl, cr = Counter(), Counter()
+    for (a, b), c in bc.items():
+        cl[a] += c
+        cr[b] += c
+    nn = sum(bc.values())
+    want = sorted(
+        (
+            (a, b, c, round(m.log(c * nn / (cl[a] * cr[b])), 6))
+            for (a, b), c in bc.items()
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:50]
+    assert [(r["prev"], r["token"], r["n"]) for r in got] == [
+        (a, b, c) for a, b, c, _ in want
+    ]
+    for r, (_, _, _, pmi) in zip(got, want):
+        assert r["pmi"] == pytest.approx(pmi, abs=1.5e-6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(_W8_DOCS), st.sampled_from(["s1", "s2"])),
+        min_size=1,
+        max_size=8,
+    ),
+    vocab_size=st.sampled_from([1, 2, 100]),
+)
+@SET
+def test_oov_rate_topk_vocab_property(spark, rows, vocab_size):
+    """oov_rate matches the Python top-k vocabulary walk with
+    (freq desc, token asc) tie-breaks."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import oov_rate
+
+    df = spark.createDataFrame(
+        [(i, d, s) for i, (d, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in oov_rate(df, vocab_size=vocab_size).collect()}
+
+    gtf = Counter(t for d, _ in rows for t in _pytok(d))
+    vocab = {
+        t for t, _ in sorted(gtf.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    }
+    for src in {s for _, s in rows}:
+        ts = [t for d, s in rows if s == src for t in _pytok(d)]
+        if not ts:
+            assert src not in got
+            continue
+        oov = sum(1 for t in ts if t not in vocab)
+        assert got[src]["n_tokens"] == len(ts)
+        assert got[src]["oov_tokens"] == oov
+        assert got[src]["oov_rate"] == pytest.approx(oov / len(ts), rel=1e-12)
+
+
+@given(docs=st.lists(st.sampled_from(_W8_DOCS + ["Hi there. How are you?! Ok"]), min_size=1, max_size=6))
+@SET
+def test_flesch_readability_regex_property(spark, docs):
+    """flesch_readability matches the Python regex walk (words,
+    [.!?]+-sentences containing a word, vowel-run syllables); no-word or
+    no-sentence docs score NULL."""
+    import re
+
+    from ffn_polars_spark.operators.text import flesch_readability
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in flesch_readability(df).collect()}
+    for i, d in enumerate(docs):
+        words = [w for w in re.split(r"\s+", d) if w != ""]
+        sents = [
+            s
+            for s in re.split(r"[.!?]+", d)
+            if [w for w in re.split(r"\s+", s) if w != ""]
+        ]
+        syl = len(re.findall(r"[aeiouyAEIOUY]+", d))
+        r = got[i]
+        assert r["n_words"] == len(words)
+        assert r["n_sentences"] == len(sents)
+        assert r["n_syllables"] == syl
+        if words and sents:
+            want = (
+                206.835
+                - 1.015 * len(words) / len(sents)
+                - 84.6 * syl / len(words)
+            )
+            assert r["flesch"] == pytest.approx(want, rel=1e-9, abs=1e-12)
+        else:
+            assert r["flesch"] is None
+
+
+@given(
+    docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8),
+    query=st.sampled_from([["the"], ["the", "fox"], ["zzz"], ["a", "b", "x"]]),
+)
+@SET
+def test_bm25_search_counter_property(spark, docs, query):
+    """bm25_search matches the Python Lucene-idf BM25 walk over matching
+    documents only."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.search import bm25_search
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_search(df, query).collect()}
+    release_pins()
+
+    toks = {i: _pytok(d) for i, d in enumerate(docs)}
+    n_docs = len(docs)
+    avglen = sum(len(ts) for ts in toks.values()) / n_docs
+    terms = sorted({w.lower() for w in query if w})
+    dfreq = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    k1, b = 1.2, 0.75
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        matched = [t for t in terms if tf[t] > 0]
+        if not matched:
+            assert i not in got
+            continue
+        score = sum(
+            m.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            * (tf[t] * (k1 + 1))
+            / (tf[t] + k1 * (1 - b + b * len(ts) / avglen))
+            for t in matched
+        )
+        assert got[i]["n_terms"] == len(matched)
+        assert got[i]["score"] == pytest.approx(score, rel=1e-9, abs=1e-12)

@@ -350,10 +350,16 @@ def portfolio_turnover(
         F.col("__swg") != 0,
         F.col("__w") * (F.lit(1.0) + F.col("__r")) / F.col("__swg"),
     )
-    dev = F.abs(F.col("__w") / F.col("__sw") - drift)
+    # zero total present-asset weight -> undefined book, NULL (the same
+    # ANSI zero-div guard portfolio_returns carries)
+    dev = F.when(
+        F.col("__sw") != 0, F.abs(F.col("__w") / F.col("__sw") - drift)
+    )
     tc = F.lit(float(cost_bps)) / F.lit(10000.0)
     g = staged.groupBy("ts").agg(
-        F.max(F.col("__swr") / F.col("__sw")).alias("portfolio_return"),
+        F.max(
+            F.when(F.col("__sw") != 0, F.col("__swr") / F.col("__sw"))
+        ).alias("portfolio_return"),
         (F.lit(0.5) * F.sum(dev)).alias("turnover"),
         F.count(F.lit(1)).alias("n_assets"),
     )

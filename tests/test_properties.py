@@ -4218,3 +4218,431 @@ def test_bm25_search_counter_property(spark, docs, query):
         )
         assert got[i]["n_terms"] == len(matched)
         assert got[i]["score"] == pytest.approx(score, rel=1e-9, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 9: recursive smoothers, calendar/intraday
+# panels, journey matrices, Luhn, portfolio turnover, TCA curves vs
+# sequential Python/pandas references.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    xs=st.lists(st.sampled_from([0.0, -1.0, 2.0, 2.0, 10.0]), min_size=1, max_size=20),
+    alpha=st.sampled_from([0.1, 0.5, 0.94]),
+)
+@SET
+def test_ewma_ewmvol_pandas_property(spark, xs, alpha):
+    """ewma matches pandas ewm(adjust=False).mean(); ewm_volatility
+    matches the RiskMetrics sequential walk."""
+    import math as m
+
+    import pandas as pd
+
+    from ffn_polars_spark.operators.recursive import ewm_volatility, ewma
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, v double"
+    )
+    got = {
+        r["i"]: r["v_ewma"]
+        for r in ewma(df, "v", alpha, order_by="i").collect()
+    }
+    want = pd.Series(xs).ewm(alpha=alpha, adjust=False).mean()
+    for i in range(len(xs)):
+        assert got[i] == pytest.approx(float(want[i]), rel=1e-9, abs=1e-12)
+
+    gotv = {
+        r["i"]: r["v_ewmvol"]
+        for r in ewm_volatility(df, "v", alpha, order_by="i").collect()
+    }
+    var = None
+    for i, x in enumerate(xs):
+        var = x * x if i == 0 else (1 - alpha) * var + alpha * x * x
+        assert gotv[i] == pytest.approx(m.sqrt(var), rel=1e-9, abs=1e-12)
+
+
+@given(
+    xs=st.lists(st.sampled_from([0.0, 10.0, 10.0, 12.0, 20.0]), min_size=1, max_size=15),
+    window=st.sampled_from([2, 4]),
+)
+@SET
+def test_bollinger_numpy_property(spark, xs, window):
+    """bollinger's five bands match per-window numpy; zero-width bands
+    and zero mids yield the documented NULLs."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.rolling import bollinger
+    from ffn_polars_spark import Over
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, v double")
+    out = {r["i"]: r for r in bollinger(df, "v", Over(order_by="i"), window=window, k=2.0).collect()}
+    for j in range(len(xs)):
+        r = out[j]
+        if j < window - 1:
+            assert r["bb_mid"] is None and r["bb_pctb"] is None
+            continue
+        wv = np.array(xs[j - window + 1 : j + 1])
+        mid = float(wv.mean())
+        sd = float(wv.std(ddof=1))
+        up, dn = mid + 2 * sd, mid - 2 * sd
+        assert r["bb_mid"] == pytest.approx(mid, rel=1e-9, abs=1e-12)
+        assert r["bb_up"] == pytest.approx(up, rel=1e-9, abs=1e-12)
+        assert r["bb_dn"] == pytest.approx(dn, rel=1e-9, abs=1e-12)
+        if up != dn:
+            assert r["bb_pctb"] == pytest.approx((xs[j] - dn) / (up - dn), rel=1e-9, abs=1e-12)
+        else:
+            assert r["bb_pctb"] is None
+        if mid != 0:
+            assert r["bb_bw"] == pytest.approx((up - dn) / mid, rel=1e-9, abs=1e-12)
+        else:
+            assert r["bb_bw"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([None, 0.0, 1.0, 2.0]),
+            st.sampled_from([None, 0.0, 1.0, 3.0]),
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    max_lag=st.sampled_from([1, 2]),
+)
+@SET
+def test_lead_lag_corr_numpy_property(spark, rows, max_lag):
+    """lead_lag_corr matches shifted pairwise-complete numpy population
+    correlation at every offset."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import lead_lag_corr
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i long, a double, b double"
+    )
+    got = {r["lag"]: r for r in lead_lag_corr(df, "a", "b", order_by="i", max_lag=max_lag).collect()}
+    n = len(rows)
+    for k in range(-max_lag, max_lag + 1):
+        pairs = [
+            (rows[t][0], rows[t - k][1])
+            for t in range(n)
+            if 0 <= t - k < n and rows[t][0] is not None and rows[t - k][1] is not None
+        ]
+        r = got[k]
+        assert r["n"] == len(pairs)
+        if pairs:
+            av = np.array([p for p, _ in pairs])
+            bv = np.array([q for _, q in pairs])
+            den = float(av.std()) * float(bv.std())
+            if den != 0:
+                cov = float(((av - av.mean()) * (bv - bv.mean())).mean())
+                assert r["ccf"] == pytest.approx(cov / den, rel=1e-9, abs=1e-12)
+            else:
+                assert r["ccf"] is None
+        else:
+            assert r["ccf"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from([-0.02, 0.0, 0.01, 0.01])),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_weekday_returns_calendar_property(spark, rows):
+    """weekday_returns matches the Python (epoch_days + 4) % 7 walk with
+    numpy moments and the t-stat formula."""
+    import datetime as dt
+    import math as m
+
+    import numpy as np
+
+    from ffn_polars_spark.functions.eod_temporal import weekday_returns
+
+    d0 = dt.date(2023, 1, 2)
+    data = [(d0 + dt.timedelta(days=off), r) for off, r in rows]
+    df = spark.createDataFrame(data, "d date, r double")
+    got = {r["dow"]: r for r in weekday_returns(df, "r", "d").collect()}
+
+    by_dow = {}
+    for d, r in data:
+        dow = (d.toordinal() - dt.date(1970, 1, 1).toordinal() + 4) % 7
+        by_dow.setdefault(dow, []).append(r)
+    assert set(got) == set(by_dow)
+    for dow, rs in by_dow.items():
+        g = got[dow]
+        assert g["n"] == len(rs)
+        assert g["mean_r"] == pytest.approx(float(np.mean(rs)), rel=1e-9, abs=1e-12)
+        assert g["win_rate"] == pytest.approx(
+            sum(1 for x in rs if x > 0) / len(rs), rel=1e-12
+        )
+        if len(rs) >= 2:
+            sd = float(np.std(rs, ddof=1))
+            if sd > 0:
+                assert g["t_stat"] == pytest.approx(
+                    float(np.mean(rs)) / (sd / m.sqrt(len(rs))), rel=1e-9, abs=1e-12
+                )
+            else:
+                assert g["t_stat"] is None
+        else:
+            assert g["t_stat"] is None
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),                       # user
+            st.integers(0, 30),                      # ts
+            st.sampled_from(["v", "c", "p"]),        # type
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET
+def test_transition_matrix_counter_property(spark, events):
+    """transition_matrix matches the per-user Counter walk with
+    row-normalized probabilities."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.funnel import transition_matrix
+
+    df = spark.createDataFrame(events, "user_id int, ts_ns long, event_type string")
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in transition_matrix(df).collect()
+    }
+    per_user = {}
+    for u, t, e in sorted(events, key=lambda x: (x[0], x[1])):
+        per_user.setdefault(u, []).append(e)
+    c = Counter(
+        (seq[i - 1], seq[i])
+        for seq in per_user.values()
+        for i in range(1, len(seq))
+    )
+    rowt = Counter()
+    for (a, _), n in c.items():
+        rowt[a] += n
+    assert set(got) == set(c)
+    for (a, b), n in c.items():
+        assert got[(a, b)]["n"] == n
+        assert got[(a, b)]["prob"] == pytest.approx(round(n / rowt[a], 6), abs=1.5e-6)
+
+
+@given(
+    cands=st.lists(
+        st.sampled_from(
+            ["79927398713", "79927398710", "4111111111111111", "123", "12a4",
+             "0", "18", "00", "x", ""]
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_luhn_validate_python_property(spark, cands):
+    """luhn_validate matches the textbook Python Luhn; non-digit or
+    <2-digit candidates are NULL."""
+    from ffn_polars_spark.operators.text import luhn_validate
+
+    rows = [(i, c) for i, c in enumerate(cands)]
+    df = spark.createDataFrame(rows, "id long, cand string")
+    got = {r["id"]: r["luhn_valid"] for r in luhn_validate(df, "cand").collect()}
+
+    def luhn(s):
+        total = 0
+        for r, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if r % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    for i, c in rows:
+        if len(c) >= 2 and c.isdigit():
+            assert got[i] == luhn(c)
+        else:
+            assert got[i] is None
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 50)),  # (user, ts)
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET
+def test_cohort_retention_walk_property(spark, events):
+    """cohort_retention matches the Python first-event-cohort walk at
+    period_ns=10."""
+    from ffn_polars_spark.operators.funnel import cohort_retention
+
+    df = spark.createDataFrame(events, "user_id int, ts_ns long")
+    p = 10
+    got = {
+        (r["cohort_start"], r["offset"]): r
+        for r in cohort_retention(df, period_ns=p).collect()
+    }
+    first = {}
+    for u, t in events:
+        first[u] = min(first.get(u, t), t)
+    cohort = {u: ft - ft % p for u, ft in first.items()}
+    trip = {(cohort[u], (t - t % p - cohort[u]) // p, u) for u, t in events}
+    counts = {}
+    for c, off, u in trip:
+        counts.setdefault((c, off), set()).add(u)
+    assert set(got) == set(counts)
+    for (c, off), users in counts.items():
+        base = len(counts[(c, 0)])
+        assert got[(c, off)]["n_users"] == len(users)
+        assert got[(c, off)]["retention"] == pytest.approx(
+            round(len(users) / base, 6), abs=1.5e-6
+        )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                              # ts
+            st.sampled_from(["x", "y", "z", "w"]),          # asset
+            st.sampled_from([None, -0.5, 0.0, 0.1]),        # return
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET
+def test_portfolio_turnover_walk_property(spark, rows):
+    """portfolio_turnover matches the Python drift/rebalance walk with
+    present-asset renormalization (zero-weight books NULL)."""
+    from ffn_polars_spark.functions.eod_returns import portfolio_turnover
+
+    weights = {"x": 0.5, "y": 0.3, "z": 0.2}  # w absent from the book
+    df = spark.createDataFrame(rows, "ts int, asset string, r double")
+    got = {
+        r["ts"]: r
+        for r in portfolio_turnover(df, weights, "asset", "ts", "r", cost_bps=10.0).collect()
+    }
+    per_ts = {}
+    for t, a, r in rows:
+        if a in weights and r is not None:
+            per_ts.setdefault(t, []).append((weights[a], r))
+    for t, wr in per_ts.items():
+        g = got[t]
+        sw = sum(w for w, _ in wr)
+        swg = sum(w * (1 + r) for w, r in wr)
+        swr = sum(w * r for w, r in wr)
+        assert g["n_assets"] == len(wr)
+        if sw != 0:
+            assert g["portfolio_return"] == pytest.approx(swr / sw, rel=1e-9, abs=1e-12)
+            devs = [
+                abs(w / sw - (w * (1 + r) / swg)) for w, r in wr if swg != 0
+            ]
+            to = 0.5 * sum(devs) if swg != 0 else None
+            if to is not None:
+                assert g["turnover"] == pytest.approx(to, rel=1e-9, abs=1e-12)
+                assert g["net_return"] == pytest.approx(
+                    swr / sw - 0.001 * to, rel=1e-9, abs=1e-12
+                )
+        else:
+            assert g["portfolio_return"] is None
+    assert set(got) == set(per_ts)
+
+
+@given(
+    trades=st.lists(
+        st.tuples(st.integers(0, 39), st.sampled_from([0.0, 1.0, 5.0])),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_volume_curve_walk_property(spark, trades):
+    """volume_curve matches the Python day/bucket share walk; zero-volume
+    days drop."""
+    from ffn_polars_spark.functions.tick_flow import volume_curve
+
+    df = spark.createDataFrame(trades, "ts long, volume double")
+    # period 20, 4 buckets of 5
+    got = {
+        r["bucket"]: r
+        for r in volume_curve(df, "volume", "ts", period_ns=20, buckets=4).collect()
+    }
+    per = {}
+    for t, v in trades:
+        day, bucket = t // 20, (t % 20) // 5
+        per[(day, bucket)] = per.get((day, bucket), 0.0) + v
+    day_tot = {}
+    for (d, _), v in per.items():
+        day_tot[d] = day_tot.get(d, 0.0) + v
+    shares = {}
+    for (d, b), v in per.items():
+        if day_tot[d] > 0:
+            shares.setdefault(b, []).append(v / day_tot[d])
+    assert set(got) == set(shares)
+    for b, ss in shares.items():
+        assert got[b]["n_days"] == len(ss)
+        assert got[b]["avg_share"] == pytest.approx(
+            sum(ss) / len(ss), rel=1e-9, abs=1e-12
+        )
+
+
+@given(
+    trades=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from([9.0, 10.0, 10.0, 11.0])),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    quotes=st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from([(9.0, 11.0), (10.0, 10.0)])),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SET
+def test_realized_spread_walk_property(spark, trades, quotes):
+    """realized_spread matches the sequential walk: future mid from the
+    quote prevailing at t+h, tick-rule signs, NULL with no quote yet."""
+    from ffn_polars_spark.functions.quote import realized_spread
+
+    h = 5
+    tdf = spark.createDataFrame(
+        [(t, p) for t, p in trades], "ts_ns long, price double"
+    )
+    qdf = spark.createDataFrame(
+        [(t, b, a) for t, (b, a) in quotes], "ts_ns long, bid double, ask double"
+    )
+    got = {
+        r["ts_ns"]: r
+        for r in realized_spread(tdf, qdf, horizon=h).select(
+            "ts_ns", "mid_future", "realized_spread"
+        ).collect()
+    }
+    qs = sorted((t, (b + a) / 2.0) for t, (b, a) in quotes)
+    seq = sorted(trades)
+    prev_p = None
+    for t, p in seq:
+        mids = [m for qt, m in qs if qt <= t + h]
+        mid = mids[-1] if mids else None
+        d = 0 if prev_p is None else (1 if p > prev_p else (-1 if p < prev_p else 0))
+        r = got[t]
+        if mid is None:
+            assert r["mid_future"] is None and r["realized_spread"] is None
+        else:
+            assert r["mid_future"] == pytest.approx(mid, rel=1e-12)
+            assert r["realized_spread"] == pytest.approx(
+                2.0 * d * (p - mid), rel=1e-9, abs=1e-12
+            )
+        prev_p = p

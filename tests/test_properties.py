@@ -4646,3 +4646,288 @@ def test_realized_spread_walk_property(spark, trades, quotes):
                 2.0 * d * (p - mid), rel=1e-9, abs=1e-12
             )
         prev_p = p
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 10: deterministic sampling/splits replayed with
+# hashlib md5, TF-IDF, shingle novelty/containment, RRF fusion vs plain
+# Python references.
+# ---------------------------------------------------------------------------
+
+
+def _md5u(id_, tag, seed=0):
+    """Python replay of sim.rand.uniform(hash_fn='md5')."""
+    import hashlib
+
+    s = f"{id_}:{tag}:{seed}"
+    return int(hashlib.md5(s.encode()).hexdigest()[17:32], 16) / float(1 << 60)
+
+
+@given(
+    ids=st.lists(st.integers(0, 1000), min_size=1, max_size=20, unique=True),
+    k=st.sampled_from([2, 5]),
+    salt=st.sampled_from(["", "s1"]),
+)
+@SET
+def test_kfold_time_split_replay_property(spark, ids, k, salt):
+    """kfold_assign replays as int(md5(id+salt)[:8],16) % k; time_split's
+    cutoff is the exact interpolated quantile."""
+    import hashlib
+
+    import numpy as np
+
+    from ffn_polars_spark.operators.pipeline import kfold_assign, time_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["fold"] for r in kfold_assign(df, k=k, salt=salt).collect()}
+    for i in ids:
+        want = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16) % k
+        assert got[i] == want
+
+    tdf = spark.createDataFrame([(i, float(i * 7 % 13)) for i in ids], "doc_id long, ts double")
+    rows = time_split(tdf, ts_col="ts", train_frac=0.6).collect()
+    cut = float(np.percentile([float(i * 7 % 13) for i in ids], 60, method="linear"))
+    for r in rows:
+        assert r["cutoff_ts"] == pytest.approx(cut, rel=1e-12)
+        assert r["split"] == ("train" if r["ts"] < cut else "test")
+
+
+@given(
+    labels=st.lists(st.sampled_from(["a", "a", "b", "c", None]), min_size=1, max_size=20)
+)
+@SET
+def test_label_stats_counter_property(spark, labels):
+    """label_stats matches Counter fractions and the label entropy in
+    bits (NULL labels are their own class)."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.pipeline import label_stats
+
+    df = spark.createDataFrame([(x,) for x in labels], "label string")
+    got = {r["label"]: r for r in label_stats(df).collect()}
+    c = Counter(labels)
+    n = len(labels)
+    h = -sum((v / n) * m.log2(v / n) for v in c.values())
+    assert set(got) == set(c)
+    for lab, v in c.items():
+        assert got[lab]["n"] == v
+        assert got[lab]["frac"] == pytest.approx(round(v / n, 6), abs=1.5e-6)
+        assert got[lab]["entropy_bits"] == pytest.approx(round(h, 6), abs=1.5e-6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["s1", "s2"])),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.sampled_from([1, 3]),
+)
+@SET
+def test_cap_groupk_sample_replay_property(spark, rows, n):
+    """cap_per_group and groupk_sample keep exactly the md5-replayed
+    smallest-uniform ids per group."""
+    from ffn_polars_spark.operators.pipeline import cap_per_group
+    from ffn_polars_spark.operators.sketch import groupk_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got_cap = {r["doc_id"] for r in cap_per_group(df, n, "source", "doc_id").collect()}
+    got_k = {r["doc_id"] for r in groupk_sample(df, n, ["source"], "doc_id").collect()}
+
+    want_cap, want_k = set(), set()
+    for src in {s for _, s in rows}:
+        members = [i for i, s in rows if s == src]
+        by_cap = sorted(members, key=lambda i: (_md5u(i, "cap"), i))[:n]
+        by_k = sorted(members, key=lambda i: (_md5u(i, "gsample"), i))[:n]
+        want_cap.update(by_cap)
+        want_k.update(by_k)
+    assert got_cap == want_cap
+    assert got_k == want_k
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from([0.0, 0.5, 2.0, 10.0])),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([1, 4]),
+)
+@SET
+def test_weighted_sample_es_replay_property(spark, rows, k):
+    """weighted_sample keeps the k largest Efraimidis-Spirakis keys
+    ln(u)/w, md5-replayed; zero weights are excluded."""
+    import math as m
+
+    from ffn_polars_spark.operators.sketch import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, k, "w", "doc_id").collect()}
+    keyed = [
+        (m.log(_md5u(i, "wsample")) / w, i) for i, w in rows if w > 0
+    ]
+    want = {i for _, i in sorted(keyed, key=lambda t: (-t[0], t[1]))[:k]}
+    assert got == want
+
+
+@given(
+    docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8),
+    m_top=st.sampled_from([1, 3]),
+)
+@SET
+def test_tfidf_topterms_counter_property(spark, docs, m_top):
+    """tfidf_topterms matches the Counter tf*ln(N/df) walk with
+    (tfidf desc, term asc) top-m per doc."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import tfidf_topterms
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in tfidf_topterms(df, m=m_top).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["tfidf"]))
+    release_pins()
+
+    n_docs = len(docs)
+    toks = {i: _pytok(d) for i, d in rows}
+    dfreq = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] += 1
+    for i, ts in toks.items():
+        if not ts:
+            assert i not in got
+            continue
+        tf = Counter(ts)
+        scored = sorted(
+            ((t, c, round(c * m.log(n_docs / dfreq[t]), 6)) for t, c in tf.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:m_top]
+        have = sorted(got[i])
+        assert len(have) == len(scored)
+        for (rk, term, tfv, tfidf), (t, c, s) in zip(have, scored):
+            assert (term, tfv) == (t, c)
+            assert tfidf == pytest.approx(s, abs=1.5e-6)
+
+
+@given(docs=st.lists(st.sampled_from(_W8_DOCS + ["a b c d", "c d e f"]), min_size=1, max_size=8))
+@SET
+def test_shingle_novelty_walk_property(spark, docs):
+    """shingle_novelty matches the first-appearance (min doc id) walk
+    over distinct 3-gram shingles."""
+    from ffn_polars_spark.operators.dedup import shingle_novelty
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in shingle_novelty(df, n=3).collect()}
+
+    sh = {
+        i: {
+            " ".join(ts[j : j + 3]) for j in range(len(ts) - 2)
+        }
+        for i, d in rows
+        for ts in [_pytok(d)]
+        if len(ts) >= 3
+    }
+    first = {}
+    for i in sorted(sh):
+        for s in sh[i]:
+            first.setdefault(s, i)
+    assert set(got) == set(sh)
+    for i, ss in sh.items():
+        novel = sum(1 for s in ss if first[s] == i)
+        assert got[i]["n_shingles"] == len(ss)
+        assert got[i]["n_novel"] == novel
+        assert got[i]["novelty"] == pytest.approx(novel / len(ss), rel=1e-12)
+
+
+@given(
+    docs=st.lists(
+        st.sampled_from(["a b c d e", "a b c", "x y", "a b x y", "c d e a b"]),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.3, 0.8]),
+)
+@SET
+def test_containment_pairs_naive_property(spark, docs, threshold):
+    """containment_pairs matches the naive shingle-set walk, both
+    directions, rounded-then-thresholded."""
+    from ffn_polars_spark.operators.dedup import containment_pairs
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(df, threshold=threshold, n=2).collect()
+    }
+    release_pins()
+
+    sh = {
+        i: {" ".join(ts[j : j + 2]) for j in range(len(ts) - 1)}
+        for i, d in rows
+        for ts in [_pytok(d)]
+        if len(ts) >= 2
+    }
+    want = {}
+    ks = sorted(sh)
+    for x in ks:
+        for y in ks:
+            if x >= y or not (sh[x] & sh[y]):
+                continue
+            inter = len(sh[x] & sh[y])
+            ca = round(inter / len(sh[x]), 6)
+            cb = round(inter / len(sh[y]), 6)
+            if ca >= threshold or cb >= threshold:
+                want[(x, y)] = (ca, cb)
+    assert set(got) == set(want)
+    for p, (ca, cb) in want.items():
+        assert got[p][0] == pytest.approx(ca, abs=1.5e-6)
+        assert got[p][1] == pytest.approx(cb, abs=1.5e-6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["lex", "ann"]),
+            st.sampled_from(["d1", "d2", "d3", "d4"]),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    top_k=st.sampled_from([2, 10]),
+)
+@SET
+def test_rrf_fuse_walk_property(spark, rows, top_k):
+    """rrf_fuse matches the 1/(k0+rank) sum walk with (score desc,
+    item asc) top-k."""
+    from ffn_polars_spark.operators.search import rrf_fuse
+
+    df = spark.createDataFrame(rows, "system string, item string, rank int")
+    got = [
+        (r["item"], r["rrf_score"], r["n_systems"], r["fused_rank"])
+        for r in rrf_fuse(df, "system", "item", "rank", top_k=top_k)
+        .orderBy("fused_rank")
+        .collect()
+    ]
+    agg = {}
+    for s, it, rk in rows:
+        sc, systems = agg.get(it, (0.0, set()))
+        agg[it] = (sc + 1.0 / (60 + rk), systems | {s})
+    want = sorted(
+        ((it, sc, len(sys_)) for it, (sc, sys_) in agg.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:top_k]
+    assert len(got) == len(want)
+    for (gi, gs, gn, gr), (wi, ws, wn) in zip(got, want):
+        assert gi == wi and gn == wn
+        assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12)

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ffn_polars_spark.config import SCALE
-from ffn_polars_spark.core import ColumnOrName, Over, to_col
+from ffn_polars_spark.core import ColumnOrName, Over, safe_div, to_col
 from ffn_polars_spark.registry import register
 from ffn_polars_spark.utils import auto_alias, guard_input
 
@@ -145,7 +145,8 @@ def intraday_profile(
     order = list(order_by or [ts_col])
     w = Window.partitionBy(*keys).orderBy(*order)
     p = F.col(price_col)
-    r = p / F.lag(p).over(w) - F.lit(1.0)
+    # NULL return off a zero previous print (ANSI zero-div guard)
+    r = safe_div(p, F.lag(p).over(w)) - F.lit(1.0)
     # epoch-ns exceeds double's 53-bit mantissa, so reduce mod one day in
     # exact long arithmetic FIRST; the remainder (< 8.64e13) divides exactly
     hour = F.floor(

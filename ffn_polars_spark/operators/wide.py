@@ -217,7 +217,11 @@ def json_extract_stats(
     keys = [by] if isinstance(by, str) else list(by or [])
     j = F.col(json_col)
     raw = F.get_json_object(j, path)
-    num = raw.cast("double")
+    # try_cast: a non-numeric field value ("x") must profile as NULL —
+    # under ANSI a bare cast throws CAST_INVALID_INPUT and one malformed
+    # payload row kills the whole audit (the audit's entire job is
+    # surviving malformed payloads)
+    num = raw.try_cast("double")
     g = df.groupBy(*keys) if keys else df.groupBy()
     return g.agg(
         F.count(F.lit(1)).alias("n_rows"),

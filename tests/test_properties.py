@@ -4931,3 +4931,379 @@ def test_rrf_fuse_walk_property(spark, rows, top_k):
     for (gi, gs, gn, gr), (wi, ws, wn) in zip(got, want):
         assert gi == wi and gn == wn
         assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 11: corpus LM scoring, ingest audits, robust
+# screens, seasonal/intraday normalization, co-occurrence, search vs
+# plain Python references.
+# ---------------------------------------------------------------------------
+
+
+@given(docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8))
+@SET
+def test_doc_perplexity_addone_property(spark, docs):
+    """doc_perplexity matches the Counter add-one-smoothed cross-entropy
+    H = -mean ln((c+1)/(N+V))."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import doc_perplexity
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in doc_perplexity(df).collect()}
+    release_pins()
+
+    toks = {i: _pytok(d) for i, d in rows}
+    tf = Counter(t for ts in toks.values() for t in ts)
+    n, v = sum(tf.values()), len(tf)
+    for i, ts in toks.items():
+        if not ts:
+            assert i not in got
+            continue
+        h = -sum(m.log((tf[t] + 1) / (n + v)) for t in ts) / len(ts)
+        assert got[i]["n_tokens"] == len(ts)
+        assert got[i]["cross_entropy"] == pytest.approx(h, rel=1e-9, abs=1e-12)
+        assert got[i]["perplexity"] == pytest.approx(m.exp(h), rel=1e-9)
+
+
+@given(
+    rows=st.lists(
+        st.sampled_from(
+            ['{"a": 1}', '{"a": 2.5}', '{"a": "x"}', '{"b": 3}', "not json", "{}", '{"a": null}']
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_json_extract_stats_python_property(spark, rows):
+    """json_extract_stats matches the Python json walk: parse counts,
+    field counts, numeric profile."""
+    import json
+
+    from ffn_polars_spark.operators.wide import json_extract_stats
+
+    df = spark.createDataFrame([(s,) for s in rows], "props string")
+    got = json_extract_stats(df, "props", "$.a").collect()[0]
+
+    n_json = n_field = 0
+    nums = []
+    for s in rows:
+        try:
+            obj = json.loads(s)
+        except ValueError:
+            continue
+        n_json += 1
+        if isinstance(obj, dict) and obj.get("a") is not None:
+            n_field += 1
+            val = obj["a"]
+            try:
+                nums.append(float(val))
+            except (TypeError, ValueError):
+                pass
+    assert got["n_rows"] == len(rows)
+    assert got["n_json"] == n_json
+    assert got["n_field"] == n_field
+    if nums:
+        assert got["min_v"] == pytest.approx(min(nums), rel=1e-12)
+        assert got["max_v"] == pytest.approx(max(nums), rel=1e-12)
+        assert got["avg_v"] == pytest.approx(sum(nums) / len(nums), rel=1e-12)
+    else:
+        assert got["min_v"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 40)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET
+def test_detect_gaps_runlength_property(spark, rows):
+    """detect_gaps matches the Python missing-bucket run-length walk at
+    bucket_ns=5."""
+    from ffn_polars_spark.operators.quality import detect_gaps
+
+    df = spark.createDataFrame(rows, "event_type string, ts_ns long")
+    got = {
+        (r["event_type"], r["gap_start_bucket"]): r
+        for r in detect_gaps(df, bucket_ns=5).collect()
+    }
+    want = {}
+    for k in {k for k, _ in rows}:
+        buckets = sorted({t // 5 for kk, t in rows if kk == k})
+        missing = sorted(set(range(buckets[0], buckets[-1] + 1)) - set(buckets))
+        run = []
+        for b in missing:
+            if run and b == run[-1] + 1:
+                run.append(b)
+            else:
+                if run:
+                    want[(k, run[0])] = (run[-1], len(run))
+                run = [b]
+        if run:
+            want[(k, run[0])] = (run[-1], len(run))
+    assert set(got) == set(want)
+    for key, (end, n) in want.items():
+        assert got[key]["gap_end_bucket"] == end
+        assert got[key]["n_missing"] == n
+
+
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["x", "y"])),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["x", "y"])),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+@SET
+def test_snapshot_diff_dict_property(spark, old, new):
+    """snapshot_diff matches the dict compare: added/removed/changed/
+    unchanged over the id union."""
+    from ffn_polars_spark.operators.quality import snapshot_diff
+
+    if not old and not new:
+        return
+    odf = spark.createDataFrame(old or [(999, "z")], "doc_id long, text string")
+    ndf = spark.createDataFrame(new or [(998, "z")], "doc_id long, text string")
+    o = dict(old) if old else {999: "z"}
+    nw = dict(new) if new else {998: "z"}
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(odf, ndf).collect()}
+    for i in set(o) | set(nw):
+        if i not in o:
+            assert got[i] == "added"
+        elif i not in nw:
+            assert got[i] == "removed"
+        elif o[i] == nw[i]:
+            assert got[i] == "unchanged"
+        else:
+            assert got[i] == "changed"
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([0.0, 1.0, 1.0, 2.0, 100.0, -50.0]),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.sampled_from([1.0, 3.0]),
+)
+@SET
+def test_robust_outliers_median_mad_property(spark, vals, k):
+    """robust_outliers matches the numpy median/MAD fence walk."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.sketch import robust_outliers
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = robust_outliers(df, "v", k=k).collect()[0]
+    release_pins()
+
+    x = np.array(vals)
+    med = float(np.percentile(x, 50, method="linear"))
+    absdev = np.abs(x - med)
+    mad = float(np.percentile(absdev, 50, method="linear"))
+    fence = k * 1.4826 * mad
+    n_out = int((absdev > fence).sum())
+    assert got["n"] == len(vals)
+    assert got["median"] == pytest.approx(round(med, 6), abs=1.5e-6)
+    assert got["mad"] == pytest.approx(round(mad, 6), abs=1.5e-6)
+    assert got["n_outliers"] == n_out
+    assert got["outlier_frac"] == pytest.approx(round(n_out / len(vals), 6), abs=1.5e-6)
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([0.0, 1.0, 1.0, 5.0, -2.0]), min_size=1, max_size=20
+    ),
+    nbins=st.sampled_from([2, 4]),
+)
+@SET
+def test_quantile_bin_ntile_property(spark, vals, nbins):
+    """quantile_bin (exact) matches SQL ntile: sizes differ by at most
+    one, larger tiles first, assignment follows the (value, tiebreak)
+    order."""
+    from ffn_polars_spark.operators.sketch import quantile_bin
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["id"]: r["bin"] for r in quantile_bin(df, "v", nbins=nbins, tiebreak="id").collect()}
+
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    base, extra = divmod(n, nbins)
+    want = {}
+    pos = 0
+    for b in range(1, nbins + 1):
+        size = base + (1 if b <= extra else 0)
+        for _ in range(size):
+            if pos < n:
+                want[order[pos][0]] = b
+                pos += 1
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 19), st.sampled_from([0.0, 1.0, 4.0])),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_seasonal_adjust_walk_property(spark, rows):
+    """seasonal_adjust matches the phase-mean / grand-mean walk at
+    period 10 with 2 phases."""
+    from ffn_polars_spark.operators.pipeline import seasonal_adjust
+
+    df = spark.createDataFrame(rows, "ts long, v double")
+    got = {
+        r["ts"]: r
+        for r in seasonal_adjust(df, "v", "ts", period_ns=10, buckets=2).collect()
+    }
+    phases = {t: (t % 10) // 5 for t, _ in rows}
+    pm = {}
+    for t, v in rows:
+        p = phases[t]
+        s, c = pm.get(p, (0.0, 0))
+        pm[p] = (s + v, c + 1)
+    gm = sum(s for s, _ in pm.values()) / sum(c for _, c in pm.values())
+    for t, v in rows:
+        p = phases[t]
+        idx = (pm[p][0] / pm[p][1]) / gm if gm != 0 else None
+        r = got[t]
+        assert r["phase"] == p
+        if idx is None:
+            assert r["seasonal_index"] is None
+        else:
+            assert r["seasonal_index"] == pytest.approx(idx, rel=1e-9, abs=1e-12)
+            if idx != 0:
+                assert r["v_adjusted"] == pytest.approx(v / idx, rel=1e-9, abs=1e-12)
+            else:
+                assert r["v_adjusted"] is None
+
+
+@given(
+    trades=st.lists(
+        st.tuples(
+            st.integers(0, 10),                          # hour slot (x 3600s ns)
+            st.sampled_from([0.0, 10.0, 10.0, 12.0]),    # price (0 degenerate)
+            st.sampled_from([1.0, 5.0]),                 # volume
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_intraday_profile_walk_property(spark, trades):
+    """intraday_profile matches the sequential walk; a zero previous
+    print NULLs that return (dropping it from the hour's moments)."""
+    import math as m
+
+    from ffn_polars_spark.functions.tick_activity import intraday_profile
+
+    rows = [
+        (i, slot * 3_600_000_000_000 + i, p, v)
+        for i, (slot, p, v) in enumerate(trades)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_ns long, price double, volume double")
+    got = {r["hour"]: r for r in intraday_profile(df, "price", "volume", order_by=["ts_ns"]).collect()}
+
+    seq = sorted(rows, key=lambda t: t[1])
+    rets = {}
+    prev = None
+    for _, ts, p, v in seq:
+        h = (ts % 86_400_000_000_000) // 3_600_000_000_000
+        r = (p / prev - 1.0) if prev not in (None, 0.0) else None
+        rets.setdefault(h, []).append((v, r))
+        prev = p
+    tot_vol = sum(v for vs in rets.values() for v, _ in vs)
+    assert set(got) == set(rets)
+    for h, vs in rets.items():
+        g = got[h]
+        assert g["n_trades"] == len(vs)
+        assert g["volume"] == pytest.approx(sum(v for v, _ in vs), rel=1e-12)
+        rs = [r for _, r in vs if r is not None]
+        if rs:
+            assert g["mean_abs_r"] == pytest.approx(
+                sum(abs(r) for r in rs) / len(rs), rel=1e-9, abs=1e-12
+            )
+            assert g["realized_vol"] == pytest.approx(
+                m.sqrt(sum(r * r for r in rs)), rel=1e-9, abs=1e-12
+            )
+        else:
+            assert g["mean_abs_r"] is None
+        if tot_vol != 0:
+            assert g["volume_share"] == pytest.approx(
+                sum(v for v, _ in vs) / tot_vol, rel=1e-9, abs=1e-12
+            )
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),                      # key
+            st.integers(0, 20),                     # ts
+            st.sampled_from(["a", "b", "c"]),       # item
+        ),
+        min_size=1,
+        max_size=14,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    window=st.sampled_from([3, 8]),
+)
+@SET
+def test_temporal_cooccurrence_naive_property(spark, events, window):
+    """temporal_cooccurrence matches the O(n^2) within-window pair walk."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.funnel import temporal_cooccurrence
+
+    df = spark.createDataFrame(events, "user_id int, ts long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_co"]
+        for r in temporal_cooccurrence(df, "ts", "user_id", "item", window).collect()
+    }
+    want = Counter()
+    evs = list(events)
+    for i in range(len(evs)):
+        for j in range(len(evs)):
+            k1, t1, i1 = evs[i]
+            k2, t2, i2 = evs[j]
+            if k1 == k2 and i1 < i2 and abs(t1 - t2) <= window:
+                want[(i1, i2)] += 1
+    assert got == dict(want)
+
+
+@given(
+    docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8),
+    query=st.sampled_from([["the"], ["a", "b"], ["fox", "quick"]]),
+)
+@SET
+def test_keyword_search_counter_property(spark, docs, query):
+    """keyword_search matches the conjunctive Counter walk: every term
+    present, tf summed over query terms."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.search import keyword_search
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in keyword_search(df, query).collect()}
+    terms = {w.lower() for w in query if w}
+    for i, d in enumerate(docs):
+        tf = Counter(_pytok(d))
+        if all(tf[t] > 0 for t in terms):
+            assert got[i]["n_terms"] == len(terms)
+            assert got[i]["total_tf"] == sum(tf[t] for t in terms)
+        else:
+            assert i not in got

@@ -5307,3 +5307,325 @@ def test_keyword_search_counter_property(spark, docs, query):
             assert got[i]["total_tf"] == sum(tf[t] for t in terms)
         else:
             assert i not in got
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 12: SCD2/CDC versioning, integrity/skew
+# profiles, layout keys, walk-forward CV, markup stripping vs sequential
+# Python references.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    history=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 30), st.sampled_from(["a", "b", None])),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET
+def test_scd2_merge_asof_walk_property(spark, history):
+    """scd2_merge built from scratch matches the per-key change walk
+    (NULL is a value, not a wildcard); scd2_asof_join then resolves every
+    probe time to the version valid at that instant."""
+    from ffn_polars_spark.operators.scd import scd2_asof_join, scd2_merge
+
+    empty = spark.createDataFrame(
+        [], "k int, attr string, valid_from long, valid_to long"
+    )
+    updates = spark.createDataFrame(history, "k int, ts long, attr string").select(
+        "k", "attr", F.col("ts").alias("ts_ns")
+    )
+    dim = scd2_merge(empty, updates, "k", ["attr"])
+    got = {
+        (r["k"], r["valid_from"]): (r["attr"], r["valid_to"])
+        for r in dim.collect()
+    }
+
+    want = {}
+    for k in {k for k, _, _ in history}:
+        seq = sorted((t, a) for kk, t, a in history if kk == k)
+        versions = []
+        for t, a in seq:
+            if not versions or versions[-1][1] != a:
+                versions.append((t, a))
+        for i, (t, a) in enumerate(versions):
+            vto = versions[i + 1][0] if i + 1 < len(versions) else None
+            want[(k, t)] = (a, vto)
+    assert got == want
+
+    # as-of probes at every event time and one before/after
+    probes = sorted({t for _, t, _ in history} | {0, 31})
+    facts = spark.createDataFrame(
+        [(k, t) for k in {k for k, _, _ in history} for t in probes],
+        "k int, ts_ns long",
+    )
+    res = {
+        (r["k"], r["ts_ns"]): r["attr"]
+        for r in scd2_asof_join(facts, dim, "k").collect()
+    }
+    for k in {k for k, _, _ in history}:
+        vs = sorted((t for (kk, t) in want if kk == k))
+        for t in probes:
+            live = [vt for vt in vs if vt <= t]
+            expect = want[(k, live[-1])][0] if live else None
+            assert res[(k, t)] == expect
+
+
+@given(
+    snap=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from(["x", "y"])),
+        min_size=0, max_size=6, unique_by=lambda t: t[0],
+    ),
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 6), st.integers(0, 20),
+            st.sampled_from(["I", "U", "D"]), st.sampled_from(["p", "q"]),
+        ),
+        min_size=1, max_size=10, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@SET
+def test_cdc_merge_dict_property(spark, snap, log):
+    """cdc_merge matches the last-change-wins dict walk."""
+    from ffn_polars_spark.operators.scd import cdc_merge
+
+    sdf = spark.createDataFrame(snap or [(99, "z")], "k int, v string")
+    base = dict(snap) if snap else {99: "z"}
+    cdf = spark.createDataFrame(log, "k int, ts long, op string, v string")
+    got = {r["k"]: r["v"] for r in cdc_merge(sdf, cdf, "k", "ts", "op", ["v"]).collect()}
+
+    last = {}
+    for k, ts, op, v in log:
+        if k not in last or ts > last[k][0]:
+            last[k] = (ts, op, v)
+    want = dict(base)
+    for k, (_, op, v) in last.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@given(
+    facts=st.lists(st.sampled_from([1, 1, 2, 3, None]), min_size=1, max_size=15),
+    dims=st.lists(st.integers(1, 5), min_size=0, max_size=5, unique=True),
+)
+@SET
+def test_join_profile_python_property(spark, facts, dims):
+    """join_profile matches the Python referential-integrity walk."""
+    from ffn_polars_spark.operators.quality import join_profile
+
+    fdf = spark.createDataFrame([(k,) for k in facts], "fk int")
+    ddf = spark.createDataFrame([(k,) for k in dims] or [(None,)], "dk int")
+    dset = set(dims)
+    got = join_profile(fdf, ddf, "fk", "dk").collect()[0]
+
+    n_null = sum(1 for k in facts if k is None)
+    matched = [k for k in facts if k is not None and k in dset]
+    orphans = [k for k in facts if k is not None and k not in dset]
+    from collections import Counter
+
+    fan = Counter(matched)
+    assert got["n_facts"] == len(facts)
+    assert got["n_null_keys"] == n_null
+    assert got["n_orphan_facts"] == len(orphans)
+    assert got["match_rate"] == pytest.approx(
+        round(len(matched) / len(facts), 6), abs=1.5e-6
+    )
+    n_dim = len(dset) if dims else (1 if not dims else 0)
+    if dims:
+        assert got["n_dim_keys"] == len(dset)
+        assert got["n_unused_dim_keys"] == len(dset - set(fan))
+    assert got["max_fanout"] == (max(fan.values()) if fan else 0)
+
+
+@given(
+    keys=st.lists(st.sampled_from(["hot", "hot", "hot", "a", "b", "c"]), min_size=1, max_size=20),
+    top_k=st.sampled_from([2, 5]),
+)
+@SET
+def test_skew_profile_counter_property(spark, keys, top_k):
+    """skew_profile matches the Counter walk: top-k hot keys, shares,
+    and the recommended salt bucket count."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.skew import skew_profile
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {r["key"]: r for r in skew_profile(df, "key", top_k=top_k).collect()}
+
+    c = Counter(keys)
+    tot = len(keys)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    assert set(got) == {k for k, _ in top}
+    mx = max(c.values())
+    rec = m.ceil(mx / (tot / len(c)))
+    for rank, (k, n) in enumerate(top, 1):
+        g = got[k]
+        assert g["n_rows"] == n and g["rank"] == rank
+        assert g["share"] == pytest.approx(n / tot, rel=1e-12)
+        assert g["n_keys"] == len(c)
+        assert g["max_share"] == pytest.approx(mx / tot, rel=1e-12)
+        assert g["recommended_buckets"] == rec
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from([-10.0, 0.0, 0.5, 1.0, 1.0, 3.0, 99.0]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_group_quantiles_histogram_numpy_property(spark, vals):
+    """group_quantiles matches numpy linear percentiles; value_histogram
+    matches the clamped fixed-width binning walk."""
+    import numpy as np
+    from collections import Counter
+
+    from ffn_polars_spark.operators.sketch import group_quantiles, value_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    gq = group_quantiles(df, "v", quantiles=(0.25, 0.5, 0.9)).collect()[0]
+    x = np.array(vals)
+    for q, name in ((25, "p25"), (50, "p50"), (90, "p90")):
+        assert gq[name] == pytest.approx(
+            round(float(np.percentile(x, q, method="linear")), 6), abs=1.5e-6
+        )
+
+    lo, hi, nbins = 0.0, 4.0, 4
+    vh = {r["bin"]: r for r in value_histogram(df, "v", lo, hi, nbins).collect()}
+    width = (hi - lo) / nbins
+    c = Counter(
+        min(nbins - 1, max(0, int((v - lo) // width))) for v in vals
+    )
+    assert set(vh) == set(c)
+    for b, n in c.items():
+        assert vh[b]["n"] == n
+        assert vh[b]["bin_lo"] == pytest.approx(lo + b * width, rel=1e-12)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from([1, 1, 2, None]), st.sampled_from(["x", "y", None])),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_column_profile_exact_python_property(spark, rows):
+    """column_profile(exact=True) matches Python null/distinct counts
+    per column."""
+    from ffn_polars_spark.operators.sketch import column_profile
+
+    df = spark.createDataFrame(rows, "a int, b string")
+    got = {r["column"]: r for r in column_profile(df, exact=True).collect()}
+    for i, col in enumerate(["a", "b"]):
+        vs = [r[i] for r in rows]
+        assert got[col]["n"] == len(rows)
+        assert got[col]["n_null"] == sum(1 for v in vs if v is None)
+        assert got[col]["n_distinct"] == len({v for v in vs if v is not None})
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=15,
+    ),
+    bits=st.sampled_from([4, 8]),
+)
+@SET
+def test_zorder_key_interleave_property(spark, pts, bits):
+    """zorder_key matches the Python Morton bit interleave."""
+    from ffn_polars_spark.operators.pipeline import zorder_key
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"]: r["zorder"] for r in zorder_key(df, "x", "y", bits=bits).collect()}
+    for i, x, y in rows:
+        z = 0
+        for b in range(bits):
+            z += ((x >> b) & 1) << (2 * b)
+            z += ((y >> b) & 1) << (2 * b + 1)
+        assert got[i] == z
+
+
+@given(
+    ts=st.lists(st.integers(0, 100), min_size=3, max_size=20, unique=True),
+    n_folds=st.sampled_from([2, 4]),
+)
+@SET
+def test_walkforward_split_quantile_property(spark, ts, n_folds):
+    """walkforward_split matches the numpy quantile-block walk: train
+    blocks strictly precede each fold's test block."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.pipeline import walkforward_split
+
+    df = spark.createDataFrame([(t,) for t in ts], "ts long")
+    got = {
+        (r["ts"], r["fold"]): r["role"]
+        for r in walkforward_split(df, "ts", n_folds=n_folds).collect()
+    }
+    qs = [i / (n_folds + 1.0) for i in range(1, n_folds + 1)]
+    cuts = [float(np.percentile(np.array(ts, dtype=float), 100 * q, method="linear")) for q in qs]
+    want = {}
+    for t in ts:
+        b = sum(1 for c in cuts if t > c)
+        for f in range(1, n_folds + 1):
+            if b < f:
+                want[(t, f)] = "train"
+            elif b == f:
+                want[(t, f)] = "test"
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            ["<b>hi</b> there", "a &amp;lt; b", "no tags", "&lt;x&gt;", "  s p  ",
+             "<a href='u'>link</a>&nbsp;end", "&quot;q&quot; &#39;s&#39;"]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_strip_markup_regex_property(spark, texts):
+    """strip_markup matches the Python regex/entity chain (&amp; last)."""
+    import re
+
+    from ffn_polars_spark.operators.text import strip_markup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in strip_markup(df).collect()}
+    for i, t in rows:
+        s = re.sub(r"<[^>]*>", " ", t)
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+        ):
+            s = s.replace(ent, ch)
+        s = re.sub(r"\s+", " ", s).strip()
+        assert got[i] == s
+
+
+@given(docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8), k=st.sampled_from([2, 50]))
+@SET
+def test_vocab_topk_counter_property(spark, docs, k):
+    """vocab_topk matches the Counter (freq desc, token asc) top-k."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = [(r["token"], r["freq"]) for r in vocab_topk(df, k=k).collect()]
+    c = Counter(t for d in docs for t in _pytok(d))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want

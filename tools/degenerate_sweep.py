@@ -166,9 +166,12 @@ def build_nulls(outdir: str) -> None:
     types = ["view", "click", "purchase", "signup", "error"]
     eid = 0
     for et in types:
+        # props: malformed JSON and non-numeric field values — ANSI
+        # try_cast territory (a bare cast throws CAST_INVALID_INPUT)
+        props = ["{}", "not json", '{"a": "x"}', '{"a": 1}', None, '{"a": null}']
         vals = [None, -5.0, 10.0, None, -0.5, 2.5]
-        for i, v in enumerate(vals):
-            ev.append((eid, ts0 + dt.timedelta(seconds=i), 2, et, v, "{}")); eid += 1
+        for i, (v, pr) in enumerate(zip(vals, props)):
+            ev.append((eid, ts0 + dt.timedelta(seconds=i), 2, et, v, pr)); eid += 1
         for i in range(3):                                      # all-NULL key
             ev.append((eid, ts0 + dt.timedelta(seconds=i), 9, et, None, None)); eid += 1
     like("events", {

@@ -5629,3 +5629,243 @@ def test_vocab_topk_counter_property(spark, docs, k):
     c = Counter(t for d in docs for t in _pytok(d))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 13: deterministic corpus splits/mixes replayed
+# with hashlib, fuzzy linkage vs DP Levenshtein, KMV overlap, pairs
+# spread, schema-evolution union.
+# ---------------------------------------------------------------------------
+
+
+def _md5bucket(id_, salt="", buckets=10_000):
+    import hashlib
+
+    return int(hashlib.md5(f"{id_}{salt}".encode()).hexdigest()[:8], 16) % buckets
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=25, unique=True),
+    salt=st.sampled_from(["", "v2"]),
+)
+@SET
+def test_deterministic_split_replay_property(spark, ids, salt):
+    """deterministic_split replays outside Spark: md5 bucket -> cumulative
+    weight cutoffs."""
+    from ffn_polars_spark.operators.pipeline import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in deterministic_split(df, weights=w, salt=salt).collect()
+    }
+    for i in ids:
+        b = _md5bucket(i, salt)
+        cut_train = int(round(0.8 * 10_000))
+        cut_val = int(round(0.9 * 10_000))
+        split = "train" if b < cut_train else ("val" if b < cut_val else "test")
+        assert got[i] == (b, split)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["web", "book", "code"])),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_stratified_sample_domain_mix_replay_property(spark, rows):
+    """stratified_sample and domain_mix keep decisions replay with
+    hashlib buckets and the documented r6 rate rounding."""
+    import math as m
+    from collections import Counter
+
+    from ffn_polars_spark.operators.pipeline import domain_mix, stratified_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"web": 0.3, "book": 1.0}
+    got_s = {
+        r["doc_id"]: r["keep"]
+        for r in stratified_sample(df, rates, default_rate=0.5).collect()
+    }
+    B = 10_000
+    for i, s in rows:
+        rate = rates.get(s, 0.5)
+        cut = m.floor(rate * B + 0.5)
+        assert got_s[i] == (_md5bucket(i) < cut)
+
+    targets = {"web": 0.5, "book": 0.5}
+    got_m = {
+        r["doc_id"]: (r["keep"], r["rate"])
+        for r in domain_mix(df, targets).collect()
+    }
+    counts = Counter(s for _, s in rows)
+    present = {d: t for d, t in targets.items() if counts.get(d)}
+    if present:
+        scale = min(counts[d] / t for d, t in present.items())
+        for i, s in rows:
+            t = targets.get(s, 0.0)
+            if t > 0 and counts.get(s):
+                raw = scale * t / counts[s]
+                rate = m.floor(min(raw, 1.0) * 1e6 + 0.5) / 1e6
+            else:
+                rate = 0.0
+            cut = m.floor(rate * B + 0.5)
+            assert got_m[i][0] == (_md5bucket(i) < cut)
+            assert got_m[i][1] == pytest.approx(rate, abs=1e-12)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.sampled_from(["cat", "bat", "cart", "dog", "dot", "zebra"]),
+            st.sampled_from(["b1", "b2"]),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    max_dist=st.sampled_from([1, 2]),
+)
+@SET
+def test_fuzzy_pairs_levenshtein_property(spark, rows, max_dist):
+    """fuzzy_match_pairs matches in-block DP Levenshtein; sorted_fuzzy_
+    pairs matches the sorted-window walk."""
+    from ffn_polars_spark.operators.dedup import fuzzy_match_pairs, sorted_fuzzy_pairs
+
+    df = spark.createDataFrame(rows, "id long, txt string, blk string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_match_pairs(df, "txt", "id", "blk", max_dist=max_dist).collect()
+    }
+    want = {}
+    for i, (ia, ta, ba) in enumerate(rows):
+        for ib, tb, bb in rows[i + 1 :]:
+            if ba != bb:
+                continue
+            x, y = (ia, ib) if ia < ib else (ib, ia)
+            d = _lev(ta, tb)
+            if d <= max_dist:
+                want[(x, y)] = d
+    assert got == want
+
+    w = 3
+    got_s = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in sorted_fuzzy_pairs(df, "txt", "id", window=w, max_dist=max_dist).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want_s = {}
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + 1 + w, len(order))):
+            d = _lev(order[i][1], order[j][1])
+            if d <= max_dist:
+                want_s[(order[i][0], order[j][0])] = d
+    assert got_s == want_s
+
+
+@given(
+    a=st.lists(st.integers(0, 30), min_size=0, max_size=15, unique=True),
+    b=st.lists(st.integers(0, 30), min_size=0, max_size=15, unique=True),
+)
+@SET
+def test_corpus_overlap_exact_regime_property(spark, a, b):
+    """corpus_overlap's KMV estimates are EXACT below k: counts, the
+    inclusion-exclusion intersection, and the distinct Jaccard."""
+    from ffn_polars_spark.operators.sketch import corpus_overlap
+
+    da = spark.createDataFrame([(x,) for x in a] or [(None,)], "v int")
+    db = spark.createDataFrame([(x,) for x in b] or [(None,)], "v int")
+    if not a:
+        da = da.where(F.col("v").isNotNull())
+    if not b:
+        db = db.where(F.col("v").isNotNull())
+    got = corpus_overlap(da, db, "v").collect()[0]
+    sa, sb = set(a), set(b)
+    union = len(sa | sb)
+    inter = len(sa & sb)
+    assert got["n_a"] == pytest.approx(len(sa), abs=1e-9)
+    assert got["n_b"] == pytest.approx(len(sb), abs=1e-9)
+    assert got["n_union"] == pytest.approx(union, abs=1e-9)
+    assert got["n_intersect"] == pytest.approx(inter, abs=1e-9)
+    if union > 0:
+        assert got["jaccard"] == pytest.approx(round(inter / union, 6), abs=1.5e-6)
+    else:
+        assert got["jaccard"] == 0.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from([0.0, 1.0, 2.0, 5.0]), st.sampled_from([0.0, 1.0, 3.0])),
+        min_size=2,
+        max_size=20,
+    )
+)
+@SET
+def test_pairs_spread_numpy_property(spark, rows):
+    """pairs_spread matches the numpy OLS-hedge walk: spread residuals
+    and in-sample z-scores, NULLs on degenerate variance."""
+    import numpy as np
+
+    from ffn_polars_spark.functions.tick_price import pairs_spread
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i long, a double, b double")
+    got = {r["i"]: r for r in pairs_spread(df, "a", "b", order_by="i").collect()}
+
+    av = np.array([a for a, _ in rows])
+    bv = np.array([b for _, b in rows])
+    vb = float(np.var(bv))
+    if vb > 0:
+        beta = float(((av - av.mean()) * (bv - bv.mean())).mean()) / vb
+        alpha = float(av.mean()) - beta * float(bv.mean())
+        spreads = av - alpha - beta * bv
+        ms = float(spreads.mean())
+        sd = float(spreads.std(ddof=1)) if len(rows) >= 2 else 0.0
+        for i, (a, b) in enumerate(rows):
+            assert got[i]["spread"] == pytest.approx(spreads[i], rel=1e-9, abs=1e-9)
+            if sd > 0:
+                assert got[i]["z"] == pytest.approx(
+                    (spreads[i] - ms) / sd, rel=1e-7, abs=1e-9
+                )
+            else:
+                assert got[i]["z"] is None
+    else:
+        for i in got:
+            assert got[i]["spread"] is None and got[i]["z"] is None
+
+
+@given(seed=st.integers(0, 3))
+@SET
+def test_union_evolve_schema_property(spark, seed):
+    """union_evolve aligns by name, null-fills, widens int->bigint->double,
+    and raises on unwidenable types."""
+    from ffn_polars_spark.operators.wide import union_evolve
+
+    d1 = spark.createDataFrame([(1, 2)], "a int, b int")
+    d2 = spark.createDataFrame([(3.5, "x")], "a double, c string")
+    out = union_evolve(d1, d2)
+    assert [f.name for f in out.schema.fields] == ["a", "b", "c"]
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["a"] == "double" and types["c"] == "string"
+    rows = sorted(out.collect(), key=lambda r: r["a"])
+    assert rows[0]["a"] == 1.0 and rows[0]["b"] == 2 and rows[0]["c"] is None
+    assert rows[1]["a"] == 3.5 and rows[1]["b"] is None and rows[1]["c"] == "x"
+
+    d3 = spark.createDataFrame([("s",)], "a string")
+    with pytest.raises(TypeError):
+        union_evolve(d1, d3)

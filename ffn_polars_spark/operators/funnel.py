@@ -69,9 +69,14 @@ def funnel_stages(
         for j in range(1, i + 1):
             cond = cond & (F.col(f"__t{j-1}") < F.col(f"__t{j}"))
         # when/otherwise(0), not cast: a stage nobody reaches is an
-        # all-NULL condition whose bare sum would be NULL rather than 0
+        # all-NULL condition whose bare sum would be NULL rather than 0;
+        # coalesce: a corpus with NO funnel events at all makes `firsts`
+        # EMPTY and even the otherwise(0) sum aggregates over zero rows
+        # to NULL — the count contract is 0 either way
         reached.append(
-            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"__n{i}")
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"__n{i}")
         )
     counts = firsts.agg(*reached)
     rows = F.array(
@@ -454,9 +459,12 @@ def time_to_convert(
     aggs = [
         n_started.alias("n_started"),
         n_converted.alias("n_converted"),
-        (n_converted.cast("double") / n_started.cast("double")).alias(
-            "conversion_rate"
-        ),
+        # NULL rate when nobody started (0/0 throws under ANSI — a cohort
+        # with converters-but-no-starters is exactly the degenerate slice
+        # this panel gets pointed at)
+        F.when(
+            n_started > 0, n_converted.cast("double") / n_started.cast("double")
+        ).alias("conversion_rate"),
     ]
     for q in quantiles:
         qn = f"{q * 100:g}".replace(".", "_")

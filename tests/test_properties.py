@@ -5869,3 +5869,179 @@ def test_union_evolve_schema_property(spark, seed):
     d3 = spark.createDataFrame([("s",)], "a string")
     with pytest.raises(TypeError):
         union_evolve(d1, d3)
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 14: the funnel/journey family vs sequential
+# walks — ordered funnels, motif n-grams, conversion latency, session
+# openings.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),
+            st.integers(0, 30),
+            st.sampled_from(["view", "cart", "buy", "other"]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET
+def test_funnel_stages_walk_property(spark, events):
+    """funnel_stages matches the strict first-occurrence-order walk;
+    conversion is the fraction of the previous stage (NULL off an empty
+    stage)."""
+    from ffn_polars_spark.operators.funnel import funnel_stages
+
+    stages = ["view", "cart", "buy"]
+    df = spark.createDataFrame(events, "user_id int, ts_ns long, event_type string")
+    got = {r["stage"]: r for r in funnel_stages(df, stages).collect()}
+
+    firsts = {}
+    for u, t, e in events:
+        if e in stages:
+            firsts.setdefault(u, {}).setdefault(e, t)
+            firsts[u][e] = min(firsts[u][e], t)
+    n = []
+    for i in range(len(stages)):
+        cnt = 0
+        for u, f in firsts.items():
+            ts = [f.get(s) for s in stages[: i + 1]]
+            if all(t is not None for t in ts) and all(
+                ts[j - 1] < ts[j] for j in range(1, len(ts))
+            ):
+                cnt += 1
+        n.append(cnt)
+    for i, s in enumerate(stages):
+        assert got[i]["stage_name"] == s
+        assert got[i]["n_users"] == n[i]
+        if i == 0:
+            assert got[i]["conversion"] == 1.0
+        elif n[i - 1] > 0:
+            assert got[i]["conversion"] == pytest.approx(
+                round(n[i] / n[i - 1], 6), abs=1.5e-6
+            )
+        else:
+            assert got[i]["conversion"] is None
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 25), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    n=st.sampled_from([2, 3]),
+)
+@SET
+def test_event_ngrams_walk_property(spark, events, n):
+    """event_ngrams matches the per-key consecutive-run walk."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.funnel import event_ngrams
+
+    df = spark.createDataFrame(events, "user_id int, ts long, item string")
+    got = {
+        r["gram"]: (r["n_occurrences"], r["n_keys"])
+        for r in event_ngrams(df, "ts", "user_id", "item", n=n).collect()
+    }
+    per_user = {}
+    for u, t, e in sorted(events):
+        per_user.setdefault(u, []).append(e)
+    c = Counter()
+    keys = {}
+    for u, seq in per_user.items():
+        for i in range(len(seq) - n + 1):
+            g = "->".join(seq[i : i + n])
+            c[g] += 1
+            keys.setdefault(g, set()).add(u)
+    assert got == {g: (c[g], len(keys[g])) for g in c}
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),
+            st.integers(0, 40),
+            st.sampled_from(["signup", "buy", "view"]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET
+def test_time_to_convert_walk_property(spark, events):
+    """time_to_convert matches the walk: first signup, first buy at or
+    after it, exact latency quantiles over converters."""
+    import numpy as np
+
+    from ffn_polars_spark.operators.funnel import time_to_convert
+
+    df = spark.createDataFrame(events, "user_id int, ts long, event_type string")
+    got = time_to_convert(df, "user_id", "event_type", "ts", "signup", "buy").collect()
+
+    deltas = []
+    started = 0
+    for u in {u for u, _, _ in events}:
+        seq = sorted((t, e) for uu, t, e in events if uu == u)
+        t0 = next((t for t, e in seq if e == "signup"), None)
+        if t0 is None:
+            continue
+        started += 1
+        t1 = next((t for t, e in seq if e == "buy" and t >= t0), None)
+        if t1 is not None:
+            deltas.append(float(t1 - t0))
+    if started == 0:
+        assert got == [] or got[0]["n_started"] == 0
+        return
+    r = got[0]
+    assert r["n_started"] == started
+    assert r["n_converted"] == len(deltas)
+    assert r["conversion_rate"] == pytest.approx(len(deltas) / started, rel=1e-12)
+    if deltas:
+        assert r["p50_delta"] == pytest.approx(
+            float(np.percentile(deltas, 50, method="linear")), rel=1e-9, abs=1e-12
+        )
+        assert r["p90_delta"] == pytest.approx(
+            float(np.percentile(deltas, 90, method="linear")), rel=1e-9, abs=1e-12
+        )
+    else:
+        assert r["p50_delta"] is None
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 25), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=18,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    max_events=st.sampled_from([2, 5]),
+)
+@SET
+def test_session_paths_walk_property(spark, events, max_events):
+    """session_paths matches the first-k-types walk with the
+    (count desc, path asc) top-k cut."""
+    from collections import Counter
+
+    from ffn_polars_spark.operators.funnel import session_paths
+
+    df = spark.createDataFrame(events, "user_id int, ts long, event_type string")
+    got = [
+        (r["path"], r["n_users"], r["rank"])
+        for r in session_paths(
+            df, "user_id", "event_type", "ts", max_events=max_events, top_k=10
+        ).orderBy("rank").collect()
+    ]
+    per_user = {}
+    for u, t, e in sorted(events):
+        per_user.setdefault(u, []).append(e)
+    c = Counter("->".join(seq[:max_events]) for seq in per_user.values())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(p, n, i + 1) for i, (p, n) in enumerate(want)]

@@ -5572,8 +5572,20 @@ def test_walkforward_split_quantile_property(spark, ts, n_folds):
         (r["ts"], r["fold"]): r["role"]
         for r in walkforward_split(df, "ts", n_folds=n_folds).collect()
     }
+    # replicate Spark's percentile formula bit-for-bit: h = q*(n-1) with
+    # q the SAME double (np.percentile's q/100 re-rounds q at the ulp,
+    # which flips a `t > cut` comparison when the cut lands exactly on a
+    # data point — a test-reference artifact, not an operator defect)
+    xs = sorted(float(t) for t in ts)
+
+    def cut_at(q):
+        h = q * (len(xs) - 1)
+        lo = int(math.floor(h))
+        frac = h - lo
+        return xs[lo] + frac * (xs[lo + 1] - xs[lo]) if frac else xs[lo]
+
     qs = [i / (n_folds + 1.0) for i in range(1, n_folds + 1)]
-    cuts = [float(np.percentile(np.array(ts, dtype=float), 100 * q, method="linear")) for q in qs]
+    cuts = [cut_at(q) for q in qs]
     want = {}
     for t in ts:
         b = sum(1 for c in cuts if t > c)

@@ -6057,3 +6057,122 @@ def test_session_paths_walk_property(spark, events, max_events):
     c = Counter("->".join(seq[:max_events]) for seq in per_user.values())
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == [(p, n, i + 1) for i, (p, n) in enumerate(want)]
+
+
+# ---------------------------------------------------------------------------
+# r13 stats battery, wave 15: sessionization, the inverted index, and
+# ExactSubstr-style span scrubbing vs sequential Python walks.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 60)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    gap=st.sampled_from([5, 20]),
+)
+@SET
+def test_sessionize_stats_walk_property(spark, events, gap):
+    """sessionize assigns 0-based per-key session ids at gap boundaries;
+    session_stats reports the matching counts and durations."""
+    from ffn_polars_spark.operators.sessions import session_stats, sessionize
+
+    df = spark.createDataFrame(events, "user_id int, ts long")
+    got = {
+        (r["user_id"], r["ts"]): r["session_id"]
+        for r in sessionize(df, "ts", "user_id", gap).collect()
+    }
+    want = {}
+    sess_rows = {}
+    for u in {u for u, _ in events}:
+        ts = sorted(t for uu, t in events if uu == u)
+        sid = -1
+        prev = None
+        for t in ts:
+            if prev is None or t - prev > gap:
+                sid += 1
+            want[(u, t)] = sid
+            sess_rows.setdefault((u, sid), []).append(t)
+            prev = t
+    assert got == want
+
+    stats = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration"])
+        for r in session_stats(df, "ts", "user_id", gap).collect()
+    }
+    assert stats == {
+        k: (len(v), max(v) - min(v)) for k, v in sess_rows.items()
+    }
+
+
+@given(
+    docs=st.lists(st.sampled_from(_W8_DOCS), min_size=1, max_size=8),
+    min_docs=st.sampled_from([1, 2]),
+)
+@SET
+def test_inverted_index_walk_property(spark, docs, min_docs):
+    """inverted_index matches the distinct-presence walk with sorted
+    posting lists and the min_docs cut."""
+    from ffn_polars_spark.operators.search import inverted_index
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: (r["n_docs"], list(r["doc_ids"]))
+        for r in inverted_index(df, min_docs=min_docs).collect()
+    }
+    post = {}
+    for i, d in rows:
+        for t in set(_pytok(d)):
+            post.setdefault(t, set()).add(i)
+    want = {
+        t: (len(ids), sorted(ids))
+        for t, ids in post.items()
+        if len(ids) >= min_docs
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.sampled_from(
+            ["a b c d e f", "a b c d x y", "z z z", "a b c d e q",
+             "one two three four five", ""]
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    width=st.sampled_from([3, 4]),
+)
+@SET
+def test_scrub_spans_exactsubstr_walk_property(spark, docs, width):
+    """scrub_spans matches the ExactSubstr walk: a word is dropped when
+    any width-word span covering it appears in >= 2 distinct docs."""
+    from ffn_polars_spark.operators.text import scrub_spans
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_words"], r["n_removed"])
+        for r in scrub_spans(df, width=width, min_docs=2).collect()
+    }
+
+    words = {i: d.split(" ") for i, d in rows}
+    span_docs = {}
+    for i, ws in words.items():
+        for p in range(len(ws) - width + 1):
+            span_docs.setdefault(" ".join(ws[p : p + width]), set()).add(i)
+    dup = {s for s, ids in span_docs.items() if len(ids) >= 2}
+    for i, ws in words.items():
+        covered = set()
+        for p in range(len(ws) - width + 1):
+            if " ".join(ws[p : p + width]) in dup:
+                covered.update(range(p, p + width))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        g = got[i]
+        assert g[0] == " ".join(kept)
+        assert g[1] == len(ws)
+        assert g[2] == len(covered)

@@ -64,6 +64,82 @@ def make_minhash_udf(coeffs):
     return _sig.asNondeterministic()
 
 
+def _md5_shingle_hashes(tl, n):
+    """Distinct n-gram shingle hashes (first-occurrence order) of a token
+    list: the portable 60-bit md5 hash — ``int(md5(s).hexdigest()[17:32],
+    16)`` — of each space-joined shingle, exactly the bytes/parse the JVM
+    ``_hash64(col, "md5")`` projection produces, so signatures and the
+    DuckDB oracle replay are bit-identical."""
+    import hashlib
+
+    md5 = hashlib.md5
+    m = len(tl) - (n - 1)
+    seen = dict.fromkeys(" ".join(tl[i : i + n]) for i in range(m))
+    return np.fromiter(
+        (int(md5(s.encode()).hexdigest()[17:32], 16) for s in seen),
+        dtype=np.int64,
+        count=len(seen),
+    )
+
+
+def make_md5_minhash_udf(coeffs, n):
+    """(array<string> tokens) -> struct(h64: distinct shingle hashes mod P,
+    sig: permutation minima).
+
+    Fuses shingle construction + md5 hashing + the minhash permutations into
+    one Arrow pass. The JVM alternative evaluates ``concat_ws`` and
+    ``md5``/``conv`` inside array-transform lambdas, which Catalyst runs
+    INTERPRETED (no whole-stage codegen inside HOF bodies) — measured 12.9 s
+    of task time at sf0.1 vs ~2 s for this kernel, identical outputs (the
+    guide §4.2 native-batch rule)."""
+    A = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
+    B = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
+    P = np.uint64(_MERSENNE)
+
+    @pandas_udf("struct<h64:array<long>,sig:array<long>>")
+    def _sig(toks: pd.Series) -> pd.DataFrame:
+        h64s, sigs = [], []
+        for tk in toks:
+            if tk is None or len(tk) < n:
+                # unreachable behind the >=n-token filter; mirror the JVM
+                # path's empty-set row rather than crash on a direct call
+                h64s.append(np.array([], dtype=np.int64))
+                sigs.append(None)
+                continue
+            h = _md5_shingle_hashes(list(tk), n)
+            hm = h.astype(np.uint64) % P
+            mins = ((A * hm[None, :] + B) % P).min(axis=1).astype(np.int64)
+            h64s.append(hm.astype(np.int64))
+            sigs.append(mins)
+        return pd.DataFrame({"h64": h64s, "sig": sigs})
+
+    # same CollapseProject fence as make_minhash_udf: the caller splits sig
+    # into per-band columns with element_at
+    return _sig.asNondeterministic()
+
+
+def make_md5_simhash_udf(n):
+    """(array<string> tokens) -> 64-bit simhash long, fused like
+    :func:`make_md5_minhash_udf` (same majority-bit rule as
+    :func:`make_simhash_udf`: bit j set iff ones*2 > |hashes|)."""
+
+    @pandas_udf("long")
+    def _sig(toks: pd.Series) -> pd.Series:
+        out = np.empty(len(toks), dtype=np.int64)
+        for i, tk in enumerate(toks):
+            if tk is None or len(tk) < n:
+                out[i] = 0
+                continue
+            h = _md5_shingle_hashes(list(tk), n)
+            v = h.view(np.uint64)
+            ones = ((v[:, None] >> _SHIFTS) & np.uint64(1)).sum(axis=0)
+            bits = (ones * 2 > len(v)).astype(np.uint64)
+            out[i] = (bits << _SHIFTS[0]).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return _sig
+
+
 def make_simhash_udf():
     """(array<long> raw xxhash64 values) -> 64-bit simhash long."""
 

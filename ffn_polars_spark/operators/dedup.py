@@ -291,36 +291,30 @@ def dedup_exact(
     """Exact duplicate grouping: md5 of normalized text, canonical id = min id
     per hash group. Returns (id, fingerprint, canonical_id, is_duplicate).
 
-    One hash-partitioned shuffle; the min-id resolution is a broadcast-able
-    aggregate joined back (Catalyst broadcasts it when small, AQE converts at
-    runtime otherwise).
-
-    The (id, fingerprint) frame is ``_pinned`` (caller releases via
-    ``release_pins``): its two consumers (the group aggregate and the join
-    back) cannot share a subtree — and the join's inferred
-    ``isnotnull(fingerprint)`` additionally pushes the md5+normalize
-    expression into each branch's scan filter — so unpinned, the corpus
-    was scanned and normalize-hashed up to four times (round-8 plan
-    audit). The pinned frame is two narrow columns at doc cardinality,
-    nothing like corpus width.
+    The min-id resolution is a WINDOW over the fingerprint partition — the
+    r13 optimization-round shape. The old groupBy + join-back needed the
+    (id, fingerprint) frame pinned (its two branches re-derived the
+    normalize+md5 projection otherwise) and, at scale, shuffled the frame
+    for the aggregate AND both join sides; the window is the same single
+    hash exchange on ``fingerprint`` with no second branch, no pin, no
+    join (guide §2.4 — operations keyed the same way share one exchange).
+    Measured at sf0.1: 0.62 s → 0.29 s, plan 2 data exchanges + eager-pin
+    count job → 1 exchange, outputs identical (the explicit
+    ``fingerprint IS NOT NULL`` filter reproduces the inner join's
+    null-key drop for NULL-text rows).
     """
-    with_fp = _pinned(
-        df.select(
-            F.col(id_col),
-            F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
-        )
-    )
-    groups = with_fp.groupBy("fingerprint").agg(
-        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
-    )
-    return (
-        with_fp.join(groups, "fingerprint")
-        .select(
-            id_col,
-            "fingerprint",
-            "canonical_id",
-            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
-        )
+    from pyspark.sql.window import Window
+
+    with_fp = df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    ).where(F.col("fingerprint").isNotNull())
+    w = Window.partitionBy("fingerprint")
+    return with_fp.withColumn("canonical_id", F.min(id_col).over(w)).select(
+        id_col,
+        "fingerprint",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
     )
 
 
@@ -472,6 +466,19 @@ def decontaminate(
     )
 
 
+def _tokens_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(__id, __toks) with the <n-token documents dropped — the shared front
+    of every shingle pipeline. The predicate re-states the split rather than
+    referencing ``__toks`` so it can run against the scan without forcing
+    the token array below the spread exchange (see _doc_shingle_arrays)."""
+    return df.where(
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= F.lit(n)
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+
+
 def _doc_shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
@@ -489,12 +496,7 @@ def _doc_shingle_arrays(
     shingle-build below the spread exchange, serializing it on the (often
     single-file) input side — measured 10s vs 0.5s at sf0.1.
     """
-    toks = df.where(
-        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= F.lit(n)
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
-    )
+    toks = _tokens_frame(df, text_col, id_col, n)
     shd = toks.select(
         "__id", F.array_distinct(shingles_from_tokens(F.col("__toks"), n)).alias("__shd")
     )
@@ -550,6 +552,18 @@ def _minhash_arrow(coeffs: list):
     from ffn_polars_spark.operators._arrow_kernels import make_minhash_udf
 
     return make_minhash_udf(coeffs)
+
+
+def _md5_minhash_arrow(coeffs: list, n: int):
+    from ffn_polars_spark.operators._arrow_kernels import make_md5_minhash_udf
+
+    return make_md5_minhash_udf(coeffs, n)
+
+
+def _md5_simhash_arrow(n: int):
+    from ffn_polars_spark.operators._arrow_kernels import make_md5_simhash_udf
+
+    return make_md5_simhash_udf(n)
 
 
 def _signatures_from_arrays(
@@ -654,14 +668,44 @@ def dedup_minhash_lsh(
     # joins re-derive instead of GC-thrashing, exactly the
     # _pinned_if_fits trade.
     est = _token_scale_est(df)
-    arrays = _pinned_if_fits(
-        _doc_shingle_arrays(df, text_col, id_col, n, hash_fn).select(
-            "__id", "__h64"
-        ),
-        (2 * est) // 3 if est is not None else None,
-        eager=False,
-    )
-    sig = _signatures_from_arrays(arrays, _minhash_coeffs(num_hashes, seed), id_col)
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    if hash_fn == "md5" and SIGNATURE_ENGINE == "arrow":
+        # Fused Arrow path: shingle build + md5 + permutation minima in ONE
+        # numpy/hashlib kernel over the token arrays. The split JVM chain
+        # evaluates concat_ws + md5 + conv inside transform() lambdas, which
+        # run interpreted (no codegen inside HOF bodies) — measured 12.9 s
+        # task-time at sf0.1 vs ~2 s fused, bit-identical h64/signatures
+        # (guide §4.2). The pin carries (__id, __h64, __sig): h64 feeds the
+        # verify joins, sig the band hashes — still longs-only, ~num_hashes
+        # extra longs per doc on top of the shingle hashes.
+        kernel = _md5_minhash_arrow(coeffs, n)
+        arrays = _pinned_if_fits(
+            _tokens_frame(df, text_col, id_col, n)
+            .select("__id", kernel(F.col("__toks")).alias("__o"))
+            .select(
+                "__id",
+                F.col("__o.h64").alias("__h64"),
+                F.col("__o.sig").alias("__sig"),
+            ),
+            (2 * est) // 3 if est is not None else None,
+            eager=False,
+        )
+        sig = arrays.select(
+            F.col("__id").alias(id_col),
+            *[
+                F.element_at("__sig", k + 1).alias(f"__mh{k}")
+                for k in range(num_hashes)
+            ],
+        )
+    else:
+        arrays = _pinned_if_fits(
+            _doc_shingle_arrays(df, text_col, id_col, n, hash_fn).select(
+                "__id", "__h64"
+            ),
+            (2 * est) // 3 if est is not None else None,
+            eager=False,
+        )
+        sig = _signatures_from_arrays(arrays, coeffs, id_col)
 
     band_structs = [
         F.struct(
@@ -744,8 +788,15 @@ def simhash_signatures(
     hash array: bit j's counter is ``2 * count(hashes with bit j set) -
     |hashes|``; the fingerprint is reassembled with shifts. Engine choice as
     in ``_signatures_from_arrays`` (Arrow/numpy by default, pure-JVM HOF
-    fallback; identical bits).
+    fallback; identical bits). In md5 mode the shingle build + hash + bit
+    counts fuse into one Arrow kernel (see dedup_minhash_lsh — same
+    interpreted-HOF cost, same bit-identical fusion).
     """
+    if hash_fn == "md5" and SIGNATURE_ENGINE == "arrow":
+        return _tokens_frame(df, text_col, id_col, n).select(
+            F.col("__id").alias(id_col),
+            _md5_simhash_arrow(n)(F.col("__toks")).alias("simhash"),
+        )
     arrays = _doc_shingle_arrays(df, text_col, id_col, n, hash_fn)
     hashed = arrays.select(
         F.col("__id").alias(id_col), F.col("__h64").alias("__h"), F.size("__h64").alias("__n")

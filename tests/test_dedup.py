@@ -322,3 +322,51 @@ def test_minhash_max_bucket_cap(spark):
     assert not any(a < 6 and b < 6 for a, b in capped)
     # ...but the near-dup pair still pairs through its own buckets
     assert (10, 11) in capped
+
+
+def test_md5_fused_kernel_matches_jvm_path(spark, corpus):
+    """r13: in md5 mode the shingle build + hash + signature fuse into one
+    Arrow kernel (dedup._md5_minhash_arrow / _md5_simhash_arrow). The fused
+    path must be BIT-identical to the interpreted JVM HOF chain it replaced
+    — pairs, jaccard values, and simhash fingerprints alike."""
+    import ffn_polars_spark.operators.dedup as D
+    from ffn_polars_spark.operators.dedup import release_pins
+
+    fused = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(corpus, threshold=0.5, hash_fn="md5").collect()
+    }
+    release_pins()
+    sim_fused = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures(corpus, hash_fn="md5").collect()
+    }
+    old = D.SIGNATURE_ENGINE
+    D.SIGNATURE_ENGINE = "jvm"  # forces the un-fused HOF path
+    try:
+        jvm = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup_minhash_lsh(corpus, threshold=0.5, hash_fn="md5").collect()
+        }
+        release_pins()
+        sim_jvm = {
+            r["doc_id"]: r["simhash"]
+            for r in D.simhash_signatures(corpus, hash_fn="md5").collect()
+        }
+    finally:
+        D.SIGNATURE_ENGINE = old
+    assert fused == jvm
+    assert sim_fused == sim_jvm
+
+
+def test_dedup_exact_window_null_text_dropped(spark):
+    """r13: canonical-id resolution moved from groupBy+join-back to a window;
+    the explicit fingerprint-NOT-NULL filter must reproduce the old inner
+    join's null-key drop (a NULL text row has a NULL fingerprint)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "A  b C")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in dedup_exact(df).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[3]["canonical_id"] == 1 and rows[3]["is_duplicate"]
+    assert not rows[1]["is_duplicate"]

@@ -32,9 +32,12 @@ def test_clean_corpus_decisions(spark):
 def test_clean_corpus_single_scan_plan(spark):
     docs = spark.createDataFrame([(1, "the a of and to in is")], ["doc_id", "text"])
     plan = clean_corpus(docs)._jdf.queryExecution().optimizedPlan().toString()
-    # one fingerprint aggregate, no extra self-joins on doc_id: the text
-    # features all evaluate in the scan-side projection
-    assert plan.count("Aggregate") == 1
+    # canonical-id via ONE window over the fingerprint partition (r13) —
+    # no aggregate, no join-back: the text features all evaluate in the
+    # scan-side projection and the only keyed operation is the window
+    assert plan.count("Aggregate") == 0
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
 
 
 def test_cap_per_group_replays_md5_and_is_stable_under_growth(spark):

@@ -670,8 +670,11 @@ def test_audit_sweep_pins_engaged(spark):
     # executed plan is the cheap observable that the pin engaged.
     from ffn_polars_spark.operators.dedup import release_pins
 
-    for name in ("dedup_exact", "bm25_search", "tfidf_topterms",
-                  "duplicate_spans", "pack_sequences", "clean_corpus",
+    # dedup_exact / clean_corpus left this list in r13: their canonical-id
+    # resolution became min-over-window (single branch, single exchange),
+    # so there is no multi-branch re-derivation left to pin.
+    for name in ("bm25_search", "tfidf_topterms",
+                  "duplicate_spans", "pack_sequences",
                   "langid_agreement", "centroid_outliers"):
         plan = explain_str(QUERY_FNS[name](spark, SF))
         release_pins()

@@ -64,22 +64,35 @@ def make_minhash_udf(coeffs):
     return _sig.asNondeterministic()
 
 
-def _md5_shingle_hashes(tl, n):
-    """Distinct n-gram shingle hashes (first-occurrence order) of a token
-    list: the portable 60-bit md5 hash — ``int(md5(s).hexdigest()[17:32],
-    16)`` — of each space-joined shingle, exactly the bytes/parse the JVM
+def _make_md5_shingle_hashes():
+    """Build the shingle-hash helper as a SELF-CONTAINED closure: distinct
+    n-gram shingle hashes (first-occurrence order) of a token list — the
+    portable 60-bit md5 hash ``int(md5(s).hexdigest()[17:32], 16)`` of each
+    space-joined shingle, exactly the bytes/parse the JVM
     ``_hash64(col, "md5")`` projection produces, so signatures and the
-    DuckDB oracle replay are bit-identical."""
+    DuckDB oracle replay are bit-identical.
+
+    Returned (not module-level) so the pandas_udfs below capture it BY
+    VALUE: a module-global reference would make cloudpickle import this
+    module — and the whole operator package behind it — inside every
+    Python worker on first use (measured +3.2 s on the kernel's first
+    stage)."""
     import hashlib
 
+    import numpy as _np
+
     md5 = hashlib.md5
-    m = len(tl) - (n - 1)
-    seen = dict.fromkeys(" ".join(tl[i : i + n]) for i in range(m))
-    return np.fromiter(
-        (int(md5(s.encode()).hexdigest()[17:32], 16) for s in seen),
-        dtype=np.int64,
-        count=len(seen),
-    )
+
+    def _hashes(tl, n):
+        m = len(tl) - (n - 1)
+        seen = dict.fromkeys(" ".join(tl[i : i + n]) for i in range(m))
+        return _np.fromiter(
+            (int(md5(s.encode()).hexdigest()[17:32], 16) for s in seen),
+            dtype=_np.int64,
+            count=len(seen),
+        )
+
+    return _hashes
 
 
 def make_md5_minhash_udf(coeffs, n):
@@ -95,6 +108,7 @@ def make_md5_minhash_udf(coeffs, n):
     A = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
     B = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
     P = np.uint64(_MERSENNE)
+    shingle_hashes = _make_md5_shingle_hashes()
 
     @pandas_udf("struct<h64:array<long>,sig:array<long>>")
     def _sig(toks: pd.Series) -> pd.DataFrame:
@@ -106,7 +120,7 @@ def make_md5_minhash_udf(coeffs, n):
                 h64s.append(np.array([], dtype=np.int64))
                 sigs.append(None)
                 continue
-            h = _md5_shingle_hashes(list(tk), n)
+            h = shingle_hashes(list(tk), n)
             hm = h.astype(np.uint64) % P
             mins = ((A * hm[None, :] + B) % P).min(axis=1).astype(np.int64)
             h64s.append(hm.astype(np.int64))
@@ -122,6 +136,7 @@ def make_md5_simhash_udf(n):
     """(array<string> tokens) -> 64-bit simhash long, fused like
     :func:`make_md5_minhash_udf` (same majority-bit rule as
     :func:`make_simhash_udf`: bit j set iff ones*2 > |hashes|)."""
+    shingle_hashes = _make_md5_shingle_hashes()
 
     @pandas_udf("long")
     def _sig(toks: pd.Series) -> pd.Series:
@@ -130,7 +145,7 @@ def make_md5_simhash_udf(n):
             if tk is None or len(tk) < n:
                 out[i] = 0
                 continue
-            h = _md5_shingle_hashes(list(tk), n)
+            h = shingle_hashes(list(tk), n)
             v = h.view(np.uint64)
             ones = ((v[:, None] >> _SHIFTS) & np.uint64(1)).sum(axis=0)
             bits = (ones * 2 > len(v)).astype(np.uint64)

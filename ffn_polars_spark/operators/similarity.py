@@ -296,6 +296,22 @@ def _spread_vecs(df: DataFrame) -> DataFrame:
     return df
 
 
+def _tiny_or_spread(items: DataFrame, cap: int = 8_000) -> DataFrame:
+    """ann_topk's tiny-skip generalized to the bucketed ANN item sides
+    (r13): when the parquet footers PROVE the item table is at most ``cap``
+    rows, skip the parallelism spread — the per-item work (unit fold +
+    bucket/cell kernel, ~10 µs/row) is below the spread's own exchange +
+    AQE-round cost (~0.14 s measured). Footer counts are upper bounds, so
+    an unknown or large count errs toward spreading — the safe direction
+    at scale."""
+    from ffn_polars_spark.operators._scanmeta import bare_scan_row_count
+
+    n_i = bare_scan_row_count(items, allow_reducing=True)
+    if n_i is not None and 0 < n_i <= cap:
+        return items
+    return _spread_vecs(items)
+
+
 @register(namespace="eod", kind="df", context="dataframe", alias="embedding_cosine_pairs")
 def embedding_cosine_pairs(
     df: DataFrame,
@@ -894,7 +910,7 @@ def ann_topk_lsh(
     planes_per_table = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
 
     it = _bucketize(
-        _spread_vecs(items).select(
+        _tiny_or_spread(items).select(
             F.col(id_col).alias("item_id"), unit(F.col(vec_col)).alias("__iv")
         ),
         "item_id",
@@ -1040,7 +1056,7 @@ def ann_topk_ivf(
     # *argument* — evaluated twice on the stream side (the join's inferred
     # isnotnull(__cell) filter is pushed below the exchange and re-runs the
     # UDF) — a measured ~3x on the whole query at sf1.
-    it = _spread_vecs(items).select(
+    it = _tiny_or_spread(items).select(
         F.col(id_col).alias("item_id"),
         unit(F.col(vec_col)).alias("__iv"),
         F.element_at(assign_item(F.col(vec_col)), 1).alias("__cell"),

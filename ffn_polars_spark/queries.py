@@ -1755,7 +1755,15 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
 )
 def q_pricing_summary(spark, sf_dir):
-    li = read_table(spark, sf_dir, "lineitem")
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
+    # r13: the four DECIMAL sums cost ~0.95 s of per-row cast+add CPU at
+    # sf0.1, and the map-side partial aggregate runs entirely inside the
+    # scan task — a single-row-group file pins ALL of it to one core.
+    # spread_scan is the same conditional guard the dedup/text pipelines
+    # use: a no-op on sanely-row-grouped input (no extra exchange at real
+    # scale), a keyed repartition here. Measured 1.23 -> 0.93 s.
+    li = spread_scan(read_table(spark, sf_dir, "lineitem"), "l_orderkey")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     return (

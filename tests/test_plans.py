@@ -24,14 +24,23 @@ pytestmark = pytest.mark.skipif(
 
 def test_pricing_summary_pushdown_and_pruning(spark):
     df = QUERY_FNS["pricing_summary"](spark, SF)
-    # the shipdate predicate must reach the parquet scan
+    # the shipdate predicate must reach the parquet scan — THROUGH the
+    # conditional spread repartition (r13): predicate pushdown crosses
+    # RepartitionByExpression
     assert any("l_shipdate" in f for f in pushed_filters(df))
-    # lineitem has 16 columns; the scan must read only the 7 used
+    # lineitem has 16 columns; the scan must read only the 7 used plus the
+    # spread's repartition key (l_orderkey — one extra long column, the
+    # price of keying the conditional spread instead of a round-robin
+    # repartition whose pre-sort costs more)
     schema = read_schemas(df)[0]
     assert "l_comment" not in schema and "l_partkey" not in schema
-    assert schema.count(":") <= 7
-    # scan -> partial agg -> exchange -> final agg: exactly one shuffle
-    assert count_exchanges(df) == 1
+    assert schema.count(":") <= 8
+    # scan -> [spread exchange] -> partial agg -> exchange -> final agg.
+    # sf0.001's single-row-group file triggers the r13 spread_scan guard
+    # (decimal partial agg would otherwise run inside the one scan task),
+    # so exactly two exchanges here; on sanely-row-grouped input the spread
+    # is a no-op and the plan has the classic single agg exchange.
+    assert count_exchanges(df) == 2
 
 
 def test_revenue_by_nation_broadcasts_dims(spark):

@@ -719,6 +719,18 @@ def dedup_minhash_lsh(
     # Pin the bucket table: both sides of the self-join (and nothing else)
     # read it, and it is tiny relative to the corpus (docs x bands rows of
     # three longs).
+    #
+    # r13 negative result, kept deliberately: a groupBy(band, bh) +
+    # collect_list + in-task C(k,2) pair expansion (nested transform/slice)
+    # removes this pin's eager count job AND the self-join stage, and it
+    # tightens the contended-box tail dramatically (no two-reader cache
+    # race), but it measured ~0.3 s SLOWER on quiet-box min-of-5 at sf0.1
+    # (1.94-2.08 vs 1.60-1.74): with realistic mostly-singleton buckets the
+    # codegen'd hash self-join on a ReusedExchange beats the no-codegen
+    # ObjectHashAggregate + interpreted HOF pair expansion. The same
+    # restructure IS kept in dedup_simhash below, where it measured at par
+    # and its removed count job was a full corpus-signature pass. Re-test
+    # here at sf1+ if the bucket-size distribution ever fattens.
     buckets = _pinned(
         sig.select(
             F.col(id_col).alias("__id"),
@@ -840,9 +852,15 @@ def dedup_simhash(
     agrees on at least one chunk, so candidates come from 4 chunk-equality
     joins (union'd via explode), then ``bit_count(xor)`` filters exactly.
     """
-    sig = _pinned(
-        simhash_signatures(_spread(df, id_col), n, text_col, id_col, hash_fn)
-    )
+    # r13: candidates via groupBy + in-bucket pair generation, exactly the
+    # dedup_minhash_lsh restructure (see there for the full rationale): one
+    # hash exchange on (chunk, val) collects each bucket's (id, simhash)
+    # structs, and pairs + hamming are generated inside the reduce task from
+    # the id-sorted list — the same (id_a < id_b, hamming) triples the chunk
+    # self-join emitted. The signature frame now has a SINGLE reader, so the
+    # eager `_pinned(sig)` — one construction-time count job over the full
+    # corpus-signature derivation at every scale — is gone.
+    sig = simhash_signatures(_spread(df, id_col), n, text_col, id_col, hash_fn)
     chunks = sig.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -861,20 +879,32 @@ def dedup_simhash(
         ).alias("__c"),
     ).select("__id", "simhash", F.col("__c.chunk").alias("__chunk"), F.col("__c.val").alias("__val"))
 
-    l, r = chunks.alias("l"), chunks.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.__chunk") == F.col("r.__chunk"))
-            & (F.col("l.__val") == F.col("r.__val"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
-                "hamming"
+    grouped = chunks.groupBy("__chunk", "__val").agg(
+        F.collect_list(F.struct(F.col("__id"), F.col("simhash"))).alias("__ds")
+    )
+    ds = F.array_sort(F.col("__ds"))
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda b: F.struct(
+                    a.getField("__id").alias("id_a"),
+                    b.getField("__id").alias("id_b"),
+                    F.bit_count(
+                        a.getField("simhash").bitwiseXOR(b.getField("simhash"))
+                    ).alias("hamming"),
+                ),
             ),
+        )
+    )
+    return (
+        grouped.where(F.size("__ds") >= 2)
+        .select(F.explode(pair_structs).alias("__p"))
+        .select(
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            F.col("__p.hamming").alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -265,7 +265,9 @@ def test_minhash_single_guard_count_action(spark, corpus, monkeypatch):
     materialization action (the bucket pin's count). The shingle-array pin
     is lazy — its cache fills serially inside that same action, so a second
     count pass over the corpus-sized derivation (the old slowest-headline
-    fat: ~5 s of task-time at sf0.1) is a regression."""
+    fat: ~5 s of task-time at sf0.1) is a regression. (A zero-count
+    groupBy-pairs restructure was measured in r13 and reverted: ~0.3 s
+    slower quiet-box min at sf0.1 — see dedup.py for the record.)"""
     # Spark 4 splits the API: the runtime frames are
     # pyspark.sql.classic.dataframe.DataFrame, which overrides count()
     from pyspark.sql.classic.dataframe import DataFrame

@@ -1832,9 +1832,21 @@ FROM rev
 QUALIFY rank <= 3""",
 )
 def q_top_customers(spark, sf_dir):
+    from ffn_polars_spark.operators._scanmeta import spread_scan
+
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
+    # Same conditional guard as pricing_summary (r13): a single-row-group
+    # lineitem file pins the joins + the DECIMAL partial aggregate to one
+    # scan task; spreading the scan (narrow: pruning keeps only the three
+    # join/agg columns in the exchange) parallelizes the BigDecimal work.
+    # Measured 1.547 -> 1.080 min-of-5 at sf0.1 (canary 0.19). No-op at
+    # real scale (guard fires only when effective parallelism < slots/2).
+    # Result-identical: the aggregate is an order-exact DECIMAL sum.
+    # revenue_by_nation measured WORSE with the same spread (0.728 ->
+    # 0.849): its orders-date filter shrinks the joined agg work below the
+    # exchange's cost, so it deliberately stays unspread.
+    li = spread_scan(read_table(spark, sf_dir, "lineitem"), "l_orderkey")
     nation = read_table(spark, sf_dir, "nation")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = (

@@ -547,6 +547,25 @@ def _minhash_coeffs(num_hashes: int, seed: int) -> list:
 # rule. Both produce bit-identical signatures (same integer arithmetic).
 SIGNATURE_ENGINE = "arrow"
 
+# Candidate-generation strategy for dedup_minhash_lsh. "self_join" is the
+# pinned-bucket-table self-join; "group_pairs" is groupBy(band, bh) +
+# collect_list + in-task C(k,2) pair expansion (the dedup_simhash shape).
+# "auto" picks by input scale from parquet footers: the self-join's
+# codegen'd hash join on a ReusedExchange wins on tiny corpora where its
+# eager pin-count job is cheap (r13 paired A/Bs at 5k docs/0.6 MB: md5
+# min 2.08/2.21 s vs group_pairs 2.14/2.31, both pair orderings), while
+# group_pairs wins once the corpus is large enough that the extra
+# construction count pass and the two-reader cache fill dominate — paired
+# A/Bs, both pair orderings: at 50k docs/12 MB group_pairs 2.80/2.79 s vs
+# 3.71/3.57 (xxhash64) and 3.62 vs 4.08 (md5); at 500k docs/122 MB
+# 7.34/8.56 vs 9.49/9.06 — output identical pair-for-pair at every scale.
+# group_pairs is also robust to contention (no two-reader lazy-pin race).
+# The 4 MB cutoff sits between the measured 0.6 MB (self-join wins) and
+# 12 MB (group_pairs wins) points; unknown footers (in-memory frames)
+# take group_pairs — the zero-eager-job, scale-safe direction.
+CANDIDATE_STRATEGY = "auto"
+_GROUP_PAIRS_MIN_BYTES = 4 << 20
+
 
 def _minhash_arrow(coeffs: list):
     from ffn_polars_spark.operators._arrow_kernels import make_minhash_udf
@@ -716,50 +735,84 @@ def dedup_minhash_lsh(
         )
         for b in range(bands)
     ]
-    # Pin the bucket table: both sides of the self-join (and nothing else)
-    # read it, and it is tiny relative to the corpus (docs x bands rows of
-    # three longs).
-    #
-    # r13 negative result, kept deliberately: a groupBy(band, bh) +
-    # collect_list + in-task C(k,2) pair expansion (nested transform/slice)
-    # removes this pin's eager count job AND the self-join stage, and it
-    # tightens the contended-box tail dramatically (no two-reader cache
-    # race), but it measured ~0.3 s SLOWER on quiet-box min-of-5 at sf0.1
-    # (1.94-2.08 vs 1.60-1.74): with realistic mostly-singleton buckets the
-    # codegen'd hash self-join on a ReusedExchange beats the no-codegen
-    # ObjectHashAggregate + interpreted HOF pair expansion. The same
-    # restructure IS kept in dedup_simhash below, where it measured at par
-    # and its removed count job was a full corpus-signature pass. Re-test
-    # here at sf1+ if the bucket-size distribution ever fattens.
-    buckets = _pinned(
-        sig.select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.array(*band_structs)).alias("__b"),
-        ).select(
-            "__id", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh")
-        )
-    )
-    if max_bucket is not None:
-        # hot-bucket valve: a keyed window over the PINNED bucket table
-        # (never the corpus), so the count costs one bucket-sized exchange
-        from pyspark.sql.window import Window
+    # Candidate pairs: two strategies emitting the same distinct
+    # (id_a < id_b) set — see CANDIDATE_STRATEGY above for the measured
+    # crossover and why unknown-size inputs take the group_pairs side.
+    strategy = CANDIDATE_STRATEGY
+    if strategy == "auto":
+        from ffn_polars_spark.operators._scanmeta import scan_bytes
 
-        w_b = Window.partitionBy("__band", "__bh")
-        buckets = buckets.withColumn(
-            "__bn", F.count(F.lit(1)).over(w_b)
-        ).where(F.col("__bn") <= int(max_bucket)).drop("__bn")
-
-    l, r = buckets.alias("l"), buckets.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__bh") == F.col("r.__bh"))
-            & (F.col("l.__id") < F.col("r.__id")),
+        sb = scan_bytes(df)
+        strategy = (
+            "self_join"
+            if sb is not None and sb < _GROUP_PAIRS_MIN_BYTES
+            else "group_pairs"
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .distinct()
+    bucket_rows = sig.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(*band_structs)).alias("__b"),
+    ).select(
+        "__id", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh")
     )
+    if strategy == "group_pairs":
+        # One hash exchange on (band, bh) collects each bucket's ids; pairs
+        # are generated inside the reduce task from the id-sorted list (the
+        # dedup_simhash shape). Single reader of the signature frame -> no
+        # bucket pin, no eager count job.
+        grouped = bucket_rows.groupBy("__band", "__bh").agg(
+            F.collect_list("__id").alias("__ids")
+        )
+        if max_bucket is not None:
+            # hot-bucket valve: group sizes are already materialized here,
+            # so the cap is a free filter on the aggregate
+            grouped = grouped.where(F.size("__ids") <= int(max_bucket))
+        ids = F.array_sort(F.col("__ids"))
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda a, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
+        cands = (
+            grouped.where(F.size("__ids") >= 2)
+            .select(F.explode(pair_structs).alias("__p"))
+            .select(
+                F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b")
+            )
+            .distinct()
+        )
+    else:
+        # Pin the bucket table: both sides of the self-join (and nothing
+        # else) read it, and it is tiny relative to the corpus (docs x
+        # bands rows of three longs).
+        buckets = _pinned(bucket_rows)
+        if max_bucket is not None:
+            # hot-bucket valve: a keyed window over the PINNED bucket table
+            # (never the corpus), so the count costs one bucket-sized
+            # exchange
+            from pyspark.sql.window import Window
+
+            w_b = Window.partitionBy("__band", "__bh")
+            buckets = (
+                buckets.withColumn("__bn", F.count(F.lit(1)).over(w_b))
+                .where(F.col("__bn") <= int(max_bucket))
+                .drop("__bn")
+            )
+
+        l, r = buckets.alias("l"), buckets.alias("r")
+        cands = (
+            l.join(
+                r,
+                (F.col("l.__band") == F.col("r.__band"))
+                & (F.col("l.__bh") == F.col("r.__bh"))
+                & (F.col("l.__id") < F.col("r.__id")),
+            )
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+            .distinct()
+        )
     if verify == "none":
         return cands
 

@@ -260,34 +260,92 @@ def test_executor_heap_bytes_parses_spark_memory_grammar():
     assert _executor_heap_bytes(_Stub(None)) == 8 << 30
 
 
-def test_minhash_single_guard_count_action(spark, corpus, monkeypatch):
-    """Building dedup_minhash_lsh's plan must trigger exactly ONE eager
-    materialization action (the bucket pin's count). The shingle-array pin
-    is lazy — its cache fills serially inside that same action, so a second
-    count pass over the corpus-sized derivation (the old slowest-headline
-    fat: ~5 s of task-time at sf0.1) is a regression. (A zero-count
-    groupBy-pairs restructure was measured in r13 and reverted: ~0.3 s
-    slower quiet-box min at sf0.1 — see dedup.py for the record.)"""
+def test_minhash_construction_count_budget_per_strategy(spark, corpus, monkeypatch):
+    """Construction-time eager-action budget, per candidate strategy:
+
+    - group_pairs (the auto choice for in-memory/large inputs) must build
+      its plan with ZERO eager materialization actions — no bucket pin, no
+      count job (the single-reader restructure's whole point).
+    - self_join (the auto choice for footer-proven tiny inputs) must
+      trigger exactly ONE (the bucket pin's count). The shingle-array pin
+      is lazy — its cache fills serially inside that same action, so a
+      second count pass over the corpus-sized derivation (the old
+      slowest-headline fat: ~5 s of task-time at sf0.1) is a regression.
+    """
     # Spark 4 splits the API: the runtime frames are
     # pyspark.sql.classic.dataframe.DataFrame, which overrides count()
     from pyspark.sql.classic.dataframe import DataFrame
 
+    import ffn_polars_spark.operators.dedup as dedup_mod
     from ffn_polars_spark.operators.dedup import dedup_minhash_lsh, release_pins
 
-    release_pins()
-    calls = []
     orig = DataFrame.count
+    for strategy, budget in (("group_pairs", 0), ("self_join", 1)):
+        release_pins()
+        calls = []
 
-    def counting(self):
-        calls.append(1)
-        return orig(self)
+        def counting(self):
+            calls.append(1)
+            return orig(self)
 
-    monkeypatch.setattr(DataFrame, "count", counting)
-    out = dedup_minhash_lsh(corpus, threshold=0.5, hash_fn="md5")
-    assert len(calls) == 1, f"expected 1 construction count, got {len(calls)}"
+        monkeypatch.setattr(dedup_mod, "CANDIDATE_STRATEGY", strategy)
+        monkeypatch.setattr(DataFrame, "count", counting)
+        out = dedup_minhash_lsh(corpus, threshold=0.5, hash_fn="md5")
+        assert len(calls) == budget, (
+            f"{strategy}: expected {budget} construction counts, got {len(calls)}"
+        )
+        monkeypatch.undo()
+        # the plan still executes correctly (lazily-pinned arrays / no pin)
+        assert out.count() > 0
+    release_pins()
+
+
+def test_minhash_candidate_strategy_auto_and_identity(spark, corpus, tmp_path, monkeypatch):
+    """The auto strategy switch: footer-proven tiny parquet inputs take the
+    pinned-bucket self-join, in-memory (unknown-size) frames take
+    groupBy-pairs — and both strategies emit the IDENTICAL pair set (the
+    r13 A/Bs verified this up to 500k docs; this pins it in CI)."""
+    import ffn_polars_spark.operators.dedup as dedup_mod
+    from ffn_polars_spark.operators.dedup import dedup_minhash_lsh, release_pins
+
+    outs = {}
+    for strategy in ("self_join", "group_pairs"):
+        monkeypatch.setattr(dedup_mod, "CANDIDATE_STRATEGY", strategy)
+        release_pins()
+        outs[strategy] = dedup_minhash_lsh(
+            corpus, threshold=0.5, hash_fn="md5"
+        ).collect()
     monkeypatch.undo()
-    # the plan still executes correctly from the lazily-pinned arrays
-    assert out.count() > 0
+    release_pins()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(outs["self_join"], key=key) == sorted(
+        outs["group_pairs"], key=key
+    )
+    assert len(outs["self_join"]) > 0
+
+    # auto routing: in-memory frame -> group_pairs (scan_bytes is None);
+    # tiny parquet -> self_join (footer bytes below the cutoff). Observed
+    # via the construction-count budget (1 = pinned self-join, 0 = GB).
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    orig = DataFrame.count
+    path = str(tmp_path / "docs.parquet")
+    corpus.write.mode("overwrite").parquet(path)
+    on_disk = spark.read.parquet(path)
+    for frame, expected in ((corpus, 0), (on_disk, 1)):
+        release_pins()
+        calls = []
+
+        def counting(self):
+            calls.append(1)
+            return orig(self)
+
+        monkeypatch.setattr(DataFrame, "count", counting)
+        dedup_minhash_lsh(frame, threshold=0.5, hash_fn="md5")
+        monkeypatch.undo()
+        assert len(calls) == expected, (
+            f"auto routing: expected {expected} counts, got {len(calls)}"
+        )
     release_pins()
 
 

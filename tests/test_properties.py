@@ -20,8 +20,16 @@ prices = st.lists(
     max_size=30,
 )
 
+# Smoke mode (default; see tests/conftest.py FULL_BATTERY): only the curated
+# PROPERTY_SMOKE subset is collected, at fewer examples, so the default suite
+# fits the driver's verify budget. FFN_FULL_BATTERY=1 restores the full
+# 15-example battery over every test.
+import os as _os
+
+_FULL_BATTERY = _os.environ.get("FFN_FULL_BATTERY", "") not in ("", "0")
+
 SET = settings(
-    max_examples=15,
+    max_examples=15 if _FULL_BATTERY else 5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1071,7 +1079,7 @@ def test_connected_components_parity_property(spark, edges):
 # fewer examples than SET: each example writes parquet files and drains a
 # real streaming query (~2-4 s)
 SET_STREAM = settings(
-    max_examples=8,
+    max_examples=8 if _FULL_BATTERY else 2,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

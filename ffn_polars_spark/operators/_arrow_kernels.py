@@ -96,8 +96,8 @@ def _make_md5_shingle_hashes():
 
 
 def make_md5_minhash_udf(coeffs, n):
-    """(array<string> tokens) -> struct(h64: distinct shingle hashes mod P,
-    sig: permutation minima).
+    """(array<string> tokens) -> struct(h64: RAW distinct 60-bit shingle
+    hashes, sig: permutation minima).
 
     Fuses shingle construction + md5 hashing + the minhash permutations into
     one Arrow pass. The JVM alternative evaluates ``concat_ws`` and
@@ -123,7 +123,13 @@ def make_md5_minhash_udf(coeffs, n):
             h = shingle_hashes(list(tk), n)
             hm = h.astype(np.uint64) % P
             mins = ((A * hm[None, :] + B) % P).min(axis=1).astype(np.int64)
-            h64s.append(hm.astype(np.int64))
+            # h64 carries the RAW 60-bit hashes, exactly what the JVM
+            # _hash64(col, "md5") projection stores: the exact-verify
+            # Jaccard intersects h64, so storing the mod-P values would
+            # raise the per-hash collision probability from ~2^-60 to
+            # ~2^-31 and break oracle parity on near-threshold pairs at
+            # scale. The modulus applies only inside the signature math.
+            h64s.append(h)
             sigs.append(mins)
         return pd.DataFrame({"h64": h64s, "sig": sigs})
 

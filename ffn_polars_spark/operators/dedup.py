@@ -617,6 +617,32 @@ def _signatures_from_arrays(
     return hashed.select(id_col, *sigs)
 
 
+def _bucket_pairs_streamed(grouped: DataFrame, ids_col: str, emit) -> DataFrame:
+    """All C(k,2) in-bucket pairs from a sorted array column, generated
+    STREAMINGLY: ``posexplode`` anchors each left element, then a per-row
+    ``slice`` of the array's suffix feeds a second explode. In-row memory
+    stays O(k) (the bucket array plus one suffix slice), where the r13
+    ``flatten(transform(transform(...)))`` built the full k²/2 pair-struct
+    array inside ONE row before exploding it — on a degenerate boilerplate
+    bucket (the skew LSH produces at corpus scale) that single allocation
+    hits the 2 GiB array limit / executor heap long before the pair STREAM
+    itself is a problem. The emitted pair sequence is identical (i < j in
+    array order); only the materialization granularity changes.
+
+    ``emit(a, b)`` maps the left/right array elements to output columns.
+    """
+    lefts = grouped.select(
+        F.col(ids_col), F.posexplode(F.col(ids_col)).alias("__i", "__a")
+    )
+    pairs = lefts.select(
+        F.col("__a"),
+        F.explode(
+            F.slice(F.col(ids_col), F.col("__i") + F.lit(2), F.size(F.col(ids_col)))
+        ).alias("__b"),
+    )
+    return pairs.select(*emit(F.col("__a"), F.col("__b")))
+
+
 @register(namespace="eod", kind="df", context="dataframe", alias="dedup_minhash_lsh")
 def dedup_minhash_lsh(
     df: DataFrame,
@@ -759,31 +785,33 @@ def dedup_minhash_lsh(
         # are generated inside the reduce task from the id-sorted list (the
         # dedup_simhash shape). Single reader of the signature frame -> no
         # bucket pin, no eager count job.
+        if max_bucket is not None:
+            # r14 hot-bucket valve placement: count-and-filter BEFORE the
+            # collect_list, via a window keyed like the groupBy (same hash
+            # exchange — guide §2.4). The r13 shape filtered AFTER the
+            # aggregate, so a degenerate bucket's full id-list still
+            # materialized in one unspillable ObjectHashAggregate buffer
+            # (1e9-doc boilerplate bucket = 8+ GB in one allocation →
+            # executor OOM); the window's row buffer spills to disk, and
+            # hot buckets are dropped before anything collects them.
+            from pyspark.sql.window import Window
+
+            w_b = Window.partitionBy("__band", "__bh")
+            bucket_rows = (
+                bucket_rows.withColumn("__bn", F.count(F.lit(1)).over(w_b))
+                .where(F.col("__bn") <= int(max_bucket))
+                .drop("__bn")
+            )
         grouped = bucket_rows.groupBy("__band", "__bh").agg(
             F.collect_list("__id").alias("__ids")
         )
-        if max_bucket is not None:
-            # hot-bucket valve: group sizes are already materialized here,
-            # so the cap is a free filter on the aggregate
-            grouped = grouped.where(F.size("__ids") <= int(max_bucket))
-        ids = F.array_sort(F.col("__ids"))
-        pair_structs = F.flatten(
-            F.transform(
-                ids,
-                lambda a, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                ),
-            )
-        )
-        cands = (
-            grouped.where(F.size("__ids") >= 2)
-            .select(F.explode(pair_structs).alias("__p"))
-            .select(
-                F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b")
-            )
-            .distinct()
-        )
+        cands = _bucket_pairs_streamed(
+            grouped.where(F.size("__ids") >= 2).select(
+                F.array_sort("__ids").alias("__ids")
+            ),
+            "__ids",
+            lambda a, b: [a.alias("id_a"), b.alias("id_b")],
+        ).distinct()
     else:
         # Pin the bucket table: both sides of the self-join (and nothing
         # else) read it, and it is tiny relative to the corpus (docs x
@@ -898,12 +926,21 @@ def dedup_simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs within a Hamming ball.
 
     Pigeonhole banding: with 4 16-bit chunks, any pair within Hamming ≤ 3
     agrees on at least one chunk, so candidates come from 4 chunk-equality
     joins (union'd via explode), then ``bit_count(xor)`` filters exactly.
+
+    ``max_bucket`` (default None = uncapped, bit-identical to the oracle
+    twin) drops 16-bit chunk buckets holding more than that many docs
+    BEFORE they are collected — the dedup_minhash_lsh hot-bucket valve. A
+    boilerplate chunk value shared by k docs emits C(k,2) candidates; docs
+    in a dropped bucket can still pair through their other 3 chunks, so
+    recall for true near-dups (which agree on most chunks) is ~unchanged.
+    Set around 10³–10⁴ for web-scale corpora.
     """
     # r13: candidates via groupBy + in-bucket pair generation, exactly the
     # dedup_minhash_lsh restructure (see there for the full rationale): one
@@ -932,32 +969,35 @@ def dedup_simhash(
         ).alias("__c"),
     ).select("__id", "simhash", F.col("__c.chunk").alias("__chunk"), F.col("__c.val").alias("__val"))
 
+    if max_bucket is not None:
+        # r14 hot-bucket valve: count-and-filter BEFORE collect_list on the
+        # same (chunk, val) key — shares the groupBy's exchange, the window
+        # buffer spills where the aggregate buffer cannot (see the
+        # dedup_minhash_lsh group_pairs valve).
+        from pyspark.sql.window import Window
+
+        w_b = Window.partitionBy("__chunk", "__val")
+        chunks = (
+            chunks.withColumn("__bn", F.count(F.lit(1)).over(w_b))
+            .where(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
     grouped = chunks.groupBy("__chunk", "__val").agg(
         F.collect_list(F.struct(F.col("__id"), F.col("simhash"))).alias("__ds")
     )
-    ds = F.array_sort(F.col("__ds"))
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda a, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda b: F.struct(
-                    a.getField("__id").alias("id_a"),
-                    b.getField("__id").alias("id_b"),
-                    F.bit_count(
-                        a.getField("simhash").bitwiseXOR(b.getField("simhash"))
-                    ).alias("hamming"),
-                ),
-            ),
-        )
-    )
     return (
-        grouped.where(F.size("__ds") >= 2)
-        .select(F.explode(pair_structs).alias("__p"))
-        .select(
-            F.col("__p.id_a").alias("id_a"),
-            F.col("__p.id_b").alias("id_b"),
-            F.col("__p.hamming").alias("hamming"),
+        _bucket_pairs_streamed(
+            grouped.where(F.size("__ds") >= 2).select(
+                F.array_sort("__ds").alias("__ds")
+            ),
+            "__ds",
+            lambda a, b: [
+                a.getField("__id").alias("id_a"),
+                b.getField("__id").alias("id_b"),
+                F.bit_count(
+                    a.getField("simhash").bitwiseXOR(b.getField("simhash"))
+                ).alias("hamming"),
+            ],
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -419,6 +419,33 @@ def test_md5_fused_kernel_matches_jvm_path(spark, corpus):
     assert sim_fused == sim_jvm
 
 
+def test_md5_fused_kernel_h64_is_raw_hash(spark, corpus):
+    """r14 (advice fix): the fused kernel's h64 must carry the RAW 60-bit
+    md5 hashes — bit-equal to the JVM _hash64(col, 'md5') projection — not
+    their mod-P reductions. The exact-verify Jaccard intersects h64, so a
+    mod-P h64 silently raises collision probability from ~2^-60 to ~2^-31;
+    the pair-level parity test above cannot see that on a collision-free
+    tiny corpus, so compare the arrays element-for-element here."""
+    import ffn_polars_spark.operators.dedup as D
+
+    kernel = D._md5_minhash_arrow(D._minhash_coeffs(4, 42), 3)
+    fused = {
+        r["__id"]: sorted(r["__o"]["h64"])
+        for r in D._tokens_frame(corpus, "text", "doc_id", 3)
+        .select("__id", kernel(F.col("__toks")).alias("__o"))
+        .collect()
+    }
+    jvm = {
+        r["__id"]: sorted(r["__h64"])
+        for r in D._doc_shingle_arrays(corpus, "text", "doc_id", 3, "md5")
+        .select("__id", "__h64")
+        .collect()
+    }
+    assert fused == jvm
+    # raw 60-bit hashes: values this large cannot be mod-P residues
+    assert any(h >= (1 << 31) - 1 for hs in fused.values() for h in hs)
+
+
 def test_dedup_exact_window_null_text_dropped(spark):
     """r13: canonical-id resolution moved from groupBy+join-back to a window;
     the explicit fingerprint-NOT-NULL filter must reproduce the old inner
@@ -430,3 +457,56 @@ def test_dedup_exact_window_null_text_dropped(spark):
     assert set(rows) == {1, 3}
     assert rows[3]["canonical_id"] == 1 and rows[3]["is_duplicate"]
     assert not rows[1]["is_duplicate"]
+
+
+def test_group_pairs_hot_bucket_valve_and_streamed_pairs(spark, monkeypatch):
+    """r14 hot-bucket memory fixes (verdict #3 / advice), pinned three ways:
+
+    1. VALVE PLACEMENT: with ``max_bucket`` set, the cap filters on a
+       window COUNT of the bucket key *below* the collect_list aggregate —
+       the r13 shape filtered ``size(__ids)`` after the aggregate, so a
+       degenerate bucket's full id-list materialized in one unspillable
+       ObjectHashAggregate buffer before being dropped. The window's row
+       buffer spills; the aggregate's cannot.
+    2. STREAMED PAIRS: in-bucket pair expansion goes through
+       posexplode + slice generates; no ``flatten(transform(...))``
+       quadratic in-row pair array anywhere in the optimized plan.
+    3. SEMANTICS: the valve drops exactly the over-cap buckets (same
+       observable behavior as r13), for both dedup_minhash_lsh's
+       group_pairs strategy and dedup_simhash's new ``max_bucket``.
+    """
+    import ffn_polars_spark.operators.dedup as dedup_mod
+    from ffn_polars_spark.plans import explain_str
+
+    monkeypatch.setattr(dedup_mod, "CANDIDATE_STRATEGY", "group_pairs")
+    # 10 identical docs: every band/chunk bucket holds all 10
+    docs = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    for fn, kw in (
+        (dedup_minhash_lsh, dict(threshold=0.5, hash_fn="md5")),
+        (dedup_simhash, dict(max_hamming=3, hash_fn="md5")),
+    ):
+        plan = explain_str(fn(docs, max_bucket=5, **kw))
+        assert "flatten(" not in plan, f"{fn.__name__}: quadratic pair array"
+        # the __bn window-count filter must sit BELOW the collect_list in
+        # the formatted details (operators are numbered bottom-up)
+        valve = plan.find("__bn")
+        collect = plan.find("collect_list")
+        assert 0 < valve < collect, f"{fn.__name__}: valve not below collect"
+        # hamming/size filters above the aggregate must not re-introduce a
+        # post-collect size(...) cap
+        assert plan.count("Window") >= 1
+        # cap 5 < bucket size 10 -> every bucket dropped, zero pairs
+        assert fn(docs, max_bucket=5, **kw).count() == 0
+        # cap 20 -> all C(10,2) pairs survive (identical docs)
+        assert fn(docs, max_bucket=20, **kw).count() == 45
+        dedup_mod.release_pins()
+    # uncapped plans must also be flatten-free (streamed pairs are
+    # unconditional)
+    assert "flatten(" not in explain_str(
+        dedup_minhash_lsh(docs, threshold=0.5, hash_fn="md5")
+    )
+    assert "flatten(" not in explain_str(dedup_simhash(docs, hash_fn="md5"))
+    dedup_mod.release_pins()

@@ -38,9 +38,11 @@ def test_pricing_summary_pushdown_and_pruning(spark):
     # scan -> [spread exchange] -> partial agg -> exchange -> final agg.
     # sf0.001's single-row-group file triggers the r13 spread_scan guard
     # (decimal partial agg would otherwise run inside the one scan task),
-    # so exactly two exchanges here; on sanely-row-grouped input the spread
-    # is a no-op and the plan has the classic single agg exchange.
-    assert count_exchanges(df) == 2
+    # so two exchanges here; on sanely-row-grouped input the spread is a
+    # no-op and the plan has the classic single agg exchange. Assert the
+    # operator contract (1 or 2, layout-dependent), not the test data
+    # generator's row-group layout (r14 advice fix).
+    assert count_exchanges(df) in (1, 2)
 
 
 def test_revenue_by_nation_broadcasts_dims(spark):

@@ -1056,7 +1056,15 @@ def ann_topk_ivf(
     # *argument* — evaluated twice on the stream side (the join's inferred
     # isnotnull(__cell) filter is pushed below the exchange and re-runs the
     # UDF) — a measured ~3x on the whole query at sf1.
-    it = _tiny_or_spread(items).select(
+    # ivf keeps a LOWER tiny-skip cap than ann_topk/ann_topk_lsh (r14): its
+    # single-task segment is heavier — the interpreted unit fold PLUS the
+    # Arrow cell-assign kernel both serialize into the one scan task when
+    # the spread is skipped. On a quiet box the skip still wins at 2k items
+    # (paired A/B: 0.98 vs 1.09 min-of-6), but on a loaded box the serial
+    # Python-boundary segment dominates and the skip measured 25% WORSE
+    # (r13 ground-truth bench, min AND median), so the crossover is pushed
+    # below the 2k-row class: only footer-proven <=1k-item tables skip.
+    it = _tiny_or_spread(items, cap=1_000).select(
         F.col(id_col).alias("item_id"),
         unit(F.col(vec_col)).alias("__iv"),
         F.element_at(assign_item(F.col(vec_col)), 1).alias("__cell"),

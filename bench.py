@@ -118,7 +118,7 @@ def _stage_breakdown(spark, fn, sf_dir, web_url: str, app_id: str):
             "tasks": s.get("numCompleteTasks", 0),
             "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 2),
         }
-        for s in new[:5]
+        for s in new  # callers slice for display; task-time sums need all
     ]
 
 
@@ -188,16 +188,27 @@ def main() -> None:
 
     # Per-stage breakdown for the 3 most expensive queries (one extra
     # untimed run each, outside every timed region): localizes a future
-    # regression to a stage without a rerun.
+    # regression to a stage without a rerun. r14: the same instrumented
+    # pass now covers EVERY query, summing executor task-time per query
+    # (task_ms) — the scaling disambiguator: a query whose low-core/high-
+    # core WALL ratio is ≈1 while its task-time is unchanged is at the
+    # scheduling-latency floor (per-task overhead >> per-row cost at this
+    # SF), not serial; a genuinely serial query would show task-time ≈
+    # wall at every core count.
     stage_metrics = {}
+    task_ms = {}
     web_url = spark.sparkContext.uiWebUrl
     if web_url:
         app_id = spark.sparkContext.applicationId
-        for name in sorted(mins, key=mins.get, reverse=True)[:3]:
+        top3 = set(sorted(mins, key=mins.get, reverse=True)[:3])
+        for name in mins:
             try:
-                stage_metrics[name] = _stage_breakdown(
+                stages = _stage_breakdown(
                     spark, QUERY_FNS[name], sf_dir, web_url, app_id
                 )
+                task_ms[name] = sum(s["run_ms"] for s in stages)
+                if name in top3:
+                    stage_metrics[name] = stages[:5]
             except Exception:  # noqa: BLE001 — metrics must never break bench
                 pass
 
@@ -208,6 +219,13 @@ def main() -> None:
     # line past that cap (`BENCH_r09.json` parsed: null).
     if stage_metrics:
         print(json.dumps({"stage_metrics": stage_metrics}))
+    if task_ms:
+        # own compact line directly before the headline so the driver's
+        # ~2000-char tail capture keeps it: per-query summed executor
+        # task-time (CPU-parallel; can exceed wall) from the instrumented
+        # pass — reads a flat wall ratio at a lower core count as "floor"
+        # vs "serial" without a rerun.
+        print(json.dumps({"queries_task_ms": task_ms}))
 
     canary_s = round(min(canary_samples), 3)
     out = {
